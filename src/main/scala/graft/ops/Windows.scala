@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Time-window operators W1–W6: rolling median/mean over time-range frames,
+  * resample-to-grid, limited forward-fill, linear interpolation, lag-diff,
+  * modal sampling interval.
+  *
+  * Reference semantics: pandas `rolling('2D').median()` (fs_pp.py:562),
+  * `rolling('3D', center=True).median()` (fs_process_l2.py:71),
+  * `resample('Nmin').ffill(limit=3)` (fs_pp.py:554-559),
+  * `interpolate()` (plot_L2.py:121), index lag-diff (fs_pp.py:557).
+  *
+  * Scale notes: every operator here partitions by an explicit key set
+  * (`partCols`) — per-station / per-sensor at production scale — so window
+  * state is bounded per key and the only shuffle is the hash partition on
+  * the keys. Ordering is on `unix_micros(ts)` (64-bit), giving exact
+  * microsecond frame bounds; pandas' offset windows are closed on the right
+  * and open on the left ((t-w, t]), which we reproduce by shrinking the
+  * preceding bound by 1 µs. A single-key (whole-table) window degenerates
+  * to one partition — callers at scale must supply keys; the reference's
+  * single-station pipelines pass the station id.
+  */
+object Windows {
+
+  private val MicrosPerSec = 1000000L
+
+  /** Window ordered by event-time micros, covering
+    * [t - beforeSec, t + afterSec] with configurable endpoint closedness. */
+  def timeRange(tsCol: Column, partCols: Seq[Column],
+                beforeSec: Double, afterSec: Double,
+                closedLeft: Boolean = false,
+                closedRight: Boolean = true): WindowSpec = {
+    val lo = -(beforeSec * MicrosPerSec).toLong + (if (closedLeft) 0L else 1L)
+    val hi = (afterSec * MicrosPerSec).toLong - (if (closedRight) 0L else 1L)
+    Window.partitionBy(partCols: _*).orderBy(unix_micros(tsCol))
+      .rangeBetween(lo, hi)
+  }
+
+  /** W1 — trailing time-window rolling aggregate ((t-w, t], pandas
+    * `rolling('2D')` closed-right default). */
+  def rollingTrailing(agg: Column => Column, value: Column, tsCol: Column,
+                      partCols: Seq[Column], widthSec: Double,
+                      minPeriods: Int = 1): Column = {
+    val w = timeRange(tsCol, partCols, widthSec, 0.0)
+    withMinPeriods(agg, value, w, minPeriods)
+  }
+
+  /** W2 — centered time-window rolling aggregate. pandas
+    * `rolling(w, center=True)` uses ((t - w/2, t + w/2]. */
+  def rollingCentered(agg: Column => Column, value: Column, tsCol: Column,
+                      partCols: Seq[Column], widthSec: Double,
+                      minPeriods: Int = 1): Column = {
+    val w = timeRange(tsCol, partCols, widthSec / 2, widthSec / 2)
+    withMinPeriods(agg, value, w, minPeriods)
+  }
+
+  private def withMinPeriods(agg: Column => Column, value: Column,
+                             w: WindowSpec, minPeriods: Int): Column =
+    if (minPeriods <= 1) agg(value).over(w)
+    else when(count(value).over(w) >= minPeriods, agg(value).over(w))
+
+  /** Exact median usable as a window aggregate (Spark >= 3.4). */
+  def med(c: Column): Column = median(c)
+
+  /** W6 — difference from previous row's value within each key,
+    * ordered by `orderCols`. */
+  def lagDiff(value: Column, partCols: Seq[Column],
+              orderCols: Seq[Column]): Column = {
+    val w = Window.partitionBy(partCols: _*).orderBy(orderCols: _*)
+    value - lag(value, 1).over(w)
+  }
+
+  /** W3 (grid) — regular timestamp grid per key spanning each key's
+    * [min(ts), max(ts)], `intervalSec` apart, left-joined with the input at
+    * exact instants (pandas `asfreq`: off-grid readings do NOT contribute).
+    * The grid is generated distributed (sequence+explode per key, one row
+    * per key from a partial-aggregable min/max); the join shuffles both
+    * sides on (key, ts) once.
+    */
+  def resampleGrid(df: DataFrame, tsCol: String, partCols: Seq[String],
+                   intervalSec: Long): DataFrame = {
+    val grid = df.groupBy(partCols.map(col): _*)
+      .agg(min(col(tsCol)).as("__t0"), max(col(tsCol)).as("__t1"))
+      .select((partCols.map(col) :+
+        explode(sequence(col("__t0"), col("__t1"),
+          expr(s"INTERVAL $intervalSec SECONDS"))).as(tsCol)): _*)
+    grid.join(df, partCols :+ tsCol, "left")
+  }
+
+  /** W3 (fill) — forward-fill `valueCol` but only across at most `limit`
+    * consecutive nulls (pandas `ffill(limit=n)`): the (limit+1)-th null
+    * after a valid observation stays null. Pure window composition:
+    * the running non-null count identifies each fill run; a row_number
+    * inside the run is the gap distance. */
+  def ffillLimited(df: DataFrame, valueCol: String, tsCol: String,
+                   partCols: Seq[String], limit: Int): DataFrame = {
+    val part = partCols.map(col)
+    val wOrd = Window.partitionBy(part: _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withRun = df
+      .withColumn("__run", count(col(valueCol)).over(wOrd))
+      .withColumn("__filled", last(col(valueCol), ignoreNulls = true).over(wOrd))
+    val wRun = Window.partitionBy((part :+ col("__run")): _*)
+      .orderBy(col(tsCol))
+    withRun
+      .withColumn("__gap", row_number().over(wRun) - 1)
+      .withColumn(valueCol,
+        when(col(valueCol).isNotNull, col(valueCol))
+          .when(col("__gap") <= limit, col("__filled")))
+      .drop("__run", "__filled", "__gap")
+  }
+
+  /** W5 — linear interpolation over time (pandas `interpolate()` default:
+    * interior nulls linearly interpolated on the time axis? no — pandas'
+    * default 'linear' method is positional; the reference applies it to
+    * regularly-gridded series where positional == temporal. We interpolate
+    * on event-time, which matches on regular grids and is the physically
+    * correct generalisation. Leading nulls stay null; trailing nulls carry
+    * the last valid value (pandas limit_direction='forward' behaviour). */
+  def interpolateLinear(df: DataFrame, valueCol: String, tsCol: String,
+                        partCols: Seq[String]): DataFrame = {
+    val part = partCols.map(col)
+    val ord = unix_micros(col(tsCol))
+    val wPrev = Window.partitionBy(part: _*).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(part: _*).orderBy(ord)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val pv = last(v, ignoreNulls = true).over(wPrev)
+    val pt = last(when(v.isNotNull, ord), ignoreNulls = true).over(wPrev)
+    val nv = first(v, ignoreNulls = true).over(wNext)
+    val nt = first(when(v.isNotNull, ord), ignoreNulls = true).over(wNext)
+    val interp = pv + (nv - pv) * (ord - pt) / (nt - pt)
+    df.withColumn(valueCol,
+      when(v.isNotNull, v)
+        .when(pv.isNotNull && nv.isNotNull, interp)
+        .when(pv.isNotNull, pv))
+  }
+
+  /** A2 — modal spacing between consecutive timestamps, in seconds
+    * (fs_pp.py:557-558 infers the logger cadence). Returns the most common
+    * positive gap; ties break toward the smaller gap. Driver scalar. */
+  def modalIntervalSec(df: DataFrame, tsCol: String,
+                       partCols: Seq[String]): Long = {
+    val part = partCols.map(col)
+    val w = Window.partitionBy(part: _*).orderBy(col(tsCol))
+    val gaps = df
+      .select((unix_micros(col(tsCol)) -
+        lag(unix_micros(col(tsCol)), 1).over(w)).as("__gap"))
+      .where(col("__gap").isNotNull)
+      .groupBy("__gap").count()
+      .orderBy(desc("count"), asc("__gap"))
+      .head()
+    gaps.getLong(0) / MicrosPerSec
+  }
+}

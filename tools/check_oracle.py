@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+Reads each <name>/ parquet result dumped by graft.Verify, runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the sf_dir
+tables, canonicalizes both (columns sorted by name, rows sorted), and
+compares cell-by-cell (exact).
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    import pandas as pd
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True,
+                        key=lambda s: s.astype(str))
+    return df
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        res_dir = f"{outdir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = canon(con.sql(
+                f"SELECT * FROM read_parquet({files!r})").df())
+            want = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}")
+            n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+            n_fail += 1; continue
+        import numpy as np
+        ok = True
+        for c in got.columns:
+            a, b = got[c], want[c]
+            if np.issubdtype(a.dtype, np.number) and np.issubdtype(b.dtype, np.number):
+                same = (a.astype("float64").fillna(np.inf)
+                        == b.astype("float64").fillna(np.inf))
+            else:
+                same = a.astype(str) == b.astype(str)
+            if not same.all():
+                ok = False
+                break
+        if not ok:
+            neq = (got.astype(str) != want.astype(str)).any(axis=1)
+            if not neq.any():
+                neq = ~same
+            print(f"FAIL {name}: {neq.sum()} differing rows; first:")
+            idx = neq.idxmax()
+            print("  spark:", got.loc[idx].to_dict())
+            print("  duck :", want.loc[idx].to_dict())
+            n_fail += 1; continue
+        print(f"PASS {name} ({len(got)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
