@@ -62,8 +62,11 @@ object Windows {
     if (minPeriods <= 1) agg(value).over(w)
     else when(count(value).over(w) >= minPeriods, agg(value).over(w))
 
-  /** Exact median usable as a window aggregate (Spark >= 3.4). */
-  def med(c: Column): Column = median(c)
+  /** Exact interpolating median usable as a window aggregate. Spark's
+    * `median` is a RuntimeReplaceable aggregate that rejects window frames;
+    * `percentile(x, 0.5)` is the same computation (linear interpolation,
+    * matching pandas `median()` / DuckDB `median`) and frame-capable. */
+  def med(c: Column): Column = percentile(c, lit(0.5))
 
   /** W6 — difference from previous row's value within each key,
     * ordered by `orderCols`. */
@@ -96,15 +99,17 @@ object Windows {
     * the running non-null count identifies each fill run; a row_number
     * inside the run is the gap distance. */
   def ffillLimited(df: DataFrame, valueCol: String, tsCol: String,
-                   partCols: Seq[String], limit: Int): DataFrame = {
+                   partCols: Seq[String], limit: Int,
+                   tiebreakCols: Seq[String] = Nil): DataFrame = {
     val part = partCols.map(col)
-    val wOrd = Window.partitionBy(part: _*).orderBy(col(tsCol))
+    val ord = (tsCol +: tiebreakCols).map(col)
+    val wOrd = Window.partitionBy(part: _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val withRun = df
       .withColumn("__run", count(col(valueCol)).over(wOrd))
       .withColumn("__filled", last(col(valueCol), ignoreNulls = true).over(wOrd))
     val wRun = Window.partitionBy((part :+ col("__run")): _*)
-      .orderBy(col(tsCol))
+      .orderBy(ord: _*)
     withRun
       .withColumn("__gap", row_number().over(wRun) - 1)
       .withColumn(valueCol,
@@ -121,12 +126,14 @@ object Windows {
     * correct generalisation. Leading nulls stay null; trailing nulls carry
     * the last valid value (pandas limit_direction='forward' behaviour). */
   def interpolateLinear(df: DataFrame, valueCol: String, tsCol: String,
-                        partCols: Seq[String]): DataFrame = {
+                        partCols: Seq[String],
+                        tiebreakCols: Seq[String] = Nil): DataFrame = {
     val part = partCols.map(col)
     val ord = unix_micros(col(tsCol))
-    val wPrev = Window.partitionBy(part: _*).orderBy(ord)
+    val ordAll = ord +: tiebreakCols.map(col)
+    val wPrev = Window.partitionBy(part: _*).orderBy(ordAll: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wNext = Window.partitionBy(part: _*).orderBy(ord)
+    val wNext = Window.partitionBy(part: _*).orderBy(ordAll: _*)
       .rowsBetween(0, Window.unboundedFollowing)
     val v = col(valueCol)
     val pv = last(v, ignoreNulls = true).over(wPrev)
