@@ -136,6 +136,147 @@ object SparkEntry {
         .select("event_type", "hour", "v")
     }),
 
+    // J4 — broadcast dim join: lineitem ⋈ broadcast(part), revenue per
+    // brand. The big side never shuffles; only the 6-row result does.
+    "q11_join_broadcast" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .join(broadcast(T(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n"))),
+
+    // Multi-join with filter (TPC-H Q5 shape): customer⋈nation⋈orders⋈
+    // lineitem; the status filter pushes into the orders scan, nation
+    // broadcasts, and Catalyst/AQE order the rest.
+    "q12_join_multi" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .join(broadcast(T(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(T(s, dir, "orders").where(col("o_orderstatus") === "F"),
+          col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n"))),
+
+    // J6 — as-of join: each click gets the user's most recent purchase
+    // value at-or-before it. Union-tag + one window pass — no range probe.
+    "q13_asof" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val clicks = e.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = Cleaning.dedupKeepFirst(
+        e.where(col("event_type") === "purchase")
+          .select("user_id", "ts", "value", "event_id"),
+        Seq("user_id", "ts"), Seq(col("event_id").desc))
+        .select("user_id", "ts", "value")
+      Joins.asOfJoin(clicks, purchases, Seq("user_id"), "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          col("value").as("last_purchase_value"))
+    }),
+
+    // J1 — union-by-name across drifting column sets (missing → null).
+    "q14_union" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      e.select("event_id", "user_id").unionByName(
+        e.select("event_id", "value"), allowMissingColumns = true)
+    }),
+
+    // Anti join — customers with no pending orders (NOT EXISTS shape);
+    // the status filter pushes below the anti join into the orders scan.
+    "q15_antijoin" -> ((s, dir) =>
+      T(s, dir, "customer").join(
+        T(s, dir, "orders").where(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    // A1/A2 — exact per-key median + deterministic mode (ties → smallest).
+    "q16_median_mode" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val med = e.groupBy("user_id")
+        .agg(round(median(col("value")), 4).as("med"))
+      val counts = e.groupBy("user_id", "event_type").count()
+      val mode = Cleaning.dedupKeepFirst(counts, Seq("user_id"),
+        Seq(col("count").desc, col("event_type")))
+        .select(col("user_id"), col("event_type").as("mode_type"))
+      med.join(mode, Seq("user_id"))
+    }),
+
+    // C3 — piecewise step correction: cumulative offsets applied to all
+    // data at/after each change point (pure chained CASE, codegen'd).
+    "q17_piecewise" -> ((s, dir) => {
+      val off = Joins.piecewiseOffset(col("ts"), Seq(
+        java.sql.Timestamp.valueOf("2024-01-10 00:00:00") -> 0.5,
+        java.sql.Timestamp.valueOf("2024-01-20 00:00:00") -> 0.25))
+      T(s, dir, "events").select(col("event_id"),
+        round(col("value") - off, 4).as("value_corrected"))
+    }),
+
+    // C1+J4 — linear calibration y = m·(1−x)+c with per-key coefficients
+    // and mean fallback for keys missing from the dim table.
+    "q18_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val coef = Seq(("click", 2.0, 0.5), ("view", 1.5, -0.2))
+        .toDF("event_type", "m", "c")
+      Joins.lookupWithFallback(T(s, dir, "events"), coef, "event_type",
+        Seq("m", "c"))
+        .select(col("event_id"),
+          round(Calibration.linear(col("value"), col("m"), col("c"),
+            oneMinus = true), 6).as("cal"))
+    }),
+
+    // R1 — wide → long unpivot of measure columns (Generate, no shuffle).
+    "q19_unpivot" -> ((s, dir) =>
+      Reshape.toLong(T(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_discount", "l_tax"), "metric", "mval")),
+
+    // Top-k per group — row_number with deterministic tiebreak.
+    "q20_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    // Rollup — hierarchical subtotals in one pass.
+    "q21_rollup" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))),
+
+    // P8 — time-range slice; the predicate reaches the parquet scan
+    // (PushedFilters) and prunes row groups / partitions at scale.
+    "q22_timeslice" -> ((s, dir) =>
+      T(s, dir, "events")
+        .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00"))
+          && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+        .select("event_id", "ts", "value")),
+
+    // A5 — daily profile: per-type stats of one calendar day.
+    "q23_daily_profile" -> ((s, dir) =>
+      T(s, dir, "events")
+        .where(date_trunc("day", col("ts")) ===
+          lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")))
+        .groupBy("event_type")
+        .agg(round(avg("value"), 4).as("avg_value"), count(lit(1)).as("n"))),
+
+    // J2 — horizontal alignment of two per-type hourly series on the time
+    // axis (full-outer join on the hour key).
+    "q24_align" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      def hourly(t: String, alias: String) =
+        e.where(col("event_type") === t)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(round(avg("value"), 4).as(alias))
+      Joins.alignOnTime(Seq(hourly("click", "click_avg"),
+        hourly("purchase", "purchase_avg")), "hour")
+    }),
+
     // Exact text dedup (training-data op): content hash → keep-min doc id.
     "d1_docs_exact_dedup" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -242,6 +383,107 @@ object SparkEntry {
            FROM span)
          SELECT g.event_type, g.hour, h.v
          FROM grid g LEFT JOIN h USING (event_type, hour)""",
+    "q11_join_broadcast" ->
+      """SELECT p_brand,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+    "q12_join_multi" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F'
+         GROUP BY n_name""",
+    "q13_asof" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase'
+           QUALIFY row_number() OVER (PARTITION BY user_id, ts
+             ORDER BY event_id DESC) = 1)
+         SELECT c.event_id, c.user_id, p.value AS last_purchase_value
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND p.ts <= c.ts""",
+    "q14_union" ->
+      """SELECT event_id, user_id FROM events
+         UNION ALL BY NAME
+         SELECT event_id, value FROM events""",
+    "q15_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""",
+    "q16_median_mode" ->
+      """WITH med AS (
+           SELECT user_id, round(median(value), 4) AS med
+           FROM events GROUP BY 1),
+         cnt AS (
+           SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         md AS (
+           SELECT user_id, event_type AS mode_type FROM cnt
+           QUALIFY row_number() OVER (PARTITION BY user_id
+             ORDER BY n DESC, event_type) = 1)
+         SELECT user_id, med, mode_type FROM med JOIN md USING (user_id)""",
+    "q17_piecewise" ->
+      """SELECT event_id,
+         round(value - CASE
+           WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 0.75
+           WHEN ts >= TIMESTAMP '2024-01-10 00:00:00' THEN 0.5
+           ELSE 0.0 END, 4) AS value_corrected
+         FROM events""",
+    "q18_calibration" ->
+      """WITH coef(event_type, m, c) AS (
+           VALUES ('click', 2.0, 0.5), ('view', 1.5, -0.2)),
+         fb AS (SELECT avg(m) AS fm, avg(c) AS fc FROM coef)
+         SELECT event_id,
+           round(coalesce(m, fm) * (1 - value) + coalesce(c, fc), 6) AS cal
+         FROM events LEFT JOIN coef USING (event_type), fb""",
+    "q19_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           l_quantity AS mval FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+           FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
+    "q20_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders
+         QUALIFY rn <= 3""",
+    "q21_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q22_timeslice" ->
+      """SELECT event_id, ts, value FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts < TIMESTAMP '2024-01-15 00:00:00'""",
+    "q23_daily_profile" ->
+      """SELECT event_type, round(avg(value), 4) AS avg_value,
+         count(*) AS n
+         FROM events
+         WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-05 00:00:00'
+         GROUP BY event_type""",
+    "q24_align" ->
+      """WITH c AS (
+           SELECT date_trunc('hour', ts) AS hour,
+             round(avg(value), 4) AS click_avg
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         p AS (
+           SELECT date_trunc('hour', ts) AS hour,
+             round(avg(value), 4) AS purchase_avg
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT coalesce(c.hour, p.hour) AS hour, click_avg, purchase_avg
+         FROM c FULL JOIN p ON c.hour = p.hour""",
     "d1_docs_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS doc_id,
          count(*) AS n_copies

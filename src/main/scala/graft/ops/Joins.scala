@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators J1–J6: union-by-name, time alignment, broadcast lookup
+  * with fallback, reindex (semi join), and as-of join.
+  *
+  * Reference semantics: fs_pp.py:92,149,216 (vertical concat across bales),
+  * fs_process_l2.py:113 (horizontal concat on the time index),
+  * fs_pp.py:584-594 (per-sensor calibration lookup with mean fallback),
+  * fs_pp.py:566 (reindex filtered series at original sample times),
+  * fs_pp.py:621-625 (first UDG reading at/after a TDR install date).
+  *
+  * Scale notes: dim tables here are ≤ thousands of rows → `broadcast()`
+  * keeps the big side shuffle-free. The as-of join avoids a per-row range
+  * probe (quadratic) by union-tagging both sides and running one window
+  * pass — a single shuffle on the key, O(n log n) in each key group.
+  */
+object Joins {
+
+  /** J1 — vertical union across datasets whose column sets drift over the
+    * years; missing columns become null. */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** J2 — horizontal alignment of per-key series on the time axis:
+    * full-outer n-way join on (time). Each input must be (time, value…). */
+  def alignOnTime(dfs: Seq[DataFrame], tsCol: String): DataFrame =
+    dfs.reduce(_.join(_, Seq(tsCol), "full_outer"))
+
+  /** J4 — broadcast lookup with per-key coefficients and a global fallback
+    * for keys missing from the dim table (reference: mean of all sensors'
+    * calibration coefficients, fs_pp.py:589-594). `dim` must contain
+    * `keyCol` plus the coefficient columns; fallbacks are computed in one
+    * tiny aggregate over the dim table and coalesced in. */
+  def lookupWithFallback(df: DataFrame, dim: DataFrame, keyCol: String,
+                         coefCols: Seq[String]): DataFrame = {
+    val fallbacks = dim.agg(
+      coefCols.head -> "avg", coefCols.tail.map(_ -> "avg"): _*).head()
+    val joined = df.join(broadcast(dim), Seq(keyCol), "left")
+    coefCols.zipWithIndex.foldLeft(joined) { case (d, (c, i)) =>
+      d.withColumn(c, coalesce(col(c), lit(fallbacks.getDouble(i))))
+    }
+  }
+
+  /** J5 — reindex: keep only rows of `df` whose key exists in `keys`
+    * (pandas `filt[udg.index]`). Left-semi join — no column duplication,
+    * broadcastable when `keys` is small. */
+  def reindexTo(df: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
+    df.join(keys.select(on.map(col): _*).distinct(), on, "left_semi")
+
+  /** J6 — as-of join: for each left row, attach the most recent right row
+    * with `right.ts <= left.ts` within the same key. Implemented as a
+    * union-tag + window pass (no range probe, no cross product):
+    * one shuffle on (key), one ordered window per key group.
+    *
+    * Columns: `leftDf` keeps all its columns; the right side contributes
+    * `valueCols` (renamed as given). Right rows with equal ts sort BEFORE
+    * left rows (<= semantics, matching pandas merge_asof / DuckDB ASOF).
+    */
+  def asOfJoin(leftDf: DataFrame, rightDf: DataFrame, keys: Seq[String],
+               tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = leftDf.columns
+    val lTagged = leftDf
+      .withColumn("__side", lit(1))
+      .select(Seq(col("*")) ++
+        valueCols.map(c => lit(null).cast(rightDf.schema(c).dataType).as(s"__v_$c")): _*)
+    val rTagged = rightDf
+      .select(keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side")) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = valueCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"__v_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    filled.where(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"__v_$c").as(c)): _*)
+  }
+
+  /** C3 — piecewise step offsets: given change points (threshold ts,
+    * cumulative offset), subtract the offset active at each row's time
+    * (reference's UDG height-change normalisation applies offsets
+    * cumulatively to all data >= each change date, fs_pp.py:452-511).
+    * Pure chained CASE expression — codegen-friendly, no join needed for
+    * the handful of change points a station accumulates. */
+  def piecewiseOffset(ts: Column, changes: Seq[(java.sql.Timestamp, Double)]): Column = {
+    val sorted = changes.sortBy(_._1.getTime)
+    // cumulative: offset_i applies to [d_i, d_{i+1})
+    val cum = sorted.scanLeft(0.0) { case (acc, (_, o)) => acc + o }.tail
+    // fold ascending so the LATEST change point is the outermost WHEN —
+    // each later branch must shadow all earlier ones for ts past it
+    sorted.zip(cum).foldLeft(lit(0.0)) {
+      case (elseExpr, ((d, _), cumOff)) =>
+        when(ts >= lit(d), lit(cumOff)).otherwise(elseExpr)
+    }
+  }
+}
