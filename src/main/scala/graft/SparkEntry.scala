@@ -289,6 +289,76 @@ object SparkEntry {
       T(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))),
+
+    // MinHash signature: 8 salted-md5 min-hashes over word 3-gram
+    // shingles. Map-side only — each doc reduces to a fixed-size sketch.
+    "t1_minhash_sig" -> ((s, dir) => {
+      val t = T(s, dir, "documents")
+        .where(size(TextOps.tokens(col("text"))) >= 3)
+      t.select(col("doc_id"),
+        array_join(Dedup.minhashSignature(
+          TextOps.wordShingles(TextOps.tokens(col("text")), 3), 8), "|")
+          .as("mh"))
+    }),
+
+    // MinHash+LSH near-dup candidate pairs, verified with exact n-gram
+    // Jaccard on the distinct shingle sets (the full near-dedup pipeline).
+    // The shingle DF is cached: three consumers (signatures + both sides
+    // of the pair→set join) would otherwise re-tokenize the corpus.
+    "t2_lsh_jaccard" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.wordShingles(TextOps.tokens(col("text")), 3)
+            .as("shingles"))
+        .cache()
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "shingles",
+        k = 8, bands = 4)
+      val sets = docs.select(col("doc_id"),
+        array_distinct(col("shingles")).as("ss"))
+      pairs
+        .join(sets.select(col("doc_id").as("id_a"), col("ss").as("__sa")),
+          Seq("id_a"))
+        .join(sets.select(col("doc_id").as("id_b"), col("ss").as("__sb")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(TextOps.jaccard(col("__sa"), col("__sb")), 6).as("jac"))
+    }),
+
+    // SimHash 32-bit signature as a portable bitstring.
+    "t3_simhash" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        Dedup.simhash32(TextOps.tokens(col("text"))).as("sh"))),
+
+    // Brute-force exact cosine top-5 for 10 query vectors (ANN baseline):
+    // corpus never shuffles; queries broadcast.
+    "t4_knn_cosine" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Vectors.bruteForceTopK(q, e, "qid", "vec_id", "embedding", k = 5)
+    }),
+
+    // SRP-LSH bucket histogram: 8 pseudo-random ±1 hyperplanes (md5-
+    // derived), bucket assigned map-side — the scale path for ANN.
+    "t5_srp_buckets" -> ((s, dir) =>
+      T(s, dir, "embeddings")
+        .groupBy(Vectors.srpBucket(col("embedding"), 64, 8).as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
+    // Language-ID heuristic: CJK regex + per-language stopword argmax.
+    "t6_lang_id" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"))),
+
+    // Quality scoring: length/alpha/stopword/punctuation blend.
+    "t7_quality" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("q_score"))),
+
+    // Document fingerprint: bottom-4 sketch of md5'd word 5-grams.
+    "t8_fingerprint" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -491,5 +561,149 @@ object SparkEntry {
     "d2_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
          FROM documents""",
+    "t1_minhash_sig" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents
+           WHERE len(string_split_regex(text, '\s+')) >= 3),
+         sh AS (
+           SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN generate_series(1, len(toks)-2)] AS s
+           FROM t)
+         SELECT doc_id,
+           array_to_string(
+             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
+              FOR k IN generate_series(1, 8)], '|') AS mh
+         FROM sh""",
+    "t2_lsh_jaccard" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN generate_series(1, len(toks)-2)] AS s
+           FROM t WHERE len(toks) >= 3),
+         mh AS (
+           SELECT doc_id,
+             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
+              FOR k IN generate_series(1, 8)] AS sig
+           FROM sh),
+         bands AS (
+           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
+           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sets AS (SELECT doc_id, list_distinct(s) AS ss FROM sh)
+         SELECT id_a, id_b,
+           round(CAST(len(list_filter(x.ss, e -> list_contains(y.ss, e)))
+                      AS DOUBLE)
+             / (len(x.ss) + len(y.ss)
+                - len(list_filter(x.ss, e -> list_contains(y.ss, e)))), 6)
+             AS jac
+         FROM pairs
+         JOIN sets x ON x.doc_id = id_a
+         JOIN sets y ON y.doc_id = id_b""",
+    "t3_simhash" ->
+      """WITH t AS (
+           SELECT doc_id,
+             [md5(tok) FOR tok IN string_split_regex(text, '\s+')] AS hs
+           FROM documents)
+         SELECT doc_id,
+           array_to_string(
+             [CASE WHEN list_sum(
+                [CASE WHEN substr(h, i, 1) BETWEEN '8' AND 'f'
+                      THEN 1 ELSE -1 END FOR h IN hs]) > 0
+              THEN '1' ELSE '0' END
+              FOR i IN generate_series(1, 32)], '') AS sh
+         FROM t""",
+    "t4_knn_cosine" ->
+      """WITH e AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         s AS (
+           SELECT qid, vec_id,
+             list_sum([qv[i]*v[i] FOR i IN generate_series(1,64)]) /
+             (sqrt(list_sum([qv[i]*qv[i] FOR i IN generate_series(1,64)])) *
+              sqrt(list_sum([v[i]*v[i] FOR i IN generate_series(1,64)])))
+             AS c
+           FROM e, q WHERE qid <> vec_id)
+         SELECT qid, vec_id, round(c, 6) AS cos,
+           row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id)
+             AS rn
+         FROM s QUALIFY rn <= 5""",
+    "t5_srp_buckets" ->
+      """WITH e AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+           FROM embeddings)
+         SELECT array_to_string(
+           [CASE WHEN list_sum(
+              [CASE WHEN substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)
+                    BETWEEN '8' AND 'f'
+                    THEN v[d] ELSE -v[d] END
+               FOR d IN generate_series(1, 64)]) >= 0
+            THEN '1' ELSE '0' END
+            FOR p IN generate_series(1, 8)], '') AS bucket,
+           count(*) AS n
+         FROM e GROUP BY 1""",
+    "t6_lang_id" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             string_split_regex(lower(text), '\s+') AS tl
+           FROM documents),
+         s AS (
+           SELECT doc_id, text,
+             len(list_filter(tl, x -> list_contains(
+               ['der','die','und','das','ist','nicht','ein','zu'], x)))
+               AS s_de,
+             len(list_filter(tl, x -> list_contains(
+               ['the','and','of','to','in','is','that','it'], x))) AS s_en,
+             len(list_filter(tl, x -> list_contains(
+               ['el','la','de','que','y','los','en','un'], x))) AS s_es,
+             len(list_filter(tl, x -> list_contains(
+               ['le','la','de','et','les','des','un','une'], x))) AS s_fr
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                WHEN s_de=0 AND s_en=0 AND s_es=0 AND s_fr=0 THEN 'en'
+                WHEN s_de>=s_en AND s_de>=s_es AND s_de>=s_fr THEN 'de'
+                WHEN s_en>=s_de AND s_en>=s_es AND s_en>=s_fr THEN 'en'
+                WHEN s_es>=s_de AND s_es>=s_en AND s_es>=s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+         FROM s""",
+    "t7_quality" ->
+      """SELECT doc_id, round(
+           least(CAST(len(string_split_regex(text,'\s+')) AS DOUBLE)/100.0,
+                 1.0) * 0.4
+           + CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / greatest(CAST(len(text) AS DOUBLE), 1.0) * 0.3
+           + CAST(len(list_filter(string_split_regex(lower(text),'\s+'),
+               x -> list_contains(
+                 ['the','and','of','to','in','is','that','it'], x)))
+               AS DOUBLE)
+             / greatest(CAST(len(string_split_regex(text,'\s+')) AS DOUBLE),
+                        1.0) * 0.2
+           + least((CAST(len(text) AS DOUBLE)
+                    - len(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)
+             * 0.1, 6) AS q_score
+         FROM documents""",
+    "t8_fingerprint" ->
+      """WITH t AS (
+           SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         h AS (
+           SELECT doc_id, text,
+             list_sort([md5(array_to_string(toks[i:i+4], ' '))
+                        FOR i IN generate_series(1, len(toks)-4)]) AS hs
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN len(hs) > 0 THEN array_to_string(hs[1:4], '')
+                ELSE md5(text) END AS fp
+         FROM h""",
   )
 }

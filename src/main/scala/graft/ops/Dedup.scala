@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for training-data pipelines: MinHash
+  * signatures, LSH banding, SimHash, and Jaccard verification.
+  *
+  * Design for 100 TB: the candidate-pair generation is the classic
+  * shingle → minhash → band → bucket-join pipeline. Each document is
+  * reduced map-side to a k-hash signature (no shuffle), then only
+  * (band, bucket-hash) keys shuffle — collisions, not the corpus,
+  * drive the join fan-out. Hashes are md5-hex (lexicographic min), so
+  * signatures are engine-portable and need no private seed state.
+  */
+object Dedup {
+
+  /** MinHash signature: k independent permutations simulated by salting
+    * md5 with the hash index; the signature element is the lexicographic
+    * min over the document's shingles. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(1), lit(k)),
+      s => array_min(transform(shingles,
+        x => md5(concat(s.cast("string"), lit("|"), x)))))
+
+  /** Explode a signature into `bands` LSH bands of `rowsPerBand` hashes;
+    * returns (bandCol, bucketHashCol) pairs as a single exploded struct
+    * column named `__band`. */
+  private def bandStructs(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    explode(transform(sequence(lit(1), lit(bands)), b =>
+      struct(b.as("band"),
+        md5(concat_ws("",
+          slice(sig, (b - lit(1)) * rowsPerBand + 1,
+            lit(rowsPerBand)))).as("bh"))))
+
+  /** Candidate near-duplicate pairs via MinHash+LSH. Input must have
+    * `idCol` and a shingles array column `shinglesCol` (empty-shingle
+    * docs are excluded). Output: (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * One shuffle: docs group by (band, bucket), pairs are generated
+    * INSIDE each bucket from the collected id list — no self-join, so the
+    * signature pipeline is evaluated once, not once per join branch.
+    * `maxBucket` caps degenerate buckets (boilerplate that collides
+    * everywhere would otherwise go quadratic); capped buckets are dropped,
+    * which at scale should be logged as reduced recall. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, shinglesCol: String,
+                        k: Int = 8, bands: Int = 4,
+                        maxBucket: Int = 10000): DataFrame = {
+    require(k % bands == 0, "k must divide into bands evenly")
+    val sig = df.where(size(col(shinglesCol)) > 0)
+      .select(col(idCol), minhashSignature(col(shinglesCol), k).as("__sig"))
+    val banded = sig.select(col(idCol),
+      bandStructs(col("__sig"), bands, k / bands).as("__band"))
+      .select(col(idCol), col("__band.band").as("__b"),
+        col("__band.bh").as("__h"))
+    val ids = col("ids")
+    banded.groupBy("__b", "__h")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(ids).between(2, maxBucket))
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(ids) - 1),
+        i => transform(slice(ids, i + 1, size(ids)),
+          y => struct(element_at(ids, i).as("id_a"), y.as("id_b"))))))
+        .as("p"))
+      .select("p.id_a", "p.id_b").distinct()
+  }
+
+  /** SimHash (32-bit, as a '0'/'1' bitstring): per bit position i, sum
+    * +1/−1 votes from the i-th hex char of each token's md5; bit = 1 iff
+    * the sum is positive. Near-duplicates agree on most bits (compare by
+    * Hamming distance on the bitstrings). Map-side only, no shuffle. */
+  def simhash32(toks: Column): Column = {
+    val hashes = transform(toks, t => md5(t)) // one md5 per token, not per bit
+    concat_ws("", transform(sequence(lit(1), lit(32)), i =>
+      when(aggregate(hashes, lit(0), (acc, h) =>
+        acc + when(h.substr(i, lit(1)).between("8", "f"), 1)
+          .otherwise(-1)) > 0, "1").otherwise("0")))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * shingling, language ID, quality scoring, fingerprinting.
+  *
+  * Everything here is a pure `Column` expression over built-in functions —
+  * codegen'd, shuffle-free, and deterministic across engines (hashes are
+  * md5-hex so an external SQL engine reproduces them bit-for-bit; no
+  * engine-private hash seeds).
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (the BPE-ish regex split). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Lowercased tokens for case-insensitive matching. */
+  def tokensLower(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Word n-gram shingles: overlapping windows of `n` tokens joined by a
+    * single space. Documents with fewer than `n` tokens yield an empty
+    * array (guarded — `sequence` would otherwise run descending). */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct shingle set (for Jaccard). */
+  def shingleSet(text: Column, n: Int): Column =
+    array_distinct(wordShingles(tokens(text), n))
+
+  /** n-gram Jaccard similarity of two distinct-shingle sets, computed
+    * portably as |A∩B| / (|A|+|B|−|A∩B|). */
+  def jaccard(aSet: Column, bSet: Column): Column = {
+    val inter = size(filter(aSet, x => array_contains(bSet, x)))
+      .cast("double")
+    inter / (size(aSet) + size(bSet) - inter)
+  }
+
+  /** Language-ID heuristic: CJK codepoints → zh; otherwise argmax of
+    * per-language stopword hit counts (ties resolve alphabetically, all-
+    * zero resolves to 'en'). A real pipeline swaps in a trained n-gram
+    * model; the *shape* (pure expression, no shuffle) is the point. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"))
+
+  def stopwordCount(toksLower: Column, lang: String): Column =
+    size(filter(toksLower,
+      t => array_contains(lit(stopwords(lang).toArray), t)))
+
+  def langId(text: Column): Column = {
+    val tl = tokensLower(text)
+    val s = stopwords.keys.toSeq.sorted.map(l => l -> stopwordCount(tl, l))
+    val allZero = s.map(_._2 === 0).reduce(_ && _)
+    val argmax = s.foldRight(lit("en")) { case ((l, sc), els) =>
+      when(s.filter(_._1 != l).map(o => sc >= o._2).reduce(_ && _), lit(l))
+        .otherwise(els)
+    }
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(allZero, lit("en"))
+      .otherwise(argmax)
+  }
+
+  /** Quality score in [0,1]-ish: rewards mid-length documents, prose-like
+    * punctuation density, stopword presence and alphabetic content.
+    * Deterministic double arithmetic, identical term order on both engines. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val toks = tokens(text)
+    val nToks = size(toks).cast("double")
+    val punct = (nChars - length(regexp_replace(text, "[.,!?;:]", ""))) /
+      greatest(nChars, lit(1.0))
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", ""))
+      .cast("double") / greatest(nChars, lit(1.0))
+    val stop = stopwordCount(tokensLower(text), "en").cast("double") /
+      greatest(nToks, lit(1.0))
+    val lenScore = least(nToks / lit(100.0), lit(1.0))
+    round(lenScore * 0.4 + alpha * 0.3 + stop * 0.2 +
+      least(punct * lit(10.0), lit(1.0)) * 0.1, 6)
+  }
+
+  /** Document fingerprint: bottom-k sketch over md5'd word 5-grams —
+    * robust to small edits (an edit perturbs few shingles, usually not the
+    * k smallest hashes). Shorter docs fall back to whatever shingles exist;
+    * docs with no 5-gram use the md5 of the whole text. */
+  def fingerprint(text: Column, n: Int = 5, k: Int = 4): Column = {
+    val hashes = array_sort(
+      transform(wordShingles(tokens(text), n), s => md5(s)))
+    when(size(hashes) > 0, concat_ws("", slice(hashes, 1, k)))
+      .otherwise(md5(text))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline: a broadcast of the
+  * (small) query set against the corpus — the corpus side never shuffles,
+  * each partition emits its local candidates and only the per-query top-k
+  * shuffles for the final rank. The scale path is sign-random-projection
+  * LSH: vectors map to a b-bit bucket map-side, candidate search touches
+  * one bucket (± neighbors by Hamming distance).
+  *
+  * All arithmetic is double-precision folds in array-index order, so an
+  * external engine reproduces the values bit-for-bit.
+  */
+object Vectors {
+
+  /** Elementwise-fold dot product of two array columns (cast to double,
+    * summed in index order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors by cosine for each query vector.
+    * `queries`: (qidCol, vector) — small, broadcast. `corpus`:
+    * (idCol, vector). Self-matches (qid == id) are excluded; ties break
+    * on the neighbor id for determinism. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     qidCol: String, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(qidCol), col(vecCol).as("__qv"))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(q))
+      .where(col(qidCol) =!= col(idCol))
+      .withColumn("__cos", cosine(col("__qv"), col(vecCol)))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("__cos").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col(qidCol), col(idCol), round(col("__cos"), 6).as("cos"),
+        col("rn"))
+  }
+
+  /** Sign-random-projection LSH bucket id (a `planes`-char '0'/'1'
+    * string). The projection matrix is pseudo-random ±1 weights derived
+    * from md5(plane||'_'||dim) — deterministic, engine-portable, and
+    * needs no stored model. Map-side only. */
+  def srpBucket(vec: Column, dims: Int, planes: Int): Column =
+    concat_ws("", transform(sequence(lit(1), lit(planes)), p =>
+      when(aggregate(sequence(lit(1), lit(dims)), lit(0.0), (acc, d) =>
+        acc + when(md5(concat(p.cast("string"), lit("_"), d.cast("string")))
+          .substr(lit(1), lit(1)).between("8", "f"),
+          element_at(vec, d).cast("double"))
+          .otherwise(-element_at(vec, d).cast("double"))) >= 0, "1")
+        .otherwise("0")))
+
+  /** Bucketed ANN: top-k by cosine searched only within each query's SRP
+    * bucket — the 100 TB path (bucket is a map-side label; the join is an
+    * equi-join on it, not a cross join). Recall depends on `planes`. */
+  def bucketedTopK(queries: DataFrame, corpus: DataFrame,
+                   qidCol: String, idCol: String, vecCol: String,
+                   k: Int, dims: Int, planes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(qidCol), col(vecCol).as("__qv"),
+      srpBucket(col(vecCol), dims, planes).as("__bkt"))
+    val c = corpus.select(col(idCol), col(vecCol),
+      srpBucket(col(vecCol), dims, planes).as("__bkt"))
+    val scored = c.join(broadcast(q), Seq("__bkt"))
+      .where(col(qidCol) =!= col(idCol))
+      .withColumn("__cos", cosine(col("__qv"), col(vecCol)))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("__cos").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col(qidCol), col(idCol), round(col("__cos"), 6).as("cos"),
+        col("rn"))
+  }
+}
