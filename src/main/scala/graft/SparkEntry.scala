@@ -359,6 +359,23 @@ object SparkEntry {
     "t8_fingerprint" -> ((s, dir) =>
       T(s, dir, "documents").select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))),
+
+    // X1 — the path-dependent depth recurrence (no SQL equivalent →
+    // rows-only check here; semantics golden-tested in UdgDepthSpec).
+    // A smoothed hourly series drives two "sensor installs"; state is
+    // per-sensor via repartition+sortWithinPartitions+mapPartitions.
+    "x1_depth_recurrence" -> ((s, dir) => {
+      val udg = T(s, dir, "events")
+        .where(col("user_id") === 0)
+        .groupBy(date_trunc("hour", col("ts")).as("ts"))
+        .agg(((avg("value") - 30.0) / 10.0).as("udg"))
+      Depths.tdrDepth(udg, "ts", "udg", Seq(
+        Depths.Install("tdr1",
+          java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), -0.5),
+        Depths.Install("tdr2",
+          java.sql.Timestamp.valueOf("2024-01-15 00:00:00"), -1.2)))
+        .select(col("sensor"), col("ts"), round(col("depth"), 6).as("depth"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1,0 +1,92 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S1–S3 — Campbell Scientific TOA5 ingest.
+  *
+  * TOA5 layout (reference test_data/fielddata_202107/MainTable1.dat:1-4):
+  * line 1 environment header, line 2 column names, line 3 units,
+  * line 4 aggregation types, line 5+ data; `"NAN"` null sentinel; quoted
+  * timestamps. The reference encodes this as pandas
+  * `skiprows=[0,2,3], header=0` (fs_pp.py:231,246-260).
+  *
+  * Spark CSV cannot skip arbitrary row indices, so the shim:
+  *  1. reads line 2 of the first file driver-side for the column names
+  *     (one tiny sequential read);
+  *  2. reads all files as headerless CSV (distributed);
+  *  3. drops the three per-file metadata rows by predicate — they are
+  *     exactly the rows whose first column does not parse as a timestamp
+  *     (units/aggregation rows are non-temporal by construction);
+  *  4. casts measurement columns to double (the `"NAN"` sentinel maps to
+  *     null via `nullValue`), `RECORD` to long, `TIMESTAMP` to timestamp;
+  *  5. tags each row with a file sequence number (arrival order across
+  *     bales) so keep-first dedup downstream is deterministic.
+  *
+  * Scale: the header probe is O(1); everything else is a plain
+  * distributed CSV scan — files split and parallelize as usual.
+  */
+object Toa5 {
+
+  val FileOrderCol = "__file_seq"
+
+  /** Column names from line 2 of a TOA5 file (driver-side probe). */
+  def header(spark: SparkSession, path: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    try {
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8"))
+      reader.readLine() // environment header
+      val names = reader.readLine()
+      names.split(",").map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
+    } finally in.close()
+  }
+
+  /** Read an ordered list of TOA5 files (bales) into one DataFrame with
+    * typed columns plus `__file_seq` preserving bale order (S2). All
+    * files must share the layout of the first. `nrows` caps rows per the
+    * reference's `nrows` ingest option (applied after the metadata-row
+    * filter, driver-side limit). */
+  def read(spark: SparkSession, paths: Seq[String],
+           timestampCol: String = "TIMESTAMP",
+           nrows: Option[Int] = None): DataFrame = {
+    require(paths.nonEmpty, "no TOA5 files given")
+    val cols = header(spark, paths.head)
+    val schema = StructType(cols.map(c => StructField(c, StringType)))
+    val raw = spark.read
+      .schema(schema)
+      .option("header", "false")
+      .option("nullValue", "NAN")
+      .option("quote", "\"")
+      .csv(paths: _*)
+      .withColumn("__path", input_file_name())
+    // bale order: position of each path in the caller-supplied list
+    val order = paths.zipWithIndex.toMap
+    val orderExpr = order.foldLeft(lit(Int.MaxValue)) {
+      case (e, (p, i)) =>
+        when(col("__path").contains(p.split("/").last), lit(i)).otherwise(e)
+    }
+    // try_* variants: ANSI mode (Spark 4 default) would otherwise throw
+    // on the metadata rows / non-numeric cells instead of nulling them
+    val data = raw
+      .where(try_to_timestamp(col(timestampCol)).isNotNull) // drops rows 1,3,4
+      .withColumn(FileOrderCol, orderExpr)
+      .drop("__path")
+    val typed = data.select(
+      (cols.map {
+        case c if c == timestampCol => try_to_timestamp(col(c)).as(c)
+        case c if c == "RECORD" => expr(s"try_cast(`$c` AS bigint)").as(c)
+        case c => expr(s"try_cast(`$c` AS double)").as(c)
+      } :+ col(FileOrderCol)): _*)
+    nrows.fold(typed)(n => typed.limit(n))
+  }
+
+  /** S2/S3 — resolve a bale range plus optional "serviced" glob appends
+    * into the ordered path list (driver-side file listing). */
+  def balePaths(dir: String, start: Int, stop: Int,
+                template: String = "MainTable%d.dat"): Seq[String] =
+    (start to stop).map(i => s"$dir/${template.format(i)}")
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.config.Toml
+import graft.ops._
+
+/** Unit specs for the composable ops: windows, rename, piecewise, toml,
+  * text/dedup primitives. */
+class OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def t(h: Int) = java.sql.Timestamp.valueOf(f"2021-05-01 $h%02d:00:00")
+
+  test("ffillLimited fills at most `limit` consecutive nulls") {
+    val df = (0 to 7).map { i =>
+      (t(i), if (i >= 1 && i <= 5) None else Some(1.0 * i))
+    }.toDF("ts", "v")
+    val out = Windows.ffillLimited(df, "v", "ts", Nil, limit = 3)
+      .orderBy("ts").collect().map(r =>
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))).toSeq
+    // i=0 value 0.0; nulls at 1..5: fill 3 (1,2,3), leave 4,5 null
+    assert(out === Seq(Some(0.0), Some(0.0), Some(0.0), Some(0.0),
+      None, None, Some(6.0), Some(7.0)))
+  }
+
+  test("interpolateLinear fills interior gaps on the time axis") {
+    val df = Seq((t(0), Some(1.0)), (t(1), None), (t(2), None),
+      (t(3), Some(4.0)), (t(4), None)).toDF("ts", "v")
+    val out = Windows.interpolateLinear(df, "v", "ts", Nil)
+      .orderBy("ts").collect().map(_.getDouble(1)).toSeq
+    assert(out === Seq(1.0, 2.0, 3.0, 4.0, 4.0)) // trailing carries last
+  }
+
+  test("modalIntervalSec infers the dominant cadence") {
+    val ts = Seq(0, 15, 30, 45, 60, 90, 105).map(m =>
+      Tuple1(new java.sql.Timestamp(t(0).getTime + m * 60000L)))
+    assert(Windows.modalIntervalSec(ts.toDF("ts"), "ts", Nil) === 900L)
+  }
+
+  test("regexRenameMap expands sensor families") {
+    val map = Reshape.regexRenameMap(
+      Seq("DTC1(1)", "DTC1(12)", "TDR1_VWC", "TCDT", "RECORD"),
+      Seq(
+        ("""DTC1\(([0-9]+)\)""", "DTC1_*(C)"),
+        ("""(TDR[0-9]+_VWC)""", "*(m3/m3)"),
+        ("""TCDT""", "TCDT(m)")))
+    assert(map("DTC1(1)") === "DTC1_1(C)")
+    assert(map("DTC1(12)") === "DTC1_12(C)")
+    assert(map("TDR1_VWC") === "TDR1_VWC(m3/m3)")
+    assert(map("TCDT") === "TCDT(m)")
+    assert(!map.contains("RECORD"))
+  }
+
+  test("piecewiseOffset accumulates and latest change wins") {
+    val df = Seq(t(0), t(6), t(12)).map(Tuple1(_)).toDF("ts")
+    val off = Joins.piecewiseOffset($"ts",
+      Seq(t(6) -> 0.5, t(12) -> 0.25))
+    val out = df.select(off).collect().map(_.getDouble(0)).toSeq
+    assert(out === Seq(0.0, 0.5, 0.75))
+  }
+
+  test("asOfJoin attaches the most recent right value at-or-before") {
+    val left = Seq((1L, t(1)), (1L, t(3)), (2L, t(2)))
+      .toDF("k", "ts")
+    val right = Seq((1L, t(1), 10.0), (1L, t(2), 20.0), (2L, t(3), 30.0))
+      .toDF("k", "ts", "v")
+    val out = Joins.asOfJoin(left, right, Seq("k"), "ts", Seq("v"))
+      .orderBy("k", "ts").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+    // (1,t1) matches right t1 (<=); (1,t3) -> t2's 20; (2,t2) -> none
+    assert(out === Seq(Some(10.0), Some(20.0), None))
+  }
+
+  test("TOML subset: sections, dotted keys, arrays, dates") {
+    val cfg = Toml.parse(
+      """site = 'FS1' # comment
+        |lat = 66.18
+        |[level1_2]
+        |remove_columns = ["RECORD", "DT"]
+        |udg_height_change = [[2021-04-30, 2.06], [2021-05-02T22:00:00]]
+        |tdr_info.1 = [2021-04-30, -0.48, false]
+        |""".stripMargin)
+    assert(Toml.str(cfg, "site") === "FS1")
+    assert(Toml.dbl(cfg, "lat") === 66.18)
+    assert(cfg("level1_2.remove_columns") === List("RECORD", "DT"))
+    val hc = cfg("level1_2.udg_height_change").asInstanceOf[List[Any]]
+    assert(hc.head.asInstanceOf[List[Any]](1) === 2.06)
+    assert(hc(1).asInstanceOf[List[Any]].head ===
+      java.sql.Timestamp.valueOf("2021-05-02 22:00:00"))
+    val tdr = cfg("level1_2.tdr_info.1").asInstanceOf[List[Any]]
+    assert(tdr(2) === false)
+  }
+
+  test("jaccard and shingles") {
+    val df = Seq(("a b c d", "b c d e")).toDF("x", "y")
+    val j = df.select(TextOps.jaccard(
+      TextOps.shingleSet($"x", 2), TextOps.shingleSet($"y", 2)))
+      .head().getDouble(0)
+    // x 2-grams {ab,bc,cd}, y {bc,cd,de}: |∩|=2, |∪|=4
+    assert(math.abs(j - 0.5) < 1e-9)
+  }
+
+  test("langId picks obvious languages") {
+    val df = Seq(
+      ("the cat and the dog of the house", "en"),
+      ("le chat et les chiens de la maison", "fr"),
+      ("der hund und die katze ist nicht da", "de"),
+      ("el perro y la casa de que un dia", "es"),
+      ("你好世界", "zh")).toDF("text", "expect")
+    val wrong = df.where(TextOps.langId($"text") =!= $"expect").count()
+    assert(wrong === 0)
+  }
+
+  test("lookupWithFallback fills missing keys with dim means") {
+    val dim = Seq(("a", 2.0, 1.0), ("b", 4.0, 3.0)).toDF("k", "m", "c")
+    val out = Joins.lookupWithFallback(
+      Seq("a", "z").toDF("k"), dim, "k", Seq("m", "c"))
+      .orderBy("k").collect()
+    assert(out(0).getDouble(1) === 2.0)
+    assert(out(1).getDouble(1) === 3.0) // mean(2,4)
+    assert(out(1).getDouble(2) === 2.0) // mean(1,3)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Toa5
+import graft.pipeline.Level1
+
+/** S1–S3 + §3.1 pipeline on a GENERATED TOA5 fixture (structure per
+  * FIXTURES.md §1; values synthesized here, deterministic). Bales overlap
+  * (bale2 re-transmits bale1's last 4 timestamps with different RECORDs)
+  * to exercise keep-first dedup, and one column is all-NAN to exercise
+  * the null-column drop. */
+class Toa5IngestSpec extends SparkSpec {
+
+  private def ts(minOffset: Int): String =
+    java.time.LocalDateTime.of(2021, 4, 30, 18, 0)
+      .plusMinutes(minOffset.toLong * 15).toString.replace('T', ' ')
+
+  /** rows = (record, tsIndex); value columns derive from the record so
+    * provenance of each surviving row is checkable. */
+  private def writeBale(dir: Path, n: Int, rows: Seq[(Int, Int)]): Unit = {
+    val header = Seq(
+      """"TOA5","99999","CR800","99999","CR800.Std.32.03","CPU:test.CR8","1","MainTable"""",
+      """"TIMESTAMP","RECORD","BattV_Min","T107_C","TCDT","Q","AllNan"""",
+      """"TS","RN","Volts","Deg C","m","unitless","m"""",
+      """"","","Min","Smp","Smp","Smp","Smp"""")
+    val data = rows.map { case (rec, i) =>
+      val tcdt = 2.0 - i * 0.001
+      s""""${ts(i)}",$rec,12.5,${-5.0 + i * 0.01},$tcdt,${160 + rec % 10},NAN"""
+    }
+    Files.write(dir.resolve(s"MainTable$n.dat"),
+      (header ++ data).mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("TOA5 ingest + L1 clean: header probe, metadata-row drop, " +
+    "NAN->null, all-null column drop, keep-first dedup") {
+    val dir = Files.createTempDirectory("toa5")
+    // bale1: rows 0..9 (records 1..10); bale2 re-sends 6..9 with NEW
+    // records 100..103 (overlap -> keep-first must keep bale1's), then
+    // 10..19; bale3: 20..24
+    writeBale(dir, 1, (0 to 9).map(i => (i + 1, i)))
+    writeBale(dir, 2, (6 to 9).map(i => (i + 94, i)) ++
+      (10 to 19).map(i => (i + 91, i)))
+    writeBale(dir, 3, (20 to 24).map(i => (i + 81, i)))
+
+    val l1 = Level1.run(spark,
+      Seq(Level1.Source(dir.toString, 1, 3))).cache()
+
+    assert(l1.count() === 25) // 25 unique timestamps
+    assert(!l1.columns.contains("AllNan"), "all-NAN column must drop")
+    val first = l1.orderBy("TIMESTAMP").head()
+    val last = l1.orderBy(col("TIMESTAMP").desc).head()
+    assert(first.getAs[java.sql.Timestamp]("TIMESTAMP").toString
+      .startsWith("2021-04-30 18:00"))
+    assert(last.getAs[Long]("RECORD") === 105L)
+    // keep-first: ts index 6 appeared in bale1 (record 7) and bale2
+    // (record 100) — bale1 wins
+    val dup = l1.where(col("TIMESTAMP") === lit(ts(6))).head()
+    assert(dup.getAs[Long]("RECORD") === 7L)
+    // typed columns
+    assert(l1.schema("TCDT").dataType.typeName === "double")
+    assert(l1.schema("TIMESTAMP").dataType.typeName === "timestamp")
+  }
+
+  test("nrows cap applies per source") {
+    val dir = Files.createTempDirectory("toa5b")
+    writeBale(dir, 1, (0 to 9).map(i => (i + 1, i)))
+    val df = Toa5.read(spark,
+      Toa5.balePaths(dir.toString, 1, 1), nrows = Some(5))
+    assert(df.count() === 5)
+  }
+}
