@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: opaque `binary` payload + typed metadata struct, with
+  * decode / feature-extraction as per-partition batch transforms.
+  *
+  * The decode kernels themselves are STUBBED (no image/audio libs in
+  * this environment) behind `DecodeKernel` — a deterministic fake ships
+  * for tests. The Spark-side contract is the real deliverable:
+  *  - schema: (id, modality, payload binary, meta struct(width, height,
+  *    sample_rate, duration_ms, format));
+  *  - partition-batch execution (`mapPartitions`, one kernel instance
+  *    per partition — the JVM shape of pandas-batched UDFs);
+  *  - feature output as `array<float>` ready for the Vectors ops.
+  * At 100 TB: payloads stay columnar in parquet, scans prune metadata-
+  * only queries to the meta struct (never touching payload pages), and
+  * decode parallelism = partition count.
+  */
+object Multimodal {
+
+  val MetaType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("format", StringType)))
+
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("modality", StringType),
+    StructField("payload", BinaryType),
+    StructField("meta", MetaType)))
+
+  /** One decoded unit: the feature vector a downstream model consumes. */
+  case class Features(id: Long, modality: String, features: Array[Float])
+
+  /** Decode kernel contract: instantiated once per partition (amortizes
+    * model/codec setup), fed payload batches. Real deployments plug an
+    * image/audio decoder here. */
+  trait DecodeKernel extends Serializable {
+    def decode(modality: String, payload: Array[Byte],
+               dim: Int): Array[Float]
+  }
+
+  /** Deterministic fake: byte histogram folded to `dim` floats — stands
+    * in for a real decoder; keeps tests meaningful (shape, determinism,
+    * null handling) without native libs. */
+  object HistogramKernel extends DecodeKernel {
+    def decode(modality: String, payload: Array[Byte],
+               dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        out(java.lang.Byte.toUnsignedInt(payload(i)) % dim) += 1.0f
+        i += 1
+      }
+      val n = math.max(payload.length, 1).toFloat
+      out.map(_ / n)
+    }
+  }
+
+  /** Feature extraction over a multimodal table: one kernel per
+    * partition, null payloads dropped, output typed for ANN ops. */
+  def extractFeatures(df: DataFrame, dim: Int,
+                      kernel: DecodeKernel = HistogramKernel)
+                     : Dataset[Features] = {
+    import df.sparkSession.implicits._
+    df.select(col("id"), col("modality"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.collect { case (id, mod, payload) if payload != null =>
+          Features(id, mod, kernel.decode(mod, payload, dim))
+        }
+      }
+  }
+
+  /** Metadata-only projection — never touches payload bytes (column
+    * pruning keeps the binary pages unread in parquet). */
+  def metaStats(df: DataFrame): DataFrame =
+    df.groupBy("modality").agg(
+      count(lit(1)).as("n"),
+      avg(col("meta.width")).as("avg_width"),
+      avg(col("meta.duration_ms")).as("avg_duration_ms"))
+
+  /** Frame-sampling shape for video: explode `n` evenly-spaced frame
+    * indices per row (the decode of each frame happens in
+    * extractFeatures-style kernels downstream). */
+  def sampleFrames(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("frame_idx",
+      explode(transform(sequence(lit(0), lit(n - 1)),
+        i => ((i * coalesce(col("meta.duration_ms"), lit(0L))) / n)
+          .cast("long"))))
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming counterparts of the batch pipeline (SURVEY §2.10:
+  * the reference is batch-only; these make the same semantics incremental).
+  *
+  * - L0→L1 ingest is naturally incremental: `readStream` over the landing
+  *   directory, timestamp dedup with a watermark bounding state.
+  * - The X1 depth recurrence is per-key linear state — exactly
+  *   `flatMapGroupsWithState`: same step function as the batch
+  *   `mapPartitions`, state = the running offset.
+  */
+object Streaming {
+
+  /** D1/D2 streaming dedup: first row per timestamp wins within the
+    * watermark horizon; late duplicates beyond `watermark` age out of
+    * state (bounded memory — the batch keep-first total order is
+    * unachievable unboundedly in a stream; the watermark IS the contract). */
+  def dedupStream(in: DataFrame, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    in.withWatermark(tsCol, watermark).dropDuplicates(Seq(tsCol))
+
+  case class UdgReading(sensor: String, ts: java.sql.Timestamp, udg: Double)
+  case class DepthOut(sensor: String, ts: java.sql.Timestamp, depth: Double)
+  case class X1State(offset: Double, initialized: Boolean)
+
+  /** X1 as a streaming operator. Events must arrive in order per key
+    * (or be re-sorted upstream per microbatch); `installDepths` seeds the
+    * offset at a sensor's first reading. */
+  def depthRecurrence(in: Dataset[UdgReading],
+                      installDepths: Map[String, Double])
+                     : Dataset[DepthOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.sensor)
+      .flatMapGroupsWithState[X1State, DepthOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (sensor, rows, state: GroupState[X1State]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(X1State(0.0, initialized = false))
+          val out = sorted.map { r =>
+            if (!st.initialized)
+              st = X1State(installDepths.getOrElse(sensor, 0.0) - r.udg,
+                initialized = true)
+            var d = r.udg + st.offset
+            if (d >= 0.0) { d = 0.0; st = st.copy(offset = -r.udg) }
+            DepthOut(sensor, r.ts, d)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal
+import graft.streaming.Streaming
+
+class StreamingMultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def t(h: Int) =
+    java.sql.Timestamp.valueOf(f"2021-05-01 $h%02d:00:00")
+
+  test("streaming X1 matches the batch recurrence across microbatches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Streaming.UdgReading]
+    val q = Streaming.depthRecurrence(input.toDS(),
+      Map("tdr1" -> -1.0))
+      .writeStream.format("memory").queryName("x1out")
+      .outputMode("append").start()
+    // same series as the batch golden test, split across two batches
+    input.addData(Streaming.UdgReading("tdr1", t(0), -1.0),
+      Streaming.UdgReading("tdr1", t(1), -0.5))
+    q.processAllAvailable()
+    input.addData(Streaming.UdgReading("tdr1", t(2), 0.3),
+      Streaming.UdgReading("tdr1", t(3), -0.2))
+    q.processAllAvailable()
+    val out = spark.table("x1out").orderBy("ts")
+      .collect().map(_.getDouble(2)).toSeq
+    q.stop()
+    assert(out === Seq(-1.0, -0.5, 0.0, -0.5)) // == batch UdgDepthSpec
+  }
+
+  test("streaming dedup keeps one row per timestamp") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = Streaming.dedupStream(
+      input.toDS().toDF("ts", "v"), "ts")
+      .writeStream.format("memory").queryName("dedupout")
+      .outputMode("append").start()
+    input.addData((t(0), 1.0), (t(0), 2.0), (t(1), 3.0))
+    q.processAllAvailable()
+    val n = spark.table("dedupout").count()
+    q.stop()
+    assert(n === 2)
+  }
+
+  test("multimodal: stub decode produces normalized fixed-dim features") {
+    val rows = Seq(
+      Row(1L, "image", Array[Byte](0, 1, 2, 3, 4, 5, 6, 7),
+        Row(4, 2, null, 0L, "fake")),
+      Row(2L, "audio", Array[Byte](10, 10, 10, 10),
+        Row(null, null, 16000, 250L, "pcm")),
+      Row(3L, "image", null, Row(1, 1, null, 0L, "fake")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.Schema)
+    val feats = Multimodal.extractFeatures(df, dim = 8).collect()
+      .sortBy(_.id)
+    assert(feats.length === 2) // null payload dropped
+    assert(feats.forall(_.features.length === 8))
+    // histogram of bytes 0..7 over dim 8: one hit per bucket, /8
+    assert(feats(0).features.forall(f => math.abs(f - 0.125f) < 1e-6))
+    // determinism
+    val again = Multimodal.extractFeatures(df, dim = 8).collect()
+      .sortBy(_.id)
+    assert(again(0).features.toSeq === feats(0).features.toSeq)
+  }
+
+  test("multimodal: meta-only stats and frame sampling") {
+    val rows = Seq(
+      Row(1L, "video", Array[Byte](1), Row(640, 480, null, 1000L, "v")),
+      Row(2L, "video", Array[Byte](2), Row(1280, 720, null, 2000L, "v")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.Schema)
+    val stats = Multimodal.metaStats(df).head()
+    assert(stats.getAs[Long]("n") === 2)
+    assert(stats.getAs[Double]("avg_width") === 960.0)
+    val frames = Multimodal.sampleFrames(df, 4)
+    assert(frames.count() === 8)
+    val idx = frames.where($"id" === 1L).select("frame_idx")
+      .collect().map(_.getLong(0)).toSeq
+    assert(idx === Seq(0L, 250L, 500L, 750L))
+  }
+}
