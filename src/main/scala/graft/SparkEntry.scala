@@ -30,6 +30,20 @@ object SparkEntry {
       .getOrElse(df)
   }
 
+  /** Time-sliced events read with the range predicate applied to the RAW
+    * int64(ns) column BEFORE the µs conversion — so it pushes into the
+    * parquet scan (PushedFilters: GreaterThanOrEqual/LessThan on ts) and
+    * prunes row groups / partitions. Filtering the derived timestamp
+    * would read everything at 100 TB. */
+  private def eventsBetween(s: SparkSession, dir: String,
+                            lo: String, hi: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def ns(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000000L
+    s.read.parquet(s"$dir/events.parquet")
+      .where(col("ts") >= ns(lo) && col("ts") < ns(hi))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A pricing-summary aggregate: scan → filter → groupBy, the shape the
     * whole engine is built around. */
@@ -250,18 +264,15 @@ object SparkEntry {
           count(lit(1)).as("n"))),
 
     // P8 — time-range slice; the predicate reaches the parquet scan
-    // (PushedFilters) and prunes row groups / partitions at scale.
+    // (PushedFilters on the raw int64 ts) and prunes row groups at scale.
     "q22_timeslice" -> ((s, dir) =>
-      T(s, dir, "events")
-        .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00"))
-          && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+      eventsBetween(s, dir, "2024-01-10 00:00:00", "2024-01-15 00:00:00")
         .select("event_id", "ts", "value")),
 
-    // A5 — daily profile: per-type stats of one calendar day.
+    // A5 — daily profile: per-type stats of one calendar day (the
+    // date_trunc-equality is expressed as a pushable [day, day+1) range).
     "q23_daily_profile" -> ((s, dir) =>
-      T(s, dir, "events")
-        .where(date_trunc("day", col("ts")) ===
-          lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")))
+      eventsBetween(s, dir, "2024-01-05 00:00:00", "2024-01-06 00:00:00")
         .groupBy("event_type")
         .agg(round(avg("value"), 4).as("avg_value"), count(lit(1)).as("n"))),
 
@@ -292,14 +303,16 @@ object SparkEntry {
 
     // MinHash signature: 8 salted-md5 min-hashes over word 3-gram
     // shingles. Map-side only — each doc reduces to a fixed-size sketch.
-    "t1_minhash_sig" -> ((s, dir) => {
-      val t = T(s, dir, "documents")
-        .where(size(TextOps.tokens(col("text"))) >= 3)
-      t.select(col("doc_id"),
-        array_join(Dedup.minhashSignature(
-          TextOps.wordShingles(TextOps.tokens(col("text")), 3), 8), "|")
-          .as("mh"))
-    }),
+    // Shingles are projected as a column first: the signature references
+    // them 8× and Spark inlines expression args per reference.
+    "t1_minhash_sig" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("__sh"))
+        .where(size(col("__sh")) > 0)
+        .select(col("doc_id"),
+          array_join(Dedup.minhashSignature(col("__sh"), 8), "|")
+            .as("mh"))),
 
     // MinHash+LSH near-dup candidate pairs, verified with exact n-gram
     // Jaccard on the distinct shingle sets (the full near-dedup pipeline).
@@ -324,10 +337,13 @@ object SparkEntry {
           round(TextOps.jaccard(col("__sa"), col("__sb")), 6).as("jac"))
     }),
 
-    // SimHash 32-bit signature as a portable bitstring.
+    // SimHash 32-bit signature as a portable bitstring. Token hashes are
+    // projected once; the 32 bit-votes reference the projected array.
     "t3_simhash" -> ((s, dir) =>
-      T(s, dir, "documents").select(col("doc_id"),
-        Dedup.simhash32(TextOps.tokens(col("text"))).as("sh"))),
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.tokenHashes(TextOps.tokens(col("text"))).as("__hs"))
+        .select(col("doc_id"), Dedup.simhash32(col("__hs")).as("sh"))),
 
     // Brute-force exact cosine top-5 for 10 query vectors (ANN baseline):
     // corpus never shuffles; queries broadcast.
@@ -355,10 +371,14 @@ object SparkEntry {
       T(s, dir, "documents").select(col("doc_id"),
         TextOps.qualityScore(col("text")).as("q_score"))),
 
-    // Document fingerprint: bottom-4 sketch of md5'd word 5-grams.
+    // Document fingerprint: bottom-4 sketch of md5'd word 5-grams
+    // (hash array projected once, referenced twice).
     "t8_fingerprint" -> ((s, dir) =>
-      T(s, dir, "documents").select(col("doc_id"),
-        TextOps.fingerprint(col("text")).as("fp"))),
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextOps.sortedShingleHashes(col("text"), 5).as("__h"))
+        .select(col("doc_id"),
+          TextOps.fingerprintFrom(col("__h"), col("text")).as("fp"))),
 
     // X1 — the path-dependent depth recurrence (no SQL equivalent →
     // rows-only check here; semantics golden-tested in UdgDepthSpec).

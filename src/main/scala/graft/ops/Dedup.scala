@@ -17,11 +17,20 @@ object Dedup {
 
   /** MinHash signature: k independent permutations simulated by salting
     * md5 with the hash index; the signature element is the lexicographic
-    * min over the document's shingles. */
+    * min over the document's shingles.
+    *
+    * Single-pass formulation: per shingle, emit its k salted hashes;
+    * fold with element-wise `least`. The shingles expression is
+    * referenced ONCE — the naive `transform(seeds, s => array_min(...))`
+    * inlines (and recomputes) the shingling k times, since Spark does no
+    * CSE inside lambda bodies. Empty input yields null (filter first). */
   def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(1), lit(k)),
-      s => array_min(transform(shingles,
-        x => md5(concat(s.cast("string"), lit("|"), x)))))
+    aggregate(
+      transform(shingles, x => transform(sequence(lit(1), lit(k)),
+        s => md5(concat(s.cast("string"), lit("|"), x)))),
+      lit(null).cast("array<string>"),
+      (acc, h) => when(acc.isNull, h)
+        .otherwise(zip_with(acc, h, (a, b) => least(a, b))))
 
   /** Explode a signature into `bands` LSH bands of `rowsPerBand` hashes;
     * returns (bandCol, bucketHashCol) pairs as a single exploded struct
@@ -69,11 +78,16 @@ object Dedup {
     * +1/−1 votes from the i-th hex char of each token's md5; bit = 1 iff
     * the sum is positive. Near-duplicates agree on most bits (compare by
     * Hamming distance on the bitstrings). Map-side only, no shuffle. */
-  def simhash32(toks: Column): Column = {
-    val hashes = transform(toks, t => md5(t)) // one md5 per token, not per bit
-    concat_ws("", transform(sequence(lit(1), lit(32)), i =>
-      when(aggregate(hashes, lit(0), (acc, h) =>
-        acc + when(h.substr(i, lit(1)).between("8", "f"), 1)
-          .otherwise(-1)) > 0, "1").otherwise("0")))
-  }
+  def tokenHashes(toks: Column): Column = transform(toks, t => md5(t))
+
+  /** Single-pass: one fold over the token hashes accumulating all 32
+    * bit-votes element-wise (the per-bit formulation would re-evaluate
+    * the hash array 32 times — no CSE inside lambdas). */
+  def simhash32(hashes: Column): Column =
+    concat_ws("", transform(
+      aggregate(hashes, array_repeat(lit(0), 32),
+        (acc, h) => zip_with(acc, sequence(lit(1), lit(32)),
+          (a, i) => a + when(h.substr(i, lit(1)).between("8", "f"), 1)
+            .otherwise(-1))),
+      v => when(v > 0, "1").otherwise("0")))
 }

@@ -85,14 +85,22 @@ object TextOps {
       least(punct * lit(10.0), lit(1.0)) * 0.1, 6)
   }
 
-  /** Document fingerprint: bottom-k sketch over md5'd word 5-grams —
-    * robust to small edits (an edit perturbs few shingles, usually not the
-    * k smallest hashes). Shorter docs fall back to whatever shingles exist;
-    * docs with no 5-gram use the md5 of the whole text. */
-  def fingerprint(text: Column, n: Int = 5, k: Int = 4): Column = {
-    val hashes = array_sort(
-      transform(wordShingles(tokens(text), n), s => md5(s)))
+  /** Sorted md5 hashes of a document's word n-grams (the fingerprint
+    * intermediate). Project this as its own column before using it more
+    * than once — multi-referenced expressions are inlined per reference. */
+  def sortedShingleHashes(text: Column, n: Int): Column =
+    array_sort(transform(wordShingles(tokens(text), n), s => md5(s)))
+
+  /** Document fingerprint from a projected `sortedShingleHashes` column:
+    * bottom-k sketch over md5'd word n-grams — robust to small edits (an
+    * edit perturbs few shingles, usually not the k smallest hashes).
+    * Docs with no n-gram fall back to md5 of the whole text. */
+  def fingerprintFrom(hashes: Column, text: Column, k: Int = 4): Column =
     when(size(hashes) > 0, concat_ws("", slice(hashes, 1, k)))
       .otherwise(md5(text))
-  }
+
+  /** Single-shot convenience (recomputes the hash array twice; prefer
+    * the projected two-step form in hot paths). */
+  def fingerprint(text: Column, n: Int = 5, k: Int = 4): Column =
+    fingerprintFrom(sortedShingleHashes(text, n), text, k)
 }

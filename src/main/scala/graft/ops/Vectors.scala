@@ -51,15 +51,25 @@ object Vectors {
   /** Sign-random-projection LSH bucket id (a `planes`-char '0'/'1'
     * string). The projection matrix is pseudo-random ±1 weights derived
     * from md5(plane||'_'||dim) — deterministic, engine-portable, and
-    * needs no stored model. Map-side only. */
-  def srpBucket(vec: Column, dims: Int, planes: Int): Column =
+    * needs no stored model. The matrix depends only on (plane, dim), so
+    * it is computed ONCE driver-side and embedded as a literal (an
+    * in-expression md5 would re-hash planes×dims times per row).
+    * Map-side only. */
+  def srpBucket(vec: Column, dims: Int, planes: Int): Column = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val w: Seq[Seq[Double]] = (1 to planes).map { p =>
+      (1 to dims).map { d =>
+        val h = digest.digest(s"${p}_$d".getBytes("UTF-8"))
+        if ((h(0) & 0xFF) >= 0x80) 1.0 else -1.0 // first hex char in 8..f
+      }
+    }
+    val wLit = typedlit(w)
     concat_ws("", transform(sequence(lit(1), lit(planes)), p =>
       when(aggregate(sequence(lit(1), lit(dims)), lit(0.0), (acc, d) =>
-        acc + when(md5(concat(p.cast("string"), lit("_"), d.cast("string")))
-          .substr(lit(1), lit(1)).between("8", "f"),
-          element_at(vec, d).cast("double"))
-          .otherwise(-element_at(vec, d).cast("double"))) >= 0, "1")
+        acc + element_at(element_at(wLit, p), d) *
+          element_at(vec, d).cast("double")) >= 0, "1")
         .otherwise("0")))
+  }
 
   /** Bucketed ANN: top-k by cosine searched only within each query's SRP
     * bucket — the 100 TB path (bucket is a map-side label; the join is an
