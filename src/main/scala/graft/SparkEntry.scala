@@ -288,6 +288,41 @@ object SparkEntry {
         hourly("purchase", "purchase_avg")), "hour")
     }),
 
+    // Exact distinct-count per group (partial aggregation both phases).
+    "q25_distinct_count" -> ((s, dir) =>
+      T(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n"))),
+
+    // Cube — all grouping-set combinations in one pass.
+    "q26_cube" -> ((s, dir) =>
+      T(s, dir, "lineitem").cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).as("n"))),
+
+    // Exact interpolating quantiles per group (Spark `percentile` ≡
+    // DuckDB `quantile_cont`).
+    "q27_quantiles" -> ((s, dir) =>
+      T(s, dir, "events").groupBy("event_type")
+        .agg(round(percentile(col("value"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 4).as("p90"))),
+
+    // JSON field extraction (codegen'd path expression, no UDF).
+    "q28_json" -> ((s, dir) =>
+      T(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(round(avg("k"), 4).as("avg_k"), count(lit(1)).as("n"))),
+
+    // String function surface: split/first-token, case, length.
+    "q29_strings" -> ((s, dir) =>
+      T(s, dir, "part").select(col("p_partkey"),
+        element_at(split(col("p_name"), " "), 1).as("w1"),
+        upper(col("p_brand")).as("ub"),
+        length(col("p_name")).cast("long").as("n"))),
+
     // Exact text dedup (training-data op): content hash → keep-min doc id.
     "d1_docs_exact_dedup" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -591,6 +626,27 @@ object SparkEntry {
            FROM events WHERE event_type = 'purchase' GROUP BY 1)
          SELECT coalesce(c.hour, p.hour) AS hour, click_avg, purchase_avg
          FROM c FULL JOIN p ON c.hour = p.hour""",
+    "q25_distinct_count" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+         count(*) AS n FROM events GROUP BY event_type""",
+    "q26_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q27_quantiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.25), 4) AS p25,
+         round(quantile_cont(value, 0.5), 4) AS p50,
+         round(quantile_cont(value, 0.9), 4) AS p90
+         FROM events GROUP BY event_type""",
+    "q28_json" ->
+      """SELECT event_type, round(avg(k), 4) AS avg_k, count(*) AS n
+         FROM (SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+         GROUP BY event_type""",
+    "q29_strings" ->
+      """SELECT p_partkey, split_part(p_name, ' ', 1) AS w1,
+         upper(p_brand) AS ub, len(p_name) AS n FROM part""",
     "d1_docs_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS doc_id,
          count(*) AS n_copies

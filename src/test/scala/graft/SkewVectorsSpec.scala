@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Skew, Vectors}
+
+class SkewVectorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("salted aggregation equals plain groupBy aggregation") {
+    val df = (1 to 10000).map(i => (if (i % 100 == 0) "cold" + i else "hot",
+      i.toDouble)).toDF("k", "v")
+    val salted = Skew.saltedSumCount(df, Seq("k"), "v", salt = 8)
+      .orderBy("k").collect()
+    val plain = df.groupBy("k")
+      .agg(sum($"v").as("sum_v"), count(lit(1)).as("n"))
+      .orderBy("k").collect()
+    assert(salted.length === plain.length)
+    salted.zip(plain).foreach { case (s, p) =>
+      assert(s.getString(0) === p.getString(0))
+      assert(math.abs(s.getDouble(1) - p.getDouble(1)) < 1e-6)
+      assert(s.getLong(2) === p.getLong(2))
+    }
+  }
+
+  test("cosine and brute-force top-k are exact and deterministic") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)),
+      (4L, Array(0.7071f, 0.7071f))).toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" === 0L)
+      .select($"vec_id".as("qid"), $"embedding")
+    val out = Vectors.bruteForceTopK(q, vecs, "qid", "vec_id",
+      "embedding", k = 4).orderBy("rn").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 4L, 2L, 3L))
+    assert(out.head.getDouble(2) === 1.0)     // identical vector
+    assert(out.last.getDouble(2) === -1.0)    // opposite vector
+  }
+
+  test("SRP bucket: identical vectors share a bucket, opposite flip all bits") {
+    // power-of-two components: a ±1-weighted sum can never be exactly 0,
+    // so every bit genuinely flips for the negated vector
+    val v = (0 until 8).map(i => math.pow(2.0, i.toDouble).toFloat).toArray
+    val vecs = Seq((0L, v), (1L, v), (2L, v.map(-_)))
+      .toDF("vec_id", "embedding")
+    val b = vecs.select($"vec_id",
+      Vectors.srpBucket($"embedding", 8, 6).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b(0L) === b(1L))
+    assert(b(0L).zip(b(2L)).forall { case (x, y) => x != y })
+    assert(b(0L).length === 6)
+  }
+}
