@@ -346,8 +346,8 @@ object SparkEntry {
           TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("__sh"))
         .where(size(col("__sh")) > 0)
         .select(col("doc_id"),
-          array_join(Dedup.minhashSignature(col("__sh"), 8), "|")
-            .as("mh"))),
+          array_join(graft.functions.SketchExpressions.minhashSig(col("__sh"), 8),
+            "|").as("mh"))),
 
     // MinHash+LSH near-dup candidate pairs, verified with exact n-gram
     // Jaccard on the distinct shingle sets (the full near-dedup pipeline).
@@ -372,13 +372,13 @@ object SparkEntry {
           round(TextOps.jaccard(col("__sa"), col("__sb")), 6).as("jac"))
     }),
 
-    // SimHash 32-bit signature as a portable bitstring. Token hashes are
-    // projected once; the 32 bit-votes reference the projected array.
+    // SimHash 32-bit signature as a portable bitstring (custom
+    // expression: one digest per token in a tight loop).
     "t3_simhash" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"),
-          Dedup.tokenHashes(TextOps.tokens(col("text"))).as("__hs"))
-        .select(col("doc_id"), Dedup.simhash32(col("__hs")).as("sh"))),
+          graft.functions.SketchExpressions
+            .simhash32(TextOps.tokens(col("text"))).as("sh"))),
 
     // Brute-force exact cosine top-5 for 10 query vectors (ANN baseline):
     // corpus never shuffles; queries broadcast.

@@ -57,7 +57,9 @@ object Dedup {
                         maxBucket: Int = 10000): DataFrame = {
     require(k % bands == 0, "k must divide into bands evenly")
     val sig = df.where(size(col(shinglesCol)) > 0)
-      .select(col(idCol), minhashSignature(col(shinglesCol), k).as("__sig"))
+      .select(col(idCol),
+        graft.functions.SketchExpressions
+          .minhashSig(col(shinglesCol), k).as("__sig"))
     val banded = sig.select(col(idCol),
       bandStructs(col("__sig"), bands, k / bands).as("__band"))
       .select(col(idCol), col("__band.band").as("__b"),

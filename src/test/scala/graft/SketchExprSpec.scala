@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.SketchExpressions
+import graft.ops.{Dedup, TextOps}
+
+/** The custom Catalyst expressions must be bit-identical to the
+  * declarative (built-in HOF) formulations they accelerate — which are
+  * in turn oracle-verified against DuckDB. */
+class SketchExprSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "a a a a a",
+    "one two",            // too short for 3-gram shingles
+    "sphinx of black quartz judge my vow now and then again")
+    .zipWithIndex.map(_.swap).toDF("id", "text")
+
+  test("MinHashSigExpr == declarative minhashSignature") {
+    val withSh = texts
+      .withColumn("__sh", TextOps.wordShingles(TextOps.tokens($"text"), 3))
+      .where(size($"__sh") > 0)
+    val both = withSh.select($"id",
+      Dedup.minhashSignature($"__sh", 8).as("slow"),
+      SketchExpressions.minhashSig($"__sh", 8).as("fast"))
+    val diff = both.where(!($"slow" === $"fast")).count()
+    assert(diff === 0)
+    // and sane shape
+    val sig = both.head().getSeq[String](1)
+    assert(sig.length === 8 && sig.forall(_.matches("[0-9a-f]{32}")))
+  }
+
+  test("SimHash32Expr == declarative simhash32") {
+    val withH = texts
+      .withColumn("__hs", Dedup.tokenHashes(TextOps.tokens($"text")))
+    val both = withH.select($"id",
+      Dedup.simhash32($"__hs").as("slow"),
+      SketchExpressions.simhash32(TextOps.tokens($"text")).as("fast"))
+    val diff = both.where($"slow" =!= $"fast").count()
+    assert(diff === 0)
+    assert(both.head().getString(1).matches("[01]{32}"))
+  }
+}
