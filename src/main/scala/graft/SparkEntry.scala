@@ -343,7 +343,8 @@ object SparkEntry {
     "t1_minhash_sig" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"),
-          TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("__sh"))
+          graft.functions.SketchExpressions
+            .wordShingles(TextOps.tokens(col("text")), 3).as("__sh"))
         .where(size(col("__sh")) > 0)
         .select(col("doc_id"),
           array_join(graft.functions.SketchExpressions.minhashSig(col("__sh"), 8),
@@ -356,8 +357,8 @@ object SparkEntry {
     "t2_lsh_jaccard" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
         .select(col("doc_id"),
-          TextOps.wordShingles(TextOps.tokens(col("text")), 3)
-            .as("shingles"))
+          graft.functions.SketchExpressions
+            .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
         .cache()
       val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "shingles",
         k = 8, bands = 4)
@@ -411,7 +412,9 @@ object SparkEntry {
     "t8_fingerprint" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), col("text"),
-          TextOps.sortedShingleHashes(col("text"), 5).as("__h"))
+          array_sort(transform(graft.functions.SketchExpressions
+            .wordShingles(TextOps.tokens(col("text")), 5), s => md5(s)))
+            .as("__h"))
         .select(col("doc_id"),
           TextOps.fingerprintFrom(col("__h"), col("text")).as("fp"))),
 

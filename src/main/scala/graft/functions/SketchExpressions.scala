@@ -133,6 +133,41 @@ object SketchExpressions {
       : Expression = copy(child = newChild)
   }
 
+  /** Word n-gram shingles from a tokens array: overlapping windows of
+    * `n` tokens joined by a single space; empty array when there are
+    * fewer than `n` tokens. Matches TextOps.wordShingles (whose
+    * slice+concat_ws per shingle is interpreted per element — measured
+    * 4s of a 6s pipeline at sf0.1). */
+  case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_word_shingles"
+
+    @transient private lazy val space = UTF8String.fromString(" ")
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      if (len < n) return new GenericArrayData(Array.empty[Any])
+      val toks = new Array[UTF8String](len)
+      var i = 0
+      while (i < len) { toks(i) = arr.getUTF8String(i); i += 1 }
+      val out = new Array[Any](len - n + 1)
+      i = 0
+      while (i <= len - n) {
+        val window = new Array[UTF8String](n)
+        System.arraycopy(toks, i, window, 0, n)
+        out(i) = UTF8String.concatWs(space, window: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+  }
+
   // Column-level entry points --------------------------------------
 
   def minhashSig(shingles: Column, k: Int): Column =
@@ -144,4 +179,8 @@ object SketchExpressions {
   def simhash32(tokens: Column): Column =
     GraftColumnBridge.column(
       SimHash32Expr(GraftColumnBridge.expression(tokens)))
+
+  def wordShingles(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      WordShinglesExpr(GraftColumnBridge.expression(tokens), n))
 }

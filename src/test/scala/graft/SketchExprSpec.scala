@@ -34,6 +34,16 @@ class SketchExprSpec extends SparkSpec {
     assert(sig.length === 8 && sig.forall(_.matches("[0-9a-f]{32}")))
   }
 
+  test("WordShinglesExpr == declarative wordShingles (incl. short docs)") {
+    val both = texts.select($"id",
+      TextOps.wordShingles(TextOps.tokens($"text"), 3).as("slow"),
+      SketchExpressions.wordShingles(TextOps.tokens($"text"), 3).as("fast"))
+    assert(both.where(!($"slow" === $"fast")).count() === 0)
+    // the 2-token doc yields an empty array, not null
+    val short = both.where($"id" === 3).head()
+    assert(short.getSeq[String](1).isEmpty && short.getSeq[String](2).isEmpty)
+  }
+
   test("SimHash32Expr == declarative simhash32") {
     val withH = texts
       .withColumn("__hs", Dedup.tokenHashes(TextOps.tokens($"text")))
