@@ -288,6 +288,32 @@ object SparkEntry {
         hourly("purchase", "purchase_avg")), "hour")
     }),
 
+    // Sessionization: 30-min inactivity gap, per-session rollup (the
+    // batch counterpart of streaming session windows).
+    "q30_sessions" -> ((s, dir) =>
+      Sessions.sessionStats(T(s, dir, "events"), "ts", Seq("user_id"),
+        gapSec = 1800, tiebreakCols = Seq("event_id"))
+        .select("user_id", "session_id", "session_start", "session_end",
+          "n_events", "duration_us")),
+
+    // Bucketed range join: clicks within 1h after each purchase —
+    // bucket-equi-join instead of the quadratic theta join.
+    "q31_range_join" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val clicks = e.where(col("event_type") === "click")
+        .select("user_id", "ts")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"))
+      val matched = Joins.rangeJoinBucketed(clicks, purchases,
+        Seq("user_id"), "ts", "purchase_id", windowSec = 3600)
+        .groupBy("purchase_id").agg(count(lit(1)).as("__m"))
+      purchases.select("purchase_id")
+        .join(matched, Seq("purchase_id"), "left")
+        .select(col("purchase_id"),
+          coalesce(col("__m"), lit(0L)).as("n_clicks"))
+    }),
+
     // Exact distinct-count per group (partial aggregation both phases).
     "q25_distinct_count" -> ((s, dir) =>
       T(s, dir, "events").groupBy("event_type")
@@ -629,6 +655,35 @@ object SparkEntry {
            FROM events WHERE event_type = 'purchase' GROUP BY 1)
          SELECT coalesce(c.hour, p.hour) AS hour, click_avg, purchase_avg
          FROM c FULL JOIN p ON c.hour = p.hour""",
+    "q30_sessions" ->
+      """WITH s AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                  > 1800000000 THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s2 AS (
+           SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+           FROM s)
+         SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+         FROM s2 GROUP BY 1, 2""",
+    "q31_range_join" ->
+      """WITH c AS (
+           SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id, ts, event_id AS purchase_id FROM events
+           WHERE event_type = 'purchase')
+         SELECT p.purchase_id, count(c.ts) AS n_clicks
+         FROM p LEFT JOIN c
+           ON c.user_id = p.user_id
+           AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+         GROUP BY 1""",
     "q25_distinct_count" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          count(*) AS n FROM events GROUP BY event_type""",

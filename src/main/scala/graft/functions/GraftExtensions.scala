@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * expressions as SQL functions, so plain-SQL users get them too:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
+  *   SELECT graft_minhash_sig(shingles, 8) FROM docs
+  * }}}
+  *
+  * Programmatic (already-built session):
+  * `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injections.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: literal integer expected, got $other")
+  }
+
+  private[functions] val injections: Seq[(String, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("graft_minhash_sig",
+      new ExpressionInfo(classOf[SketchExpressions.MinHashSigExpr].getName,
+        "graft_minhash_sig"),
+      (args: Seq[Expression]) => SketchExpressions.MinHashSigExpr(
+        args.head, intArg(args(1), "graft_minhash_sig"))),
+    ("graft_simhash32",
+      new ExpressionInfo(classOf[SketchExpressions.SimHash32Expr].getName,
+        "graft_simhash32"),
+      (args: Seq[Expression]) =>
+        SketchExpressions.SimHash32Expr(args.head)),
+    ("graft_word_shingles",
+      new ExpressionInfo(classOf[SketchExpressions.WordShinglesExpr].getName,
+        "graft_word_shingles"),
+      (args: Seq[Expression]) => SketchExpressions.WordShinglesExpr(
+        args.head, intArg(args(1), "graft_word_shingles"))))
+
+  /** Idempotent registration on an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    injections.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info, builder)
+    }
+}

@@ -82,6 +82,37 @@ object Joins {
         valueCols.map(c => col(s"__v_$c").as(c)): _*)
   }
 
+  /** Bucketed range join: `left.ts ∈ [right.ts, right.ts + windowSec)`
+    * within the same key — WITHOUT the quadratic theta-join a naive
+    * inequality predicate produces (Spark would pick
+    * BroadcastNestedLoopJoin). Both sides are bucketed by
+    * `floor(ts / windowSec)`; a right row can only match left rows in
+    * its own or the next bucket, so the right side explodes ×2 and the
+    * join becomes an EQUI-join on (key, bucket) followed by the exact
+    * range filter. One hash shuffle, linear in matches — the 100 TB
+    * interval-join shape.
+    *
+    * Returns left columns + `rightIdCol` of the matching right row
+    * (inner semantics; aggregate + right-outer join back for "count per
+    * right row incl. zero"). */
+  def rangeJoinBucketed(leftDf: DataFrame, rightDf: DataFrame,
+                        keys: Seq[String], tsCol: String,
+                        rightIdCol: String, windowSec: Long): DataFrame = {
+    val us = windowSec * 1000000L
+    val lb = leftDf.withColumn("__bkt",
+      floor(unix_micros(col(tsCol)) / us))
+    val rb = rightDf
+      .select((keys.map(col) :+ col(rightIdCol) :+
+        unix_micros(col(tsCol)).as("__rts")): _*)
+      .withColumn("__bkt",
+        explode(array(floor(col("__rts") / us),
+          floor(col("__rts") / us) + 1)))
+    lb.join(rb, keys :+ "__bkt")
+      .where(unix_micros(col(tsCol)) >= col("__rts") &&
+        unix_micros(col(tsCol)) < col("__rts") + us)
+      .drop("__bkt", "__rts")
+  }
+
   /** C3 — piecewise step offsets: given change points (threshold ts,
     * cumulative offset), subtract the offset active at each row's time
     * (reference's UDG height-change normalisation applies offsets
