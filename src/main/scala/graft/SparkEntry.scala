@@ -423,15 +423,22 @@ object SparkEntry {
         .groupBy(Vectors.srpBucket(col("embedding"), 64, 8).as("bucket"))
         .agg(count(lit(1)).as("n"))),
 
-    // Language-ID heuristic: CJK regex + per-language stopword argmax.
+    // Language-ID heuristic: CJK scan + per-language stopword argmax
+    // (single-pass kernel; declarative twin in TextOps.langId).
     "t6_lang_id" -> ((s, dir) =>
       T(s, dir, "documents").select(col("doc_id"),
-        TextOps.langId(col("text")).as("lang_pred"))),
+        graft.functions.SketchExpressions.langId(col("text"))
+          .as("lang_pred"))),
 
-    // Quality scoring: length/alpha/stopword/punctuation blend.
+    // Quality scoring: length/alpha/stopword/punctuation blend over a
+    // one-scan text-stats kernel.
     "t7_quality" -> ((s, dir) =>
-      T(s, dir, "documents").select(col("doc_id"),
-        TextOps.qualityScore(col("text")).as("q_score"))),
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.SketchExpressions.textStats(col("text"))
+            .as("__st"))
+        .select(col("doc_id"),
+          TextOps.qualityScoreFrom(col("__st")).as("q_score"))),
 
     // Document fingerprint: bottom-4 sketch of md5'd word 5-grams
     // (hash array projected once, referenced twice).

@@ -168,6 +168,100 @@ object SketchExpressions {
       : Expression = copy(child = newChild)
   }
 
+  /** Language-ID decision from raw text in one pass: CJK scan + all
+    * per-language stopword counts over one whitespace tokenization,
+    * then the same decision table as TextOps.langId (ties alphabetical,
+    * all-zero → en). The declarative form re-tokenizes once per
+    * language. */
+  case class LangIdExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_lang_id"
+
+    @transient private lazy val langs: Array[String] =
+      graft.ops.TextOps.stopwords.keys.toArray.sorted
+    @transient private lazy val sets: Array[Set[String]] =
+      langs.map(l => graft.ops.TextOps.stopwords(l).toSet)
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (c >= '一' && c <= '鿿')
+          return UTF8String.fromString("zh")
+        i += 1
+      }
+      val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+      val counts = new Array[Int](langs.length)
+      var t = 0
+      while (t < toks.length) {
+        var l = 0
+        while (l < langs.length) {
+          if (sets(l).contains(toks(t))) counts(l) += 1
+          l += 1
+        }
+        t += 1
+      }
+      if (counts.forall(_ == 0)) return UTF8String.fromString("en")
+      var best = 0
+      var l = 1
+      while (l < langs.length) { // strict > keeps ties alphabetical
+        if (counts(l) > counts(best)) best = l
+        l += 1
+      }
+      UTF8String.fromString(langs(best))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+  }
+
+  /** Text statistics in one scan: n_chars, n_tokens (split "\s+"),
+    * alpha chars, [.,!?;:] punctuation chars, English stopword hits —
+    * the inputs of TextOps.qualityScore, which otherwise makes five
+    * passes over the text. */
+  case class TextStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_chars", IntegerType, nullable = false),
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("n_alpha", IntegerType, nullable = false),
+      StructField("n_punct", IntegerType, nullable = false),
+      StructField("n_stop", IntegerType, nullable = false)))
+    override def prettyName: String = "graft_text_stats"
+
+    @transient private lazy val enStop: Set[String] =
+      graft.ops.TextOps.stopwords("en").toSet
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      var alpha = 0; var punct = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) alpha += 1
+        else if (c == '.' || c == ',' || c == '!' || c == '?' ||
+          c == ';' || c == ':') punct += 1
+        i += 1
+      }
+      val toks = text.split("\\s+", -1)
+      var stop = 0
+      var t = 0
+      while (t < toks.length) {
+        if (enStop.contains(toks(t).toLowerCase(java.util.Locale.ROOT))) stop += 1
+        t += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        text.length, toks.length, alpha, punct, stop)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+  }
+
   // Column-level entry points --------------------------------------
 
   def minhashSig(shingles: Column, k: Int): Column =
@@ -183,4 +277,12 @@ object SketchExpressions {
   def wordShingles(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(
       WordShinglesExpr(GraftColumnBridge.expression(tokens), n))
+
+  def langId(text: Column): Column =
+    GraftColumnBridge.column(
+      LangIdExpr(GraftColumnBridge.expression(text)))
+
+  def textStats(text: Column): Column =
+    GraftColumnBridge.column(
+      TextStatsExpr(GraftColumnBridge.expression(text)))
 }

@@ -54,6 +54,9 @@ object TextOps {
     size(filter(toksLower,
       t => array_contains(lit(stopwords(lang).toArray), t)))
 
+  /** Declarative reference implementation; the hot path is
+    * functions.SketchExpressions.langId (single-pass kernel, equal
+    * output — each count here re-tokenizes, no CSE inside lambdas). */
   def langId(text: Column): Column = {
     val tl = tokensLower(text)
     val s = stopwords.keys.toSeq.sorted.map(l => l -> stopwordCount(tl, l))
@@ -65,6 +68,23 @@ object TextOps {
     when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
       .when(allZero, lit("en"))
       .otherwise(argmax)
+  }
+
+  /** Quality score from a projected `SketchExpressions.textStats` struct
+    * column — same formula as `qualityScore`, one text scan instead of
+    * five. */
+  def qualityScoreFrom(stats: Column): Column = {
+    val nChars = stats.getField("n_chars").cast("double")
+    val nToks = stats.getField("n_tokens").cast("double")
+    val alpha = stats.getField("n_alpha").cast("double") /
+      greatest(nChars, lit(1.0))
+    val stop = stats.getField("n_stop").cast("double") /
+      greatest(nToks, lit(1.0))
+    val punct = stats.getField("n_punct").cast("double") /
+      greatest(nChars, lit(1.0))
+    val lenScore = least(nToks / lit(100.0), lit(1.0))
+    round(lenScore * 0.4 + alpha * 0.3 + stop * 0.2 +
+      least(punct * lit(10.0), lit(1.0)) * 0.1, 6)
   }
 
   /** Quality score in [0,1]-ish: rewards mid-length documents, prose-like

@@ -44,6 +44,27 @@ class SketchExprSpec extends SparkSpec {
     assert(short.getSeq[String](1).isEmpty && short.getSeq[String](2).isEmpty)
   }
 
+  test("LangIdExpr == declarative langId") {
+    val texts2 = (texts.collect().map(_.getString(1)) ++ Seq(
+      "le chat et les chiens de la maison",
+      "der hund und die katze ist nicht da",
+      "el perro y la casa de que un dia",
+      "你好世界 hello", "", "   ", "xyzzy plugh"))
+      .zipWithIndex.map(_.swap).toSeq.toDF("id", "text")
+    val both = texts2.select($"id",
+      TextOps.langId($"text").as("slow"),
+      SketchExpressions.langId($"text").as("fast"))
+    assert(both.where($"slow" =!= $"fast").count() === 0)
+  }
+
+  test("textStats + qualityScoreFrom == declarative qualityScore") {
+    val both = texts.select($"id",
+      TextOps.qualityScore($"text").as("slow"),
+      TextOps.qualityScoreFrom(
+        SketchExpressions.textStats($"text")).as("fast"))
+    assert(both.where($"slow" =!= $"fast").count() === 0)
+  }
+
   test("SimHash32Expr == declarative simhash32") {
     val withH = texts
       .withColumn("__hs", Dedup.tokenHashes(TextOps.tokens($"text")))
