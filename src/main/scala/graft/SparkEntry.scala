@@ -314,6 +314,27 @@ object SparkEntry {
           coalesce(col("__m"), lit(0L)).as("n_clicks"))
     }),
 
+    // Scalar subquery: orders priced above the global average (the
+    // subquery computes once, broadcasts as a literal-like value).
+    "q32_scalar_subquery" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val avgPrice = o.agg(avg("o_totalprice")).head().getDouble(0)
+      o.where(col("o_totalprice") > avgPrice)
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    // IN-subquery (left-semi): lineitems of pending orders.
+    "q33_in_subquery" -> ((s, dir) => {
+      val pending = T(s, dir, "orders")
+        .where(col("o_orderstatus") === "P").select("o_orderkey")
+      T(s, dir, "lineitem")
+        .join(pending, col("l_orderkey") === col("o_orderkey"),
+          "left_semi")
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
     // Exact distinct-count per group (partial aggregation both phases).
     "q25_distinct_count" -> ((s, dir) =>
       T(s, dir, "events").groupBy("event_type")
@@ -691,6 +712,16 @@ object SparkEntry {
            ON c.user_id = p.user_id
            AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
          GROUP BY 1""",
+    "q32_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""",
+    "q33_in_subquery" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+         count(*) AS n
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+           WHERE o_orderstatus = 'P')
+         GROUP BY l_returnflag""",
     "q25_distinct_count" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          count(*) AS n FROM events GROUP BY event_type""",

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Toa5
@@ -24,8 +24,29 @@ object Level1 {
                     template: String = "MainTable%d.dat",
                     nrows: Option[Int] = None)
 
+  /** Observability parity: the reference PRINTS row counts around each
+    * dedup stage (fs_pp.py:98-104). Spark-first equivalent: `Observation`
+    * metrics collected during the job itself — zero extra passes, unlike
+    * driver-side count()s. Returns (df, observations); read
+    * `obs.get("rows_in"/"rows_out")` after the first action. */
+  def runObserved(spark: SparkSession, sources: Seq[Source],
+                  tsCol: String = "TIMESTAMP")
+                 : (DataFrame, Observation, Observation) = {
+    val obsIn = Observation("l1_rows_in")
+    val obsOut = Observation("l1_rows_out")
+    val raw = ingest(spark, sources, tsCol)
+      .observe(obsIn, count(lit(1)).as("rows_in"))
+    val cleaned = clean(raw, tsCol)
+      .observe(obsOut, count(lit(1)).as("rows_out"))
+    (cleaned, obsIn, obsOut)
+  }
+
   def run(spark: SparkSession, sources: Seq[Source],
-          tsCol: String = "TIMESTAMP"): DataFrame = {
+          tsCol: String = "TIMESTAMP"): DataFrame =
+    clean(ingest(spark, sources, tsCol), tsCol)
+
+  private def ingest(spark: SparkSession, sources: Seq[Source],
+                     tsCol: String): DataFrame = {
     // global file order across sources = source order then bale order
     var offset = 0
     val parts = sources.map { src =>
@@ -36,13 +57,16 @@ object Level1 {
       offset += paths.size
       df
     }
-    val unioned = Joins.unionAll(parts)
+    Joins.unionAll(parts)
+  }
+
+  private def clean(unioned: DataFrame, tsCol: String): DataFrame = {
     val ordered = Seq(col(Toa5.FileOrderCol)) ++
       (if (unioned.columns.contains("RECORD")) Seq(col("RECORD")) else Nil)
-    val cleaned = Cleaning.dedupKeepFirst(
+    Cleaning.dedupKeepFirst(
       Cleaning.dropDuplicateRows(
         Cleaning.dropAllNullColumns(unioned)),
       Seq(tsCol), ordered)
-    cleaned.drop(Toa5.FileOrderCol)
+      .drop(Toa5.FileOrderCol)
   }
 }

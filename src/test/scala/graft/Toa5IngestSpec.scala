@@ -63,6 +63,17 @@ class Toa5IngestSpec extends SparkSpec {
     assert(l1.schema("TIMESTAMP").dataType.typeName === "timestamp")
   }
 
+  test("runObserved reports in/out row counts as job metrics") {
+    val dir = Files.createTempDirectory("toa5o")
+    writeBale(dir, 1, (0 to 9).map(i => (i + 1, i)))
+    writeBale(dir, 2, (5 to 9).map(i => (i + 50, i))) // 5 dup timestamps
+    val (df, obsIn, obsOut) = graft.pipeline.Level1.runObserved(spark,
+      Seq(graft.pipeline.Level1.Source(dir.toString, 1, 2)))
+    df.write.format("noop").mode("overwrite").save()
+    assert(obsIn.get("rows_in") === 15L)
+    assert(obsOut.get("rows_out") === 10L)
+  }
+
   test("nrows cap applies per source") {
     val dir = Files.createTempDirectory("toa5b")
     writeBale(dir, 1, (0 to 9).map(i => (i + 1, i)))
