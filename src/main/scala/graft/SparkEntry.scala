@@ -314,6 +314,30 @@ object SparkEntry {
           coalesce(col("__m"), lit(0L)).as("n_clicks"))
     }),
 
+    // Skew-salted two-phase aggregation — semantically identical to the
+    // plain groupBy (the oracle), shuffle spread over 16 sub-keys.
+    "q34_salted_agg" -> ((s, dir) =>
+      Skew.saltedSumCount(T(s, dir, "events"), Seq("event_type"), "value",
+        salt = 16)
+        .select(col("event_type"),
+          round(col("sum_value"), 2).as("sum_v"), col("n"))),
+
+    // Per-label centroid of the embedding corpus (the k-means / IVF
+    // training building block), long-form (label, d, c).
+    "q35_centroids" -> ((s, dir) =>
+      T(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("d"))
+        .agg(round(avg(col("col").cast("double")), 6).as("c"))),
+
+    // IVF coarse quantization: nearest of 16 seed centroids per vector.
+    "q36_ivf_assign" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cent = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      Vectors.ivfAssign(e, cent, "vec_id", "cid", "embedding")
+    }),
+
     // Scalar subquery: orders priced above the global average (the
     // subquery computes once, broadcasts as a literal-like value).
     "q32_scalar_subquery" -> ((s, dir) => {
@@ -712,6 +736,27 @@ object SparkEntry {
            ON c.user_id = p.user_id
            AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
          GROUP BY 1""",
+    "q34_salted_agg" ->
+      """SELECT event_type, round(sum(value), 2) AS sum_v, count(*) AS n
+         FROM events GROUP BY event_type""",
+    "q35_centroids" ->
+      """SELECT label, d,
+         round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS c
+         FROM embeddings, unnest(generate_series(1, 64)) AS u(d)
+         GROUP BY 1, 2""",
+    "q36_ivf_assign" ->
+      """WITH e AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         d AS (
+           SELECT vec_id, cid,
+             list_sum([(v[i]-cv[i])*(v[i]-cv[i])
+                       FOR i IN generate_series(1, 64)]) AS dist
+           FROM e, c)
+         SELECT vec_id, cid FROM d
+         QUALIFY row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist, cid) = 1""",
     "q32_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""",

@@ -48,6 +48,32 @@ object Vectors {
         col("rn"))
   }
 
+  /** Squared euclidean distance, index-order fold (portable). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** IVF cell assignment: nearest centroid by squared distance (ties →
+    * smallest centroid id). `centroids` is small → broadcast; the corpus
+    * never shuffles except for the final per-vector argmin window, which
+    * `dedupKeepFirst`-style reduces map-side. This is the coarse
+    * quantizer of an IVF index; search then probes one (or few) cells. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+                idCol: String, cidCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = centroids.select(col(cidCol), col(vecCol).as("__cv"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__dist"), col(cidCol))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(c))
+      .withColumn("__dist", sqDist(col(vecCol), col("__cv")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col(cidCol))
+  }
+
   /** Sign-random-projection LSH bucket id (a `planes`-char '0'/'1'
     * string). The projection matrix is pseudo-random ±1 weights derived
     * from md5(plane||'_'||dim) — deterministic, engine-portable, and
