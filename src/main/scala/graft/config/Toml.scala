@@ -98,7 +98,8 @@ object Toml {
   def str(m: Map[String, Any], k: String): String = m(k).asInstanceOf[String]
   def strOpt(m: Map[String, Any], k: String): Option[String] =
     m.get(k).map(_.asInstanceOf[String])
-  def dbl(m: Map[String, Any], k: String): Double = m(k) match {
+  def dbl(m: Map[String, Any], k: String): Double = dblValue(m(k))
+  def dblValue(v: Any): Double = v match {
     case d: Double => d; case l: Long => l.toDouble
   }
   def keysUnder(m: Map[String, Any], prefix: String): Seq[String] =
