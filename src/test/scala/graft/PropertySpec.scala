@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.{Cleaning, Depths, Ranges, Windows}
+
+/** Property-based invariants (SURVEY §5.3): dedup idempotence, clamp
+  * containment, interpolation boundedness, X1 recurrence invariants.
+  * scalacheck Gen driven directly with fixed seeds (scalatestplus is
+  * not in the offline cache) — deterministic across runs. */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** n deterministic samples of g. */
+  private def forAll[T](g: Gen[T], n: Int = 10)(body: T => Unit): Unit = {
+    val params = Gen.Parameters.default
+    (0 until n).foreach { i =>
+      g.apply(params, Seed(42L + i)).foreach(body)
+    }
+  }
+
+  private val seriesGen: Gen[List[Option[Double]]] =
+    Gen.listOfN(30, Gen.option(Gen.choose(-10.0, 10.0)))
+
+  private def toDf(xs: List[Option[Double]]) =
+    xs.zipWithIndex.map { case (v, i) =>
+      (new java.sql.Timestamp(1620000000000L + i * 60000L), v)
+    }.toDF("ts", "v")
+
+  test("dedup keep-first is idempotent and key-unique") {
+    forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0, 100)))) {
+      rows =>
+        if (rows.nonEmpty) {
+          val df = rows.zipWithIndex
+            .map { case ((k, v), ord) => (k, v, ord) }
+            .toDF("k", "v", "ord")
+          val once = Cleaning.dedupKeepFirst(df, Seq("k"), Seq(col("ord")))
+          val twice = Cleaning.dedupKeepFirst(once, Seq("k"), Seq(col("ord")))
+          assert(once.count() === df.select("k").distinct().count())
+          assert(once.exceptAll(twice).count() === 0)
+          // keep-first: surviving ord per key is the minimum
+          val bad = once.as("o").join(df.as("d"), "k")
+            .where($"d.ord" < $"o.ord").count()
+          assert(bad === 0)
+        }
+    }
+  }
+
+  test("clamp output is within range or null, never alters in-range values") {
+    forAll(seriesGen) { xs =>
+      val out = toDf(xs).select($"v",
+        Ranges.clampToNull($"v", -5.0, 5.0).as("c")).collect()
+      out.foreach { r =>
+        val v = if (r.isNullAt(0)) None else Some(r.getDouble(0))
+        val c = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+        v match {
+          case Some(x) if x >= -5.0 && x <= 5.0 => assert(c === Some(x))
+          case _ => assert(c === None)
+        }
+      }
+    }
+  }
+
+  test("interpolation is bounded by neighboring observed values") {
+    forAll(seriesGen) { xs =>
+      if (xs.exists(_.isDefined)) {
+        val out = Windows.interpolateLinear(toDf(xs), "v", "ts", Nil)
+          .orderBy("ts").collect()
+          .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+        val obs = xs.flatten
+        val (lo, hi) = (obs.min, obs.max)
+        out.flatten.foreach { v =>
+          assert(v >= lo - 1e-9 && v <= hi + 1e-9)
+        }
+      }
+    }
+  }
+
+  test("X1 depth is never positive and offset ratchet is consistent") {
+    forAll(Gen.listOfN(25, Gen.choose(-3.0, 1.0))) { udg =>
+      if (udg.nonEmpty) {
+        val df = udg.zipWithIndex.map { case (u, i) =>
+          (new java.sql.Timestamp(1620000000000L + i * 60000L), u)
+        }.toDF("ts", "udg")
+        val out = Depths.tdrDepth(df, "ts", "udg", Seq(
+          Depths.Install("s",
+            new java.sql.Timestamp(1620000000000L), -1.0)))
+          .orderBy("ts").collect().map(_.getDouble(2))
+        assert(out.forall(_ <= 0.0))
+        assert(out.head === -1.0) // anchored at install depth
+      }
+    }
+  }
+
+  test("ffill limit-n never bridges more than n nulls") {
+    forAll(Gen.zip(seriesGen, Gen.choose(0, 4))) {
+      case (xs, limit) =>
+        val out = Windows.ffillLimited(toDf(xs), "v", "ts", Nil, limit)
+          .orderBy("ts").collect()
+          .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+        // count consecutive fills after each observed value
+        var sinceObs = Int.MaxValue
+        xs.zip(out).foreach { case (in, o) =>
+          if (in.isDefined) { sinceObs = 0; assert(o === in) }
+          else {
+            if (sinceObs != Int.MaxValue) sinceObs += 1
+            if (sinceObs <= limit) assert(o.isDefined)
+            else assert(o.isEmpty)
+          }
+        }
+    }
+  }
+}
