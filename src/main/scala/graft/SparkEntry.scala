@@ -496,6 +496,21 @@ object SparkEntry {
         .select(col("doc_id"),
           TextOps.fingerprintFrom(col("__h"), col("text")).as("fp"))),
 
+    // Approximate aggregates (rows-only check: estimates are
+    // engine-specific by design). The 100 TB shapes: HLL sketches are
+    // MERGEABLE (partial per partition/day, merged across the corpus
+    // without re-scanning), approx percentiles bound memory where exact
+    // percentile would collect per-group arrays.
+    "a1_approx_sketches" -> ((s, dir) =>
+      T(s, dir, "events").groupBy("event_type")
+        .agg(
+          hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+            .as("approx_users"),
+          approx_count_distinct(col("user_id")).as("approx_users_hllpp"),
+          percentile_approx(col("value"), lit(0.5), lit(1000))
+            .as("p50_approx"),
+          count(lit(1)).as("n"))),
+
     // X1 — the path-dependent depth recurrence (no SQL equivalent →
     // rows-only check here; semantics golden-tested in UdgDepthSpec).
     // A smoothed hourly series drives two "sensor installs"; state is
