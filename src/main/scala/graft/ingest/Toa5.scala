@@ -89,4 +89,16 @@ object Toa5 {
   def balePaths(dir: String, start: Int, stop: Int,
                 template: String = "MainTable%d.dat"): Seq[String] =
     (start to stop).map(i => s"$dir/${template.format(i)}")
+
+  /** S3 — "serviced" discovery: glob the pattern "*MainTable*" under
+    * the source's serviced subdirectory and return the single match, if
+    * exactly one (the reference appends only then, and only for the
+    * latest subdataset — fs_pp.py:132-149). */
+  def servicedPath(spark: SparkSession, dir: String): Option[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val glob = new org.apache.hadoop.fs.Path(s"$dir/serviced/*MainTable*")
+    val matches = Option(fs.globStatus(glob)).getOrElse(Array.empty)
+    if (matches.length == 1) Some(matches(0).getPath.toString) else None
+  }
 }

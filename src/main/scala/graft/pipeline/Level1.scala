@@ -19,10 +19,14 @@ import graft.ops.{Cleaning, Joins}
   */
 object Level1 {
 
-  /** One level-0 source: a directory of numbered bale files. */
+  /** One level-0 source: a directory of numbered bale files; `serviced`
+    * appends the `serviced/` glob discovery (S3 — reference applies it
+    * to the LATEST subdataset only, fs_pp.py:83-90; the caller sets the
+    * flag on the last source). */
   case class Source(dir: String, balesStart: Int, balesStop: Int,
                     template: String = "MainTable%d.dat",
-                    nrows: Option[Int] = None)
+                    nrows: Option[Int] = None,
+                    serviced: Boolean = false)
 
   /** Observability parity: the reference PRINTS row counts around each
     * dedup stage (fs_pp.py:98-104). Spark-first equivalent: `Observation`
@@ -50,8 +54,10 @@ object Level1 {
     // global file order across sources = source order then bale order
     var offset = 0
     val parts = sources.map { src =>
-      val paths = Toa5.balePaths(src.dir, src.balesStart, src.balesStop,
+      val bales = Toa5.balePaths(src.dir, src.balesStart, src.balesStop,
         src.template)
+      val paths = bales ++
+        (if (src.serviced) Toa5.servicedPath(spark, src.dir) else None)
       val df = Toa5.read(spark, paths, tsCol, src.nrows)
         .withColumn(Toa5.FileOrderCol, col(Toa5.FileOrderCol) + offset)
       offset += paths.size

@@ -74,6 +74,53 @@ class Toa5IngestSpec extends SparkSpec {
     assert(obsOut.get("rows_out") === 10L)
   }
 
+  test("serviced glob appends iff exactly one match, after the bales") {
+    val dir = Files.createTempDirectory("toa5s")
+    writeBale(dir, 1, (0 to 9).map(i => (i + 1, i)))
+    val sv = Files.createDirectory(dir.resolve("serviced"))
+    // serviced re-sends ts 8..9 (keep-first: bale wins) + new 10..14
+    val svDir = Files.createTempDirectory("toa5sv")
+    writeBale(svDir, 9, (8 to 14).map(i => (i + 200, i)))
+    Files.move(svDir.resolve("MainTable9.dat"),
+      sv.resolve("x_MainTable_sv.dat"))
+
+    val l1 = Level1.run(spark,
+      Seq(Level1.Source(dir.toString, 1, 1, serviced = true)))
+    assert(l1.count() === 15)
+    // ts 8 came from the bale (record 9), not the serviced re-send (208)
+    val r8 = l1.where(col("TIMESTAMP") === lit(ts(8))).head()
+    assert(r8.getAs[Long]("RECORD") === 9L)
+
+    // two matches -> no append
+    Files.writeString(sv.resolve("y_MainTable_2.dat"), "junk")
+    val l1b = Level1.run(spark,
+      Seq(Level1.Source(dir.toString, 1, 1, serviced = true)))
+    assert(l1b.count() === 10)
+  }
+
+  test("UDG filter is key-isolated across stations") {
+    import graft.ops.Udg
+    val rows = (0 until 192).flatMap { i =>
+      val t = new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2021-05-01 00:00:00").getTime
+          + i * 900000L)
+      Seq(("st1", t, if (i == 100) 12.0 else 2.0, 170.0),
+        ("st2", t, 5.0, 170.0)) // different level; no spikes
+    }
+    import spark.implicits._
+    val df = rows.toDF("station", "ts", "udg", "q")
+    val out = Udg.filter(df, "udg", "q", "ts", keyCols = Seq("station"))
+      .cache()
+    // st1's spike masked; st2 untouched (no cross-station leakage)
+    assert(out.where($"station" === "st2" && $"udg" =!= 5.0).count() === 0)
+    assert(out.where($"station" === "st2" && $"udg".isNull).count() === 0)
+    val spikeTs = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2021-05-01 00:00:00").getTime
+        + 100 * 900000L)
+    val sp = out.where($"station" === "st1" && $"ts" === lit(spikeTs)).head()
+    assert(sp.isNullAt(sp.fieldIndex("udg")))
+  }
+
   test("nrows cap applies per source") {
     val dir = Files.createTempDirectory("toa5b")
     writeBale(dir, 1, (0 to 9).map(i => (i + 1, i)))
