@@ -93,6 +93,32 @@ class OpsSpec extends SparkSpec {
     assert(tdr(2) === false)
   }
 
+  test("S4/S5 — single-file CSV sink round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("csv").toString + "/l1"
+    val df = Seq((t(0), 1.5), (t(1), 2.5)).toDF("ts", "v")
+    graft.sink.Writers.csvSingle(df, dir, sortCols = Seq("ts"))
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(files.length === 1, "level-1 product is ONE continuous csv")
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(dir)
+    assert(back.count() === 2)
+    assert(back.orderBy("ts").head().getDouble(1) === 1.5)
+  }
+
+  test("W5+W4+C7 — surface-location pipeline (interpolate → rolling " +
+    "mean → negate)") {
+    val df = Seq((t(0), Some(1.0)), (t(1), None), (t(2), Some(3.0)),
+      (t(3), Some(5.0))).toDF("ts", "v")
+    val interp = Windows.interpolateLinear(df, "v", "ts", Nil)
+    val out = interp.select($"ts",
+      (Windows.rollingTrailing(c => avg(c), $"v", $"ts", Nil,
+        2 * 3600) * -1).as("surf"))
+      .orderBy("ts").collect().map(_.getDouble(1)).toSeq
+    // interp = [1,2,3,5]; trailing 2h means = [1, 1.5, 2.5, 4] negated
+    assert(out === Seq(-1.0, -1.5, -2.5, -4.0))
+  }
+
   test("jaccard and shingles") {
     val df = Seq(("a b c d", "b c d e")).toDF("x", "y")
     val j = df.select(TextOps.jaccard(
