@@ -74,6 +74,40 @@ object Vectors {
       .select(col(idCol), col(cidCol))
   }
 
+  /** One Lloyd's iteration: assign every vector to its nearest centroid,
+    * then recompute each centroid as the element-wise mean of its cell.
+    * All distributed: assignment is the broadcast argmin of `ivfAssign`,
+    * the mean is a posexplode → (cid, dim) partial-aggregated average →
+    * re-assembled array (sorted struct collect, bounded by dims per
+    * group). Chain for k-means; one step is also the IVF re-train. */
+  def kmeansStep(corpus: DataFrame, centroids: DataFrame,
+                 idCol: String, cidCol: String,
+                 vecCol: String): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, cidCol, vecCol)
+    corpus.join(assigned, idCol)
+      .select(col(cidCol), posexplode(col(vecCol)))
+      .groupBy(col(cidCol), col("pos"))
+      .agg(avg(col("col").cast("double")).as("__v"))
+      .groupBy(col(cidCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("__v")))),
+        s => s.getField("__v")).as(vecCol))
+  }
+
+  /** k-means on an embedding corpus: deterministic seeding with the k
+    * smallest ids, `iters` Lloyd steps. Returns (cid, vector). */
+  def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int): DataFrame = {
+    var cent = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cid"),
+        transform(col(vecCol), x => x.cast("double")).as(vecCol))
+    (0 until iters).foreach { _ =>
+      cent = kmeansStep(corpus, cent, idCol, "cid", vecCol)
+        .localCheckpoint() // truncate the growing iteration lineage
+    }
+    cent
+  }
+
   /** Sign-random-projection LSH bucket id (a `planes`-char '0'/'1'
     * string). The projection matrix is pseudo-random ±1 weights derived
     * from md5(plane||'_'||dim) — deterministic, engine-portable, and

@@ -38,6 +38,31 @@ class SkewVectorsSpec extends SparkSpec {
     assert(out.last.getDouble(2) === -1.0)    // opposite vector
   }
 
+  test("k-means converges on two well-separated clusters") {
+    val pts = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i.toLong, Array(base + (i % 5) * 0.1f, base - (i % 3) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val cent = Vectors.kmeans(pts, "vec_id", "embedding", k = 2,
+      iters = 3).orderBy("cid").collect()
+    assert(cent.length === 2)
+    val c0 = cent(0).getSeq[Double](1)
+    val c1 = cent(1).getSeq[Double](1)
+    // seeds are ids 0 (near 0) and 1 (near 10): centroids end near the
+    // cluster means
+    assert(c0.head < 1.0 && c0.head >= 0.0)
+    assert(c1.head > 9.0 && c1.head <= 11.0)
+    // every point is nearer its own centroid than the other
+    val assigned = Vectors.ivfAssign(pts,
+      Seq((0L, c0.map(_.toFloat).toArray), (1L, c1.map(_.toFloat).toArray))
+        .toDF("cid", "embedding"),
+      "vec_id", "cid", "embedding")
+    val wrong = assigned.where(
+      (col("vec_id") % 2 === 0 && col("cid") =!= 0L) ||
+        (col("vec_id") % 2 === 1 && col("cid") =!= 1L)).count()
+    assert(wrong === 0)
+  }
+
   test("SRP bucket: identical vectors share a bucket, opposite flip all bits") {
     // power-of-two components: a ±1-weighted sum can never be exactly 0,
     // so every bit genuinely flips for the negated vector
