@@ -205,17 +205,14 @@ object SparkEntry {
         col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")),
 
-    // A1/A2 — exact per-key median + deterministic mode (ties → smallest).
-    "q16_median_mode" -> ((s, dir) => {
-      val e = T(s, dir, "events")
-      val med = e.groupBy("user_id")
-        .agg(round(median(col("value")), 4).as("med"))
-      val counts = e.groupBy("user_id", "event_type").count()
-      val mode = Cleaning.dedupKeepFirst(counts, Seq("user_id"),
-        Seq(col("count").desc, col("event_type")))
-        .select(col("user_id"), col("event_type").as("mode_type"))
-      med.join(mode, Seq("user_id"))
-    }),
+    // A1/A2 — exact per-key median + deterministic mode (ties → smallest)
+    // fused into ONE aggregation: a single shuffle on user_id, no join.
+    // mode(col, deterministic=true) breaks count ties by smallest value,
+    // matching the reference's (count DESC, value ASC) modal pick.
+    "q16_median_mode" -> ((s, dir) =>
+      T(s, dir, "events").groupBy("user_id")
+        .agg(round(median(col("value")), 4).as("med"),
+          mode(col("event_type"), deterministic = true).as("mode_type"))),
 
     // C3 — piecewise step correction: cumulative offsets applied to all
     // data at/after each change point (pure chained CASE, codegen'd).
@@ -338,12 +335,14 @@ object SparkEntry {
       Vectors.ivfAssign(e, cent, "vec_id", "cid", "embedding")
     }),
 
-    // Scalar subquery: orders priced above the global average (the
-    // subquery computes once, broadcasts as a literal-like value).
+    // Scalar subquery: orders priced above the global average. Fully
+    // lazy: the 1-row aggregate joins back via broadcast, so the whole
+    // thing is one plan (AQE/reuse eligible, no job at plan build).
     "q32_scalar_subquery" -> ((s, dir) => {
       val o = T(s, dir, "orders")
-      val avgPrice = o.agg(avg("o_totalprice")).head().getDouble(0)
-      o.where(col("o_totalprice") > avgPrice)
+      val avgPrice = o.agg(avg("o_totalprice").as("__avg"))
+      o.join(broadcast(avgPrice))
+        .where(col("o_totalprice") > col("__avg"))
         .select("o_orderkey", "o_totalprice")
     }),
 
@@ -423,14 +422,16 @@ object SparkEntry {
 
     // MinHash+LSH near-dup candidate pairs, verified with exact n-gram
     // Jaccard on the distinct shingle sets (the full near-dedup pipeline).
-    // The shingle DF is cached: three consumers (signatures + both sides
-    // of the pair→set join) would otherwise re-tokenize the corpus.
+    // Shingles are recomputed per consumer (signatures + both sides of
+    // the pair→set join) rather than cached: the single-pass shingle
+    // kernel is map-side cheap, and at 100 TB a corpus-sized cache is
+    // infeasible anyway — recompute is the scale-correct plan (and no
+    // executor memory is pinned across a long-lived session).
     "t2_lsh_jaccard" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
         .select(col("doc_id"),
           graft.functions.SketchExpressions
             .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
-        .cache()
       val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "shingles",
         k = 8, bands = 4)
       val sets = docs.select(col("doc_id"),
@@ -468,6 +469,20 @@ object SparkEntry {
         .groupBy(Vectors.srpBucket(col("embedding"), 64, 8).as("bucket"))
         .agg(count(lit(1)).as("n"))),
 
+    // IVF probe search: approximate top-5 by cosine probing the 2
+    // nearest of 16 cells per query — the query path over the q36
+    // coarse quantizer. Exact within probed cells (the oracle replays
+    // the same probe), candidate scoring is an equi-join on cell id.
+    "t9_ivf_probe" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cent = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Vectors.ivfProbeTopK(q, e, cent, "qid", "vec_id", "cid",
+        "embedding", k = 5, nProbe = 2)
+    }),
+
     // Language-ID heuristic: CJK scan + per-language stopword argmax
     // (single-pass kernel; declarative twin in TextOps.langId).
     "t6_lang_id" -> ((s, dir) =>
@@ -485,13 +500,15 @@ object SparkEntry {
         .select(col("doc_id"),
           TextOps.qualityScoreFrom(col("__st")).as("q_score"))),
 
-    // Document fingerprint: bottom-4 sketch of md5'd word 5-grams
-    // (hash array projected once, referenced twice).
+    // Document fingerprint: bottom-4 sketch of md5'd word 5-grams.
+    // Single-pass kernel: k-sized buffer straight off the token bytes —
+    // no shingle strings, no full hash array, no O(s log s) sort
+    // (equivalence vs the declarative sort form: SketchExprSpec).
     "t8_fingerprint" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), col("text"),
-          array_sort(transform(graft.functions.SketchExpressions
-            .wordShingles(TextOps.tokens(col("text")), 5), s => md5(s)))
+          graft.functions.SketchExpressions
+            .bottomKShingleHashes(TextOps.tokens(col("text")), 5, 4)
             .as("__h"))
         .select(col("doc_id"),
           TextOps.fingerprintFrom(col("__h"), col("text")).as("fp"))),
@@ -731,9 +748,9 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          s2 AS (
            SELECT user_id, ts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+               AS BIGINT) AS session_id
            FROM s)
          SELECT user_id, session_id,
            min(ts) AS session_start, max(ts) AS session_end,
@@ -941,6 +958,74 @@ object SparkEntry {
                    / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)
              * 0.1, 6) AS q_score
          FROM documents""",
+    "t9_ivf_probe" ->
+      """WITH e AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         asg AS (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+               list_sum([(v[i]-cv[i])*(v[i]-cv[i])
+                         FOR i IN generate_series(1, 64)]) AS dist
+             FROM e, c)
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) = 1),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         probes AS (
+           SELECT qid, qv, cid FROM (
+             SELECT q.qid, q.qv, c.cid,
+               list_sum([(qv[i]-cv[i])*(qv[i]-cv[i])
+                         FOR i IN generate_series(1, 64)]) AS dist
+             FROM q, c)
+           QUALIFY row_number() OVER (PARTITION BY qid
+             ORDER BY dist, cid) <= 2),
+         s AS (
+           SELECT p.qid, e.vec_id,
+             list_sum([qv[i]*v[i] FOR i IN generate_series(1,64)]) /
+             (sqrt(list_sum([qv[i]*qv[i] FOR i IN generate_series(1,64)])) *
+              sqrt(list_sum([v[i]*v[i] FOR i IN generate_series(1,64)])))
+             AS csim
+           FROM probes p
+           JOIN asg a ON a.cid = p.cid
+           JOIN e ON e.vec_id = a.vec_id
+           WHERE p.qid <> e.vec_id)
+         SELECT qid, vec_id, round(csim, 6) AS cos,
+           row_number() OVER (PARTITION BY qid ORDER BY csim DESC, vec_id)
+             AS rn
+         FROM s QUALIFY rn <= 5""",
+    // X1 as a recursive CTE: the per-sensor melt-out ratchet recurrence
+    // (fs_pp.py:636-641 semantics) stepped row-by-row — the hard gate for
+    // the engine's signature path-dependent operator.
+    "x1_depth_recurrence" ->
+      """WITH RECURSIVE
+         hourly AS (
+           SELECT date_trunc('hour', ts) AS ts,
+             (avg(value) - 30.0) / 10.0 AS udg
+           FROM events WHERE user_id = 0 GROUP BY 1),
+         inst(sensor, at, d0) AS (
+           VALUES ('tdr1', TIMESTAMP '2024-01-05 00:00:00',
+                   CAST(-0.5 AS DOUBLE)),
+                  ('tdr2', TIMESTAMP '2024-01-15 00:00:00',
+                   CAST(-1.2 AS DOUBLE))),
+         ser AS (
+           SELECT sensor, h.ts, udg, d0,
+             row_number() OVER (PARTITION BY sensor ORDER BY h.ts) AS rn
+           FROM hourly h JOIN inst ON h.ts >= at
+           WHERE udg IS NOT NULL),
+         rec AS (
+           SELECT sensor, ts, rn,
+             CASE WHEN d0 >= 0 THEN 0.0 ELSE d0 END AS depth,
+             CASE WHEN d0 >= 0 THEN -udg ELSE d0 - udg END AS off
+           FROM ser WHERE rn = 1
+           UNION ALL
+           SELECT s.sensor, s.ts, s.rn,
+             CASE WHEN s.udg + r.off >= 0
+                  THEN 0.0 ELSE s.udg + r.off END,
+             CASE WHEN s.udg + r.off >= 0 THEN -s.udg ELSE r.off END
+           FROM ser s JOIN rec r
+             ON s.sensor = r.sensor AND s.rn = r.rn + 1)
+         SELECT sensor, ts, round(depth, 6) AS depth FROM rec""",
     "t8_fingerprint" ->
       """WITH t AS (
            SELECT doc_id, text, string_split_regex(text, '\s+') AS toks

@@ -168,6 +168,62 @@ object SketchExpressions {
       : Expression = copy(child = newChild)
   }
 
+  /** Bottom-k document fingerprint sketch: the k smallest md5-hex hashes
+    * (ascending, duplicates kept) over word n-gram shingles of a tokens
+    * array — ≡ `slice(array_sort(transform(shingles, md5)), 1, k)` but
+    * with no materialized shingle strings, no full hash array, and no
+    * O(s log s) sort: each window digests straight out of the token
+    * bytes and lands in a k-sized insertion buffer. Empty array when
+    * there are fewer than `n` tokens (callers fall back to md5(text)). */
+  case class BottomKShingleHashesExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_bottomk_shingle_hashes"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      if (len < n) return new GenericArrayData(Array.empty[Any])
+      val toks = new Array[Array[Byte]](len)
+      var i = 0
+      while (i < len) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+      val md = MessageDigest.getInstance("MD5")
+      val space = ' '.toByte
+      val buf = new Array[Array[Byte]](k) // ascending prefix of size cnt
+      var cnt = 0
+      i = 0
+      while (i <= len - n) {
+        md.reset()
+        var j = 0
+        while (j < n) {
+          if (j > 0) md.update(space)
+          md.update(toks(i + j))
+          j += 1
+        }
+        val d = md.digest()
+        if (cnt < k) {
+          var p = cnt - 1
+          while (p >= 0 && less(d, buf(p))) { buf(p + 1) = buf(p); p -= 1 }
+          buf(p + 1) = d
+          cnt += 1
+        } else if (less(d, buf(k - 1))) {
+          var p = k - 2
+          while (p >= 0 && less(d, buf(p))) { buf(p + 1) = buf(p); p -= 1 }
+          buf(p + 1) = d
+        }
+        i += 1
+      }
+      val out = new Array[Any](cnt)
+      i = 0
+      while (i < cnt) { out(i) = hex(buf(i)); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+  }
+
   /** Language-ID decision from raw text in one pass: CJK scan + all
     * per-language stopword counts over one whitespace tokenization,
     * then the same decision table as TextOps.langId (ties alphabetical,
@@ -277,6 +333,12 @@ object SketchExpressions {
   def wordShingles(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(
       WordShinglesExpr(GraftColumnBridge.expression(tokens), n))
+
+  /** Takes the raw TOKENS column; shingles, hashes and selects bottom-k
+    * in one pass. */
+  def bottomKShingleHashes(tokens: Column, n: Int, k: Int): Column =
+    GraftColumnBridge.column(
+      BottomKShingleHashesExpr(GraftColumnBridge.expression(tokens), n, k))
 
   def langId(text: Column): Column =
     GraftColumnBridge.column(

@@ -74,6 +74,43 @@ object Vectors {
       .select(col(idCol), col(cidCol))
   }
 
+  /** IVF probe search: approximate top-k by cosine, searching only the
+    * `nProbe` cells whose centroids are nearest each query (the standard
+    * IVF query path over the `ivfAssign` coarse quantizer). Exact within
+    * the probed cells — recall is governed by nProbe/centroid quality.
+    *
+    * 100 TB shape: the corpus partitions by cell once (reusable across
+    * queries), the probe list is queries × nProbe rows (tiny, broadcast),
+    * and candidate scoring is an equi-join on the cell id — the corpus
+    * side never cross-joins. Only the per-query top-k window shuffles
+    * candidates, bounded by the probed cells' population. */
+  def ivfProbeTopK(queries: DataFrame, corpus: DataFrame,
+                   centroids: DataFrame, qidCol: String, idCol: String,
+                   cidCol: String, vecCol: String,
+                   k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = corpus.select(col(idCol), col(vecCol))
+      .join(ivfAssign(corpus, centroids, idCol, cidCol, vecCol), idCol)
+    val c = centroids.select(col(cidCol), col(vecCol).as("__cv"))
+    val probeW = Window.partitionBy(col(qidCol))
+      .orderBy(col("__dist"), col(cidCol))
+    val probes = queries.select(col(qidCol), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(c))
+      .withColumn("__dist", sqDist(col("__qv"), col("__cv")))
+      .withColumn("__rn", row_number().over(probeW))
+      .where(col("__rn") <= nProbe)
+      .select(col(qidCol), col("__qv"), col(cidCol))
+    val scored = assigned.join(broadcast(probes), Seq(cidCol))
+      .where(col(qidCol) =!= col(idCol))
+      .withColumn("__cos", cosine(col("__qv"), col(vecCol)))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("__cos").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col(qidCol), col(idCol), round(col("__cos"), 6).as("cos"),
+        col("rn"))
+  }
+
   /** One Lloyd's iteration: assign every vector to its nearest centroid,
     * then recompute each centroid as the element-wise mean of its cell.
     * All distributed: assignment is the broadcast argmin of `ivfAssign`,

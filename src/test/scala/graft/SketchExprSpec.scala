@@ -65,6 +65,22 @@ class SketchExprSpec extends SparkSpec {
     assert(both.where($"slow" =!= $"fast").count() === 0)
   }
 
+  test("BottomKShingleHashesExpr == slice(sortedShingleHashes, 1, k)") {
+    // include a doc with repeated shingles so duplicate hashes must be
+    // kept (bottom-k with repetition, exactly like the sorted slice)
+    val both = texts.select($"id",
+      slice(TextOps.sortedShingleHashes($"text", 3), 1, 4).as("slow"),
+      SketchExpressions.bottomKShingleHashes(TextOps.tokens($"text"), 3, 4)
+        .as("fast"))
+    assert(both.where(!($"slow" === $"fast")).count() === 0)
+    // short doc → empty array on both sides
+    val short = both.where($"id" === 3).head()
+    assert(short.getSeq[String](1).isEmpty && short.getSeq[String](2).isEmpty)
+    // fewer shingles than k → all of them, ascending
+    val rep = both.where($"id" === 2).head().getSeq[String](2)
+    assert(rep.length === 3 && rep === rep.sorted)
+  }
+
   test("SimHash32Expr == declarative simhash32") {
     val withH = texts
       .withColumn("__hs", Dedup.tokenHashes(TextOps.tokens($"text")))

@@ -38,6 +38,32 @@ class SkewVectorsSpec extends SparkSpec {
     assert(out.last.getDouble(2) === -1.0)    // opposite vector
   }
 
+  test("IVF probe: all-cells probe == brute force; 1-cell probe ⊆ it") {
+    val pts = (0 until 24).map { i =>
+      val base = (i % 4) * 10.0f // four well-separated clusters
+      (i.toLong, Array(base + (i % 3) * 0.1f, base - (i % 5) * 0.1f + 1.0f))
+    }.toDF("vec_id", "embedding")
+    val cent = pts.where($"vec_id" < 4)
+      .select($"vec_id".as("cid"), $"embedding")
+    val q = pts.where($"vec_id" === 5L)
+      .select($"vec_id".as("qid"), $"embedding")
+    // probing every cell is exhaustive → identical to the exact baseline
+    val all = Vectors.ivfProbeTopK(q, pts, cent, "qid", "vec_id", "cid",
+      "embedding", k = 4, nProbe = 4).orderBy("rn").collect()
+    val bf = Vectors.bruteForceTopK(q, pts, "qid", "vec_id", "embedding",
+      k = 4).orderBy("rn").collect()
+    assert(all.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      === bf.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+    // a 1-cell probe returns a subset of the exhaustive candidates,
+    // still ranked by cosine descending
+    val one = Vectors.ivfProbeTopK(q, pts, cent, "qid", "vec_id", "cid",
+      "embedding", k = 4, nProbe = 1).orderBy("rn").collect()
+    val cosines = one.map(_.getDouble(2)).toSeq
+    assert(cosines === cosines.sorted.reverse)
+    val bfIds = pts.collect().map(_.getLong(0)).toSet
+    assert(one.map(_.getLong(1)).forall(bfIds.contains))
+  }
+
   test("k-means converges on two well-separated clusters") {
     val pts = (0 until 20).map { i =>
       val base = if (i % 2 == 0) 0.0f else 10.0f
