@@ -63,18 +63,24 @@ object Toa5 {
       .option("quote", "\"")
       .csv(paths: _*)
       .withColumn("__path", input_file_name())
-    // bale order: position of each path in the caller-supplied list
-    val order = paths.zipWithIndex.toMap
-    val orderExpr = order.foldLeft(lit(Int.MaxValue)) {
-      case (e, (p, i)) =>
-        when(col("__path").contains(p.split("/").last), lit(i)).otherwise(e)
-    }
+    // bale order: position of each path in the caller-supplied list,
+    // joined in as a BROADCAST map on the file basename — O(1) per row
+    // regardless of file count (a chained CASE would be O(#files) per
+    // row and degenerate at thousands of bales). First occurrence wins
+    // on duplicate basenames; unmatched files sort last.
+    import spark.implicits._
+    val order = paths.map(_.split("/").last).zipWithIndex
+      .groupMapReduce(_._1)(_._2)(math.min)
+    val orderDf = broadcast(order.toSeq.toDF("__basename", FileOrderCol))
     // try_* variants: ANSI mode (Spark 4 default) would otherwise throw
     // on the metadata rows / non-numeric cells instead of nulling them
     val data = raw
       .where(try_to_timestamp(col(timestampCol)).isNotNull) // drops rows 1,3,4
-      .withColumn(FileOrderCol, orderExpr)
-      .drop("__path")
+      .withColumn("__basename", substring_index(col("__path"), "/", -1))
+      .join(orderDf, Seq("__basename"), "left")
+      .withColumn(FileOrderCol,
+        coalesce(col(FileOrderCol), lit(Int.MaxValue)))
+      .drop("__path", "__basename")
     val typed = data.select(
       (cols.map {
         case c if c == timestampCol => try_to_timestamp(col(c)).as(c)

@@ -8,9 +8,10 @@ import org.apache.spark.sql.types._
   * pipelines: opaque `binary` payload + typed metadata struct, with
   * decode / feature-extraction as per-partition batch transforms.
   *
-  * The decode kernels themselves are STUBBED (no image/audio libs in
-  * this environment) behind `DecodeKernel` — a deterministic fake ships
-  * for tests. The Spark-side contract is the real deliverable:
+  * Image decode is REAL (`ImageIoKernel`, JDK ImageIO — PNG/BMP/GIF/
+  * JPEG); audio/video decode stays STUBBED behind the same
+  * `DecodeKernel` contract (no codec libs in this environment) with a
+  * deterministic byte-histogram fake. The Spark-side contract:
   *  - schema: (id, modality, payload binary, meta struct(width, height,
   *    sample_rate, duration_ms, format));
   *  - partition-batch execution (`mapPartitions`, one kernel instance
@@ -60,6 +61,49 @@ object Multimodal {
       }
       val n = math.max(payload.length, 1).toFloat
       out.map(_ / n)
+    }
+  }
+
+  /** Real image decode via the JDK's ImageIO (PNG/BMP/GIF/JPEG — no
+    * native libs needed): features = [width, height, then a luminance
+    * histogram over `dim−2` bins, normalized to sum 1]. Non-image
+    * modalities and undecodable payloads fall back to the byte-histogram
+    * stand-in, so mixed-modality tables decode in one pass.
+    *
+    * ImageIO is instantiated per call inside the partition — the kernel
+    * object itself is stateless/serializable, and `mapPartitions` keeps
+    * decode parallelism = partition count at scale. */
+  object ImageIoKernel extends DecodeKernel {
+    def decode(modality: String, payload: Array[Byte],
+               dim: Int): Array[Float] = {
+      if (modality != "image" || dim < 3)
+        return HistogramKernel.decode(modality, payload, dim)
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return HistogramKernel.decode(modality, payload, dim)
+      val bins = dim - 2
+      val out = new Array[Float](dim)
+      out(0) = img.getWidth.toFloat
+      out(1) = img.getHeight.toFloat
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          // ITU-R BT.601 integer luma from the sRGB-converted pixel
+          val lum = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF)
+            + 114 * (rgb & 0xFF)) / 1000
+          out(2 + lum * bins / 256) += 1.0f
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(img.getWidth * img.getHeight, 1).toFloat
+      var b = 2
+      while (b < dim) { out(b) /= n; b += 1 }
+      out
     }
   }
 

@@ -28,6 +28,17 @@ object Level1 {
                     nrows: Option[Int] = None,
                     serviced: Boolean = false)
 
+  object Source {
+    /** `onefile` level-0 variant: the dataset is a single named file,
+      * not a bale range (reference loads either bales or one file per
+      * dataset — fs_pp.py:109-151). Filenames must not contain `%`
+      * (they'd be read as a format spec). */
+    def onefile(dir: String, file: String, nrows: Option[Int] = None,
+                serviced: Boolean = false): Source =
+      Source(dir, 0, 0, template = file, nrows = nrows,
+        serviced = serviced)
+  }
+
   /** Observability parity: the reference PRINTS row counts around each
     * dedup stage (fs_pp.py:98-104). Spark-first equivalent: `Observation`
     * metrics collected during the job itself — zero extra passes, unlike

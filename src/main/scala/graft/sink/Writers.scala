@@ -28,12 +28,27 @@ object Writers {
       .option("header", "true").csv(path)
   }
 
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def jobj(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
+      .mkString("{", ", ", "}")
+
   /** S8 — Parquet + JSON attribute sidecar, optionally partitioned by
-    * time columns for scan pruning. */
+    * time columns for scan pruning.
+    *
+    * `varAttrs` carries PER-VARIABLE attributes (units, standard_name
+    * per sensor family — fs_process_l2.py:84-95,177-192), nested under a
+    * `"__variables"` key so global and per-variable attrs round-trip
+    * separately, matching NetCDF's global-vs-variable attr split. */
   def parquetWithAttrs(df: DataFrame, path: String,
                        attrs: Map[String, String],
                        partitionBy: Seq[String] = Nil,
-                       fixedPointCols: Seq[String] = Nil): Unit = {
+                       fixedPointCols: Seq[String] = Nil,
+                       varAttrs: Map[String, Map[String, String]] = Map.empty)
+                      : Unit = {
     import org.apache.spark.sql.functions._
     val encoded = fixedPointCols.foldLeft(df) { (d, c) =>
       d.withColumn(c,
@@ -43,10 +58,65 @@ object Writers {
     val w = encoded.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
-    val json = attrs.map { case (k, v) =>
-      "\"" + k.replace("\"", "\\\"") + "\": \"" +
-        v.replace("\"", "\\\"") + "\""
-    }.mkString("{", ", ", "}")
-    Files.writeString(Paths.get(path, "_attrs.json"), json)
+    val fields = attrs.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" } ++
+      (if (varAttrs.nonEmpty)
+        Seq("\"__variables\": " + varAttrs.toSeq.sortBy(_._1)
+          .map { case (v, m) => s"${jstr(v)}: ${jobj(m)}" }
+          .mkString("{", ", ", "}"))
+      else Nil)
+    Files.writeString(Paths.get(path, "_attrs.json"),
+      fields.mkString("{", ", ", "}"))
+  }
+
+  /** Parse the sidecar back: (global attrs, per-variable attrs). A tiny
+    * recursive-descent JSON reader scoped to what the writer emits —
+    * string values one level deep, plus the `__variables` object. */
+  def readAttrs(path: String): (Map[String, String],
+                                Map[String, Map[String, String]]) = {
+    val s = Files.readString(Paths.get(path, "_attrs.json"))
+    var i = 0
+    def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = { ws(); require(s(i) == c, s"$c at $i"); i += 1 }
+    def str(): String = {
+      ws(); require(s(i) == '"'); i += 1
+      val sb = new StringBuilder
+      while (s(i) != '"') {
+        if (s(i) == '\\') { i += 1 }
+        sb += s(i); i += 1
+      }
+      i += 1
+      sb.toString
+    }
+    def obj(): Map[String, String] = {
+      expect('{'); ws()
+      val m = scala.collection.mutable.LinkedHashMap[String, String]()
+      while ({ ws(); s(i) != '}' }) {
+        if (s(i) == ',') i += 1
+        val k = str(); expect(':'); m(k) = str()
+      }
+      i += 1
+      m.toMap
+    }
+    expect('{')
+    val g = scala.collection.mutable.LinkedHashMap[String, String]()
+    var vars = Map.empty[String, Map[String, String]]
+    while ({ ws(); s(i) != '}' }) {
+      if (s(i) == ',') i += 1
+      val k = str(); expect(':')
+      ws()
+      if (s(i) == '{') {
+        require(k == "__variables", s"unexpected object at key $k")
+        expect('{')
+        val vm = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+        while ({ ws(); s(i) != '}' }) {
+          if (s(i) == ',') i += 1
+          val v = str(); expect(':'); vm(v) = obj()
+        }
+        i += 1
+        vars = vm.toMap
+      } else g(k) = str()
+    }
+    (g.toMap, vars)
   }
 }

@@ -95,6 +95,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("approx sketches stay within ε of exact (a1's engine contract)") {
+    // the a1 oracle is rows-only (estimates are engine-specific); this
+    // bounds the estimates against exact answers instead
+    val df = (0 until 20000).map { i =>
+      (s"g${i % 3}", (i * 2654435761L % 1789L).toDouble, i % 1000)
+    }.toDF("g", "v", "u")
+    val got = df.groupBy("g").agg(
+      hll_sketch_estimate(hll_sketch_agg(col("u"))).as("hll"),
+      approx_count_distinct(col("u")).as("hllpp"),
+      percentile_approx(col("v"), lit(0.5), lit(1000)).as("p50a"),
+      countDistinct(col("u")).as("exact_u"),
+      percentile(col("v"), lit(0.5)).as("p50"))
+    got.collect().foreach { r =>
+      val exactU = r.getAs[Long]("exact_u").toDouble
+      // HLL datasketches default ≈1.6% rsd; HLL++ default 5% rsd
+      assert(math.abs(r.getAs[Long]("hll") - exactU) / exactU < 0.05,
+        s"hll_sketch off: $r")
+      assert(math.abs(r.getAs[Long]("hllpp") - exactU) / exactU < 0.15,
+        s"approx_count_distinct off: $r")
+      // percentile_approx accuracy 1000 → rank error ≤ 1/1000 of rows;
+      // bound in VALUE space via the (near-uniform) spread of v
+      assert(math.abs(r.getAs[Double]("p50a") - r.getAs[Double]("p50"))
+        <= 1789.0 * 0.01, s"p50 off: $r")
+    }
+  }
+
   test("ffill limit-n never bridges more than n nulls") {
     forAll(Gen.zip(seriesGen, Gen.choose(0, 4))) {
       case (xs, limit) =>

@@ -69,6 +69,39 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(again(0).features.toSeq === feats(0).features.toSeq)
   }
 
+  test("multimodal: ImageIoKernel decodes a real PNG to width/height/histogram") {
+    // 6×4 PNG: left half pure black, right half pure white
+    val img = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6)
+      img.setRGB(x, y, if (x < 3) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val rows = Seq(
+      Row(1L, "image", png, Row(6, 4, null, 0L, "png")),
+      Row(2L, "audio", Array[Byte](10, 10, 10, 10),
+        Row(null, null, 16000, 250L, "pcm")),
+      Row(3L, "image", Array[Byte](1, 2, 3), // not a decodable image
+        Row(null, null, null, 0L, "junk")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.Schema)
+    val feats = Multimodal.extractFeatures(df, dim = 10,
+      kernel = Multimodal.ImageIoKernel).collect().sortBy(_.id)
+    assert(feats.length === 3)
+    val f1 = feats(0).features
+    assert(f1(0) === 6.0f && f1(1) === 4.0f) // real decoded dimensions
+    // half the pixels land in the darkest luma bin, half in the lightest
+    assert(math.abs(f1(2) - 0.5f) < 1e-6)
+    assert(math.abs(f1(9) - 0.5f) < 1e-6)
+    assert(math.abs(f1.drop(2).sum - 1.0f) < 1e-5) // normalized
+    // non-image and undecodable payloads fall back to the byte histogram
+    assert(feats(1).features.toSeq ===
+      Multimodal.HistogramKernel.decode("audio",
+        Array[Byte](10, 10, 10, 10), 10).toSeq)
+    assert(feats(2).features.length === 10)
+  }
+
   test("multimodal: meta-only stats and frame sampling") {
     val rows = Seq(
       Row(1L, "video", Array[Byte](1), Row(640, 480, null, 1000L, "v")),

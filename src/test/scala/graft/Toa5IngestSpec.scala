@@ -121,6 +121,31 @@ class Toa5IngestSpec extends SparkSpec {
     assert(sp.isNullAt(sp.fieldIndex("udg")))
   }
 
+  test("file order holds across 100 bales (broadcast order map)") {
+    val dir = Files.createTempDirectory("toa5m")
+    // every bale re-sends timestamp 0 with a record equal to its bale
+    // number — keep-first must pick bale 1's record across all 100
+    (1 to 100).foreach(n => writeBale(dir, n, Seq((n, 0), (1000 + n, n))))
+    val l1 = Level1.run(spark, Seq(Level1.Source(dir.toString, 1, 100)))
+    assert(l1.count() === 101) // ts 0 + unique ts 1..100
+    assert(l1.where(col("TIMESTAMP") === lit(ts(0))).head()
+      .getAs[Long]("RECORD") === 1L)
+    // and the raw read tags files 0..99 in caller order, not glob order
+    val raw = Toa5.read(spark, Toa5.balePaths(dir.toString, 1, 100))
+    val seqs = raw.select(Toa5.FileOrderCol).distinct().count()
+    assert(seqs === 100)
+  }
+
+  test("onefile source reads a single named file") {
+    val dir = Files.createTempDirectory("toa5one")
+    writeBale(dir, 7, (0 to 9).map(i => (i + 1, i)))
+    Files.move(dir.resolve("MainTable7.dat"), dir.resolve("single.dat"))
+    val l1 = Level1.run(spark,
+      Seq(Level1.Source.onefile(dir.toString, "single.dat")))
+    assert(l1.count() === 10)
+    assert(l1.schema("TIMESTAMP").dataType.typeName === "timestamp")
+  }
+
   test("nrows cap applies per source") {
     val dir = Files.createTempDirectory("toa5b")
     writeBale(dir, 1, (0 to 9).map(i => (i + 1, i)))

@@ -43,4 +43,24 @@ class WritersSpec extends SparkSpec {
       s"expected day in PartitionFilters:\n$scan")
     assert(sliced.count() === 24)
   }
+
+  test("parquetWithAttrs: per-variable attrs round-trip in the sidecar") {
+    val out = Files.createTempDirectory("l2var").resolve("ds").toString
+    val df = Seq((1, 0.5, -1.0)).toDF("sensor", "T_10cm", "depth")
+    val varAttrs = Map(
+      "T_10cm" -> Map("units" -> "degC",
+        "standard_name" -> "soil_temperature"),
+      "depth" -> Map("units" -> "m", "positive" -> "up"))
+    Writers.parquetWithAttrs(df, out,
+      attrs = Map("site" -> "FS1", "Conventions" -> "CF-1.8"),
+      varAttrs = varAttrs)
+    val (global, vars) = Writers.readAttrs(out)
+    assert(global === Map("site" -> "FS1", "Conventions" -> "CF-1.8"))
+    assert(vars === varAttrs)
+    // global-only sidecars (no __variables key) still parse
+    val out2 = Files.createTempDirectory("l2var").resolve("ds2").toString
+    Writers.parquetWithAttrs(df, out2, attrs = Map("site" -> "FS2"))
+    val (g2, v2) = Writers.readAttrs(out2)
+    assert(g2 === Map("site" -> "FS2") && v2.isEmpty)
+  }
 }
