@@ -10,6 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/parquet/window paths on the TINY sf before
+    // timing: round-1 data shows the first measured query pays ~5s of
+    // session init that later queries don't (q7 6.1s first vs 0.7s
+    // steady-state). Warmup on sf0.001 cannot precompute sf0.1 work —
+    // nothing is cached; only JIT/classloading state carries over.
+    Seq("q1_agg", "q7_lag_diff").foreach { w =>
+      try SparkEntry.queries(w)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces every output column to be computed (a bare

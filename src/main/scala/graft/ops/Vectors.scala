@@ -17,15 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Elementwise-fold dot product of two array columns (cast to double,
-    * summed in index order). */
-  def dot(a: Column, b: Column): Column =
+  /** Declarative reference forms (HOF folds — interpreted per element);
+    * the hot paths below use the single-pass kernels in
+    * `functions.VectorExpressions`, bit-identical by the same index-order
+    * fold (equivalence: SketchExprSpec). */
+  def dotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  def normDeclarative(a: Column): Column = sqrt(dotDeclarative(a, a))
+
+  def cosineDeclarative(a: Column, b: Column): Column =
+    dotDeclarative(a, b) / (normDeclarative(a) * normDeclarative(b))
+
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot(a, b)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine(a, b)
 
   /** Exact top-k neighbors by cosine for each query vector.
     * `queries`: (qidCol, vector) — small, broadcast. `corpus`:
@@ -49,11 +60,14 @@ object Vectors {
   }
 
   /** Squared euclidean distance, index-order fold (portable). */
-  def sqDist(a: Column, b: Column): Column =
+  def sqDistDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b,
       (x, y) => (x.cast("double") - y.cast("double")) *
         (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
+
+  def sqDist(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.sqDist(a, b)
 
   /** IVF cell assignment: nearest centroid by squared distance (ties →
     * smallest centroid id). `centroids` is small → broadcast; the corpus

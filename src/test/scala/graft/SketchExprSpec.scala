@@ -81,6 +81,32 @@ class SketchExprSpec extends SparkSpec {
     assert(rep.length === 3 && rep === rep.sorted)
   }
 
+  test("vector kernels == declarative HOF folds, bit-identical") {
+    import graft.ops.Vectors
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    }.toDF("id", "vf", "vd")
+    val paired = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vf").as("af"), col("b.vf").as("bf"),
+        col("a.vd").as("ad"), col("b.vd").as("bd"))
+    // float×float, double×double and mixed element types; === on
+    // doubles is exact equality — the kernels must be bit-identical
+    val diff = paired.where(
+      !(Vectors.dot(col("af"), col("bf")) ===
+        Vectors.dotDeclarative(col("af"), col("bf"))) ||
+      !(Vectors.sqDist(col("af"), col("bf")) ===
+        Vectors.sqDistDeclarative(col("af"), col("bf"))) ||
+      !(Vectors.cosine(col("af"), col("bf")) ===
+        Vectors.cosineDeclarative(col("af"), col("bf"))) ||
+      !(Vectors.dot(col("ad"), col("bd")) ===
+        Vectors.dotDeclarative(col("ad"), col("bd"))) ||
+      !(Vectors.cosine(col("af"), col("bd")) ===
+        Vectors.cosineDeclarative(col("af"), col("bd")))).count()
+    assert(diff === 0)
+  }
+
   test("SimHash32Expr == declarative simhash32") {
     val withH = texts
       .withColumn("__hs", Dedup.tokenHashes(TextOps.tokens($"text")))
