@@ -469,6 +469,32 @@ object SparkEntry {
         .groupBy(Vectors.srpBucket(col("embedding"), 64, 8).as("bucket"))
         .agg(count(lit(1)).as("n"))),
 
+    // Embedding-cosine near-dedup: the corpus is augmented with planted
+    // perturbed copies (+0.05 on dim 1 → cosine ≈ 0.9998), then
+    // SRP-LSH buckets generate candidate pairs in-bucket and a cosine
+    // ≥ 0.99 join verifies — the vector twin of the t2 text pipeline.
+    // The synthetic corpus has no natural near-dups (max cosine 0.51),
+    // so the expected answer is exactly the planted pairs that share an
+    // SRP bucket (the oracle replays the same bucketing).
+    "t10_embed_neardup" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val dup = e.select((col("vec_id") + 100000).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + 0.05),
+          slice(col("v"), 2, 63)).as("v"))
+      val corpus = e.unionByName(dup)
+      val pairs = Dedup.srpCandidatePairs(corpus, "vec_id", "v",
+        dims = 64, planes = 8)
+      val va = corpus.select(col("vec_id").as("id_a"), col("v").as("__va"))
+      val vb = corpus.select(col("vec_id").as("id_b"), col("v").as("__vb"))
+      pairs.join(va, "id_a").join(vb, "id_b")
+        .withColumn("__cos", Vectors.cosine(col("__va"), col("__vb")))
+        .where(col("__cos") >= 0.99)
+        .select(col("id_a"), col("id_b"),
+          round(col("__cos"), 6).as("cos"))
+    }),
+
     // IVF probe search: approximate top-5 by cosine probing the 2
     // nearest of 16 cells per query — the query path over the q36
     // coarse quantizer. Exact within probed cells (the oracle replays
@@ -958,6 +984,36 @@ object SparkEntry {
                    / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)
              * 0.1, 6) AS q_score
          FROM documents""",
+    "t10_embed_neardup" ->
+      """WITH e AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+           FROM embeddings),
+         c AS (
+           SELECT * FROM e
+           UNION ALL
+           SELECT vec_id + 100000, list_prepend(v[1] + 0.05, v[2:64])
+           FROM e),
+         b AS (
+           SELECT vec_id, v, array_to_string(
+             [CASE WHEN list_sum(
+                [CASE WHEN substr(md5(p::VARCHAR || '_' || d::VARCHAR),
+                            1, 1) BETWEEN '8' AND 'f'
+                      THEN v[d] ELSE -v[d] END
+                 FOR d IN generate_series(1, 64)]) >= 0
+              THEN '1' ELSE '0' END
+              FOR p IN generate_series(1, 8)], '') AS bkt
+           FROM c),
+         s AS (
+           SELECT a.vec_id AS id_a, y.vec_id AS id_b,
+             list_sum([a.v[i]*y.v[i] FOR i IN generate_series(1,64)]) /
+             (sqrt(list_sum([a.v[i]*a.v[i]
+                             FOR i IN generate_series(1,64)])) *
+              sqrt(list_sum([y.v[i]*y.v[i]
+                             FOR i IN generate_series(1,64)]))) AS csim
+           FROM b a JOIN b y
+             ON a.bkt = y.bkt AND a.vec_id < y.vec_id)
+         SELECT id_a, id_b, round(csim, 6) AS cos
+         FROM s WHERE csim >= 0.99""",
     "t9_ivf_probe" ->
       """WITH e AS (
            SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v

@@ -76,6 +76,31 @@ object Dedup {
       .select("p.id_a", "p.id_b").distinct()
   }
 
+  /** Embedding-cosine near-dup candidate pairs via SRP-LSH: each vector
+    * maps to one sign-random-projection bucket (map-side, no model
+    * state), pairs are generated INSIDE buckets from the sorted id list
+    * — same one-shuffle shape as `lshCandidatePairs`, and unique by
+    * construction (one bucket per id), so no distinct pass. Cosine
+    * verification (≥ τ) is the caller's join, mirroring the
+    * Jaccard-verify step of the text pipeline. Recall is governed by
+    * `planes`; capped buckets drop (log as reduced recall at scale). */
+  def srpCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+                        dims: Int, planes: Int,
+                        maxBucket: Int = 10000): DataFrame = {
+    val ids = col("ids")
+    df.select(col(idCol),
+      Vectors.srpBucket(col(vecCol), dims, planes).as("__bkt"))
+      .groupBy("__bkt")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(ids).between(2, maxBucket))
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(ids) - 1),
+        i => transform(slice(ids, i + 1, size(ids)),
+          y => struct(element_at(ids, i).as("id_a"), y.as("id_b"))))))
+        .as("p"))
+      .select("p.id_a", "p.id_b")
+  }
+
   /** SimHash (32-bit, as a '0'/'1' bitstring): per bit position i, sum
     * +1/−1 votes from the i-th hex char of each token's md5; bit = 1 iff
     * the sum is positive. Near-duplicates agree on most bits (compare by
