@@ -23,6 +23,30 @@ object Streaming {
                   watermark: String = "1 hour"): DataFrame =
     in.withWatermark(tsCol, watermark).dropDuplicates(Seq(tsCol))
 
+  /** A4 streaming: tumbling 1-hour aggregate with a watermark bounding
+    * state (the incremental form of the batch q5_hourly). In append
+    * mode a window emits exactly once, when the watermark passes its
+    * end — mergeable partials until then, like the batch map-side
+    * combine but over time. */
+  def hourlyAgg(in: DataFrame, tsCol: String, valCol: String,
+                watermark: String = "2 hours"): DataFrame =
+    in.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour").as("w"))
+      .agg(avg(col(valCol)).as("avg_value"), count(lit(1)).as("n"))
+      .select(col("w.start").as("hour"), col("avg_value"), col("n"))
+
+  /** Sessionization streaming twin of the batch q30: native session
+    * windows (gap-based), state bounded by the watermark. */
+  def sessionStats(in: DataFrame, tsCol: String, keyCols: Seq[String],
+                   gap: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame =
+    in.withWatermark(tsCol, watermark)
+      .groupBy((keyCols.map(col) :+
+        session_window(col(tsCol), gap).as("w")): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select((keyCols.map(col) :+ col("w.start").as("session_start") :+
+        col("w.end").as("session_end") :+ col("n_events")): _*)
+
   case class UdgReading(sensor: String, ts: java.sql.Timestamp, udg: Double)
   case class DepthOut(sensor: String, ts: java.sql.Timestamp, depth: Double)
   case class X1State(offset: Double, initialized: Boolean)

@@ -48,6 +48,50 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(n === 2)
   }
 
+  test("streaming hourly agg emits a window once its watermark passes") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = Streaming.hourlyAgg(
+      input.toDS().toDF("ts", "v"), "ts", "v")
+      .writeStream.format("memory").queryName("hourlyout")
+      .outputMode("append").start()
+    input.addData((t(0), 1.0), (t(0), 3.0), (t(1), 10.0))
+    q.processAllAvailable()
+    // nothing emitted yet: watermark (max 01:00 − 2h) < any window end
+    assert(spark.table("hourlyout").count() === 0)
+    input.addData((t(4), 0.0)) // watermark → 02:00: closes hour 00 & 01
+    q.processAllAvailable()
+    val rows = spark.table("hourlyout").orderBy("hour").collect()
+    q.stop()
+    assert(rows.length === 2)
+    assert(rows(0).getDouble(1) === 2.0 && rows(0).getLong(2) === 2L)
+    assert(rows(1).getDouble(1) === 10.0 && rows(1).getLong(2) === 1L)
+  }
+
+  test("streaming session windows merge by gap and close on watermark") {
+    implicit val sc = spark.sqlContext
+    def m(min: Int) = java.sql.Timestamp.valueOf(
+      f"2021-05-01 00:${min}%02d:00")
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val q = Streaming.sessionStats(
+      input.toDS().toDF("user", "ts"), "ts", Seq("user"),
+      gap = "10 minutes", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("sessout")
+      .outputMode("append").start()
+    // u1: events at 00,05,12 chain into one session (gaps < 10 min);
+    // 40 is a separate session
+    input.addData(("u1", m(0)), ("u1", m(5)), ("u1", m(12)), ("u1", m(40)))
+    q.processAllAvailable()
+    input.addData(("u2", java.sql.Timestamp.valueOf("2021-05-01 02:00:00")))
+    q.processAllAvailable() // watermark 01:30 closes both u1 sessions
+    val rows = spark.table("sessout").orderBy("session_start").collect()
+    q.stop()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("n_events") === 3L)
+    assert(rows(0).getAs[java.sql.Timestamp]("session_end") === m(22))
+    assert(rows(1).getAs[Long]("n_events") === 1L)
+  }
+
   test("multimodal: stub decode produces normalized fixed-dim features") {
     val rows = Seq(
       Row(1L, "image", Array[Byte](0, 1, 2, 3, 4, 5, 6, 7),
