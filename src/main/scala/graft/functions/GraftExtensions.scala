@@ -47,7 +47,29 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SketchExpressions.WordShinglesExpr].getName,
         "graft_word_shingles"),
       (args: Seq[Expression]) => SketchExpressions.WordShinglesExpr(
-        args.head, intArg(args(1), "graft_word_shingles"))))
+        args.head, intArg(args(1), "graft_word_shingles"))),
+    ("graft_bottomk_shingle_hashes",
+      new ExpressionInfo(
+        classOf[SketchExpressions.BottomKShingleHashesExpr].getName,
+        "graft_bottomk_shingle_hashes"),
+      (args: Seq[Expression]) => SketchExpressions.BottomKShingleHashesExpr(
+        args.head, intArg(args(1), "graft_bottomk_shingle_hashes"),
+        intArg(args(2), "graft_bottomk_shingle_hashes"))),
+    ("graft_vec_dot",
+      new ExpressionInfo(classOf[VectorExpressions.VecDotExpr].getName,
+        "graft_vec_dot"),
+      (args: Seq[Expression]) =>
+        VectorExpressions.VecDotExpr(args.head, args(1))),
+    ("graft_vec_sqdist",
+      new ExpressionInfo(classOf[VectorExpressions.VecSqDistExpr].getName,
+        "graft_vec_sqdist"),
+      (args: Seq[Expression]) =>
+        VectorExpressions.VecSqDistExpr(args.head, args(1))),
+    ("graft_vec_cosine",
+      new ExpressionInfo(classOf[VectorExpressions.VecCosineExpr].getName,
+        "graft_vec_cosine"),
+      (args: Seq[Expression]) =>
+        VectorExpressions.VecCosineExpr(args.head, args(1))))
 
   /** Idempotent registration on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -55,5 +55,15 @@ class SessionsRangeSpec extends SparkSpec {
     assert(row.getSeq[String](0).length === 3)
     assert(row.getString(1).matches("[01]{32}"))
     assert(row.getSeq[String](2).length === 4)
+    val row2 = spark.sql(
+      """SELECT graft_bottomk_shingle_hashes(split(text, '\\s+'), 3, 2) AS bk,
+                graft_vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                graft_vec_sqdist(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS s,
+                graft_vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c
+         FROM ext_docs""").head()
+    assert(row2.getSeq[String](0).length === 2)
+    assert(row2.getDouble(1) === 11.0)
+    assert(row2.getDouble(2) === 25.0)
+    assert(row2.getDouble(3) === 1.0)
   }
 }
