@@ -393,6 +393,28 @@ object SparkEntry {
         upper(col("p_brand")).as("ub"),
         length(col("p_name")).cast("long").as("n"))),
 
+    // R1 inverse — long → wide pivot with a STATIC key list (no
+    // column-discovery scan): per-user average value per event type.
+    "q37_pivot" -> ((s, dir) =>
+      Reshape.toWide(
+        T(s, dir, "events").select("user_id", "event_type", "value"),
+        Seq("user_id"), "event_type",
+        Seq("click", "error", "purchase", "signup", "view"),
+        round(sum(col("value")), 2))),
+
+    // Set operations (distinct semantics), tagged long-form: users who
+    // clicked but never erred (EXCEPT) and users who both clicked and
+    // purchased (INTERSECT).
+    "q38_setops" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      def ids(t: String) = e.where(col("event_type") === t)
+        .select("user_id")
+      ids("click").except(ids("error"))
+        .select(lit("click_not_error").as("op"), col("user_id"))
+        .unionByName(ids("click").intersect(ids("purchase"))
+          .select(lit("click_and_purchase").as("op"), col("user_id")))
+    }),
+
     // Exact text dedup (training-data op): content hash → keep-min doc id.
     "d1_docs_exact_dedup" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -846,6 +868,24 @@ object SparkEntry {
     "q29_strings" ->
       """SELECT p_partkey, split_part(p_name, ' ', 1) AS w1,
          upper(p_brand) AS ub, len(p_name) AS n FROM part""",
+    "q37_pivot" ->
+      """SELECT user_id,
+         round(sum(value) FILTER (event_type = 'click'), 2) AS click,
+         round(sum(value) FILTER (event_type = 'error'), 2) AS error,
+         round(sum(value) FILTER (event_type = 'purchase'), 2) AS purchase,
+         round(sum(value) FILTER (event_type = 'signup'), 2) AS signup,
+         round(sum(value) FILTER (event_type = 'view'), 2) AS view
+         FROM events GROUP BY user_id""",
+    "q38_setops" ->
+      """SELECT 'click_not_error' AS op, user_id FROM (
+           SELECT user_id FROM events WHERE event_type = 'click'
+           EXCEPT
+           SELECT user_id FROM events WHERE event_type = 'error')
+         UNION ALL
+         SELECT 'click_and_purchase' AS op, user_id FROM (
+           SELECT user_id FROM events WHERE event_type = 'click'
+           INTERSECT
+           SELECT user_id FROM events WHERE event_type = 'purchase')""",
     "d1_docs_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS doc_id,
          count(*) AS n_copies

@@ -25,6 +25,18 @@ object Reshape {
     df.unpivot(idCols.map(col).toArray, familyCols.map(col).toArray,
       varName, valueName)
 
+  /** R1 inverse — long → wide pivot: one output column per key in
+    * `keys`, cells aggregated by `agg`. Passing the key list makes the
+    * output schema STATIC and the plan single-pass — Spark's
+    * `pivot(col)` without keys runs an extra distinct-scan job just to
+    * discover column names, which at 100 TB is a full corpus pass; the
+    * reference always knows its sensor families up front. */
+  def toWide(df: DataFrame, idCols: Seq[String], varCol: String,
+             keys: Seq[String], agg: Column): DataFrame =
+    df.groupBy(idCols.map(col): _*)
+      .pivot(varCol, keys)
+      .agg(agg)
+
   /** C5 — build a rename map by applying regex rules to column names.
     * Each rule is (pattern with one capture group for the sensor id,
     * replacement with `*` standing for the id). Driver-side over the
