@@ -371,12 +371,17 @@ object SparkEntry {
           count(lit(1)).as("n"))),
 
     // Exact interpolating quantiles per group (Spark `percentile` ≡
-    // DuckDB `quantile_cont`).
+    // DuckDB `quantile_cont`). ONE percentile aggregate over the array
+    // of fractions — a single per-group value buffer, where three
+    // scalar percentile() calls would each collect their own copy.
     "q27_quantiles" -> ((s, dir) =>
       T(s, dir, "events").groupBy("event_type")
-        .agg(round(percentile(col("value"), lit(0.25)), 4).as("p25"),
-          round(percentile(col("value"), lit(0.5)), 4).as("p50"),
-          round(percentile(col("value"), lit(0.9)), 4).as("p90"))),
+        .agg(percentile(col("value"),
+          array(lit(0.25), lit(0.5), lit(0.9))).as("__p"))
+        .select(col("event_type"),
+          round(element_at(col("__p"), 1), 4).as("p25"),
+          round(element_at(col("__p"), 2), 4).as("p50"),
+          round(element_at(col("__p"), 3), 4).as("p90"))),
 
     // JSON field extraction (codegen'd path expression, no UDF).
     "q28_json" -> ((s, dir) =>
@@ -394,13 +399,14 @@ object SparkEntry {
         length(col("p_name")).cast("long").as("n"))),
 
     // R1 inverse — long → wide pivot with a STATIC key list (no
-    // column-discovery scan): per-user average value per event type.
+    // column-discovery scan) lowered to codegen'd conditional
+    // aggregation: per-user summed value per event type.
     "q37_pivot" -> ((s, dir) =>
       Reshape.toWide(
         T(s, dir, "events").select("user_id", "event_type", "value"),
         Seq("user_id"), "event_type",
         Seq("click", "error", "purchase", "signup", "view"),
-        round(sum(col("value")), 2))),
+        "value", c => round(sum(c), 2))),
 
     // Set operations (distinct semantics), tagged long-form: users who
     // clicked but never erred (EXCEPT) and users who both clicked and

@@ -101,6 +101,94 @@ object VectorExpressions {
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
+  /** Sign-random-projection bucket id: one '0'/'1' char per plane,
+    * bit p = (Σ_d w(p)(d)·v(d) >= 0), accumulated in index order —
+    * bit-identical to the declarative `srpBucket` fold. The ±1 weight
+    * matrix is driver-derived (md5-based, engine-portable) and baked
+    * into the expression; one tight planes×dims loop per row replaces
+    * planes interpreted `aggregate` lambdas with per-element 2-D
+    * `element_at` lookups. */
+  case class VecSrpBucketExpr(child: Expression,
+                              weights: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_vec_srp_bucket"
+    @transient private lazy val vt: DataType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+    @transient private lazy val w: Array[Array[Double]] =
+      weights.map(_.toArray).toArray
+
+    protected override def nullSafeEval(vec: Any): Any = {
+      val v = vec.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      val out = new Array[Byte](w.length)
+      var p = 0
+      while (p < w.length) {
+        val wp = w(p)
+        val dims = math.min(n, wp.length)
+        var acc = 0.0
+        var d = 0
+        while (d < dims) { acc += wp(d) * get(v, d, vt); d += 1 }
+        out(p) = (if (acc >= 0.0) '1' else '0').toByte
+        p += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+  }
+
+  /** Argmin-centroid: given a vector and an array<struct<cid, cv>> of
+    * centroids (one broadcast row for the whole corpus), return the cid
+    * with minimal squared distance, ties to the smallest cid. One scan,
+    * order-insensitive — so `collect_list`'s nondeterministic assembly
+    * order cannot change the answer. This makes IVF assignment fully
+    * MAP-SIDE: no per-candidate row explosion, no argmin shuffle. */
+  case class VecArgminCentroidExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_vec_argmin_centroid"
+    @transient private lazy val vt: DataType =
+      left.dataType.asInstanceOf[ArrayType].elementType
+    @transient private lazy val centStruct: StructType = right.dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    @transient private lazy val cvType: DataType =
+      centStruct.fields(1).dataType.asInstanceOf[ArrayType].elementType
+
+    protected override def nullSafeEval(vec: Any, cents: Any): Any = {
+      val v = vec.asInstanceOf[ArrayData]
+      val cs = cents.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var bestCid = 0L
+      var bestDist = Double.PositiveInfinity
+      var found = false
+      var c = 0
+      while (c < cs.numElements()) {
+        val s = cs.getStruct(c, 2)
+        val cid = s.getLong(0)
+        val cv = s.getArray(1)
+        if (cv.numElements() == n) {
+          var acc = 0.0
+          var i = 0
+          while (i < n) {
+            val d = get(v, i, vt) - get(cv, i, cvType)
+            acc += d * d
+            i += 1
+          }
+          if (!found || acc < bestDist ||
+            (acc == bestDist && cid < bestCid)) {
+            bestDist = acc; bestCid = cid; found = true
+          }
+        }
+        c += 1
+      }
+      if (found) bestCid else null
+    }
+    override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
   // Column-level entry points --------------------------------------
 
   def dot(a: Column, b: Column): Column =
@@ -114,4 +202,8 @@ object VectorExpressions {
   def cosine(a: Column, b: Column): Column =
     GraftColumnBridge.column(VecCosineExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def argminCentroid(vec: Column, cents: Column): Column =
+    GraftColumnBridge.column(VecArgminCentroidExpr(
+      GraftColumnBridge.expression(vec), GraftColumnBridge.expression(cents)))
 }

@@ -26,16 +26,22 @@ object Reshape {
       varName, valueName)
 
   /** R1 inverse — long → wide pivot: one output column per key in
-    * `keys`, cells aggregated by `agg`. Passing the key list makes the
-    * output schema STATIC and the plan single-pass — Spark's
-    * `pivot(col)` without keys runs an extra distinct-scan job just to
-    * discover column names, which at 100 TB is a full corpus pass; the
-    * reference always knows its sensor families up front. */
+    * `keys`, cell = `agg` over the rows whose `varCol` equals the key.
+    *
+    * Two scale choices vs `Dataset.pivot`: the STATIC key list avoids
+    * the column-discovery distinct-scan job (a full corpus pass at
+    * 100 TB when keys aren't passed), and the lowering is plain
+    * conditional aggregation (`agg(when(var = k, value))`) — a
+    * codegen'd hash aggregate, where Spark's pivot lowers to the
+    * imperative non-codegen `PivotFirst` buffer. Identical semantics
+    * for null-ignoring aggregates (sum/avg/min/max/count/first). */
   def toWide(df: DataFrame, idCols: Seq[String], varCol: String,
-             keys: Seq[String], agg: Column): DataFrame =
-    df.groupBy(idCols.map(col): _*)
-      .pivot(varCol, keys)
-      .agg(agg)
+             keys: Seq[String], valueCol: String,
+             agg: Column => Column): DataFrame = {
+    val cells = keys.map(k =>
+      agg(when(col(varCol) === k, col(valueCol))).as(k))
+    df.groupBy(idCols.map(col): _*).agg(cells.head, cells.tail: _*)
+  }
 
   /** C5 — build a rename map by applying regex rules to column names.
     * Each rule is (pattern with one capture group for the sensor id,

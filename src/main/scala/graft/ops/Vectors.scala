@@ -69,15 +69,47 @@ object Vectors {
   def sqDist(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.sqDist(a, b)
 
+  /** All centroids folded into ONE broadcast row: array<struct<cid,cv>>.
+    * (cid cast long, cv cast double — the distance arithmetic's types.) */
+  private def centroidArray(centroids: DataFrame, cidCol: String,
+                            vecCol: String): DataFrame =
+    broadcast(centroids.groupBy().agg(collect_list(struct(
+      col(cidCol).cast("long").as("cid"),
+      transform(col(vecCol), x => x.cast("double")).as("cv")))
+      .as("__cents")))
+
+  /** IVF cell assignment with the vector retained: (id, vec, cid).
+    * Fully MAP-SIDE — the centroid set broadcasts as one array row and a
+    * single-pass argmin kernel scores it per corpus row: no per-candidate
+    * row explosion, no argmin shuffle, corpus never moves. (The kernel is
+    * order-insensitive with ties to the smallest cid, so collect_list's
+    * assembly order cannot change the answer.) This is the coarse
+    * quantizer of an IVF index; search probes one (or few) cells. */
+  def ivfAssignWithVec(corpus: DataFrame, centroids: DataFrame,
+                       idCol: String, cidCol: String,
+                       vecCol: String): DataFrame =
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(centroidArray(centroids, cidCol, vecCol))
+      .select(col(idCol), col(vecCol),
+        graft.functions.VectorExpressions
+          .argminCentroid(col(vecCol), col("__cents")).as(cidCol))
+
   /** IVF cell assignment: nearest centroid by squared distance (ties →
-    * smallest centroid id). `centroids` is small → broadcast; the corpus
-    * never shuffles except for the final per-vector argmin window, which
-    * `dedupKeepFirst`-style reduces map-side. This is the coarse
-    * quantizer of an IVF index; search then probes one (or few) cells. */
+    * smallest centroid id). */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
-                idCol: String, cidCol: String, vecCol: String): DataFrame = {
+                idCol: String, cidCol: String, vecCol: String): DataFrame =
+    ivfAssignWithVec(corpus, centroids, idCol, cidCol, vecCol)
+      .select(col(idCol), col(cidCol))
+
+  /** Declarative twin of the map-side assignment (candidate explosion +
+    * windowed argmin with a partial WindowGroupLimit) — kept for the
+    * equivalence spec. */
+  def ivfAssignWindowed(corpus: DataFrame, centroids: DataFrame,
+                        idCol: String, cidCol: String,
+                        vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = centroids.select(col(cidCol), col(vecCol).as("__cv"))
+    val c = centroids.select(col(cidCol).cast("long").as(cidCol),
+      col(vecCol).as("__cv"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__dist"), col(cidCol))
     corpus.select(col(idCol), col(vecCol))
@@ -93,19 +125,22 @@ object Vectors {
     * IVF query path over the `ivfAssign` coarse quantizer). Exact within
     * the probed cells — recall is governed by nProbe/centroid quality.
     *
-    * 100 TB shape: the corpus partitions by cell once (reusable across
-    * queries), the probe list is queries × nProbe rows (tiny, broadcast),
-    * and candidate scoring is an equi-join on the cell id — the corpus
-    * side never cross-joins. Only the per-query top-k window shuffles
-    * candidates, bounded by the probed cells' population. */
+    * 100 TB shape: cell assignment is map-side (argmin kernel over the
+    * broadcast centroid array — the corpus never moves), the probe list
+    * is queries × nProbe rows (tiny, broadcast), and candidate scoring
+    * is a broadcast equi-join on the cell id. Only the per-query top-k
+    * window shuffles candidates — bounded by the probed cells'
+    * population, and pre-reduced map-side by the partial
+    * WindowGroupLimit. */
   def ivfProbeTopK(queries: DataFrame, corpus: DataFrame,
                    centroids: DataFrame, qidCol: String, idCol: String,
                    cidCol: String, vecCol: String,
                    k: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = corpus.select(col(idCol), col(vecCol))
-      .join(ivfAssign(corpus, centroids, idCol, cidCol, vecCol), idCol)
-    val c = centroids.select(col(cidCol), col(vecCol).as("__cv"))
+    val assigned = ivfAssignWithVec(corpus, centroids, idCol, cidCol,
+      vecCol)
+    val c = centroids.select(col(cidCol).cast("long").as(cidCol),
+      col(vecCol).as("__cv"))
     val probeW = Window.partitionBy(col(qidCol))
       .orderBy(col("__dist"), col(cidCol))
     val probes = queries.select(col(qidCol), col(vecCol).as("__qv"))
@@ -134,8 +169,7 @@ object Vectors {
   def kmeansStep(corpus: DataFrame, centroids: DataFrame,
                  idCol: String, cidCol: String,
                  vecCol: String): DataFrame = {
-    val assigned = ivfAssign(corpus, centroids, idCol, cidCol, vecCol)
-    corpus.join(assigned, idCol)
+    ivfAssignWithVec(corpus, centroids, idCol, cidCol, vecCol)
       .select(col(cidCol), posexplode(col(vecCol)))
       .groupBy(col(cidCol), col("pos"))
       .agg(avg(col("col").cast("double")).as("__v"))
@@ -159,22 +193,33 @@ object Vectors {
     cent
   }
 
-  /** Sign-random-projection LSH bucket id (a `planes`-char '0'/'1'
-    * string). The projection matrix is pseudo-random ±1 weights derived
-    * from md5(plane||'_'||dim) — deterministic, engine-portable, and
-    * needs no stored model. The matrix depends only on (plane, dim), so
-    * it is computed ONCE driver-side and embedded as a literal (an
-    * in-expression md5 would re-hash planes×dims times per row).
-    * Map-side only. */
-  def srpBucket(vec: Column, dims: Int, planes: Int): Column = {
+  /** The SRP ±1 projection matrix: pseudo-random weights derived from
+    * md5(plane||'_'||dim) — deterministic, engine-portable, no stored
+    * model. Depends only on (plane, dim) → computed ONCE driver-side. */
+  private[ops] def srpWeights(dims: Int, planes: Int): Seq[Seq[Double]] = {
     val digest = java.security.MessageDigest.getInstance("MD5")
-    val w: Seq[Seq[Double]] = (1 to planes).map { p =>
+    (1 to planes).map { p =>
       (1 to dims).map { d =>
         val h = digest.digest(s"${p}_$d".getBytes("UTF-8"))
         if ((h(0) & 0xFF) >= 0x80) 1.0 else -1.0 // first hex char in 8..f
       }
     }
-    val wLit = typedlit(w)
+  }
+
+  /** Sign-random-projection LSH bucket id (a `planes`-char '0'/'1'
+    * string). Map-side only; single-pass kernel over the baked-in
+    * weight matrix (equivalence vs the declarative fold:
+    * SketchExprSpec). */
+  def srpBucket(vec: Column, dims: Int, planes: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.VectorExpressions.VecSrpBucketExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(vec),
+        srpWeights(dims, planes)))
+
+  /** Declarative twin of `srpBucket` (interpreted HOF fold with 2-D
+    * literal lookups) — kept for the equivalence spec. */
+  def srpBucketDeclarative(vec: Column, dims: Int, planes: Int): Column = {
+    val wLit = typedlit(srpWeights(dims, planes))
     concat_ws("", transform(sequence(lit(1), lit(planes)), p =>
       when(aggregate(sequence(lit(1), lit(dims)), lit(0.0), (acc, d) =>
         acc + element_at(element_at(wLit, p), d) *

@@ -107,6 +107,19 @@ class SketchExprSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("VecSrpBucketExpr == declarative srpBucket fold") {
+    import graft.ops.Vectors
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Array.fill(32)(rnd.nextFloat() * 4 - 2)))
+      .toDF("id", "v")
+    val both = vecs.select($"id",
+      Vectors.srpBucket($"v", 32, 8).as("fast"),
+      Vectors.srpBucketDeclarative($"v", 32, 8).as("slow"))
+    assert(both.where($"fast" =!= $"slow").count() === 0)
+    assert(both.head().getString(1).matches("[01]{8}"))
+  }
+
   test("SimHash32Expr == declarative simhash32") {
     val withH = texts
       .withColumn("__hs", Dedup.tokenHashes(TextOps.tokens($"text")))

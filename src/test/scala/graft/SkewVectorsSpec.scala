@@ -38,6 +38,23 @@ class SkewVectorsSpec extends SparkSpec {
     assert(out.last.getDouble(2) === -1.0)    // opposite vector
   }
 
+  test("map-side IVF assignment == windowed argmin (incl. ties)") {
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    // duplicated centroid vectors force distance ties → smallest cid wins
+    val cent = pts.where($"vec_id" < 4)
+      .select(($"vec_id" + 100).as("cid"), $"embedding")
+      .unionByName(pts.where($"vec_id" < 2)
+        .select($"vec_id".as("cid"), $"embedding"))
+    val fast = Vectors.ivfAssign(pts, cent, "vec_id", "cid", "embedding")
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val slow = Vectors.ivfAssignWindowed(pts, cent, "vec_id", "cid",
+      "embedding")
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.toSeq === slow.toSeq)
+  }
+
   test("IVF probe: all-cells probe == brute force; 1-cell probe ⊆ it") {
     val pts = (0 until 24).map { i =>
       val base = (i % 4) * 10.0f // four well-separated clusters
