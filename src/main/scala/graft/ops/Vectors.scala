@@ -229,13 +229,29 @@ object Vectors {
 
   /** Bucketed ANN: top-k by cosine searched only within each query's SRP
     * bucket — the 100 TB path (bucket is a map-side label; the join is an
-    * equi-join on it, not a cross join). Recall depends on `planes`. */
+    * equi-join on it, not a cross join). Recall depends on `planes`;
+    * `probeRadius` > 0 additionally probes every bucket within that
+    * Hamming distance of the query's (classic multi-probe LSH: a
+    * near-neighbor that straddles one hyperplane lands one bit away —
+    * radius 1 multiplies candidates by ≤ planes+1 but recovers most of
+    * the single-probe misses). Probing explodes only the TINY query
+    * side; the corpus is still bucketed once, map-side. */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame,
                    qidCol: String, idCol: String, vecCol: String,
-                   k: Int, dims: Int, planes: Int): DataFrame = {
+                   k: Int, dims: Int, planes: Int,
+                   probeRadius: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(probeRadius <= 1, "only radius 0/1 probing is implemented")
+    val b0 = srpBucket(col(vecCol), dims, planes)
+    val probeBuckets =
+      if (probeRadius == 0) array(b0)
+      else concat(array(b0), transform(sequence(lit(0), lit(planes - 1)),
+        i => concat(
+          b0.substr(lit(1), i), // prefix before the flipped bit
+          when(b0.substr(i + 1, lit(1)) === "1", "0").otherwise("1"),
+          b0.substr(i + 2, lit(planes))))) // suffix after it
     val q = queries.select(col(qidCol), col(vecCol).as("__qv"),
-      srpBucket(col(vecCol), dims, planes).as("__bkt"))
+      explode(probeBuckets).as("__bkt"))
     val c = corpus.select(col(idCol), col(vecCol),
       srpBucket(col(vecCol), dims, planes).as("__bkt"))
     val scored = c.join(broadcast(q), Seq("__bkt"))
