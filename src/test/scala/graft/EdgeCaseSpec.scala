@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Degenerate-input behavior: empty tables, single rows, all-null
+  * columns. At 100 TB these cases appear constantly as partitions or
+  * key-slices, so operators must return empty/null results — never
+  * throw. */
+class EdgeCaseSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Double)]
+    .toDF("user_id", "ts", "v")
+
+  test("dedup, sessionization and windows accept empty input") {
+    assert(Cleaning.dedupKeepFirst(emptyEvents, Seq("user_id"),
+      Seq(col("ts"))).count() === 0)
+    assert(Sessions.sessionStats(emptyEvents, "ts", Seq("user_id"),
+      gapSec = 60).count() === 0)
+    assert(Windows.ffillLimited(emptyEvents, "v", "ts", Seq("user_id"),
+      limit = 2).count() === 0)
+    assert(Windows.interpolateLinear(emptyEvents, "v", "ts",
+      Seq("user_id")).count() === 0)
+  }
+
+  test("single-row series: rolling/lag/interp return the row unchanged") {
+    val one = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      2.5)).toDF("user_id", "ts", "v")
+    val rolled = one.select(
+      Windows.rollingTrailing(Windows.med, col("v"), col("ts"),
+        Seq(col("user_id")), 3600).as("m"),
+      Windows.lagDiff(unix_micros(col("ts")), Seq(col("user_id")),
+        Seq(col("ts"))).as("d")).head()
+    assert(rolled.getDouble(0) === 2.5)
+    assert(rolled.isNullAt(1)) // no previous row
+    val interp = Windows.interpolateLinear(one, "v", "ts", Seq("user_id"))
+      .head()
+    assert(interp.getAs[Double]("v") === 2.5)
+  }
+
+  test("all-null series: interpolation and ffill stay null") {
+    val nulls = (0 until 5).map(i =>
+      (1L, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        null.asInstanceOf[java.lang.Double]))
+      .toDF("user_id", "ts", "v")
+    assert(Windows.interpolateLinear(nulls, "v", "ts", Seq("user_id"))
+      .where(col("v").isNotNull).count() === 0)
+    assert(Windows.ffillLimited(nulls, "v", "ts", Seq("user_id"), 3)
+      .where(col("v").isNotNull).count() === 0)
+  }
+
+  test("dedup/ANN pipelines accept empty corpora") {
+    val noDocs = Seq.empty[(Long, Seq[String])].toDF("doc_id", "shingles")
+    assert(Dedup.lshCandidatePairs(noDocs, "doc_id", "shingles")
+      .count() === 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.srpCandidatePairs(noVecs, "vec_id", "embedding", 4, 2)
+      .count() === 0)
+    val some = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // empty centroid set → null assignment, not a crash
+    assert(Vectors.ivfAssign(some, noVecs.select(
+      col("vec_id").as("cid"), col("embedding")), "vec_id", "cid",
+      "embedding").where(col("cid").isNotNull).count() === 0)
+    // empty corpus against real centroids → empty
+    assert(Vectors.ivfAssign(noVecs, some.select(col("vec_id").as("cid"),
+      col("embedding")), "vec_id", "cid", "embedding").count() === 0)
+  }
+
+  test("toWide emits null cells for absent keys") {
+    val df = Seq((1L, "a", 2.0)).toDF("id", "k", "v")
+    val wide = Reshape.toWide(df, Seq("id"), "k", Seq("a", "b"), "v",
+      c => sum(c)).head()
+    assert(wide.getDouble(1) === 2.0)
+    assert(wide.isNullAt(2))
+  }
+
+  test("depth recurrence with an empty or pre-install series is empty") {
+    val udg = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), -1.0))
+      .toDF("ts", "udg")
+    val out = Depths.tdrDepth(udg, "ts", "udg", Seq(
+      Depths.Install("s", java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
+        -1.0))) // installed after the series ends
+    assert(out.count() === 0)
+  }
+}
