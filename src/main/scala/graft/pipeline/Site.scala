@@ -57,13 +57,31 @@ object Site {
     val sources = Toml.keysUnder(m, "level0")
       .filter(_.endsWith(".subpath")).sorted.map { k =>
         val sec = k.stripSuffix(".subpath")
-        Level1.Source(
-          dir = s"$dataRoot/${Toml.str(m, k)}",
-          balesStart = m.getOrElse(s"$sec.bales_start", 1L)
-            .asInstanceOf[Long].toInt,
-          balesStop = m.getOrElse(s"$sec.bales_stop", 1L)
-            .asInstanceOf[Long].toInt,
-          nrows = m.get(s"$sec.nrows").map(_.asInstanceOf[Long].toInt))
+        val subpath = Toml.str(m, k)
+        val serviced = m.getOrElse(s"$sec.serviced", false)
+          .asInstanceOf[Boolean]
+        val nrows = m.get(s"$sec.nrows").map(_.asInstanceOf[Long].toInt)
+        // reference datasets are `type = 'bales' | 'onefile'`
+        // (fs_pp.py:126-129); for onefile the subpath names the file
+        m.getOrElse(s"$sec.type", "bales") match {
+          case "onefile" =>
+            val slash = subpath.lastIndexOf('/')
+            val (parent, file) =
+              if (slash < 0) ("", subpath)
+              else (subpath.substring(0, slash + 1),
+                subpath.substring(slash + 1))
+            Level1.Source.onefile(
+              dir = s"$dataRoot/$parent".stripSuffix("/"),
+              file = file, nrows = nrows, serviced = serviced)
+          case _ =>
+            Level1.Source(
+              dir = s"$dataRoot/$subpath",
+              balesStart = m.getOrElse(s"$sec.bales_start", 1L)
+                .asInstanceOf[Long].toInt,
+              balesStop = m.getOrElse(s"$sec.bales_stop", 1L)
+                .asInstanceOf[Long].toInt,
+              nrows = nrows, serviced = serviced)
+        }
       }
 
     val heightChanges = m.get("level1_2.udg_height_change")

@@ -63,4 +63,27 @@ class SiteSpec extends SparkSpec {
     val udg = l2.agg(avg(col("TCDT(m)"))).head().getDouble(0)
     assert(math.abs(udg - 0.005) < 1e-6)
   }
+
+  test("TOML onefile dataset with serviced discovery") {
+    val root = Files.createTempDirectory("site1f")
+    val sub = Files.createDirectory(root.resolve("logger"))
+    writeBale(sub, 1, 0 until 24)
+    Files.move(sub.resolve("MainTable1.dat"), sub.resolve("single.dat"))
+    val sv = Files.createDirectory(sub.resolve("serviced"))
+    writeBale(sub, 9, 24 until 30)
+    Files.move(sub.resolve("MainTable9.dat"), sv.resolve("x_MainTable_sv.dat"))
+    val toml = root.resolve("fs2.toml")
+    Files.writeString(toml,
+      """site = 'FS_ONE'
+        |[level0_1]
+        |udg_key = 'TCDT'
+        |[level0.logger]
+        |type = 'onefile'
+        |subpath = 'logger/single.dat'
+        |serviced = true
+        |""".stripMargin)
+    val site = Site.fromToml(spark, toml.toString, root.toString)
+    val l1 = site.level1()
+    assert(l1.count() === 30) // 24 from the file + 6 serviced
+  }
 }
