@@ -434,6 +434,19 @@ object SparkEntry {
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))),
 
+    // Vocabulary building: corpus-wide token frequencies, top-20 with a
+    // deterministic (count desc, token) total order — explode is a
+    // Generate (no shuffle), the count is one partial-aggregated
+    // shuffle, and TakeOrderedAndProject keeps the global sort at k
+    // rows, not corpus scale.
+    "d3_vocab" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)),
+
     // MinHash signature: 8 salted-md5 min-hashes over word 3-gram
     // shingles. Map-side only — each doc reduces to a fixed-size sketch.
     // Shingles are projected as a column first: the signature references
@@ -480,6 +493,22 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.functions.SketchExpressions
             .simhash32(TextOps.tokens(col("text"))).as("sh"))),
+
+    // SimHash dedup DECISIONS: group by the full 32-bit signature and
+    // keep the smallest doc id per cluster. Output is cluster-sized
+    // (one row per distinct signature), never pair-sized — a banded
+    // pair listing goes quadratic on homogeneous corpora (measured
+    // 187 s at sf0.1: vocabulary-sharing docs collapse onto few
+    // signatures), while the keep-decision table is one partial-
+    // aggregated shuffle at any scale. Hamming-radius *search* is the
+    // multi-probe ANN path (Vectors.bucketedTopK), not a pair dump.
+    "t11_simhash_dedup" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.SketchExpressions
+            .simhash32(TextOps.tokens(col("text"))).as("sh"))
+        .groupBy("sh")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))),
 
     // Brute-force exact cosine top-5 for 10 query vectors (ANN baseline):
     // corpus never shuffles; queries broadcast.
@@ -945,6 +974,28 @@ object SparkEntry {
          FROM pairs
          JOIN sets x ON x.doc_id = id_a
          JOIN sets y ON y.doc_id = id_b""",
+    "d3_vocab" ->
+      """SELECT tok, count(*) AS n FROM (
+           SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+           FROM documents)
+         WHERE len(tok) > 0
+         GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    "t11_simhash_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+             [md5(tok) FOR tok IN string_split_regex(text, '\s+')] AS hs
+           FROM documents),
+         sig AS (
+           SELECT doc_id,
+             array_to_string(
+               [CASE WHEN list_sum(
+                  [CASE WHEN substr(h, i, 1) BETWEEN '8' AND 'f'
+                        THEN 1 ELSE -1 END FOR h IN hs]) > 0
+                THEN '1' ELSE '0' END
+                FOR i IN generate_series(1, 32)], '') AS sh
+           FROM t)
+         SELECT sh, min(doc_id) AS keep_id, count(*) AS n_docs
+         FROM sig GROUP BY sh""",
     "t3_simhash" ->
       """WITH t AS (
            SELECT doc_id,
