@@ -335,6 +335,19 @@ object SparkEntry {
       Vectors.ivfAssign(e, cent, "vec_id", "cid", "embedding")
     }),
 
+    // One Lloyd's iteration (the k-means / IVF re-train step), long-form
+    // for the oracle: map-side assignment to the 16 seed centroids, then
+    // the per-(cell, dim) mean via posexplode + partial aggregation.
+    "q39_kmeans_step" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cent = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      Vectors.kmeansStep(e, cent, "vec_id", "cid", "embedding")
+        .select(col("cid"), posexplode(col("embedding")))
+        .select(col("cid"), (col("pos") + 1).cast("long").as("d"),
+          round(col("col"), 6).as("c"))
+    }),
+
     // Scalar subquery: orders priced above the global average. Fully
     // lazy: the 1-row aggregate joins back via broadcast, so the whole
     // thing is one plan (AQE/reuse eligible, no job at plan build).
@@ -1081,6 +1094,23 @@ object SparkEntry {
                    / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)
              * 0.1, 6) AS q_score
          FROM documents""",
+    "q39_kmeans_step" ->
+      """WITH e AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+           FROM embeddings),
+         ct AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         asg AS (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, ct.cid,
+               list_sum([(v[i]-cv[i])*(v[i]-cv[i])
+                         FOR i IN generate_series(1, 64)]) AS dist
+             FROM e, ct)
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) = 1)
+         SELECT a.cid, d, round(avg(v[d]), 6) AS c
+         FROM asg a JOIN e USING (vec_id),
+           unnest(generate_series(1, 64)) AS u(d)
+         GROUP BY 1, 2""",
     "t10_embed_neardup" ->
       """WITH e AS (
            SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v

@@ -47,6 +47,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "assignment must not need a window")
   }
 
+  test("column pruning reaches the scan (no wide-column reads)") {
+    // q1 touches 5 lineitem columns; the scan must not read the rest
+    val p = plan("q1_agg")
+    val read = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.nonEmpty, s"no FileScan in plan:\n$p")
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"),
+      s"unpruned columns in scan: $read")
+    assert(read.contains("l_quantity"), s"expected l_quantity in: $read")
+  }
+
   test("pivot lowers to codegen aggregation, not PivotFirst") {
     val p = plan("q37_pivot")
     assert(!p.contains("pivotfirst") && !p.contains("PivotFirst"), p)
