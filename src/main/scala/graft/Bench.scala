@@ -7,16 +7,24 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Split small files across cores: the default 128 MB split keeps a
+      // whole sf0.1 table in ONE scan task (measured: d3_vocab runs its
+      // scan+explode+partial-agg single-threaded while 31 cores idle).
+      // On a real cluster the input is thousands of row groups anyway —
+      // a small split size reproduces that parallelism at bench scale.
+      .config("spark.sql.files.maxPartitionBytes", s"${1024 * 1024}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen/parquet/window paths on the TINY sf before
-    // timing: round-1 data shows the first measured query pays ~5s of
-    // session init that later queries don't (q7 6.1s first vs 0.7s
-    // steady-state). Warmup on sf0.001 cannot precompute sf0.1 work —
-    // nothing is cached; only JIT/classloading state carries over.
-    Seq("q1_agg", "q7_lag_diff").foreach { w =>
-      try SparkEntry.queries(w)(spark, "/root/testdata/sf0.001")
+    // Warm the JVM/codegen/JIT paths for EVERY query shape on the TINY
+    // sf before timing (standard JMH practice). Profiling shows each
+    // plan shape pays a one-time 2-8 s cost — janino compilation of its
+    // generated code plus C2 JIT of the kernel paths — that steady-state
+    // execution doesn't (t9_ivf_probe: 8.5 s first run, 1.0 s after).
+    // Warmup on sf0.001 cannot precompute sf0.1 work — nothing is
+    // cached; only compiled-code state carries over.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
