@@ -123,4 +123,34 @@ object TextOps {
     * the projected two-step form in hot paths). */
   def fingerprint(text: Column, n: Int = 5, k: Int = 4): Column =
     fingerprintFrom(sortedShingleHashes(text, n), text, k)
+
+  /** Canonical text normalization for training corpora: lowercase, strip
+    * non-alphanumerics, collapse whitespace runs, trim. Idempotent, pure
+    * map-side expression — the standard pre-dedup canonical form (so
+    * "Hello,  World!" and "hello world" hash identically downstream). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** PII scrubbing: replace email addresses and phone-like digit runs
+    * with typed placeholder tokens. Regexes are deliberately RE2-safe
+    * (no backrefs/lookaround) so any engine reproduces them; emails are
+    * scrubbed FIRST so their digit fragments can't half-match as phones.
+    * Map-side, codegen'd — at 100 TB this is a pure scan transform. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9()\\s-]{6,}[0-9]"
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+
+  /** Gopher-style repetition signal: the fraction of word n-grams that
+    * are duplicates of an earlier n-gram in the same document
+    * (1 − distinct/total). Null for documents with no n-gram. Map-side:
+    * the n-gram array never leaves the row. */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val grams = wordShingles(tokens(text), n)
+    when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double"))
+  }
 }
