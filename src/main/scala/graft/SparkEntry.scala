@@ -523,6 +523,27 @@ object SparkEntry {
         .groupBy("sh")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))),
 
+    // Duplicate-CLUSTER assignment: connected components over the LSH
+    // candidate pairs (min-label propagation + pointer jumping — see
+    // Dedup.connectedComponents), then every document labeled with its
+    // cluster's minimum doc id (singletons label themselves). This is
+    // the step pairwise dedup can't express: A~B~C collapses to one
+    // cluster even though (A,C) was never a candidate pair.
+    "t12_dup_clusters" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.SketchExpressions
+            .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "shingles",
+        k = 8, bands = 4)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      T(s, dir, "documents").select("doc_id")
+        .join(cc.select(col("id").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    }),
+
     // Brute-force exact cosine top-5 for 10 query vectors (ANN baseline):
     // corpus never shuffles; queries broadcast.
     "t4_knn_cosine" -> ((s, dir) => {
@@ -1009,6 +1030,43 @@ object SparkEntry {
            FROM t)
          SELECT sh, min(doc_id) AS keep_id, count(*) AS n_docs
          FROM sig GROUP BY sh""",
+    // Transitive closure over the SAME LSH pairs as t2: every node's
+    // cluster id is the min id it can reach (plus itself); documents in
+    // no pair are their own cluster.
+    "t12_dup_clusters" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN generate_series(1, len(toks)-2)] AS s
+           FROM t WHERE len(toks) >= 3),
+         mh AS (
+           SELECT doc_id,
+             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
+              FOR k IN generate_series(1, 8)] AS sig
+           FROM sh),
+         bands AS (
+           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
+           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sym AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, dst FROM sym
+           UNION
+           SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id)
+         SELECT d.doc_id,
+           CASE WHEN m.rmin IS NULL OR d.doc_id < m.rmin THEN d.doc_id
+                ELSE m.rmin END AS cluster_id
+         FROM documents d
+         LEFT JOIN (SELECT id, min(r) AS rmin FROM reach GROUP BY id) m
+           ON m.id = d.doc_id""",
     "t3_simhash" ->
       """WITH t AS (
            SELECT doc_id,

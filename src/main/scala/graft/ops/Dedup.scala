@@ -101,6 +101,65 @@ object Dedup {
       .select("p.id_a", "p.id_b")
   }
 
+  /** Connected components over an undirected edge list — the clustering
+    * step of near-duplicate dedup (candidate pairs → duplicate CLUSTERS
+    * → keep one doc per cluster). Without it, pairwise decisions drop
+    * only one side of each pair and a chain A~B~C keeps both A and C.
+    *
+    * Iterative min-label propagation with a pointer-jumping hop
+    * (label := label's label) each round, which doubles the effective
+    * propagation distance: convergence in O(log diameter) rounds, each a
+    * bounded shuffle on the EDGE table — never the corpus. The edge list
+    * is materialized once (`localCheckpoint`) so the upstream candidate
+    * pipeline runs exactly once, and each round's labels checkpoint to
+    * truncate the growing lineage — the same iterative-fixpoint idiom as
+    * `Vectors.kmeans`. Driver-side coordination is only the per-round
+    * convergence probe on a 1-row checksum (labels decrease
+    * monotonically, so an unchanged sum is a fixpoint), never data-sized.
+    *
+    * Returns (id, label): every node appearing in an edge, labeled with
+    * its component's minimum node id. Nodes absent from every edge are
+    * their own singleton cluster — callers left-join and coalesce. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val a = col(aCol).cast("long"); val b = col(bCol).cast("long")
+    val sym = edges.select(a.as("src"), b.as("dst"))
+      .union(edges.select(b.as("src"), a.as("dst")))
+      .localCheckpoint()
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__m"))
+      .select(col("id"), least(col("id"), col("__m")).as("label"))
+      .localCheckpoint()
+    def checksum(l: DataFrame): Long =
+      Option(l.agg(sum("label")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var sumPrev = checksum(labels)
+    var converged = labels.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      // propagate: each node adopts the min label among its neighbors
+      val nbr = sym
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("label").as("__nl"))
+      val prop = labels.join(nbr, Seq("id"))
+        .select(col("id"), least(col("label"), col("__nl")).as("label"))
+      // hop: follow the label pointer one step (path doubling)
+      val next = prop
+        .join(prop.select(col("id").as("__jid"), col("label").as("__jl")),
+          prop("label") === col("__jid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__jl"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      val sumNext = checksum(next)
+      converged = sumNext == sumPrev
+      sumPrev = sumNext
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
   /** SimHash (32-bit, as a '0'/'1' bitstring): per bit position i, sum
     * +1/−1 votes from the i-th hex char of each token's md5; bit = 1 iff
     * the sum is positive. Near-duplicates agree on most bits (compare by

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Training-data pipeline operators beyond pairwise dedup: duplicate
+  * clustering, decontamination, TF-IDF, sampling, packing. */
+class TrainingPipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("connected components label chains, triangles and singletons") {
+    // components: {1,2,3,4} (a chain), {10,11,12} (a triangle),
+    // {20,21} — node 30 appears in no edge (callers coalesce to self)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: long path converges via pointer jumping") {
+    // a 33-node path needs 32 plain propagation rounds; path doubling
+    // must finish well inside maxIter=20
+    val edges = (0L until 32L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 33 && got.values.forall(_ == 0L))
+  }
+
+  test("connected components of an empty edge list is empty") {
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(edges, "id_a", "id_b").count() === 0)
+  }
+
+  test("cluster assignment keeps transitive duplicates together") {
+    // A~B and B~C near-dups (no A~C pair): one cluster of three
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base), (2L, base + " x"), (3L, base + " x y"),
+      (50L, "completely different content with no overlap at all here"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.shingleSet(col("text"), 3).as("shingles"))
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "shingles",
+      k = 8, bands = 4)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.getOrElse(1L, 1L) === 1L)
+    assert(cc.get(2L).contains(1L) && cc.get(3L).contains(1L))
+    assert(!cc.contains(50L)) // singleton: no edge, labels itself downstream
+  }
+}
