@@ -630,6 +630,97 @@ object SparkEntry {
         .select(col("doc_id"),
           TextOps.fingerprintFrom(col("__h"), col("text")).as("fp"))),
 
+    // Decontamination: flag training documents sharing any word 3-gram
+    // with the (small) eval/benchmark set. The eval shingle set is
+    // distinct + broadcast — the 100 TB shape: benchmark suites are
+    // tiny, so contamination checking is a map-side broadcast join
+    // against the full corpus scan, never a corpus shuffle.
+    "t13_decontaminate" -> ((s, dir) => {
+      val sh = T(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.SketchExpressions
+            .wordShingles(TextOps.tokens(col("text")), 3).as("sh"))
+      val evalGrams = sh.where(col("doc_id") % 97 === 0)
+        .select(explode(col("sh")).as("g")).distinct()
+      sh.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(broadcast(evalGrams), Seq("g"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_hits"))
+    }),
+
+    // TF-IDF: top-3 terms per document by tf·ln(N/df), deterministic
+    // (score desc, term) order. One Generate (explode — no shuffle),
+    // two partial-aggregated shuffles (tf, df), a vocabulary-sized join
+    // on term, and the per-doc top-k window pre-reduced map-side by
+    // WindowGroupLimit. The corpus count N is a lazy 1-row broadcast
+    // (same pattern as q32 — no job at plan build).
+    "t14_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = T(s, dir, "documents")
+      val tf = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("__score").desc, col("term"))
+      tf.join(df, Seq("term")).crossJoin(broadcast(n))
+        .withColumn("__score", col("tf") * log(col("__n") / col("df")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("doc_id"), col("term"),
+          round(col("__score"), 6).as("score"), col("rn"))
+    }),
+
+    // PII scrubbing: typed placeholder redaction (emails first, then
+    // phone-like runs — TextOps.piiScrub) with match counts. The
+    // synthetic corpus has no natural PII, so a deterministic footer is
+    // planted on every 7th doc inside the query (both engines build the
+    // same augmented text). Pure map-side scan transform.
+    "t15_pii_scrub" -> ((s, dir) => {
+      val footer = concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or call 555-010-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val aug = when(col("doc_id") % 7 === 0, concat(col("text"), footer))
+        .otherwise(col("text"))
+      val noEmail = regexp_replace(aug, TextOps.emailRe, "<EMAIL>")
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_count(aug, lit(TextOps.emailRe)).cast("long")
+          .as("n_emails"),
+        regexp_count(noEmail, lit(TextOps.phoneRe)).cast("long")
+          .as("n_phones"),
+        length(regexp_replace(noEmail, TextOps.phoneRe, "<PHONE>"))
+          .cast("long").as("n_scrubbed"))
+    }),
+
+    // Gopher-style repetition: fraction of word 3-grams that repeat an
+    // earlier 3-gram of the same document. Map-side only.
+    "t16_dup_ngram_frac" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        round(TextOps.dupNgramFraction(col("text"), 3), 6)
+          .as("dup_frac"))),
+
+    // Deterministic stratified sampling: 5 docs per language, selected
+    // by md5(doc_id|text) rank — a seedless, engine-portable "random"
+    // sample (reservoir-equivalent) that any re-run or external engine
+    // reproduces exactly. Per-group top-k via WindowGroupLimit: only k
+    // rows per group survive the map side, so the shuffle is samples,
+    // not corpus.
+    "d4_hash_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rk = md5(concat(col("doc_id").cast("string"), lit("|"),
+        col("text")))
+      val w = Window.partitionBy("lang").orderBy(col("__rk"))
+      T(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), rk.as("__rk"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 5)
+        .select(col("lang"), col("doc_id"), col("rn"))
+    }),
+
     // Approximate aggregates (rows-only check: estimates are
     // engine-specific by design). The 100 TB shapes: HLL sketches are
     // MERGEABLE (partial per partition/day, merged across the corpus
