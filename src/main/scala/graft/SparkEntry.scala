@@ -697,10 +697,14 @@ object SparkEntry {
     }),
 
     // Gopher-style repetition: fraction of word 3-grams that repeat an
-    // earlier 3-gram of the same document. Map-side only.
+    // earlier 3-gram of the same document. Map-side only; single-pass
+    // kernel (declarative twin TextOps.dupNgramFraction re-evaluates
+    // the interpreted shingle array per reference — was 11.7s of the
+    // 45s sf0.1 bench).
     "t16_dup_ngram_frac" -> ((s, dir) =>
       T(s, dir, "documents").select(col("doc_id"),
-        round(TextOps.dupNgramFraction(col("text"), 3), 6)
+        round(graft.functions.SketchExpressions
+          .dupNgramFraction(TextOps.tokens(col("text")), 3), 6)
           .as("dup_frac"))),
 
     // Deterministic stratified sampling: 5 docs per language, selected
@@ -1371,5 +1375,87 @@ object SparkEntry {
            CASE WHEN len(hs) > 0 THEN array_to_string(hs[1:4], '')
                 ELSE md5(text) END AS fp
          FROM h""",
+    "t13_decontaminate" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN generate_series(1, len(toks)-2)] AS s
+           FROM t WHERE len(toks) >= 3),
+         ev AS (
+           SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+         tr AS (
+           SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
+         SELECT tr.doc_id, count(DISTINCT tr.g) AS n_hits
+         FROM tr JOIN ev ON tr.g = ev.g
+         GROUP BY tr.doc_id""",
+    "t14_tfidf" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM (
+             SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                 AS term
+             FROM documents)
+           WHERE len(term) > 0 GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n FROM documents),
+         s AS (
+           SELECT doc_id, tf.term,
+             tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS sc
+           FROM tf JOIN df USING (term), n)
+         SELECT doc_id, term, round(sc, 6) AS score,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY sc DESC, term) AS rn
+         FROM s QUALIFY rn <= 3""",
+    "t15_pii_scrub" ->
+      """WITH a AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || doc_id
+                       || '@example.com or call 555-010-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS aug
+           FROM documents),
+         b AS (
+           SELECT doc_id, aug,
+             regexp_replace(aug,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS noemail
+           FROM a)
+         SELECT doc_id,
+           len(regexp_extract_all(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS n_emails,
+           len(regexp_extract_all(noemail,
+             '\+?[0-9][0-9()\s-]{6,}[0-9]')) AS n_phones,
+           len(regexp_replace(noemail,
+             '\+?[0-9][0-9()\s-]{6,}[0-9]', '<PHONE>', 'g'))
+             AS n_scrubbed
+         FROM b""",
+    "t16_dup_ngram_frac" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN [array_to_string(toks[i:i+2], ' ')
+                        FOR i IN generate_series(1, len(toks)-2)]
+                  END AS grams
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN grams IS NOT NULL AND len(grams) > 0
+                THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                           / CAST(len(grams) AS DOUBLE), 6)
+                END AS dup_frac
+         FROM g""",
+    "d4_hash_sample" ->
+      """SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || text)) AS rn
+         FROM documents
+         QUALIFY rn <= 5""",
   )
 }

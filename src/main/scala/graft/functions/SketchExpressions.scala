@@ -224,6 +224,52 @@ object SketchExpressions {
       : Expression = copy(child = newChild)
   }
 
+  /** Gopher-style repetition signal from a tokens array in one pass: the
+    * fraction of word n-grams duplicating an earlier n-gram of the same
+    * document, `1 − distinct/total` as a double; null when there are
+    * fewer than `n` tokens. ≡ `TextOps.dupNgramFraction` (equivalence:
+    * SketchExprSpec) — but the declarative form references the
+    * interpreted shingle array three times (size / array_distinct /
+    * size), each re-running slice+concat_ws per element; here each
+    * window is one StringBuilder join probed against a hash set.
+    * Tokens are `\s+`-split (space-free), so the single-space join is
+    * injective — string equality ≡ n-gram tuple equality. */
+  case class DupNgramFractionExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_dup_ngram_fraction"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      if (len < n) return null
+      val toks = new Array[String](len)
+      var i = 0
+      while (i < len) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+      val total = len - n + 1
+      val seen = new java.util.HashSet[String](total * 2)
+      var distinct = 0
+      i = 0
+      while (i <= len - n) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        if (seen.add(sb.toString)) distinct += 1
+        i += 1
+      }
+      1.0 - distinct.toDouble / total.toDouble
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+  }
+
   /** Language-ID decision from raw text in one pass: CJK scan + all
     * per-language stopword counts over one whitespace tokenization,
     * then the same decision table as TextOps.langId (ties alphabetical,
@@ -339,6 +385,12 @@ object SketchExpressions {
   def bottomKShingleHashes(tokens: Column, n: Int, k: Int): Column =
     GraftColumnBridge.column(
       BottomKShingleHashesExpr(GraftColumnBridge.expression(tokens), n, k))
+
+  /** Takes the raw TOKENS column; shingles and counts duplicates in one
+    * pass. */
+  def dupNgramFraction(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      DupNgramFractionExpr(GraftColumnBridge.expression(tokens), n))
 
   def langId(text: Column): Column =
     GraftColumnBridge.column(

@@ -130,9 +130,14 @@ object Dedup {
       .agg(min(col("dst")).as("__m"))
       .select(col("id"), least(col("id"), col("__m")).as("label"))
       .localCheckpoint()
-    def checksum(l: DataFrame): Long =
-      Option(l.agg(sum("label")).head.get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // Labels decrease monotonically, so an unchanged sum is an exact
+    // fixpoint test — but summed as decimal(38,0): a raw BIGINT sum
+    // overflows (ANSI: throws mid-iteration) once node ids are in the
+    // xxhash64/snowflake range at corpus scale.
+    def checksum(l: DataFrame): java.math.BigDecimal =
+      Option(l.agg(sum(col("label").cast("decimal(38,0)"))).head.get(0))
+        .map(_.asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO)
     var sumPrev = checksum(labels)
     var converged = labels.isEmpty
     var it = 0
@@ -152,11 +157,19 @@ object Dedup {
             .as("label"))
         .localCheckpoint()
       val sumNext = checksum(next)
-      converged = sumNext == sumPrev
+      converged = sumNext.compareTo(sumPrev) == 0
       sumPrev = sumNext
       labels = next
       it += 1
     }
+    // Unconverged labels are WRONG (chains longer than the propagation
+    // reach split one component into several) — surface it, mirroring
+    // how capped LSH buckets are documented as reduced recall.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: not converged after $maxIter iterations; " +
+          "returned labels may split components. Raise maxIter " +
+          "(pointer-jumping needs ~log2(graph diameter) rounds).")
     labels
   }
 

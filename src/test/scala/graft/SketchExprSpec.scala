@@ -120,6 +120,19 @@ class SketchExprSpec extends SparkSpec {
     assert(both.head().getString(1).matches("[01]{8}"))
   }
 
+  test("DupNgramFractionExpr == declarative dupNgramFraction") {
+    val both = texts.select($"id",
+      TextOps.dupNgramFraction($"text", 3).as("slow"),
+      SketchExpressions.dupNgramFraction(TextOps.tokens($"text"), 3)
+        .as("fast"))
+    // null-safe compare: the 2-token doc must be null on BOTH sides
+    assert(both.where(!($"slow" <=> $"fast")).count() === 0)
+    assert(both.where($"id" === 3).head().isNullAt(2))
+    // "a a a a a" → 3 identical 3-grams → 1 - 1/3
+    val rep = both.where($"id" === 2).head().getDouble(2)
+    assert(math.abs(rep - (1.0 - 1.0 / 3.0)) < 1e-12)
+  }
+
   test("SimHash32Expr == declarative simhash32") {
     val withH = texts
       .withColumn("__hs", Dedup.tokenHashes(TextOps.tokens($"text")))
