@@ -725,6 +725,133 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("rn"))
     }),
 
+    // Deterministic train/val/test split (~90/5/5) by salted content
+    // hash: stable under re-sharding, re-runs and engine swaps (row
+    // order and partitioning never matter), and portable — the split
+    // decision is a lexicographic compare on the first hex byte of
+    // md5(doc_id|salt), which any engine reproduces. Map-side only.
+    "t17_train_split" -> ((s, dir) => {
+      val h2 = substring(
+        md5(concat(col("doc_id").cast("string"), lit("|split"))), 1, 2)
+      T(s, dir, "documents").select(col("doc_id"),
+        when(h2 < "e6", "train").when(h2 < "f3", "val")
+          .otherwise("test").as("split"))
+    }),
+
+    // Gopher repetition signals at line granularity: duplicate-line
+    // fraction and duplicate-line CHARACTER fraction over fixed
+    // 10-token pseudo-lines (corpus text has no newlines). Map-side.
+    "t18_dup_lines" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenChunks(TextOps.tokens(col("text")), 10).as("__ln"))
+        .select(col("doc_id"),
+          round(TextOps.dupElementFraction(col("__ln")), 6)
+            .as("dup_line_frac"),
+          round(TextOps.dupCharFraction(col("__ln")), 6)
+            .as("dup_char_frac"))),
+
+    // Per-domain provenance stats: extract http(s) URL domains, count
+    // mentions and distinct documents. The synthetic corpus has no
+    // URLs, so a deterministic footer is planted on every 5th doc
+    // inside the query (both engines build the same augmented text —
+    // same trick as t15). Scan → explode → one agg shuffle keyed by
+    // domain (bounded by the domain vocabulary, not the corpus).
+    "t19_domain_stats" -> ((s, dir) => {
+      val footer = concat(
+        lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/p"), col("doc_id").cast("string"),
+        lit(" and http://host"), (col("doc_id") % 3).cast("string"),
+        lit(".net/q"))
+      val aug = when(col("doc_id") % 5 === 0, concat(col("text"), footer))
+        .otherwise(col("text"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.urlDomains(aug)).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
+    // MinHash accuracy audit: estimated Jaccard (fraction of agreeing
+    // signature positions) vs exact n-gram Jaccard on the LSH candidate
+    // pairs — the production knob for choosing k/bands. Pairs are tiny
+    // relative to the corpus, so the two signature joins broadcast at
+    // scale; signatures are map-side sketches.
+    "t20_minhash_est" -> ((s, dir) => {
+      val sh = T(s, dir, "documents").select(col("doc_id"),
+        graft.functions.SketchExpressions
+          .wordShingles(TextOps.tokens(col("text")), 3).as("sh"))
+        .where(size(col("sh")) > 0)
+      val sig = sh.select(col("doc_id"),
+        graft.functions.SketchExpressions.minhashSig(col("sh"), 8)
+          .as("sig"),
+        array_distinct(col("sh")).as("ss"))
+      val pairs = Dedup.lshCandidatePairs(sh, "doc_id", "sh",
+        k = 8, bands = 4)
+      pairs
+        .join(sig.select(col("doc_id").as("id_a"), col("sig").as("siga"),
+          col("ss").as("ssa")), Seq("id_a"))
+        .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sigb"),
+          col("ss").as("ssb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(aggregate(
+            zip_with(col("siga"), col("sigb"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / 8.0, 6)
+            .as("est_jac"),
+          round(TextOps.jaccard(col("ssa"), col("ssb")), 6).as("jac"))
+    }),
+
+    // Quality-filter pipeline endpoint (C4/Gopher-style): language,
+    // quality score, repetition and length gates combined into a keep
+    // decision. One text scan — all signals come off the single-pass
+    // kernels; the stats struct is projected once (multi-referenced
+    // expressions inline per reference).
+    "t21_quality_filter" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.SketchExpressions.textStats(col("text"))
+            .as("__st"),
+          graft.functions.SketchExpressions.langId(col("text"))
+            .as("lang_pred"),
+          graft.functions.SketchExpressions
+            .dupNgramFraction(TextOps.tokens(col("text")), 3).as("__df"))
+        .select(col("doc_id"), col("lang_pred"),
+          col("__st").getField("n_tokens").cast("long").as("n_tokens"),
+          TextOps.qualityScoreFrom(col("__st")).as("q_score"),
+          round(col("__df"), 6).as("dup_frac"))
+        .withColumn("keep",
+          (col("lang_pred") === "en" && col("q_score") >= 0.5 &&
+            (col("dup_frac").isNull || col("dup_frac") <= 0.5) &&
+            col("n_tokens").between(10, 5000)).cast("long"))),
+
+    // Near-dedup resolution: one kept document per duplicate cluster
+    // (the cluster label IS the min doc_id by construction) with member
+    // counts — the step that turns t12's clusters into the deduped
+    // corpus. Same LSH → connected-components pipeline, plus one
+    // cluster-keyed agg.
+    "d5_neardup_keep" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        graft.functions.SketchExpressions
+          .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "shingles",
+        k = 8, bands = 4)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      T(s, dir, "documents").select("doc_id")
+        .join(cc.select(col("id").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .select(coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // BPE-ish token counting: GPT-2 pre-tokenizer shape (contractions,
+    // letter runs, digit runs, other non-space runs) via one RE2-safe
+    // regexp_extract_all — the whitespace-count twin is d2. Map-side.
+    "d6_bpe_tokens" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe"))),
+
     // Approximate aggregates (rows-only check: estimates are
     // engine-specific by design). The 100 TB shapes: HLL sketches are
     // MERGEABLE (partial per partition/day, merged across the corpus
@@ -1457,5 +1584,182 @@ object SparkEntry {
            ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || text)) AS rn
          FROM documents
          QUALIFY rn <= 5""",
+    "t17_train_split" ->
+      """SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 2)
+                   < 'e6' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 2)
+                   < 'f3' THEN 'val'
+              ELSE 'test' END AS split
+         FROM documents""",
+    "t18_dup_lines" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+             [array_to_string(toks[(i-1)*10+1:(i-1)*10+10], ' ')
+              FOR i IN generate_series(1,
+                CAST(ceil(len(toks) / 10.0) AS INT))] AS ln
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN len(ln) > 0 THEN
+             round(1.0 - CAST(len(list_distinct(ln)) AS DOUBLE)
+                   / CAST(len(ln) AS DOUBLE), 6) END AS dup_line_frac,
+           CASE WHEN list_sum([len(x) FOR x IN ln]) > 0 THEN
+             round(1.0 -
+               CAST(list_sum([len(x) FOR x IN list_distinct(ln)])
+                    AS DOUBLE)
+               / CAST(list_sum([len(x) FOR x IN ln]) AS DOUBLE), 6)
+             END AS dup_char_frac
+         FROM l""",
+    "t19_domain_stats" ->
+      """WITH a AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' see https://site' || (doc_id % 7)
+                       || '.example.org/p' || doc_id
+                       || ' and http://host' || (doc_id % 3) || '.net/q'
+                  ELSE text END AS aug
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(aug,
+               'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+           FROM a)
+         SELECT domain, count(*) AS n_urls,
+           count(DISTINCT doc_id) AS n_docs
+         FROM u GROUP BY domain""",
+    "t20_minhash_est" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN generate_series(1, len(toks)-2)] AS s
+           FROM t WHERE len(toks) >= 3),
+         mh AS (
+           SELECT doc_id,
+             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
+              FOR k IN generate_series(1, 8)] AS sig
+           FROM sh),
+         bands AS (
+           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
+           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sets AS (SELECT doc_id, list_distinct(s) AS ss FROM sh)
+         SELECT id_a, id_b,
+           round(CAST(list_sum(
+             [CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
+              FOR i IN generate_series(1, 8)]) AS DOUBLE) / 8.0, 6)
+             AS est_jac,
+           round(CAST(len(list_filter(x.ss, e -> list_contains(y.ss, e)))
+                      AS DOUBLE)
+             / (len(x.ss) + len(y.ss)
+                - len(list_filter(x.ss, e -> list_contains(y.ss, e)))), 6)
+             AS jac
+         FROM pairs
+         JOIN mh sa ON sa.doc_id = id_a
+         JOIN mh sb ON sb.doc_id = id_b
+         JOIN sets x ON x.doc_id = id_a
+         JOIN sets y ON y.doc_id = id_b""",
+    "t21_quality_filter" ->
+      """WITH s AS (
+           SELECT doc_id, text,
+             string_split_regex(lower(text), '\s+') AS tl,
+             string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         sig AS (
+           SELECT doc_id, text, toks, tl,
+             len(list_filter(tl, x -> list_contains(
+               ['der','die','und','das','ist','nicht','ein','zu'], x)))
+               AS s_de,
+             len(list_filter(tl, x -> list_contains(
+               ['the','and','of','to','in','is','that','it'], x))) AS s_en,
+             len(list_filter(tl, x -> list_contains(
+               ['el','la','de','que','y','los','en','un'], x))) AS s_es,
+             len(list_filter(tl, x -> list_contains(
+               ['le','la','de','et','les','des','un','une'], x))) AS s_fr
+           FROM s),
+         feat AS (
+           SELECT doc_id,
+             CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]')
+                    THEN 'zh'
+                  WHEN s_de=0 AND s_en=0 AND s_es=0 AND s_fr=0 THEN 'en'
+                  WHEN s_de>=s_en AND s_de>=s_es AND s_de>=s_fr THEN 'de'
+                  WHEN s_en>=s_de AND s_en>=s_es AND s_en>=s_fr THEN 'en'
+                  WHEN s_es>=s_de AND s_es>=s_en AND s_es>=s_fr THEN 'es'
+                  ELSE 'fr' END AS lang_pred,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(
+               least(CAST(len(toks) AS DOUBLE)/100.0, 1.0) * 0.4
+               + CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      AS DOUBLE)
+                 / greatest(CAST(len(text) AS DOUBLE), 1.0) * 0.3
+               + CAST(len(list_filter(tl, x -> list_contains(
+                   ['the','and','of','to','in','is','that','it'], x)))
+                   AS DOUBLE)
+                 / greatest(CAST(len(toks) AS DOUBLE), 1.0) * 0.2
+               + least((CAST(len(text) AS DOUBLE)
+                        - len(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                       / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0,
+                       1.0) * 0.1, 6) AS q_score,
+             CASE WHEN len(toks) >= 3 THEN
+               round(1.0 - CAST(len(list_distinct(
+                   [array_to_string(toks[i:i+2], ' ')
+                    FOR i IN generate_series(1, len(toks)-2)]))
+                   AS DOUBLE) / CAST(len(toks)-2 AS DOUBLE), 6)
+               END AS dup_frac
+           FROM sig)
+         SELECT doc_id, lang_pred, n_tokens, q_score, dup_frac,
+           CAST(lang_pred = 'en' AND q_score >= 0.5
+             AND (dup_frac IS NULL OR dup_frac <= 0.5)
+             AND n_tokens BETWEEN 10 AND 5000 AS BIGINT) AS keep
+         FROM feat""",
+    "d5_neardup_keep" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN generate_series(1, len(toks)-2)] AS s
+           FROM t WHERE len(toks) >= 3),
+         mh AS (
+           SELECT doc_id,
+             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
+              FOR k IN generate_series(1, 8)] AS sig
+           FROM sh),
+         bands AS (
+           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
+           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sym AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, dst FROM sym
+           UNION
+           SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id)
+         SELECT CASE WHEN m.rmin IS NULL OR d.doc_id < m.rmin
+                     THEN d.doc_id ELSE m.rmin END AS cluster_id,
+           count(*) AS n_docs
+         FROM documents d
+         LEFT JOIN (SELECT id, min(r) AS rmin FROM reach GROUP BY id) m
+           ON m.id = d.doc_id
+         GROUP BY 1""",
+    "d6_bpe_tokens" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+'))
+           AS n_bpe
+         FROM documents""",
   )
 }

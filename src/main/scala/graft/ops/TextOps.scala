@@ -143,6 +143,48 @@ object TextOps {
     regexp_replace(
       regexp_replace(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
 
+  /** Fixed-width pseudo-lines: consecutive `w`-token chunks joined by a
+    * single space (the final chunk may be shorter). The corpus text has
+    * no newlines, so line-level repetition signals (Gopher §A.1.1
+    * dup-line fractions) chunk on token windows instead — the operator
+    * shape (array of line strings per row, map-side) is identical to a
+    * `split(text, '\n')` corpus. */
+  def tokenChunks(toks: Column, w: Int): Column =
+    transform(
+      sequence(lit(1), ceil(size(toks).cast("double") / w).cast("int")),
+      i => concat_ws(" ", slice(toks, (i - lit(1)) * w + 1, lit(w))))
+
+  /** Fraction of array elements duplicating an earlier element
+    * (1 − distinct/total); null for empty arrays. */
+  def dupElementFraction(arr: Column): Column =
+    when(size(arr) > 0,
+      lit(1.0) - size(array_distinct(arr)).cast("double") /
+        size(arr).cast("double"))
+
+  /** Fraction of CHARACTERS inside repeated lines: 1 − (chars across
+    * distinct lines) / (chars across all lines) — Gopher's
+    * dup-line-char fraction companion signal. Null for empty input. */
+  def dupCharFraction(lines: Column): Column = {
+    val tot = aggregate(lines, lit(0L), (a, x) => a + length(x))
+    val dis = aggregate(array_distinct(lines), lit(0L),
+      (a, x) => a + length(x))
+    when(tot > 0, lit(1.0) - dis.cast("double") / tot.cast("double"))
+  }
+
+  /** Domains of http(s) URLs in a text (capture group 1 per match) —
+    * the corpus-provenance signal behind per-domain quality/filter
+    * stats. RE2-safe, map-side. */
+  val urlDomainRe = "https?://([A-Za-z0-9.-]+)"
+  def urlDomains(text: Column): Column =
+    regexp_extract_all(text, lit(urlDomainRe), lit(1))
+
+  /** BPE-ish token count: contractions, letter runs, digit runs, and
+    * other non-space runs as separate tokens (the GPT-2 pre-tokenizer
+    * shape, RE2-safe — no lookaround). Whitespace-count twin: d2. */
+  val bpeTokenRe = "'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s']+"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenRe), lit(0))).cast("long")
+
   /** Gopher-style repetition signal: the fraction of word n-grams that
     * are duplicates of an earlier n-gram in the same document
     * (1 − distinct/total). Null for documents with no n-gram. Map-side:
