@@ -852,6 +852,40 @@ object SparkEntry {
       T(s, dir, "documents").select(col("doc_id"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe"))),
 
+    // Inverted index: term → sorted distinct posting list + document
+    // frequency, posting lists serialized as csv strings so the compare
+    // is engine-portable. Explode → one agg shuffle keyed by term;
+    // partial map-side distinct bounds the shuffle by vocabulary ×
+    // docs-per-term, not corpus tokens. (At 100 TB, posting lists for
+    // stopword-grade terms are the skew risk — cap or stoplist them;
+    // here df is bounded by the synthetic vocab.)
+    "t22_inverted_index" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokensLower(col("text"))))
+            .as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",", sort_array(collect_list(col("doc_id"))))
+            .as("postings"))),
+
+    // Cross-document boilerplate: pseudo-lines (10-token chunks)
+    // occurring in more than one document — the corpus-level line-dedup
+    // signal (headers/footers/licenses at web scale). Line text never
+    // shuffles: lines hash map-side (md5) and only (hash, doc) pairs
+    // aggregate; output keeps one example line per hash via min.
+    "t23_boilerplate_lines" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.tokenChunks(TextOps.tokens(col("text")), 10))
+            .as("line"))
+        .groupBy(md5(col("line")).as("line_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("line")).as("line"))
+        .where(col("n_docs") > 1)),
+
     // Approximate aggregates (rows-only check: estimates are
     // engine-specific by design). The 100 TB shapes: HLL sketches are
     // MERGEABLE (partial per partition/day, merged across the corpus
@@ -1761,5 +1795,29 @@ object SparkEntry {
            '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+'))
            AS n_bpe
          FROM documents""",
+    "t22_inverted_index" ->
+      """WITH u AS (
+           SELECT DISTINCT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS term
+           FROM documents)
+         SELECT term, count(*) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+         FROM u WHERE len(term) > 0
+         GROUP BY term""",
+    "t23_boilerplate_lines" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+             unnest([array_to_string(toks[(i-1)*10+1:(i-1)*10+10], ' ')
+                     FOR i IN generate_series(1,
+                       CAST(ceil(len(toks) / 10.0) AS INT))]) AS line
+           FROM t)
+         SELECT md5(line) AS line_hash,
+           count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+           min(line) AS line
+         FROM l GROUP BY md5(line)
+         HAVING count(DISTINCT doc_id) > 1""",
   )
 }
