@@ -886,6 +886,40 @@ object SparkEntry {
           min(col("line")).as("line"))
         .where(col("n_docs") > 1)),
 
+    // Sequence packing: assign documents to fixed-token-budget packs by
+    // an exclusive running token count, deterministically ordered by
+    // doc_id WITHIN each source shard — packing parallelizes per shard
+    // (the window never sees the whole corpus), the standard layout for
+    // pretraining batch assembly. Greedy first-fit is order-dependent;
+    // the deterministic shard+cumsum form is reproducible anywhere.
+    "t24_seq_packing" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      T(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+        .withColumn("pack_id",
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
+            / lit(2000.0)).cast("long"))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("pack_id"))
+    }),
+
+    // Quality-tiered sharding: ntile(4) per language by descending
+    // quality score (doc_id tiebreak) — curriculum/data-mixing shards.
+    // Per-group windows parallelize across languages; the quality
+    // signal comes off the single-pass textStats kernel.
+    "t25_quality_shards" -> ((s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(col("q_score").desc, col("doc_id"))
+      T(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          graft.functions.SketchExpressions.textStats(col("text"))
+            .as("__st"))
+        .select(col("lang"), col("doc_id"),
+          TextOps.qualityScoreFrom(col("__st")).as("q_score"))
+        .withColumn("tier", ntile(4).over(w).cast("long"))
+    }),
+
     // Approximate aggregates (rows-only check: estimates are
     // engine-specific by design). The 100 TB shapes: HLL sketches are
     // MERGEABLE (partial per partition/day, merged across the corpus
@@ -1819,5 +1853,40 @@ object SparkEntry {
            min(line) AS line
          FROM l GROUP BY md5(line)
          HAVING count(DISTINCT doc_id) > 1""",
+    "t24_seq_packing" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents)
+         SELECT source, doc_id, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) - n_tokens) / 2000.0) AS BIGINT)
+             AS pack_id
+         FROM t""",
+    "t25_quality_shards" ->
+      """WITH q AS (
+           SELECT lang, doc_id, round(
+             least(CAST(len(string_split_regex(text,'\s+')) AS DOUBLE)
+                   / 100.0, 1.0) * 0.4
+             + CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS DOUBLE)
+               / greatest(CAST(len(text) AS DOUBLE), 1.0) * 0.3
+             + CAST(len(list_filter(string_split_regex(lower(text),'\s+'),
+                 x -> list_contains(
+                   ['the','and','of','to','in','is','that','it'], x)))
+                 AS DOUBLE)
+               / greatest(CAST(len(string_split_regex(text,'\s+'))
+                          AS DOUBLE), 1.0) * 0.2
+             + least((CAST(len(text) AS DOUBLE)
+                      - len(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0,
+                     1.0) * 0.1, 6) AS q_score
+           FROM documents)
+         SELECT lang, doc_id, q_score,
+           CAST(ntile(4) OVER (PARTITION BY lang
+             ORDER BY q_score DESC, doc_id) AS BIGINT) AS tier
+         FROM q""",
   )
 }
