@@ -920,6 +920,42 @@ object SparkEntry {
         .withColumn("tier", ntile(4).over(w).cast("long"))
     }),
 
+    // Data-mixing weights: per-source token share of the corpus (the
+    // sampling-weight table a pretraining mixer consumes). One agg
+    // shuffle keyed by source; the corpus total is a lazy 1-row
+    // broadcast (q32 pattern — no job at plan build). Integer sums
+    // keep the ratio engine-exact.
+    "t26_mix_weights" -> ((s, dir) => {
+      val per = T(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), "\\s+")).cast("long").as("__t"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("__tot"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("__tot"), 6)
+            .as("weight"))
+    }),
+
+    // Unigram-LM cross-entropy scoring: per-document average token
+    // surprisal ln(N/count(term)) against the corpus unigram model —
+    // the classic LM-quality proxy for filtering. Vocabulary agg +
+    // token⋈vocab join (AQE broadcasts when the vocab is small), corpus
+    // token count as a lazy 1-row broadcast.
+    "t27_unigram_logprob" -> ((s, dir) => {
+      val f = T(s, dir, "documents").select(col("doc_id"),
+        explode(TextOps.tokensLower(col("text"))).as("term"))
+        .where(length(col("term")) > 0)
+      val v = f.groupBy("term").agg(count(lit(1)).as("n"))
+      val tot = f.agg(count(lit(1)).as("__nn"))
+      f.join(v, Seq("term")).crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(avg(log(col("__nn").cast("double") / col("n"))), 6)
+            .as("xent"))
+    }),
+
     // Approximate aggregates (rows-only check: estimates are
     // engine-specific by design). The 100 TB shapes: HLL sketches are
     // MERGEABLE (partial per partition/day, merged across the corpus
@@ -1888,5 +1924,29 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY lang
              ORDER BY q_score DESC, doc_id) AS BIGINT) AS tier
          FROM q""",
+    "t26_mix_weights" ->
+      """WITH per AS (
+           SELECT source, count(*) AS n_docs,
+             sum(CAST(len(string_split_regex(text, '\s+')) AS BIGINT))
+               AS n_tokens
+           FROM documents GROUP BY source),
+         tot AS (SELECT sum(n_tokens) AS t FROM per)
+         SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6)
+             AS weight
+         FROM per, tot""",
+    "t27_unigram_logprob" ->
+      """WITH f AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS term
+           FROM documents),
+         g AS (SELECT doc_id, term FROM f WHERE len(term) > 0),
+         v AS (SELECT term, count(*) AS n FROM g GROUP BY term),
+         tot AS (SELECT count(*) AS nn FROM g)
+         SELECT doc_id, count(*) AS n_tok,
+           round(avg(ln(CAST(nn AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+             AS xent
+         FROM g JOIN v USING (term), tot
+         GROUP BY doc_id""",
   )
 }
