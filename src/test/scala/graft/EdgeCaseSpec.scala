@@ -77,6 +77,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(wide.isNullAt(2))
   }
 
+  test("text pipeline helpers: chunking, repetition, URLs, BPE tokens") {
+    val df = Seq(
+      (0L, Seq.fill(20)("w").mkString(" ")),          // 20 tokens = 2 exact chunks, all identical
+      (1L, (1 to 25).map("t" + _).mkString(" ")),     // 25 tokens = 3 chunks, last short, all distinct
+      (2L, "no urls here"),
+      (3L, "see https://a.example.org/x and http://b.net/y"),
+      (4L, "can't stop 123 !!")).toDF("id", "text")
+    val r = df.select($"id",
+      TextOps.tokenChunks(TextOps.tokens($"text"), 10).as("ch"),
+      TextOps.dupElementFraction(
+        TextOps.tokenChunks(TextOps.tokens($"text"), 10)).as("dl"),
+      TextOps.dupCharFraction(
+        TextOps.tokenChunks(TextOps.tokens($"text"), 10)).as("dc"),
+      TextOps.urlDomains($"text").as("dom"),
+      TextOps.bpeTokenCount($"text").as("bpe"))
+      .orderBy("id").collect()
+    assert(r(0).getSeq[String](1).length === 2)       // exact multiple of 10
+    assert(r(0).getDouble(2) === 0.5 && r(0).getDouble(3) === 0.5)
+    assert(r(1).getSeq[String](1).length === 3)       // ragged tail chunk
+    assert(r(1).getDouble(2) === 0.0 && r(1).getDouble(3) === 0.0)
+    assert(r(2).getSeq[String](4).isEmpty)
+    assert(r(3).getSeq[String](4) === Seq("a.example.org", "b.net"))
+    // can + 't + stop + 123 + !!
+    assert(r(4).getLong(5) === 5L)
+  }
+
   test("depth recurrence with an empty or pre-install series is empty") {
     val udg = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), -1.0))
       .toDF("ts", "udg")
