@@ -725,6 +725,33 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("rn"))
     }),
 
+    // Window-rank family: rank/dense_rank/percent_rank/cume_dist over
+    // the value ordering (tie-stable — rank functions depend only on
+    // the ORDER BY key values) plus lead over a fully-deterministic
+    // ordering. One sort per partition key serves all five.
+    "q40_window_ranks" -> ((s, dir) => {
+      val wv = Window.partitionBy("event_type").orderBy("value")
+      val wu = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      T(s, dir, "events").select(col("event_id"), col("event_type"),
+        col("value"),
+        rank().over(wv).cast("long").as("rnk"),
+        dense_rank().over(wv).cast("long").as("drnk"),
+        round(percent_rank().over(wv), 6).as("prnk"),
+        round(cume_dist().over(wv), 6).as("cd"),
+        lead(col("value"), 1).over(wu).as("nxt"))
+    }),
+
+    // GROUPING SETS beyond rollup/cube's fixed lattices (SQL-only
+    // surface in Spark — the Dataset API exposes rollup/cube).
+    "q41_grouping_sets" -> ((s, dir) => {
+      T(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+    }),
+
     // Deterministic train/val/test split (~90/5/5) by salted content
     // hash: stable under re-sharding, re-runs and engine swaps (row
     // order and partitioning never matter), and portable — the split
@@ -1948,5 +1975,20 @@ object SparkEntry {
              AS xent
          FROM g JOIN v USING (term), tot
          GROUP BY doc_id""",
+    "q40_window_ranks" ->
+      """SELECT event_id, event_type, value,
+         CAST(rank() OVER wv AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER wv AS BIGINT) AS drnk,
+         round(percent_rank() OVER wv, 6) AS prnk,
+         round(cume_dist() OVER wv, 6) AS cd,
+         lead(value) OVER wu AS nxt
+         FROM events
+         WINDOW wv AS (PARTITION BY event_type ORDER BY value),
+           wu AS (PARTITION BY event_type ORDER BY value, event_id)""",
+    "q41_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
   )
 }
