@@ -47,6 +47,27 @@ object Streaming {
       .select((keyCols.map(col) :+ col("w.start").as("session_start") :+
         col("w.end").as("session_end") :+ col("n_events")): _*)
 
+  /** Streaming corpus hygiene — the incremental form of the batch
+    * d1 + t21 pipeline: exact content dedup within the watermark
+    * horizon (state keyed by content hash, evicted as the watermark
+    * advances — `dropDuplicatesWithinWatermark` is exactly this
+    * contract) followed by the quality/language gates. The kernels are
+    * stateless map-side work per microbatch; only the dedup holds
+    * state, and it is bounded. */
+  def cleanCorpusStream(in: DataFrame, tsCol: String, textCol: String,
+                        watermark: String = "1 hour",
+                        minQuality: Double = 0.5): DataFrame = {
+    import graft.functions.SketchExpressions
+    in.withWatermark(tsCol, watermark)
+      .withColumn("__h", md5(col(textCol)))
+      .dropDuplicatesWithinWatermark(Seq("__h"))
+      .withColumn("__st", SketchExpressions.textStats(col(textCol)))
+      .withColumn("lang_pred", SketchExpressions.langId(col(textCol)))
+      .withColumn("q_score", graft.ops.TextOps.qualityScoreFrom(col("__st")))
+      .where(col("q_score") >= minQuality)
+      .drop("__st", "__h")
+  }
+
   case class UdgReading(sensor: String, ts: java.sql.Timestamp, udg: Double)
   case class DepthOut(sensor: String, ts: java.sql.Timestamp, depth: Double)
   case class X1State(offset: Double, initialized: Boolean)

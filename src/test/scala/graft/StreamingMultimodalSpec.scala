@@ -48,6 +48,27 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(n === 2)
   }
 
+  test("streaming corpus clean: content dedup within watermark + quality gate") {
+    implicit val sc = spark.sqlContext
+    val good = ("the cat and the dog sat in the house and " * 4).trim
+    val junk = "zzzz 1234 @@@@"
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Streaming.cleanCorpusStream(
+      input.toDS().toDF("doc_id", "ts", "text"), "ts", "text",
+      minQuality = 0.3)
+      .writeStream.format("memory").queryName("corpusout")
+      .outputMode("append").start()
+    // duplicate content (different doc ids) + a low-quality doc
+    input.addData((1L, t(0), good), (2L, t(0), good), (3L, t(1), junk))
+    q.processAllAvailable()
+    val rows = spark.table("corpusout").collect()
+    q.stop()
+    assert(rows.length === 1)                     // dup dropped, junk gated
+    assert(rows.head.getAs[Long]("doc_id") === 1L)
+    assert(rows.head.getAs[String]("lang_pred") === "en")
+    assert(rows.head.getAs[Double]("q_score") >= 0.3)
+  }
+
   test("streaming hourly agg emits a window once its watermark passes") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Double)]
