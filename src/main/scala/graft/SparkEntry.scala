@@ -983,6 +983,24 @@ object SparkEntry {
             .as("xent"))
     }),
 
+    // Corpus health dashboard: one pass over the corpus → one row of
+    // doc/unique/token/quality/language totals (the monitoring
+    // endpoint a pipeline run reports). All inputs come off map-side
+    // kernels; the agg is a single global reduce.
+    "d7_corpus_stats" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("lang"), md5(col("text")).as("__h"),
+          size(split(col("text"), "\\s+")).cast("long").as("__t"),
+          graft.functions.SketchExpressions.textStats(col("text"))
+            .as("__st"))
+        .select(col("lang"), col("__h"), col("__t"),
+          TextOps.qualityScoreFrom(col("__st")).as("__q"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("__h")).as("n_unique"),
+          sum(col("__t")).as("n_tokens"),
+          round(avg(col("__q")), 6).as("avg_quality"),
+          countDistinct(col("lang")).as("n_langs"))),
+
     // Approximate aggregates (rows-only check: estimates are
     // engine-specific by design). The 100 TB shapes: HLL sketches are
     // MERGEABLE (partial per partition/day, merged across the corpus
@@ -1990,5 +2008,28 @@ object SparkEntry {
          round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "d7_corpus_stats" ->
+      """SELECT count(*) AS n_docs,
+         count(DISTINCT md5(text)) AS n_unique,
+         CAST(sum(CAST(len(string_split_regex(text, '\s+')) AS BIGINT))
+              AS BIGINT) AS n_tokens,
+         round(avg(round(
+           least(CAST(len(string_split_regex(text,'\s+')) AS DOUBLE)
+                 / 100.0, 1.0) * 0.4
+           + CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  AS DOUBLE)
+             / greatest(CAST(len(text) AS DOUBLE), 1.0) * 0.3
+           + CAST(len(list_filter(string_split_regex(lower(text),'\s+'),
+               x -> list_contains(
+                 ['the','and','of','to','in','is','that','it'], x)))
+               AS DOUBLE)
+             / greatest(CAST(len(string_split_regex(text,'\s+'))
+                        AS DOUBLE), 1.0) * 0.2
+           + least((CAST(len(text) AS DOUBLE)
+                    - len(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0,
+                   1.0) * 0.1, 6)), 6) AS avg_quality,
+         count(DISTINCT lang) AS n_langs
+         FROM documents""",
   )
 }
