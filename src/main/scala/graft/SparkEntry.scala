@@ -1972,8 +1972,8 @@ object SparkEntry {
     "t26_mix_weights" ->
       """WITH per AS (
            SELECT source, count(*) AS n_docs,
-             sum(CAST(len(string_split_regex(text, '\s+')) AS BIGINT))
-               AS n_tokens
+             CAST(sum(CAST(len(string_split_regex(text, '\s+'))
+                  AS BIGINT)) AS BIGINT) AS n_tokens
            FROM documents GROUP BY source),
          tot AS (SELECT sum(n_tokens) AS t FROM per)
          SELECT source, n_docs, n_tokens,
