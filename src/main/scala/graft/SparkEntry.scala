@@ -523,9 +523,10 @@ object SparkEntry {
         .groupBy("sh")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))),
 
-    // Duplicate-CLUSTER assignment: connected components over the LSH
-    // candidate pairs (min-label propagation + pointer jumping — see
-    // Dedup.connectedComponents), then every document labeled with its
+    // Duplicate-CLUSTER assignment: connected components over LSH
+    // co-bucket STAR edges (bucket-min → member; identical components
+    // to the clique pairs at b−1 vs b(b−1)/2 edges per bucket — see
+    // Dedup.lshStarEdges), then every document labeled with its
     // cluster's minimum doc id (singletons label themselves). This is
     // the step pairwise dedup can't express: A~B~C collapses to one
     // cluster even though (A,C) was never a candidate pair.
@@ -534,7 +535,7 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.functions.SketchExpressions
             .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
-      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "shingles",
+      val pairs = Dedup.lshStarEdges(docs, "doc_id", "shingles",
         k = 8, bands = 4)
       val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
       T(s, dir, "documents").select("doc_id")
@@ -855,13 +856,13 @@ object SparkEntry {
     // Near-dedup resolution: one kept document per duplicate cluster
     // (the cluster label IS the min doc_id by construction) with member
     // counts — the step that turns t12's clusters into the deduped
-    // corpus. Same LSH → connected-components pipeline, plus one
-    // cluster-keyed agg.
+    // corpus. Same LSH star-edge → connected-components pipeline, plus
+    // one cluster-keyed agg.
     "d5_neardup_keep" -> ((s, dir) => {
       val docs = T(s, dir, "documents").select(col("doc_id"),
         graft.functions.SketchExpressions
           .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
-      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "shingles",
+      val pairs = Dedup.lshStarEdges(docs, "doc_id", "shingles",
         k = 8, bands = 4)
       val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
       T(s, dir, "documents").select("doc_id")

@@ -76,6 +76,37 @@ object Dedup {
       .select("p.id_a", "p.id_b").distinct()
   }
 
+  /** Star edges for duplicate CLUSTERING: each LSH bucket contributes
+    * (bucket-min-id → member-id) edges instead of the full member×member
+    * clique. Co-bucket connectivity is preserved exactly — every member
+    * reaches every other member through the bucket's min id — so
+    * connected components over star edges EQUAL components over
+    * `lshCandidatePairs` (spec-asserted), while a b-member bucket emits
+    * b−1 edges, not b(b−1)/2. That removes both the quadratic explode
+    * and the need for a `maxBucket` recall cap: a boilerplate bucket
+    * with 10⁶ members is 10⁶ edges — linear, shippable at 100 TB —
+    * where the clique form is 5·10¹¹ pairs. Use `lshCandidatePairs`
+    * only when the pairs themselves are the product (Jaccard verify);
+    * use this for clustering. */
+  def lshStarEdges(df: DataFrame, idCol: String, shinglesCol: String,
+                   k: Int = 8, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must divide into bands evenly")
+    val sig = df.where(size(col(shinglesCol)) > 0)
+      .select(col(idCol),
+        graft.functions.SketchExpressions
+          .minhashSig(col(shinglesCol), k).as("__sig"))
+    sig.select(col(idCol),
+      bandStructs(col("__sig"), bands, k / bands).as("__band"))
+      .select(col(idCol), col("__band.band").as("__b"),
+        col("__band.bh").as("__h"))
+      .groupBy("__b", "__h")
+      .agg(min(col(idCol)).as("id_a"),
+        collect_list(col(idCol)).as("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .distinct()
+  }
+
   /** Embedding-cosine near-dup candidate pairs via SRP-LSH: each vector
     * maps to one sign-random-projection bucket (map-side, no model
     * state), pairs are generated INSIDE buckets from the sorted id list

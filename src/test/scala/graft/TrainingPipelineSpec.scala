@@ -52,4 +52,25 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(cc.get(2L).contains(1L) && cc.get(3L).contains(1L))
     assert(!cc.contains(50L)) // singleton: no edge, labels itself downstream
   }
+
+  test("star edges give the same components as clique pairs") {
+    // The clustering path (lshStarEdges) must be indistinguishable from
+    // the pair path (lshCandidatePairs) after connected components —
+    // co-bucket connectivity is what defines a cluster, not the edge
+    // representation. Real corpus slice so buckets overlap non-trivially.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.SketchExpressions
+          .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
+    def labelsOf(edges: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(edges, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+    val clique = labelsOf(
+      Dedup.lshCandidatePairs(docs, "doc_id", "shingles", k = 8, bands = 4))
+    val star = labelsOf(
+      Dedup.lshStarEdges(docs, "doc_id", "shingles", k = 8, bands = 4))
+    assert(star === clique)
+    assert(clique.nonEmpty) // the slice must actually exercise collisions
+  }
 }
