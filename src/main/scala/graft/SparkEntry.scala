@@ -984,6 +984,126 @@ object SparkEntry {
             .as("xent"))
     }),
 
+    // Product-quantization encode: 64-dim vectors → 8 codes (one per
+    // 8-dim subspace, nearest of the 16 seed sub-centroids, ties →
+    // smallest code). Fully map-side — broadcast codebook + argmin
+    // kernel per subspace; at 100 TB the index payload shrinks 32×
+    // (8 bytes of codes vs 256 bytes of floats). Long-form
+    // (vec_id, subspace, code) for the oracle.
+    "t28_pq_encode" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cb = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      Vectors.pqEncode(e, cb, "vec_id", "cid", "embedding",
+        m = 8, dims = 64)
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("j"),
+          col("col").as("code"))
+    }),
+
+    // PQ asymmetric-distance search: exact queries scored against the
+    // CODES-only corpus (each doc vector stands in as its codebook
+    // reconstruction) — the scan half of IVF-PQ. Corpus side carries
+    // 8 codes/row, never the vectors; queries + codebook broadcast.
+    "t29_pq_adc" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cb = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val enc = Vectors.pqEncode(e, cb, "vec_id", "cid", "embedding",
+        m = 8, dims = 64)
+      Vectors.pqAdcTopK(q, enc, cb, "qid", "vec_id", "cid", "embedding",
+        "codes", m = 8, dims = 64, k = 5)
+    }),
+
+    // BM25 retrieval (k1=1.2, b=0.75, Lucene-style idf): score every
+    // document against the corpus's 3 highest-df terms. The query-term
+    // set and the (N, avgdl) stats are lazy 1-row/3-row broadcasts;
+    // the only corpus-sized shuffles are the tf and dl aggregations.
+    // At 100 TB the qt join stays broadcast for any real query; df/dl
+    // are the standard index-build aggs.
+    "t30_bm25" -> ((s, dir) => {
+      val g = T(s, dir, "documents").select(col("doc_id"),
+        explode(TextOps.tokensLower(col("text"))).as("term"))
+        .where(length(col("term")) > 0)
+      val dl = g.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val st = dl.agg(count(lit(1)).as("__n"),
+        avg(col("dl").cast("double")).as("__avgdl"))
+      val tf = g.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val qt = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term")).limit(3)
+      tf.join(broadcast(qt), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(st))
+        .select(col("doc_id"),
+          (log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * col("tf") * lit(2.2)
+            / (col("tf") + lit(1.2) *
+               (lit(0.25) + lit(0.75) * col("dl") / col("__avgdl"))))
+            .as("__s"))
+        .groupBy("doc_id")
+        .agg(round(sum(col("__s")), 6).as("bm25"))
+    }),
+
+    // Fuzzy decontamination: a training document is suspect iff it
+    // shares ANY MinHash-LSH band bucket with a held-out benchmark
+    // document (doc_id % 20 == 0 plays the benchmark). Semi-join on
+    // band keys — near-dup recall without ever materializing pairs;
+    // the exact-match twin is t13.
+    "t31_fuzzy_decontam" -> ((s, dir) => {
+      val keys = Dedup.lshBandKeys(
+        T(s, dir, "documents").select(col("doc_id"),
+          graft.functions.SketchExpressions
+            .wordShingles(TextOps.tokens(col("text")), 3).as("sh")),
+        "doc_id", "sh", k = 8, bands = 4)
+      val bench = keys.where(col("doc_id") % 20 === 0)
+        .select(col("band"), col("bh")).distinct()
+      val hits = keys.where(col("doc_id") % 20 =!= 0)
+        .join(bench, Seq("band", "bh"), "left_semi")
+        .select("doc_id").distinct()
+      T(s, dir, "documents").where(col("doc_id") % 20 =!= 0)
+        .select("doc_id")
+        .join(hits.withColumn("__hit", lit(1L)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__hit"), lit(0L)).as("contaminated"))
+    }),
+
+    // Stratified deterministic sampling: keep the top 20% of each
+    // source by md5(doc_id) rank — reproducible anywhere (no RNG
+    // state), per-stratum quota honored exactly via one window pass.
+    // The 100 TB shape: rank keys are map-side hashes; each stratum
+    // sorts independently inside its partition group.
+    "t32_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val wc = Window.partitionBy("source")
+      T(s, dir, "documents").select(col("source"), col("doc_id"))
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wc))
+        .where(col("__rn") <= ceil(col("__n") * 0.2))
+        .select(col("source"), col("doc_id"))
+    }),
+
+    // Overlapping token-window chunking (window 40, stride 30) — the
+    // context-length prep step before tokenization/embedding. Chunks
+    // are emitted as (doc, chunk_idx, token count, md5) so the compare
+    // is engine-portable; the chunk list is built map-side from ONE
+    // tokens array (no per-chunk re-scan of the text).
+    "t33_doc_chunks" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0),
+              greatest(lit(0),
+                ceil((size(col("__t")) - lit(40)).cast("double")
+                  / 30.0).cast("int"))),
+            j => concat_ws(" ", slice(col("__t"), j * 30 + 1, lit(40))))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_id"),
+          size(split(col("col"), " ")).cast("long").as("n_tok"),
+          md5(col("col")).as("chunk_hash"))),
+
     // Corpus health dashboard: one pass over the corpus → one row of
     // doc/unique/token/quality/language totals (the monitoring
     // endpoint a pipeline run reports). All inputs come off map-side
@@ -1981,6 +2101,119 @@ object SparkEntry {
            round(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6)
              AS weight
          FROM per, tot""",
+    "t30_bm25" ->
+      """WITH g AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS term
+           FROM documents),
+         f AS (SELECT doc_id, term FROM g WHERE len(term) > 0),
+         dl AS (SELECT doc_id, count(*) AS dl FROM f GROUP BY doc_id),
+         st AS (SELECT count(*) AS n,
+                  avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM f GROUP BY doc_id, term),
+         qt AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+                ORDER BY df DESC, term LIMIT 3)
+         SELECT tf.doc_id,
+           round(sum(
+             ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2
+             / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 6) AS bm25
+         FROM tf JOIN qt USING (term) JOIN dl USING (doc_id), st
+         GROUP BY tf.doc_id""",
+    "t31_fuzzy_decontam" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN generate_series(1, len(toks)-2)] AS s
+           FROM t WHERE len(toks) >= 3),
+         mh AS (
+           SELECT doc_id,
+             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
+              FOR k IN generate_series(1, 8)] AS sig
+           FROM sh),
+         bands AS (
+           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
+           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+         hits AS (
+           SELECT DISTINCT tr.doc_id
+           FROM bands tr JOIN bands be
+             ON tr.b = be.b AND tr.bh = be.bh
+           WHERE tr.doc_id % 20 <> 0 AND be.doc_id % 20 = 0)
+         SELECT d.doc_id,
+           CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS contaminated
+         FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+         WHERE d.doc_id % 20 <> 0""",
+    "t32_stratified_sample" ->
+      """SELECT source, doc_id FROM documents
+         QUALIFY row_number() OVER (PARTITION BY source
+             ORDER BY md5(doc_id::VARCHAR), doc_id)
+           <= ceil(count(*) OVER (PARTITION BY source) * 0.2)""",
+    "t33_doc_chunks" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             [array_to_string(toks[j*30+1:j*30+40], ' ')
+              FOR j IN generate_series(0,
+                greatest(0, CAST(ceil((len(toks) - 40) / 30.0)
+                              AS INTEGER)))] AS chunks
+           FROM t)
+         SELECT doc_id,
+           CAST(j AS BIGINT) AS chunk_id,
+           CAST(len(string_split(chunks[j], ' ')) AS BIGINT) AS n_tok,
+           md5(chunks[j]) AS chunk_hash
+         FROM c, unnest(generate_series(1, len(chunks))) AS u(j)""",
+    "t28_pq_encode" ->
+      """WITH e AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+           FROM embeddings),
+         cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         d AS (
+           SELECT e.vec_id, j, cb.cid,
+             list_sum([(e.v[(j-1)*8+i] - cb.cv[(j-1)*8+i])
+                       * (e.v[(j-1)*8+i] - cb.cv[(j-1)*8+i])
+                       FOR i IN generate_series(1, 8)]) AS dist
+           FROM e, cb, unnest(generate_series(1, 8)) AS u(j))
+         SELECT vec_id, CAST(j AS BIGINT) AS j, cid AS code
+         FROM d
+         QUALIFY row_number()
+           OVER (PARTITION BY vec_id, j ORDER BY dist, cid) = 1""",
+    "t29_pq_adc" ->
+      """WITH e AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+           FROM embeddings),
+         cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         d AS (
+           SELECT e.vec_id, j, cb.cid,
+             list_sum([(e.v[(j-1)*8+i] - cb.cv[(j-1)*8+i])
+                       * (e.v[(j-1)*8+i] - cb.cv[(j-1)*8+i])
+                       FOR i IN generate_series(1, 8)]) AS dist
+           FROM e, cb, unnest(generate_series(1, 8)) AS u(j)),
+         codes AS (
+           SELECT vec_id, j, cid FROM d
+           QUALIFY row_number()
+             OVER (PARTITION BY vec_id, j ORDER BY dist, cid) = 1),
+         recon AS (
+           SELECT c.vec_id,
+             flatten(list(b.cv[(c.j-1)*8+1:(c.j-1)*8+8] ORDER BY c.j))
+               AS rv
+           FROM codes c JOIN cb b ON b.cid = c.cid
+           GROUP BY c.vec_id),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         s AS (
+           SELECT q.qid, r.vec_id,
+             list_sum([(q.qv[i] - r.rv[i]) * (q.qv[i] - r.rv[i])
+                       FOR i IN generate_series(1, 64)]) AS dist
+           FROM recon r, q WHERE q.qid <> r.vec_id)
+         SELECT qid, vec_id, round(dist, 6) AS adc,
+           row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+             AS rn
+         FROM s QUALIFY rn <= 5""",
     "t27_unigram_logprob" ->
       """WITH f AS (
            SELECT doc_id,

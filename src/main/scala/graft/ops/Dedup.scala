@@ -76,6 +76,24 @@ object Dedup {
       .select("p.id_a", "p.id_b").distinct()
   }
 
+  /** (id, band, bucket-hash) keys for every document — the join surface
+    * of LSH. Exposed for cross-corpus shapes (fuzzy decontamination:
+    * a training doc is suspect iff it shares ANY band bucket with a
+    * held-out doc — a semi-join on these keys, never a pair explosion).
+    * Empty-shingle docs are excluded, as in `lshCandidatePairs`. */
+  def lshBandKeys(df: DataFrame, idCol: String, shinglesCol: String,
+                  k: Int = 8, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must divide into bands evenly")
+    df.where(size(col(shinglesCol)) > 0)
+      .select(col(idCol),
+        graft.functions.SketchExpressions
+          .minhashSig(col(shinglesCol), k).as("__sig"))
+      .select(col(idCol),
+        bandStructs(col("__sig"), bands, k / bands).as("__band"))
+      .select(col(idCol), col("__band.band").as("band"),
+        col("__band.bh").as("bh"))
+  }
+
   /** Star edges for duplicate CLUSTERING: each LSH bucket contributes
     * (bucket-min-id → member-id) edges instead of the full member×member
     * clique. Co-bucket connectivity is preserved exactly — every member

@@ -264,4 +264,81 @@ object Vectors {
       .select(col(qidCol), col(idCol), round(col("__cos"), 6).as("cos"),
         col("rn"))
   }
+
+  /** Codebook folded into ONE broadcast row, sorted by code id so
+    * `element_at(cb, code + 1)` is a direct lookup — requires the
+    * codebook's ids to be contiguous 0..n-1 (callers seed them that
+    * way). Stored full-dim; subspace j of entry c is a slice. */
+  private def codebookArray(codebook: DataFrame, cidCol: String,
+                            vecCol: String): DataFrame =
+    broadcast(codebook.groupBy().agg(sort_array(collect_list(struct(
+      col(cidCol).cast("long").as("cid"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))))
+      .as("__cb")))
+
+  /** Product-quantization encode: the vector splits into m contiguous
+    * subvectors; each is independently assigned its nearest codebook
+    * entry (squared L2 on that subspace, ties → smallest code) via the
+    * single-pass argmin kernel. Fully MAP-SIDE — the codebook is one
+    * broadcast row, the corpus never shuffles, and each vector
+    * compresses from `dims` floats to m small codes: the storage shape
+    * that makes a 100 TB ANN index fit in memory (IVF-PQ posting
+    * payload). Output: (id, codes array<long> of length m). */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, idCol: String,
+               cidCol: String, vecCol: String, m: Int,
+               dims: Int): DataFrame = {
+    require(dims % m == 0, "m must divide dims evenly")
+    val sub = dims / m
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(codebookArray(codebook, cidCol, vecCol))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          graft.functions.VectorExpressions.argminCentroid(
+            slice(col(vecCol), j * sub + 1, lit(sub)),
+            transform(col("__cb"), ct => struct(
+              ct.getField("cid").as("cid"),
+              slice(ct.getField("cv"), j * sub + 1, lit(sub))
+                .as("cv"))))).as("codes"))
+  }
+
+  /** Reconstruction of a PQ-encoded vector: subspace j's slice of the
+    * codebook entry its code names, concatenated back to full dim.
+    * `cb` is the sorted broadcast codebook column (`__cb`). */
+  private def pqReconstruct(codes: Column, cb: Column, m: Int,
+                            sub: Int): Column =
+    flatten(transform(sequence(lit(0), lit(m - 1)), j =>
+      slice(element_at(cb, (element_at(codes, j + 1) + 1).cast("int"))
+        .getField("cv"), j * sub + 1, lit(sub))))
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: the
+    * query keeps its exact vector, each corpus vector is scored at its
+    * reconstruction — sum over subspaces of ||q_j − cb[code_j]_j||²,
+    * computed as one sqDist against the stitched reconstruction. The
+    * encoded corpus (m codes/row) never shuffles; queries and codebook
+    * ride along as broadcast rows; per-query top-k is the same
+    * window-limit shape as `bruteForceTopK`. This is the search half
+    * of IVF-PQ: at 100 TB the scan reads codes, not vectors. */
+  def pqAdcTopK(queries: DataFrame, encoded: DataFrame,
+                codebook: DataFrame, qidCol: String, idCol: String,
+                cidCol: String, vecCol: String, codesCol: String,
+                m: Int, dims: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dims % m == 0, "m must divide dims evenly")
+    val sub = dims / m
+    val q = broadcast(queries.select(col(qidCol),
+      transform(col(vecCol), x => x.cast("double")).as("__qv")))
+    val scored = encoded
+      .crossJoin(codebookArray(codebook, cidCol, vecCol)
+        .withColumnRenamed("__cb", "__cbq"))
+      .crossJoin(q)
+      .where(col(qidCol) =!= col(idCol))
+      .withColumn("__adc", sqDist(col("__qv"),
+        pqReconstruct(col(codesCol), col("__cbq"), m, sub)))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("__adc"), col(idCol))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col(qidCol), col(idCol), round(col("__adc"), 6).as("adc"),
+        col("rn"))
+  }
 }

@@ -131,6 +131,39 @@ class SkewVectorsSpec extends SparkSpec {
     assert(wrong === 0)
   }
 
+  test("PQ encode: codebook vectors are their own codes; twins share codes") {
+    // 4-dim, m=2 (2-dim subspaces), 2-entry codebook
+    val cb = Seq((0L, Array(0f, 0f, 10f, 10f)),
+      (1L, Array(10f, 10f, 0f, 0f))).toDF("cid", "embedding")
+    val corpus = Seq(
+      (0L, Array(0f, 0f, 10f, 10f)),   // codebook donor → (0, 0)
+      (1L, Array(10f, 10f, 0f, 0f)),   // codebook donor → (1, 1)
+      (2L, Array(9f, 9f, 1f, 1f)),     // near donor 1   → (1, 1)
+      (3L, Array(1f, 1f, 9f, 9f)))     // near donor 0   → (0, 0)
+      .toDF("vec_id", "embedding")
+    val got = Vectors.pqEncode(corpus, cb, "vec_id", "cid", "embedding",
+      m = 2, dims = 4).as[(Long, Seq[Long])].collect().toMap
+    assert(got(0L) === Seq(0L, 0L) && got(1L) === Seq(1L, 1L))
+    assert(got(2L) === Seq(1L, 1L) && got(3L) === Seq(0L, 0L))
+  }
+
+  test("PQ ADC: distance to a codebook donor's codes is exact sqDist") {
+    // ADC against a vector that IS its reconstruction (a codebook
+    // donor) must equal the true squared distance; ranking follows.
+    val cb = Seq((0L, Array(0f, 0f, 10f, 10f)),
+      (1L, Array(10f, 10f, 0f, 0f))).toDF("cid", "embedding")
+    val corpus = cb.select(col("cid").as("vec_id"), col("embedding"))
+    val enc = Vectors.pqEncode(corpus, cb, "vec_id", "cid", "embedding",
+      m = 2, dims = 4)
+    val q = Seq((100L, Array(1f, 0f, 9f, 10f))).toDF("qid", "embedding")
+    val got = Vectors.pqAdcTopK(q, enc, cb, "qid", "vec_id", "cid",
+      "embedding", "codes", m = 2, dims = 4, k = 2)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._2, r._3)).toMap
+    // ||q-cb0||² = 1+0+1+0 = 2; ||q-cb1||² = 81+100+81+100 = 362
+    assert(got(0L) === 2.0 && got(1L) === 362.0)
+  }
+
   test("SRP bucket: identical vectors share a bucket, opposite flip all bits") {
     // power-of-two components: a ±1-weighted sum can never be exactly 0,
     // so every bit genuinely flips for the negated vector

@@ -53,6 +53,25 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(!cc.contains(50L)) // singleton: no edge, labels itself downstream
   }
 
+  test("fuzzy decontamination flags exact and near copies, not strangers") {
+    val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (20L, bench),                       // the benchmark doc (id%20==0)
+      (1L, bench),                        // exact copy → flagged
+      (2L, bench + " extra"),             // near copy → flagged
+      (3L, "totally unrelated words that share nothing with the test"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.shingleSet(col("text"), 3).as("sh"))
+    val keys = Dedup.lshBandKeys(docs, "doc_id", "sh", k = 8, bands = 4)
+    val benchKeys = keys.where(col("doc_id") % 20 === 0)
+      .select("band", "bh").distinct()
+    val hits = keys.where(col("doc_id") % 20 =!= 0)
+      .join(benchKeys, Seq("band", "bh"), "left_semi")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(hits.contains(1L) && hits.contains(2L))
+    assert(!hits.contains(3L) && !hits.contains(20L))
+  }
+
   test("star edges give the same components as clique pairs") {
     // The clustering path (lshStarEdges) must be indistinguishable from
     // the pair path (lshCandidatePairs) after connected components —
