@@ -68,6 +68,16 @@ object Streaming {
       .drop("__st", "__h")
   }
 
+  /** Stream-static enrichment: every microbatch left-joins the static
+    * dimension, broadcast so the stream side never shuffles — the
+    * standard shape for attaching source mixing weights / calibration
+    * parameters to a live feed. Stateless (no watermark): Spark
+    * re-plans the static side per microbatch, so a dimension re-read
+    * through a view picks up updates between batches. */
+  def enrichStream(in: DataFrame, dim: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    in.join(broadcast(dim), keys, "left")
+
   case class UdgReading(sensor: String, ts: java.sql.Timestamp, udg: Double)
   case class DepthOut(sensor: String, ts: java.sql.Timestamp, depth: Double)
   case class X1State(offset: Double, initialized: Boolean)

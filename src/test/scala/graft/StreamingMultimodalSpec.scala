@@ -48,6 +48,25 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(n === 2)
   }
 
+  test("stream-static enrichment broadcast-joins the dimension per batch") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val weights = Seq(("web", 0.7), ("code", 0.3)).toDF("source", "weight")
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.enrichStream(
+      input.toDS().toDF("doc_id", "source"), weights, Seq("source"))
+      .writeStream.format("memory").queryName("enrichout")
+      .outputMode("append").start()
+    input.addData((1L, "web"), (2L, "code"), (3L, "books"))
+    q.processAllAvailable()
+    val got = spark.table("enrichout")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._2 -> r._3).toMap
+    q.stop()
+    assert(got(1L).contains(0.7) && got(2L).contains(0.3))
+    assert(got(3L).isEmpty) // unmatched key survives the left join
+  }
+
   test("streaming corpus clean: content dedup within watermark + quality gate") {
     implicit val sc = spark.sqlContext
     val good = ("the cat and the dog sat in the house and " * 4).trim
