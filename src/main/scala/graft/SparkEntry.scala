@@ -1137,6 +1137,27 @@ object SparkEntry {
             .as("p50_approx"),
           count(lit(1)).as("n"))),
 
+    // KMV (k-minimum-values) distinct-count sketch via the custom
+    // TypedImperativeAggregate: per group, the 8 smallest DISTINCT
+    // md5(user_id) hashes — O(k) state, mergeable partials — plus the
+    // (k-1)/F(h_k) estimator derived declaratively from the sketch.
+    // Unlike HLL (a1, rows-only) the sketch output is deterministic
+    // given the input set, so this custom AGGREGATE is exact-gated
+    // against DuckDB. 13 hex chars = 52 bits: exact in a double.
+    "a2_kmv_distinct" -> ((s, dir) => {
+      val bk = graft.functions.AggregateExpressions
+        .bottomKStrings(md5(col("user_id").cast("string")), 8)
+      T(s, dir, "events").groupBy("event_type")
+        .agg(bk.as("__bk"))
+        .select(col("event_type"),
+          concat_ws(",", col("__bk")).as("bottom_hashes"),
+          round(when(size(col("__bk")) < 8,
+            size(col("__bk")).cast("double"))
+            .otherwise(lit(7.0) * lit(4503599627370496.0) /
+              conv(substring(element_at(col("__bk"), 8), 1, 13), 16, 10)
+                .cast("double")), 6).as("est_distinct"))
+    }),
+
     // X1 — the path-dependent depth recurrence (no SQL equivalent →
     // rows-only check here; semantics golden-tested in UdgDepthSpec).
     // A smoothed hourly series drives two "sensor installs"; state is
@@ -2101,6 +2122,19 @@ object SparkEntry {
            round(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6)
              AS weight
          FROM per, tot""",
+    "a2_kmv_distinct" ->
+      """WITH u AS (
+           SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS h
+           FROM events),
+         bk AS (
+           SELECT event_type, list_sort(list(h))[1:8] AS bh
+           FROM u GROUP BY event_type)
+         SELECT event_type, array_to_string(bh, ',') AS bottom_hashes,
+           round(CASE WHEN len(bh) < 8 THEN CAST(len(bh) AS DOUBLE)
+             ELSE CAST(7 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) /
+               CAST(('0x' || substr(bh[8], 1, 13)) AS UBIGINT)::DOUBLE
+             END, 6) AS est_distinct
+         FROM bk""",
     "t30_bm25" ->
       """WITH g AS (
            SELECT doc_id,

@@ -55,6 +55,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => SketchExpressions.BottomKShingleHashesExpr(
         args.head, intArg(args(1), "graft_bottomk_shingle_hashes"),
         intArg(args(2), "graft_bottomk_shingle_hashes"))),
+    ("graft_bottom_k_strings",
+      new ExpressionInfo(
+        classOf[AggregateExpressions.BottomKStringsAgg].getName,
+        "graft_bottom_k_strings"),
+      (args: Seq[Expression]) => AggregateExpressions.BottomKStringsAgg(
+        args.head, intArg(args(1), "graft_bottom_k_strings"))),
     ("graft_vec_dot",
       new ExpressionInfo(classOf[VectorExpressions.VecDotExpr].getName,
         "graft_vec_dot"),

@@ -66,4 +66,33 @@ class SessionsRangeSpec extends SparkSpec {
     assert(row2.getDouble(2) === 25.0)
     assert(row2.getDouble(3) === 1.0)
   }
+
+  test("KMV bottom-k aggregate: distinct, bounded, merge-invariant") {
+    import graft.functions.AggregateExpressions
+    // 1000 values with heavy duplication across 8 partitions — the
+    // partial buffers MUST merge associatively to the exact global
+    // bottom-k of the distinct set, regardless of partitioning.
+    val vals = (1 to 1000).map(i => s"v${i % 97}")
+    val expected = vals.distinct.map(v =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(v))
+      .sorted.take(8)
+    for (parts <- Seq(1, 8)) {
+      val got = vals.toDF("v").repartition(parts)
+        .agg(AggregateExpressions.bottomKStrings(md5($"v"), 8).as("bk"))
+        .head().getSeq[String](0)
+      assert(got === expected, s"parts=$parts")
+    }
+    // groups smaller than k return all their distinct values
+    val small = Seq("a", "a", "b").toDF("v")
+      .agg(AggregateExpressions.bottomKStrings($"v", 8))
+      .head().getSeq[String](0)
+    assert(small === Seq("a", "b"))
+    // SQL surface
+    GraftExtensions.register(spark)
+    vals.toDF("v").createOrReplaceTempView("kmv_in")
+    val viaSql = spark.sql(
+      "SELECT graft_bottom_k_strings(md5(v), 8) FROM kmv_in")
+      .head().getSeq[String](0)
+    assert(viaSql === expected)
+  }
 }
