@@ -1104,6 +1104,54 @@ object SparkEntry {
           size(split(col("col"), " ")).cast("long").as("n_tok"),
           md5(col("col")).as("chunk_hash"))),
 
+    // Sub-document dedup: global first-occurrence paragraph (10-token
+    // chunk) dedup — every chunk instance after the first occurrence
+    // of its hash (ordered by doc, then position) is dropped; output
+    // is each document's surviving fraction. The shuffle is keyed by
+    // chunk HASH (never chunk text) and each hash group is tiny, so
+    // the window is skew-safe at corpus scale.
+    "t34_paragraph_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("__h"))
+        .orderBy(col("doc_id"), col("pos"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.tokenChunks(TextOps.tokens(col("text")), 10)))
+        .select(col("doc_id"), col("pos"), md5(col("col")).as("__h"))
+        .withColumn("__rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("n_chunks"), 6)
+            .as("kept_frac"))
+    }),
+
+    // Asymmetric containment |A∩B|/|A| over LSH candidate pairs —
+    // catches quotation/subset duplication that symmetric Jaccard
+    // under-scores (a doc wholly contained in a bigger one has low
+    // Jaccard but containment 1). Same candidate generation as t2;
+    // the set intersection runs only on candidates, never all pairs.
+    "t35_containment" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.SketchExpressions
+            .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "shingles",
+        k = 8, bands = 4)
+      val sets = docs.select(col("doc_id"),
+        array_distinct(col("shingles")).as("ss"))
+      pairs
+        .join(sets.select(col("doc_id").as("id_a"), col("ss").as("__sa")),
+          Seq("id_a"))
+        .join(sets.select(col("doc_id").as("id_b"), col("ss").as("__sb")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(size(array_intersect(col("__sa"), col("__sb")))
+            .cast("double") / size(col("__sa")), 6).as("cont_ab"),
+          round(size(array_intersect(col("__sa"), col("__sb")))
+            .cast("double") / size(col("__sb")), 6).as("cont_ba"))
+    }),
+
     // Corpus health dashboard: one pass over the corpus → one row of
     // doc/unique/token/quality/language totals (the monitoring
     // endpoint a pipeline run reports). All inputs come off map-side
@@ -2122,6 +2170,55 @@ object SparkEntry {
            round(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6)
              AS weight
          FROM per, tot""",
+    "t34_paragraph_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[(i-1)*10+1:(i-1)*10+10], ' ')) AS h
+           FROM t, unnest(generate_series(1,
+             CAST(ceil(len(toks) / 10.0) AS INT))) AS u(i)),
+         r AS (
+           SELECT doc_id,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos)
+               AS rn
+           FROM c)
+         SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS kept_frac
+         FROM r GROUP BY doc_id""",
+    "t35_containment" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN generate_series(1, len(toks)-2)] AS s
+           FROM t WHERE len(toks) >= 3),
+         mh AS (
+           SELECT doc_id, s,
+             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
+              FOR k IN generate_series(1, 8)] AS sig
+           FROM sh),
+         bands AS (
+           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
+           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         ds AS (SELECT doc_id, list_distinct(s) AS ss FROM sh)
+         SELECT id_a, id_b,
+           round(CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE)
+             / len(x.ss), 6) AS cont_ab,
+           round(CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE)
+             / len(y.ss), 6) AS cont_ba
+         FROM pairs JOIN ds x ON x.doc_id = id_a
+         JOIN ds y ON y.doc_id = id_b""",
     "a2_kmv_distinct" ->
       """WITH u AS (
            SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS h
