@@ -68,6 +68,23 @@ object Streaming {
       .drop("__st", "__h")
   }
 
+  /** Streaming NEAR-dup gate: first document per 32-bit SimHash
+    * signature wins within the watermark horizon — the incremental
+    * form of the batch t11 signature-cluster dedup. Near-identical
+    * texts collapse onto one signature map-side (single-pass kernel),
+    * so state is one entry per distinct signature, bounded by the
+    * watermark. Exact-dup streaming is `cleanCorpusStream`'s md5 key;
+    * this catches the small-edit duplicates md5 misses. */
+  def neardupStream(in: DataFrame, tsCol: String, textCol: String,
+                    watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.SketchExpressions
+    in.withWatermark(tsCol, watermark)
+      .withColumn("__sh", SketchExpressions.simhash32(
+        graft.ops.TextOps.tokens(col(textCol))))
+      .dropDuplicatesWithinWatermark(Seq("__sh"))
+      .drop("__sh")
+  }
+
   /** Stream-static enrichment: every microbatch left-joins the static
     * dimension, broadcast so the stream side never shuffles — the
     * standard shape for attaching source mixing weights / calibration

@@ -86,4 +86,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("avg(o_totalprice") || p.contains("partial_avg"),
       s"expected the avg aggregate inside the plan:\n$p")
   }
+
+  test("PQ encode/search: map-side kernels, crosses only with broadcasts") {
+    val enc = plan("t28_pq_encode")
+    assert(enc.contains("graft_vec_argmin_centroid"), enc)
+    // the only nested-loop joins allowed are corpus × broadcast rows
+    // (codebook fold, query set) — BuildRight on the broadcast side
+    assert(!enc.contains("CartesianProduct"), enc)
+    val adc = plan("t29_pq_adc")
+    assert(!adc.contains("CartesianProduct"), adc)
+    assert(adc.contains("BroadcastNestedLoopJoin"), adc)
+  }
+
+  test("fuzzy decontamination is a semi-join on band keys, no pairs") {
+    val p = plan("t31_fuzzy_decontam")
+    assert(p.contains("LeftSemi"), s"expected a semi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("BM25 query-term and stats joins broadcast; no nested loops") {
+    val p = plan("t30_bm25")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("paragraph dedup shuffles hashes, not chunk text") {
+    // the window partitions by the md5 hash; chunk text must not be a
+    // shuffle key (it would move corpus-sized strings)
+    val p = plan("t34_paragraph_dedup")
+    assert(p.contains("Window"), p)
+    assert("hashpartitioning\\(__h".r.findFirstIn(p).isDefined,
+      s"expected the hash column as the shuffle key:\n$p")
+  }
 }

@@ -48,6 +48,25 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(n === 2)
   }
 
+  test("streaming near-dup drops whitespace-variant duplicates md5 misses") {
+    implicit val sc = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streaming.neardupStream(
+      input.toDS().toDF("ts", "text"), "ts", "text")
+      .writeStream.format("memory").queryName("neardupout")
+      .outputMode("append").start()
+    // a whitespace-variant duplicate: different raw bytes (md5 would
+    // keep both) but identical token stream → identical simhash;
+    // the unrelated doc lands on a different signature
+    input.addData((t(0), base), (t(1), base.replace(" ", "  ").trim),
+      (t(2), "completely different content about spark partitions " * 4))
+    q.processAllAvailable()
+    val n = spark.table("neardupout").count()
+    q.stop()
+    assert(n === 2)
+  }
+
   test("stream-static enrichment broadcast-joins the dimension per batch") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
