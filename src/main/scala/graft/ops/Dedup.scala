@@ -172,13 +172,18 @@ object Dedup {
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
     val a = col(aCol).cast("long"); val b = col(bCol).cast("long")
+    // LAZY local checkpoints throughout: the checkpoint still truncates
+    // lineage (the iterative-fixpoint requirement) but is materialized
+    // by the round's checksum action instead of an extra eager job —
+    // one job per round, not two. sym materializes transitively with
+    // the first labels checksum.
     val sym = edges.select(a.as("src"), b.as("dst"))
       .union(edges.select(b.as("src"), a.as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("__m"))
       .select(col("id"), least(col("id"), col("__m")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Labels decrease monotonically, so an unchanged sum is an exact
     // fixpoint test — but summed as decimal(38,0): a raw BIGINT sum
     // overflows (ANSI: throws mid-iteration) once node ids are in the
@@ -204,7 +209,7 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("__jl"), col("label")))
             .as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val sumNext = checksum(next)
       converged = sumNext.compareTo(sumPrev) == 0
       sumPrev = sumNext
