@@ -17,10 +17,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * `GraftExtensions.register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -77,10 +79,17 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         VectorExpressions.VecCosineExpr(args.head, args(1))))
 
-  /** Idempotent registration on an existing session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Idempotent registration on an existing session. The optimizer
+    * rule goes through `experimental.extraOptimizations` (the
+    * post-build equivalent of `injectOptimizerRule`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     injections.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), info, builder)
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+  }
 }
