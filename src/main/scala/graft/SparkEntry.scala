@@ -1206,6 +1206,88 @@ object SparkEntry {
                 .cast("double")), 6).as("est_distinct"))
     }),
 
+    // Heavy hitters via the Misra–Gries TypedImperativeAggregate:
+    // the sketch ships ≤16 counters per partition (vs a full
+    // vocabulary shuffle), GUARANTEES every term with freq > n/16 is
+    // among its candidates, and one exact counting pass over just the
+    // broadcast candidate set makes the output exact — so the final
+    // result is deterministic (= the terms with cnt·16 > n) and
+    // oracle-gated even though the sketch itself is order-sensitive.
+    // The 100 TB shape for "top terms": candidates prune the exact agg
+    // to a broadcast semi-join, never a vocabulary-wide shuffle.
+    "t36_heavy_hitters" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(explode(TextOps.tokensLower(col("text"))).as("term"))
+        .where(length(col("term")) > 0)
+      val cand = toks.agg(graft.functions.AggregateExpressions
+          .misraGries(col("term"), 16).as("__c"))
+        .select(explode(col("__c")).as("term"))
+      val tot = toks.agg(count(lit(1)).as("__n"))
+      toks.join(broadcast(cand), Seq("term"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .where(col("cnt") * 16 > col("__n"))
+        .select(col("term"), col("cnt"))
+    }),
+
+    // BPE-training inner loop: adjacent token-pair frequencies, top 20
+    // (the merge-candidate table each BPE iteration consumes). Pairs
+    // are generated map-side by zipping the token array against its
+    // own tail — no self-join, no positional explode+rejoin; the only
+    // shuffle is the pair-count agg (map-side partial combine).
+    "t37_bpe_pairs" -> ((s, dir) => {
+      val toks = filter(TextOps.tokensLower(col("text")),
+        t => length(t) > 0)
+      T(s, dir, "documents")
+        .select(toks.as("__t")).where(size(col("__t")) >= 2)
+        .select(explode(zip_with(
+          slice(col("__t"), 1, size(col("__t")) - 1),
+          slice(col("__t"), 2, size(col("__t")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // Snapshot diff (CDC between two corpus versions): full outer join
+    // on doc_id comparing content hashes → added/removed/changed rows
+    // only. The join ships md5 hashes, never document text; at scale
+    // both snapshots sort-merge on the id they are already bucketed by,
+    // and the "unchanged" majority is filtered before any further
+    // processing — the incremental-pipeline primitive that avoids
+    // re-running dedup/quality over 100 TB when 0.1% changed.
+    "t38_snapshot_diff" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val old = d.where(col("doc_id") % 4 =!= 3)
+        .select(col("doc_id"), md5(col("text")).as("__ho"))
+      val nw = d.where(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("__hn"))
+      old.join(nw, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("__ho").isNull, "added")
+            .when(col("__hn").isNull, "removed")
+            .when(col("__ho") =!= col("__hn"), "changed")
+            .otherwise("unchanged").as("change"))
+        .where(col("change") =!= "unchanged")
+    }),
+
+    // Sequence-length histogram: token counts bucketed by 16 (capped
+    // at bucket 15) → docs and total tokens per bucket. The planning
+    // input for context-length packing (t24) and truncation policy.
+    // Map-side bucketing, one 16-row agg — scan-bound at any scale.
+    "t39_len_histogram" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(size(filter(TextOps.tokensLower(col("text")),
+          t => length(t) > 0)).as("__nt"))
+        .select(least(floor(col("__nt") / 16), lit(15)).cast("long")
+          .as("bucket"), col("__nt"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nt")).cast("long").as("n_tokens"))),
+
     // X1 — the path-dependent depth recurrence (no SQL equivalent →
     // rows-only check here; semantics golden-tested in UdgDepthSpec).
     // A smoothed hourly series drives two "sensor installs"; state is

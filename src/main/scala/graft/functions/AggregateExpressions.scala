@@ -103,4 +103,126 @@ object AggregateExpressions {
     GraftColumnBridge.column(
       BottomKStringsAgg(GraftColumnBridge.expression(c), k)
         .toAggregateExpression())
+
+  /** Misra–Gries heavy-hitter summary: at most `k` counters; GUARANTEES
+    * every value with true frequency > n/k appears in the output
+    * (candidates may include false positives — the caller verifies with
+    * one exact counting pass over just the ≤k candidates). The buffer
+    * is O(k) regardless of stream length, updates are amortized O(1)
+    * (each decrement round is paid for by k prior inserts), and merge
+    * is the Agarwal et al. "Mergeable Summaries" combine — sum counts,
+    * then subtract the (k+1)-th largest and drop non-positives — which
+    * preserves the guarantee under partial aggregation and AQE
+    * re-planning. This is the 100 TB shape for "top terms": a full
+    * groupBy(term) shuffles the whole vocabulary; MG ships k counters
+    * per partition. */
+  case class MisraGriesAgg(
+      child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[String, Long]]
+    with UnaryLike[Expression] {
+
+    require(k > 0, "k must be positive")
+
+    override def prettyName: String = "graft_misra_gries"
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+
+    override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+      new java.util.HashMap[String, Long]()
+
+    /** Keep only counts > the (k+1)-th largest; at most k survive. */
+    private def trim(b: java.util.HashMap[String, Long]): Unit =
+      if (b.size > k) {
+        val counts = new Array[Long](b.size)
+        var i = 0
+        val vit = b.values().iterator()
+        while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+        java.util.Arrays.sort(counts)
+        val d = counts(counts.length - 1 - k) // (k+1)-th largest
+        val eit = b.entrySet().iterator()
+        while (eit.hasNext) {
+          val e = eit.next()
+          if (e.getValue <= d) eit.remove()
+          else e.setValue(e.getValue - d)
+        }
+      }
+
+    override def update(b: java.util.HashMap[String, Long],
+                        input: InternalRow)
+        : java.util.HashMap[String, Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val s = v.asInstanceOf[UTF8String].toString
+        val cur: Long = b.getOrDefault(s, 0L)
+        // counters are strictly positive in the map, so 0 ⇔ absent
+        if (cur > 0L) { b.put(s, cur + 1L); () }
+        else { b.put(s, 1L); trim(b) }
+      }
+      b
+    }
+
+    override def merge(b: java.util.HashMap[String, Long],
+                       o: java.util.HashMap[String, Long])
+        : java.util.HashMap[String, Long] = {
+      val it = o.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        b.put(e.getKey, b.getOrDefault(e.getKey, 0L) + e.getValue)
+      }
+      trim(b)
+      b
+    }
+
+    override def eval(b: java.util.HashMap[String, Long]): Any = {
+      val keys = new Array[String](b.size)
+      b.keySet().toArray(keys)
+      java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
+      new GenericArrayData(
+        keys.map(s => UTF8String.fromString(s): Any))
+    }
+
+    // Tokens are whitespace-delimited upstream, so '\t'/'\n' cannot
+    // appear inside a value; the framing is private to this class.
+    override def serialize(b: java.util.HashMap[String, Long]): Array[Byte] = {
+      val sb = new java.lang.StringBuilder
+      val it = b.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        sb.append(e.getKey).append('\t')
+          .append(e.getValue.toString).append('\n')
+      }
+      sb.toString.getBytes(StandardCharsets.UTF_8)
+    }
+
+    override def deserialize(bytes: Array[Byte])
+        : java.util.HashMap[String, Long] = {
+      val b = new java.util.HashMap[String, Long]()
+      val s = new String(bytes, StandardCharsets.UTF_8)
+      if (s.nonEmpty) s.split("\n").foreach { line =>
+        val i = line.lastIndexOf('\t')
+        if (i >= 0) b.put(line.substring(0, i), line.substring(i + 1).toLong)
+      }
+      b
+    }
+
+    override def withNewMutableAggBufferOffset(
+        newOffset: Int): MisraGriesAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(
+        newOffset: Int): MisraGriesAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(
+        newChild: Expression): MisraGriesAgg = copy(child = newChild)
+  }
+
+  /** Column entry point: Misra–Gries heavy-hitter candidates (sorted
+    * array of at most `k` values; superset of all values with
+    * frequency > n/k). */
+  def misraGries(c: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      MisraGriesAgg(GraftColumnBridge.expression(c), k)
+        .toAggregateExpression())
 }
