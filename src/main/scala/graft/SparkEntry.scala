@@ -1241,8 +1241,8 @@ object SparkEntry {
       T(s, dir, "documents")
         .select(toks.as("__t")).where(size(col("__t")) >= 2)
         .select(explode(zip_with(
-          slice(col("__t"), 1, size(col("__t")) - 1),
-          slice(col("__t"), 2, size(col("__t")) - 1),
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1),
           (a, b) => concat_ws(" ", a, b))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
