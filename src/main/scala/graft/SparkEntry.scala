@@ -1207,11 +1207,11 @@ object SparkEntry {
     }),
 
     // Heavy hitters via the Misra–Gries TypedImperativeAggregate:
-    // the sketch ships ≤16 counters per partition (vs a full
-    // vocabulary shuffle), GUARANTEES every term with freq > n/16 is
+    // the sketch ships ≤64 counters per partition (vs a full
+    // vocabulary shuffle), GUARANTEES every term with freq > n/64 is
     // among its candidates, and one exact counting pass over just the
     // broadcast candidate set makes the output exact — so the final
-    // result is deterministic (= the terms with cnt·16 > n) and
+    // result is deterministic (= the terms with cnt·64 > n) and
     // oracle-gated even though the sketch itself is order-sensitive.
     // The 100 TB shape for "top terms": candidates prune the exact agg
     // to a broadcast semi-join, never a vocabulary-wide shuffle.
@@ -1220,13 +1220,13 @@ object SparkEntry {
         .select(explode(TextOps.tokensLower(col("text"))).as("term"))
         .where(length(col("term")) > 0)
       val cand = toks.agg(graft.functions.AggregateExpressions
-          .misraGries(col("term"), 16).as("__c"))
+          .misraGries(col("term"), 64).as("__c"))
         .select(explode(col("__c")).as("term"))
       val tot = toks.agg(count(lit(1)).as("__n"))
       toks.join(broadcast(cand), Seq("term"), "left_semi")
         .groupBy("term").agg(count(lit(1)).as("cnt"))
         .crossJoin(broadcast(tot))
-        .where(col("cnt") * 16 > col("__n"))
+        .where(col("cnt") * 64 > col("__n"))
         .select(col("term"), col("cnt"))
     }),
 
@@ -2478,5 +2478,55 @@ object SparkEntry {
                    1.0) * 0.1, 6)), 6) AS avg_quality,
          count(DISTINCT lang) AS n_langs
          FROM documents""",
+    "t36_heavy_hitters" ->
+      """WITH t AS (
+           SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+           FROM documents),
+         tk AS (SELECT term FROM t WHERE len(term) > 0),
+         n AS (SELECT count(*) AS __n FROM tk)
+         SELECT term, count(*) AS cnt
+         FROM tk, n
+         GROUP BY term, __n
+         HAVING count(*) * 64 > __n""",
+    "t37_bpe_pairs" ->
+      """WITH t AS (
+           SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> len(x) > 0) AS tk
+           FROM documents),
+         p AS (
+           SELECT unnest([tk[i] || ' ' || tk[i+1]
+                          FOR i IN generate_series(1, len(tk)-1)]) AS pair
+           FROM t WHERE len(tk) >= 2)
+         SELECT pair, count(*) AS cnt FROM p
+         GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
+    "t38_snapshot_diff" ->
+      """WITH old AS (
+           SELECT doc_id, md5(text) AS ho
+           FROM documents WHERE doc_id % 4 <> 3),
+         nw AS (
+           SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                      ELSE text END) AS hn
+           FROM documents WHERE doc_id % 4 <> 0)
+         SELECT COALESCE(old.doc_id, nw.doc_id) AS doc_id,
+           CASE WHEN ho IS NULL THEN 'added'
+                WHEN hn IS NULL THEN 'removed'
+                WHEN ho <> hn THEN 'changed'
+                ELSE 'unchanged' END AS change
+         FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id
+         WHERE (CASE WHEN ho IS NULL THEN 'added'
+                WHEN hn IS NULL THEN 'removed'
+                WHEN ho <> hn THEN 'changed'
+                ELSE 'unchanged' END) <> 'unchanged'""",
+    "t39_len_histogram" ->
+      """SELECT LEAST(nt // 16, 15) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens
+         FROM (
+           SELECT CAST(len(list_filter(
+             string_split_regex(lower(text), '\s+'),
+             x -> len(x) > 0)) AS BIGINT) AS nt
+           FROM documents)
+         GROUP BY bucket""",
   )
 }
