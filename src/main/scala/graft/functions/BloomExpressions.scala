@@ -1,0 +1,174 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bloom filter as a mergeable Catalyst aggregate + membership test.
+  *
+  * The 100 TB decontamination shape: the benchmark side reduces to a
+  * fixed-size bitmap (one `BloomFilterAgg` row, merged map-side like
+  * any partial aggregate), the bitmap broadcasts, and the corpus is
+  * prefiltered MAP-SIDE with `bloomMightContain` before the exact
+  * confirm join. A Bloom filter has NO false negatives, so
+  * prefilter + exact join ≡ exact join — the query stays oracle-exact
+  * while the corpus-side shuffle shrinks from every document to only
+  * bloom-positive ones (FP rate ~ (1-e^(-kn/m))^k; false positives
+  * cost only wasted confirm work, never wrong output).
+  *
+  * Hashing is Kirsch–Mitzenmacher double hashing over two FNV-1a-64
+  * variants: bit_i = (h1 + i·h2) mod m, m a power of two. Both the
+  * aggregate and the membership expression use `BloomHash` — one
+  * definition, no cross-engine drift. Reference for the semantics this
+  * accelerates: benchmark n-gram decontamination as in
+  * cassandra_fs_pp's exact duplicate drops (fs_pp.py:98-103), lifted
+  * to the corpus/benchmark split of an LLM training pipeline.
+  */
+object BloomExpressions {
+
+  private[functions] object BloomHash {
+    // FNV-1a 64-bit, two offset bases → two independent-enough hashes.
+    private final val Prime = 0x100000001b3L
+    private final val Basis1 = 0xcbf29ce484222325L
+    private final val Basis2 = 0x84222325cbf29ce4L
+
+    private def fnv(bytes: Array[Byte], basis: Long): Long = {
+      var h = basis
+      var i = 0
+      while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= Prime; i += 1 }
+      h
+    }
+
+    /** Set/test positions for `s` in an m-bit filter (m = words·64,
+      * power of two), k probes via double hashing. */
+    def positions(s: UTF8String, numWords: Int, k: Int): Array[Int] = {
+      val bytes = s.getBytes
+      val m = numWords.toLong * 64L
+      val h1 = fnv(bytes, Basis1)
+      val h2 = fnv(bytes, Basis2) | 1L // odd step → full-period probing
+      val out = new Array[Int](k)
+      var i = 0
+      while (i < k) {
+        out(i) = (((h1 + i * h2) % m + m) % m).toInt
+        i += 1
+      }
+      out
+    }
+
+    def test(words: ArrayData, numHashes: Int, s: UTF8String): Boolean = {
+      val ps = positions(s, words.numElements(), numHashes)
+      var i = 0
+      while (i < ps.length) {
+        val p = ps(i)
+        if ((words.getLong(p >>> 6) & (1L << (p & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Builds an m-bit Bloom filter over the child strings. Buffer is a
+    * fixed Array[Long]; update sets k bits, merge is a word-wise OR —
+    * commutative/associative/idempotent, so partial aggregation and
+    * AQE re-planning are safe. Output: array<bigint> of m/64 words. */
+  case class BloomFilterAgg(
+      child: Expression, numBits: Int, numHashes: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+
+    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+      "numBits must be a power of two >= 64")
+    require(numHashes > 0, "numHashes must be positive")
+    private def numWords: Int = numBits / 64
+
+    override def prettyName: String = "graft_bloom_filter"
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](numWords)
+
+    override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val ps = BloomHash.positions(
+          v.asInstanceOf[UTF8String], numWords, numHashes)
+        var i = 0
+        while (i < ps.length) {
+          val p = ps(i)
+          b(p >>> 6) |= 1L << (p & 63)
+          i += 1
+        }
+      }
+      b
+    }
+
+    override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b.length) { b(i) |= o(i); i += 1 }
+      b
+    }
+
+    override def eval(b: Array[Long]): Any =
+      new GenericArrayData(b.map(x => x: Any))
+
+    override def serialize(b: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(b.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      bb.asLongBuffer().put(b)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val out = new Array[Long](bytes.length / 8)
+      ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        .asLongBuffer().get(out)
+      out
+    }
+
+    override def withNewMutableAggBufferOffset(n: Int): BloomFilterAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): BloomFilterAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(
+        newChild: Expression): BloomFilterAgg = copy(child = newChild)
+  }
+
+  /** Membership probe against a `BloomFilterAgg` bitmap. True → maybe
+    * present (confirm exactly downstream); false → DEFINITELY absent. */
+  case class BloomMightContainExpr(
+      left: Expression, right: Expression, numHashes: Int)
+    extends BinaryExpression with CodegenFallback {
+    override def prettyName: String = "graft_bloom_might_contain"
+    override def dataType: DataType = BooleanType
+    protected override def nullSafeEval(bits: Any, v: Any): Any =
+      BloomHash.test(bits.asInstanceOf[ArrayData], numHashes,
+        v.asInstanceOf[UTF8String])
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Column entry points. `numBits` power of two; `numHashes` must match
+    * between build and probe. */
+  def bloomFilter(c: Column, numBits: Int, numHashes: Int): Column =
+    GraftColumnBridge.column(
+      BloomFilterAgg(GraftColumnBridge.expression(c), numBits, numHashes)
+        .toAggregateExpression())
+
+  def bloomMightContain(bits: Column, v: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(BloomMightContainExpr(
+      GraftColumnBridge.expression(bits),
+      GraftColumnBridge.expression(v), numHashes))
+}

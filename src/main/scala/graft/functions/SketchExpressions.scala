@@ -364,6 +364,61 @@ object SketchExpressions {
       : Expression = copy(child = newChild)
   }
 
+  /** Shannon entropy (bits/char) of the character distribution — the
+    * gibberish/repetition quality signal (low entropy = repeated
+    * boilerplate, high = random noise; natural text sits ~4 bits).
+    *
+    * One map-side pass per document: an int[128] table for ASCII plus a
+    * HashMap spill for anything wider, folded as
+    * H = log2(n) − (Σ cᵢ·log2 cᵢ)/n — that form sums integer-derived
+    * terms, so the result is independent of bucket iteration order
+    * (declarative twin: explode(chars)→two groupBys shuffles O(corpus
+    * chars) twice; this kernel never leaves the scan stage). */
+  case class CharEntropyExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_char_entropy"
+
+    private val Log2 = math.log(2.0)
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val n = text.length
+      if (n == 0) return 0.0
+      val ascii = new Array[Int](128)
+      var wide: java.util.HashMap[Character, Int] = null
+      var i = 0
+      while (i < n) {
+        val c = text.charAt(i)
+        if (c < 128) ascii(c) += 1
+        else {
+          if (wide == null) wide = new java.util.HashMap[Character, Int]()
+          wide.merge(c, 1, Integer.sum _)
+        }
+        i += 1
+      }
+      var s = 0.0
+      var j = 0
+      while (j < 128) {
+        val c = ascii(j)
+        if (c > 1) s += c * math.log(c.toDouble) / Log2
+        j += 1
+      }
+      if (wide != null) {
+        val it = wide.values().iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          if (c > 1) s += c * math.log(c.toDouble) / Log2
+        }
+      }
+      math.log(n.toDouble) / Log2 - s / n
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+  }
+
   // Column-level entry points --------------------------------------
 
   def minhashSig(shingles: Column, k: Int): Column =
@@ -399,4 +454,8 @@ object SketchExpressions {
   def textStats(text: Column): Column =
     GraftColumnBridge.column(
       TextStatsExpr(GraftColumnBridge.expression(text)))
+
+  def charEntropy(text: Column): Column =
+    GraftColumnBridge.column(
+      CharEntropyExpr(GraftColumnBridge.expression(text)))
 }
