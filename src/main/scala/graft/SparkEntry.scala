@@ -1288,6 +1288,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("__nt")).cast("long").as("n_tokens"))),
 
+    // Bloom-prefiltered decontamination — same answer as the exact
+    // 3-gram join (t13), gated against the SAME exact-join oracle: a
+    // Bloom filter has no false negatives, so prefilter + exact
+    // confirm ≡ exact. The eval-set grams reduce to one 64 KiB bitmap
+    // (mergeable partial agg), broadcast as a 1-row cross join, and the
+    // corpus grams are filtered MAP-SIDE before the join — at 100 TB
+    // the shuffle carries only bloom-positive grams (FP rate ~0.6% at
+    // k=5, m/n≈10) instead of every gram in the corpus.
+    "t40_bloom_decontam" -> ((s, dir) => {
+      import graft.functions.{BloomExpressions, SketchExpressions}
+      val sh = T(s, dir, "documents")
+        .select(col("doc_id"),
+          SketchExpressions.wordShingles(TextOps.tokens(col("text")), 3)
+            .as("sh"))
+      val evalGrams = sh.where(col("doc_id") % 97 === 0)
+        .select(explode(col("sh")).as("g")).distinct()
+      val bloom = evalGrams.agg(
+        BloomExpressions.bloomFilter(col("g"), 1 << 19, 5).as("__bf"))
+      sh.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .crossJoin(broadcast(bloom))
+        .where(BloomExpressions.bloomMightContain(col("__bf"), col("g"), 5))
+        .join(broadcast(evalGrams), Seq("g"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_hits"))
+    }),
+
+    // Per-document character entropy (CharEntropyExpr): the gibberish /
+    // boilerplate quality signal. Single map-side pass per document —
+    // the declarative twin would explode every character through two
+    // shuffles. Oracle recomputes H = log2(n) − Σc·log2(c)/n in DuckDB
+    // from exact per-char counts.
+    "t41_char_entropy" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          round(graft.functions.SketchExpressions.charEntropy(col("text")), 6)
+            .as("entropy"))),
+
     // X1 — the path-dependent depth recurrence (no SQL equivalent →
     // rows-only check here; semantics golden-tested in UdgDepthSpec).
     // A smoothed hourly series drives two "sensor installs"; state is
@@ -2528,5 +2566,36 @@ object SparkEntry {
              x -> len(x) > 0)) AS BIGINT) AS nt
            FROM documents)
          GROUP BY bucket""",
+    // Bloom prefilter must be invisible in the answer: the oracle is
+    // the EXACT join, identical to t13's.
+    "t40_bloom_decontam" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN generate_series(1, len(toks)-2)] AS s
+           FROM t WHERE len(toks) >= 3),
+         ev AS (
+           SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+         tr AS (
+           SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
+         SELECT tr.doc_id, count(DISTINCT tr.g) AS n_hits
+         FROM tr JOIN ev ON tr.g = ev.g
+         GROUP BY tr.doc_id""",
+    "t41_char_entropy" ->
+      """WITH c AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS ch
+           FROM documents),
+         f AS (
+           SELECT doc_id, ch, count(*) AS c FROM c GROUP BY doc_id, ch),
+         s AS (
+           SELECT doc_id, sum(c) AS n,
+             sum(c * log2(c)) AS t
+           FROM f GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(round(log2(s.n) - s.t / s.n, 6), 0.0) AS entropy
+         FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
   )
 }

@@ -5,6 +5,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -36,10 +37,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object BloomExpressions {
 
   private[functions] object BloomHash {
-    // FNV-1a 64-bit, two offset bases → two independent-enough hashes.
     private final val Prime = 0x100000001b3L
-    private final val Basis1 = 0xcbf29ce484222325L
-    private final val Basis2 = 0x84222325cbf29ce4L
+    private final val Basis = 0xcbf29ce484222325L
 
     private def fnv(bytes: Array[Byte], basis: Long): Long = {
       var h = basis
@@ -48,13 +47,23 @@ object BloomExpressions {
       h
     }
 
+    // splitmix64 finalizer: full-avalanche bit mix, so h2 carries no
+    // linear relationship to h1 — the Kirsch–Mitzenmacher double-hash
+    // scheme needs the two to be independent or the FP rate inflates.
+    private def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+
     /** Set/test positions for `s` in an m-bit filter (m = words·64,
       * power of two), k probes via double hashing. */
     def positions(s: UTF8String, numWords: Int, k: Int): Array[Int] = {
       val bytes = s.getBytes
       val m = numWords.toLong * 64L
-      val h1 = fnv(bytes, Basis1)
-      val h2 = fnv(bytes, Basis2) | 1L // odd step → full-period probing
+      val h1 = fnv(bytes, Basis)
+      val h2 = mix(h1) | 1L // odd step → full-period probing
       val out = new Array[Int](k)
       var i = 0
       while (i < k) {
@@ -86,6 +95,15 @@ object BloomExpressions {
       inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]]
     with UnaryLike[Expression] {
+
+    // AbstractDataType (the ExpectsInputTypes route) is private[sql];
+    // an explicit check gives the same analysis-time failure.
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case _: StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string child, got ${other.catalogString}")
+      }
 
     require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
       "numBits must be a power of two >= 64")
@@ -152,6 +170,14 @@ object BloomExpressions {
     extends BinaryExpression with CodegenFallback {
     override def prettyName: String = "graft_bloom_might_contain"
     override def dataType: DataType = BooleanType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), _: StringType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint>, string), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+      }
     protected override def nullSafeEval(bits: Any, v: Any): Any =
       BloomHash.test(bits.asInstanceOf[ArrayData], numHashes,
         v.asInstanceOf[UTF8String])
