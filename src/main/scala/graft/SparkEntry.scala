@@ -1326,6 +1326,51 @@ object SparkEntry {
           round(graft.functions.SketchExpressions.charEntropy(col("text")), 6)
             .as("entropy"))),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis):
+    // rank by u^(1/w) ⇔ ln(u)/w with u a DETERMINISTIC per-doc uniform
+    // from the first 52 md5 bits (exact in a double on both engines —
+    // same trick as a2), w = token count. Top-25 is a
+    // TakeOrderedAndProject: map-side per-partition heaps, only 25
+    // rows per partition reach the driver — no global sort at 100 TB.
+    // The length-weighted variant of the quality-weighted subsampling
+    // a mixture builder runs.
+    "t42_weighted_sample" -> ((s, dir) => {
+      val w = size(filter(TextOps.tokensLower(col("text")),
+        t => length(t) > 0)).cast("double")
+      val u = (conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("|ws"))), 1, 13),
+          16, 10).cast("double") + 1.0) / lit(4503599627370496.0)
+      T(s, dir, "documents")
+        .select(col("doc_id"), w.as("__w"), (log(u) / w).as("__key"))
+        .orderBy(col("__key").desc, col("doc_id"))
+        .limit(25)
+        .select(col("doc_id"), col("__w").cast("long").as("n_tokens"))
+    }),
+
+    // Vocabulary-growth (Heaps' law) curve over word BIGRAMS (the
+    // unigram vocab of the synthetic corpus saturates in <10 docs):
+    // new distinct bigrams per 50-doc bucket of first occurrence +
+    // the running vocabulary size. One vocabulary-keyed agg (min
+    // first_doc per bigram — partial map-side), then a bucket-count
+    // agg whose output is curve-sized, so the unpartitioned
+    // running-sum window is over ~n_docs/50 rows, never corpus-sized.
+    // The corpus-diversity diagnostic for dedup and mixture policy.
+    "t43_vocab_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(graft.functions.SketchExpressions
+            .wordShingles(TextOps.tokens(col("text")), 2))).as("term"))
+        .groupBy("term").agg(min("doc_id").as("__fd"))
+        .groupBy(floor(col("__fd") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("new_terms"))
+        .withColumn("vocab",
+          sum("new_terms").over(
+            Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+    }),
+
     // X1 — the path-dependent depth recurrence (no SQL equivalent →
     // rows-only check here; semantics golden-tested in UdgDepthSpec).
     // A smoothed hourly series drives two "sensor installs"; state is
@@ -2597,5 +2642,38 @@ object SparkEntry {
          SELECT d.doc_id,
            COALESCE(round(log2(s.n) - s.t / s.n, 6), 0.0) AS entropy
          FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
+    "t42_weighted_sample" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(list_filter(
+               string_split_regex(lower(text), '\s+'),
+               x -> len(x) > 0)) AS DOUBLE) AS w,
+             (CAST(('0x' || substr(
+                 md5(doc_id::VARCHAR || '|ws'), 1, 13)) AS UBIGINT)::DOUBLE
+               + 1) / 4503599627370496.0 AS u
+           FROM documents)
+         SELECT doc_id, CAST(w AS BIGINT) AS n_tokens
+         FROM d ORDER BY ln(u) / w DESC, doc_id LIMIT 25""",
+    "t43_vocab_growth" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             [array_to_string(toks[i:i+1], ' ')
+              FOR i IN generate_series(1, len(toks)-1)] AS bg
+           FROM t WHERE len(toks) >= 2),
+         f AS (
+           SELECT term, min(doc_id) AS fd
+           FROM (SELECT doc_id, unnest(list_distinct(bg)) AS term FROM g)
+           GROUP BY term),
+         b AS (
+           SELECT fd // 50 AS bucket, count(*) AS new_terms
+           FROM f GROUP BY bucket)
+         SELECT bucket, new_terms,
+           CAST(sum(new_terms) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS vocab
+         FROM b""",
   )
 }

@@ -85,6 +85,31 @@ object Streaming {
       .drop("__sh")
   }
 
+  /** Streaming decontamination gate: quarantine any streamed document
+    * sharing a word 3-gram with the (static) eval/benchmark set. The
+    * eval grams fold into ONE Bloom bitmap at stream-definition time
+    * (a single static action); each microbatch then tests its grams
+    * against the bitmap as a LITERAL — pure map-side, no state, no
+    * stream-static join, so the gate costs a scan at any rate.
+    * Contract: a Bloom filter has no false negatives, so every truly
+    * contaminated document is flagged; false positives (~(1-e^(-kn/m))^k)
+    * quarantine a few clean documents for the exact batch confirm
+    * (t40's join) downstream — `keepClean` picks which side streams on. */
+  def decontaminateStream(in: DataFrame, textCol: String,
+                          evalGrams: DataFrame, gramCol: String = "g",
+                          numBits: Int = 1 << 19, numHashes: Int = 5,
+                          keepClean: Boolean = true): DataFrame = {
+    import graft.functions.{BloomExpressions, SketchExpressions}
+    val bitmap = evalGrams
+      .agg(BloomExpressions.bloomFilter(col(gramCol), numBits, numHashes))
+      .head().getSeq[Long](0).toArray
+    val hit = exists(
+      SketchExpressions.wordShingles(
+        graft.ops.TextOps.tokens(col(textCol)), 3),
+      g => BloomExpressions.bloomMightContain(lit(bitmap), g, numHashes))
+    in.where(if (keepClean) !hit else hit)
+  }
+
   /** Stream-static enrichment: every microbatch left-joins the static
     * dimension, broadcast so the stream side never shuffles — the
     * standard shape for attaching source mixing weights / calibration

@@ -119,4 +119,20 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning\\(__h".r.findFirstIn(p).isDefined,
       s"expected the hash column as the shuffle key:\n$p")
   }
+
+  test("bloom decontam: prefilter sits below the join, joins broadcast") {
+    val p = plan("t40_bloom_decontam")
+    // the bitmap probe must run as a Filter on the corpus branch —
+    // BEFORE the exact confirm join, so bloom-negative grams never
+    // reach the shuffle/join at all
+    val filterAt = p.indexOf("graft_bloom_might_contain")
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    assert(filterAt >= 0, s"bloom probe not in plan:\n$p")
+    assert(joinAt >= 0 && joinAt < filterAt,
+      s"bloom probe must be under (after in dump order) the confirm join:\n$p")
+    // both the 1-row bitmap and the eval-gram dim go over broadcasts;
+    // the corpus side must never sort-merge
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("graft_bloom_filter"), p)
+  }
 }

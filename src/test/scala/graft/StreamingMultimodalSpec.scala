@@ -67,6 +67,33 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(n === 2)
   }
 
+  test("streaming bloom decontamination: contaminated docs never pass") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val evalDocs = Seq(
+      "what is the capital of france paris obviously",
+      "compute the square root of a negative number")
+    val evalGrams = evalDocs.toDF("text")
+      .select(explode(graft.functions.SketchExpressions.wordShingles(
+        graft.ops.TextOps.tokens($"text"), 3)).as("g")).distinct()
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streaming.decontaminateStream(
+      input.toDS().toDF("ts", "text"), "text", evalGrams)
+      .writeStream.format("memory").queryName("decontamout")
+      .outputMode("append").start()
+    input.addData(
+      (t(0), "students asked what is the capital of france today"),
+      (t(1), "an unrelated essay on alpine glacier hydrology and melt"),
+      (t(2), "you must compute the square root of a negative number here"))
+    q.processAllAvailable()
+    val kept = spark.table("decontamout").select("text")
+      .collect().map(_.getString(0)).toSet
+    q.stop()
+    // no false negatives: both benchmark-overlapping docs are gone
+    assert(kept.forall(_.contains("glacier")))
+    assert(kept.size === 1)
+  }
+
   test("stream-static enrichment broadcast-joins the dimension per batch") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
