@@ -419,6 +419,39 @@ object SketchExpressions {
       : Expression = copy(child = newChild)
   }
 
+  /** Deflate compression ratio (compressed/raw bytes) — the
+    * redundancy quality signal production corpus filters pair with
+    * entropy: templated/boilerplate text compresses far below clean
+    * prose, machine-generated noise barely compresses at all. Level 6,
+    * raw-deflate (no gzip header) so the ratio is a pure redundancy
+    * measure. Deterministic for a fixed JDK zlib, but NOT
+    * engine-portable (DuckDB has no deflate) → rows-only oracle check;
+    * golden-tested in BloomSpec. One map-side pass, byte-bounded
+    * scratch. */
+  case class CompressRatioExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_compress_ratio"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String].getBytes
+      if (raw.isEmpty) return 1.0
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(raw)
+        d.finish()
+        val buf = new Array[Byte](1024)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        total.toDouble / raw.length
+      } finally d.end()
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+  }
+
   // Column-level entry points --------------------------------------
 
   def minhashSig(shingles: Column, k: Int): Column =
@@ -458,4 +491,8 @@ object SketchExpressions {
   def charEntropy(text: Column): Column =
     GraftColumnBridge.column(
       CharEntropyExpr(GraftColumnBridge.expression(text)))
+
+  def compressRatio(text: Column): Column =
+    GraftColumnBridge.column(
+      CompressRatioExpr(GraftColumnBridge.expression(text)))
 }
