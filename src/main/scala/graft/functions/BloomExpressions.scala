@@ -40,6 +40,27 @@ object BloomExpressions {
     private final val Prime = 0x100000001b3L
     private final val Basis = 0xcbf29ce484222325L
 
+    // Word 0 of every bitmap is a self-describing header:
+    // magic "GBLM" in the high 32 bits | format version | k in the low
+    // 16. The probe reads k from the sketch itself (as Spark's own
+    // BloomFilterAggregate serializes numHashFunctions), so a probe
+    // can never run with a different k than the build — which would
+    // silently void the no-false-negative guarantee the
+    // decontamination gate's safety argument rests on.
+    private final val Magic = 0x47424C4DL // "GBLM"
+    final val Version = 1L
+
+    def header(k: Int): Long = (Magic << 32) | (Version << 16) | k.toLong
+
+    /** Extract k from a header word; reject anything that is not a
+      * graft bloom bitmap (wrong magic / version / absurd k). */
+    def headerK(h: Long): Int = {
+      require((h >>> 32) == Magic && ((h >>> 16) & 0xffffL) == Version,
+        f"not a graft bloom bitmap (header 0x$h%016x): probe input must " +
+          "be the unmodified output of graft_bloom_filter")
+      (h & 0xffffL).toInt
+    }
+
     private def fnv(bytes: Array[Byte], basis: Long): Long = {
       var h = basis
       var i = 0
@@ -73,12 +94,16 @@ object BloomExpressions {
       out
     }
 
-    def test(words: ArrayData, numHashes: Int, s: UTF8String): Boolean = {
-      val ps = positions(s, words.numElements(), numHashes)
+    /** Membership test against a header-carrying bitmap: k comes from
+      * word 0, the filter bits live in words 1..n. */
+    def test(words: ArrayData, s: UTF8String): Boolean = {
+      val k = headerK(words.getLong(0))
+      val ps = positions(s, words.numElements() - 1, k)
       var i = 0
       while (i < ps.length) {
         val p = ps(i)
-        if ((words.getLong(p >>> 6) & (1L << (p & 63))) == 0L) return false
+        if ((words.getLong(1 + (p >>> 6)) & (1L << (p & 63))) == 0L)
+          return false
         i += 1
       }
       true
@@ -115,8 +140,13 @@ object BloomExpressions {
       ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
 
-    override def createAggregationBuffer(): Array[Long] =
-      new Array[Long](numWords)
+    // Buffer layout: [header | filter words]. The header travels with
+    // every partial, so merge and the final probe are self-describing.
+    override def createAggregationBuffer(): Array[Long] = {
+      val b = new Array[Long](numWords + 1)
+      b(0) = BloomHash.header(numHashes)
+      b
+    }
 
     override def update(b: Array[Long], input: InternalRow): Array[Long] = {
       val v = child.eval(input)
@@ -126,7 +156,7 @@ object BloomExpressions {
         var i = 0
         while (i < ps.length) {
           val p = ps(i)
-          b(p >>> 6) |= 1L << (p & 63)
+          b(1 + (p >>> 6)) |= 1L << (p & 63)
           i += 1
         }
       }
@@ -134,7 +164,8 @@ object BloomExpressions {
     }
 
     override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
-      var i = 0
+      require(b(0) == o(0), "bloom partials built with different params")
+      var i = 1
       while (i < b.length) { b(i) |= o(i); i += 1 }
       b
     }
@@ -164,9 +195,10 @@ object BloomExpressions {
   }
 
   /** Membership probe against a `BloomFilterAgg` bitmap. True → maybe
-    * present (confirm exactly downstream); false → DEFINITELY absent. */
-  case class BloomMightContainExpr(
-      left: Expression, right: Expression, numHashes: Int)
+    * present (confirm exactly downstream); false → DEFINITELY absent.
+    * k is read from the bitmap's header word, never supplied by the
+    * caller — a mismatched probe cannot be expressed. */
+  case class BloomMightContainExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
     override def prettyName: String = "graft_bloom_might_contain"
     override def dataType: DataType = BooleanType
@@ -179,22 +211,22 @@ object BloomExpressions {
             s"(${l.catalogString}, ${r.catalogString})")
       }
     protected override def nullSafeEval(bits: Any, v: Any): Any =
-      BloomHash.test(bits.asInstanceOf[ArrayData], numHashes,
+      BloomHash.test(bits.asInstanceOf[ArrayData],
         v.asInstanceOf[UTF8String])
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
 
-  /** Column entry points. `numBits` power of two; `numHashes` must match
-    * between build and probe. */
+  /** Column entry points. `numBits` power of two; the probe reads
+    * `numHashes` back out of the bitmap header. */
   def bloomFilter(c: Column, numBits: Int, numHashes: Int): Column =
     GraftColumnBridge.column(
       BloomFilterAgg(GraftColumnBridge.expression(c), numBits, numHashes)
         .toAggregateExpression())
 
-  def bloomMightContain(bits: Column, v: Column, numHashes: Int): Column =
+  def bloomMightContain(bits: Column, v: Column): Column =
     GraftColumnBridge.column(BloomMightContainExpr(
       GraftColumnBridge.expression(bits),
-      GraftColumnBridge.expression(v), numHashes))
+      GraftColumnBridge.expression(v)))
 }
