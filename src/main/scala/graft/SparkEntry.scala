@@ -1309,7 +1309,7 @@ object SparkEntry {
       sh.where(col("doc_id") % 97 =!= 0)
         .select(col("doc_id"), explode(col("sh")).as("g"))
         .crossJoin(broadcast(bloom))
-        .where(BloomExpressions.bloomMightContain(col("__bf"), col("g"), 5))
+        .where(BloomExpressions.bloomMightContain(col("__bf"), col("g")))
         .join(broadcast(evalGrams), Seq("g"))
         .groupBy("doc_id")
         .agg(countDistinct(col("g")).as("n_hits"))

@@ -113,7 +113,8 @@ object BloomExpressions {
   /** Builds an m-bit Bloom filter over the child strings. Buffer is a
     * fixed Array[Long]; update sets k bits, merge is a word-wise OR —
     * commutative/associative/idempotent, so partial aggregation and
-    * AQE re-planning are safe. Output: array<bigint> of m/64 words. */
+    * AQE re-planning are safe. Output: array<bigint> of m/64 + 1 words —
+    * word 0 is the self-describing header (magic | version | k). */
   case class BloomFilterAgg(
       child: Expression, numBits: Int, numHashes: Int,
       mutableAggBufferOffset: Int = 0,
@@ -132,7 +133,8 @@ object BloomExpressions {
 
     require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
       "numBits must be a power of two >= 64")
-    require(numHashes > 0, "numHashes must be positive")
+    require(numHashes > 0 && numHashes <= 0xffff,
+      "numHashes must be in [1, 65535] (k is stored in a 16-bit header field)")
     private def numWords: Int = numBits / 64
 
     override def prettyName: String = "graft_bloom_filter"

@@ -106,7 +106,7 @@ object Streaming {
     val hit = exists(
       SketchExpressions.wordShingles(
         graft.ops.TextOps.tokens(col(textCol)), 3),
-      g => BloomExpressions.bloomMightContain(lit(bitmap), g, numHashes))
+      g => BloomExpressions.bloomMightContain(lit(bitmap), g))
     in.where(if (keepClean) !hit else hit)
   }
 

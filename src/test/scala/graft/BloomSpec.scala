@@ -31,7 +31,7 @@ class BloomSpec extends SparkSpec {
       val bloom = df.agg(
         BloomExpressions.bloomFilter($"g", 1 << 12, 5).as("bf"))
       val missed = df.crossJoin(bloom)
-        .where(!BloomExpressions.bloomMightContain($"bf", $"g", 5))
+        .where(!BloomExpressions.bloomMightContain($"bf", $"g"))
         .count()
       assert(missed === 0L)
     }
@@ -52,7 +52,7 @@ class BloomSpec extends SparkSpec {
     val bloom = inserted.agg(
       BloomExpressions.bloomFilter($"g", 4096, 5).as("bf"))
     val fp = probes.crossJoin(bloom)
-      .where(BloomExpressions.bloomMightContain($"bf", $"p", 5))
+      .where(BloomExpressions.bloomMightContain($"bf", $"p"))
       .count()
     // theoretical FP at m/n=8, k=5 is ~2.2%; allow wide slack
     assert(fp.toDouble / n < 0.10, s"fp rate ${fp.toDouble / n}")
@@ -67,7 +67,7 @@ class BloomSpec extends SparkSpec {
       .agg(BloomExpressions.bloomFilter($"g", 1024, 3).as("bf"))
     intercept[AnalysisException] {
       ints.crossJoin(bloom)
-        .select(BloomExpressions.bloomMightContain($"bf", $"x", 3))
+        .select(BloomExpressions.bloomMightContain($"bf", $"x"))
         .collect()
     }
   }
