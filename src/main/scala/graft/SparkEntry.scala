@@ -882,21 +882,34 @@ object SparkEntry {
 
     // Inverted index: term → sorted distinct posting list + document
     // frequency, posting lists serialized as csv strings so the compare
-    // is engine-portable. Explode → one agg shuffle keyed by term;
-    // partial map-side distinct bounds the shuffle by vocabulary ×
-    // docs-per-term, not corpus tokens. (At 100 TB, posting lists for
-    // stopword-grade terms are the skew risk — cap or stoplist them;
-    // here df is bounded by the synthetic vocab.)
-    "t22_inverted_index" -> ((s, dir) =>
-      T(s, dir, "documents")
+    // is engine-portable. At 100 TB a stopword-grade term's posting
+    // list is a single-reducer OOM, so the cap is enforced BEFORE any
+    // collect_list buffer exists: pass 1 computes df per term (count
+    // only — partial map-side, skew-safe), pass 2 collects postings
+    // ONLY for terms whose df is under the cap (the join bounds every
+    // buffer by maxDf); over-cap terms keep their exact df, an empty
+    // list and truncated=1. Both joins/aggs share the term key, so
+    // AQE reuses the exchange.
+    "t22_inverted_index" -> ((s, dir) => {
+      val maxDf = 64L
+      val pairs = T(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(TextOps.tokensLower(col("text"))))
             .as("term"))
         .where(length(col("term")) > 0)
+      val dfreq = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+      val kept = pairs
+        .join(dfreq.where(col("df") <= maxDf), Seq("term"))
         .groupBy("term")
-        .agg(count(lit(1)).as("df"),
+        .agg(max(col("df")).as("df"),
           concat_ws(",", sort_array(collect_list(col("doc_id"))))
-            .as("postings"))),
+            .as("postings"))
+        .withColumn("truncated", lit(0L))
+      val capped = dfreq.where(col("df") > maxDf)
+        .select(col("term"), col("df"),
+          lit("").as("postings"), lit(1L).as("truncated"))
+      kept.unionByName(capped)
+    }),
 
     // Cross-document boilerplate: pseudo-lines (10-token chunks)
     // occurring in more than one document — the corpus-level line-dedup
@@ -1342,6 +1355,10 @@ object SparkEntry {
           16, 10).cast("double") + 1.0) / lit(4503599627370496.0)
       T(s, dir, "documents")
         .select(col("doc_id"), w.as("__w"), (log(u) / w).as("__key"))
+        // w=0 (empty doc) ⇒ ln(u)/0 = -Inf/NaN, and NaN sorts differently
+        // in Spark vs DuckDB; a zero-weight item has sample probability 0
+        // under Efraimidis–Spirakis anyway, so drop it before ranking.
+        .where(col("__w") > 0)
         .orderBy(col("__key").desc, col("doc_id"))
         .limit(25)
         .select(col("doc_id"), col("__w").cast("long").as("n_tokens"))
@@ -2269,11 +2286,16 @@ object SparkEntry {
       """WITH u AS (
            SELECT DISTINCT doc_id,
              unnest(string_split_regex(lower(text), '\s+')) AS term
-           FROM documents)
-         SELECT term, count(*) AS df,
-           array_to_string(list_sort(list(doc_id)), ',') AS postings
-         FROM u WHERE len(term) > 0
-         GROUP BY term""",
+           FROM documents),
+         g AS (
+           SELECT term, count(*) AS df, list_sort(list(doc_id)) AS p
+           FROM u WHERE len(term) > 0
+           GROUP BY term)
+         SELECT term, df,
+           CASE WHEN df <= 64 THEN array_to_string(p, ',')
+                ELSE '' END AS postings,
+           CAST(df > 64 AS BIGINT) AS truncated
+         FROM g""",
     "t23_boilerplate_lines" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks
@@ -2653,7 +2675,7 @@ object SparkEntry {
                + 1) / 4503599627370496.0 AS u
            FROM documents)
          SELECT doc_id, CAST(w AS BIGINT) AS n_tokens
-         FROM d ORDER BY ln(u) / w DESC, doc_id LIMIT 25""",
+         FROM d WHERE w > 0 ORDER BY ln(u) / w DESC, doc_id LIMIT 25""",
     "t43_vocab_growth" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks

@@ -384,19 +384,23 @@ object SketchExpressions {
 
     protected override def nullSafeEval(input: Any): Any = {
       val text = input.asInstanceOf[UTF8String].toString
-      val n = text.length
-      if (n == 0) return 0.0
+      if (text.isEmpty) return 0.0
       val ascii = new Array[Int](128)
-      var wide: java.util.HashMap[Character, Int] = null
+      // "character" = Unicode codepoint, not UTF-16 code unit — a
+      // surrogate pair (emoji, rare CJK) is ONE symbol, matching any
+      // per-character oracle computed on codepoints.
+      var wide: java.util.HashMap[Integer, Int] = null
+      var n = 0
       var i = 0
-      while (i < n) {
-        val c = text.charAt(i)
+      while (i < text.length) {
+        val c = text.codePointAt(i)
         if (c < 128) ascii(c) += 1
         else {
-          if (wide == null) wide = new java.util.HashMap[Character, Int]()
+          if (wide == null) wide = new java.util.HashMap[Integer, Int]()
           wide.merge(c, 1, Integer.sum _)
         }
-        i += 1
+        n += 1
+        i += Character.charCount(c)
       }
       var s = 0.0
       var j = 0
@@ -425,8 +429,10 @@ object SketchExpressions {
     * prose, machine-generated noise barely compresses at all. Level 6,
     * raw-deflate (no gzip header) so the ratio is a pure redundancy
     * measure. Deterministic for a fixed JDK zlib, but NOT
-    * engine-portable (DuckDB has no deflate) → rows-only oracle check;
-    * golden-tested in BloomSpec. One map-side pass, byte-bounded
+    * engine-portable (DuckDB has no deflate) → no SQL oracle; the
+    * invariants are golden-tested in SketchExprSpec and the gate it
+    * feeds (cleanCorpusStream's minCompress) is spec-tested in
+    * StreamingMultimodalSpec. One map-side pass, byte-bounded
     * scratch. */
   case class CompressRatioExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {

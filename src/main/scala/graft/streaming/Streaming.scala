@@ -56,7 +56,8 @@ object Streaming {
     * state, and it is bounded. */
   def cleanCorpusStream(in: DataFrame, tsCol: String, textCol: String,
                         watermark: String = "1 hour",
-                        minQuality: Double = 0.5): DataFrame = {
+                        minQuality: Double = 0.5,
+                        minCompress: Double = 0.02): DataFrame = {
     import graft.functions.SketchExpressions
     in.withWatermark(tsCol, watermark)
       .withColumn("__h", md5(col(textCol)))
@@ -64,7 +65,13 @@ object Streaming {
       .withColumn("__st", SketchExpressions.textStats(col(textCol)))
       .withColumn("lang_pred", SketchExpressions.langId(col(textCol)))
       .withColumn("q_score", graft.ops.TextOps.qualityScoreFrom(col("__st")))
-      .where(col("q_score") >= minQuality)
+      // redundancy gate paired with the quality score: deflate ratio
+      // below the floor means near-pure repetition (a templated page,
+      // a stuck sensor dumping one token) that the stopword/length
+      // formula can score deceptively well. Prose sits ~0.4; the
+      // default floor only fires on pathological boilerplate.
+      .withColumn("c_ratio", SketchExpressions.compressRatio(col(textCol)))
+      .where(col("q_score") >= minQuality && col("c_ratio") >= minCompress)
       .drop("__st", "__h")
   }
 
@@ -103,10 +110,13 @@ object Streaming {
     val bitmap = evalGrams
       .agg(BloomExpressions.bloomFilter(col(gramCol), numBits, numHashes))
       .head().getSeq[Long](0).toArray
-    val hit = exists(
+    // null text ⇒ exists(...) is null, which `where` drops from BOTH
+    // the keep and the reject side — a silently vanished row. A null
+    // document can't be contaminated: treat it as a non-hit.
+    val hit = coalesce(exists(
       SketchExpressions.wordShingles(
         graft.ops.TextOps.tokens(col(textCol)), 3),
-      g => BloomExpressions.bloomMightContain(lit(bitmap), g))
+      g => BloomExpressions.bloomMightContain(lit(bitmap), g)), lit(false))
     in.where(if (keepClean) !hit else hit)
   }
 

@@ -78,7 +78,9 @@ class BloomSpec extends SparkSpec {
       (1, "abab"),       // two equiprobable symbols → 1 bit
       (2, "abcd"),       // four equiprobable symbols → 2 bits
       (3, "aab"),        // H = log2(3) - (2·log2 2)/3
-      (4, "")            // empty → 0 by convention
+      (4, ""),           // empty → 0 by convention
+      (5, "😀😀😀😀"),   // one CODEPOINT (non-BMP) → 0 bits, not 1
+      (6, "😀a😀a")      // two equiprobable codepoints → 1 bit
     ).toDF("id", "text")
     val got = df.select($"id",
         round(SketchExpressions.charEntropy($"text"), 6).as("h"))
@@ -88,5 +90,7 @@ class BloomSpec extends SparkSpec {
     assert(got(2) === 2.0)
     assert(got(3) === math.rint((math.log(3) / math.log(2) - 2.0 / 3) * 1e6) / 1e6)
     assert(got(4) === 0.0)
+    assert(got(5) === 0.0)
+    assert(got(6) === 1.0)
   }
 }

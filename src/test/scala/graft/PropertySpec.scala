@@ -121,6 +121,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("a1_approx_sketches itself stays within ε of exact on testdata") {
+    // closes the one rows-only oracle gap: run the REAL a1 query on
+    // real events data and gate every estimate against the exact
+    // answer computed on the same rows
+    val dir = "/root/testdata/sf0.001"
+    val a1 = SparkEntry.queries("a1_approx_sketches")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = SparkEntry.queries("a1_approx_sketches")(spark, dir)
+      .sparkSession.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("u"),
+        percentile(col("value"), lit(0.5)).as("p50"),
+        expr("max(value) - min(value)").as("spread"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(a1.keySet === exact.keySet && a1.nonEmpty)
+    exact.foreach { case (g, e) =>
+      val u = e.getAs[Long]("u").toDouble
+      val r = a1(g)
+      assert(math.abs(r.getAs[Long]("approx_users") - u) / u < 0.05,
+        s"$g hll_sketch off: ${r.getAs[Long]("approx_users")} vs $u")
+      assert(
+        math.abs(r.getAs[Long]("approx_users_hllpp") - u) / u < 0.15,
+        s"$g hllpp off: ${r.getAs[Long]("approx_users_hllpp")} vs $u")
+      assert(r.getAs[Long]("n") === e.getAs[Long]("n"))
+      // rank error ≤ n/1000 → value error ≤ spread/100 for the
+      // near-uniform synthetic value column
+      assert(math.abs(r.getAs[Double]("p50_approx") -
+          e.getAs[Double]("p50")) <= e.getAs[Double]("spread") * 0.01,
+        s"$g p50 off")
+    }
+  }
+
   test("ffill limit-n never bridges more than n nulls") {
     forAll(Gen.zip(seriesGen, Gen.choose(0, 4))) {
       case (xs, limit) =>

@@ -143,4 +143,30 @@ class SketchExprSpec extends SparkSpec {
     assert(diff === 0)
     assert(both.head().getString(1).matches("[01]{32}"))
   }
+
+  test("CompressRatioExpr goldens: redundancy orders ratios, edges fixed") {
+    // deterministic high-entropy bytes: md5 hex chain (no RNG in specs)
+    val noise = Iterator.iterate("seed")(s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString).drop(1).take(64).mkString
+    val df = Seq(
+      (0, ""),                       // empty → 1.0 by convention
+      (1, "a" * 4096),               // pure repetition → near-zero
+      (2, "the cat sat on the mat " * 200), // boilerplate → very low
+      (3, noise),                    // hex noise → mid
+      (4, "x")                       // 1 byte: deflate overhead > raw
+    ).toDF("id", "text")
+    val got = df.select($"id",
+        SketchExpressions.compressRatio($"text").as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got(0) === 1.0)
+    assert(got(1) < 0.01, s"pure repetition ${got(1)}")
+    assert(got(2) < 0.05, s"boilerplate ${got(2)}")
+    assert(got(3) > got(2) * 5, s"noise ${got(3)} vs boiler ${got(2)}")
+    assert(got(4) > 1.0)             // tiny inputs inflate — documented
+    // null in → null out (UnaryExpression null-safety)
+    val n = Seq((5, null.asInstanceOf[String])).toDF("id", "text")
+      .select(SketchExpressions.compressRatio($"text")).head()
+    assert(n.isNullAt(0))
+  }
 }

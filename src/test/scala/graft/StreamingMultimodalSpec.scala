@@ -84,14 +84,17 @@ class StreamingMultimodalSpec extends SparkSpec {
     input.addData(
       (t(0), "students asked what is the capital of france today"),
       (t(1), "an unrelated essay on alpine glacier hydrology and melt"),
-      (t(2), "you must compute the square root of a negative number here"))
+      (t(2), "you must compute the square root of a negative number here"),
+      (t(3), null.asInstanceOf[String])) // null text = not contaminated
     q.processAllAvailable()
     val kept = spark.table("decontamout").select("text")
-      .collect().map(_.getString(0)).toSet
+      .collect().map(r => Option(r.getString(0))).toSet
     q.stop()
-    // no false negatives: both benchmark-overlapping docs are gone
-    assert(kept.forall(_.contains("glacier")))
-    assert(kept.size === 1)
+    // no false negatives: both benchmark-overlapping docs are gone;
+    // the null-text row must NOT silently vanish from the keep side
+    assert(kept.size === 2)
+    assert(kept.flatten.forall(_.contains("glacier")))
+    assert(kept.contains(None))
   }
 
   test("stream-static enrichment broadcast-joins the dimension per batch") {
@@ -117,21 +120,26 @@ class StreamingMultimodalSpec extends SparkSpec {
     implicit val sc = spark.sqlContext
     val good = ("the cat and the dog sat in the house and " * 4).trim
     val junk = "zzzz 1234 @@@@"
+    // boilerplate trap: long + stopword-rich scores WELL on q_score,
+    // but is near-pure repetition — only the compression gate sees it
+    val boiler = ("the cat sat on the mat " * 300).trim
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]
     val q = Streaming.cleanCorpusStream(
       input.toDS().toDF("doc_id", "ts", "text"), "ts", "text",
-      minQuality = 0.3)
+      minQuality = 0.3, minCompress = 0.05)
       .writeStream.format("memory").queryName("corpusout")
       .outputMode("append").start()
     // duplicate content (different doc ids) + a low-quality doc
-    input.addData((1L, t(0), good), (2L, t(0), good), (3L, t(1), junk))
+    input.addData((1L, t(0), good), (2L, t(0), good), (3L, t(1), junk),
+      (4L, t(2), boiler))
     q.processAllAvailable()
     val rows = spark.table("corpusout").collect()
     q.stop()
-    assert(rows.length === 1)                     // dup dropped, junk gated
+    assert(rows.length === 1)          // dup dropped, junk + boiler gated
     assert(rows.head.getAs[Long]("doc_id") === 1L)
     assert(rows.head.getAs[String]("lang_pred") === "en")
     assert(rows.head.getAs[Double]("q_score") >= 0.3)
+    assert(rows.head.getAs[Double]("c_ratio") >= 0.05)
   }
 
   test("streaming hourly agg emits a window once its watermark passes") {
