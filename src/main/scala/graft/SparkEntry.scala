@@ -1388,6 +1388,82 @@ object SparkEntry {
             .cast("long"))
     }),
 
+    // Cross-document duplicated-span detection (exact-substring dedup,
+    // Lee et al. 2021 "Deduplicating Training Data Makes Language
+    // Models Better"): 8-token windows whose gram occurs in ≥ 2
+    // distinct documents, merged into maximal spans per document.
+    // Gram df is one map-side-combined agg (vocabulary-sized shuffle);
+    // the span merge windows only over collision hits — the corpus
+    // never self-joins. Span-level output is what lets a pipeline
+    // REDACT duplicated regions instead of dropping whole documents.
+    "t44_dup_spans" -> ((s, dir) => {
+      val n = 8
+      val grams = T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Spans.tokenWindows(TextOps.tokens(col("text")), n))
+            .as("w"))
+        .select(col("doc_id"), col("w.pos").as("pos"),
+          col("w.gram").as("gram"))
+      val dup = grams.groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("__nd"))
+        .where(col("__nd") >= 2)
+      Spans.mergeSpans(
+        grams.join(dup.select("gram"), Seq("gram")).select("doc_id", "pos"),
+        "doc_id", "pos", n)
+    }),
+
+    // Span-level eval decontamination: exact 8-gram collisions against
+    // the held-out set (doc_id % 7 — a denser eval sample than t40's
+    // %97 so span structure is actually exercised), reported as merged
+    // token spans per training doc. Complements t13 (exact full-text),
+    // t31 (fuzzy LSH) and t40 (bloom gate): those flag DOCUMENTS; this
+    // locates the contaminated REGION for redaction. The eval gram set
+    // is eval-sized → broadcast left-semi; the corpus only shuffles
+    // its (few) colliding windows into the span merge.
+    "t45_decontam_spans" -> ((s, dir) => {
+      val n = 8
+      val grams = T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Spans.tokenWindows(TextOps.tokens(col("text")), n))
+            .as("w"))
+        .select(col("doc_id"), col("w.pos").as("pos"),
+          col("w.gram").as("gram"))
+      val evalG = grams.where(col("doc_id") % 7 === 0)
+        .select("gram").distinct()
+      Spans.mergeSpans(
+        grams.where(col("doc_id") % 7 =!= 0)
+          .join(broadcast(evalG), Seq("gram"), "left_semi")
+          .select("doc_id", "pos"),
+        "doc_id", "pos", n)
+    }),
+
+    // Gopher-style rule-based quality gate (Rae et al. 2021, table A1):
+    // named per-document heuristics — word count bounds, mean word
+    // length band, alphabetic-word fraction, minimum stopword hits —
+    // each reported individually so a pipeline can tune thresholds,
+    // plus the combined pass flag. Entirely map-side expression work
+    // over the token array: no shuffle, codegen'd, trivially 100 TB.
+    // Complements t7/t21 (scored quality) with the rule-set form real
+    // curation stacks run first.
+    "t46_gopher_rules" -> ((s, dir) => {
+      val toks = TextOps.tokensLower(col("text"))
+      val nWords = size(toks).cast("long")
+      val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+        .cast("double") / nWords
+      val alphaFrac = size(filter(toks, t => t.rlike("[a-z]")))
+        .cast("double") / nWords
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have",
+        "with", "it", "in")
+      val nStop = size(filter(toks, t => t.isin(stops: _*))).cast("long")
+      T(s, dir, "documents").select(col("doc_id"),
+        nWords.as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(alphaFrac, 6).as("alpha_frac"),
+        nStop.as("n_stop"),
+        (nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+          alphaFrac >= 0.8 && nStop >= 2).cast("long").as("pass"))
+    }),
+
     // X1 — the path-dependent depth recurrence (no SQL equivalent →
     // rows-only check here; semantics golden-tested in UdgDepthSpec).
     // A smoothed hourly series drives two "sensor installs"; state is
@@ -2697,5 +2773,82 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS vocab
          FROM b""",
+    "t44_dup_spans" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+         g AS (
+           SELECT doc_id,
+             unnest([{'p': i, 'g': array_to_string(toks[i:i+7], ' ')}
+                     FOR i IN generate_series(1, len(toks)-7)],
+                    recursive := true)
+           FROM f),
+         d AS (SELECT g FROM g GROUP BY g
+               HAVING count(DISTINCT doc_id) >= 2),
+         h AS (SELECT doc_id, p AS pos, p + 7 AS e
+               FROM g JOIN d USING (g)),
+         i AS (SELECT doc_id, pos, e,
+                 CASE WHEN pos > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1) + 1
+                      THEN 1 ELSE 0 END AS nw
+               FROM h),
+         j AS (SELECT doc_id, pos, e,
+                 sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+               FROM i)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
+         FROM j GROUP BY doc_id, isl""",
+    "t45_decontam_spans" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+         g AS (
+           SELECT doc_id,
+             unnest([{'p': i, 'g': array_to_string(toks[i:i+7], ' ')}
+                     FOR i IN generate_series(1, len(toks)-7)],
+                    recursive := true)
+           FROM f),
+         d AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+         h AS (SELECT doc_id, p AS pos, p + 7 AS e
+               FROM g JOIN d USING (g) WHERE doc_id % 7 <> 0),
+         i AS (SELECT doc_id, pos, e,
+                 CASE WHEN pos > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1) + 1
+                      THEN 1 ELSE 0 END AS nw
+               FROM h),
+         j AS (SELECT doc_id, pos, e,
+                 sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+               FROM i)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
+         FROM j GROUP BY doc_id, isl""",
+    "t46_gopher_rules" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+           FROM documents),
+         m AS (SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / len(toks) AS ml,
+             CAST(len(list_filter(toks,
+                 x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / len(toks) AS af,
+             len(list_filter(toks, x -> x IN ('the','be','to','of','and',
+                 'that','have','with','it','in'))) AS ns
+           FROM t)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round(ml, 6) AS mean_word_len, round(af, 6) AS alpha_frac,
+           CAST(ns AS BIGINT) AS n_stop,
+           CAST(n_words BETWEEN 50 AND 100000 AND ml BETWEEN 3 AND 10
+                AND af >= 0.8 AND ns >= 2 AS BIGINT) AS pass
+         FROM m""",
   )
 }

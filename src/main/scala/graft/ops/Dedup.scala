@@ -170,7 +170,7 @@ object Dedup {
     * its component's minimum node id. Nodes absent from every edge are
     * their own singleton cluster — callers left-join and coalesce. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20, strict: Boolean = false): DataFrame = {
     val a = col(aCol).cast("long"); val b = col(bCol).cast("long")
     // LAZY local checkpoints throughout: the checkpoint still truncates
     // lineage (the iterative-fixpoint requirement) but is materialized
@@ -218,12 +218,18 @@ object Dedup {
     }
     // Unconverged labels are WRONG (chains longer than the propagation
     // reach split one component into several) — surface it, mirroring
-    // how capped LSH buckets are documented as reduced recall.
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+    // how capped LSH buckets are documented as reduced recall. Dedup
+    // pipelines where a split component means silently-kept duplicates
+    // (i.e. data corruption, not reduced recall) pass strict=true to
+    // fail the job instead.
+    if (!converged) {
+      val msg =
         s"connectedComponents: not converged after $maxIter iterations; " +
           "returned labels may split components. Raise maxIter " +
-          "(pointer-jumping needs ~log2(graph diameter) rounds).")
+          "(pointer-jumping needs ~log2(graph diameter) rounds)."
+      if (strict) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     labels
   }
 

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Golden tests for the span machinery behind t44/t45: window
+  * extraction positions and gaps-and-islands merging. */
+class SpansSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("tokenWindows: positions are 1-based, short docs yield empty") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(Spans.tokenWindows(TextOps.tokens(col("text")), 3).as("w"))
+    val got = df.as[Seq[(Long, String)]].collect()
+    assert(got(0) === Seq((1L, "a b c"), (2L, "b c d")))
+    assert(got(1) === Seq.empty)
+  }
+
+  test("mergeSpans: overlapping and adjacent windows merge, gaps split") {
+    // width 3: [1,3] + [2,4] overlap → one span; [6,8] touches [9,11]
+    // (pos 9 = end 8 + 1) → merged; [20,22] is isolated.
+    val hits = Seq((7L, 1L), (7L, 2L), (7L, 6L), (7L, 9L), (7L, 20L),
+      (8L, 5L)).toDF("doc_id", "pos")
+    val got = Spans.mergeSpans(hits, "doc_id", "pos", 3)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Seq(
+      (7L, 1L, 4L, 2L),   // windows at 1,2
+      (7L, 6L, 11L, 2L),  // windows at 6,9 (adjacent coverage)
+      (7L, 20L, 22L, 1L),
+      (8L, 5L, 7L, 1L)))
+  }
+
+  test("duplicated spans: planted cross-doc copy is located exactly") {
+    // docs 1 and 2 share tokens 4..11 of doc 1 (an 8-token run placed
+    // at position 3 in doc 2); every other token is unique per doc.
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $shared u4 u5"),
+      (2L, s"v1 v2 $shared v3 v4 v5"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text")
+    val n = 8
+    val grams = docs.select(col("doc_id"),
+      explode(Spans.tokenWindows(TextOps.tokens(col("text")), n)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.gram").as("gram"))
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd")).where(col("nd") >= 2)
+    val spans = Spans.mergeSpans(
+      grams.join(dup.select("gram"), Seq("gram")).select("doc_id", "pos"),
+      "doc_id", "pos", n).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    // the only shared 8-gram is the planted run: doc 1 tokens 4-11,
+    // doc 2 tokens 3-10; doc 3 has no duplicate
+    assert(spans === Seq((1L, 4L, 11L, 1L), (2L, 3L, 10L, 1L)))
+  }
+}

@@ -30,6 +30,20 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(got.size === 33 && got.values.forall(_ == 0L))
   }
 
+  test("connected components: strict mode throws when propagation is cut short") {
+    // maxIter=1 cannot close a 33-node path; default mode warns and
+    // returns split labels, strict mode refuses to hand them back.
+    val edges = (0L until 32L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val lax = Dedup.connectedComponents(edges, "id_a", "id_b", maxIter = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(lax.values.toSet.size > 1) // genuinely split — the hazard is real
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, "id_a", "id_b", maxIter = 1,
+        strict = true).count()
+    }
+    assert(ex.getMessage.contains("not converged"))
+  }
+
   test("connected components of an empty edge list is empty") {
     val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(edges, "id_a", "id_b").count() === 0)
