@@ -23,12 +23,18 @@ object Bench {
     // execution doesn't (t9_ivf_probe: 8.5 s first run, 1.0 s after).
     // Warmup on sf0.001 cannot precompute sf0.1 work — nothing is
     // cached; only compiled-code state carries over.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // SPARK_GRAFT_ONLY=t44_dup_spans,t45_… restricts the run for local
+    // iteration; the driver never sets it, so round benches stay full.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+    selected.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces every output column to be computed (a bare
       // count() would let Catalyst prune the measured expressions away)

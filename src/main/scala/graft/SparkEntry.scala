@@ -1398,17 +1398,23 @@ object SparkEntry {
     // REDACT duplicated regions instead of dropping whole documents.
     "t44_dup_spans" -> ((s, dir) => {
       val n = 8
+      // Grams hash to 64 bits (md5 prefix — engine-portable) MAP-SIDE
+      // in one kernel pass (WindowHashesExpr: window strings never
+      // materialize): the exploded window table is ~n× the corpus in
+      // gram-string bytes, so both collision-detection shuffles move
+      // 16-byte keys instead of ~50-byte strings. A 64-bit collision
+      // falsely marks one window duplicated — ~n²/2⁶⁵, negligible
+      // against the LSH layers' documented recall caps.
       val grams = T(s, dir, "documents")
         .select(col("doc_id"),
-          explode(Spans.tokenWindows(TextOps.tokens(col("text")), n))
-            .as("w"))
-        .select(col("doc_id"), col("w.pos").as("pos"),
-          col("w.gram").as("gram"))
-      val dup = grams.groupBy("gram")
+          explode(graft.functions.SketchExpressions
+            .windowHashes(TextOps.tokens(col("text")), n)).as("w"))
+        .select(col("doc_id"), col("w.pos").as("pos"), col("w.gh").as("gh"))
+      val dup = grams.groupBy("gh")
         .agg(countDistinct(col("doc_id")).as("__nd"))
         .where(col("__nd") >= 2)
       Spans.mergeSpans(
-        grams.join(dup.select("gram"), Seq("gram")).select("doc_id", "pos"),
+        grams.join(dup.select("gh"), Seq("gh")).select("doc_id", "pos"),
         "doc_id", "pos", n)
     }),
 
@@ -1422,17 +1428,18 @@ object SparkEntry {
     // its (few) colliding windows into the span merge.
     "t45_decontam_spans" -> ((s, dir) => {
       val n = 8
+      // Same 64-bit map-side gram hashing as t44: the broadcast eval
+      // set and the probe both carry 16-byte keys, not gram strings.
       val grams = T(s, dir, "documents")
         .select(col("doc_id"),
-          explode(Spans.tokenWindows(TextOps.tokens(col("text")), n))
-            .as("w"))
-        .select(col("doc_id"), col("w.pos").as("pos"),
-          col("w.gram").as("gram"))
+          explode(graft.functions.SketchExpressions
+            .windowHashes(TextOps.tokens(col("text")), n)).as("w"))
+        .select(col("doc_id"), col("w.pos").as("pos"), col("w.gh").as("gh"))
       val evalG = grams.where(col("doc_id") % 7 === 0)
-        .select("gram").distinct()
+        .select("gh").distinct()
       Spans.mergeSpans(
         grams.where(col("doc_id") % 7 =!= 0)
-          .join(broadcast(evalG), Seq("gram"), "left_semi")
+          .join(broadcast(evalG), Seq("gh"), "left_semi")
           .select("doc_id", "pos"),
         "doc_id", "pos", n)
     }),
@@ -2780,7 +2787,9 @@ object SparkEntry {
          f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
          g AS (
            SELECT doc_id,
-             unnest([{'p': i, 'g': array_to_string(toks[i:i+7], ' ')}
+             unnest([{'p': i,
+                      'g': substr(md5(array_to_string(toks[i:i+7], ' ')),
+                                  1, 16)}
                      FOR i IN generate_series(1, len(toks)-7)],
                     recursive := true)
            FROM f),
@@ -2809,7 +2818,9 @@ object SparkEntry {
          f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
          g AS (
            SELECT doc_id,
-             unnest([{'p': i, 'g': array_to_string(toks[i:i+7], ' ')}
+             unnest([{'p': i,
+                      'g': substr(md5(array_to_string(toks[i:i+7], ' ')),
+                                  1, 16)}
                      FOR i IN generate_series(1, len(toks)-7)],
                     recursive := true)
            FROM f),

@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
@@ -217,6 +217,56 @@ object SketchExpressions {
       val out = new Array[Any](cnt)
       i = 0
       while (i < cnt) { out(i) = hex(buf(i)); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+  }
+
+  /** Position-tagged 64-bit window hashes for span-level exact-substring
+    * matching (t44/t45): element i = struct(pos = 1-based window start,
+    * gh = first 16 hex chars of md5 of the space-joined n-token window).
+    * ≡ `Spans.tokenWindows` + `substring(md5(gram), 1, 16)`
+    * (equivalence: SpansSpec) — but the window string is never
+    * materialized: each window digests incrementally from the token
+    * bytes. The declarative form (transform/slice/concat_ws) runs
+    * interpreted per ELEMENT (higher-order functions are
+    * CodegenFallback); this is one tight loop per row. Empty array
+    * below `n` tokens. */
+  case class WindowHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("pos", LongType, nullable = false),
+        StructField("gh", StringType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "graft_window_hashes"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      if (len < n) return new GenericArrayData(Array.empty[Any])
+      val toks = new Array[Array[Byte]](len)
+      var i = 0
+      while (i < len) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+      val md = MessageDigest.getInstance("MD5")
+      val space = ' '.toByte
+      val out = new Array[Any](len - n + 1)
+      i = 0
+      while (i <= len - n) {
+        md.reset()
+        var j = 0
+        while (j < n) {
+          if (j > 0) md.update(space)
+          md.update(toks(i + j))
+          j += 1
+        }
+        val d = md.digest()
+        out(i) = new GenericInternalRow(Array[Any]((i + 1).toLong,
+          hex(java.util.Arrays.copyOf(d, 8))))
+        i += 1
+      }
       new GenericArrayData(out)
     }
 
@@ -473,6 +523,12 @@ object SketchExpressions {
   def wordShingles(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(
       WordShinglesExpr(GraftColumnBridge.expression(tokens), n))
+
+  /** Takes the raw TOKENS column; position-tagged 64-bit window hashes
+    * (array<struct<pos,gh>>) in one pass. */
+  def windowHashes(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      WindowHashesExpr(GraftColumnBridge.expression(tokens), n))
 
   /** Takes the raw TOKENS column; shingles, hashes and selects bottom-k
     * in one pass. */

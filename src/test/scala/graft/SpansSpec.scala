@@ -18,6 +18,24 @@ class SpansSpec extends SparkSpec {
     assert(got(1) === Seq.empty)
   }
 
+  test("windowHashes kernel ≡ declarative tokenWindows + md5 prefix") {
+    // the t44/t45 hot path must be indistinguishable from the
+    // declarative reference (and hence from the DuckDB oracle)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val kernel = docs.select(col("doc_id"),
+      explode(graft.functions.SketchExpressions.windowHashes(col("toks"), 8))
+        .as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.gh").as("gh"))
+    val ref = docs.select(col("doc_id"),
+      explode(Spans.tokenWindows(col("toks"), 8)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"),
+        substring(md5(col("w.gram")), 1, 16).as("gh"))
+    assert(kernel.count() > 0)
+    assert(kernel.exceptAll(ref).isEmpty && ref.exceptAll(kernel).isEmpty)
+  }
+
   test("mergeSpans: overlapping and adjacent windows merge, gaps split") {
     // width 3: [1,3] + [2,4] overlap → one span; [6,8] touches [9,11]
     // (pos 9 = end 8 + 1) → merged; [20,22] is isolated.
