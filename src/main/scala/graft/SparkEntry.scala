@@ -1444,6 +1444,44 @@ object SparkEntry {
         "doc_id", "pos", n)
     }),
 
+    // Span REDACTION — the consumer of t45's span detection: remove
+    // the contaminated token ranges and rebuild the document, keeping
+    // clean docs byte-identical (n_kept = token count, md5 over the
+    // re-joined text proves the reconstruction end-to-end). After the
+    // span join (contaminated-docs-sized, left), the rebuild is pure
+    // map-side expression work: filter-with-index over the tokens
+    // array vs the per-doc span list. Spark's lambda index is 0-based
+    // (DuckDB's is 1-based) — hence the i+1.
+    "t47_span_redact" -> ((s, dir) => {
+      val n = 8
+      val docs = T(s, dir, "documents")
+      val grams = docs.select(col("doc_id"),
+          explode(graft.functions.SketchExpressions
+            .windowHashes(TextOps.tokens(col("text")), n)).as("w"))
+        .select(col("doc_id"), col("w.pos").as("pos"), col("w.gh").as("gh"))
+      val evalG = grams.where(col("doc_id") % 7 === 0)
+        .select("gh").distinct()
+      val spans = Spans.mergeSpans(
+        grams.where(col("doc_id") % 7 =!= 0)
+          .join(broadcast(evalG), Seq("gh"), "left_semi")
+          .select("doc_id", "pos"),
+        "doc_id", "pos", n)
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("span_start").as("s"),
+          col("span_end").as("e"))).as("spans"))
+      docs.where(col("doc_id") % 7 =!= 0)
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"),
+          coalesce(col("spans"),
+            array().cast("array<struct<s:bigint,e:bigint>>")).as("sp"))
+        .select(col("doc_id"),
+          filter(col("toks"), (t, i) =>
+            !exists(col("sp"),
+              sp => (i + 1) >= sp("s") && (i + 1) <= sp("e"))).as("kept"))
+        .select(col("doc_id"), size(col("kept")).cast("long").as("n_kept"),
+          md5(concat_ws(" ", col("kept"))).as("redacted_md5"))
+    }),
+
     // Gopher-style rule-based quality gate (Rae et al. 2021, table A1):
     // named per-document heuristics — word count bounds, mean word
     // length band, alphabetic-word fraction, minimum stopword hits —
@@ -2841,6 +2879,48 @@ object SparkEntry {
          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
            CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
          FROM j GROUP BY doc_id, isl""",
+    "t47_span_redact" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+         g AS (
+           SELECT doc_id,
+             unnest([{'p': i,
+                      'g': substr(md5(array_to_string(toks[i:i+7], ' ')),
+                                  1, 16)}
+                     FOR i IN generate_series(1, len(toks)-7)],
+                    recursive := true)
+           FROM f),
+         d AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+         h AS (SELECT doc_id, p AS pos, p + 7 AS e
+               FROM g JOIN d USING (g) WHERE doc_id % 7 <> 0),
+         i AS (SELECT doc_id, pos, e,
+                 CASE WHEN pos > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1) + 1
+                      THEN 1 ELSE 0 END AS nw
+               FROM h),
+         j AS (SELECT doc_id, pos, e,
+                 sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+               FROM i),
+         sp AS (SELECT doc_id, min(pos) AS s, max(e) AS e
+                FROM j GROUP BY doc_id, isl),
+         r AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans
+               FROM sp GROUP BY doc_id),
+         base AS (SELECT t.doc_id, t.toks, coalesce(r.spans, []) AS spans
+                  FROM t LEFT JOIN r USING (doc_id)
+                  WHERE t.doc_id % 7 <> 0),
+         k AS (SELECT doc_id,
+                 list_filter(toks, (x, ix) ->
+                   len(list_filter(spans,
+                     s -> ix >= s.s AND ix <= s.e)) = 0) AS kept
+               FROM base)
+         SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS redacted_md5
+         FROM k""",
     "t46_gopher_rules" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks

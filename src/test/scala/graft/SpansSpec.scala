@@ -51,6 +51,26 @@ class SpansSpec extends SparkSpec {
       (8L, 5L, 7L, 1L)))
   }
 
+  test("span redaction removes exactly the covered tokens") {
+    // doc 7: spans [2,4] and [8,9] → keep tokens 1,5,6,7,10
+    // doc 9: no spans → identity
+    val docs = Seq((7L, "a b c d e f g h i j"), (9L, "x y z"))
+      .toDF("doc_id", "text")
+    val spans = Seq((7L, 2L, 4L), (7L, 8L, 9L)).toDF("doc_id", "s", "e")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    val got = docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"),
+        coalesce(col("spans"),
+          array().cast("array<struct<s:bigint,e:bigint>>")).as("sp"))
+      .select(col("doc_id"),
+        concat_ws(" ", filter(col("toks"), (t, i) =>
+          !exists(col("sp"),
+            sp => (i + 1) >= sp("s") && (i + 1) <= sp("e")))).as("kept"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(7L -> "a e f g j", 9L -> "x y z"))
+  }
+
   test("duplicated spans: planted cross-doc copy is located exactly") {
     // docs 1 and 2 share tokens 4..11 of doc 1 (an 8-token run placed
     // at position 3 in doc 2); every other token is unique per doc.
