@@ -120,6 +120,49 @@ object Streaming {
     in.where(if (keepClean) !hit else hit)
   }
 
+  /** Streaming SPAN REDACTION — the stateless twin of the batch
+    * t45→t47 pipeline: instead of quarantining whole documents
+    * (decontaminateStream), rewrite each one with its contaminated
+    * token ranges removed, entirely within the row — no explode, no
+    * stream-side state, no stream-static join, so it runs at any rate.
+    *
+    * Two-tier check, mirroring t40's shape: a Bloom bitmap literal
+    * (no false negatives) gates a per-window EXACT membership test
+    * against the eval window-hash set literal, so the O(|eval|)
+    * array_contains scan only runs for documents the Bloom layer
+    * already flagged — the overwhelmingly-clean stream pays one
+    * map-side Bloom probe per window. Span merging is implicit: a
+    * token is dropped iff ANY hit window covers it (coverage union ≡
+    * merged spans). Both literals fold at stream-definition time from
+    * one static action each; Spark's lambda index is 0-based, hence
+    * the i+1 against 1-based window positions. */
+  def redactStream(in: DataFrame, textCol: String,
+                   evalWindowHashes: DataFrame, ghCol: String = "gh",
+                   n: Int = 8, numBits: Int = 1 << 19,
+                   numHashes: Int = 5,
+                   outCol: String = "text_clean"): DataFrame = {
+    import graft.functions.{BloomExpressions, SketchExpressions}
+    val hashes: Array[String] = evalWindowHashes.select(col(ghCol))
+      .distinct().collect().map(_.getString(0)).sorted
+    val bitmap = evalWindowHashes
+      .agg(BloomExpressions.bloomFilter(col(ghCol), numBits, numHashes))
+      .head().getSeq[Long](0).toArray
+    val toks = graft.ops.TextOps.tokens(col(textCol))
+    val ws = SketchExpressions.windowHashes(toks, n)
+    // null text ⇒ null exists ⇒ treat as clean passthrough (same
+    // contract as decontaminateStream)
+    val maybeHit = coalesce(exists(ws,
+      w => BloomExpressions.bloomMightContain(lit(bitmap), w("gh"))),
+      lit(false))
+    val hitPos = transform(
+      filter(ws, w => array_contains(lit(hashes), w("gh"))),
+      w => w("pos"))
+    val kept = filter(toks, (t, i) =>
+      !exists(hitPos, p => (i + 1) >= p && (i + 1) <= p + (n - 1)))
+    in.withColumn(outCol,
+      when(maybeHit, concat_ws(" ", kept)).otherwise(col(textCol)))
+  }
+
   /** Stream-static enrichment: every microbatch left-joins the static
     * dimension, broadcast so the stream side never shuffles — the
     * standard shape for attaching source mixing weights / calibration

@@ -48,6 +48,33 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(n === 2)
   }
 
+  test("streaming redaction rewrites contaminated spans, passes clean rows") {
+    implicit val sc = spark.sqlContext
+    // eval doc: the 8-token benchmark run; its window hashes are the
+    // static side
+    val evalText = "e1 e2 e3 e4 e5 e6 e7 e8"
+    val evalHashes = Seq(evalText).toDF("text")
+      .select(explode(graft.functions.SketchExpressions
+        .windowHashes(graft.ops.TextOps.tokens(col("text")), 8)).as("w"))
+      .select(col("w.gh").as("gh"))
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.redactStream(
+      input.toDS().toDF("id", "text"), "text", evalHashes)
+      .writeStream.format("memory").queryName("redactout")
+      .outputMode("append").start()
+    input.addData(
+      (1L, s"c1 c2 $evalText c3"), // contaminated mid-document
+      (2L, "clean tokens only here"), // clean: byte-identical passthrough
+      (3L, null.asInstanceOf[String])) // null: survives as clean
+    q.processAllAvailable()
+    val out = spark.table("redactout")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    q.stop()
+    assert(out(1L) === "c1 c2 c3")
+    assert(out(2L) === "clean tokens only here")
+    assert(out(3L) === null)
+  }
+
   test("streaming near-dup drops whitespace-variant duplicates md5 misses") {
     implicit val sc = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog " * 4
