@@ -1509,6 +1509,28 @@ object SparkEntry {
           alphaFrac >= 0.8 && nStop >= 2).cast("long").as("pass"))
     }),
 
+    // Embedding-space covariance (anisotropy / whitening diagnostic):
+    // ONE corpus pass through a custom mergeable TypedImperativeAggregate
+    // (VecCovarianceAgg) whose state is d(d+1)/2+d+1 doubles per
+    // partition — the declarative twin (posexplode ×d² + 4096-group
+    // agg) would multiply every row by d² before the partial agg. The
+    // d×d output explodes into (i, j, cov) rows only AFTER the
+    // aggregate, driver-sized. Retrieval stacks use this matrix to
+    // whiten embeddings before cosine search.
+    "t48_embed_covariance" -> ((s, dir) => {
+      val d = 64
+      T(s, dir, "embeddings")
+        .agg(graft.functions.AggregateExpressions
+          .vecCovariance(col("embedding"), d).as("m"))
+        .select(posexplode(col("m")).as(Seq("k", "c")))
+        .select(expr(s"CAST(k DIV $d AS BIGINT)").as("i"),
+          (col("k") % d).cast("long").as("j"),
+          // + 0.0 folds IEEE −0.0 to +0.0 (a −1e-9 cell rounds to
+          // −0.0; the engines' string forms differ and break the
+          // driver's canonicalized compare)
+          (round(col("c"), 6) + 0.0).as("cov"))
+    }),
+
     // X1 — the path-dependent depth recurrence (no SQL equivalent →
     // rows-only check here; semantics golden-tested in UdgDepthSpec).
     // A smoothed hourly series drives two "sensor installs"; state is
@@ -2879,6 +2901,16 @@ object SparkEntry {
          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
            CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
          FROM j GROUP BY doc_id, isl""",
+    "t48_embed_covariance" ->
+      """WITH e AS (
+           SELECT vec_id, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings)
+         SELECT CAST(a.i - 1 AS BIGINT) AS i, CAST(b.i - 1 AS BIGINT) AS j,
+           round(avg(a.v::DOUBLE * b.v::DOUBLE)
+                 - avg(a.v::DOUBLE) * avg(b.v::DOUBLE), 6) + 0.0 AS cov
+         FROM e a JOIN e b USING (vec_id)
+         GROUP BY 1, 2""",
     "t47_span_redact" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks

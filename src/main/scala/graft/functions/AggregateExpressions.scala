@@ -225,4 +225,134 @@ object AggregateExpressions {
     GraftColumnBridge.column(
       MisraGriesAgg(GraftColumnBridge.expression(c), k)
         .toAggregateExpression())
+
+  /** Mutable moment state for [[VecCovarianceAgg]]: count, per-dim sums
+    * and the upper triangle of Σxxᵀ (d(d+1)/2 doubles). */
+  final class CovBuffer(val dim: Int) {
+    var n: Long = 0L
+    val sum: Array[Double] = new Array[Double](dim)
+    val prod: Array[Double] = new Array[Double](dim * (dim + 1) / 2)
+  }
+
+  /** One-pass POPULATION covariance matrix over a numeric-vector
+    * column — the embedding-space diagnostic behind anisotropy checks
+    * and whitening for cosine retrieval. State is (n, Σx, upper
+    * triangle of Σxxᵀ): O(d²) regardless of group size, so partials
+    * combine map-side and across the shuffle like any built-in —
+    * at 100 TB the corpus is scanned once and only d(d+1)/2+d+1
+    * doubles per partition move. Output: the full symmetric d×d
+    * matrix row-major (array<double>, cov(i,j) = Σxᵢxⱼ/n −
+    * (Σxᵢ/n)(Σxⱼ/n)); null for an empty group. Vectors of the wrong
+    * length throw — a silent skip would corrupt the statistic. */
+  case class VecCovarianceAgg(
+      child: Expression, dim: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CovBuffer]
+    with UnaryLike[Expression] {
+
+    require(dim > 0, "dim must be positive")
+
+    override def prettyName: String = "graft_vec_covariance"
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+
+    @transient private lazy val elemType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def createAggregationBuffer(): CovBuffer = new CovBuffer(dim)
+
+    override def update(b: CovBuffer, input: InternalRow): CovBuffer = {
+      val v = child.eval(input)
+      if (v != null) {
+        val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        require(a.numElements() == dim,
+          s"graft_vec_covariance: expected dim $dim, got ${a.numElements()}")
+        val x = new Array[Double](dim)
+        var i = 0
+        while (i < dim) {
+          x(i) = elemType match {
+            case FloatType  => a.getFloat(i).toDouble
+            case DoubleType => a.getDouble(i)
+            case _          => a.getInt(i).toDouble
+          }
+          i += 1
+        }
+        b.n += 1
+        var k = 0
+        i = 0
+        while (i < dim) {
+          b.sum(i) += x(i)
+          var j = i
+          while (j < dim) { b.prod(k) += x(i) * x(j); j += 1; k += 1 }
+          i += 1
+        }
+      }
+      b
+    }
+
+    override def merge(b: CovBuffer, o: CovBuffer): CovBuffer = {
+      b.n += o.n
+      var i = 0
+      while (i < dim) { b.sum(i) += o.sum(i); i += 1 }
+      i = 0
+      while (i < b.prod.length) { b.prod(i) += o.prod(i); i += 1 }
+      b
+    }
+
+    override def eval(b: CovBuffer): Any = {
+      if (b.n == 0) return null
+      val n = b.n.toDouble
+      val out = new Array[Any](dim * dim)
+      var k = 0
+      var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) {
+          val c = b.prod(k) / n - (b.sum(i) / n) * (b.sum(j) / n)
+          out(i * dim + j) = c
+          out(j * dim + i) = c
+          j += 1; k += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(b: CovBuffer): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 * (1 + dim + b.prod.length))
+      bb.putLong(b.n)
+      b.sum.foreach(bb.putDouble)
+      b.prod.foreach(bb.putDouble)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): CovBuffer = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val b = new CovBuffer(dim)
+      b.n = bb.getLong
+      var i = 0
+      while (i < dim) { b.sum(i) = bb.getDouble; i += 1 }
+      i = 0
+      while (i < b.prod.length) { b.prod(i) = bb.getDouble; i += 1 }
+      b
+    }
+
+    override def withNewMutableAggBufferOffset(
+        newOffset: Int): VecCovarianceAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(
+        newOffset: Int): VecCovarianceAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(
+        newChild: Expression): VecCovarianceAgg = copy(child = newChild)
+  }
+
+  /** Column entry point: population covariance matrix (row-major d×d
+    * array<double>) of a `dim`-length vector column. */
+  def vecCovariance(c: Column, dim: Int): Column =
+    GraftColumnBridge.column(
+      VecCovarianceAgg(GraftColumnBridge.expression(c), dim)
+        .toAggregateExpression())
 }
