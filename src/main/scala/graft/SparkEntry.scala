@@ -1509,6 +1509,38 @@ object SparkEntry {
           alphaFrac >= 0.8 && nStop >= 2).cast("long").as("pass"))
     }),
 
+    // Incremental-ingest dedup — the operational 100 TB shape: a new
+    // crawl (delta = source 'src0') dedups against the STANDING corpus
+    // without re-clustering it. Exact: content-hash semi vs the
+    // corpus's hash set. Near: the delta's LSH band keys semi-join the
+    // corpus's band keys (t31's cross-corpus surface) — in production
+    // both right-hand sides are persisted indexes maintained
+    // incrementally, so each crawl shuffles only ITS OWN keys; the
+    // corpus is never rescanned per ingest. Output: per-delta-doc
+    // verdict (dup_exact, dup_near, keep).
+    "t49_incremental_ingest" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val delta = docs.where(col("source") === "src0")
+      val existing = docs.where(col("source") =!= "src0")
+      val exH = existing.select(md5(col("text")).as("h")).distinct()
+        .withColumn("__ex", lit(1L))
+      def keys(df: DataFrame) = Dedup.lshBandKeys(
+        df.select(col("doc_id"), TextOps.shingleSet(col("text"), 3).as("sh")),
+        "doc_id", "sh", k = 8, bands = 4)
+      val nearIds = keys(delta)
+        .join(keys(existing).select("band", "bh").distinct(),
+          Seq("band", "bh"), "left_semi")
+        .select("doc_id").distinct().withColumn("__near", lit(1L))
+      delta.select(col("doc_id"), md5(col("text")).as("h"))
+        .join(exH, Seq("h"), "left")
+        .join(nearIds, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__ex"), lit(0L)).as("dup_exact"),
+          coalesce(col("__near"), lit(0L)).as("dup_near"),
+          (coalesce(col("__ex"), lit(0L)) === 0 &&
+            coalesce(col("__near"), lit(0L)) === 0).cast("long").as("keep"))
+    }),
+
     // Embedding-space covariance (anisotropy / whitening diagnostic):
     // ONE corpus pass through a custom mergeable TypedImperativeAggregate
     // (VecCovarianceAgg) whose state is d(d+1)/2+d+1 doubles per
@@ -2901,6 +2933,33 @@ object SparkEntry {
          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
            CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
          FROM j GROUP BY doc_id, isl""",
+    "t49_incremental_ingest" ->
+      """WITH t AS (SELECT doc_id, source, text,
+             string_split_regex(text, '\s+') AS toks FROM documents),
+         sh AS (SELECT doc_id, source,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN generate_series(1, len(toks)-2)] AS s
+           FROM t WHERE len(toks) >= 3),
+         mh AS (SELECT doc_id, source,
+             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
+              FOR k IN generate_series(1, 8)] AS sig
+           FROM sh),
+         bands AS (SELECT doc_id, source, b,
+             md5(sig[2*b-1] || sig[2*b]) AS bh
+           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+         near AS (SELECT DISTINCT d.doc_id
+           FROM bands d JOIN bands e ON d.b = e.b AND d.bh = e.bh
+           WHERE d.source = 'src0' AND e.source <> 'src0'),
+         exact AS (SELECT DISTINCT d.doc_id
+           FROM t d JOIN t e ON md5(d.text) = md5(e.text)
+           WHERE d.source = 'src0' AND e.source <> 'src0')
+         SELECT t.doc_id,
+           CAST(x.doc_id IS NOT NULL AS BIGINT) AS dup_exact,
+           CAST(nr.doc_id IS NOT NULL AS BIGINT) AS dup_near,
+           CAST(x.doc_id IS NULL AND nr.doc_id IS NULL AS BIGINT) AS keep
+         FROM t LEFT JOIN exact x ON x.doc_id = t.doc_id
+         LEFT JOIN near nr ON nr.doc_id = t.doc_id
+         WHERE t.source = 'src0'""",
     "t48_embed_covariance" ->
       """WITH e AS (
            SELECT vec_id, unnest(embedding) AS v,

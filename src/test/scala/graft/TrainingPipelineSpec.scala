@@ -86,6 +86,41 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(!hits.contains(3L) && !hits.contains(20L))
   }
 
+  test("incremental ingest drops exact and near dups of the standing corpus") {
+    // standing corpus: A (and an unrelated doc); delta: exact copy of
+    // A, a near copy of A, a fresh doc
+    val corpus = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, "old", corpus),
+      (2L, "old", "unrelated standing content nothing shared here at all"),
+      (10L, "new", corpus),                       // exact dup → drop
+      (11L, "new", corpus + " lambda"),           // near dup → drop
+      (12L, "new", "genuinely novel text with fresh tokens only"))
+      .toDF("doc_id", "source", "text")
+    val delta = docs.where(col("source") === "new")
+    val existing = docs.where(col("source") =!= "new")
+    val exH = existing.select(md5(col("text")).as("h")).distinct()
+      .withColumn("__ex", lit(1L))
+    def keys(df: org.apache.spark.sql.DataFrame) = Dedup.lshBandKeys(
+      df.select(col("doc_id"), TextOps.shingleSet(col("text"), 3).as("sh")),
+      "doc_id", "sh", k = 8, bands = 4)
+    val nearIds = keys(delta)
+      .join(keys(existing).select("band", "bh").distinct(),
+        Seq("band", "bh"), "left_semi")
+      .select("doc_id").distinct().withColumn("__near", lit(1L))
+    val got = delta.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(exH, Seq("h"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__ex"), lit(0L)).as("ex"),
+        coalesce(col("__near"), lit(0L)).as("near"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(10L) === ((1L, 1L))) // exact copy is also a near hit
+    assert(got(11L)._2 === 1L && got(11L)._1 === 0L)
+    assert(got(12L) === ((0L, 0L)))
+  }
+
   test("star edges give the same components as clique pairs") {
     // The clustering path (lshStarEdges) must be indistinguishable from
     // the pair path (lshCandidatePairs) after connected components —
