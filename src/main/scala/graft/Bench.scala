@@ -26,7 +26,12 @@ object Bench {
     // SPARK_GRAFT_ONLY=t44_dup_spans,t45_… restricts the run for local
     // iteration; the driver never sets it, so round benches stay full.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, // a typo'd filter silently timing nothing
+        s"SPARK_GRAFT_ONLY: unknown queries ${unknown.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
     selected.foreach { case (_, fn) =>

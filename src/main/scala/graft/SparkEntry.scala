@@ -1399,17 +1399,15 @@ object SparkEntry {
     "t44_dup_spans" -> ((s, dir) => {
       val n = 8
       // Grams hash to 64 bits (md5 prefix — engine-portable) MAP-SIDE
-      // in one kernel pass (WindowHashesExpr: window strings never
-      // materialize): the exploded window table is ~n× the corpus in
-      // gram-string bytes, so both collision-detection shuffles move
-      // 16-byte keys instead of ~50-byte strings. A 64-bit collision
-      // falsely marks one window duplicated — ~n²/2⁶⁵, negligible
-      // against the LSH layers' documented recall caps.
-      val grams = T(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(graft.functions.SketchExpressions
-            .windowHashes(TextOps.tokens(col("text")), n)).as("w"))
-        .select(col("doc_id"), col("w.pos").as("pos"), col("w.gh").as("gh"))
+      // in one kernel pass (Spans.gramHashes → WindowHashesExpr:
+      // window strings never materialize): the exploded window table
+      // is ~n× the corpus in gram-string bytes, so both
+      // collision-detection shuffles move 16-byte keys instead of
+      // ~50-byte strings. A 64-bit collision falsely marks one window
+      // duplicated — ~n²/2⁶⁵, negligible against the LSH layers'
+      // documented recall caps.
+      val grams = Spans.gramHashes(T(s, dir, "documents"),
+        "doc_id", "text", n)
       val dup = grams.groupBy("gh")
         .agg(countDistinct(col("doc_id")).as("__nd"))
         .where(col("__nd") >= 2)
@@ -1426,23 +1424,11 @@ object SparkEntry {
     // locates the contaminated REGION for redaction. The eval gram set
     // is eval-sized → broadcast left-semi; the corpus only shuffles
     // its (few) colliding windows into the span merge.
-    "t45_decontam_spans" -> ((s, dir) => {
-      val n = 8
+    "t45_decontam_spans" -> ((s, dir) =>
       // Same 64-bit map-side gram hashing as t44: the broadcast eval
       // set and the probe both carry 16-byte keys, not gram strings.
-      val grams = T(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(graft.functions.SketchExpressions
-            .windowHashes(TextOps.tokens(col("text")), n)).as("w"))
-        .select(col("doc_id"), col("w.pos").as("pos"), col("w.gh").as("gh"))
-      val evalG = grams.where(col("doc_id") % 7 === 0)
-        .select("gh").distinct()
-      Spans.mergeSpans(
-        grams.where(col("doc_id") % 7 =!= 0)
-          .join(broadcast(evalG), Seq("gh"), "left_semi")
-          .select("doc_id", "pos"),
-        "doc_id", "pos", n)
-    }),
+      Spans.decontamSpans(T(s, dir, "documents"), "doc_id", "text",
+        n = 8, isEval = col("doc_id") % 7 === 0)),
 
     // Span REDACTION — the consumer of t45's span detection: remove
     // the contaminated token ranges and rebuild the document, keeping
@@ -1455,17 +1441,8 @@ object SparkEntry {
     "t47_span_redact" -> ((s, dir) => {
       val n = 8
       val docs = T(s, dir, "documents")
-      val grams = docs.select(col("doc_id"),
-          explode(graft.functions.SketchExpressions
-            .windowHashes(TextOps.tokens(col("text")), n)).as("w"))
-        .select(col("doc_id"), col("w.pos").as("pos"), col("w.gh").as("gh"))
-      val evalG = grams.where(col("doc_id") % 7 === 0)
-        .select("gh").distinct()
-      val spans = Spans.mergeSpans(
-        grams.where(col("doc_id") % 7 =!= 0)
-          .join(broadcast(evalG), Seq("gh"), "left_semi")
-          .select("doc_id", "pos"),
-        "doc_id", "pos", n)
+      val spans = Spans.decontamSpans(docs, "doc_id", "text",
+        n, isEval = col("doc_id") % 7 === 0)
         .groupBy("doc_id")
         .agg(collect_list(struct(col("span_start").as("s"),
           col("span_end").as("e"))).as("spans"))

@@ -258,6 +258,20 @@ object AggregateExpressions {
       ArrayType(DoubleType, containsNull = false)
     override def nullable: Boolean = true
 
+    // Analysis-time rejection of non-vector inputs: anything outside
+    // the whitelist would otherwise mis-read executor-side (e.g.
+    // getInt on an 8-byte slot) and corrupt the statistic silently.
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_vec_covariance needs array<float|double|int|bigint>, " +
+              s"got ${other.catalogString}")
+      }
+
     @transient private lazy val elemType =
       child.dataType.asInstanceOf[ArrayType].elementType
 
@@ -272,10 +286,15 @@ object AggregateExpressions {
         val x = new Array[Double](dim)
         var i = 0
         while (i < dim) {
+          // a null ELEMENT would contribute 0.0 and skew the moments —
+          // same stance as the wrong-length check: fail loudly
+          require(!a.isNullAt(i),
+            s"graft_vec_covariance: null element at index $i")
           x(i) = elemType match {
-            case FloatType  => a.getFloat(i).toDouble
-            case DoubleType => a.getDouble(i)
-            case _          => a.getInt(i).toDouble
+            case FloatType   => a.getFloat(i).toDouble
+            case DoubleType  => a.getDouble(i)
+            case IntegerType => a.getInt(i).toDouble
+            case _           => a.getLong(i).toDouble
           }
           i += 1
         }

@@ -274,6 +274,41 @@ object SketchExpressions {
       : Expression = copy(child = newChild)
   }
 
+  /** Membership probe against a SORTED string array baked into the
+    * expression (binary search, O(log n) per probe): the exact tier of
+    * streaming redaction, where `array_contains(lit(set), x)` would
+    * linear-scan the full eval hash set per window. The set travels
+    * with the serialized expression once per task — eval suites are
+    * ~10⁵ 16-char hashes ≈ 2 MB, the documented acceptable bound; a
+    * corpus-sized set wants the broadcast-join shape instead. */
+  case class SortedSetContainsExpr(child: Expression,
+                                   sortedSet: Array[String])
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_sorted_set_contains"
+
+    @transient private lazy val keys: Array[UTF8String] =
+      sortedSet.map(UTF8String.fromString)
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[UTF8String]
+      var lo = 0
+      var hi = keys.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val c = keys(mid).compareTo(v)
+        if (c == 0) return true
+        else if (c < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      false
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+  }
+
   /** Gopher-style repetition signal from a tokens array in one pass: the
     * fraction of word n-grams duplicating an earlier n-gram of the same
     * document, `1 − distinct/total` as a double; null when there are
@@ -529,6 +564,11 @@ object SketchExpressions {
   def windowHashes(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(
       WindowHashesExpr(GraftColumnBridge.expression(tokens), n))
+
+  /** Binary-search membership of `c` in a pre-sorted string array. */
+  def sortedSetContains(c: Column, sortedSet: Array[String]): Column =
+    GraftColumnBridge.column(
+      SortedSetContainsExpr(GraftColumnBridge.expression(c), sortedSet))
 
   /** Takes the raw TOKENS column; shingles, hashes and selects bottom-k
     * in one pass. */

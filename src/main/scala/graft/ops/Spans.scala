@@ -31,6 +31,39 @@ object Spans {
           concat_ws(" ", slice(toks, i, lit(n))).as("gram"))))
       .otherwise(array().cast("array<struct<pos:bigint,gram:string>>"))
 
+  /** Exploded position-tagged 64-bit gram hashes for a documents
+    * frame — (idCol, pos, gh), one row per window — the shared first
+    * stage of the span queries (t44/t45/t47). Hashing happens in the
+    * single-pass WindowHashesExpr kernel, so gram strings never
+    * materialize and downstream shuffles carry 16-byte keys. */
+  def gramHashes(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(graft.functions.SketchExpressions
+        .windowHashes(TextOps.tokens(col(textCol)), n)).as("__w"))
+      .select(col(idCol), col("__w.pos").as("pos"), col("__w.gh").as("gh"))
+
+  /** Contaminated-span detection against a held-out slice: windows of
+    * non-eval docs colliding exactly with any window of eval docs
+    * (`isEval` over the documents frame's columns), merged into
+    * maximal per-doc spans. The eval gram set is eval-sized →
+    * broadcast left-semi; only colliding windows reach the merge. */
+  def decontamSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int, isEval: Column): DataFrame = {
+    val grams = docs
+      .select(col(idCol), isEval.as("__eval"),
+        explode(graft.functions.SketchExpressions
+          .windowHashes(TextOps.tokens(col(textCol)), n)).as("__w"))
+      .select(col(idCol), col("__eval"),
+        col("__w.pos").as("pos"), col("__w.gh").as("gh"))
+    val evalG = grams.where(col("__eval")).select("gh").distinct()
+    mergeSpans(
+      grams.where(!col("__eval"))
+        .join(broadcast(evalG), Seq("gh"), "left_semi")
+        .select(idCol, "pos"),
+      idCol, "pos", n)
+  }
+
   /** Merge fixed-width window hits into maximal spans. A window of
     * width `n` starting at `pos` covers tokens `[pos, pos+n-1]`; two
     * windows merge when their covered ranges overlap or touch. Input:

@@ -19,14 +19,13 @@ object TextOps {
   /** Lowercased tokens for case-insensitive matching. */
   def tokensLower(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Word n-gram shingles: overlapping windows of `n` tokens joined by a
-    * single space. Documents with fewer than `n` tokens yield an empty
-    * array (guarded — `sequence` would otherwise run descending). */
+  /** Word n-gram shingles: overlapping windows of `n` tokens joined by
+    * a single space; empty array below `n` tokens. Derived from
+    * `Spans.tokenWindows` (the one declarative definition of the
+    * window convention) by dropping the position tag — keeping two
+    * parallel bodies in sync was a drift hazard. */
   def wordShingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    transform(Spans.tokenWindows(toks, n), w => w.getField("gram"))
 
   /** Distinct shingle set (for Jaccard). */
   def shingleSet(text: Column, n: Int): Column =

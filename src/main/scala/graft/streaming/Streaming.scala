@@ -154,13 +154,23 @@ object Streaming {
     val maybeHit = coalesce(exists(ws,
       w => BloomExpressions.bloomMightContain(lit(bitmap), w("gh"))),
       lit(false))
+    // exact tier: binary search against the sorted eval set — O(log n)
+    // per window, vs array_contains' full scan
     val hitPos = transform(
-      filter(ws, w => array_contains(lit(hashes), w("gh"))),
+      filter(ws, w => SketchExpressions.sortedSetContains(w("gh"), hashes)),
       w => w("pos"))
     val kept = filter(toks, (t, i) =>
       !exists(hitPos, p => (i + 1) >= p && (i + 1) <= p + (n - 1)))
+    // Nested when, not `maybeHit && size(hitPos) > 0`: CaseWhen
+    // branches evaluate lazily per row, so Bloom-clean documents never
+    // run the exact tier at all — and a Bloom FALSE POSITIVE (inner
+    // branch, no exact hit) must pass through byte-identical, not get
+    // whitespace-normalized by an unconditional token re-join.
     in.withColumn(outCol,
-      when(maybeHit, concat_ws(" ", kept)).otherwise(col(textCol)))
+      when(maybeHit,
+        when(size(hitPos) > 0, concat_ws(" ", kept))
+          .otherwise(col(textCol)))
+        .otherwise(col(textCol)))
   }
 
   /** Stream-static enrichment: every microbatch left-joins the static

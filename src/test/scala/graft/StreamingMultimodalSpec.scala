@@ -75,6 +75,33 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out(3L) === null)
   }
 
+  test("streaming redaction: bloom false positives pass through byte-identical") {
+    implicit val sc = spark.sqlContext
+    // a 64-bit k=1 bloom over a 40-window eval text sets ~half the
+    // bits, so most clean docs are bloom-flagged — every one must
+    // still come out byte-identical (incl. tabs / double spaces that
+    // an unconditional token re-join would normalize away)
+    val evalText = (1 to 47).map(i => s"e$i").mkString(" ")
+    val evalHashes = Seq(evalText).toDF("text")
+      .select(explode(graft.functions.SketchExpressions
+        .windowHashes(graft.ops.TextOps.tokens(col("text")), 8)).as("w"))
+      .select(col("w.gh").as("gh"))
+    val cleanDocs = (1 to 40).map(i =>
+      (i.toLong, s"p$i\tq$i  r$i s$i t$i u$i v$i w$i x$i y$i"))
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.redactStream(
+      input.toDS().toDF("id", "text"), "text", evalHashes,
+      numBits = 64, numHashes = 1)
+      .writeStream.format("memory").queryName("redactfp")
+      .outputMode("append").start()
+    input.addData(cleanDocs: _*)
+    q.processAllAvailable()
+    val out = spark.table("redactfp")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    q.stop()
+    cleanDocs.foreach { case (id, text) => assert(out(id) === text) }
+  }
+
   test("streaming near-dup drops whitespace-variant duplicates md5 misses") {
     implicit val sc = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog " * 4
