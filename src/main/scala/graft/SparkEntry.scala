@@ -1540,6 +1540,39 @@ object SparkEntry {
           (round(col("c"), 6) + 0.0).as("cov"))
     }),
 
+    // Embedding whitening (diagonal / z-score): standardize every
+    // dimension against corpus-wide moments — the preprocessing step
+    // that makes cosine retrieval robust to anisotropic embedding
+    // spaces (t48's covariance shows the anisotropy; this removes the
+    // per-dim scale component). The d-sized stats row broadcasts
+    // (crossJoin of ONE row — never a shuffle of the corpus) and the
+    // standardization itself is a map-side zip over each vector.
+    // Output long-form (vec_id, dim, z) for the oracle; a pipeline
+    // would keep the whitened array column.
+    "t50_embed_whiten" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val stats = e
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("dim")
+        .agg(avg(col("v")).as("mu"), stddev_pop(col("v")).as("sd"))
+        .agg(collect_list(struct(col("dim"), col("mu"), col("sd")))
+          .as("__st"))
+        .select(array_sort(col("__st")).as("__st"))
+        .select(transform(col("__st"), s => s("mu")).as("mus"),
+          transform(col("__st"), s => s("sd")).as("sds"))
+      e.crossJoin(broadcast(stats))
+        .select(col("vec_id"), posexplode(
+          zip_with(
+            zip_with(col("embedding"), col("mus"),
+              (x, m) => x.cast("double") - m),
+            // degenerate (constant) dims have no z-score: null here,
+            // filtered below — mirrors the oracle's sd > 0 guard
+            col("sds"), (c, sd) => when(sd > 0, c / sd))).as(Seq("dim", "z")))
+        .where(col("z").isNotNull)
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          (round(col("z"), 6) + 0.0).as("z"))
+    }),
+
     // X1 — the path-dependent depth recurrence (no SQL equivalent →
     // rows-only check here; semantics golden-tested in UdgDepthSpec).
     // A smoothed hourly series drives two "sensor installs"; state is
@@ -2910,6 +2943,14 @@ object SparkEntry {
          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
            CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
          FROM j GROUP BY doc_id, isl""",
+    "t50_embed_whiten" ->
+      """WITH u AS (SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         st AS (SELECT i, avg(v::DOUBLE) AS mu, stddev_pop(v::DOUBLE) AS sd
+                FROM u GROUP BY i)
+         SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
+           round((u.v::DOUBLE - mu) / sd, 6) + 0.0 AS z
+         FROM u JOIN st USING (i) WHERE sd > 0""",
     "t49_incremental_ingest" ->
       """WITH t AS (SELECT doc_id, source, text,
              string_split_regex(text, '\s+') AS toks FROM documents),
