@@ -1,0 +1,54 @@
+package graft
+
+/** Plan-shape regression tests: the scale properties the operator
+  * comments claim (pushdown into the scan, broadcast of small sides,
+  * shuffle-free map-side kernels, partial aggregation) locked in as
+  * assertions on the optimized plan — so a refactor that silently
+  * turns a broadcast into a sort-merge join or un-pushes a filter
+  * fails CI, not the 100 TB run. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+
+  test("q22: the time slice pushes into the parquet scan as raw int64") {
+    val p = plan("q22_timeslice")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"),
+      "time-range predicate must reach the scan (row-group pruning)")
+  }
+
+  test("t46/t41: map-side kernels plan with zero shuffles") {
+    Seq("t46_gopher_rules", "t41_char_entropy").foreach { q =>
+      assert(!plan(q).contains("Exchange"),
+        s"$q claims pure map-side execution but plans a shuffle")
+    }
+  }
+
+  test("t45: the eval gram set joins as a broadcast, never a shuffle join") {
+    assert(plan("t45_decontam_spans").contains("BroadcastExchange"))
+  }
+
+  test("t44: span windows stay partitioned by document") {
+    // a lost partitionBy would plan a SinglePartition exchange and
+    // serialize the whole corpus through one task
+    assert(!plan("t44_dup_spans").contains("SinglePartition"))
+  }
+
+  test("t48: covariance is one partial-agg pass, not a per-cell shuffle") {
+    val p = plan("t48_embed_covariance")
+    assert(p.split("Exchange").length - 1 <= 2,
+      "expected only the partial->final agg exchange (plus AQE read)")
+    assert(!p.contains("Generate") ||
+      p.indexOf("graft_vec_covariance") < p.length,
+      "explode must happen after the aggregate, not before")
+  }
+
+  test("q1: aggregation combines map-side before the shuffle") {
+    val p = plan("q1_agg")
+    assert(p.split("HashAggregate").length - 1 >= 2,
+      "partial aggregation missing — every row would shuffle")
+  }
+}
