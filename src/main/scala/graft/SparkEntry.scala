@@ -1459,6 +1459,27 @@ object SparkEntry {
           md5(concat_ws(" ", col("kept"))).as("redacted_md5"))
     }),
 
+    // Eval-integrity report — t45's transpose, the direction teams
+    // actually publish: for each HELD-OUT doc, how many training docs
+    // share an exact 8-gram with it and how much of it is exposed.
+    // The eval side of the join is eval-sized; the train side
+    // pre-distincts (train_id, gh) map-side so a boilerplate gram
+    // repeated 10⁶× in one doc contributes one row, and the groupBy
+    // is keyed by eval doc — output is eval-suite-sized.
+    "t51_eval_exposure" -> ((s, dir) => {
+      val n = 8
+      val grams = Spans.gramHashes(T(s, dir, "documents"),
+        "doc_id", "text", n)
+      val ev = grams.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("eval_id"), col("gh"))
+      val tr = grams.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("train_id"), col("gh")).distinct()
+      ev.join(tr, Seq("gh"))
+        .groupBy("eval_id")
+        .agg(countDistinct(col("train_id")).as("n_train_docs"),
+          countDistinct(col("gh")).as("n_shared_grams"))
+    }),
+
     // Gopher-style rule-based quality gate (Rae et al. 2021, table A1):
     // named per-document heuristics — word count bounds, mean word
     // length band, alphabetic-word fraction, minimum stopword hits —
@@ -2943,6 +2964,27 @@ object SparkEntry {
          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
            CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
          FROM j GROUP BY doc_id, isl""",
+    "t51_eval_exposure" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+         g AS (
+           SELECT doc_id,
+             unnest([{'p': i,
+                      'g': substr(md5(array_to_string(toks[i:i+7], ' ')),
+                                  1, 16)}
+                     FOR i IN generate_series(1, len(toks)-7)],
+                    recursive := true)
+           FROM f),
+         ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 7 = 0),
+         tr AS (SELECT DISTINCT doc_id AS train_id, g
+                FROM g WHERE doc_id % 7 <> 0)
+         SELECT eval_id,
+           count(DISTINCT train_id) AS n_train_docs,
+           count(DISTINCT ev.g) AS n_shared_grams
+         FROM ev JOIN tr USING (g)
+         GROUP BY eval_id""",
     "t50_embed_whiten" ->
       """WITH u AS (SELECT vec_id, unnest(embedding) AS v,
              generate_subscripts(embedding, 1) AS i FROM embeddings),
