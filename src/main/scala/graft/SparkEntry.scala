@@ -1480,6 +1480,26 @@ object SparkEntry {
           countDistinct(col("gh")).as("n_shared_grams"))
     }),
 
+    // Provenance overlap matrix: which SOURCES duplicate each other
+    // (crawl-vs-crawl redundancy — what you consult before paying to
+    // ingest a new feed). (source, gh) distincts MAP-SIDE first, so
+    // each source contributes a gram once no matter how often it
+    // repeats; the self-join fans out per gram only to the sources
+    // actually sharing it (≤ #sources, a constant) — never doc×doc.
+    "t52_source_overlap" -> ((s, dir) => {
+      val n = 8
+      val g = T(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.SketchExpressions
+            .windowHashes(TextOps.tokens(col("text")), n)).as("__w"))
+        .select(col("source"), col("__w.gh").as("gh")).distinct()
+      g.select(col("source").as("source_a"), col("gh"))
+        .join(g.select(col("source").as("source_b"), col("gh")), Seq("gh"))
+        .where(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(countDistinct(col("gh")).as("n_shared_grams"))
+    }),
+
     // Gopher-style rule-based quality gate (Rae et al. 2021, table A1):
     // named per-document heuristics — word count bounds, mean word
     // length band, alphabetic-word fraction, minimum stopword hits —
@@ -2964,6 +2984,20 @@ object SparkEntry {
          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
            CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
          FROM j GROUP BY doc_id, isl""",
+    "t52_source_overlap" ->
+      """WITH t AS (
+           SELECT source, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         f AS (SELECT source, toks FROM t WHERE len(toks) >= 8),
+         g AS (SELECT DISTINCT source,
+             unnest([substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16)
+                     FOR i IN generate_series(1, len(toks)-7)]) AS gh
+           FROM f)
+         SELECT a.source AS source_a, b.source AS source_b,
+           count(DISTINCT a.gh) AS n_shared_grams
+         FROM g a JOIN g b USING (gh)
+         WHERE a.source < b.source
+         GROUP BY 1, 2""",
     "t51_eval_exposure" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks
