@@ -1542,8 +1542,14 @@ object SparkEntry {
       val existing = docs.where(col("source") =!= "src0")
       val exH = existing.select(md5(col("text")).as("h")).distinct()
         .withColumn("__ex", lit(1L))
+      // kernel shingles (t31's shape): the declarative shingleSet runs
+      // interpreted per element and was 6× the query's wall time; the
+      // MinHash min over the multiset equals the min over the set, so
+      // distinctness is unnecessary
       def keys(df: DataFrame) = Dedup.lshBandKeys(
-        df.select(col("doc_id"), TextOps.shingleSet(col("text"), 3).as("sh")),
+        df.select(col("doc_id"),
+          graft.functions.SketchExpressions
+            .wordShingles(TextOps.tokens(col("text")), 3).as("sh")),
         "doc_id", "sh", k = 8, bands = 4)
       val nearIds = keys(delta)
         .join(keys(existing).select("band", "bh").distinct(),

@@ -154,6 +154,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mergeSpans equals brute-force interval union on random hit sets") {
+    val hitsGen = Gen.zip(
+      Gen.choose(2, 9), // window width n
+      Gen.listOfN(25, Gen.zip(Gen.choose(1L, 3L), Gen.choose(1L, 60L))))
+    forAll(hitsGen) { case (n, raw) =>
+      val hits = raw.distinct
+      if (hits.nonEmpty) {
+        val got = graft.ops.Spans
+          .mergeSpans(hits.toDF("doc_id", "pos"), "doc_id", "pos", n)
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toList)
+          .toMap
+        // brute force: mark covered tokens, read off maximal runs
+        val want = hits.groupBy(_._1).view.mapValues { ps =>
+          val positions = ps.map(_._2).sorted
+          val covered = positions.flatMap(p => p until p + n).toSet
+          // maximal runs of covered positions
+          val runs = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+          var s = -1L; var prev = -2L
+          (covered.toList.sorted :+ Long.MinValue).foreach { c =>
+            if (s < 0) { s = c; prev = c }
+            else if (c == prev + 1) prev = c
+            else {
+              runs += ((s, prev, positions.count(p => p >= s && p + n - 1 <= prev).toLong))
+              s = c; prev = c
+            }
+          }
+          runs.toList.filter(_._1 != Long.MinValue)
+        }.toMap
+        got.foreach { case (doc, spans) =>
+          val w = want(doc)
+          assert(spans.map(x => (x._1, x._2)) === w.map(x => (x._1, x._2)),
+            s"doc $doc spans: got $spans want $w (n=$n hits=$hits)")
+          assert(spans.map(_._3) === w.map(_._3), s"doc $doc window counts")
+        }
+        assert(got.keySet === want.keySet)
+      }
+    }
+  }
+
+  test("covariance agg is partition-invariant and matches driver math") {
+    val vecsGen = Gen.listOfN(12,
+      Gen.listOfN(3, Gen.choose(-5.0, 5.0).map(_.toFloat)))
+    forAll(Gen.zip(vecsGen, Gen.choose(1, 6))) { case (vecs, parts) =>
+      if (vecs.nonEmpty) {
+        val m = vecs.map(_.toArray).toDF("embedding")
+          .repartition(parts)
+          .agg(graft.functions.AggregateExpressions
+            .vecCovariance(col("embedding"), 3))
+          .head().getSeq[Double](0)
+        val nD = vecs.size.toDouble
+        for (i <- 0 until 3; j <- 0 until 3) {
+          val mi = vecs.map(_(i).toDouble).sum / nD
+          val mj = vecs.map(_(j).toDouble).sum / nD
+          val want = vecs.map(v => v(i).toDouble * v(j).toDouble).sum / nD -
+            mi * mj
+          assert(math.abs(m(i * 3 + j) - want) < 1e-9,
+            s"cov($i,$j) parts=$parts: ${m(i * 3 + j)} vs $want")
+        }
+      }
+    }
+  }
+
   test("ffill limit-n never bridges more than n nulls") {
     forAll(Gen.zip(seriesGen, Gen.choose(0, 4))) {
       case (xs, limit) =>
