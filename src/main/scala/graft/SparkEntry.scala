@@ -496,7 +496,8 @@ object SparkEntry {
         .join(sets.select(col("doc_id").as("id_b"), col("ss").as("__sb")),
           Seq("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(TextOps.jaccard(col("__sa"), col("__sb")), 6).as("jac"))
+          round(graft.functions.SketchExpressions
+            .jaccard(col("__sa"), col("__sb")), 6).as("jac"))
     }),
 
     // SimHash 32-bit signature as a portable bitstring (custom
@@ -827,7 +828,8 @@ object SparkEntry {
               (x, y) => when(x === y, 1).otherwise(0)),
             lit(0), (acc, v) => acc + v).cast("double") / 8.0, 6)
             .as("est_jac"),
-          round(TextOps.jaccard(col("ssa"), col("ssb")), 6).as("jac"))
+          round(graft.functions.SketchExpressions
+            .jaccard(col("ssa"), col("ssb")), 6).as("jac"))
     }),
 
     // Quality-filter pipeline endpoint (C4/Gopher-style): language,

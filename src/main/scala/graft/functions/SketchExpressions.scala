@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
@@ -272,6 +272,44 @@ object SketchExpressions {
 
     override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
+  }
+
+  /** Jaccard similarity of two string arrays in one hash-set pass:
+    * |A∩B| / |A∪B| over the DISTINCT elements of each side (inputs
+    * need not be pre-distincted). ≡ `TextOps.jaccard` on distinct
+    * inputs (equivalence: SketchExprSpec) — but that form probes
+    * `array_contains` per element, O(|A|·|B|) interpreted, which
+    * dominates the LSH verify queries (t2/t20/t35): each candidate
+    * pair re-scans ~s² shingle pairs. Null when both sides are empty
+    * (matching 0/0 division → null in the declarative form). */
+  case class JaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_jaccard"
+
+    protected override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val setA = new java.util.HashSet[UTF8String](x.numElements() * 2)
+      var i = 0
+      while (i < x.numElements()) { setA.add(x.getUTF8String(i)); i += 1 }
+      val setB = new java.util.HashSet[UTF8String](y.numElements() * 2)
+      var inter = 0
+      i = 0
+      while (i < y.numElements()) {
+        val v = y.getUTF8String(i)
+        if (setB.add(v) && setA.contains(v)) inter += 1
+        i += 1
+      }
+      val union = setA.size + setB.size - inter
+      if (union == 0) null else inter.toDouble / union.toDouble
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
   }
 
   /** Membership probe against a SORTED string array baked into the
@@ -564,6 +602,13 @@ object SketchExpressions {
   def windowHashes(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(
       WindowHashesExpr(GraftColumnBridge.expression(tokens), n))
+
+  /** Hash-set Jaccard of two string-array columns (distincts
+    * internally). */
+  def jaccard(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      JaccardExpr(GraftColumnBridge.expression(a),
+        GraftColumnBridge.expression(b)))
 
   /** Binary-search membership of `c` in a pre-sorted string array. */
   def sortedSetContains(c: Column, sortedSet: Array[String]): Column =

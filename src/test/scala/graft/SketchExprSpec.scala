@@ -44,6 +44,31 @@ class SketchExprSpec extends SparkSpec {
     assert(short.getSeq[String](1).isEmpty && short.getSeq[String](2).isEmpty)
   }
 
+  test("JaccardExpr == declarative jaccard on distinct shingle sets") {
+    val sets = texts
+      .select($"id",
+        array_distinct(TextOps.wordShingles(TextOps.tokens($"text"), 2))
+          .as("ss"))
+    val pairs = sets.select($"id".as("ia"), $"ss".as("sa"))
+      .crossJoin(sets.select($"id".as("ib"), $"ss".as("sb")))
+    val both = pairs.select(
+      TextOps.jaccard($"sa", $"sb").as("slow"),
+      SketchExpressions.jaccard($"sa", $"sb").as("fast"))
+    assert(both.where(
+      !($"slow" <=> $"fast") &&
+        abs($"slow" - $"fast") > lit(1e-12)).count() === 0)
+    // self-similarity is exactly 1 for non-empty sets
+    val self = sets.where(size($"ss") > 0)
+      .select(SketchExpressions.jaccard($"ss", $"ss"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(_ == 1.0))
+    // both empty → null (0/0), matching the declarative division
+    val empty = Seq((Seq.empty[String], Seq.empty[String]))
+      .toDF("a", "b")
+      .select(SketchExpressions.jaccard($"a", $"b"))
+    assert(empty.head().isNullAt(0))
+  }
+
   test("LangIdExpr == declarative langId") {
     val texts2 = (texts.collect().map(_.getString(1)) ++ Seq(
       "le chat et les chiens de la maison",
