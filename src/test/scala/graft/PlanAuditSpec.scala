@@ -46,6 +46,19 @@ class PlanAuditSpec extends SparkSpec {
       "explode must happen after the aggregate, not before")
   }
 
+  test("d4: per-group top-k plans as WindowGroupLimit, not full sort") {
+    // the map-side group-limit is what keeps the shuffle samples-sized
+    assert(plan("d4_hash_sample").contains("WindowGroupLimit"))
+  }
+
+  test("decontamination joins broadcast the eval side (t13/t40/q11)") {
+    Seq("t13_decontaminate", "t40_bloom_decontam", "q11_join_broadcast")
+      .foreach { q =>
+        assert(plan(q).contains("BroadcastExchange"),
+          s"$q claims a broadcast join")
+      }
+  }
+
   test("q1: aggregation combines map-side before the shuffle") {
     val p = plan("q1_agg")
     assert(p.split("HashAggregate").length - 1 >= 2,
