@@ -773,7 +773,8 @@ object SparkEntry {
     "t18_dup_lines" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"),
-          TextOps.tokenChunks(TextOps.tokens(col("text")), 10).as("__ln"))
+          graft.functions.SketchExpressions
+            .tokenChunks(TextOps.tokens(col("text")), 10).as("__ln"))
         .select(col("doc_id"),
           round(TextOps.dupElementFraction(col("__ln")), 6)
             .as("dup_line_frac"),
@@ -921,7 +922,8 @@ object SparkEntry {
     "t23_boilerplate_lines" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"),
-          explode(TextOps.tokenChunks(TextOps.tokens(col("text")), 10))
+          explode(graft.functions.SketchExpressions
+            .tokenChunks(TextOps.tokens(col("text")), 10))
             .as("line"))
         .groupBy(md5(col("line")).as("line_hash"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -1130,7 +1132,8 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
       T(s, dir, "documents")
         .select(col("doc_id"),
-          posexplode(TextOps.tokenChunks(TextOps.tokens(col("text")), 10)))
+          posexplode(graft.functions.SketchExpressions
+            .tokenChunks(TextOps.tokens(col("text")), 10)))
         .select(col("doc_id"), col("pos"), md5(col("col")).as("__h"))
         .withColumn("__rn", row_number().over(w))
         .groupBy("doc_id")

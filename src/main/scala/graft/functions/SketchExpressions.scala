@@ -274,6 +274,46 @@ object SketchExpressions {
       : Expression = copy(child = newChild)
   }
 
+  /** Non-overlapping `w`-token chunks joined by a single space (the
+    * pseudo-line segmentation behind the line-dedup family t18/t23/
+    * t34); the last chunk may be short. ≡ `TextOps.tokenChunks`
+    * (equivalence: SketchExprSpec), whose transform/slice/concat_ws
+    * chain runs interpreted per chunk. */
+  case class TokenChunksExpr(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+    require(w > 0, "w must be positive")
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_token_chunks"
+
+    @transient private lazy val space = UTF8String.fromString(" ")
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      if (len == 0) return new GenericArrayData(Array.empty[Any])
+      val toks = new Array[UTF8String](len)
+      var i = 0
+      while (i < len) { toks(i) = arr.getUTF8String(i); i += 1 }
+      val nChunks = (len + w - 1) / w
+      val out = new Array[Any](nChunks)
+      i = 0
+      while (i < nChunks) {
+        val start = i * w
+        val size = math.min(w, len - start)
+        val window = new Array[UTF8String](size)
+        System.arraycopy(toks, start, window, 0, size)
+        out(i) = UTF8String.concatWs(space, window: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+  }
+
   /** Jaccard similarity of two string arrays in one hash-set pass:
     * |A∩B| / |A∪B| over the DISTINCT elements of each side (inputs
     * need not be pre-distincted). ≡ `TextOps.jaccard` on distinct
@@ -602,6 +642,12 @@ object SketchExpressions {
   def windowHashes(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(
       WindowHashesExpr(GraftColumnBridge.expression(tokens), n))
+
+  /** Takes the raw TOKENS column; non-overlapping w-token chunks in
+    * one pass. */
+  def tokenChunks(tokens: Column, w: Int): Column =
+    GraftColumnBridge.column(
+      TokenChunksExpr(GraftColumnBridge.expression(tokens), w))
 
   /** Hash-set Jaccard of two string-array columns (distincts
     * internally). */

@@ -44,6 +44,16 @@ class SketchExprSpec extends SparkSpec {
     assert(short.getSeq[String](1).isEmpty && short.getSeq[String](2).isEmpty)
   }
 
+  test("TokenChunksExpr == declarative tokenChunks (incl. ragged tail)") {
+    val both = texts.select($"id",
+      TextOps.tokenChunks(TextOps.tokens($"text"), 4).as("slow"),
+      SketchExpressions.tokenChunks(TextOps.tokens($"text"), 4).as("fast"))
+    assert(both.where(!($"slow" === $"fast")).count() === 0)
+    // a 10-token doc chunks to 4+4+2 — the tail chunk is short
+    val c = both.head().getSeq[String](2)
+    assert(c.nonEmpty && c.last.split(" ").length <= 4)
+  }
+
   test("JaccardExpr == declarative jaccard on distinct shingle sets") {
     val sets = texts
       .select($"id",
