@@ -1485,6 +1485,30 @@ object SparkEntry {
           countDistinct(col("gh")).as("n_shared_grams"))
     }),
 
+    // Bigram-LM quality proxy (the CCNet shape, one order above t27's
+    // unigram): per-doc mean log P(w2|w1) under corpus-wide MLE bigram
+    // rates. Both count tables build with map-side partial aggs; the
+    // doc-bigram probe joins on the bigram/unigram keys — standard
+    // vocabulary-keyed shuffles, nothing corpus×corpus. Every probed
+    // bigram exists in the counts (they come from the same corpus), so
+    // no smoothing term is needed for totality.
+    "t53_bigram_logprob" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val big = docs.select(col("doc_id"),
+        explode(graft.functions.SketchExpressions
+          .wordShingles(TextOps.tokensLower(col("text")), 2)).as("bg"))
+      val bgc = big.groupBy("bg").agg(count(lit(1)).as("cb"))
+      val ugc = docs.select(
+          explode(TextOps.tokensLower(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cu"))
+      big.join(bgc, Seq("bg"))
+        .join(ugc, ugc("w") === substring_index(col("bg"), " ", 1))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (round(avg(log(col("cb").cast("double") /
+            col("cu").cast("double"))), 6) + 0.0).as("avg_lp"))
+    }),
+
     // Provenance overlap matrix: which SOURCES duplicate each other
     // (crawl-vs-crawl redundancy — what you consult before paying to
     // ingest a new feed). (source, gh) distincts MAP-SIDE first, so
@@ -2995,6 +3019,21 @@ object SparkEntry {
          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
            CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
          FROM j GROUP BY doc_id, isl""",
+    "t53_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+')
+             AS toks FROM documents),
+         b AS (SELECT doc_id,
+             unnest([array_to_string(toks[i:i+1], ' ')
+                     FOR i IN generate_series(1, len(toks)-1)]) AS bg
+           FROM t WHERE len(toks) >= 2),
+         bgc AS (SELECT bg, count(*) AS cb FROM b GROUP BY bg),
+         u AS (SELECT unnest(toks) AS w FROM t),
+         ugc AS (SELECT w, count(*) AS cu FROM u GROUP BY w)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln(cb::DOUBLE / cu::DOUBLE)), 6) + 0.0 AS avg_lp
+         FROM b JOIN bgc USING (bg)
+         JOIN ugc ON ugc.w = split_part(b.bg, ' ', 1)
+         GROUP BY doc_id""",
     "t52_source_overlap" ->
       """WITH t AS (
            SELECT source, string_split_regex(text, '\s+') AS toks
