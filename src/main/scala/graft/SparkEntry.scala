@@ -1477,7 +1477,12 @@ object SparkEntry {
         "doc_id", "text", n)
       val ev = grams.where(col("doc_id") % 7 === 0)
         .select(col("doc_id").as("eval_id"), col("gh"))
+      // broadcast-filter the corpus windows to eval collisions BEFORE
+      // any distinct: the (train_id, gh) dedup then shuffles only the
+      // hits, not every window in the corpus
+      val evalSet = ev.select("gh").distinct()
       val tr = grams.where(col("doc_id") % 7 =!= 0)
+        .join(broadcast(evalSet), Seq("gh"), "left_semi")
         .select(col("doc_id").as("train_id"), col("gh")).distinct()
       ev.join(tr, Seq("gh"))
         .groupBy("eval_id")
