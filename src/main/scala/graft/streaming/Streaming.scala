@@ -173,6 +173,38 @@ object Streaming {
         .otherwise(col(textCol)))
   }
 
+  /** Incremental corpus append with SINK-OWNED dedup state — the
+    * operational ingest loop (t49's streaming form): each microbatch
+    * anti-joins the content hashes already IN the sink, then appends
+    * only novel documents. `foreachBatch` is the right surface because
+    * the dedup state is the sink itself (re-read per batch, one
+    * hash-column scan) — no stream state to bound, restarts are
+    * idempotent for exact duplicates, and the anti-join is
+    * batch-sized ⋈ hash-index-sized, never stream history. Documents
+    * duplicated WITHIN one microbatch collapse to their first row
+    * (deterministic min doc order) before the sink check. */
+  def appendDedupedStream(in: DataFrame, idCol: String, textCol: String,
+                          sinkPath: String) = {
+    in.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val withHash = batch.withColumn("__h", md5(col(textCol)))
+        val inBatchFirst = withHash
+          .withColumn("__rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("__h").orderBy(idCol)))
+          .where(col("__rk") === 1).drop("__rk")
+        val novel =
+          if (new java.io.File(sinkPath).exists()) {
+            val seen = spark.read.parquet(sinkPath)
+              .select(md5(col(textCol)).as("__h")).distinct()
+            inBatchFirst.join(seen, Seq("__h"), "left_anti")
+          } else inBatchFirst
+        novel.drop("__h").write.mode("append").parquet(sinkPath)
+        ()
+    }
+  }
+
   /** Stream-static enrichment: every microbatch left-joins the static
     * dimension, broadcast so the stream side never shuffles — the
     * standard shape for attaching source mixing weights / calibration

@@ -75,6 +75,26 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out(3L) === null)
   }
 
+  test("foreachBatch append dedups against the sink across microbatches") {
+    implicit val sc = spark.sqlContext
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_ingest").toString + "/corpus"
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.appendDedupedStream(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", sink)
+      .start()
+    // batch 1: two distinct docs + an in-batch duplicate of A
+    input.addData((1L, "doc A"), (2L, "doc B"), (3L, "doc A"))
+    q.processAllAvailable()
+    // batch 2: a sink duplicate (A again) + a novel doc
+    input.addData((4L, "doc A"), (5L, "doc C"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(sink)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "doc A", 2L -> "doc B", 5L -> "doc C"))
+  }
+
   test("streaming redaction: bloom false positives pass through byte-identical") {
     implicit val sc = spark.sqlContext
     // a 64-bit k=1 bloom over a 40-window eval text sets ~half the
