@@ -195,6 +195,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("windowHashes kernel ≡ declarative reference on random token arrays") {
+    val docGen = Gen.listOfN(8,
+      Gen.zip(Gen.choose(0, 14), Gen.choose(0L, 4L)).map {
+        case (len, seed) => (0 until len).map(i => s"w${(i + seed) % 7}")
+          .mkString(" ")
+      })
+    forAll(docGen) { texts =>
+      val df = texts.toDF("text")
+        .select(graft.ops.TextOps.tokens(col("text")).as("toks"))
+      val kernel = df.select(explode(graft.functions.SketchExpressions
+        .windowHashes(col("toks"), 3)).as("w"))
+        .select(col("w.pos"), col("w.gh"))
+      val ref = df.select(explode(graft.ops.Spans
+        .tokenWindows(col("toks"), 3)).as("w"))
+        .select(col("w.pos"), substring(md5(col("w.gram")), 1, 16).as("gh"))
+      assert(kernel.exceptAll(ref).isEmpty && ref.exceptAll(kernel).isEmpty)
+    }
+  }
+
+  test("sortedSetContains ≡ array_contains for random sets and probes") {
+    val gen = Gen.zip(
+      Gen.listOfN(20, Gen.choose(0, 40).map(i => f"k$i%02d")),
+      Gen.listOfN(30, Gen.choose(0, 50).map(i => f"k$i%02d")))
+    forAll(gen) { case (set, probes) =>
+      val sorted = set.distinct.sorted.toArray
+      val got = probes.toDF("p")
+        .select(col("p"), graft.functions.SketchExpressions
+          .sortedSetContains(col("p"), sorted).as("got"),
+          array_contains(lit(sorted), col("p")).as("want"))
+        .where(col("got") =!= col("want")).count()
+      assert(got === 0)
+    }
+  }
+
   test("covariance agg is partition-invariant and matches driver math") {
     val vecsGen = Gen.listOfN(12,
       Gen.listOfN(3, Gen.choose(-5.0, 5.0).map(_.toFloat)))
