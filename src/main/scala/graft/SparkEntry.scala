@@ -1561,6 +1561,24 @@ object SparkEntry {
           alphaFrac >= 0.8 && nStop >= 2).cast("long").as("pass"))
     }),
 
+    // W4 as a true RANGE-interval frame (the one frame type the rest
+    // of the window family doesn't exercise): per-user trailing-hour
+    // sum where the frame is defined by the VALUE of the ordering
+    // column (epoch seconds), not row counts — irregular event
+    // spacing keeps row frames wrong here. Partitioned by user:
+    // shuffles once on the window key, no global window.
+    "q42_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tsec")
+        .rangeBetween(-3599, 0)
+      T(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("long").as("tsec"),
+          col("value"))
+        .select(col("user_id"), col("tsec"),
+          round(col("value"), 6).as("v"),
+          round(sum("value").over(w), 6).as("trail_1h"))
+    }),
+
     // Incremental-ingest dedup — the operational 100 TB shape: a new
     // crawl (delta = source 'src0') dedups against the STANDING corpus
     // without re-clustering it. Exact: content-hash semi vs the
@@ -3024,6 +3042,15 @@ object SparkEntry {
          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
            CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
          FROM j GROUP BY doc_id, isl""",
+    "q42_range_frame" ->
+      """SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+           round(value, 6) AS v,
+           round(sum(value) OVER (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 6)
+             AS trail_1h
+         FROM events""",
     "t53_bigram_logprob" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+')
              AS toks FROM documents),
