@@ -1561,6 +1561,20 @@ object SparkEntry {
           alphaFrac >= 0.8 && nStop >= 2).cast("long").as("pass"))
     }),
 
+    // Canonicalization-then-hash — the step BEFORE every exact-dedup
+    // op on a real corpus: NFC-normalize (composed vs decomposed
+    // accents hash differently without it), lowercase, collapse
+    // whitespace, THEN content-hash. Pure map-side kernel; d1/t13/t49
+    // compose with it by hashing the canonical form instead of the
+    // raw text.
+    "t54_canonical_hash" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(graft.functions.SketchExpressions
+            .canonicalizeText(col("text"))).as("c_hash"),
+          length(graft.functions.SketchExpressions
+            .canonicalizeText(col("text"))).cast("long").as("n_canon"))),
+
     // W4 as a true RANGE-interval frame (the one frame type the rest
     // of the window family doesn't exercise): per-user trailing-hour
     // sum where the frame is defined by the VALUE of the ordering
@@ -3042,6 +3056,13 @@ object SparkEntry {
          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
            CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
          FROM j GROUP BY doc_id, isl""",
+    "t54_canonical_hash" ->
+      """SELECT doc_id,
+           md5(regexp_replace(trim(lower(nfc_normalize(text))),
+               '\s+', ' ', 'g')) AS c_hash,
+           CAST(len(regexp_replace(trim(lower(nfc_normalize(text))),
+               '\s+', ' ', 'g')) AS BIGINT) AS n_canon
+         FROM documents""",
     "q42_range_frame" ->
       """SELECT user_id,
            CAST(floor(epoch(ts)) AS BIGINT) AS tsec,

@@ -274,6 +274,33 @@ object SketchExpressions {
       : Expression = copy(child = newChild)
   }
 
+  /** Unicode canonicalization for dedup hashing: NFC-normalize,
+    * lowercase (root locale), trim, collapse internal whitespace runs
+    * to one space. Composed vs decomposed accents ("é" as one
+    * codepoint vs e+◌́) hash DIFFERENTLY before this step — a real
+    * corpus defeats exact-hash dedup without it. DuckDB twin:
+    * `regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ',
+    * 'g')` (testdata is ASCII, so the oracle exercises the collapse
+    * path; the unicode paths are golden-tested in SketchExprSpec). */
+  case class CanonicalizeTextExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_canonicalize_text"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val nfc = java.text.Normalizer
+        .normalize(s, java.text.Normalizer.Form.NFC)
+      val collapsed = nfc.toLowerCase(java.util.Locale.ROOT)
+        .trim.replaceAll("\\s+", " ")
+      UTF8String.fromString(collapsed)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+  }
+
   /** Non-overlapping `w`-token chunks joined by a single space (the
     * pseudo-line segmentation behind the line-dedup family t18/t23/
     * t34); the last chunk may be short. ≡ `TextOps.tokenChunks`
@@ -642,6 +669,12 @@ object SketchExpressions {
   def windowHashes(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(
       WindowHashesExpr(GraftColumnBridge.expression(tokens), n))
+
+  /** NFC + lowercase + whitespace-collapse canonical form of a text
+    * column. */
+  def canonicalizeText(c: Column): Column =
+    GraftColumnBridge.column(
+      CanonicalizeTextExpr(GraftColumnBridge.expression(c)))
 
   /** Takes the raw TOKENS column; non-overlapping w-token chunks in
     * one pass. */

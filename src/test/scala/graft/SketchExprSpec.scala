@@ -44,6 +44,19 @@ class SketchExprSpec extends SparkSpec {
     assert(short.getSeq[String](1).isEmpty && short.getSeq[String](2).isEmpty)
   }
 
+  test("CanonicalizeTextExpr: NFC folds composed/decomposed, collapses ws") {
+    val composed = "caf\u00e9 r\u00e9sum\u00e9"   // e-acute as one codepoint
+    val decomposed = "cafe\u0301 re\u0301sume\u0301" // e + combining acute
+    val got = Seq(composed, decomposed, "  A\tB\n C  ", "ascii only")
+      .toDF("text")
+      .select(SketchExpressions.canonicalizeText($"text"))
+      .collect().map(_.getString(0))
+    assert(got(0) === "caf\u00e9 r\u00e9sum\u00e9")
+    assert(got(1) === got(0)) // decomposed form canonicalizes to the same
+    assert(got(2) === "a b c")
+    assert(got(3) === "ascii only")
+  }
+
   test("TokenChunksExpr == declarative tokenChunks (incl. ragged tail)") {
     val both = texts.select($"id",
       TextOps.tokenChunks(TextOps.tokens($"text"), 4).as("slow"),
