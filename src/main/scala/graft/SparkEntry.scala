@@ -983,6 +983,29 @@ object SparkEntry {
             .as("weight"))
     }),
 
+    // Temperature-scaled mixing (t26's raw shares at α=0.7 — the
+    // standard multilingual sampling correction that up-weights tail
+    // sources without letting the head dominate): wᵢ = pᵢ^α / Σpⱼ^α.
+    // Same tiny-aggregate shape as t26 — two 1-row broadcasts, never
+    // a corpus shuffle beyond the per-source count.
+    "t55_temp_mixing" -> ((s, dir) => {
+      val alpha = 0.7
+      val per = T(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), "\\s+")).cast("long").as("__t"))
+        .groupBy("source")
+        .agg(sum(col("__t")).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("__tot"))
+      val scaled = per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          pow(col("n_tokens").cast("double") / col("__tot"), alpha)
+            .as("__pa"))
+      val z = scaled.agg(sum(col("__pa")).as("__z"))
+      scaled.crossJoin(broadcast(z))
+        .select(col("source"), col("n_tokens"),
+          round(col("__pa") / col("__z"), 6).as("temp_weight"))
+    }),
+
     // Unigram-LM cross-entropy scoring: per-document average token
     // surprisal ln(N/count(term)) against the corpus unigram model —
     // the classic LM-quality proxy for filtering. Vocabulary agg +
@@ -2655,6 +2678,20 @@ object SparkEntry {
            round(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6)
              AS weight
          FROM per, tot""",
+    "t55_temp_mixing" ->
+      """WITH per AS (
+           SELECT source,
+             CAST(sum(CAST(len(string_split_regex(text, '\s+'))
+                  AS BIGINT)) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         tot AS (SELECT sum(n_tokens) AS t FROM per),
+         sc AS (SELECT source, n_tokens,
+                  pow(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 0.7)
+                    AS pa
+                FROM per, tot),
+         z AS (SELECT sum(pa) AS z FROM sc)
+         SELECT source, n_tokens, round(pa / z, 6) AS temp_weight
+         FROM sc, z""",
     "t34_paragraph_dedup" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks
