@@ -996,10 +996,13 @@ object SparkEntry {
         .groupBy("source")
         .agg(sum(col("__t")).as("n_tokens"))
       val tot = per.agg(sum(col("n_tokens")).as("__tot"))
+      // pa rounds to 12 decimals BEFORE the normalizing sum so the
+      // engines sum identical addends (pow/ulp differences otherwise
+      // feed an order-sensitive double sum into the exact compare)
       val scaled = per.crossJoin(broadcast(tot))
         .select(col("source"), col("n_tokens"),
-          pow(col("n_tokens").cast("double") / col("__tot"), alpha)
-            .as("__pa"))
+          round(pow(col("n_tokens").cast("double") / col("__tot"), alpha),
+            12).as("__pa"))
       val z = scaled.agg(sum(col("__pa")).as("__z"))
       scaled.crossJoin(broadcast(z))
         .select(col("source"), col("n_tokens"),
@@ -2686,8 +2689,8 @@ object SparkEntry {
            FROM documents GROUP BY source),
          tot AS (SELECT sum(n_tokens) AS t FROM per),
          sc AS (SELECT source, n_tokens,
-                  pow(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 0.7)
-                    AS pa
+                  round(pow(CAST(n_tokens AS DOUBLE)
+                            / CAST(t AS DOUBLE), 0.7), 12) AS pa
                 FROM per, tot),
          z AS (SELECT sum(pa) AS z FROM sc)
          SELECT source, n_tokens, round(pa / z, 6) AS temp_weight
@@ -3095,10 +3098,10 @@ object SparkEntry {
          FROM j GROUP BY doc_id, isl""",
     "t54_canonical_hash" ->
       """SELECT doc_id,
-           md5(regexp_replace(trim(lower(nfc_normalize(text))),
-               '\s+', ' ', 'g')) AS c_hash,
-           CAST(len(regexp_replace(trim(lower(nfc_normalize(text))),
-               '\s+', ' ', 'g')) AS BIGINT) AS n_canon
+           md5(trim(regexp_replace(lower(nfc_normalize(text)),
+               '\s+', ' ', 'g'))) AS c_hash,
+           CAST(len(trim(regexp_replace(lower(nfc_normalize(text)),
+               '\s+', ' ', 'g'))) AS BIGINT) AS n_canon
          FROM documents""",
     "q42_range_frame" ->
       """SELECT user_id,

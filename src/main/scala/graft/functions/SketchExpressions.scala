@@ -279,8 +279,10 @@ object SketchExpressions {
     * to one space. Composed vs decomposed accents ("é" as one
     * codepoint vs e+◌́) hash DIFFERENTLY before this step — a real
     * corpus defeats exact-hash dedup without it. DuckDB twin:
-    * `regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ',
-    * 'g')` (testdata is ASCII, so the oracle exercises the collapse
+    * `trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ',
+    * 'g'))` — trim AFTER collapse, when only plain boundary spaces
+    * remain, so the engines' differing trim/\s character sets can't
+    * diverge (testdata is ASCII, so the oracle exercises the collapse
     * path; the unicode paths are golden-tested in SketchExprSpec). */
   case class CanonicalizeTextExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -292,9 +294,15 @@ object SketchExpressions {
       val s = input.asInstanceOf[UTF8String].toString
       val nfc = java.text.Normalizer
         .normalize(s, java.text.Normalizer.Form.NFC)
+      // collapse FIRST with an explicit class matching RE2's \s
+      // (Java's \s additionally has \x0B; Java's trim strips all
+      // chars <= U+0020 — both would diverge from the DuckDB twin on
+      // edge whitespace), then strip the boundary spaces the collapse
+      // leaves — exactly trim(regexp_replace(..., '\s+', ' ', 'g')).
       val collapsed = nfc.toLowerCase(java.util.Locale.ROOT)
-        .trim.replaceAll("\\s+", " ")
-      UTF8String.fromString(collapsed)
+        .replaceAll("[ \\t\\n\\r\\f]+", " ")
+      val stripped = collapsed.stripPrefix(" ").stripSuffix(" ")
+      UTF8String.fromString(stripped)
     }
 
     override protected def withNewChildInternal(newChild: Expression)

@@ -194,13 +194,25 @@ object Streaming {
             org.apache.spark.sql.expressions.Window
               .partitionBy("__h").orderBy(idCol)))
           .where(col("__rk") === 1).drop("__rk")
+        // Hadoop FS, not java.io.File: the sink can be HDFS/S3, where
+        // a local-file existence check is always false and cross-batch
+        // dedup would silently vanish. "Has data" = contains at least
+        // one part file — a bare checkpoint-created dir must not be
+        // read (schema inference fails on an empty dir).
+        val hPath = new org.apache.hadoop.fs.Path(sinkPath)
+        val fs = hPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(hPath) &&
+          fs.listStatus(hPath).exists(_.getPath.getName.endsWith(".parquet"))
         val novel =
-          if (new java.io.File(sinkPath).exists()) {
+          if (hasData) {
+            // __h is PERSISTED in the sink: "seen" is a single narrow
+            // hash-column scan, not a full-text re-hash of the corpus
             val seen = spark.read.parquet(sinkPath)
-              .select(md5(col(textCol)).as("__h")).distinct()
+              .select(col("__h")).distinct()
             inBatchFirst.join(seen, Seq("__h"), "left_anti")
           } else inBatchFirst
-        novel.drop("__h").write.mode("append").parquet(sinkPath)
+        novel.write.mode("append").parquet(sinkPath)
         ()
     }
   }

@@ -37,13 +37,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan("t44_dup_spans").contains("SinglePartition"))
   }
 
+  // FormattedMode prints every operator twice (tree + "(n) Op"
+  // details) — count the numbered detail form so each NODE counts once
+  private def nodes(p: String, op: String): Int =
+    s"""\\(\\d+\\) $op""".r.findAllIn(p).length
+
   test("t48: covariance is one partial-agg pass, not a per-cell shuffle") {
     val p = plan("t48_embed_covariance")
-    assert(p.split("Exchange").length - 1 <= 2,
-      "expected only the partial->final agg exchange (plus AQE read)")
-    assert(!p.contains("Generate") ||
-      p.indexOf("graft_vec_covariance") < p.length,
-      "explode must happen after the aggregate, not before")
+    assert(nodes(p, "Exchange") <= 1,
+      "expected only the partial->final agg exchange")
+    // the d×d explode must sit ABOVE the aggregate (driver-sized
+    // input), not below it (corpus × d² expansion): FormattedMode
+    // numbers nodes leaf-first, so a parent's id is LARGER
+    val genId = "\\((\\d+)\\) Generate".r
+      .findFirstMatchIn(p).map(_.group(1).toInt)
+    val aggIds = "\\((\\d+)\\) ObjectHashAggregate".r
+      .findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(genId.nonEmpty && aggIds.nonEmpty)
+    assert(genId.get > aggIds.max,
+      s"Generate (node ${genId.get}) must be above the aggregate " +
+        s"(nodes $aggIds) — explode after agg, not before")
   }
 
   test("d4: per-group top-k plans as WindowGroupLimit, not full sort") {
@@ -61,7 +74,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q1: aggregation combines map-side before the shuffle") {
     val p = plan("q1_agg")
-    assert(p.split("HashAggregate").length - 1 >= 2,
+    assert(nodes(p, "HashAggregate") >= 2,
       "partial aggregation missing — every row would shuffle")
   }
 }

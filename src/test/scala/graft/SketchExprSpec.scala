@@ -77,9 +77,12 @@ class SketchExprSpec extends SparkSpec {
     val both = pairs.select(
       TextOps.jaccard($"sa", $"sb").as("slow"),
       SketchExpressions.jaccard($"sa", $"sb").as("fast"))
+    // coalesce: a null-vs-value mismatch must COUNT, not null out the
+    // conjunction and vanish from the filter
     assert(both.where(
       !($"slow" <=> $"fast") &&
-        abs($"slow" - $"fast") > lit(1e-12)).count() === 0)
+        coalesce(abs($"slow" - $"fast") > lit(1e-12), lit(true)))
+      .count() === 0)
     // self-similarity is exactly 1 for non-empty sets
     val self = sets.where(size($"ss") > 0)
       .select(SketchExpressions.jaccard($"ss", $"ss"))

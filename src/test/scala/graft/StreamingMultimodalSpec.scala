@@ -91,7 +91,8 @@ class StreamingMultimodalSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val out = spark.read.parquet(sink)
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
     assert(out === Map(1L -> "doc A", 2L -> "doc B", 5L -> "doc C"))
   }
 
