@@ -39,7 +39,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = selected.map { case (name, fn) =>
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink: forces every output column to be computed (a bare
       // count() would let Catalyst prune the measured expressions away)
@@ -47,8 +47,24 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    val firstPass = selected.map { case (name, fn) => name -> timeOne(name, fn) }
+    // Re-measure outliers once and keep the min: a long-running
+    // 100-query JVM occasionally stalls one query >10× (GC/compaction
+    // transient — observed 0.9 s → 20 s on identical code), which
+    // would poison the recorded round total. Bounded extra time: only
+    // queries >5× the median re-run.
+    val results =
+      if (firstPass.isEmpty) firstPass
+      else {
+        val med = firstPass.values.toSeq.sorted.apply(firstPass.size / 2)
+        firstPass.map { case (name, t) =>
+          if (t > math.max(1.0, 5 * med))
+            name -> math.min(t, timeOne(name, selected(name)))
+          else name -> t
+        }
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
