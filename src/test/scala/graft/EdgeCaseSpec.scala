@@ -103,6 +103,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r(4).getLong(5) === 5L)
   }
 
+  test("span machinery on degenerate documents: empty, short, null-ish") {
+    import graft.functions.SketchExpressions
+    // empty text tokenizes to [""], shorter than any window → no grams;
+    // a doc exactly at the window width yields one gram at pos 1
+    val docs = Seq((1L, ""), (2L, "a b c"), (3L, "w1 w2 w3 w4 w5 w6 w7 w8"))
+      .toDF("doc_id", "text")
+    val grams = graft.ops.Spans.gramHashes(docs, "doc_id", "text", 8)
+    val byDoc = grams.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(!byDoc.contains(1L) && !byDoc.contains(2L))
+    assert(byDoc(3L) === 1L)
+    assert(grams.where($"doc_id" === 3).head().getAs[Long]("pos") === 1L)
+    // canonicalize: empty and whitespace-only collapse to ""
+    val canon = Seq("", "   ", "\t\n").toDF("text")
+      .select(SketchExpressions.canonicalizeText($"text"))
+      .collect().map(_.getString(0))
+    assert(canon.forall(_ === ""))
+    // gopher metrics survive the empty-token doc (split("") = [""],
+    // so n_words is 1, never 0 — no division by zero)
+    val g = SparkEntry.queries("t46_gopher_rules")(spark,
+      "/root/testdata/sf0.001")
+    assert(g.where($"n_words" === 0).count() === 0)
+  }
+
   test("depth recurrence with an empty or pre-install series is empty") {
     val udg = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), -1.0))
       .toDF("ts", "udg")
