@@ -30,6 +30,32 @@ object SparkEntry {
       .getOrElse(df)
   }
 
+  /** Cross-engine-stable rounded mean of a NON-NEGATIVE double column:
+    * exact integer HALF_UP end-to-end. A plain double avg differs from
+    * DuckDB's in the last ulp (partial-agg tree vs sequential
+    * summation) and even identical doubles round ties differently
+    * (Spark rounds the shortest decimal repr, DuckDB the binary
+    * value), so any double-domain round diverges when a group's mean
+    * sits exactly on the boundary — observed at sf0.1 on q10/q24
+    * (means like 1083.87/24 = 45.16125).
+    *
+    * Here: I = Σ round8(v)·10⁸ (exact, order-independent),
+    * rounded mean = floor((2I + n·10^{8-scale}) / (2n·10^{8-scale}))
+    * / 10^scale. The floor's double division is exact for operands
+    * < 2^53, i.e. per-group Σv < ~9·10⁷ — fine here; a larger corpus
+    * lifts I into decimal DIV. DuckDB twin:
+    * CAST((2*CAST(sum(CAST(v AS DECIMAL(24,8)))*100000000 AS HUGEINT)
+    * + count(v)*10^{8-scale}) // (2*count(v)*10^{8-scale}) AS DOUBLE)
+    * / 10^scale. */
+  private def stableAvg(c: Column, scale: Int): Column = {
+    val down = math.pow(10, 8 - scale).toLong // 10^{8-scale}
+    val I = sum((c.cast("decimal(24,8)") * lit(100000000L))
+      .cast("decimal(38,0)")).cast("long")
+    val n = count(c)
+    floor((I * 2 + n * down).cast("double") / (n * down * 2).cast("double"))
+      .cast("double") / math.pow(10, scale)
+  }
+
   /** Time-sliced events read with the range predicate applied to the RAW
     * int64(ns) column BEFORE the µs conversion — so it pushes into the
     * parquet scan (PushedFilters: GreaterThanOrEqual/LessThan on ts) and
@@ -88,7 +114,7 @@ object SparkEntry {
     "q5_hourly" -> ((s, dir) =>
       T(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"))
-        .agg(round(avg("value"), 4).as("avg_value"),
+        .agg(stableAvg(col("value"), 4).as("avg_value"),
           count(lit(1)).as("n"))),
 
     // W1 — trailing 2-day rolling median per key over a time-range frame.
@@ -145,7 +171,7 @@ object SparkEntry {
     "q10_grid" -> ((s, dir) => {
       val h = T(s, dir, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-        .agg(round(avg("value"), 4).as("v"))
+        .agg(stableAvg(col("value"), 4).as("v"))
       Windows.resampleGrid(h, "hour", Seq("event_type"), 3600)
         .select("event_type", "hour", "v")
     }),
@@ -271,7 +297,8 @@ object SparkEntry {
     "q23_daily_profile" -> ((s, dir) =>
       eventsBetween(s, dir, "2024-01-05 00:00:00", "2024-01-06 00:00:00")
         .groupBy("event_type")
-        .agg(round(avg("value"), 4).as("avg_value"), count(lit(1)).as("n"))),
+        .agg(stableAvg(col("value"), 4).as("avg_value"),
+          count(lit(1)).as("n"))),
 
     // J2 — horizontal alignment of two per-type hourly series on the time
     // axis (full-outer join on the hour key).
@@ -280,7 +307,7 @@ object SparkEntry {
       def hourly(t: String, alias: String) =
         e.where(col("event_type") === t)
           .groupBy(date_trunc("hour", col("ts")).as("hour"))
-          .agg(round(avg("value"), 4).as(alias))
+          .agg(stableAvg(col("value"), 4).as(alias))
       Joins.alignOnTime(Seq(hourly("click", "click_avg"),
         hourly("purchase", "purchase_avg")), "hour")
     }),
@@ -1751,7 +1778,10 @@ object SparkEntry {
          FROM events""",
     "q5_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour,
-         round(avg(value), 4) AS avg_value, count(*) AS n
+         CAST((2 * CAST(sum(CAST(value AS DECIMAL(24,8)))
+                          * 100000000 AS HUGEINT)
+               + count(value) * 10000)
+              // (20000 * count(value)) AS DOUBLE) / 10000 AS avg_value, count(*) AS n
          FROM events GROUP BY 1""",
     "q6_rolling_median" ->
       """SELECT user_id, event_id,
@@ -1814,7 +1844,10 @@ object SparkEntry {
     "q10_grid" ->
       """WITH h AS (
            SELECT event_type, date_trunc('hour', ts) AS hour,
-             round(avg(value), 4) AS v FROM events GROUP BY 1, 2),
+             CAST((2 * CAST(sum(CAST(value AS DECIMAL(24,8)))
+                          * 100000000 AS HUGEINT)
+               + count(value) * 10000)
+              // (20000 * count(value)) AS DOUBLE) / 10000 AS v FROM events GROUP BY 1, 2),
          span AS (SELECT event_type, min(hour) AS t0, max(hour) AS t1
            FROM h GROUP BY 1),
          grid AS (SELECT event_type,
@@ -1907,7 +1940,10 @@ object SparkEntry {
          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
            AND ts < TIMESTAMP '2024-01-15 00:00:00'""",
     "q23_daily_profile" ->
-      """SELECT event_type, round(avg(value), 4) AS avg_value,
+      """SELECT event_type, CAST((2 * CAST(sum(CAST(value AS DECIMAL(24,8)))
+                          * 100000000 AS HUGEINT)
+               + count(value) * 10000)
+              // (20000 * count(value)) AS DOUBLE) / 10000 AS avg_value,
          count(*) AS n
          FROM events
          WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-05 00:00:00'
@@ -1915,11 +1951,17 @@ object SparkEntry {
     "q24_align" ->
       """WITH c AS (
            SELECT date_trunc('hour', ts) AS hour,
-             round(avg(value), 4) AS click_avg
+             CAST((2 * CAST(sum(CAST(value AS DECIMAL(24,8)))
+                          * 100000000 AS HUGEINT)
+               + count(value) * 10000)
+              // (20000 * count(value)) AS DOUBLE) / 10000 AS click_avg
            FROM events WHERE event_type = 'click' GROUP BY 1),
          p AS (
            SELECT date_trunc('hour', ts) AS hour,
-             round(avg(value), 4) AS purchase_avg
+             CAST((2 * CAST(sum(CAST(value AS DECIMAL(24,8)))
+                          * 100000000 AS HUGEINT)
+               + count(value) * 10000)
+              // (20000 * count(value)) AS DOUBLE) / 10000 AS purchase_avg
            FROM events WHERE event_type = 'purchase' GROUP BY 1)
          SELECT coalesce(c.hour, p.hour) AS hour, click_avg, purchase_avg
          FROM c FULL JOIN p ON c.hour = p.hour""",
