@@ -39,30 +39,36 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       // noop sink: forces every output column to be computed (a bare
       // count() would let Catalyst prune the measured expressions away)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val firstPass = selected.map { case (name, fn) => name -> timeOne(name, fn) }
-    // Re-measure outliers once and keep the min: a long-running
+    val firstPass = selected.map { case (name, fn) => name -> timeOne(name, fn)._1 }
+    // Re-measure apparent stalls once and keep the min: a long-running
     // 100-query JVM occasionally stalls one query >10× (GC/compaction
     // transient — observed 0.9 s → 20 s on identical code), which
-    // would poison the recorded round total. Bounded extra time: only
-    // queries >5× the median re-run.
+    // would poison the recorded round total. The 5 s absolute floor
+    // keeps legitimately-heavy steady-state queries (2-3 s) on the
+    // same single-sample policy as everything else; only the re-run's
+    // time counts if the re-run actually SUCCEEDED (a fast failure
+    // must not replace a valid slow measurement).
     val results =
       if (firstPass.isEmpty) firstPass
       else {
         val med = firstPass.values.toSeq.sorted.apply(firstPass.size / 2)
         firstPass.map { case (name, t) =>
-          if (t > math.max(1.0, 5 * med))
-            name -> math.min(t, timeOne(name, selected(name)))
-          else name -> t
+          if (t > math.max(5.0, 5 * med)) {
+            val (t2, ok2) = timeOne(name, selected(name))
+            name -> (if (ok2) math.min(t, t2) else t)
+          } else name -> t
         }
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -41,9 +41,13 @@ object SparkEntry {
     *
     * Here: I = Σ round8(v)·10⁸ (exact, order-independent),
     * rounded mean = floor((2I + n·10^{8-scale}) / (2n·10^{8-scale}))
-    * / 10^scale. The floor's double division is exact for operands
-    * < 2^53, i.e. per-group Σv < ~9·10⁷ — fine here; a larger corpus
-    * lifts I into decimal DIV. DuckDB twin:
+    * / 10^scale. The floor's double division is exact while the
+    * NUMERATOR 2I + n·10^{8-scale} < 2^53, i.e. per-group Σv below
+    * ~4.5·10⁷ — fine here; a larger corpus lifts I into decimal DIV.
+    * Other rounded means in this file keep plain round(): integer-
+    * valued inputs sum exactly in doubles, so only an exact .5-tie
+    * (denominator 2^a·5^b group counts) can diverge — migrate any
+    * that ever fails the sf0.1 spot-check to this helper. DuckDB twin:
     * CAST((2*CAST(sum(CAST(v AS DECIMAL(24,8)))*100000000 AS HUGEINT)
     * + count(v)*10^{8-scale}) // (2*count(v)*10^{8-scale}) AS DOUBLE)
     * / 10^scale. */
@@ -1757,6 +1761,13 @@ object SparkEntry {
     }),
   )
 
+  /** DuckDB twin of [[stableAvg]] at scale 4 over a column expr. */
+  private def stableAvgSql(col: String): String =
+    s"""CAST((2 * CAST(sum(CAST($col AS DECIMAL(24,8)))
+       |                          * 100000000 AS HUGEINT)
+       |               + count($col) * 10000)
+       |              // (20000 * count($col)) AS DOUBLE) / 10000""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1777,11 +1788,8 @@ object SparkEntry {
          CASE WHEN value BETWEEN 0.0 AND 50.0 THEN value END AS value_clamped
          FROM events""",
     "q5_hourly" ->
-      """SELECT date_trunc('hour', ts) AS hour,
-         CAST((2 * CAST(sum(CAST(value AS DECIMAL(24,8)))
-                          * 100000000 AS HUGEINT)
-               + count(value) * 10000)
-              // (20000 * count(value)) AS DOUBLE) / 10000 AS avg_value, count(*) AS n
+      s"""SELECT date_trunc('hour', ts) AS hour,
+         ${stableAvgSql("value")} AS avg_value, count(*) AS n
          FROM events GROUP BY 1""",
     "q6_rolling_median" ->
       """SELECT user_id, event_id,
@@ -1842,12 +1850,9 @@ object SparkEntry {
              WHEN pv IS NOT NULL THEN pv END, 6) AS v_interp
          FROM ctx""",
     "q10_grid" ->
-      """WITH h AS (
+      s"""WITH h AS (
            SELECT event_type, date_trunc('hour', ts) AS hour,
-             CAST((2 * CAST(sum(CAST(value AS DECIMAL(24,8)))
-                          * 100000000 AS HUGEINT)
-               + count(value) * 10000)
-              // (20000 * count(value)) AS DOUBLE) / 10000 AS v FROM events GROUP BY 1, 2),
+             ${stableAvgSql("value")} AS v FROM events GROUP BY 1, 2),
          span AS (SELECT event_type, min(hour) AS t0, max(hour) AS t1
            FROM h GROUP BY 1),
          grid AS (SELECT event_type,
@@ -1940,28 +1945,19 @@ object SparkEntry {
          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
            AND ts < TIMESTAMP '2024-01-15 00:00:00'""",
     "q23_daily_profile" ->
-      """SELECT event_type, CAST((2 * CAST(sum(CAST(value AS DECIMAL(24,8)))
-                          * 100000000 AS HUGEINT)
-               + count(value) * 10000)
-              // (20000 * count(value)) AS DOUBLE) / 10000 AS avg_value,
+      s"""SELECT event_type, ${stableAvgSql("value")} AS avg_value,
          count(*) AS n
          FROM events
          WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-05 00:00:00'
          GROUP BY event_type""",
     "q24_align" ->
-      """WITH c AS (
+      s"""WITH c AS (
            SELECT date_trunc('hour', ts) AS hour,
-             CAST((2 * CAST(sum(CAST(value AS DECIMAL(24,8)))
-                          * 100000000 AS HUGEINT)
-               + count(value) * 10000)
-              // (20000 * count(value)) AS DOUBLE) / 10000 AS click_avg
+             ${stableAvgSql("value")} AS click_avg
            FROM events WHERE event_type = 'click' GROUP BY 1),
          p AS (
            SELECT date_trunc('hour', ts) AS hour,
-             CAST((2 * CAST(sum(CAST(value AS DECIMAL(24,8)))
-                          * 100000000 AS HUGEINT)
-               + count(value) * 10000)
-              // (20000 * count(value)) AS DOUBLE) / 10000 AS purchase_avg
+             ${stableAvgSql("value")} AS purchase_avg
            FROM events WHERE event_type = 'purchase' GROUP BY 1)
          SELECT coalesce(c.hour, p.hour) AS hour, click_avg, purchase_avg
          FROM c FULL JOIN p ON c.hour = p.hour""",

@@ -121,10 +121,18 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(canon.forall(_ === ""))
     // gopher metrics survive the empty-token doc (split("") = [""],
-    // so n_words is 1, never 0 — no division by zero)
-    val g = SparkEntry.queries("t46_gopher_rules")(spark,
-      "/root/testdata/sf0.001")
-    assert(g.where($"n_words" === 0).count() === 0)
+    // so n_words is 1, never 0 — no division by zero): run the
+    // actual t46 expressions over THESE docs, including the "" text
+    val toks = graft.ops.TextOps.tokensLower($"text")
+    val nWords = size(toks).cast("long")
+    val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+      .cast("double") / nWords
+    val g = docs.select($"doc_id", nWords.as("n_words"),
+      meanLen.as("mean_word_len"))
+      .orderBy("doc_id").collect()
+    assert(g.forall(_.getAs[Long]("n_words") >= 1L))
+    assert(g.head.getAs[Long]("n_words") === 1L)        // the "" doc
+    assert(g.head.getAs[Double]("mean_word_len") === 0.0) // 0/1, not NaN
   }
 
   test("depth recurrence with an empty or pre-install series is empty") {
