@@ -907,6 +907,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // Quality-aware canonical selection: d5 keeps each near-dup
+    // cluster's MIN doc_id; real pipelines keep the BEST copy — the
+    // member maximizing the quality kernel (doc_id tiebreak). Same
+    // cluster machinery (star edges → connected components), then one
+    // per-cluster window over cluster-sized groups; singletons keep
+    // themselves via the left-join coalesce.
+    "t56_keep_best" -> ((s, dir) => {
+      val base = T(s, dir, "documents")
+      val docs = base.select(col("doc_id"),
+        graft.functions.SketchExpressions
+          .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
+      val pairs = Dedup.lshStarEdges(docs, "doc_id", "shingles",
+        k = 8, bands = 4)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("q_score").desc, col("doc_id"))
+      base.select(col("doc_id"),
+          graft.functions.SketchExpressions.textStats(col("text"))
+            .as("__st"))
+        .select(col("doc_id"),
+          TextOps.qualityScoreFrom(col("__st")).as("q_score"))
+        .join(cc.select(col("id").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .select(coalesce(col("label"), col("doc_id")).as("cluster_id"),
+          col("doc_id"), col("q_score"))
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+          col("q_score").as("q_kept"))
+    }),
+
     // BPE-ish token counting: GPT-2 pre-tokenizer shape (contractions,
     // letter runs, digit runs, other non-space runs) via one RE2-safe
     // regexp_extract_all — the whitespace-count twin is d2. Map-side.
@@ -2638,6 +2669,64 @@ object SparkEntry {
          LEFT JOIN (SELECT id, min(r) AS rmin FROM reach GROUP BY id) m
            ON m.id = d.doc_id
          GROUP BY 1""",
+    "t56_keep_best" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN generate_series(1, len(toks)-2)] AS s
+           FROM t WHERE len(toks) >= 3),
+         mh AS (
+           SELECT doc_id,
+             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
+              FOR k IN generate_series(1, 8)] AS sig
+           FROM sh),
+         bands AS (
+           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
+           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sym AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, dst FROM sym
+           UNION
+           SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id),
+         q AS (
+           SELECT doc_id, round(
+             least(CAST(len(string_split_regex(text,'\s+')) AS DOUBLE)
+                   / 100.0, 1.0) * 0.4
+             + CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS DOUBLE)
+               / greatest(CAST(len(text) AS DOUBLE), 1.0) * 0.3
+             + CAST(len(list_filter(string_split_regex(lower(text),'\s+'),
+                 x -> list_contains(
+                   ['the','and','of','to','in','is','that','it'], x)))
+                 AS DOUBLE)
+               / greatest(CAST(len(string_split_regex(text,'\s+'))
+                          AS DOUBLE), 1.0) * 0.2
+             + least((CAST(len(text) AS DOUBLE)
+                      - len(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0,
+                     1.0) * 0.1, 6) AS q_score
+           FROM documents),
+         cl AS (
+           SELECT d.doc_id, q.q_score,
+             CASE WHEN m.rmin IS NULL OR d.doc_id < m.rmin
+                  THEN d.doc_id ELSE m.rmin END AS cluster_id
+           FROM documents d
+           LEFT JOIN (SELECT id, min(r) AS rmin FROM reach GROUP BY id) m
+             ON m.id = d.doc_id
+           JOIN q ON q.doc_id = d.doc_id)
+         SELECT cluster_id, doc_id AS kept_doc, q_score AS q_kept
+         FROM cl
+         QUALIFY row_number() OVER (PARTITION BY cluster_id
+           ORDER BY q_score DESC, doc_id) = 1""",
     "d6_bpe_tokens" ->
       """SELECT doc_id,
          len(regexp_extract_all(text,
