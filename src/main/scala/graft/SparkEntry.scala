@@ -938,6 +938,32 @@ object SparkEntry {
           col("q_score").as("q_kept"))
     }),
 
+    // Per-source duplication health: what fraction of each source's
+    // documents are non-canonical members of a near-dup cluster (the
+    // metric that tells you which feed is paying for redundant
+    // storage/training). Canonical = cluster min id, d5's convention;
+    // the rate is dropped/total per source. Cluster labels are the
+    // same CC output; the per-source agg is a tiny shuffle.
+    "t57_source_dup_rate" -> ((s, dir) => {
+      val base = T(s, dir, "documents")
+      val docs = base.select(col("doc_id"),
+        graft.functions.SketchExpressions
+          .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
+      val pairs = Dedup.lshStarEdges(docs, "doc_id", "shingles",
+        k = 8, bands = 4)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      base.select(col("doc_id"), col("source"))
+        .join(cc.select(col("id").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .select(col("source"),
+          (coalesce(col("label"), col("doc_id")) =!= col("doc_id"))
+            .cast("long").as("__dup"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("__dup")).as("n_dup"),
+          round(sum(col("__dup")).cast("double") / count(lit(1)), 6)
+            .as("dup_rate"))
+    }),
+
     // BPE-ish token counting: GPT-2 pre-tokenizer shape (contractions,
     // letter runs, digit runs, other non-space runs) via one RE2-safe
     // regexp_extract_all — the whitespace-count twin is d2. Map-side.
@@ -2727,6 +2753,47 @@ object SparkEntry {
          FROM cl
          QUALIFY row_number() OVER (PARTITION BY cluster_id
            ORDER BY q_score DESC, doc_id) = 1""",
+    "t57_source_dup_rate" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN generate_series(1, len(toks)-2)] AS s
+           FROM t WHERE len(toks) >= 3),
+         mh AS (
+           SELECT doc_id,
+             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
+              FOR k IN generate_series(1, 8)] AS sig
+           FROM sh),
+         bands AS (
+           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
+           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sym AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, dst FROM sym
+           UNION
+           SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id),
+         cl AS (
+           SELECT d.doc_id, d.source,
+             CASE WHEN m.rmin IS NULL OR d.doc_id < m.rmin
+                  THEN d.doc_id ELSE m.rmin END AS cluster_id
+           FROM documents d
+           LEFT JOIN (SELECT id, min(r) AS rmin FROM reach GROUP BY id) m
+             ON m.id = d.doc_id)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CAST(cluster_id <> doc_id AS INT)) AS BIGINT)
+             AS n_dup,
+           round(CAST(sum(CAST(cluster_id <> doc_id AS INT)) AS DOUBLE)
+                 / count(*), 6) AS dup_rate
+         FROM cl GROUP BY source""",
     "d6_bpe_tokens" ->
       """SELECT doc_id,
          len(regexp_extract_all(text,
