@@ -51,30 +51,40 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val firstPass = selected.map { case (name, fn) => name -> timeOne(name, fn)._1 }
+    val firstPass = selected.map { case (name, fn) => name -> timeOne(name, fn) }
     // Re-measure apparent stalls once and keep the min: a long-running
     // 100-query JVM occasionally stalls one query >10× (GC/compaction
     // transient — observed 0.9 s → 20 s on identical code), which
     // would poison the recorded round total. The 5 s absolute floor
     // keeps legitimately-heavy steady-state queries (2-3 s) on the
-    // same single-sample policy as everything else; only the re-run's
-    // time counts if the re-run actually SUCCEEDED (a fast failure
-    // must not replace a valid slow measurement).
+    // same single-sample policy as everything else. The min-of-reruns
+    // policy applies ONLY when the first pass SUCCEEDED: a failed run's
+    // time is never replaced by a lucky re-run (the failure must stay
+    // visible in the ok map), and a fast failure must not replace a
+    // valid slow measurement.
     val results =
       if (firstPass.isEmpty) firstPass
       else {
-        val med = firstPass.values.toSeq.sorted.apply(firstPass.size / 2)
-        firstPass.map { case (name, t) =>
-          if (t > math.max(5.0, 5 * med)) {
+        val med = firstPass.values.map(_._1).toSeq.sorted.apply(firstPass.size / 2)
+        firstPass.map { case (name, (t, ok)) =>
+          if (ok && t > math.max(5.0, 5 * med)) {
             val (t2, ok2) = timeOne(name, selected(name))
-            name -> (if (ok2) math.min(t, t2) else t)
-          } else name -> t
+            name -> ((if (ok2) math.min(t, t2) else t, ok))
+          } else name -> ((t, ok))
         }
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (t, _)) => s"\"" + k + "\":" + t }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val oks = results.map { case (k, (_, ok)) => s"\"" + k + "\":" + ok }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, (_, false)) => k }.toSeq.sorted
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    // A failed query must make the whole run red: without the rc!=0 a
+    // broken query contributes a near-zero time and silently IMPROVES
+    // the recorded total. `queries` stays name→seconds for the driver;
+    // `ok` carries per-query success alongside.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }
