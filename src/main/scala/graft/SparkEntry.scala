@@ -74,6 +74,18 @@ object SparkEntry {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Near-dup cluster labels for the documents table — the ONE place
+    * the shingle→LSH-star-edge→connected-components pipeline is invoked
+    * (t12/d5/t56/t57 all consume this). Returns (doc_id, cluster_id),
+    * singletons self-labeled. See `Dedup.clusterLabels` for the
+    * materialize-once contract at corpus scale. */
+  private def neardupLabels(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"),
+      graft.functions.SketchExpressions
+        .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
+    Dedup.clusterLabels(docs, "doc_id", "shingles", k = 8, bands = 4)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A pricing-summary aggregate: scan → filter → groupBy, the shape the
     * whole engine is built around. */
@@ -562,20 +574,7 @@ object SparkEntry {
     // cluster's minimum doc id (singletons label themselves). This is
     // the step pairwise dedup can't express: A~B~C collapses to one
     // cluster even though (A,C) was never a candidate pair.
-    "t12_dup_clusters" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.functions.SketchExpressions
-            .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
-      val pairs = Dedup.lshStarEdges(docs, "doc_id", "shingles",
-        k = 8, bands = 4)
-      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      T(s, dir, "documents").select("doc_id")
-        .join(cc.select(col("id").as("doc_id"), col("label")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("cluster_id"))
-    }),
+    "t12_dup_clusters" -> ((s, dir) => neardupLabels(s, dir)),
 
     // Brute-force exact cosine top-5 for 10 query vectors (ANN baseline):
     // corpus never shuffles; queries broadcast.
@@ -892,20 +891,10 @@ object SparkEntry {
     // counts — the step that turns t12's clusters into the deduped
     // corpus. Same LSH star-edge → connected-components pipeline, plus
     // one cluster-keyed agg.
-    "d5_neardup_keep" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").select(col("doc_id"),
-        graft.functions.SketchExpressions
-          .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
-      val pairs = Dedup.lshStarEdges(docs, "doc_id", "shingles",
-        k = 8, bands = 4)
-      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      T(s, dir, "documents").select("doc_id")
-        .join(cc.select(col("id").as("doc_id"), col("label")),
-          Seq("doc_id"), "left")
-        .select(coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    "d5_neardup_keep" -> ((s, dir) =>
+      neardupLabels(s, dir)
         .groupBy("cluster_id")
-        .agg(count(lit(1)).as("n_docs"))
-    }),
+        .agg(count(lit(1)).as("n_docs"))),
 
     // Quality-aware canonical selection: d5 keeps each near-dup
     // cluster's MIN doc_id; real pipelines keep the BEST copy — the
@@ -914,24 +903,15 @@ object SparkEntry {
     // per-cluster window over cluster-sized groups; singletons keep
     // themselves via the left-join coalesce.
     "t56_keep_best" -> ((s, dir) => {
-      val base = T(s, dir, "documents")
-      val docs = base.select(col("doc_id"),
-        graft.functions.SketchExpressions
-          .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
-      val pairs = Dedup.lshStarEdges(docs, "doc_id", "shingles",
-        k = 8, bands = 4)
-      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
       val w = Window.partitionBy("cluster_id")
         .orderBy(col("q_score").desc, col("doc_id"))
-      base.select(col("doc_id"),
+      T(s, dir, "documents")
+        .select(col("doc_id"),
           graft.functions.SketchExpressions.textStats(col("text"))
             .as("__st"))
         .select(col("doc_id"),
           TextOps.qualityScoreFrom(col("__st")).as("q_score"))
-        .join(cc.select(col("id").as("doc_id"), col("label")),
-          Seq("doc_id"), "left")
-        .select(coalesce(col("label"), col("doc_id")).as("cluster_id"),
-          col("doc_id"), col("q_score"))
+        .join(neardupLabels(s, dir), Seq("doc_id"))
         .withColumn("__rk", row_number().over(w))
         .where(col("__rk") === 1)
         .select(col("cluster_id"), col("doc_id").as("kept_doc"),
@@ -944,25 +924,15 @@ object SparkEntry {
     // storage/training). Canonical = cluster min id, d5's convention;
     // the rate is dropped/total per source. Cluster labels are the
     // same CC output; the per-source agg is a tiny shuffle.
-    "t57_source_dup_rate" -> ((s, dir) => {
-      val base = T(s, dir, "documents")
-      val docs = base.select(col("doc_id"),
-        graft.functions.SketchExpressions
-          .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
-      val pairs = Dedup.lshStarEdges(docs, "doc_id", "shingles",
-        k = 8, bands = 4)
-      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      base.select(col("doc_id"), col("source"))
-        .join(cc.select(col("id").as("doc_id"), col("label")),
-          Seq("doc_id"), "left")
+    "t57_source_dup_rate" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(neardupLabels(s, dir), Seq("doc_id"))
         .select(col("source"),
-          (coalesce(col("label"), col("doc_id")) =!= col("doc_id"))
-            .cast("long").as("__dup"))
+          (col("cluster_id") =!= col("doc_id")).cast("long").as("__dup"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("__dup")).as("n_dup"),
           round(sum(col("__dup")).cast("double") / count(lit(1)), 6)
-            .as("dup_rate"))
-    }),
+            .as("dup_rate"))),
 
     // BPE-ish token counting: GPT-2 pre-tokenizer shape (contractions,
     // letter runs, digit runs, other non-space runs) via one RE2-safe

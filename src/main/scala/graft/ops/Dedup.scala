@@ -233,6 +233,31 @@ object Dedup {
     labels
   }
 
+  /** The shared near-dup CLUSTERING pipeline: star edges over LSH
+    * co-buckets → connected components → one label per input document
+    * (singletons and empty-shingle docs label themselves). Returns
+    * (idCol, cluster_id) with cluster_id = the component's minimum id.
+    *
+    * This is the single code path behind every cluster consumer
+    * (keep-min dedup, quality-aware keep-best, per-source dup rate):
+    * they differ only in what they aggregate over the labels, never in
+    * how labels are derived. **Materialize-once contract for
+    * production:** at corpus scale, run this ONCE per corpus snapshot,
+    * persist the (id, cluster_id) table (it is corpus-cardinality but
+    * two narrow columns), and point all downstream consumers at the
+    * materialized table — re-deriving labels per consumer repeats the
+    * shingle/signature scan and the CC fixpoint for identical output. */
+  def clusterLabels(docs: DataFrame, idCol: String, shinglesCol: String,
+                    k: Int = 8, bands: Int = 4,
+                    maxIter: Int = 20, strict: Boolean = false): DataFrame = {
+    val edges = lshStarEdges(docs, idCol, shinglesCol, k, bands)
+    val cc = connectedComponents(edges, "id_a", "id_b", maxIter, strict)
+    docs.select(col(idCol))
+      .join(cc.select(col("id").as(idCol), col("label")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
+  }
+
   /** SimHash (32-bit, as a '0'/'1' bitstring): per bit position i, sum
     * +1/−1 votes from the i-th hex char of each token's md5; bit = 1 iff
     * the sum is positive. Near-duplicates agree on most bits (compare by
