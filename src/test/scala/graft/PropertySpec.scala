@@ -270,4 +270,47 @@ class PropertySpec extends SparkSpec {
         }
     }
   }
+
+  test("t52b overlap estimate tracks exact t52 (ε contract)") {
+    // Controlled-J regime: two single-doc sources over a shared token
+    // run. A = t0..t999, B = t300..t1299; 8-token windows ⇒ 993 grams
+    // each, 693 shared, J = 693/1293 ≈ 0.536. KMV with K=256 has
+    // σ ≈ √(J(1−J)/K) ≈ 0.031; md5 is seedless so the estimate is
+    // DETERMINISTIC — the 4σ bound below cannot flake.
+    val dir = java.nio.file.Files.createTempDirectory("t52b").toString
+    def doc(lo: Int, hi: Int) = (lo until hi).map(i => s"t$i").mkString(" ")
+    Seq((1L, doc(0, 1000), "srcA"), (2L, doc(300, 1300), "srcB"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val exact = SparkEntry.queries("t52_source_overlap")(spark, dir)
+      .collect().head.getAs[Long]("n_shared_grams").toDouble
+    val est = SparkEntry.queries("t52b_source_overlap_est")(spark, dir)
+      .collect().head
+    assert(exact === 693.0)
+    val jTrue = 693.0 / 1293.0
+    assert(math.abs(est.getAs[Double]("j_est") - jTrue) <= 0.12,
+      s"j_est ${est.getAs[Double]("j_est")} vs $jTrue")
+    assert(math.abs(est.getAs[Double]("est_shared_grams") - exact)
+      <= 0.3 * exact, s"est_shared ${est.getAs[Double]("est_shared_grams")}")
+
+    // Testdata anchor (sf0.001): the estimator must agree with exact
+    // t52 on which pairs DON'T overlap (KMV intersection of disjoint
+    // sketches is empty ⇒ no false positives at this K — exact-zero,
+    // not approximate), and stay within a loose-but-honest band on the
+    // pairs that do (tiny-J regime: σ/J is large by nature here; the
+    // tight contract is the controlled test above).
+    val td = "/root/testdata/sf0.001"
+    val ex = SparkEntry.queries("t52_source_overlap")(spark, td)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_shared_grams").toDouble).toMap
+    val es = SparkEntry.queries("t52b_source_overlap_est")(spark, td)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("est_shared_grams")).toMap
+    es.foreach { case (pair, e) =>
+      val x = ex.getOrElse(pair, 0.0)
+      if (x == 0.0) assert(e <= 5.0, s"false positive $pair est=$e")
+      else if (x >= 30.0)
+        assert(e >= 0.2 * x && e <= 4.0 * x, s"$pair est=$e exact=$x")
+    }
+  }
 }
