@@ -9,9 +9,10 @@ import org.apache.spark.sql.types._
   * decode / feature-extraction as per-partition batch transforms.
   *
   * Image decode is REAL (`ImageIoKernel`, JDK ImageIO — PNG/BMP/GIF/
-  * JPEG); audio/video decode stays STUBBED behind the same
-  * `DecodeKernel` contract (no codec libs in this environment) with a
-  * deterministic byte-histogram fake. The Spark-side contract:
+  * JPEG); audio decode is REAL (`AudioWavKernel`, JDK javax.sound —
+  * WAV/AIFF/AU → PCM sample moments); video decode stays STUBBED
+  * behind the same `DecodeKernel` contract (no video codec in the JDK)
+  * with a deterministic byte-histogram fake. The Spark-side contract:
   *  - schema: (id, modality, payload binary, meta struct(width, height,
   *    sample_rate, duration_ms, format));
   *  - partition-batch execution (`mapPartitions`, one kernel instance
@@ -104,6 +105,85 @@ object Multimodal {
       var b = 2
       while (b < dim) { out(b) /= n; b += 1 }
       out
+    }
+  }
+
+  /** Real audio decode via the JDK's javax.sound (WAV/AIFF/AU — no
+    * native libs needed): any input encoding is converted to 16-bit
+    * signed PCM, then features =
+    * [sample_rate, channels, n_frames, mean, rms, zero_crossing_rate,
+    *  then an amplitude histogram over `dim−6` bins on [−1,1]].
+    * Mean/rms are over all channels in [−1,1] units; the crossing rate
+    * is on the first channel (crossings / (frames−1)). Non-audio
+    * modalities delegate to `ImageIoKernel` (which itself falls back to
+    * the byte histogram), so ONE kernel instance decodes a
+    * mixed-modality table in a single `mapPartitions` pass; undecodable
+    * audio payloads fall back to the byte histogram too. */
+  object AudioWavKernel extends DecodeKernel {
+    def decode(modality: String, payload: Array[Byte],
+               dim: Int): Array[Float] = {
+      if (modality != "audio" || dim < 6)
+        return ImageIoKernel.decode(modality, payload, dim)
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val samples =
+        try {
+          val in = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val base = in.getFormat
+          val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            base.getSampleRate, 16, base.getChannels,
+            base.getChannels * 2, base.getSampleRate, false)
+          val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
+          val bytes = pcm.readAllBytes()
+          val out = new Array[Float](bytes.length / 2)
+          var i = 0
+          while (i < out.length) {
+            val lo = bytes(2 * i) & 0xFF
+            val hi = bytes(2 * i + 1).toInt // sign-extends
+            out(i) = ((hi << 8) | lo) / 32768.0f
+            i += 1
+          }
+          Some((base.getSampleRate, base.getChannels, out))
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+        }
+      samples match {
+        case None =>
+          HistogramKernel.decode(modality, payload, dim)
+        case Some((rate, channels, s)) =>
+          val out = new Array[Float](dim)
+          val frames = if (channels > 0) s.length / channels else 0
+          out(0) = rate
+          out(1) = channels.toFloat
+          out(2) = frames.toFloat
+          if (s.nonEmpty) {
+            var sum = 0.0; var sq = 0.0
+            var i = 0
+            while (i < s.length) { sum += s(i); sq += s(i) * s(i); i += 1 }
+            out(3) = (sum / s.length).toFloat
+            out(4) = math.sqrt(sq / s.length).toFloat
+            var zc = 0; var f = 1
+            while (f < frames) { // first channel: stride = channels
+              if ((s((f - 1) * channels) < 0f) != (s(f * channels) < 0f))
+                zc += 1
+              f += 1
+            }
+            if (frames > 1) out(5) = zc.toFloat / (frames - 1)
+            val bins = dim - 6
+            if (bins > 0) {
+              i = 0
+              while (i < s.length) {
+                val b = (((s(i) + 1.0f) / 2.0f) * bins).toInt
+                out(6 + math.min(math.max(b, 0), bins - 1)) += 1.0f
+                i += 1
+              }
+              var b2 = 6
+              while (b2 < dim) { out(b2) /= s.length; b2 += 1 }
+            }
+          }
+          out
+      }
     }
   }
 

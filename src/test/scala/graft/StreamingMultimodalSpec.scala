@@ -315,6 +315,53 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(feats(2).features.length === 10)
   }
 
+  test("multimodal: AudioWavKernel decodes a real WAV to PCM moments") {
+    // 0.5 s of a 440 Hz sine at 8 kHz mono, amplitude 0.5, written as
+    // a real RIFF/WAVE file through javax.sound — the decode path then
+    // re-reads it from bytes exactly as a payload column would arrive.
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    val sr = 8000f; val n = 4000
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (0.5 * math.sin(2 * math.Pi * 440 * i / sr) * 32767).toInt
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(sr, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt,
+        n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val rows = Seq(
+      Row(1L, "audio", wav, Row(null, null, 8000, 500L, "wav")),
+      Row(2L, "audio", Array[Byte](1, 2, 3), // not decodable audio
+        Row(null, null, null, 0L, "junk")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.Schema)
+    val feats = Multimodal.extractFeatures(df, dim = 10,
+      kernel = Multimodal.AudioWavKernel).collect().sortBy(_.id)
+    val f = feats(0).features
+    assert(f(0) === 8000.0f && f(1) === 1.0f && f(2) === 4000.0f)
+    assert(math.abs(f(3)) < 0.01) // sine mean ≈ 0
+    assert(math.abs(f(4) - 0.5f / math.sqrt(2).toFloat) < 0.01) // rms
+    // 440 Hz over 0.5 s = 220 periods, 2 crossings each
+    assert(math.abs(f(5) - 440.0f / 3999.0f) < 0.01)
+    assert(math.abs(f.drop(6).sum - 1.0f) < 1e-5) // histogram normalized
+    // amplitude ±0.5 → the outer bins of [−1,1] stay empty
+    assert(f(6) === 0.0f && f(9) === 0.0f)
+    // undecodable audio falls back to the byte histogram
+    assert(feats(1).features.toSeq ===
+      Multimodal.HistogramKernel.decode("audio", Array[Byte](1, 2, 3),
+        10).toSeq)
+    // non-audio modalities delegate to the image kernel unchanged
+    assert(Multimodal.AudioWavKernel.decode("image", Array[Byte](9), 10)
+      .toSeq === Multimodal.ImageIoKernel.decode("image", Array[Byte](9),
+        10).toSeq)
+  }
+
   test("multimodal: meta-only stats and frame sampling") {
     val rows = Seq(
       Row(1L, "video", Array[Byte](1), Row(640, 480, null, 1000L, "v")),
