@@ -140,24 +140,47 @@ object Streaming {
                    evalWindowHashes: DataFrame, ghCol: String = "gh",
                    n: Int = 8, numBits: Int = 1 << 19,
                    numHashes: Int = 5,
-                   outCol: String = "text_clean"): DataFrame = {
+                   outCol: String = "text_clean",
+                   maxEvalHashes: Int = 1000000): DataFrame = {
     import graft.functions.{BloomExpressions, SketchExpressions}
     val hashes: Array[String] = evalWindowHashes.select(col(ghCol))
       .distinct().collect().map(_.getString(0)).sorted
+    // The exact tier is a DRIVER-COLLECTED literal, bounded by the
+    // eval-suite size by design. A mis-pointed "eval" table (say, the
+    // corpus itself) must fail LOUD here, not ship a corpus-sized
+    // literal to every task and OOM mid-stream.
+    require(hashes.length <= maxEvalHashes,
+      s"redactStream: eval window-hash set has ${hashes.length} entries " +
+        s"(cap $maxEvalHashes). The exact tier ships this set to every " +
+        "task as a literal; a set this large is almost certainly a " +
+        "mis-pointed eval table. For document-level gating at corpus " +
+        "scale use decontaminateStream (Bloom-only, no exact literal), " +
+        "or raise maxEvalHashes deliberately.")
+    // Empty eval set: nothing can ever match — short-circuit to a
+    // passthrough column instead of window-hashing every document
+    // against a set with no members.
+    if (hashes.isEmpty) return in.withColumn(outCol, col(textCol))
     val bitmap = evalWindowHashes
       .agg(BloomExpressions.bloomFilter(col(ghCol), numBits, numHashes))
       .head().getSeq[Long](0).toArray
     val toks = graft.ops.TextOps.tokens(col(textCol))
-    val ws = SketchExpressions.windowHashes(toks, n)
+    // Bind the window-hash array ONCE in its own projection: every row
+    // pays exactly one hashing pass (the Bloom probe references the
+    // bound array; the exact tier re-reads it, not re-derives it).
+    // Inlining `ws` at each use would re-run the kernel per reference
+    // under CodegenFallback — Spark does no CSE inside lambda trees,
+    // and CollapseProject keeps non-cheap multi-referenced projections
+    // in their own node, which is exactly what this relies on.
+    val wsRef = col("__graft_ws")
     // null text ⇒ null exists ⇒ treat as clean passthrough (same
     // contract as decontaminateStream)
-    val maybeHit = coalesce(exists(ws,
+    val maybeHit = coalesce(exists(wsRef,
       w => BloomExpressions.bloomMightContain(lit(bitmap), w("gh"))),
       lit(false))
     // exact tier: binary search against the sorted eval set — O(log n)
     // per window, vs array_contains' full scan
     val hitPos = transform(
-      filter(ws, w => SketchExpressions.sortedSetContains(w("gh"), hashes)),
+      filter(wsRef, w => SketchExpressions.sortedSetContains(w("gh"), hashes)),
       w => w("pos"))
     val kept = filter(toks, (t, i) =>
       !exists(hitPos, p => (i + 1) >= p && (i + 1) <= p + (n - 1)))
@@ -166,11 +189,13 @@ object Streaming {
     // run the exact tier at all — and a Bloom FALSE POSITIVE (inner
     // branch, no exact hit) must pass through byte-identical, not get
     // whitespace-normalized by an unconditional token re-join.
-    in.withColumn(outCol,
-      when(maybeHit,
-        when(size(hitPos) > 0, concat_ws(" ", kept))
+    in.withColumn("__graft_ws", SketchExpressions.windowHashes(toks, n))
+      .withColumn(outCol,
+        when(maybeHit,
+          when(size(hitPos) > 0, concat_ws(" ", kept))
+            .otherwise(col(textCol)))
           .otherwise(col(textCol)))
-        .otherwise(col(textCol)))
+      .drop("__graft_ws")
   }
 
   /** Incremental corpus append with SINK-OWNED dedup state — the

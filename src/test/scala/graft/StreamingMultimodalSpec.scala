@@ -75,6 +75,34 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out(3L) === null)
   }
 
+  test("streaming redaction: eval-set size guard and empty short-circuit") {
+    implicit val sc = spark.sqlContext
+    // oversized "eval" set (a mis-pointed corpus) fails LOUD at
+    // stream-definition time, before any literal ships to tasks
+    val big = Seq("a", "b", "c", "d").toDF("gh")
+    val err = intercept[IllegalArgumentException] {
+      Streaming.redactStream(
+        MemoryStream[(Long, String)].toDS().toDF("id", "text"),
+        "text", big, maxEvalHashes = 3)
+    }
+    assert(err.getMessage.contains("mis-pointed"))
+    // empty eval set: passthrough plan — no per-row window hashing;
+    // rows (including null text) come through byte-identical
+    val input = MemoryStream[(Long, String)]
+    val out = Streaming.redactStream(
+      input.toDS().toDF("id", "text"), "text",
+      Seq.empty[String].toDF("gh"))
+    assert(!out.queryExecution.analyzed.toString.contains("graft_window_hashes"))
+    val q = out.writeStream.format("memory").queryName("redactempty")
+      .outputMode("append").start()
+    input.addData((1L, "some tokens"), (2L, null.asInstanceOf[String]))
+    q.processAllAvailable()
+    val got = spark.table("redactempty")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    q.stop()
+    assert(got === Map(1L -> "some tokens", 2L -> null))
+  }
+
   test("foreachBatch append dedups against the sink across microbatches") {
     implicit val sc = spark.sqlContext
     val sink = java.nio.file.Files
