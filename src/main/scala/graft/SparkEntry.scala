@@ -54,10 +54,25 @@ object SparkEntry {
   private def stableAvg(c: Column, scale: Int): Column = {
     val down = math.pow(10, 8 - scale).toLong // 10^{8-scale}
     val I = sum((c.cast("decimal(24,8)") * lit(100000000L))
-      .cast("decimal(38,0)")).cast("long")
+      .cast("decimal(38,0)"))
     val n = count(c)
-    floor((I * 2 + n * down).cast("double") / (n * down * 2).cast("double"))
-      .cast("double") / math.pow(10, scale)
+    val num = I * 2 + n * down // decimal: exact, cannot wrap to a long
+    // The preconditions above are ENFORCED, not just documented: a
+    // negative input makes floor-based HALF_UP round toward +inf
+    // (the oracle's // rounds toward −inf ⇒ silent divergence), and a
+    // numerator at/over 2^53 loses integer precision in the double
+    // divide. assert_true rides along in the aggregate output row
+    // (null when the guard holds, added as 0.0), so a violation makes
+    // the query ERROR instead of returning a subtly wrong mean.
+    val guard = assert_true(
+      coalesce(min(c) >= 0, lit(true)) &&
+        abs(num) < lit(9.007199254740992e15),
+      lit(s"stableAvg: negative input or numerator >= 2^53 " +
+        s"(scale=$scale) — result would silently diverge from the " +
+        "integer-exact oracle twin"))
+    floor(num.cast("double") / (n * down * 2).cast("double"))
+      .cast("double") / math.pow(10, scale) +
+      coalesce(guard.cast("double"), lit(0.0))
   }
 
   /** Time-sliced events read with the range predicate applied to the RAW

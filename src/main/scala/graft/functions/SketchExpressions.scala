@@ -283,7 +283,15 @@ object SketchExpressions {
     * 'g'))` — trim AFTER collapse, when only plain boundary spaces
     * remain, so the engines' differing trim/\s character sets can't
     * diverge (testdata is ASCII, so the oracle exercises the collapse
-    * path; the unicode paths are golden-tested in SketchExprSpec). */
+    * path; the unicode paths are golden-tested in SketchExprSpec).
+    * Known twin divergence beyond whitespace: this uses Java FULL case
+    * mapping (`toLowerCase(Locale.ROOT)` — e.g. U+0130 İ → "i" +
+    * combining dot, one char becomes two) while DuckDB's `lower()`
+    * does SIMPLE per-codepoint mapping, so inputs exercising full-vs-
+    * simple case folds hash differently across the twins. Full mapping
+    * is the deliberate choice for DEDUP (it is the linguistically
+    * correct fold; the twin exists for oracle parity on ASCII
+    * testdata, not as a cross-engine unicode contract). */
   case class CanonicalizeTextExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -387,13 +395,21 @@ object SketchExpressions {
       copy(left = newLeft, right = newRight)
   }
 
-  /** Membership probe against a SORTED string array baked into the
-    * expression (binary search, O(log n) per probe): the exact tier of
-    * streaming redaction, where `array_contains(lit(set), x)` would
-    * linear-scan the full eval hash set per window. The set travels
-    * with the serialized expression once per task — eval suites are
-    * ~10⁵ 16-char hashes ≈ 2 MB, the documented acceptable bound; a
-    * corpus-sized set wants the broadcast-join shape instead. */
+  /** Membership probe against a string set baked into the expression
+    * (binary search, O(log n) per probe): the exact tier of streaming
+    * redaction, where `array_contains(lit(set), x)` would linear-scan
+    * the full eval hash set per window. The set travels with the
+    * serialized expression once per task — eval suites are ~10⁵
+    * 16-char hashes ≈ 2 MB, the documented acceptable bound; a
+    * corpus-sized set wants the broadcast-join shape instead.
+    *
+    * The probe array is (re)sorted HERE under UTF8String (UTF-8 byte)
+    * ordering — the order the binary search compares in. Callers must
+    * not pre-sort with Java String ordering and skip this: the two
+    * orders diverge for strings mixing supplementary code points with
+    * chars in U+E000–U+FFFF (surrogate-pair UTF-16 units sort below
+    * E000 as Java chars but their code points hash above in UTF-8),
+    * which would turn binary search into silent false negatives. */
   case class SortedSetContainsExpr(child: Expression,
                                    sortedSet: Array[String])
     extends UnaryExpression with CodegenFallback {
@@ -403,6 +419,7 @@ object SketchExpressions {
 
     @transient private lazy val keys: Array[UTF8String] =
       sortedSet.map(UTF8String.fromString)
+        .sortWith(_.compareTo(_) < 0)
 
     protected override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[UTF8String]
@@ -697,7 +714,8 @@ object SketchExpressions {
       JaccardExpr(GraftColumnBridge.expression(a),
         GraftColumnBridge.expression(b)))
 
-  /** Binary-search membership of `c` in a pre-sorted string array. */
+  /** Binary-search membership of `c` in a string set (sorted
+    * internally under UTF-8 byte order — no pre-sort contract). */
   def sortedSetContains(c: Column, sortedSet: Array[String]): Column =
     GraftColumnBridge.column(
       SortedSetContainsExpr(GraftColumnBridge.expression(c), sortedSet))

@@ -229,6 +229,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sortedSetContains is order-correct across the UTF-16/UTF-8 gap") {
+    // U+10000 (surrogate pair) sorts BELOW U+E000 as Java chars but
+    // ABOVE it in UTF-8 bytes — a caller passing a Java-sorted array
+    // used to binary-search in the wrong order and miss members. The
+    // expression now sorts internally under UTF8String order, so every
+    // member must be found regardless of input arrangement.
+    val set = Array("𐀀", "", "a", "é") // U+10000, U+E000, ASCII, Latin-1
+    set.permutations.take(6).foreach { arr =>
+      val missing = set.toSeq.toDF("p")
+        .select(graft.functions.SketchExpressions
+          .sortedSetContains(col("p"), arr).as("got"))
+        .where(!col("got")).count()
+      assert(missing === 0, s"false negatives with input ${arr.toSeq}")
+    }
+  }
+
   test("covariance agg is partition-invariant and matches driver math") {
     val vecsGen = Gen.listOfN(12,
       Gen.listOfN(3, Gen.choose(-5.0, 5.0).map(_.toFloat)))
