@@ -77,4 +77,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes(p, "HashAggregate") >= 2,
       "partial aggregation missing — every row would shuffle")
   }
+
+  test("t51: eval exposure filters via a broadcast SEMI join before distinct") {
+    // the corpus is filtered down to eval-hitting rows by a broadcast
+    // semi-join FIRST; losing either property re-shuffles the corpus
+    val p = plan("t51_eval_exposure")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      "eval-hash gate must be a broadcast left-semi join")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join here shuffles the full corpus on gram hashes")
+  }
+
+  test("t44: dup spans bound to gram-keyed exchanges, window stays per-doc") {
+    // the ExactSubstr shape: two gram-hash-keyed shuffles (dup-gram
+    // detection + doc re-association) plus the per-document window
+    // merge — anything beyond that is a regression toward a self-join
+    val p = plan("t44_dup_spans")
+    assert(nodes(p, "Exchange") <= 3,
+      "t44 should plan at most 3 shuffles (2 gram-keyed + window)")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("t53: bigram LM aggregates partially and broadcasts the unigram side") {
+    val p = plan("t53_bigram_logprob")
+    assert(nodes(p, "HashAggregate") >= 4,
+      "bigram/unigram counts must combine map-side (partial agg pairs)")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      "count-table joins must broadcast, not shuffle the corpus")
+  }
+
+  test("t49: incremental ingest gates the delta with semi-join shapes") {
+    // the delta shuffles only its own keys: exact-hash and LSH-band
+    // membership against the standing corpus are (broadcast) semi
+    // joins — never a full-corpus re-cluster or a shuffled join
+    val p = plan("t49_incremental_ingest")
+    assert(p.contains("LeftSemi"),
+      "corpus-membership checks must be semi-joins")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join means the standing corpus re-shuffles per delta")
+  }
 }
