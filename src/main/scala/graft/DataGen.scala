@@ -1,0 +1,98 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: derive a larger scale factor from an existing testdata
+  * dir by unioning `factor` deterministically transformed replicas of
+  * the fact tables (dim tables copy through unchanged — broadcast
+  * sides stay constant under scale-up, as they would at 100 TB).
+  *
+  * Purpose: the sf-scaling smoke. Driver testdata tops out at sf0.1,
+  * and a single scale point can hide superlinear plan shapes; the
+  * round notes record sf1/sf0.1 wall-time ratios for the most
+  * expensive queries (target: ~linear, IO-dominated).
+  *
+  * Replica transforms keep per-replica distributions identical while
+  * making replicas distinct where it matters:
+  *  - ids shift by r·(max+1) — orders/lineitem stay referentially
+  *    consistent; users/docs/vecs become genuinely new entities, so
+  *    distinct-count and per-key window cardinalities scale the way a
+  *    real 10× corpus would;
+  *  - document text rotates vowels (period 5) and digits (period 10)
+  *    per replica, so replicas are not trivial copies: dedup sees a
+  *    10× corpus with a realistic residual near-dup rate (replica
+  *    pairs (r, r+5) share vowel rotation and differ only in digits);
+  *  - events keep their time range: 10× denser traffic (the scale-up
+  *    shape) rather than a 10× longer history.
+  *
+  * Usage: runMain graft.DataGen [srcDir] [outDir] [factor]
+  * Writes OUTSIDE the repo (default /tmp/sf1); never touches
+  * /root/testdata. */
+object DataGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(name: String): DataFrame =
+      spark.read.parquet(s"$src/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head.getLong(0)
+    def stack(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(r => f(df, r)).reduce(_ unionByName _)
+    def rot(s: String, k: Int): String = s.drop(k) + s.take(k)
+
+    // dims: copied, not scaled — the broadcast sides stay small
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => write(read(t), t))
+
+    val orders = read("orders")
+    val lineitem = read("lineitem")
+    // one shared modulus keeps l_orderkey -> o_orderkey referential
+    val okMod = math.max(maxOf(orders, "o_orderkey"),
+      maxOf(lineitem, "l_orderkey")) + 1
+    write(stack(orders)((d, r) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(r * okMod))),
+      "orders")
+    write(stack(lineitem)((d, r) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(r * okMod))),
+      "lineitem")
+
+    val events = read("events") // ts arrives as int64 nanos (see conf)
+    val evMod = maxOf(events, "event_id") + 1
+    val userMod = maxOf(events, "user_id") + 1
+    write(stack(events)((d, r) =>
+      d.withColumn("event_id", col("event_id") + lit(r * evMod))
+        .withColumn("user_id", col("user_id") + lit(r * userMod))),
+      "events")
+
+    val docs = read("documents")
+    val docMod = maxOf(docs, "doc_id") + 1
+    write(stack(docs)((d, r) =>
+      d.withColumn("doc_id", col("doc_id") + lit(r * docMod))
+        .withColumn("text", translate(col("text"),
+          "aeiou0123456789",
+          rot("aeiou", r % 5) + rot("0123456789", r % 10)))),
+      "documents")
+
+    val vecs = read("embeddings")
+    val vecMod = maxOf(vecs, "vec_id") + 1
+    write(stack(vecs)((d, r) =>
+      d.withColumn("vec_id", col("vec_id") + lit(r * vecMod))),
+      "embeddings")
+
+    println(s"""{"out":"$out","factor":$factor,"src":"$src"}""")
+    spark.stop()
+  }
+}
