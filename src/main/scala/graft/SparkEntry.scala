@@ -1302,6 +1302,35 @@ object SparkEntry {
             .as("p50_approx"),
           count(lit(1)).as("n"))),
 
+    // a1's estimates graduated into the DRIVER's gate: the ε bounds
+    // (HLL datasketches ≈1.6% rsd → 5% bound; HLL++ ≈5% rsd → 15%;
+    // approx-percentile accuracy 1000 → rank error ≤1/1000 ≈ 1% of the
+    // near-uniform value spread) are evaluated INSIDE the query against
+    // exact aggregates over the same rows, and only the booleans plus
+    // the exact count are emitted — so the DuckDB oracle, which cannot
+    // reproduce engine-specific estimates, hash-gates the contract
+    // exactly: any estimate drifting out of bounds flips a flag and
+    // fails the round. a1 itself stays rows-only so the raw estimates
+    // remain inspectable; PropertySpec holds the same bounds in-suite.
+    "a1b_sketch_bounds" -> ((s, dir) =>
+      T(s, dir, "events").groupBy("event_type")
+        .agg(
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("__hll"),
+          approx_count_distinct(col("user_id")).as("__hpp"),
+          percentile_approx(col("value"), lit(0.5), lit(1000))
+            .as("__p50a"),
+          percentile(col("value"), lit(0.5)).as("__p50"),
+          countDistinct(col("user_id")).as("__u"),
+          (max(col("value")) - min(col("value"))).as("__spread"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          (abs(col("__hll") - col("__u")) / col("__u") < 0.05)
+            .as("hll_ok"),
+          (abs(col("__hpp") - col("__u")) / col("__u") < 0.15)
+            .as("hllpp_ok"),
+          (abs(col("__p50a") - col("__p50")) <= col("__spread") * 0.01)
+            .as("p50_ok"))),
+
     // KMV (k-minimum-values) distinct-count sketch via the custom
     // TypedImperativeAggregate: per group, the 8 smallest DISTINCT
     // md5(user_id) hashes — O(k) state, mergeable partials — plus the
@@ -2964,6 +2993,14 @@ object SparkEntry {
              / len(y.ss), 6) AS cont_ba
          FROM pairs JOIN ds x ON x.doc_id = id_a
          JOIN ds y ON y.doc_id = id_b""",
+    // the flags are computed Spark-side against exact aggregates over
+    // the same rows; the oracle contributes the exact group counts and
+    // the expectation that every bound HOLDS — a hash mismatch means an
+    // estimator left its ε envelope
+    "a1b_sketch_bounds" ->
+      """SELECT event_type, count(*) AS n,
+           true AS hll_ok, true AS hllpp_ok, true AS p50_ok
+         FROM events GROUP BY event_type""",
     "a2_kmv_distinct" ->
       """WITH u AS (
            SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS h
