@@ -64,9 +64,11 @@ object SparkEntry {
     // divide. assert_true rides along in the aggregate output row
     // (null when the guard holds, added as 0.0), so a violation makes
     // the query ERROR instead of returning a subtly wrong mean.
+    // both legs null-safe: an all-null group has min/num null, which
+    // must keep returning a null mean (as before the guard), not error
     val guard = assert_true(
       coalesce(min(c) >= 0, lit(true)) &&
-        abs(num) < lit(9.007199254740992e15),
+        coalesce(abs(num) < lit(9.007199254740992e15), lit(true)),
       lit(s"stableAvg: negative input or numerator >= 2^53 " +
         s"(scale=$scale) — result would silently diverge from the " +
         "integer-exact oracle twin"))
