@@ -1675,35 +1675,10 @@ object SparkEntry {
     // Deterministic given the input set (md5, seedless) but
     // approximate → rows-only; the ε contract vs exact t52 is anchored
     // in PropertySpec ("t52b overlap estimate tracks exact t52").
-    "t52b_source_overlap_est" -> ((s, dir) => {
-      val n = 8; val K = 256
-      val sk = T(s, dir, "documents")
-        .select(col("source"),
-          explode(graft.functions.SketchExpressions
-            .windowHashes(TextOps.tokens(col("text")), n)).as("__w"))
-        .select(col("source"),
-          md5(col("__w.gh").cast("string")).as("__h"))
-        .groupBy("source")
-        .agg(graft.functions.AggregateExpressions
-          .bottomKStrings(col("__h"), K).as("__sk"))
-      val a = sk.select(col("source").as("source_a"), col("__sk").as("__ska"))
-      val b = sk.select(col("source").as("source_b"), col("__sk").as("__skb"))
-      // U = K smallest distinct hashes of A∪B (lexicographic = numeric:
-      // fixed-width hex). 13 hex chars = 52 bits — exact in a double.
-      val u = slice(array_sort(array_union(col("__ska"), col("__skb"))),
-        1, K)
-      val kU = size(u)
-      val estU = when(kU < K, kU.cast("double"))
-        .otherwise(lit((K - 1).toDouble) * lit(4503599627370496.0) /
-          conv(substring(element_at(u, kU), 1, 13), 16, 10)
-            .cast("double"))
-      val j = size(array_intersect(array_intersect(u, col("__ska")),
-        col("__skb"))).cast("double") / kU.cast("double")
-      a.join(broadcast(b), col("source_a") < col("source_b"))
-        .select(col("source_a"), col("source_b"),
-          round(j, 6).as("j_est"),
-          round(j * estU, 2).as("est_shared_grams"))
-    }),
+    "t52b_source_overlap_est" -> ((s, dir) =>
+      Dedup.kmvOverlapEstimates(
+        Dedup.kmvSourceSketches(T(s, dir, "documents"), "text", "source",
+          n = 8, k = 256), k = 256)),
 
     // Gopher-style rule-based quality gate (Rae et al. 2021, table A1):
     // named per-document heuristics — word count bounds, mean word

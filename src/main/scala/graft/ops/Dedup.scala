@@ -258,6 +258,55 @@ object Dedup {
         coalesce(col("label"), col(idCol)).as("cluster_id"))
   }
 
+  /** Per-source KMV sketches of the token-window-gram stream: one text
+    * pass, O(k) mergeable state per source (`BottomKStringsAgg`), no
+    * corpus-wide distinct. The (source, sketch) table this returns is
+    * the standing artifact of provenance-overlap analysis — cheap to
+    * persist, trivially mergeable with later deltas (KMV is a pure SET
+    * sketch: re-aggregating the union of two sketches' elements IS the
+    * sketch of the union, idempotent under replays). Consumed by
+    * `kmvOverlapEstimates` (batch t52b) and the streaming standing-
+    * sketch maintainer (`Streaming.sourceSketchStream`). */
+  def kmvSourceSketches(docs: DataFrame, textCol: String,
+                        sourceCol: String, n: Int = 8,
+                        k: Int = 256): DataFrame =
+    docs
+      .select(col(sourceCol).as("source"),
+        explode(graft.functions.SketchExpressions
+          .windowHashes(TextOps.tokens(col(textCol)), n)).as("__w"))
+      .select(col("source"), md5(col("__w.gh").cast("string")).as("__h"))
+      .groupBy("source")
+      .agg(graft.functions.AggregateExpressions
+        .bottomKStrings(col("__h"), k).as("sk"))
+
+  /** Pairwise overlap estimates from per-source KMV sketches, derived
+    * declaratively from the k-minimum values: with U = the k smallest
+    * distinct hashes of A∪B (lexicographic = numeric for fixed-width
+    * hex), J ≈ |U∩A∩B|/|U|, |A∪B| ≈ (k−1)/F(h_k) (13 hex chars = 52
+    * bits, exact in a double), shared ≈ J·|A∪B|. The sketch table is
+    * sources-sized: the pair join is a broadcast nested loop over a
+    * tiny side, never corpus data. Deterministic given the input set
+    * (seedless md5) but approximate — ε contract in PropertySpec. */
+  def kmvOverlapEstimates(sketches: DataFrame, k: Int): DataFrame = {
+    val a = sketches.select(col("source").as("source_a"),
+      col("sk").as("__ska"))
+    val b = sketches.select(col("source").as("source_b"),
+      col("sk").as("__skb"))
+    val u = slice(array_sort(array_union(col("__ska"), col("__skb"))),
+      1, k)
+    val kU = size(u)
+    val estU = when(kU < k, kU.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(4503599627370496.0) /
+        conv(substring(element_at(u, kU), 1, 13), 16, 10)
+          .cast("double"))
+    val j = size(array_intersect(array_intersect(u, col("__ska")),
+      col("__skb"))).cast("double") / kU.cast("double")
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round(j, 6).as("j_est"),
+        round(j * estU, 2).as("est_shared_grams"))
+  }
+
   /** SimHash (32-bit, as a '0'/'1' bitstring): per bit position i, sum
     * +1/−1 votes from the i-th hex char of each token's md5; bit = 1 iff
     * the sum is positive. Near-duplicates agree on most bits (compare by

@@ -242,6 +242,54 @@ object Streaming {
     }
   }
 
+  /** Standing per-source KMV overlap sketches maintained incrementally
+    * — t52b's operational form. Each microbatch sketches only ITS OWN
+    * rows (one text pass, O(k) mergeable state per source), then folds
+    * them into the standing sketch table by exploding both sides'
+    * bottom-k sets and re-aggregating: a (sources × k)-sized job,
+    * never a corpus re-scan. KMV is a pure SET sketch — the k-minima
+    * of a union depend only on the element set — so the merge is
+    * idempotent and commutative: replaying a batch after a restart
+    * cannot corrupt the standing state. Pairwise feed-redundancy
+    * estimates then come from `Dedup.kmvOverlapEstimates` over the
+    * sink at ~zero cost, answering "should I ingest this feed" while
+    * the feed is still streaming in.
+    *
+    * The sink table is overwritten in place per batch; the merged
+    * frame is localCheckpoint-materialized FIRST because it reads the
+    * same path it replaces (lazy read + overwrite = data loss). */
+  def sourceSketchStream(in: DataFrame, textCol: String,
+                         sourceCol: String, sinkPath: String,
+                         n: Int = 8, k: Int = 256) = {
+    in.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val bSk = graft.ops.Dedup
+          .kmvSourceSketches(batch, textCol, sourceCol, n, k)
+        // same has-data probe as appendDedupedStream: Hadoop FS (the
+        // sink can be object storage), and only a dir with part files
+        // counts (schema inference fails on an empty dir)
+        val hPath = new org.apache.hadoop.fs.Path(sinkPath)
+        val fs = hPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(hPath) &&
+          fs.listStatus(hPath).exists(_.getPath.getName.endsWith(".parquet"))
+        val merged =
+          if (hasData)
+            spark.read.parquet(sinkPath)
+              .select(col("source"), explode(col("sk")).as("__h"))
+              .unionByName(
+                bSk.select(col("source"), explode(col("sk")).as("__h")))
+              .groupBy("source")
+              .agg(graft.functions.AggregateExpressions
+                .bottomKStrings(col("__h"), k).as("sk"))
+          else bSk
+        merged.localCheckpoint(eager = true)
+          .write.mode("overwrite").parquet(sinkPath)
+        ()
+    }
+  }
+
   /** Stream-static enrichment: every microbatch left-joins the static
     * dimension, broadcast so the stream side never shuffles — the
     * standard shape for attaching source mixing weights / calibration

@@ -75,6 +75,43 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out(3L) === null)
   }
 
+  test("standing KMV source sketches equal one-shot sketches over all rows") {
+    implicit val sc = spark.sqlContext
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_sk").toString + "/sketches"
+    val r1 = Seq(
+      ("sA", "a b c d e f g h i j"),
+      ("sB", "a b c d e f g h zz yy"))
+    val r2 = Seq(
+      ("sA", "k l m n o p q r s t"),
+      ("sC", "only in c one batch"))
+    val input = MemoryStream[(String, String)]
+    val q = Streaming.sourceSketchStream(
+      input.toDS().toDF("source", "text"), "text", "source", sink,
+      n = 3, k = 8).start()
+    input.addData(r1: _*); q.processAllAvailable()
+    input.addData(r2: _*); q.processAllAvailable()
+    q.stop()
+    // KMV is a set sketch: the incrementally merged standing table must
+    // EXACTLY equal the sketch computed in one pass over all rows —
+    // idempotent/commutative merge, no drift across microbatches
+    val standing = spark.read.parquet(sink)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val oneShot = graft.ops.Dedup.kmvSourceSketches(
+      (r1 ++ r2).toDF("source", "text"), "text", "source", n = 3, k = 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(standing === oneShot)
+    assert(standing.keySet === Set("sA", "sB", "sC"))
+    // and the estimator runs off the standing table directly
+    val est = graft.ops.Dedup.kmvOverlapEstimates(
+      spark.read.parquet(sink), k = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("j_est")).toMap
+    // sA/sB share the 6 grams of "a b c d e f g h" prefix windows
+    assert(est(("sA", "sB")) > 0.0)
+    assert(est(("sA", "sC")) === 0.0)
+  }
+
   test("streaming redaction: eval-set size guard and empty short-circuit") {
     implicit val sc = spark.sqlContext
     // oversized "eval" set (a mis-pointed corpus) fails LOUD at
