@@ -69,7 +69,10 @@ object Bench {
         firstPass.map { case (name, (t, ok)) =>
           if (ok && t > math.max(5.0, 5 * med)) {
             val (t2, ok2) = timeOne(name, selected(name))
-            name -> ((if (ok2) math.min(t, t2) else t, ok))
+            // a re-run FAILURE is a real failure observed this run —
+            // it must reach the ok map, not hide behind the first
+            // pass's success
+            name -> ((if (ok2) math.min(t, t2) else t, ok && ok2))
           } else name -> ((t, ok))
         }
       }

@@ -65,9 +65,12 @@ object SparkEntry {
     // (null when the guard holds, added as 0.0), so a violation makes
     // the query ERROR instead of returning a subtly wrong mean.
     // both legs null-safe: an all-null group has min/num null, which
-    // must keep returning a null mean (as before the guard), not error
+    // must keep returning a null mean (as before the guard), not error.
+    // negativity is tested in the decimal(24,8) domain the sum actually
+    // uses — raw double noise like -1e-9 rounds to 0 there and computes
+    // an exact, oracle-identical mean, so it must not trip the guard
     val guard = assert_true(
-      coalesce(min(c) >= 0, lit(true)) &&
+      coalesce(min(c.cast("decimal(24,8)")) >= 0, lit(true)) &&
         coalesce(abs(num) < lit(9.007199254740992e15), lit(true)),
       lit(s"stableAvg: negative input or numerator >= 2^53 " +
         s"(scale=$scale) — result would silently diverge from the " +

@@ -278,6 +278,10 @@ object Dedup {
       .groupBy("source")
       .agg(graft.functions.AggregateExpressions
         .bottomKStrings(col("__h"), k).as("sk"))
+      // k travels WITH the sketch: estimates derived under a different
+      // k are silently wrong (see kmvOverlapEstimates' guard), and a
+      // persisted sketch table outlives the code that built it
+      .withColumn("k", lit(k))
 
   /** Pairwise overlap estimates from per-source KMV sketches, derived
     * declaratively from the k-minimum values: with U = the k smallest
@@ -289,9 +293,9 @@ object Dedup {
     * (seedless md5) but approximate — ε contract in PropertySpec. */
   def kmvOverlapEstimates(sketches: DataFrame, k: Int): DataFrame = {
     val a = sketches.select(col("source").as("source_a"),
-      col("sk").as("__ska"))
+      col("sk").as("__ska"), col("k").as("__ka"))
     val b = sketches.select(col("source").as("source_b"),
-      col("sk").as("__skb"))
+      col("sk").as("__skb"), col("k").as("__kb"))
     val u = slice(array_sort(array_union(col("__ska"), col("__skb"))),
       1, k)
     val kU = size(u)
@@ -301,10 +305,25 @@ object Dedup {
           .cast("double"))
     val j = size(array_intersect(array_intersect(u, col("__ska")),
       col("__skb"))).cast("double") / kU.cast("double")
+    // k must MATCH the k the sketches were built with: a larger k
+    // routes saturated pairs into the "exact union" branch (kU < k)
+    // and underestimates by orders of magnitude — silently. The
+    // builder stamps its k into the table precisely so this can
+    // error instead of estimating wrong. (A smaller k would be a
+    // valid DOWNGRADE — bottom-k' of bottom-k is exact for k' ≤ k —
+    // but only if the arrays were re-sliced; this estimator uses the
+    // full arrays, so strict equality is the contract.)
+    val guard = assert_true(
+      col("__ka") === k && col("__kb") === k,
+      lit(s"kmvOverlapEstimates: sketch table built with a different " +
+        s"k than $k — estimates would be silently wrong; rebuild the " +
+        "sketches or estimate at their recorded k"))
     a.join(broadcast(b), col("source_a") < col("source_b"))
       .select(col("source_a"), col("source_b"),
         round(j, 6).as("j_est"),
-        round(j * estU, 2).as("est_shared_grams"))
+        (round(j * estU, 2) +
+          coalesce(guard.cast("double"), lit(0.0)))
+          .as("est_shared_grams"))
   }
 
   /** SimHash (32-bit, as a '0'/'1' bitstring): per bit position i, sum

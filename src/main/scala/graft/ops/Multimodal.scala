@@ -147,6 +147,10 @@ object Multimodal {
         } catch {
           case _: javax.sound.sampled.UnsupportedAudioFileException => None
           case _: java.io.IOException => None
+          // recognized container, unconvertible codec (e.g. WAV with a
+          // GSM/MPEG format tag): getAudioInputStream(pcmFmt, in)
+          // throws IAE — one bad row must fall back, not kill the job
+          case _: IllegalArgumentException => None
         }
       samples match {
         case None =>

@@ -143,15 +143,18 @@ object Streaming {
                    outCol: String = "text_clean",
                    maxEvalHashes: Int = 1000000): DataFrame = {
     import graft.functions.{BloomExpressions, SketchExpressions}
-    val hashes: Array[String] = evalWindowHashes.select(col(ghCol))
-      .distinct().collect().map(_.getString(0)).sorted
     // The exact tier is a DRIVER-COLLECTED literal, bounded by the
     // eval-suite size by design. A mis-pointed "eval" table (say, the
-    // corpus itself) must fail LOUD here, not ship a corpus-sized
-    // literal to every task and OOM mid-stream.
+    // corpus itself) must fail LOUD — and BEFORE the driver
+    // materializes it: the limit(cap+1) pushes the bound into the
+    // query, so the collect is ≤ cap+1 rows no matter what the frame
+    // is, and one extra row is proof of overflow. (No pre-sort: the
+    // membership expression orders its set internally.)
+    val hashes: Array[String] = evalWindowHashes.select(col(ghCol))
+      .distinct().limit(maxEvalHashes + 1).collect().map(_.getString(0))
     require(hashes.length <= maxEvalHashes,
-      s"redactStream: eval window-hash set has ${hashes.length} entries " +
-        s"(cap $maxEvalHashes). The exact tier ships this set to every " +
+      s"redactStream: eval window-hash set exceeds $maxEvalHashes " +
+        "entries. The exact tier ships this set to every " +
         "task as a literal; a set this large is almost certainly a " +
         "mis-pointed eval table. For document-level gating at corpus " +
         "scale use decontaminateStream (Bloom-only, no exact literal), " +
@@ -255,9 +258,14 @@ object Streaming {
     * sink at ~zero cost, answering "should I ingest this feed" while
     * the feed is still streaming in.
     *
-    * The sink table is overwritten in place per batch; the merged
-    * frame is localCheckpoint-materialized FIRST because it reads the
-    * same path it replaces (lazy read + overwrite = data loss). */
+    * The swap is crash-safe: the merged table is written to a sibling
+    * temp dir (so the lazy read of the old sink completes against
+    * intact files), then delete-old + rename-temp. At every crash
+    * point the state survives — mid-temp-write leaves the old sink
+    * untouched (a stale temp is cleared by the next overwrite);
+    * between delete and rename the completed temp (with _SUCCESS) is
+    * recovered on the next batch; a replayed batch re-merges
+    * idempotently. */
   def sourceSketchStream(in: DataFrame, textCol: String,
                          sourceCol: String, sinkPath: String,
                          n: Int = 8, k: Int = 256) = {
@@ -270,22 +278,43 @@ object Streaming {
         // sink can be object storage), and only a dir with part files
         // counts (schema inference fails on an empty dir)
         val hPath = new org.apache.hadoop.fs.Path(sinkPath)
+        val tmp = new org.apache.hadoop.fs.Path(sinkPath + "__tmp")
         val fs = hPath.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        val hasData = fs.exists(hPath) &&
-          fs.listStatus(hPath).exists(_.getPath.getName.endsWith(".parquet"))
+        def hasParquet(p: org.apache.hadoop.fs.Path) = fs.exists(p) &&
+          fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+        // recovery: death between delete-old and rename-temp left a
+        // COMPLETE temp (has _SUCCESS) and no sink — promote it first
+        if (!hasParquet(hPath) && hasParquet(tmp) &&
+            fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+          fs.rename(tmp, hPath)
         val merged =
-          if (hasData)
-            spark.read.parquet(sinkPath)
+          if (hasParquet(hPath)) {
+            val standing = spark.read.parquet(sinkPath)
+            // sketches built under a different k must not merge: a
+            // bottom-k re-agg over a smaller-k standing table silently
+            // caps the result at the OLD k (discarded ranks are gone).
+            // The sketch table is sources-sized — a 1-row probe, not a
+            // data-sized action.
+            val standingK = standing.agg(min(col("k"))).head.getInt(0)
+            require(standingK == k,
+              s"sourceSketchStream: standing sketches were built with " +
+                s"k=$standingK, stream configured with k=$k — rebuild " +
+                "the standing table or match its k")
+            standing
               .select(col("source"), explode(col("sk")).as("__h"))
               .unionByName(
                 bSk.select(col("source"), explode(col("sk")).as("__h")))
               .groupBy("source")
               .agg(graft.functions.AggregateExpressions
                 .bottomKStrings(col("__h"), k).as("sk"))
-          else bSk
-        merged.localCheckpoint(eager = true)
-          .write.mode("overwrite").parquet(sinkPath)
+              .withColumn("k", lit(k))
+          } else bSk
+        // the write job reads the OLD sink while producing the temp —
+        // the sink is only deleted once the replacement is durable
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(hPath, true)
+        fs.rename(tmp, hPath)
         ()
     }
   }

@@ -110,6 +110,23 @@ class StreamingMultimodalSpec extends SparkSpec {
     // sA/sB share the 6 grams of "a b c d e f g h" prefix windows
     assert(est(("sA", "sB")) > 0.0)
     assert(est(("sA", "sC")) === 0.0)
+    // a k different from the one the sketches were built with must
+    // error, not estimate garbage (k travels in the table)
+    val kErr = intercept[Exception] {
+      graft.ops.Dedup.kmvOverlapEstimates(
+        spark.read.parquet(sink), k = 16).collect()
+    }
+    assert(kErr.getMessage.contains("different"))
+    // and a restarted stream with a mismatched k fails on first merge
+    val input2 = MemoryStream[(String, String)]
+    val q2 = Streaming.sourceSketchStream(
+      input2.toDS().toDF("source", "text"), "text", "source", sink,
+      n = 3, k = 4).start()
+    input2.addData(("sA", "w x y z"))
+    val mErr = intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    assert(mErr.getMessage.contains("rebuild") ||
+      Option(mErr.getCause).exists(_.getMessage.contains("rebuild")))
   }
 
   test("streaming redaction: eval-set size guard and empty short-circuit") {
