@@ -284,10 +284,14 @@ object Streaming {
         def hasParquet(p: org.apache.hadoop.fs.Path) = fs.exists(p) &&
           fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
         // recovery: death between delete-old and rename-temp left a
-        // COMPLETE temp (has _SUCCESS) and no sink — promote it first
+        // COMPLETE temp (has _SUCCESS) and no sink — promote it first.
+        // The target must not exist at rename time: Hadoop rename onto
+        // an existing directory NESTS the source inside it.
         if (!hasParquet(hPath) && hasParquet(tmp) &&
-            fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+            fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+          if (fs.exists(hPath)) fs.delete(hPath, true)
           fs.rename(tmp, hPath)
+        }
         val merged =
           if (hasParquet(hPath)) {
             val standing = spark.read.parquet(sinkPath)
