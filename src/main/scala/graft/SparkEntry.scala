@@ -69,9 +69,14 @@ object SparkEntry {
     // negativity is tested in the decimal(24,8) domain the sum actually
     // uses — raw double noise like -1e-9 rounds to 0 there and computes
     // an exact, oracle-identical mean, so it must not trip the guard
+    // the third leg catches PER-VALUE decimal(24,8) overflow: a value
+    // >= 1e16 casts to null (non-ANSI), silently dropping out of the
+    // sum while staying in count(c) — the mean would skew with both
+    // other legs green
     val guard = assert_true(
       coalesce(min(c.cast("decimal(24,8)")) >= 0, lit(true)) &&
-        coalesce(abs(num) < lit(9.007199254740992e15), lit(true)),
+        coalesce(abs(num) < lit(9.007199254740992e15), lit(true)) &&
+        count(c) === count(c.cast("decimal(24,8)")),
       lit(s"stableAvg: negative input or numerator >= 2^53 " +
         s"(scale=$scale) — result would silently diverge from the " +
         "integer-exact oracle twin"))

@@ -417,9 +417,25 @@ object SketchExpressions {
     override def dataType: DataType = BooleanType
     override def prettyName: String = "graft_sorted_set_contains"
 
-    @transient private lazy val keys: Array[UTF8String] =
-      sortedSet.map(UTF8String.fromString)
-        .sortWith(_.compareTo(_) < 0)
+    // built once per deserialized expression instance (per task): an
+    // O(n) sortedness check, and a sort ONLY if the caller didn't
+    // pre-sort in byte order — so hot-path callers that pre-sort
+    // (redactStream) pay a linear scan, not an n-log-n sort of up to
+    // 10⁶ strings per task per batch, while arbitrary callers remain
+    // correct
+    @transient private lazy val keys: Array[UTF8String] = {
+      val ks = sortedSet.map(UTF8String.fromString)
+      var inOrder = true
+      var i = 1
+      while (inOrder && i < ks.length) {
+        if (ks(i - 1).compareTo(ks(i)) > 0) inOrder = false
+        i += 1
+      }
+      if (!inOrder)
+        java.util.Arrays.sort(ks,
+          (a: UTF8String, b: UTF8String) => a.compareTo(b))
+      ks
+    }
 
     protected override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[UTF8String]

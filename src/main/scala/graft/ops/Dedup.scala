@@ -318,12 +318,14 @@ object Dedup {
       lit(s"kmvOverlapEstimates: sketch table built with a different " +
         s"k than $k — estimates would be silently wrong; rebuild the " +
         "sketches or estimate at their recorded k"))
+    // the guard rides in BOTH output columns: column pruning must not
+    // be able to drop the check (selecting j_est alone would otherwise
+    // prune est_shared_grams and the assert with it)
+    val g0 = coalesce(guard.cast("double"), lit(0.0))
     a.join(broadcast(b), col("source_a") < col("source_b"))
       .select(col("source_a"), col("source_b"),
-        round(j, 6).as("j_est"),
-        (round(j * estU, 2) +
-          coalesce(guard.cast("double"), lit(0.0)))
-          .as("est_shared_grams"))
+        (round(j, 6) + g0).as("j_est"),
+        (round(j * estU, 2) + g0).as("est_shared_grams"))
   }
 
   /** SimHash (32-bit, as a '0'/'1' bitstring): per bit position i, sum

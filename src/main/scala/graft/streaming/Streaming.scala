@@ -148,10 +148,15 @@ object Streaming {
     // corpus itself) must fail LOUD — and BEFORE the driver
     // materializes it: the limit(cap+1) pushes the bound into the
     // query, so the collect is ≤ cap+1 rows no matter what the frame
-    // is, and one extra row is proof of overflow. (No pre-sort: the
-    // membership expression orders its set internally.)
+    // is, and one extra row is proof of overflow. Pre-sorted ONCE here
+    // in UTF-8 byte order (the expression's comparison order) so the
+    // membership expression's per-task sortedness check passes without
+    // re-sorting in every task.
     val hashes: Array[String] = evalWindowHashes.select(col(ghCol))
       .distinct().limit(maxEvalHashes + 1).collect().map(_.getString(0))
+      .sortWith((x, y) => org.apache.spark.unsafe.types.UTF8String
+        .fromString(x).compareTo(
+          org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0)
     require(hashes.length <= maxEvalHashes,
       s"redactStream: eval window-hash set exceeds $maxEvalHashes " +
         "entries. The exact tier ships this set to every " +
@@ -201,6 +206,17 @@ object Streaming {
       .drop("__graft_ws")
   }
 
+  /** Sink-owned-state probe shared by the foreachBatch maintainers.
+    * Hadoop FS, not java.io.File: the sink can be HDFS/object storage,
+    * where a local-file existence check is always false and cross-batch
+    * state would silently vanish. "Has data" = the directory contains
+    * at least one part file — a bare checkpoint-created dir must not
+    * be read (schema inference fails on an empty dir). */
+  private def hasPartFiles(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+
   /** Incremental corpus append with SINK-OWNED dedup state — the
     * operational ingest loop (t49's streaming form): each microbatch
     * anti-joins the content hashes already IN the sink, then appends
@@ -222,16 +238,10 @@ object Streaming {
             org.apache.spark.sql.expressions.Window
               .partitionBy("__h").orderBy(idCol)))
           .where(col("__rk") === 1).drop("__rk")
-        // Hadoop FS, not java.io.File: the sink can be HDFS/S3, where
-        // a local-file existence check is always false and cross-batch
-        // dedup would silently vanish. "Has data" = contains at least
-        // one part file — a bare checkpoint-created dir must not be
-        // read (schema inference fails on an empty dir).
         val hPath = new org.apache.hadoop.fs.Path(sinkPath)
         val fs = hPath.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        val hasData = fs.exists(hPath) &&
-          fs.listStatus(hPath).exists(_.getPath.getName.endsWith(".parquet"))
+        val hasData = hasPartFiles(fs, hPath)
         val novel =
           if (hasData) {
             // __h is PERSISTED in the sink: "seen" is a single narrow
@@ -258,14 +268,17 @@ object Streaming {
     * sink at ~zero cost, answering "should I ingest this feed" while
     * the feed is still streaming in.
     *
-    * The swap is crash-safe: the merged table is written to a sibling
-    * temp dir (so the lazy read of the old sink completes against
-    * intact files), then delete-old + rename-temp. At every crash
-    * point the state survives — mid-temp-write leaves the old sink
-    * untouched (a stale temp is cleared by the next overwrite);
-    * between delete and rename the completed temp (with _SUCCESS) is
-    * recovered on the next batch; a replayed batch re-merges
-    * idempotently. */
+    * The swap is crash-safe ON AN ATOMIC-RENAME FILESYSTEM (local,
+    * HDFS): the merged table is written to a sibling temp dir (so the
+    * lazy read of the old sink completes against intact files), then
+    * delete-old + rename-temp. At every crash point the state
+    * survives — mid-temp-write leaves the old sink untouched (a stale
+    * temp is cleared by the next overwrite); between delete and rename
+    * the completed temp (with _SUCCESS) is recovered on the next
+    * batch; a replayed batch re-merges idempotently. On an object
+    * store, where rename is a non-atomic per-file copy, this layout is
+    * NOT crash-safe — use a versioned-directory + manifest-pointer
+    * layout there instead (a small-object PUT is atomic). */
   def sourceSketchStream(in: DataFrame, textCol: String,
                          sourceCol: String, sinkPath: String,
                          n: Int = 8, k: Int = 256) = {
@@ -281,30 +294,33 @@ object Streaming {
         val tmp = new org.apache.hadoop.fs.Path(sinkPath + "__tmp")
         val fs = hPath.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        def hasParquet(p: org.apache.hadoop.fs.Path) = fs.exists(p) &&
-          fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
         // recovery: death between delete-old and rename-temp left a
         // COMPLETE temp (has _SUCCESS) and no sink — promote it first.
         // The target must not exist at rename time: Hadoop rename onto
         // an existing directory NESTS the source inside it.
-        if (!hasParquet(hPath) && hasParquet(tmp) &&
+        if (!hasPartFiles(fs, hPath) && hasPartFiles(fs, tmp) &&
             fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
           if (fs.exists(hPath)) fs.delete(hPath, true)
           fs.rename(tmp, hPath)
         }
         val merged =
-          if (hasParquet(hPath)) {
+          if (hasPartFiles(fs, hPath)) {
             val standing = spark.read.parquet(sinkPath)
             // sketches built under a different k must not merge: a
             // bottom-k re-agg over a smaller-k standing table silently
             // caps the result at the OLD k (discarded ranks are gone).
             // The sketch table is sources-sized — a 1-row probe, not a
-            // data-sized action.
-            val standingK = standing.agg(min(col("k"))).head.getInt(0)
-            require(standingK == k,
-              s"sourceSketchStream: standing sketches were built with " +
-                s"k=$standingK, stream configured with k=$k — rebuild " +
-                "the standing table or match its k")
+            // data-sized action. An all-rows-empty standing table
+            // (possible when every doc so far was shorter than n
+            // tokens) has a null min — nothing to conflict with.
+            val kHead = standing.agg(min(col("k"))).head
+            if (!kHead.isNullAt(0)) {
+              val standingK = kHead.getInt(0)
+              require(standingK == k,
+                s"sourceSketchStream: standing sketches were built " +
+                  s"with k=$standingK, stream configured with k=$k — " +
+                  "rebuild the standing table or match its k")
+            }
             standing
               .select(col("source"), explode(col("sk")).as("__h"))
               .unionByName(

@@ -89,6 +89,10 @@ class StreamingMultimodalSpec extends SparkSpec {
     val q = Streaming.sourceSketchStream(
       input.toDS().toDF("source", "text"), "text", "source", sink,
       n = 3, k = 8).start()
+    // first batch yields ZERO sketch rows (doc shorter than n tokens):
+    // the empty standing table it writes must not wedge later batches
+    // (min(k) over no rows is null, not a readable int)
+    input.addData(("sD", "x y")); q.processAllAvailable()
     input.addData(r1: _*); q.processAllAvailable()
     input.addData(r2: _*); q.processAllAvailable()
     q.stop()
