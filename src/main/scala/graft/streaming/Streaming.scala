@@ -153,10 +153,10 @@ object Streaming {
     // membership expression's per-task sortedness check passes without
     // re-sorting in every task.
     val hashes: Array[String] = evalWindowHashes.select(col(ghCol))
-      .distinct().limit(maxEvalHashes + 1).collect().map(_.getString(0))
-      .sortWith((x, y) => org.apache.spark.unsafe.types.UTF8String
-        .fromString(x).compareTo(
-          org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0)
+      .distinct().limit(maxEvalHashes + 1).collect()
+      .map(r => org.apache.spark.unsafe.types.UTF8String
+        .fromString(r.getString(0)))
+      .sortWith(_.compareTo(_) < 0).map(_.toString)
     require(hashes.length <= maxEvalHashes,
       s"redactStream: eval window-hash set exceeds $maxEvalHashes " +
         "entries. The exact tier ships this set to every " +
