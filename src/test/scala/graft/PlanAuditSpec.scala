@@ -106,6 +106,23 @@ class PlanAuditSpec extends SparkSpec {
       "count-table joins must broadcast, not shuffle the corpus")
   }
 
+  test("t52b: KMV sketch tier is one partial-agg pass + broadcast pair join") {
+    // the whole point of the sketch tier: ONE corpus pass (mergeable
+    // partials -> final, a single exchange) and a pair join over the
+    // sources-sized sketch table (broadcast NLJ), never a corpus-
+    // window-sized shuffle like exact t52
+    val p = plan("t52b_source_overlap_est")
+    // both self-join branches print the sketch-build exchange; at
+    // execution ReuseExchange/AQE dedups them (identical subtrees), so
+    // the bound is 2 printed nodes, one physical shuffle
+    assert(nodes(p, "Exchange") <= 2,
+      "sketch build must be the only shuffle (x2 printed branches)")
+    assert(nodes(p, "ObjectHashAggregate") >= 2,
+      "KMV aggregate must combine map-side (partial pair)")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the pair join must broadcast the tiny sketch side")
+  }
+
   test("t49: incremental ingest gates the delta with semi-join shapes") {
     // the delta shuffles only its own keys: exact-hash and LSH-band
     // membership against the standing corpus are (broadcast) semi
