@@ -1412,6 +1412,33 @@ object SparkEntry {
     // and the "unchanged" majority is filtered before any further
     // processing — the incremental-pipeline primitive that avoids
     // re-running dedup/quality over 100 TB when 0.1% changed.
+    // Re-crawl/churn detection over the snapshot diff: an ADDED
+    // document that shares an LSH band bucket with a REMOVED one is
+    // (with high probability) the same content resurfacing under a new
+    // id — near-dup, not just exact — the signal that separates corpus
+    // CHURN from genuinely new data before paying to re-ingest.
+    // Snapshot membership follows t38's convention (old ≡ id%4≠3,
+    // new ≡ id%4≠0 ⇒ removed ≡ id%4=0, added ≡ id%4=3); both sides of
+    // the band-key semi-join are delta-sized — the t49 shape, never a
+    // corpus re-cluster.
+    "t58_neardup_churn" -> ((s, dir) => {
+      val keys = Dedup.lshBandKeys(
+        T(s, dir, "documents").select(col("doc_id"),
+          graft.functions.SketchExpressions
+            .wordShingles(TextOps.tokens(col("text")), 3).as("sh")),
+        "doc_id", "sh", k = 8, bands = 4)
+      val removed = keys.where(col("doc_id") % 4 === 0)
+        .select(col("band"), col("bh")).distinct()
+      val hits = keys.where(col("doc_id") % 4 === 3)
+        .join(removed, Seq("band", "bh"), "left_semi")
+        .select("doc_id").distinct()
+      T(s, dir, "documents").where(col("doc_id") % 4 === 3)
+        .select("doc_id")
+        .join(hits.withColumn("__hit", lit(1L)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__hit"), lit(0L)).as("recrawl"))
+    }),
+
     "t38_snapshot_diff" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       val old = d.where(col("doc_id") % 4 =!= 3)
@@ -3045,6 +3072,32 @@ object SparkEntry {
            CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS contaminated
          FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
          WHERE d.doc_id % 20 <> 0""",
+    "t58_neardup_churn" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN generate_series(1, len(toks)-2)] AS s
+           FROM t WHERE len(toks) >= 3),
+         mh AS (
+           SELECT doc_id,
+             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
+              FOR k IN generate_series(1, 8)] AS sig
+           FROM sh),
+         bands AS (
+           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
+           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+         hits AS (
+           SELECT DISTINCT ad.doc_id
+           FROM bands ad JOIN bands rm
+             ON ad.b = rm.b AND ad.bh = rm.bh
+           WHERE ad.doc_id % 4 = 3 AND rm.doc_id % 4 = 0)
+         SELECT d.doc_id,
+           CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS recrawl
+         FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+         WHERE d.doc_id % 4 = 3""",
     "t32_stratified_sample" ->
       """SELECT source, doc_id FROM documents
          QUALIFY row_number() OVER (PARTITION BY source
