@@ -1,0 +1,204 @@
+package graft.sink
+
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
+
+/** Pure-Scala writer for the NetCDF classic binary format (CDF-1),
+  * closing the reference's one remaining binary-sink gap
+  * (`/root/reference/bin/fs_process_l2.py:194-204` exports the Level-2
+  * dataset with `xarray.Dataset.to_netcdf`). The classic format is a
+  * small, fully public specification (Unidata "NetCDF Classic Format
+  * Spec"): a big-endian header (magic, dims, attributes, variable
+  * metadata with explicit byte offsets) followed by row-major variable
+  * data — no compression, no groups — which makes a dependency-free
+  * writer ~150 lines.
+  *
+  * Scope mirrors the reference's actual usage: fixed dimensions (the
+  * exported dataset is materialized, so no unlimited/record dimension
+  * is needed — numrecs = 0), NC_CHAR string attributes (CF `units`,
+  * `standard_name`, `timezone`, …), and NC_DOUBLE/NC_FLOAT/NC_INT
+  * variables of any rank (time × sensor matrices, coordinate vectors,
+  * install-depth aux coordinates).
+  *
+  * Scale note: a NetCDF classic file is a single sequential artifact —
+  * this sink is DRIVER-SIDE by design, exactly like the reference's
+  * in-memory xarray export, and is bounded to export-sized results
+  * (a site-level Level-2 dataset, not the raw corpus). The distributed
+  * scale path for analytical storage remains
+  * `Writers.parquetWithAttrs` (Parquet + attrs sidecar); this sink
+  * exists for interchange with NetCDF/CF tooling. */
+object NetCdf {
+
+  /** NetCDF external types (classic subset used here). */
+  val NcChar = 2
+  val NcInt = 4
+  val NcFloat = 5
+  val NcDouble = 6
+
+  case class Dim(name: String, length: Int)
+  /** String attribute (NC_CHAR array) — the only attr type the
+    * reference writes. */
+  case class Att(name: String, value: String)
+  /** `data` is row-major over `dimIds` (indices into the dims list);
+    * `ncType` governs on-disk encoding of the doubles. */
+  case class Var(name: String, dimIds: Seq[Int], atts: Seq[Att],
+                 ncType: Int, data: Array[Double])
+  case class Dataset(dims: Seq[Dim], atts: Seq[Att], vars: Seq[Var])
+
+  /** Driver-side bridge from an export-sized wide DataFrame (the
+    * Level-2 result shape): `timeCol` becomes the time coordinate
+    * (seconds since epoch, CF units attr), every other numeric column
+    * a 1-D NC_DOUBLE variable over time; nulls encode as NaN (the
+    * same choice xarray makes for float data). Bounded by a collect —
+    * identical contract to the reference's in-memory xarray export;
+    * the distributed path stays Parquet + sidecar. */
+  def writeWide(path: String, df: org.apache.spark.sql.DataFrame,
+                timeCol: String,
+                globalAtts: Seq[Att] = Nil,
+                varAtts: Map[String, Seq[Att]] = Map.empty): Unit = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val numeric: Set[DataType] =
+      Set(DoubleType, FloatType, IntegerType, LongType)
+    val fields = df.schema.fields
+      .filter(f => f.name != timeCol && numeric.contains(f.dataType))
+    val rows = df
+      .select((timeCol +: fields.map(_.name).toSeq).map(col): _*)
+      .orderBy(col(timeCol)).collect()
+    require(rows.nonEmpty, "netcdf export of an empty frame")
+    val times = rows.map { r =>
+      r.get(0) match {
+        case t: java.sql.Timestamp => t.getTime / 1000.0
+        case x: Number => x.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"unsupported time value $other")
+      }
+    }
+    def colData(i: Int): Array[Double] = rows.map { r =>
+      if (r.isNullAt(i + 1)) Double.NaN
+      else r.get(i + 1).asInstanceOf[Number].doubleValue()
+    }
+    val timeVar = Var(timeCol, Seq(0),
+      Seq(Att("units", "seconds since 1970-01-01 00:00:00"),
+        Att("timezone", "UTC")), NcDouble, times)
+    val dataVars = fields.zipWithIndex.map { case (f, i) =>
+      Var(f.name, Seq(0), varAtts.getOrElse(f.name, Nil), NcDouble,
+        colData(i))
+    }
+    write(path, Dataset(Seq(Dim(timeCol, rows.length)), globalAtts,
+      timeVar +: dataVars.toSeq))
+  }
+
+  private val TagDim = 0x0A
+  private val TagVar = 0x0B
+  private val TagAtt = 0x0C
+
+  private def typeSize(t: Int): Int = t match {
+    case NcChar => 1
+    case NcInt => 4
+    case NcFloat => 4
+    case NcDouble => 8
+    case other => throw new IllegalArgumentException(s"nc_type $other")
+  }
+
+  private def pad4(n: Int): Int = (4 - n % 4) % 4
+
+  private def nameBytes(s: String): Int = {
+    val b = s.getBytes("UTF-8").length
+    4 + b + pad4(b)
+  }
+
+  private def attBytes(a: Att): Int = {
+    val v = a.value.getBytes("UTF-8").length
+    nameBytes(a.name) + 4 + 4 + v + pad4(v)
+  }
+
+  private def attListBytes(as: Seq[Att]): Int =
+    8 + as.map(attBytes).sum // tag+count (or ABSENT: still 8 bytes)
+
+  private def vsize(ds: Dataset, v: Var): Int = {
+    val raw = v.dimIds.map(ds.dims(_).length.toLong).product *
+      typeSize(v.ncType)
+    (raw + pad4(raw.toInt)).toInt // spec: vsize includes the padding
+  }
+
+  private def varBytes(v: Var): Int =
+    nameBytes(v.name) + 4 + 4 * v.dimIds.size + attListBytes(v.atts) +
+      4 + 4 + 4 // nc_type, vsize, begin (CDF-1: 32-bit offsets)
+
+  private def headerBytes(ds: Dataset): Int = {
+    val dimList = 8 + ds.dims.map(d => nameBytes(d.name) + 4).sum
+    val varList = 8 + ds.vars.map(varBytes).sum
+    4 + 4 + dimList + attListBytes(ds.atts) + varList
+  }
+
+  def write(path: String, ds: Dataset): Unit = {
+    require(ds.dims.forall(_.length > 0),
+      "record (unlimited) dimensions are out of scope for this sink")
+    ds.vars.foreach { v =>
+      val n = v.dimIds.map(ds.dims(_).length.toLong).product
+      require(v.data.length == n,
+        s"${v.name}: ${v.data.length} values for shape of $n")
+    }
+    val out = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(path)))
+    try {
+      def writeName(s: String): Unit = {
+        val b = s.getBytes("UTF-8")
+        out.writeInt(b.length); out.write(b)
+        (0 until pad4(b.length)).foreach(_ => out.writeByte(0))
+      }
+      def writeAttList(as: Seq[Att]): Unit = {
+        if (as.isEmpty) { out.writeInt(0); out.writeInt(0) } // ABSENT
+        else {
+          out.writeInt(TagAtt); out.writeInt(as.size)
+          as.foreach { a =>
+            writeName(a.name)
+            out.writeInt(NcChar)
+            val v = a.value.getBytes("UTF-8")
+            out.writeInt(v.length); out.write(v)
+            (0 until pad4(v.length)).foreach(_ => out.writeByte(0))
+          }
+        }
+      }
+      out.write(Array[Byte]('C', 'D', 'F', 1)) // magic, CDF-1
+      out.writeInt(0) // numrecs: no record variables
+      if (ds.dims.isEmpty) { out.writeInt(0); out.writeInt(0) }
+      else {
+        out.writeInt(TagDim); out.writeInt(ds.dims.size)
+        ds.dims.foreach { d => writeName(d.name); out.writeInt(d.length) }
+      }
+      writeAttList(ds.atts)
+      if (ds.vars.isEmpty) { out.writeInt(0); out.writeInt(0) }
+      else {
+        out.writeInt(TagVar); out.writeInt(ds.vars.size)
+        var begin = headerBytes(ds)
+        ds.vars.foreach { v =>
+          writeName(v.name)
+          out.writeInt(v.dimIds.size)
+          v.dimIds.foreach(out.writeInt)
+          writeAttList(v.atts)
+          out.writeInt(v.ncType)
+          out.writeInt(vsize(ds, v))
+          out.writeInt(begin)
+          begin += vsize(ds, v)
+        }
+      }
+      ds.vars.foreach { v =>
+        var written = 0L
+        v.ncType match {
+          case NcDouble =>
+            v.data.foreach(out.writeDouble); written = v.data.length * 8L
+          case NcFloat =>
+            v.data.foreach(d => out.writeFloat(d.toFloat))
+            written = v.data.length * 4L
+          case NcInt =>
+            v.data.foreach(d => out.writeInt(d.toInt))
+            written = v.data.length * 4L
+          case other =>
+            throw new IllegalArgumentException(s"nc_type $other data")
+        }
+        (0 until pad4(written.toInt)).foreach(_ => out.writeByte(0))
+      }
+    } finally out.close()
+  }
+}

@@ -37,7 +37,11 @@ object Writers {
       .mkString("{", ", ", "}")
 
   /** S8 — Parquet + JSON attribute sidecar, optionally partitioned by
-    * time columns for scan pruning.
+    * time columns for scan pruning. This is the DISTRIBUTED analytical
+    * store; for interchange with NetCDF/CF tooling the same dataset
+    * exports as a real classic-format binary via `NetCdf.writeWide`
+    * (driver-side, export-sized — the reference's own xarray
+    * semantics).
     *
     * `varAttrs` carries PER-VARIABLE attributes (units, standard_name
     * per sensor family — fs_process_l2.py:84-95,177-192), nested under a
