@@ -35,9 +35,17 @@ object NetCdf {
   val NcDouble = 6
 
   case class Dim(name: String, length: Int)
-  /** String attribute (NC_CHAR array) — the only attr type the
-    * reference writes. */
-  case class Att(name: String, value: String)
+  /** Attribute: NC_CHAR string (CF names/units) or numeric (the
+    * reference's `scale_factor=0.001` / `_FillValue=-9999` encoding
+    * attrs need NC_DOUBLE / NC_INT values). */
+  case class Att(name: String, value: String,
+                 num: Option[(Int, Double)] = None)
+  object Att {
+    def dbl(name: String, v: Double): Att =
+      Att(name, "", Some((NcDouble, v)))
+    def int(name: String, v: Int): Att =
+      Att(name, "", Some((NcInt, v.toDouble)))
+  }
   /** `data` is row-major over `dimIds` (indices into the dims list);
     * `ncType` governs on-disk encoding of the doubles. */
   case class Var(name: String, dimIds: Seq[Int], atts: Seq[Att],
@@ -54,7 +62,8 @@ object NetCdf {
   def writeWide(path: String, df: org.apache.spark.sql.DataFrame,
                 timeCol: String,
                 globalAtts: Seq[Att] = Nil,
-                varAtts: Map[String, Seq[Att]] = Map.empty): Unit = {
+                varAtts: Map[String, Seq[Att]] = Map.empty,
+                fixedPointCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
     val numeric: Set[DataType] =
@@ -80,9 +89,21 @@ object NetCdf {
     val timeVar = Var(timeCol, Seq(0),
       Seq(Att("units", "seconds since 1970-01-01 00:00:00"),
         Att("timezone", "UTC")), NcDouble, times)
+    // the reference's per-variable encoding (fs_process_l2.py:196-200):
+    // int32 with scale_factor=0.001 and _FillValue=-9999 — a CF reader
+    // reconstructs value = int * scale_factor, fill where -9999
     val dataVars = fields.zipWithIndex.map { case (f, i) =>
-      Var(f.name, Seq(0), varAtts.getOrElse(f.name, Nil), NcDouble,
-        colData(i))
+      if (fixedPointCols.contains(f.name))
+        Var(f.name, Seq(0),
+          varAtts.getOrElse(f.name, Nil) ++
+            Seq(Att.dbl("scale_factor", 0.001),
+              Att.int("_FillValue", -9999)),
+          NcInt,
+          colData(i).map(d =>
+            if (d.isNaN) -9999.0 else math.round(d * 1000).toDouble))
+      else
+        Var(f.name, Seq(0), varAtts.getOrElse(f.name, Nil), NcDouble,
+          colData(i))
     }
     write(path, Dataset(Seq(Dim(timeCol, rows.length)), globalAtts,
       timeVar +: dataVars.toSeq))
@@ -107,9 +128,13 @@ object NetCdf {
     4 + b + pad4(b)
   }
 
-  private def attBytes(a: Att): Int = {
-    val v = a.value.getBytes("UTF-8").length
-    nameBytes(a.name) + 4 + 4 + v + pad4(v)
+  private def attBytes(a: Att): Int = a.num match {
+    case Some((t, _)) =>
+      val v = typeSize(t)
+      nameBytes(a.name) + 4 + 4 + v + pad4(v)
+    case None =>
+      val v = a.value.getBytes("UTF-8").length
+      nameBytes(a.name) + 4 + 4 + v + pad4(v)
   }
 
   private def attListBytes(as: Seq[Att]): Int =
@@ -153,10 +178,22 @@ object NetCdf {
           out.writeInt(TagAtt); out.writeInt(as.size)
           as.foreach { a =>
             writeName(a.name)
-            out.writeInt(NcChar)
-            val v = a.value.getBytes("UTF-8")
-            out.writeInt(v.length); out.write(v)
-            (0 until pad4(v.length)).foreach(_ => out.writeByte(0))
+            a.num match {
+              case Some((t, d)) =>
+                out.writeInt(t); out.writeInt(1) // one numeric value
+                t match {
+                  case NcDouble => out.writeDouble(d)
+                  case NcInt => out.writeInt(d.toInt)
+                  case NcFloat => out.writeFloat(d.toFloat)
+                  case o => throw new IllegalArgumentException(
+                    s"numeric attr nc_type $o")
+                }
+              case None =>
+                out.writeInt(NcChar)
+                val v = a.value.getBytes("UTF-8")
+                out.writeInt(v.length); out.write(v)
+                (0 until pad4(v.length)).foreach(_ => out.writeByte(0))
+            }
           }
         }
       }

@@ -14,10 +14,10 @@ class NetCdfSpec extends SparkSpec {
 
   // --- minimal spec-following reader (independent of the writer) ---
   private case class RVar(name: String, dimIds: Seq[Int],
-                          atts: Map[String, String], ncType: Int,
+                          atts: Map[String, Any], ncType: Int,
                           vsize: Int, begin: Int)
   private case class RFile(numrecs: Int, dims: Seq[(String, Int)],
-                           atts: Map[String, String], vars: Seq[RVar],
+                           atts: Map[String, Any], vars: Seq[RVar],
                            bytes: Array[Byte]) {
     def data(v: RVar): Array[Double] = {
       val n = v.dimIds.map(dims(_)._2.toLong).product.toInt
@@ -46,16 +46,25 @@ class NetCdfSpec extends SparkSpec {
       (0 until (4 - n % 4) % 4).foreach(_ => buf.get())
       new String(b, "UTF-8")
     }
-    def attList(): Map[String, String] = {
+    def attList(): Map[String, Any] = {
       val tag = buf.getInt; val n = buf.getInt
       assert(tag === (if (n == 0) 0 else 0x0C))
       (0 until n).map { _ =>
         val nm = name()
-        assert(buf.getInt === NetCdf.NcChar) // string attrs only here
+        val t = buf.getInt
         val len = buf.getInt
-        val b = new Array[Byte](len); buf.get(b)
-        (0 until (4 - len % 4) % 4).foreach(_ => buf.get())
-        nm -> new String(b, "UTF-8")
+        val v: Any = t match {
+          case NetCdf.NcChar =>
+            val b = new Array[Byte](len); buf.get(b)
+            (0 until (4 - len % 4) % 4).foreach(_ => buf.get())
+            new String(b, "UTF-8")
+          case NetCdf.NcDouble =>
+            assert(len === 1); buf.getDouble
+          case NetCdf.NcInt =>
+            assert(len === 1); buf.getInt
+          case o => fail(s"unexpected attr nc_type $o")
+        }
+        nm -> v
       }.toMap
     }
     val dimTag = buf.getInt; val nDims = buf.getInt
@@ -138,5 +147,28 @@ class NetCdfSpec extends SparkSpec {
     assert(udg(0) === 1.25 && udg(2) === -2.5 && udg(1).isNaN)
     assert(byName("udg").atts("units") === "m")
     assert(r.data(byName("rec")).toSeq === Seq(10.0, 20.0, 30.0))
+  }
+
+  test("netcdf: fixed-point int32 encoding matches the reference's") {
+    // fs_process_l2.py:196-200 — int32, scale_factor=0.001,
+    // _FillValue=-9999; a CF reader reconstructs v = int * scale
+    import spark.implicits._
+    val path = Files.createTempDirectory("nc").toString + "/enc.nc"
+    val df = Seq(
+      (new java.sql.Timestamp(0L), Some(1.2345)),
+      (new java.sql.Timestamp(900000L), None),
+      (new java.sql.Timestamp(1800000L), Some(-2.5)))
+      .toDF("ts", "udg")
+    NetCdf.writeWide(path, df, "ts",
+      varAtts = Map("udg" -> Seq(Att("units", "m"))),
+      fixedPointCols = Seq("udg"))
+    val r = readNc(path)
+    val udg = r.vars.map(v => v.name -> v).toMap.apply("udg")
+    assert(udg.ncType === NetCdf.NcInt)
+    assert(udg.atts("scale_factor") === 0.001)
+    assert(udg.atts("_FillValue") === -9999)
+    assert(udg.atts("units") === "m")
+    // stored as rounded int32; decode = v * scale_factor
+    assert(r.data(udg).toSeq === Seq(1235.0, -9999.0, -2500.0))
   }
 }
