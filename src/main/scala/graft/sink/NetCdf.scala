@@ -66,10 +66,17 @@ object NetCdf {
                 fixedPointCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
-    val numeric: Set[DataType] =
-      Set(DoubleType, FloatType, IntegerType, LongType)
+    // DecimalType included: it is the engine's own fixed-point S8
+    // representation — silently dropping it would "export" a file
+    // missing variables
+    def isNumeric(t: DataType): Boolean = t match {
+      case DoubleType | FloatType | IntegerType | LongType |
+           ShortType | ByteType => true
+      case _: DecimalType => true
+      case _ => false
+    }
     val fields = df.schema.fields
-      .filter(f => f.name != timeCol && numeric.contains(f.dataType))
+      .filter(f => f.name != timeCol && isNumeric(f.dataType))
     val rows = df
       .select((timeCol +: fields.map(_.name).toSeq).map(col): _*)
       .orderBy(col(timeCol)).collect()
@@ -84,7 +91,17 @@ object NetCdf {
     }
     def colData(i: Int): Array[Double] = rows.map { r =>
       if (r.isNullAt(i + 1)) Double.NaN
-      else r.get(i + 1).asInstanceOf[Number].doubleValue()
+      else r.get(i + 1) match {
+        // NetCDF classic has no int64: a long above 2^53 would coerce
+        // through double with silent precision loss — reject it
+        case l: java.lang.Long =>
+          require(math.abs(l) <= (1L << 53),
+            s"${fields(i).name}: long value $l not exact in NC_DOUBLE")
+          l.toDouble
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"${fields(i).name}: unsupported value $other")
+      }
     }
     val timeVar = Var(timeCol, Seq(0),
       Seq(Att("units", "seconds since 1970-01-01 00:00:00"),
@@ -99,8 +116,17 @@ object NetCdf {
             Seq(Att.dbl("scale_factor", 0.001),
               Att.int("_FillValue", -9999)),
           NcInt,
-          colData(i).map(d =>
-            if (d.isNaN) -9999.0 else math.round(d * 1000).toDouble))
+          colData(i).map { d =>
+            if (d.isNaN) -9999.0
+            else {
+              val scaled = math.round(d * 1000)
+              // |v| beyond ~2.147e6 (or ±Inf) would wrap int32 into
+              // silently corrupt decoded values — fail loud
+              require(d.isFinite && math.abs(scaled) <= Int.MaxValue,
+                s"${f.name}: $d out of int32 fixed-point range")
+              scaled.toDouble
+            }
+          })
       else
         Var(f.name, Seq(0), varAtts.getOrElse(f.name, Nil), NcDouble,
           colData(i))
@@ -143,6 +169,10 @@ object NetCdf {
   private def vsize(ds: Dataset, v: Var): Int = {
     val raw = v.dimIds.map(ds.dims(_).length.toLong).product *
       typeSize(v.ncType)
+    // CDF-1 offsets are 32-bit: a >2 GiB variable would wrap begin/
+    // vsize into garbage offsets — fail loud, don't emit a corrupt file
+    require(raw <= Int.MaxValue - 4,
+      s"${v.name}: $raw bytes exceeds the CDF-1 32-bit offset format")
     (raw + pad4(raw.toInt)).toInt // spec: vsize includes the padding
   }
 
@@ -208,7 +238,7 @@ object NetCdf {
       if (ds.vars.isEmpty) { out.writeInt(0); out.writeInt(0) }
       else {
         out.writeInt(TagVar); out.writeInt(ds.vars.size)
-        var begin = headerBytes(ds)
+        var begin = headerBytes(ds).toLong
         ds.vars.foreach { v =>
           writeName(v.name)
           out.writeInt(v.dimIds.size)
@@ -216,7 +246,9 @@ object NetCdf {
           writeAttList(v.atts)
           out.writeInt(v.ncType)
           out.writeInt(vsize(ds, v))
-          out.writeInt(begin)
+          require(begin + vsize(ds, v) <= Int.MaxValue,
+            s"${v.name}: file exceeds the CDF-1 32-bit offset format")
+          out.writeInt(begin.toInt)
           begin += vsize(ds, v)
         }
       }

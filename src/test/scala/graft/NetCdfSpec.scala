@@ -149,6 +149,43 @@ class NetCdfSpec extends SparkSpec {
     assert(r.data(byName("rec")).toSeq === Seq(10.0, 20.0, 30.0))
   }
 
+  test("netcdf: decimal columns export; out-of-range values fail loud") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("nc").toString
+    // DecimalType is the engine's own S8 fixed-point shape — it must
+    // export as a variable, not be silently dropped
+    val df = Seq(
+      (new java.sql.Timestamp(0L), BigDecimal("1.250")),
+      (new java.sql.Timestamp(900000L), BigDecimal("-2.125")))
+      .toDF("ts", "dec").withColumn("dec",
+        col("dec").cast("decimal(12,3)"))
+    NetCdf.writeWide(dir + "/dec.nc", df, "ts")
+    val r = readNc(dir + "/dec.nc")
+    assert(r.vars.map(_.name) === Seq("ts", "dec"))
+    assert(r.data(r.vars(1)).toSeq === Seq(1.25, -2.125))
+    // int32 fixed-point overflow: |v*1000| > Int.MaxValue must throw,
+    // not wrap into a corrupt decoded value
+    val big = Seq((new java.sql.Timestamp(0L), 3.0e6))
+      .toDF("ts", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      NetCdf.writeWide(dir + "/of.nc", big, "ts",
+        fixedPointCols = Seq("v"))
+    }
+    assert(e1.getMessage.contains("int32 fixed-point range"))
+    // long beyond 2^53 is not exact in NC_DOUBLE — reject
+    val bigLong = Seq((new java.sql.Timestamp(0L), (1L << 53) + 1L))
+      .toDF("ts", "n")
+    val e2 = intercept[IllegalArgumentException] {
+      NetCdf.writeWide(dir + "/lg.nc", bigLong, "ts")
+    }
+    assert(e2.getMessage.contains("not exact in NC_DOUBLE"))
+    // string columns are skipped (not representable), never fatal
+    val mixed = df.withColumn("label", expr("'x'"))
+    NetCdf.writeWide(dir + "/mix.nc", mixed, "ts")
+    assert(readNc(dir + "/mix.nc").vars.map(_.name) === Seq("ts", "dec"))
+  }
+
   test("netcdf: fixed-point int32 encoding matches the reference's") {
     // fs_process_l2.py:196-200 — int32, scale_factor=0.001,
     // _FillValue=-9999; a CF reader reconstructs v = int * scale
