@@ -10,9 +10,11 @@ import org.apache.spark.sql.types._
   *
   * Image decode is REAL (`ImageIoKernel`, JDK ImageIO — PNG/BMP/GIF/
   * JPEG); audio decode is REAL (`AudioWavKernel`, JDK javax.sound —
-  * WAV/AIFF/AU → PCM sample moments); video decode stays STUBBED
-  * behind the same `DecodeKernel` contract (no video codec in the JDK)
-  * with a deterministic byte-histogram fake. The Spark-side contract:
+  * WAV/AIFF/AU → PCM sample moments); video CONTAINER parsing is REAL
+  * (`Mp4MetaKernel`, an ISO/IEC 14496-12 box walker — duration, track
+  * layout, resolution, audio rate/channels from moov); only frame
+  * PIXEL decode needs a native codec the JDK lacks, so it remains the
+  * deterministic byte-histogram stand-in. The Spark-side contract:
   *  - schema: (id, modality, payload binary, meta struct(width, height,
   *    sample_rate, duration_ms, format));
   *  - partition-batch execution (`mapPartitions`, one kernel instance
@@ -189,6 +191,174 @@ object Multimodal {
           out
       }
     }
+  }
+
+  /** Parsed MP4 (ISO base media) container metadata. */
+  private[ops] case class Mp4Meta(durationMs: Long, nTracks: Int,
+    width: Int, height: Int, audioRate: Int, audioChannels: Int,
+    hasVideo: Boolean, hasAudio: Boolean)
+
+  /** Real video CONTAINER decode: a pure-JVM ISO/IEC 14496-12 (MP4 /
+    * ISO base media file format) box walker. The box grammar is a
+    * public spec: [size u32 | 1 → largesize u64][fourcc], containers
+    * (`moov`/`trak`/`mdia`/`minf`/`stbl`) nest, leaves carry
+    * version-tagged payloads. Extracted: presentation duration
+    * (`mvhd` timescale+duration), track count, first video track's
+    * coded resolution (`stsd` sample entry — authoritative pixel
+    * dims, vs tkhd's post-matrix display size), first audio track's
+    * sample rate and channel count (`stsd` audio entry).
+    *
+    * features = [duration_ms, n_tracks, width, height, audio_rate,
+    * audio_channels, has_video, has_audio, then a byte histogram over
+    * `dim−8` bins] — frame PIXEL decode needs a codec the JDK lacks,
+    * so the histogram tail keeps the vector shape useful for the ANN
+    * ops downstream. Non-video modalities delegate to
+    * `AudioWavKernel` (→ `ImageIoKernel` → `HistogramKernel`), so ONE
+    * kernel instance decodes a mixed-modality table in a single
+    * `mapPartitions` pass; non-MP4 / truncated payloads fall back to
+    * the byte histogram. */
+  object Mp4MetaKernel extends DecodeKernel {
+    def decode(modality: String, payload: Array[Byte],
+               dim: Int): Array[Float] = {
+      if (modality != "video" || dim < 8)
+        return AudioWavKernel.decode(modality, payload, dim)
+      parseMp4(payload) match {
+        case None => HistogramKernel.decode(modality, payload, dim)
+        case Some(m) =>
+          val out = new Array[Float](dim)
+          out(0) = m.durationMs.toFloat
+          out(1) = m.nTracks.toFloat
+          out(2) = m.width.toFloat
+          out(3) = m.height.toFloat
+          out(4) = m.audioRate.toFloat
+          out(5) = m.audioChannels.toFloat
+          out(6) = if (m.hasVideo) 1f else 0f
+          out(7) = if (m.hasAudio) 1f else 0f
+          val bins = dim - 8
+          if (bins > 0 && payload.length > 0) {
+            var i = 0
+            while (i < payload.length) {
+              out(8 + java.lang.Byte.toUnsignedInt(payload(i)) % bins) += 1f
+              i += 1
+            }
+            var b = 8
+            while (b < dim) { out(b) /= payload.length; b += 1 }
+          }
+          out
+      }
+    }
+  }
+
+  /** ISO-BMFF walker. Returns None unless the payload starts with a
+    * well-formed top-level box list containing a `moov` with a valid
+    * `mvhd` — the "is this actually an MP4" gate. All reads are
+    * bounds-checked; any structural violation aborts to None (one bad
+    * row must fall back, never kill the partition). */
+  private[ops] def parseMp4(bytes: Array[Byte]): Option[Mp4Meta] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def u16(at: Int): Int = buf.getShort(at) & 0xFFFF
+    def u32(at: Int): Long = buf.getInt(at) & 0xFFFFFFFFL
+    def fourcc(at: Int): String =
+      new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    var durationMs = -1L
+    var nTracks = 0
+    var width = 0; var height = 0
+    var audioRate = 0; var audioChannels = 0
+    var hasVideo = false; var hasAudio = false
+    var sawMoov = false
+
+    // per-trak scratch, committed when the trak box closes
+    var trakHandler = ""
+    var trakW = 0; var trakH = 0; var trakRate = 0; var trakCh = 0
+
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+    def walk(start: Long, end: Long, depth: Int): Boolean = {
+      if (depth > 8) return false // spec nesting is ~6; cycles bail
+      var p = start
+      while (p < end) {
+        if (p + 8 > end) return false
+        var size = u32(p.toInt)
+        var hdr = 8L
+        if (size == 1L) { // 64-bit largesize
+          if (p + 16 > end) return false
+          size = buf.getLong(p.toInt + 8); hdr = 16L
+        } else if (size == 0L) size = end - p // box runs to end
+        if (size < hdr || p + size > end) return false
+        val typ = fourcc(p.toInt + 4)
+        val cs = p + hdr // content start
+        val ce = p + size
+        typ match {
+          case "moov" =>
+            sawMoov = true
+            if (!walk(cs, ce, depth + 1)) return false
+          case "trak" =>
+            trakHandler = ""; trakW = 0; trakH = 0; trakRate = 0; trakCh = 0
+            if (!walk(cs, ce, depth + 1)) return false
+            nTracks += 1
+            if (trakHandler == "vide") {
+              hasVideo = true
+              if (width == 0) { width = trakW; height = trakH }
+            } else if (trakHandler == "soun") {
+              hasAudio = true
+              if (audioRate == 0) { audioRate = trakRate
+                audioChannels = trakCh }
+            }
+          case "mdia" | "minf" | "stbl" =>
+            if (!walk(cs, ce, depth + 1)) return false
+          case "mvhd" =>
+            if (ce - cs < 4) return false
+            val v = bytes(cs.toInt) & 0xFF
+            // v0: verflags,c,m = 12 bytes then ts u32, dur u32
+            // v1: verflags + 8 + 8 then ts u32, dur u64
+            if (v == 0) {
+              if (ce - cs < 20) return false
+              val ts = u32(cs.toInt + 12); val dur = u32(cs.toInt + 16)
+              if (ts > 0) durationMs = dur * 1000L / ts
+            } else {
+              if (ce - cs < 32) return false
+              val ts = u32(cs.toInt + 20)
+              val dur = buf.getLong(cs.toInt + 24)
+              if (ts > 0 && dur >= 0) durationMs = dur * 1000L / ts
+            }
+          case "hdlr" =>
+            if (ce - cs >= 12) trakHandler = fourcc(cs.toInt + 8)
+          case "stsd" =>
+            // verflags u32, entry_count u32, then sample entries; the
+            // first entry decides the track's codec parameters
+            if (ce - cs >= 16 && u32(cs.toInt + 4) >= 1) {
+              val e = cs + 8 // first entry: size u32, format fourcc
+              val esize = u32(e.toInt)
+              if (esize >= 16 && e + esize <= ce) {
+                // visual entry: 16B entry header + 16B pre_defined/
+                // reserved, then width u16 @+32, height u16 @+34
+                if (esize >= 36) { trakW = u16(e.toInt + 32)
+                  trakH = u16(e.toInt + 34) }
+                // audio entry: 16B header + 8B reserved, channels u16
+                // @+24, samplesize @+26, pre/res @+28, rate 16.16 @+32
+                if (esize >= 36) {
+                  trakCh = u16(e.toInt + 24)
+                  trakRate = (u32(e.toInt + 32) >> 16).toInt
+                }
+              }
+            }
+          case _ => // ftyp/mdat/free/udta/…: opaque here
+        }
+        p += size
+      }
+      true
+    }
+
+    try {
+      if (bytes.length < 16) None
+      // an MP4 opens with a box whose fourcc is ASCII; cheap pre-gate
+      else if (!walk(0L, bytes.length.toLong, 0)) None
+      else if (!sawMoov || durationMs < 0) None
+      else Some(Mp4Meta(durationMs, nTracks, width, height, audioRate,
+        audioChannels, hasVideo, hasAudio))
+    } catch { case _: IndexOutOfBoundsException => None }
   }
 
   /** Feature extraction over a multimodal table: one kernel per

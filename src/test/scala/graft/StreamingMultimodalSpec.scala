@@ -448,6 +448,69 @@ class StreamingMultimodalSpec extends SparkSpec {
         10).toSeq)
   }
 
+  test("multimodal: Mp4MetaKernel parses a real ISO-BMFF container") {
+    // A minimal but spec-shaped MP4 built box-by-box (ISO/IEC 14496-12):
+    // ftyp + moov(mvhd + video trak(hdlr/stsd avc1 640×360)
+    //            + audio trak(hdlr/stsd mp4a 2ch 48kHz)) + mdat.
+    // The builder shares no code with the parser.
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      java.nio.ByteBuffer.allocate(8 + body.length)
+        .putInt(8 + body.length).put(typ.getBytes("US-ASCII"))
+        .put(body).array()
+    }
+    def fill(n: Int)(set: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n); set(b); b.array()
+    }
+    val mvhd = box("mvhd", fill(100) { b => // v0: ts@12, dur@16
+      b.putInt(12, 1000); b.putInt(16, 2500) })
+    def hdlr(h: String) = box("hdlr", fill(25) { b =>
+      b.position(8); b.put(h.getBytes("US-ASCII")) })
+    val avc1 = fill(86) { b => // visual sample entry: w@32, h@34
+      b.putInt(0, 86); b.position(4); b.put("avc1".getBytes("US-ASCII"))
+      b.putShort(32, 640.toShort); b.putShort(34, 360.toShort) }
+    val mp4a = fill(36) { b => // audio entry: ch@24, rate 16.16@32
+      b.putInt(0, 36); b.position(4); b.put("mp4a".getBytes("US-ASCII"))
+      b.putShort(24, 2.toShort); b.putShort(26, 16.toShort)
+      b.putInt(32, 48000 << 16) }
+    def stsd(entry: Array[Byte]) = box("stsd", fill(8) { b =>
+      b.putInt(4, 1) }, entry)
+    def trak(h: String, entry: Array[Byte]) = box("trak",
+      box("tkhd", new Array[Byte](84)),
+      box("mdia", hdlr(h), box("minf", box("stbl", stsd(entry)))))
+    val mp4 = box("ftyp", "isomiso2".getBytes("US-ASCII")) ++
+      box("moov", mvhd, trak("vide", avc1), trak("soun", mp4a)) ++
+      box("mdat", Array[Byte](1, 2, 3, 4))
+    val f = Multimodal.Mp4MetaKernel.decode("video", mp4, 12)
+    assert(f(0) === 2500.0f) // mvhd duration 2500/1000 ticks → ms
+    assert(f(1) === 2.0f) // two tracks
+    assert(f(2) === 640.0f && f(3) === 360.0f) // stsd coded size
+    assert(f(4) === 48000.0f && f(5) === 2.0f) // audio rate/channels
+    assert(f(6) === 1.0f && f(7) === 1.0f) // has video + audio
+    assert(math.abs(f.drop(8).sum - 1.0f) < 1e-5) // histogram tail
+    // non-MP4 / truncated payloads fall back to the byte histogram
+    assert(Multimodal.Mp4MetaKernel.decode("video",
+      Array[Byte](1, 2, 3), 12).toSeq ===
+      Multimodal.HistogramKernel.decode("video", Array[Byte](1, 2, 3),
+        12).toSeq)
+    assert(Multimodal.Mp4MetaKernel.decode("video",
+      mp4.take(40), 12).toSeq ===
+      Multimodal.HistogramKernel.decode("video", mp4.take(40),
+        12).toSeq)
+    // non-video modalities delegate down the kernel chain unchanged
+    assert(Multimodal.Mp4MetaKernel.decode("image", Array[Byte](9), 12)
+      .toSeq === Multimodal.AudioWavKernel.decode("image",
+        Array[Byte](9), 12).toSeq)
+    // end-to-end through the partition-batch path
+    val rows = Seq(Row(1L, "video", mp4,
+      Row(640, 360, 48000, 2500L, "mp4")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.Schema)
+    val feats = Multimodal.extractFeatures(df, dim = 12,
+      kernel = Multimodal.Mp4MetaKernel).collect()
+    assert(feats.head.features.toSeq === f.toSeq)
+  }
+
   test("multimodal: meta-only stats and frame sampling") {
     val rows = Seq(
       Row(1L, "video", Array[Byte](1), Row(640, 480, null, 1000L, "v")),
