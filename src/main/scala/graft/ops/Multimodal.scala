@@ -273,8 +273,6 @@ object Multimodal {
     var trakHandler = ""
     var trakW = 0; var trakH = 0; var trakRate = 0; var trakCh = 0
 
-    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
-
     def walk(start: Long, end: Long, depth: Int): Boolean = {
       if (depth > 8) return false // spec nesting is ~6; cycles bail
       var p = start
@@ -313,15 +311,24 @@ object Multimodal {
             val v = bytes(cs.toInt) & 0xFF
             // v0: verflags,c,m = 12 bytes then ts u32, dur u32
             // v1: verflags + 8 + 8 then ts u32, dur u64
+            // all-ones duration = "unknown" per §8.2.2.3 (fMP4/live
+            // segments) — report 0, not a ~50-day garbage feature
             if (v == 0) {
               if (ce - cs < 20) return false
               val ts = u32(cs.toInt + 12); val dur = u32(cs.toInt + 16)
-              if (ts > 0) durationMs = dur * 1000L / ts
+              if (ts > 0)
+                durationMs =
+                  if (dur == 0xFFFFFFFFL) 0L else dur * 1000L / ts
             } else {
               if (ce - cs < 32) return false
               val ts = u32(cs.toInt + 20)
               val dur = buf.getLong(cs.toInt + 24)
-              if (ts > 0 && dur >= 0) durationMs = dur * 1000L / ts
+              // negative = all-ones sentinel or malformed; cap so
+              // dur*1000 cannot overflow Long into garbage
+              if (ts > 0)
+                durationMs =
+                  if (dur < 0 || dur > Long.MaxValue / 1000) 0L
+                  else dur * 1000L / ts
             }
           case "hdlr" =>
             if (ce - cs >= 12) trakHandler = fourcc(cs.toInt + 8)

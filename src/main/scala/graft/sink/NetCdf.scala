@@ -119,12 +119,19 @@ object NetCdf {
           colData(i).map { d =>
             if (d.isNaN) -9999.0
             else {
-              val scaled = math.round(d * 1000)
+              // half-even like the reference encoder (xarray applies
+              // np.around before the int32 cast), so ties match
+              val scaled = math.rint(d * 1000)
               // |v| beyond ~2.147e6 (or ±Inf) would wrap int32 into
               // silently corrupt decoded values — fail loud
               require(d.isFinite && math.abs(scaled) <= Int.MaxValue,
                 s"${f.name}: $d out of int32 fixed-point range")
-              scaled.toDouble
+              // a real value of exactly -9.999 encodes to the
+              // _FillValue sentinel and would decode as MISSING —
+              // refuse the silent data loss
+              require(scaled != -9999.0,
+                s"${f.name}: $d collides with the -9999 _FillValue")
+              scaled
             }
           })
       else
@@ -194,6 +201,14 @@ object NetCdf {
       require(v.data.length == n,
         s"${v.name}: ${v.data.length} values for shape of $n")
     }
+    // validate every offset BEFORE opening the stream: a require that
+    // fires mid-write would leave a truncated, corrupt file on disk
+    ds.vars.foldLeft(headerBytes(ds).toLong) { (begin, v) =>
+      val end = begin + vsize(ds, v) // vsize itself checks > 2 GiB vars
+      require(end <= Int.MaxValue,
+        s"${v.name}: file exceeds the CDF-1 32-bit offset format")
+      end
+    }
     val out = new DataOutputStream(new BufferedOutputStream(
       new FileOutputStream(path)))
     try {
@@ -246,9 +261,7 @@ object NetCdf {
           writeAttList(v.atts)
           out.writeInt(v.ncType)
           out.writeInt(vsize(ds, v))
-          require(begin + vsize(ds, v) <= Int.MaxValue,
-            s"${v.name}: file exceeds the CDF-1 32-bit offset format")
-          out.writeInt(begin.toInt)
+          out.writeInt(begin.toInt) // pre-validated above
           begin += vsize(ds, v)
         }
       }

@@ -205,7 +205,18 @@ class NetCdfSpec extends SparkSpec {
     assert(udg.atts("scale_factor") === 0.001)
     assert(udg.atts("_FillValue") === -9999)
     assert(udg.atts("units") === "m")
-    // stored as rounded int32; decode = v * scale_factor
-    assert(r.data(udg).toSeq === Seq(1235.0, -9999.0, -2500.0))
+    // stored as rounded int32; decode = v * scale_factor. 1.2345*1000
+    // is EXACTLY 1234.5 in doubles: half-even (the reference's
+    // np.around) gives 1234 — math.round's half-up 1235 would diverge
+    assert(r.data(udg).toSeq === Seq(1234.0, -9999.0, -2500.0))
+    // a real value of exactly -9.999 would encode to the _FillValue
+    // sentinel and silently decode as missing — must fail loud
+    val collide = Seq((new java.sql.Timestamp(0L), -9.999))
+      .toDF("ts", "udg")
+    val e = intercept[IllegalArgumentException] {
+      NetCdf.writeWide(path + ".c", collide, "ts",
+        fixedPointCols = Seq("udg"))
+    }
+    assert(e.getMessage.contains("_FillValue"))
   }
 }

@@ -488,6 +488,14 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(f(4) === 48000.0f && f(5) === 2.0f) // audio rate/channels
     assert(f(6) === 1.0f && f(7) === 1.0f) // has video + audio
     assert(math.abs(f.drop(8).sum - 1.0f) < 1e-5) // histogram tail
+    // mvhd all-ones duration = "unknown" (fMP4/live): parses, but the
+    // duration feature reports 0 rather than a ~50-day garbage value
+    val unkMvhd = box("mvhd", fill(100) { b =>
+      b.putInt(12, 1000); b.putInt(16, -1) }) // 0xFFFFFFFF
+    val unk = box("ftyp", "isomiso2".getBytes("US-ASCII")) ++
+      box("moov", unkMvhd, trak("vide", avc1))
+    val fu = Multimodal.Mp4MetaKernel.decode("video", unk, 12)
+    assert(fu(0) === 0.0f && fu(1) === 1.0f && fu(6) === 1.0f)
     // non-MP4 / truncated payloads fall back to the byte histogram
     assert(Multimodal.Mp4MetaKernel.decode("video",
       Array[Byte](1, 2, 3), 12).toSeq ===
