@@ -1439,6 +1439,39 @@ object SparkEntry {
           coalesce(col("__hit"), lit(0L)).as("recrawl"))
     }),
 
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): per-document mean
+    // token log-likelihood ratio ln(p_target/p_corpus) under Laplace-
+    // smoothed unigram LMs — positive ⇒ the doc "looks like" the
+    // target domain (src0 stands in for e.g. wiki) and gets upsampled
+    // when training data is resampled by exp(weight). Two vocab aggs
+    // (map-side partial), ONE term-keyed join shuffle over the token
+    // stream, then the per-doc agg; the (totS, totT, V) scalars ride a
+    // lazy 1-row broadcast. At 100 TB the published trick — hash terms
+    // into a fixed-width bucket vocab — keeps LM state O(buckets) with
+    // this exact plan shape.
+    "t59_dsir_weight" -> ((s, dir) => {
+      val f = T(s, dir, "documents").select(col("doc_id"), col("source"),
+        explode(TextOps.tokensLower(col("text"))).as("term"))
+        .where(length(col("term")) > 0)
+      val vS = f.groupBy("term").agg(count(lit(1)).as("__ns"))
+      val vT = f.where(col("source") === "src0")
+        .groupBy("term").agg(count(lit(1)).as("__nt"))
+      val tot = vS.agg(sum("__ns").cast("double").as("__ts"),
+        count(lit(1)).cast("double").as("__v"))
+        .crossJoin(f.where(col("source") === "src0")
+          .agg(count(lit(1)).cast("double").as("__tt")))
+      f.join(vS, Seq("term")).join(vT, Seq("term"), "left")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(avg(
+            log((coalesce(col("__nt"), lit(0L)).cast("double") + 1.0) /
+                (col("__tt") + col("__v"))) -
+            log((col("__ns").cast("double") + 1.0) /
+                (col("__ts") + col("__v")))), 6).as("dsir_logweight"))
+    }),
+
     "t38_snapshot_diff" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       val old = d.where(col("doc_id") % 4 =!= 3)
@@ -3098,6 +3131,26 @@ object SparkEntry {
            CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS recrawl
          FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
          WHERE d.doc_id % 4 = 3""",
+    "t59_dsir_weight" ->
+      """WITH f AS (
+           SELECT doc_id, source,
+             unnest(string_split_regex(lower(text), '\s+')) AS term
+           FROM documents),
+         g AS (SELECT doc_id, source, term FROM f WHERE len(term) > 0),
+         vs AS (SELECT term, count(*) AS ns FROM g GROUP BY term),
+         vt AS (SELECT term, count(*) AS nt FROM g
+                WHERE source = 'src0' GROUP BY term),
+         tot AS (SELECT
+             (SELECT count(*) FROM g) AS ts,
+             (SELECT count(*) FROM g WHERE source = 'src0') AS tt,
+             (SELECT count(DISTINCT term) FROM g) AS v)
+         SELECT doc_id, count(*) AS n_tok,
+           round(avg(
+             ln((CAST(coalesce(nt, 0) AS DOUBLE) + 1.0) / (tt + v)) -
+             ln((CAST(ns AS DOUBLE) + 1.0) / (ts + v))), 6)
+             AS dsir_logweight
+         FROM g JOIN vs USING (term) LEFT JOIN vt USING (term), tot
+         GROUP BY doc_id""",
     "t32_stratified_sample" ->
       """SELECT source, doc_id FROM documents
          QUALIFY row_number() OVER (PARTITION BY source

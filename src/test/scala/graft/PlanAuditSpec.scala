@@ -123,6 +123,23 @@ class PlanAuditSpec extends SparkSpec {
       "the pair join must broadcast the tiny sketch side")
   }
 
+  test("t59: DSIR weights — partial vocab aggs, scalar LM stats broadcast") {
+    val p = plan("t59_dsir_weight")
+    assert(nodes(p, "HashAggregate") >= 4,
+      "vocab counts must combine map-side (partial agg pairs)")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "the (totS, totT, V) scalars must ride a broadcast")
+    // expected exchanges: vS/vT vocab agg pairs, the 1-row scalar
+    // aggs for (totS, totT, V), and the final doc_id agg — ~6. The
+    // vocab JOINS must not add more: at this SF both sides broadcast
+    // (the exploded token stream itself never shuffles on term)
+    assert(nodes(p, "Exchange") <= 7,
+      s"t59 plans too many shuffles:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "the token stream must not sort-merge-join the vocab sides")
+  }
+
   test("t49: incremental ingest gates the delta with semi-join shapes") {
     // the delta shuffles only its own keys: exact-hash and LSH-band
     // membership against the standing corpus are (broadcast) semi
