@@ -1451,25 +1451,9 @@ object SparkEntry {
     // into a fixed-width bucket vocab — keeps LM state O(buckets) with
     // this exact plan shape.
     "t59_dsir_weight" -> ((s, dir) => {
-      val f = T(s, dir, "documents").select(col("doc_id"), col("source"),
-        explode(TextOps.tokensLower(col("text"))).as("term"))
-        .where(length(col("term")) > 0)
-      val vS = f.groupBy("term").agg(count(lit(1)).as("__ns"))
-      val vT = f.where(col("source") === "src0")
-        .groupBy("term").agg(count(lit(1)).as("__nt"))
-      val tot = vS.agg(sum("__ns").cast("double").as("__ts"),
-        count(lit(1)).cast("double").as("__v"))
-        .crossJoin(f.where(col("source") === "src0")
-          .agg(count(lit(1)).cast("double").as("__tt")))
-      f.join(vS, Seq("term")).join(vT, Seq("term"), "left")
-        .crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          round(avg(
-            log((coalesce(col("__nt"), lit(0L)).cast("double") + 1.0) /
-                (col("__tt") + col("__v"))) -
-            log((col("__ns").cast("double") + 1.0) /
-                (col("__ts") + col("__v")))), 6).as("dsir_logweight"))
+      val d = T(s, dir, "documents")
+      val (vocab, scalars) = TextOps.dsirLm(d, "text", "source", "src0")
+      TextOps.dsirScore(d, "doc_id", "text", vocab, scalars)
     }),
 
     "t38_snapshot_diff" -> ((s, dir) => {

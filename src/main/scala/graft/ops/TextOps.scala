@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: tokenization,
@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * Everything here is a pure `Column` expression over built-in functions —
   * codegen'd, shuffle-free, and deterministic across engines (hashes are
   * md5-hex so an external SQL engine reproduces them bit-for-bit; no
-  * engine-private hash seeds).
+  * engine-private hash seeds) — except the DSIR pair at the end, which
+  * is DataFrame-level because the LM is corpus-dependent state.
   */
 object TextOps {
 
@@ -194,4 +195,48 @@ object TextOps {
       lit(1.0) - size(array_distinct(grams)).cast("double") /
         size(grams).cast("double"))
   }
+
+  /** Standing unigram LMs for DSIR importance weighting (Xie et al.
+    * 2023): token counts for the whole corpus (`__ns`) and the target
+    * domain (`__nt`, null where the target never saw the term), plus a
+    * 1-row scalar frame (`__ts` corpus tokens, `__v` vocab size,
+    * `__tt` target tokens). Built ONCE from the standing corpus —
+    * production materializes both frames (vocab is the only
+    * corpus-dependent state, O(vocab) not O(corpus)) and scores deltas
+    * against them (`dsirScore` / `Streaming.dsirScoreStream`). */
+  def dsirLm(corpus: DataFrame, textCol: String, sourceCol: String,
+             targetSource: String): (DataFrame, DataFrame) = {
+    val f = corpus.select(col(sourceCol).as("__src"),
+      explode(tokensLower(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+    val vS = f.groupBy("term").agg(count(lit(1)).as("__ns"))
+    val vT = f.where(col("__src") === targetSource)
+      .groupBy("term").agg(count(lit(1)).as("__nt"))
+    val scalars = vS.agg(sum("__ns").cast("double").as("__ts"),
+      count(lit(1)).cast("double").as("__v"))
+      .crossJoin(f.where(col("__src") === targetSource)
+        .agg(count(lit(1)).cast("double").as("__tt")))
+    (vS.join(vT, Seq("term"), "left"), scalars)
+  }
+
+  /** Per-document DSIR log-weights against a standing LM: mean token
+    * log-likelihood ratio ln(p_target/p_corpus), Laplace-smoothed.
+    * Tokens the LM never saw (possible when scoring a DELTA against a
+    * standing vocab) take the smoothed OOV ratio via the left join +
+    * coalesce — they are scored, not dropped. One term-keyed join over
+    * the token stream (broadcast when the vocab allows), scalars as a
+    * 1-row broadcast, then the per-doc agg. */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+                vocab: DataFrame, scalars: DataFrame): DataFrame =
+    docs.select(col(idCol), explode(tokensLower(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+      .join(vocab, Seq("term"), "left")
+      .crossJoin(broadcast(scalars))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(
+          log((coalesce(col("__nt"), lit(0L)).cast("double") + 1.0) /
+              (col("__tt") + col("__v"))) -
+          log((coalesce(col("__ns"), lit(0L)).cast("double") + 1.0) /
+              (col("__ts") + col("__v")))), 6).as("dsir_logweight"))
 }

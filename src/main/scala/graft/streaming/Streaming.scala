@@ -339,6 +339,28 @@ object Streaming {
     }
   }
 
+  /** DSIR scoring of a live feed — t59's operational form: each
+    * microbatch scores its documents against a STANDING target/corpus
+    * unigram LM (`TextOps.dsirLm` over the standing corpus, which the
+    * caller should MATERIALIZE — parquet or cached — so the corpus is
+    * not re-aggregated per batch; the LM is O(vocab) state, never
+    * O(corpus)). foreachBatch because per-doc aggregation over the
+    * exploded tokens is batch-local — no streaming state to bound, and
+    * every shuffle is batch-sized ⋈ vocab-sized. Tokens the standing
+    * LM never saw take the smoothed OOV ratio (see `dsirScore`).
+    * Replayed batches append duplicate score rows keyed by the same
+    * id — downstream consumers dedup on id, same contract as any
+    * at-least-once scoring sink. */
+  def dsirScoreStream(in: DataFrame, idCol: String, textCol: String,
+                      vocab: DataFrame, scalars: DataFrame,
+                      sinkPath: String) =
+    in.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.ops.TextOps.dsirScore(batch, idCol, textCol, vocab, scalars)
+          .write.mode("append").parquet(sinkPath)
+        ()
+    }
+
   /** Stream-static enrichment: every microbatch left-joins the static
     * dimension, broadcast so the stream side never shuffles — the
     * standard shape for attaching source mixing weights / calibration

@@ -182,6 +182,46 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out === Map(1L -> "doc A", 2L -> "doc B", 5L -> "doc C"))
   }
 
+  test("dsirScoreStream scores a delta against the standing LM") {
+    implicit val sc = spark.sqlContext
+    import graft.ops.TextOps
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_dsir").toString + "/scores"
+    // standing corpus: target domain talks about alpha/beta, the rest
+    // about gamma/delta
+    val corpus = Seq(
+      ("tgt", "alpha beta alpha beta alpha"),
+      ("web", "gamma delta gamma delta gamma"),
+      ("web", "gamma gamma delta delta beta"))
+      .toDF("source", "text")
+    val (vocab, scalars) = TextOps.dsirLm(corpus, "text", "source", "tgt")
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.dsirScoreStream(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      vocab, scalars, sink).start()
+    // one target-like doc, one corpus-like doc, one with an OOV term
+    input.addData((1L, "alpha beta alpha"), (2L, "gamma delta gamma"),
+      (3L, "alpha epsilon"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(sink).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Double]("dsir_logweight"))).toMap
+    // twin equivalence: the stream's per-batch scores ARE the batch
+    // operator's scores on the same rows
+    val batch = TextOps.dsirScore(
+      Seq((1L, "alpha beta alpha"), (2L, "gamma delta gamma"),
+        (3L, "alpha epsilon")).toDF("doc_id", "text"),
+      "doc_id", "text", vocab, scalars).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Double]("dsir_logweight"))).toMap
+    assert(got === batch)
+    // direction: target-like scores above corpus-like; the OOV token
+    // is scored (n_tok counts it), not dropped by the vocab join
+    assert(got(1L)._2 > 0 && got(2L)._2 < 0 && got(1L)._2 > got(2L)._2)
+    assert(got(3L)._1 === 2L)
+  }
+
   test("streaming redaction: bloom false positives pass through byte-identical") {
     implicit val sc = spark.sqlContext
     // a 64-bit k=1 bloom over a 40-window eval text sets ~half the
