@@ -657,6 +657,31 @@ object SparkEntry {
         "embedding", k = 5, nProbe = 2)
     }),
 
+    // Index-quality measurement: recall@5 of the IVF probe (t9) vs the
+    // exact brute-force baseline (t4), per query — the metric that
+    // picks nProbe/cell-count at scale. At 100 TB the exact side runs
+    // over a SAMPLED query set (as here: 10 queries), never the corpus:
+    // recall estimation cost is queries × corpus, independent of index
+    // size. A left join from exact to approx keeps 0-recall queries.
+    "t60_ivf_recall" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cent = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val exact = Vectors.bruteForceTopK(q, e, "qid", "vec_id",
+        "embedding", k = 5).select(col("qid"), col("vec_id"))
+      val approx = Vectors.ivfProbeTopK(q, e, cent, "qid", "vec_id",
+        "cid", "embedding", k = 5, nProbe = 2)
+        .select(col("qid"), col("vec_id"))
+      exact
+        .join(approx.withColumn("__hit", lit(1)), Seq("qid", "vec_id"),
+          "left")
+        .groupBy("qid")
+        .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
+          count(lit(1)), 6).as("recall_at_5"))
+    }),
+
     // Language-ID heuristic: CJK scan + per-language stopword argmax
     // (single-pass kernel; declarative twin in TextOps.langId).
     "t6_lang_id" -> ((s, dir) =>
@@ -2481,6 +2506,59 @@ object SparkEntry {
            row_number() OVER (PARTITION BY qid ORDER BY csim DESC, vec_id)
              AS rn
          FROM s QUALIFY rn <= 5""",
+    "t60_ivf_recall" ->
+      """WITH e AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         xs AS (
+           SELECT qid, vec_id,
+             list_sum([qv[i]*v[i] FOR i IN generate_series(1,64)]) /
+             (sqrt(list_sum([qv[i]*qv[i] FOR i IN generate_series(1,64)])) *
+              sqrt(list_sum([v[i]*v[i] FOR i IN generate_series(1,64)])))
+             AS cs
+           FROM e, q WHERE qid <> vec_id),
+         exact AS (
+           SELECT qid, vec_id FROM xs
+           QUALIFY row_number() OVER (PARTITION BY qid
+             ORDER BY cs DESC, vec_id) <= 5),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         asg AS (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+               list_sum([(v[i]-cv[i])*(v[i]-cv[i])
+                         FOR i IN generate_series(1, 64)]) AS dist
+             FROM e, c)
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) = 1),
+         probes AS (
+           SELECT qid, qv, cid FROM (
+             SELECT q.qid, q.qv, c.cid,
+               list_sum([(qv[i]-cv[i])*(qv[i]-cv[i])
+                         FOR i IN generate_series(1, 64)]) AS dist
+             FROM q, c)
+           QUALIFY row_number() OVER (PARTITION BY qid
+             ORDER BY dist, cid) <= 2),
+         ap AS (
+           SELECT p.qid, e.vec_id,
+             list_sum([qv[i]*v[i] FOR i IN generate_series(1,64)]) /
+             (sqrt(list_sum([qv[i]*qv[i] FOR i IN generate_series(1,64)])) *
+              sqrt(list_sum([v[i]*v[i] FOR i IN generate_series(1,64)])))
+             AS csim
+           FROM probes p
+           JOIN asg a ON a.cid = p.cid
+           JOIN e ON e.vec_id = a.vec_id
+           WHERE p.qid <> e.vec_id),
+         approx AS (
+           SELECT qid, vec_id FROM ap
+           QUALIFY row_number() OVER (PARTITION BY qid
+             ORDER BY csim DESC, vec_id) <= 5)
+         SELECT x.qid,
+           round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6)
+             AS recall_at_5
+         FROM exact x LEFT JOIN approx a
+           ON a.qid = x.qid AND a.vec_id = x.vec_id
+         GROUP BY x.qid""",
     // X1 as a recursive CTE: the per-sensor melt-out ratchet recurrence
     // (fs_pp.py:636-641 semantics) stepped row-by-row — the hard gate for
     // the engine's signature path-dependent operator.
