@@ -135,6 +135,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(g.head.getAs[Double]("mean_word_len") === 0.0) // 0/1, not NaN
   }
 
+  test("DSIR LM survives an absent target domain and whitespace docs") {
+    import graft.ops.TextOps
+    val corpus = Seq(("web", "gamma delta"), ("web", "gamma gamma"))
+      .toDF("source", "text")
+    // target domain has ZERO documents: tt=0 makes p_target uniform
+    // (1/v per term) — weights stay finite (Laplace smoothing keeps
+    // both logs defined); a corpus-frequent term scores below uniform
+    val (vocab, scalars) = TextOps.dsirLm(corpus, "text", "source", "tgt")
+    val scored = TextOps.dsirScore(
+      Seq((1L, "gamma gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", vocab, scalars).head()
+    val w = scored.getAs[Double]("dsir_logweight")
+    assert(!w.isNaN && !w.isInfinite && w < 0)
+    // whitespace-only and empty docs produce NO score row (no tokens
+    // survive the length filter) rather than a NaN from avg-of-nothing
+    val empty = TextOps.dsirScore(
+      Seq((2L, "   "), (3L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", vocab, scalars)
+    assert(empty.count() === 0)
+  }
+
   test("depth recurrence with an empty or pre-install series is empty") {
     val udg = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), -1.0))
       .toDF("ts", "udg")
