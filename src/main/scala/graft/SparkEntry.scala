@@ -1481,6 +1481,36 @@ object SparkEntry {
       TextOps.dsirScore(d, "doc_id", "text", vocab, scalars)
     }),
 
+    // Corpus-drift monitor: per-source KL divergence KL(new ‖ old)
+    // between the Laplace-smoothed unigram distributions of two crawl
+    // snapshots (t38's doc_id%4 convention) — the alarm that a feed
+    // changed character between crawls (template swap, spam flood,
+    // language shift) before it pollutes the mix. Two (source, term)
+    // aggs with map-side partials, one full-outer join on the union
+    // vocab, per-source scalar joins — all O(vocab), never O(corpus)
+    // beyond the token scan.
+    "t61_snapshot_kl" -> ((s, dir) => {
+      val f = T(s, dir, "documents").select(col("source"), col("doc_id"),
+        explode(TextOps.tokensLower(col("text"))).as("term"))
+        .where(length(col("term")) > 0)
+      val old = f.where(col("doc_id") % 4 =!= 3)
+        .groupBy("source", "term").agg(count(lit(1)).as("__no"))
+      val nw = f.where(col("doc_id") % 4 =!= 0)
+        .groupBy("source", "term").agg(count(lit(1)).as("__nn"))
+      val vocab = old.join(nw, Seq("source", "term"), "full_outer")
+      val scal = vocab.groupBy("source").agg(
+        sum(coalesce(col("__no"), lit(0L))).cast("double").as("__to"),
+        sum(coalesce(col("__nn"), lit(0L))).cast("double").as("__tn"),
+        count(lit(1)).cast("double").as("__v"))
+      val pn = (coalesce(col("__nn"), lit(0L)).cast("double") + 1.0) /
+        (col("__tn") + col("__v"))
+      val po = (coalesce(col("__no"), lit(0L)).cast("double") + 1.0) /
+        (col("__to") + col("__v"))
+      vocab.join(scal, Seq("source"))
+        .groupBy("source")
+        .agg(round(sum(pn * log(pn / po)), 6).as("kl_new_old"))
+    }),
+
     "t38_snapshot_diff" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       val old = d.where(col("doc_id") % 4 =!= 3)
@@ -3193,6 +3223,35 @@ object SparkEntry {
            CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS recrawl
          FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
          WHERE d.doc_id % 4 = 3""",
+    "t61_snapshot_kl" ->
+      """WITH f AS (
+           SELECT source, doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS term
+           FROM documents),
+         g AS (SELECT source, doc_id, term FROM f WHERE len(term) > 0),
+         old AS (SELECT source, term, count(*) AS no FROM g
+                 WHERE doc_id % 4 <> 3 GROUP BY source, term),
+         nw AS (SELECT source, term, count(*) AS nn FROM g
+                WHERE doc_id % 4 <> 0 GROUP BY source, term),
+         vocab AS (
+           SELECT coalesce(old.source, nw.source) AS source,
+             coalesce(old.term, nw.term) AS term, no, nn
+           FROM old FULL OUTER JOIN nw
+             ON old.source = nw.source AND old.term = nw.term),
+         scal AS (
+           SELECT source,
+             CAST(sum(coalesce(no, 0)) AS DOUBLE) AS t_o,
+             CAST(sum(coalesce(nn, 0)) AS DOUBLE) AS t_n,
+             CAST(count(*) AS DOUBLE) AS v
+           FROM vocab GROUP BY source)
+         SELECT source,
+           round(sum(
+             ((CAST(coalesce(nn, 0) AS DOUBLE) + 1.0) / (t_n + v)) *
+             ln(((CAST(coalesce(nn, 0) AS DOUBLE) + 1.0) / (t_n + v)) /
+                ((CAST(coalesce(no, 0) AS DOUBLE) + 1.0) / (t_o + v)))),
+             6) AS kl_new_old
+         FROM vocab JOIN scal USING (source)
+         GROUP BY source""",
     "t59_dsir_weight" ->
       """WITH f AS (
            SELECT doc_id, source,
