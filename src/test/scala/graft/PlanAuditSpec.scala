@@ -140,6 +140,17 @@ class PlanAuditSpec extends SparkSpec {
       "the token stream must not sort-merge-join the vocab sides")
   }
 
+  test("t61: snapshot KL aggregates partially; joins stay vocab-sized") {
+    val p = plan("t61_snapshot_kl")
+    assert(nodes(p, "HashAggregate") >= 4,
+      "(source, term) counts must combine map-side")
+    // both snapshot aggs partition by (source, term) and the union-
+    // vocab full-outer join reuses that partitioning; the scalar join
+    // is vocab-keyed too — nothing should re-shuffle the token stream
+    assert(nodes(p, "Exchange") <= 5,
+      s"t61 plans too many shuffles:\n$p")
+  }
+
   test("t49: incremental ingest gates the delta with semi-join shapes") {
     // the delta shuffles only its own keys: exact-hash and LSH-band
     // membership against the standing corpus are (broadcast) semi
