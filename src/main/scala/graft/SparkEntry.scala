@@ -682,6 +682,25 @@ object SparkEntry {
           count(lit(1)), 6).as("recall_at_5"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup via cluster-scoped
+    // embedding cosine. Same planted-duplicate construction as t10
+    // (cosine ≈ 0.9998 twins; the organic corpus's max is 0.51), but
+    // where t10 finds PAIRS via SRP-LSH, this drops duplicates via
+    // the published cluster-then-pairwise shape: coarse cells bound
+    // the quadratic term by cluster size. Keep-min is deterministic.
+    "t62_semdedup" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val dup = e.select((col("vec_id") + 100000).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + 0.05),
+          slice(col("v"), 2, 63)).as("v"))
+      val corpus = e.unionByName(dup)
+      val cent = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v"))
+      Dedup.semDedupKeep(corpus, cent, "vec_id", "cid", "v", tau = 0.99)
+    }),
+
     // Language-ID heuristic: CJK scan + per-language stopword argmax
     // (single-pass kernel; declarative twin in TextOps.langId).
     "t6_lang_id" -> ((s, dir) =>
@@ -3223,6 +3242,36 @@ object SparkEntry {
            CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS recrawl
          FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
          WHERE d.doc_id % 4 = 3""",
+    "t62_semdedup" ->
+      """WITH e AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+           FROM embeddings),
+         dup AS (
+           SELECT vec_id + 100000 AS vec_id,
+             list_concat([v[1] + 0.05], v[2:64]) AS v FROM e),
+         corpus AS (SELECT * FROM e UNION ALL SELECT * FROM dup),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         asg AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT corpus.vec_id, corpus.v, c.cid,
+               list_sum([(v[i]-cv[i])*(v[i]-cv[i])
+                         FOR i IN generate_series(1, 64)]) AS dist
+             FROM corpus, c)
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) = 1),
+         dropped AS (
+           SELECT DISTINCT a.vec_id
+           FROM asg a JOIN asg b
+             ON a.cid = b.cid AND b.vec_id < a.vec_id
+           WHERE
+             list_sum([a.v[i]*b.v[i] FOR i IN generate_series(1,64)]) /
+             (sqrt(list_sum([a.v[i]*a.v[i]
+                             FOR i IN generate_series(1,64)])) *
+              sqrt(list_sum([b.v[i]*b.v[i]
+                             FOR i IN generate_series(1,64)]))) >= 0.99)
+         SELECT a.vec_id, a.cid
+         FROM asg a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+         WHERE d.vec_id IS NULL""",
     "t61_snapshot_kl" ->
       """WITH f AS (
            SELECT source, doc_id,

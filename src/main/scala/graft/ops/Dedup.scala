@@ -150,6 +150,35 @@ object Dedup {
       .select("p.id_a", "p.id_b")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup in
+    * embedding space. The published insight: cluster FIRST (k-means /
+    * IVF coarse cells), then pay pairwise cosine only WITHIN clusters —
+    * the quadratic term is bounded by cluster size, never the corpus.
+    * Keep rule: drop a vector iff some same-cluster vector with a
+    * SMALLER id has cosine ≥ τ — a deterministic variant of the
+    * paper's one-representative-per-ε-ball choice (same keep-min
+    * convention as the text pipeline's `lshCandidatePairs` consumers).
+    * Returns kept (id, cid). Assignment is the map-side broadcast
+    * argmin (`Vectors.ivfAssignWithVec`); the only data-sized shuffle
+    * keys on cluster id. At 100 TB, cluster-size skew is the knob:
+    * more centroids → smaller cells → less in-cell pairing. */
+  def semDedupKeep(corpus: DataFrame, centroids: DataFrame,
+                   idCol: String, cidCol: String, vecCol: String,
+                   tau: Double): DataFrame = {
+    val asg = Vectors.ivfAssignWithVec(corpus, centroids, idCol, cidCol,
+      vecCol)
+    val a = asg.select(col(cidCol), col(idCol).as("__ida"),
+      col(vecCol).as("__va"))
+    val b = asg.select(col(cidCol), col(idCol).as("__idb"),
+      col(vecCol).as("__vb"))
+    val dropped = a.join(b, Seq(cidCol))
+      .where(col("__idb") < col("__ida") &&
+        Vectors.cosine(col("__va"), col("__vb")) >= tau)
+      .select(col("__ida").as(idCol)).distinct()
+    asg.select(col(idCol), col(cidCol))
+      .join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over an undirected edge list — the clustering
     * step of near-duplicate dedup (candidate pairs → duplicate CLUSTERS
     * → keep one doc per cluster). Without it, pairwise decisions drop
