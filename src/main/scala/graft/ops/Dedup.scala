@@ -159,14 +159,19 @@ object Dedup {
     * paper's one-representative-per-ε-ball choice (same keep-min
     * convention as the text pipeline's `lshCandidatePairs` consumers).
     * Returns kept (id, cid). Assignment is the map-side broadcast
-    * argmin (`Vectors.ivfAssignWithVec`); the only data-sized shuffle
-    * keys on cluster id. At 100 TB, cluster-size skew is the knob:
-    * more centroids → smaller cells → less in-cell pairing. */
+    * argmin (`Vectors.ivfAssignWithVec`), MATERIALIZED once (lazy
+    * localCheckpoint — the same idiom as `connectedComponents`' edge
+    * list) because three consumers read it: both pair-join sides and
+    * the final anti-join. Data-sized shuffles: the cid-keyed pair
+    * join, plus the id-keyed anti-join when the dropped set is too
+    * big to broadcast (dup-sized, so usually broadcast). At 100 TB,
+    * cluster-size skew is the knob: more centroids → smaller cells →
+    * less in-cell pairing. */
   def semDedupKeep(corpus: DataFrame, centroids: DataFrame,
                    idCol: String, cidCol: String, vecCol: String,
                    tau: Double): DataFrame = {
     val asg = Vectors.ivfAssignWithVec(corpus, centroids, idCol, cidCol,
-      vecCol)
+      vecCol).localCheckpoint(false)
     val a = asg.select(col(cidCol), col(idCol).as("__ida"),
       col(vecCol).as("__va"))
     val b = asg.select(col(cidCol), col(idCol).as("__idb"),

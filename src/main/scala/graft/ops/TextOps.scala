@@ -212,18 +212,25 @@ object TextOps {
     val vS = f.groupBy("term").agg(count(lit(1)).as("__ns"))
     val vT = f.where(col("__src") === targetSource)
       .groupBy("term").agg(count(lit(1)).as("__nt"))
+    // __tt from the vocab-sized vT frame, NOT a third tokenize-explode
+    // pass over the corpus (sum of per-term counts ≡ the token count);
+    // an absent target domain sums to null → 0
     val scalars = vS.agg(sum("__ns").cast("double").as("__ts"),
       count(lit(1)).cast("double").as("__v"))
-      .crossJoin(f.where(col("__src") === targetSource)
-        .agg(count(lit(1)).cast("double").as("__tt")))
+      .crossJoin(vT.agg(coalesce(sum("__nt"), lit(0L))
+        .cast("double").as("__tt")))
     (vS.join(vT, Seq("term"), "left"), scalars)
   }
 
   /** Per-document DSIR log-weights against a standing LM: mean token
     * log-likelihood ratio ln(p_target/p_corpus), Laplace-smoothed.
     * Tokens the LM never saw (possible when scoring a DELTA against a
-    * standing vocab) take the smoothed OOV ratio via the left join +
-    * coalesce — they are scored, not dropped. One term-keyed join over
+    * standing vocab) contribute ZERO — neutral evidence. The smoothed
+    * ratio would give every OOV token the same POSITIVE weight
+    * ln((ts+v)/(tt+v)) (the corpus total always exceeds the target's),
+    * so a junk doc made of never-seen tokens would score strongly
+    * "target-like" and get upsampled — the opposite of an importance
+    * filter's job. They still count in n_tok. One term-keyed join over
     * the token stream (broadcast when the vocab allows), scalars as a
     * 1-row broadcast, then the per-doc agg. */
   def dsirScore(docs: DataFrame, idCol: String, textCol: String,
@@ -234,9 +241,9 @@ object TextOps {
       .crossJoin(broadcast(scalars))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tok"),
-        round(avg(
+        round(avg(when(col("__ns").isNull, lit(0.0)).otherwise(
           log((coalesce(col("__nt"), lit(0L)).cast("double") + 1.0) /
               (col("__tt") + col("__v"))) -
-          log((coalesce(col("__ns"), lit(0L)).cast("double") + 1.0) /
-              (col("__ts") + col("__v")))), 6).as("dsir_logweight"))
+          log((col("__ns").cast("double") + 1.0) /
+              (col("__ts") + col("__v"))))), 6).as("dsir_logweight"))
 }

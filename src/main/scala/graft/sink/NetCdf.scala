@@ -98,6 +98,14 @@ object NetCdf {
           require(math.abs(l) <= (1L << 53),
             s"${fields(i).name}: long value $l not exact in NC_DOUBLE")
           l.toDouble
+        case d: java.math.BigDecimal =>
+          // same hazard as the long case: >15 significant decimal
+          // digits silently lose digits through a double — fail loud.
+          // (≤15 digits round-trip; the inherent binary approximation
+          // of e.g. 0.1 is standard decimal→double conversion, kept.)
+          require(d.precision <= 15,
+            s"${fields(i).name}: decimal $d not exact in NC_DOUBLE")
+          d.doubleValue()
         case n: Number => n.doubleValue()
         case other => throw new IllegalArgumentException(
           s"${fields(i).name}: unsupported value $other")

@@ -180,6 +180,15 @@ class NetCdfSpec extends SparkSpec {
       NetCdf.writeWide(dir + "/lg.nc", bigLong, "ts")
     }
     assert(e2.getMessage.contains("not exact in NC_DOUBLE"))
+    // decimal with >15 significant digits would silently lose digits
+    // through the double — reject like the long case
+    val bigDec = Seq((new java.sql.Timestamp(0L),
+      BigDecimal("1234567.1234567891")))
+      .toDF("ts", "d").withColumn("d", col("d").cast("decimal(20,10)"))
+    val e3 = intercept[IllegalArgumentException] {
+      NetCdf.writeWide(dir + "/bd.nc", bigDec, "ts")
+    }
+    assert(e3.getMessage.contains("not exact in NC_DOUBLE"))
     // string columns are skipped (not representable), never fatal
     val mixed = df.withColumn("label", expr("'x'"))
     NetCdf.writeWide(dir + "/mix.nc", mixed, "ts")

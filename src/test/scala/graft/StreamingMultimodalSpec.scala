@@ -199,9 +199,9 @@ class StreamingMultimodalSpec extends SparkSpec {
     val q = Streaming.dsirScoreStream(
       input.toDS().toDF("doc_id", "text"), "doc_id", "text",
       vocab, scalars, sink).start()
-    // one target-like doc, one corpus-like doc, one with an OOV term
+    // target-like, corpus-like, half-OOV, and all-OOV-junk docs
     input.addData((1L, "alpha beta alpha"), (2L, "gamma delta gamma"),
-      (3L, "alpha epsilon"))
+      (3L, "alpha epsilon"), (4L, "zzz qqq"))
     q.processAllAvailable()
     q.stop()
     val got = spark.read.parquet(sink).collect()
@@ -211,15 +211,19 @@ class StreamingMultimodalSpec extends SparkSpec {
     // operator's scores on the same rows
     val batch = TextOps.dsirScore(
       Seq((1L, "alpha beta alpha"), (2L, "gamma delta gamma"),
-        (3L, "alpha epsilon")).toDF("doc_id", "text"),
+        (3L, "alpha epsilon"), (4L, "zzz qqq")).toDF("doc_id", "text"),
       "doc_id", "text", vocab, scalars).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_tok"), r.getAs[Double]("dsir_logweight"))).toMap
     assert(got === batch)
-    // direction: target-like scores above corpus-like; the OOV token
-    // is scored (n_tok counts it), not dropped by the vocab join
+    // direction: target-like scores above corpus-like
     assert(got(1L)._2 > 0 && got(2L)._2 < 0 && got(1L)._2 > got(2L)._2)
-    assert(got(3L)._1 === 2L)
+    // OOV tokens are NEUTRAL (0), never "target-like": the all-junk
+    // doc scores exactly 0, and the half-OOV doc scores exactly half
+    // the pure-alpha ratio (epsilon contributes 0 to the mean but
+    // still counts in n_tok)
+    assert(got(4L) === ((2L, 0.0)))
+    assert(got(3L)._1 === 2L && got(3L)._2 > 0 && got(3L)._2 < got(1L)._2)
   }
 
   test("streaming redaction: bloom false positives pass through byte-identical") {
