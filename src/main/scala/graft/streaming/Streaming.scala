@@ -339,6 +339,46 @@ object Streaming {
     }
   }
 
+  /** Incremental SemDeDup — t62's operational form: each microbatch of
+    * embeddings is (1) deduped WITHIN the batch by the same
+    * cluster-scoped keep-min rule (`Dedup.semDedupKeep`), then
+    * (2) checked against the STANDING sink cell-by-cell — a batch row
+    * with cosine ≥ τ against any already-kept vector in its cell is
+    * dropped (standing wins, regardless of id), and survivors append
+    * with their cell id. Sink-owned state like `appendDedupedStream`:
+    * the standing side is re-read per batch but joined ONLY on the
+    * batch's cells, so the work is batch × cell-sized, never
+    * sink-sized; restarts are idempotent for true duplicates (a
+    * replayed survivor matches itself in the sink ≥ τ and drops).
+    * Centroids are the caller's broadcast-sized side — the same
+    * coarse quantizer the batch path uses. */
+  def semDedupStream(in: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, cidCol: String, tau: Double,
+                     sinkPath: String) =
+    in.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val kept = graft.ops.Dedup.semDedupKeep(batch, centroids,
+          idCol, cidCol, vecCol, tau)
+          .join(batch.select(col(idCol), col(vecCol)), Seq(idCol))
+        val hPath = new org.apache.hadoop.fs.Path(sinkPath)
+        val fs = hPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val novel =
+          if (hasPartFiles(fs, hPath)) {
+            val standing = spark.read.parquet(sinkPath)
+              .select(col(cidCol), col(vecCol).as("__sv"))
+            val hit = kept.join(standing, Seq(cidCol))
+              .where(graft.ops.Vectors.cosine(col(vecCol), col("__sv"))
+                >= tau)
+              .select(col(idCol)).distinct()
+            kept.join(hit, Seq(idCol), "left_anti")
+          } else kept
+        novel.select(col(idCol), col(cidCol), col(vecCol))
+          .write.mode("append").parquet(sinkPath)
+        ()
+    }
+
   /** DSIR scoring of a live feed — t59's operational form: each
     * microbatch scores its documents against a STANDING target/corpus
     * unigram LM (`TextOps.dsirLm` over the standing corpus, which the

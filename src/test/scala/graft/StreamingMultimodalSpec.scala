@@ -226,6 +226,35 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(got(3L)._1 === 2L && got(3L)._2 > 0 && got(3L)._2 < got(1L)._2)
   }
 
+  test("semDedupStream drops near-dups within batches and vs the sink") {
+    implicit val sc = spark.sqlContext
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_semdedup").toString + "/vecs"
+    // 4-dim toy space, two cells along axes 1 and 2
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cid", "v")
+    val e1 = Seq(1.0, 0.0, 0.0, 0.0)
+    val e1n = Seq(1.0, 0.001, 0.0, 0.0) // cos(e1, e1n) ≈ 0.9999995
+    val e2 = Seq(0.0, 1.0, 0.0, 0.0)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = Streaming.semDedupStream(
+      input.toDS().toDF("vec_id", "v"), "vec_id", "v", cents, "cid",
+      tau = 0.99, sinkPath = sink).start()
+    // batch 1: an in-batch near-dup pair (keep-min keeps 10) + e2
+    input.addData((10L, e1), (11L, e1n), (20L, e2))
+    q.processAllAvailable()
+    // batch 2: a near-dup of the STANDING vector 10 (smaller id — the
+    // standing copy still wins) + a genuinely novel vector
+    input.addData((5L, e1n), (21L, Seq(0.0, 0.8, 0.6, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(sink).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    // kept: 10 (first of the batch-1 pair), 20, and the novel 21 —
+    // 11 lost in-batch, 5 lost against the sink despite its smaller id
+    assert(out === Map(10L -> 0L, 20L -> 1L, 21L -> 1L))
+  }
+
   test("streaming redaction: bloom false positives pass through byte-identical") {
     implicit val sc = spark.sqlContext
     // a 64-bit k=1 bloom over a 40-window eval text sets ~half the
