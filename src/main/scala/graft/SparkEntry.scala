@@ -1833,6 +1833,54 @@ object SparkEntry {
           alphaFrac >= 0.8 && nStop >= 2).cast("long").as("pass"))
     }),
 
+    // End-to-end curation funnel — the per-stage attrition report every
+    // production pipeline run logs: language gate (t6 kernel) → Gopher
+    // quality rules (t46 predicate) → exact dedup keep-first (d1
+    // convention) → eval-set 3-gram decontamination (t13 convention).
+    // Each stage consumes the prior stage's survivors; output is
+    // (stage, n_docs). Composition is the point: every stage is the
+    // SAME kernel/predicate its standalone query oracle-verifies, so
+    // the funnel cannot drift from the parts. The five counts are five
+    // 1-row aggs over one shared lineage — Spark reuses the scan.
+    "t63_pipeline_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = T(s, dir, "documents")
+      val toks = TextOps.tokensLower(col("text"))
+      val nWords = size(toks).cast("long")
+      val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+        .cast("double") / nWords
+      val alphaFrac = size(filter(toks, t => t.rlike("[a-z]")))
+        .cast("double") / nWords
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have",
+        "with", "it", "in")
+      val nStop = size(filter(toks, t => t.isin(stops: _*))).cast("long")
+      val s1 = d.where(graft.functions.SketchExpressions
+        .langId(col("text")) === "en")
+      val s2 = s1.where(nWords.between(50, 100000) &&
+        meanLen.between(3.0, 10.0) && alphaFrac >= 0.8 && nStop >= 2)
+      val s3 = s2.withColumn("__rk", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .where(col("__rk") === 1).drop("__rk")
+      val evalGrams = d.where(col("doc_id") % 97 === 0)
+        .select(explode(graft.functions.SketchExpressions
+          .wordShingles(TextOps.tokens(col("text")), 3)).as("g"))
+        .distinct()
+      val hits = s3.select(col("doc_id"),
+          explode(graft.functions.SketchExpressions
+            .wordShingles(TextOps.tokens(col("text")), 3)).as("g"))
+        .join(broadcast(evalGrams), Seq("g"))
+        .select("doc_id").distinct()
+      val s4 = s3.join(hits, Seq("doc_id"), "left_anti")
+      def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(name).as("stage"), col("n_docs"))
+      stage("0_all", d)
+        .unionByName(stage("1_lang_en", s1))
+        .unionByName(stage("2_gopher", s2))
+        .unionByName(stage("3_exact_dedup", s3))
+        .unionByName(stage("4_decontam", s4))
+    }),
+
     // Canonicalization-then-hash — the step BEFORE every exact-dedup
     // op on a real corpus: NFC-normalize (composed vs decomposed
     // accents hash differently without it), lowercase, collapse
@@ -3242,6 +3290,73 @@ object SparkEntry {
            CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS recrawl
          FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
          WHERE d.doc_id % 4 = 3""",
+    "t63_pipeline_funnel" ->
+      """WITH tl AS (
+           SELECT doc_id, text,
+             string_split_regex(lower(text), '\s+') AS toks
+           FROM documents),
+         sc AS (
+           SELECT doc_id, text, toks,
+             len(list_filter(toks, x -> list_contains(
+               ['der','die','und','das','ist','nicht','ein','zu'], x)))
+               AS s_de,
+             len(list_filter(toks, x -> list_contains(
+               ['the','and','of','to','in','is','that','it'], x)))
+               AS s_en,
+             len(list_filter(toks, x -> list_contains(
+               ['el','la','de','que','y','los','en','un'], x))) AS s_es,
+             len(list_filter(toks, x -> list_contains(
+               ['le','la','de','et','les','des','un','une'], x)))
+               AS s_fr
+           FROM tl),
+         s1 AS (
+           SELECT doc_id, text, toks FROM sc
+           WHERE (CASE
+               WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+               WHEN s_de=0 AND s_en=0 AND s_es=0 AND s_fr=0 THEN 'en'
+               WHEN s_de>=s_en AND s_de>=s_es AND s_de>=s_fr THEN 'de'
+               WHEN s_en>=s_de AND s_en>=s_es AND s_en>=s_fr THEN 'en'
+               WHEN s_es>=s_de AND s_es>=s_en AND s_es>=s_fr THEN 'es'
+               ELSE 'fr' END) = 'en'),
+         s2 AS (
+           SELECT doc_id, text FROM s1
+           WHERE len(toks) BETWEEN 50 AND 100000
+             AND CAST(list_sum(list_transform(toks, x -> len(x)))
+                 AS DOUBLE) / len(toks) BETWEEN 3 AND 10
+             AND CAST(len(list_filter(toks,
+                 x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / len(toks) >= 0.8
+             AND len(list_filter(toks, x -> x IN ('the','be','to','of',
+               'and','that','have','with','it','in'))) >= 2),
+         s3 AS (
+           SELECT doc_id, text FROM s2
+           QUALIFY row_number() OVER (PARTITION BY md5(text)
+             ORDER BY doc_id) = 1),
+         rt AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS rtoks
+           FROM documents),
+         evg AS (
+           SELECT DISTINCT unnest(
+             [array_to_string(rtoks[i:i+2], ' ')
+              FOR i IN generate_series(1, len(rtoks)-2)]) AS g
+           FROM rt WHERE doc_id % 97 = 0 AND len(rtoks) >= 3),
+         trg AS (
+           SELECT s3.doc_id, unnest(
+             [array_to_string(rtoks[i:i+2], ' ')
+              FOR i IN generate_series(1, len(rtoks)-2)]) AS g
+           FROM s3 JOIN rt ON rt.doc_id = s3.doc_id
+           WHERE len(rtoks) >= 3),
+         hits AS (
+           SELECT DISTINCT trg.doc_id FROM trg JOIN evg ON trg.g = evg.g),
+         s4 AS (
+           SELECT s3.doc_id FROM s3 LEFT JOIN hits h
+             ON h.doc_id = s3.doc_id
+           WHERE h.doc_id IS NULL)
+         SELECT '0_all' AS stage, count(*) AS n_docs FROM documents
+         UNION ALL SELECT '1_lang_en', count(*) FROM s1
+         UNION ALL SELECT '2_gopher', count(*) FROM s2
+         UNION ALL SELECT '3_exact_dedup', count(*) FROM s3
+         UNION ALL SELECT '4_decontam', count(*) FROM s4""",
     "t62_semdedup" ->
       """WITH e AS (
            SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
