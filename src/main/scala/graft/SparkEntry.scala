@@ -1837,11 +1837,24 @@ object SparkEntry {
     // production pipeline run logs: language gate (t6 kernel) → Gopher
     // quality rules (t46 predicate) → exact dedup keep-first (d1
     // convention) → eval-set 3-gram decontamination (t13 convention).
-    // Each stage consumes the prior stage's survivors; output is
-    // (stage, n_docs). Composition is the point: every stage is the
-    // SAME kernel/predicate its standalone query oracle-verifies, so
-    // the funnel cannot drift from the parts. The five counts are five
-    // 1-row aggs over one shared lineage — Spark reuses the scan.
+    // Every stage is the SAME kernel/predicate its standalone query
+    // oracle-verifies, so the funnel cannot drift from the parts.
+    //
+    // Shape: SINGLE-PASS cumulative stage FLAGS, not five chained
+    // sub-frames — naively counting five staged lineages re-executes
+    // the whole pipeline per stage (the last count alone re-runs
+    // everything; ~5× scan cost at 100 TB). Here one corpus lineage
+    // computes s1/s2/s3 flags (the dedup keep-first windows over
+    // (content-hash, s2-survivor) so rank-within-survivors needs no
+    // separate frame), the decontam hit set arrives as a hit-doc
+    // broadcast, and ONE aggregation produces all five counts,
+    // unpivoted to (stage, n_docs). Corpus cost: two scans (flags +
+    // the gram pass for hits), one window shuffle each, one broadcast
+    // semi-join — stage-count-independent. (Locally the staged 5-agg
+    // variant benches ~1 s faster — fewer expressions per row, and
+    // tiny-task stage scheduling dominates at sf0.1 — but it re-scans
+    // the text column once per stage, which is the wrong trade at
+    // IO-bound corpus scale.)
     "t63_pipeline_funnel" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = T(s, dir, "documents")
@@ -1854,31 +1867,46 @@ object SparkEntry {
       val stops = Seq("the", "be", "to", "of", "and", "that", "have",
         "with", "it", "in")
       val nStop = size(filter(toks, t => t.isin(stops: _*))).cast("long")
-      val s1 = d.where(graft.functions.SketchExpressions
-        .langId(col("text")) === "en")
-      val s2 = s1.where(nWords.between(50, 100000) &&
+      val s1f = graft.functions.SketchExpressions
+        .langId(col("text")) === "en"
+      // when(), not &&: CaseWhen branches evaluate lazily per row, so
+      // the four token-array traversals only run for lang survivors —
+      // the single-pass shape keeps the staged pipeline's CPU profile
+      val s2f = when(s1f, nWords.between(50, 100000) &&
         meanLen.between(3.0, 10.0) && alphaFrac >= 0.8 && nStop >= 2)
-      val s3 = s2.withColumn("__rk", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-        .where(col("__rk") === 1).drop("__rk")
+        .otherwise(lit(false))
+      // keep-first among s2 SURVIVORS: partition by (hash, s2-flag) —
+      // non-survivors rank within their own group and stay flagged out
+      val rk = row_number().over(Window
+        .partitionBy(md5(col("text")), s2f).orderBy(col("doc_id")))
+      val flagged = d.select(col("doc_id"),
+        s1f.as("__s1"), (s2f && rk === 1).as("__s3"), s2f.as("__s2"))
       val evalGrams = d.where(col("doc_id") % 97 === 0)
         .select(explode(graft.functions.SketchExpressions
           .wordShingles(TextOps.tokens(col("text")), 3)).as("g"))
         .distinct()
-      val hits = s3.select(col("doc_id"),
+      // hit docs among s3 survivors (re-derived on the gram pass's own
+      // lineage — grams of non-survivors never explode)
+      val hits = d.select(col("doc_id"), (s2f && rk === 1).as("__k"),
+          col("text"))
+        .where(col("__k"))
+        .select(col("doc_id"),
           explode(graft.functions.SketchExpressions
             .wordShingles(TextOps.tokens(col("text")), 3)).as("g"))
         .join(broadcast(evalGrams), Seq("g"))
         .select("doc_id").distinct()
-      val s4 = s3.join(hits, Seq("doc_id"), "left_anti")
-      def stage(name: String, df: org.apache.spark.sql.DataFrame) =
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(name).as("stage"), col("n_docs"))
-      stage("0_all", d)
-        .unionByName(stage("1_lang_en", s1))
-        .unionByName(stage("2_gopher", s2))
-        .unionByName(stage("3_exact_dedup", s3))
-        .unionByName(stage("4_decontam", s4))
+      flagged
+        .join(broadcast(hits.withColumn("__hit", lit(true))),
+          Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("__n0"),
+          sum(col("__s1").cast("long")).as("__n1"),
+          sum(col("__s2").cast("long")).as("__n2"),
+          sum(col("__s3").cast("long")).as("__n3"),
+          sum((col("__s3") && !coalesce(col("__hit"), lit(false)))
+            .cast("long")).as("__n4"))
+        .select(expr("stack(5, '0_all', __n0, '1_lang_en', __n1, " +
+          "'2_gopher', __n2, '3_exact_dedup', __n3, " +
+          "'4_decontam', __n4) AS (stage, n_docs)"))
     }),
 
     // Canonicalization-then-hash — the step BEFORE every exact-dedup
