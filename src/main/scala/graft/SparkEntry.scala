@@ -1848,9 +1848,10 @@ object SparkEntry {
     // (content-hash, s2-survivor) so rank-within-survivors needs no
     // separate frame), the decontam hit set arrives as a hit-doc
     // broadcast, and ONE aggregation produces all five counts,
-    // unpivoted to (stage, n_docs). Corpus cost: two scans (flags +
-    // the gram pass for hits), one window shuffle each, one broadcast
-    // semi-join — stage-count-independent. (Locally the staged 5-agg
+    // unpivoted to (stage, n_docs). Corpus cost: three scans (flags
+    // pass, the survivors' gram pass, and the eval-gram side — plan-
+    // asserted in PlanAuditSpec), one window shuffle each, one
+    // broadcast semi-join — stage-count-independent. (Locally the staged 5-agg
     // variant benches ~1 s faster — fewer expressions per row, and
     // tiny-task stage scheduling dominates at sf0.1 — but it re-scans
     // the text column once per stage, which is the wrong trade at
@@ -1907,6 +1908,43 @@ object SparkEntry {
         .select(expr("stack(5, '0_all', __n0, '1_lang_en', __n1, " +
           "'2_gopher', __n2, '3_exact_dedup', __n3, " +
           "'4_decontam', __n4) AS (stage, n_docs)"))
+    }),
+
+    // Repetition-budget allocation (Muennighoff et al. 2023, "Scaling
+    // Data-Constrained Language Models"): when data is scarce, repeat
+    // the BEST documents for extra epochs under a token budget instead
+    // of training on junk. Docs bucket by an integer quality proxy
+    // (stopword density in ppm — production plugs the full t7 score or
+    // a learned classifier), highest-quality buckets get a 2nd epoch
+    // while their cumulative tokens fit the extra budget (half the
+    // corpus here); whole-bucket grants keep the rule deterministic.
+    // Shape: one corpus pass to (doc, n_tok, bucket) — all-integer
+    // arithmetic, no cross-engine float ties — a ~100-row bucket frame
+    // for the cumulative window (never a corpus-sized global window),
+    // decisions join back as a broadcast.
+    "t64_repetition_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextOps.tokensLower(col("text"))
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have",
+        "with", "it", "in")
+      val d = T(s, dir, "documents").select(col("doc_id"),
+          size(toks).cast("long").as("n_tok"),
+          size(filter(toks, t => t.isin(stops: _*))).cast("long")
+            .as("__ns"))
+        .withColumn("qb", expr("__ns * 1000000L DIV n_tok DIV 10000L"))
+      val buckets = d.groupBy("qb").agg(sum("n_tok").as("__tb"))
+      val wcum = Window.orderBy(col("qb").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = d.agg(expr("sum(n_tok) DIV 2").as("__budget"))
+      val decisions = buckets
+        .withColumn("__cum", sum("__tb").over(wcum))
+        .crossJoin(broadcast(tot))
+        .select(col("qb"),
+          when(col("__cum") <= col("__budget"), lit(2L)).otherwise(1L)
+            .as("epochs"))
+      d.select(col("doc_id"), col("n_tok"), col("qb"))
+        .join(broadcast(decisions), Seq("qb"))
+        .select(col("doc_id"), col("n_tok"), col("qb"), col("epochs"))
     }),
 
     // Canonicalization-then-hash — the step BEFORE every exact-dedup
@@ -3318,6 +3356,32 @@ object SparkEntry {
            CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS recrawl
          FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
          WHERE d.doc_id % 4 = 3""",
+    "t64_repetition_budget" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split_regex(lower(text), '\s+') AS toks
+           FROM documents),
+         d AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST(len(list_filter(toks, x -> x IN ('the','be','to',
+               'of','and','that','have','with','it','in')))
+               AS BIGINT) AS ns
+           FROM t),
+         db AS (
+           SELECT doc_id, n_tok,
+             (ns * 1000000 // n_tok) // 10000 AS qb
+           FROM d),
+         b AS (SELECT qb, sum(n_tok) AS tb FROM db GROUP BY qb),
+         w AS (
+           SELECT qb, sum(tb) OVER (ORDER BY qb DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM b),
+         tot AS (SELECT sum(n_tok) // 2 AS budget FROM db)
+         SELECT db.doc_id, db.n_tok, CAST(db.qb AS BIGINT) AS qb,
+           CAST(CASE WHEN w.cum <= tot.budget THEN 2 ELSE 1 END
+             AS BIGINT) AS epochs
+         FROM db JOIN w USING (qb), tot""",
     "t63_pipeline_funnel" ->
       """WITH tl AS (
            SELECT doc_id, text,

@@ -151,6 +151,17 @@ class PlanAuditSpec extends SparkSpec {
       s"t61 plans too many shuffles:\n$p")
   }
 
+  test("t63: the funnel is single-pass — scans bounded, hits broadcast") {
+    // the rewrite's contract: cumulative stage flags over ONE corpus
+    // lineage + the gram pass + the eval-gram side = at most 3 scans
+    // of documents; the staged 5-agg shape regresses to 8+. The hit
+    // set must join as a broadcast, never a corpus shuffle.
+    val p = plan("t63_pipeline_funnel")
+    assert(nodes(p, "Scan parquet") <= 3,
+      s"t63 re-scans documents per stage:\n$p")
+    assert(p.contains("BroadcastExchange"))
+  }
+
   test("t49: incremental ingest gates the delta with semi-join shapes") {
     // the delta shuffles only its own keys: exact-hash and LSH-band
     // membership against the standing corpus are (broadcast) semi
