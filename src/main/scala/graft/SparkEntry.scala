@@ -1010,6 +1010,22 @@ object SparkEntry {
       T(s, dir, "documents").select(col("doc_id"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe"))),
 
+    // Tokenizer-fertility report: bytes per BPE-ish token by
+    // (source, lang) — the metric that tells you which corpus slices
+    // your tokenizer serves badly (high bytes/token = more compute per
+    // byte learned; the standard argument for tokenizer retraining on
+    // new domains/languages). Integer ppm output (bytes*10^6 DIV
+    // tokens): two exact-long sums, zero cross-engine float ties.
+    // One partial-aggregated shuffle on the tiny group set.
+    "t65_tokenizer_fertility" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .groupBy("source", "lang")
+        .agg(sum(octet_length(col("text"))).cast("long").as("n_bytes"),
+          sum(TextOps.bpeTokenCount(col("text"))).cast("long")
+            .as("n_bpe"))
+        .withColumn("bytes_per_tok_ppm",
+          expr("n_bytes * 1000000L DIV n_bpe"))),
+
     // Inverted index: term → sorted distinct posting list + document
     // frequency, posting lists serialized as csv strings so the compare
     // is engine-portable. At 100 TB a stopword-grade term's posting
@@ -3125,6 +3141,20 @@ object SparkEntry {
            '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+'))
            AS n_bpe
          FROM documents""",
+    "t65_tokenizer_fertility" ->
+      """WITH d AS (
+           SELECT source, lang,
+             CAST(strlen(text) AS BIGINT) AS nb,
+             CAST(len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+'))
+               AS BIGINT) AS nt
+           FROM documents)
+         SELECT source, lang,
+           CAST(sum(nb) AS BIGINT) AS n_bytes,
+           CAST(sum(nt) AS BIGINT) AS n_bpe,
+           CAST(sum(nb) * 1000000 // sum(nt) AS BIGINT)
+             AS bytes_per_tok_ppm
+         FROM d GROUP BY source, lang""",
     "t22_inverted_index" ->
       """WITH u AS (
            SELECT DISTINCT doc_id,
