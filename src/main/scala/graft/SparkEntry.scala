@@ -1016,7 +1016,10 @@ object SparkEntry {
     // byte learned; the standard argument for tokenizer retraining on
     // new domains/languages). Integer ppm output (bytes*10^6 DIV
     // tokens): two exact-long sums, zero cross-engine float ties.
-    // One partial-aggregated shuffle on the tiny group set.
+    // One partial-aggregated shuffle on the tiny group set. The ppm
+    // scaling runs in decimal(38): a long n_bytes*10^6 wraps past
+    // ~9.2 TB of text per group — exactly the scale this targets —
+    // while DuckDB's HUGEINT sums stay exact.
     "t65_tokenizer_fertility" -> ((s, dir) =>
       T(s, dir, "documents")
         .groupBy("source", "lang")
@@ -1024,7 +1027,8 @@ object SparkEntry {
           sum(TextOps.bpeTokenCount(col("text"))).cast("long")
             .as("n_bpe"))
         .withColumn("bytes_per_tok_ppm",
-          expr("n_bytes * 1000000L DIV n_bpe"))),
+          expr("CAST(CAST(n_bytes AS DECIMAL(38,0)) * 1000000" +
+            " DIV n_bpe AS BIGINT)"))),
 
     // Inverted index: term → sorted distinct posting list + document
     // frequency, posting lists serialized as csv strings so the compare
@@ -1832,21 +1836,12 @@ object SparkEntry {
     // curation stacks run first.
     "t46_gopher_rules" -> ((s, dir) => {
       val toks = TextOps.tokensLower(col("text"))
-      val nWords = size(toks).cast("long")
-      val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
-        .cast("double") / nWords
-      val alphaFrac = size(filter(toks, t => t.rlike("[a-z]")))
-        .cast("double") / nWords
-      val stops = Seq("the", "be", "to", "of", "and", "that", "have",
-        "with", "it", "in")
-      val nStop = size(filter(toks, t => t.isin(stops: _*))).cast("long")
       T(s, dir, "documents").select(col("doc_id"),
-        nWords.as("n_words"),
-        round(meanLen, 6).as("mean_word_len"),
-        round(alphaFrac, 6).as("alpha_frac"),
-        nStop.as("n_stop"),
-        (nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
-          alphaFrac >= 0.8 && nStop >= 2).cast("long").as("pass"))
+        TextOps.gopherNWords(toks).as("n_words"),
+        round(TextOps.gopherMeanLen(toks), 6).as("mean_word_len"),
+        round(TextOps.gopherAlphaFrac(toks), 6).as("alpha_frac"),
+        TextOps.gopherNStop(toks).as("n_stop"),
+        TextOps.gopherPass(toks).cast("long").as("pass"))
     }),
 
     // End-to-end curation funnel — the per-stage attrition report every
@@ -1874,31 +1869,26 @@ object SparkEntry {
     // IO-bound corpus scale.)
     "t63_pipeline_funnel" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val d = T(s, dir, "documents")
+      // the funnel population is the TRAINING universe — eval docs
+      // (doc_id % 97 == 0, t13's convention) are not curation
+      // candidates; without this the 4_decontam count is deflated by
+      // eval docs structurally self-matching their own grams
+      val d = T(s, dir, "documents").where(col("doc_id") % 97 =!= 0)
       val toks = TextOps.tokensLower(col("text"))
-      val nWords = size(toks).cast("long")
-      val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
-        .cast("double") / nWords
-      val alphaFrac = size(filter(toks, t => t.rlike("[a-z]")))
-        .cast("double") / nWords
-      val stops = Seq("the", "be", "to", "of", "and", "that", "have",
-        "with", "it", "in")
-      val nStop = size(filter(toks, t => t.isin(stops: _*))).cast("long")
       val s1f = graft.functions.SketchExpressions
         .langId(col("text")) === "en"
       // when(), not &&: CaseWhen branches evaluate lazily per row, so
       // the four token-array traversals only run for lang survivors —
       // the single-pass shape keeps the staged pipeline's CPU profile
-      val s2f = when(s1f, nWords.between(50, 100000) &&
-        meanLen.between(3.0, 10.0) && alphaFrac >= 0.8 && nStop >= 2)
-        .otherwise(lit(false))
+      val s2f = when(s1f, TextOps.gopherPass(toks)).otherwise(lit(false))
       // keep-first among s2 SURVIVORS: partition by (hash, s2-flag) —
       // non-survivors rank within their own group and stay flagged out
       val rk = row_number().over(Window
         .partitionBy(md5(col("text")), s2f).orderBy(col("doc_id")))
       val flagged = d.select(col("doc_id"),
         s1f.as("__s1"), (s2f && rk === 1).as("__s3"), s2f.as("__s2"))
-      val evalGrams = d.where(col("doc_id") % 97 === 0)
+      val evalGrams = T(s, dir, "documents")
+        .where(col("doc_id") % 97 === 0)
         .select(explode(graft.functions.SketchExpressions
           .wordShingles(TextOps.tokens(col("text")), 3)).as("g"))
         .distinct()
@@ -1941,17 +1931,17 @@ object SparkEntry {
     "t64_repetition_budget" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val toks = TextOps.tokensLower(col("text"))
-      val stops = Seq("the", "be", "to", "of", "and", "that", "have",
-        "with", "it", "in")
       val d = T(s, dir, "documents").select(col("doc_id"),
-          size(toks).cast("long").as("n_tok"),
-          size(filter(toks, t => t.isin(stops: _*))).cast("long")
-            .as("__ns"))
+          TextOps.gopherNWords(toks).as("n_tok"),
+          TextOps.gopherNStop(toks).as("__ns"))
         .withColumn("qb", expr("__ns * 1000000L DIV n_tok DIV 10000L"))
       val buckets = d.groupBy("qb").agg(sum("n_tok").as("__tb"))
       val wcum = Window.orderBy(col("qb").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = d.agg(expr("sum(n_tok) DIV 2").as("__budget"))
+      // budget from the ~100-row bucket frame, NOT a second corpus
+      // agg — sum of bucket totals ≡ sum of doc tokens (the same
+      // O(vocab)-not-O(corpus) discipline as dsirLm's __tt)
+      val tot = buckets.agg(expr("sum(__tb) DIV 2").as("__budget"))
       val decisions = buckets
         .withColumn("__cum", sum("__tb").over(wcum))
         .crossJoin(broadcast(tot))
@@ -3416,7 +3406,7 @@ object SparkEntry {
       """WITH tl AS (
            SELECT doc_id, text,
              string_split_regex(lower(text), '\s+') AS toks
-           FROM documents),
+           FROM documents WHERE doc_id % 97 <> 0),
          sc AS (
            SELECT doc_id, text, toks,
              len(list_filter(toks, x -> list_contains(
@@ -3474,7 +3464,7 @@ object SparkEntry {
            SELECT s3.doc_id FROM s3 LEFT JOIN hits h
              ON h.doc_id = s3.doc_id
            WHERE h.doc_id IS NULL)
-         SELECT '0_all' AS stage, count(*) AS n_docs FROM documents
+         SELECT '0_all' AS stage, count(*) AS n_docs FROM tl
          UNION ALL SELECT '1_lang_en', count(*) FROM s1
          UNION ALL SELECT '2_gopher', count(*) FROM s2
          UNION ALL SELECT '3_exact_dedup', count(*) FROM s3

@@ -169,7 +169,16 @@ object Dedup {
     * less in-cell pairing. */
   def semDedupKeep(corpus: DataFrame, centroids: DataFrame,
                    idCol: String, cidCol: String, vecCol: String,
-                   tau: Double): DataFrame = {
+                   tau: Double): DataFrame =
+    semDedupKeepWithVec(corpus, centroids, idCol, cidCol, vecCol, tau)
+      .drop(vecCol)
+
+  /** `semDedupKeep` with the vector retained in the output — what a
+    * sink-building consumer (`Streaming.semDedupStream`) needs, saving
+    * it an id-keyed join back to the input per batch. */
+  def semDedupKeepWithVec(corpus: DataFrame, centroids: DataFrame,
+                          idCol: String, cidCol: String, vecCol: String,
+                          tau: Double): DataFrame = {
     val asg = Vectors.ivfAssignWithVec(corpus, centroids, idCol, cidCol,
       vecCol).localCheckpoint(false)
     val a = asg.select(col(cidCol), col(idCol).as("__ida"),
@@ -180,8 +189,7 @@ object Dedup {
       .where(col("__idb") < col("__ida") &&
         Vectors.cosine(col("__va"), col("__vb")) >= tau)
       .select(col("__ida").as(idCol)).distinct()
-    asg.select(col(idCol), col(cidCol))
-      .join(dropped, Seq(idCol), "left_anti")
+    asg.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** Connected components over an undirected edge list — the clustering

@@ -196,6 +196,27 @@ object TextOps {
         size(grams).cast("double"))
   }
 
+  /** The Gopher-rule ingredients (Rae et al. 2021 §A1.1 shape), shared
+    * by the standalone rules query (t46), the curation funnel (t63),
+    * and the repetition-budget proxy (t64) — ONE definition, so a
+    * threshold tweak cannot silently desynchronize the consumers. */
+  val gopherStops: Seq[String] = Seq("the", "be", "to", "of", "and",
+    "that", "have", "with", "it", "in")
+  def gopherNWords(toks: Column): Column = size(toks).cast("long")
+  def gopherMeanLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+      gopherNWords(toks)
+  def gopherAlphaFrac(toks: Column): Column =
+    size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+      gopherNWords(toks)
+  def gopherNStop(toks: Column): Column =
+    size(filter(toks, t => t.isin(gopherStops: _*))).cast("long")
+  /** The combined pass/fail predicate over the four metrics. */
+  def gopherPass(toks: Column): Column =
+    gopherNWords(toks).between(50, 100000) &&
+      gopherMeanLen(toks).between(3.0, 10.0) &&
+      gopherAlphaFrac(toks) >= 0.8 && gopherNStop(toks) >= 2
+
   /** Standing unigram LMs for DSIR importance weighting (Xie et al.
     * 2023): token counts for the whole corpus (`__ns`) and the target
     * domain (`__nt`, null where the target never saw the term), plus a

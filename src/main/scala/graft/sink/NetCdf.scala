@@ -101,9 +101,11 @@ object NetCdf {
         case d: java.math.BigDecimal =>
           // same hazard as the long case: >15 significant decimal
           // digits silently lose digits through a double — fail loud.
+          // stripTrailingZeros first: scale padding (123456.0000000000
+          // in a decimal(20,10) column) is not significance.
           // (≤15 digits round-trip; the inherent binary approximation
           // of e.g. 0.1 is standard decimal→double conversion, kept.)
-          require(d.precision <= 15,
+          require(d.stripTrailingZeros().precision <= 15,
             s"${fields(i).name}: decimal $d not exact in NC_DOUBLE")
           d.doubleValue()
         case n: Number => n.doubleValue()

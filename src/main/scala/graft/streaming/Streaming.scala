@@ -358,9 +358,8 @@ object Streaming {
     in.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val kept = graft.ops.Dedup.semDedupKeep(batch, centroids,
+        val kept = graft.ops.Dedup.semDedupKeepWithVec(batch, centroids,
           idCol, cidCol, vecCol, tau)
-          .join(batch.select(col(idCol), col(vecCol)), Seq(idCol))
         val hPath = new org.apache.hadoop.fs.Path(sinkPath)
         val fs = hPath.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
