@@ -154,6 +154,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("t61 KL drift is non-negative, and zero on identical snapshots") {
+    // Gibbs' inequality: KL(p‖q) ≥ 0 with equality iff p = q — the
+    // smoothed estimator must respect both on the real query
+    val dir = "/root/testdata/sf0.001"
+    val kl = SparkEntry.queries("t61_snapshot_kl")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("kl_new_old")).toMap
+    assert(kl.nonEmpty)
+    // round(…,6) can brush an analytic 0 to -0.0; tolerate the ulp,
+    // nothing more
+    assert(kl.values.forall(_ >= -1e-6), s"negative KL: $kl")
+    // identical snapshots (old ≡ new counts): exactly zero, even in
+    // floating point — identical doubles give ratio exactly 1.0 and
+    // ln(1.0) exactly 0.0, so the estimator's identity case is exact
+    import spark.implicits._
+    val docs = Seq((1L, "s", "a b c"), (2L, "s", "b c d a"))
+      .toDF("doc_id", "source", "text")
+    val f = docs.select(col("source"),
+        explode(graft.ops.TextOps.tokensLower(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+    val both = f.groupBy("source", "term")
+      .agg(count(lit(1)).as("__no"))
+      .withColumn("__nn", col("__no"))
+    val scal = both.groupBy("source").agg(
+      sum("__no").cast("double").as("__to"),
+      sum("__nn").cast("double").as("__tn"),
+      count(lit(1)).cast("double").as("__v"))
+    val pn = (col("__nn").cast("double") + 1.0) /
+      (col("__tn") + col("__v"))
+    val po = (col("__no").cast("double") + 1.0) /
+      (col("__to") + col("__v"))
+    val selfKl = both.join(scal, Seq("source"))
+      .groupBy("source").agg(sum(pn * log(pn / po)).as("kl"))
+      .head().getAs[Double]("kl")
+    assert(selfKl === 0.0)
+  }
+
   test("mergeSpans equals brute-force interval union on random hit sets") {
     val hitsGen = Gen.zip(
       Gen.choose(2, 9), // window width n
