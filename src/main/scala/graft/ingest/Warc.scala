@@ -1,0 +1,109 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (Web ARChive, ISO 28500 / WARC-1.0) ingest — the standard
+  * container for web crawls (Common Crawl et al.), i.e. the raw input
+  * of a web-scale training-data pipeline. Pure-JVM parser off the
+  * public spec: each record is
+  * `WARC/1.0\r\n` + header lines (`Name: value`) + `\r\n` +
+  * `Content-Length` payload bytes + `\r\n\r\n`, records concatenated;
+  * `.warc.gz` files are per-record (or whole-file) gzip MEMBERS, which
+  * `GZIPInputStream` decodes as one concatenated stream.
+  *
+  * Scale shape: one WARC file = one self-contained record stream, so
+  * the natural parallelism is per-FILE (Spark's `binaryFile` source;
+  * Common Crawl ships ~1 GB segments in the thousands). Parsing is
+  * `flatMap` over file rows — no shuffle; downstream ops see a normal
+  * (url, type, date, content_type, payload) frame and prune columns
+  * as usual. Malformed tails fail soft (parsed prefix is kept) — one
+  * truncated segment must not kill a 100 TB ingest. */
+object Warc {
+
+  case class Record(url: String, warcType: String, date: String,
+                    contentType: String, payload: Array[Byte])
+
+  private val Gzip = Array[Byte](0x1f.toByte, 0x8b.toByte)
+
+  /** Parse a (possibly gzipped) byte stream of concatenated WARC
+    * records. Tolerant: stops at the first structural violation and
+    * returns the records parsed so far. */
+  def parseRecords(raw: Array[Byte]): Seq[Record] = {
+    val bytes =
+      if (raw.length >= 2 && raw(0) == Gzip(0) && raw(1) == Gzip(1)) {
+        // multi-member gzip: GZIPInputStream reads ALL members
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(raw))
+        try in.readAllBytes() finally in.close()
+      } else raw
+    val out = scala.collection.mutable.ArrayBuffer.empty[Record]
+    var p = 0
+    def line(): String = { // up to CRLF (spec-mandated line ending)
+      var i = p
+      while (i + 1 < bytes.length &&
+        !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      if (i + 1 >= bytes.length) { // no CRLF before EOF: consume rest
+        val s = new String(bytes, p, bytes.length - p, "UTF-8")
+        p = bytes.length; s
+      } else {
+        val s = new String(bytes, p, i - p, "UTF-8"); p = i + 2; s
+      }
+    }
+    while (p < bytes.length) {
+      // skip inter-record blank lines
+      while (p < bytes.length - 1 && bytes(p) == '\r' && bytes(p + 1) == '\n')
+        p += 2
+      if (p >= bytes.length) return out.toSeq
+      val version = line()
+      if (!version.startsWith("WARC/")) return out.toSeq
+      var url = ""; var typ = ""; var date = ""; var ct = ""
+      var len = -1L
+      var h = line()
+      while (h.nonEmpty) {
+        val i = h.indexOf(':')
+        if (i > 0) {
+          val name = h.substring(0, i).trim.toLowerCase
+          val value = h.substring(i + 1).trim
+          name match {
+            case "warc-target-uri" => url = value
+            case "warc-type" => typ = value
+            case "warc-date" => date = value
+            case "content-type" => ct = value
+            case "content-length" => len =
+              try value.toLong catch { case _: NumberFormatException => -1L }
+            case _ =>
+          }
+        }
+        h = line()
+      }
+      // overflow-safe bound: compare len against the REMAINING bytes
+      // (p + len could wrap a hostile Content-Length past Long range)
+      if (len < 0 || len > (bytes.length - p).toLong) return out.toSeq
+      out += Record(url, typ, date, ct,
+        java.util.Arrays.copyOfRange(bytes, p, p + len.toInt))
+      p += len.toInt
+      // spec: two CRLFs close a record; the skip loop above eats them
+    }
+    out.toSeq
+  }
+
+  /** Crawl scan: WARC files (plain or .gz) → one row per record.
+    * Per-file parallelism via the `binaryFile` source; parse is a
+    * shuffle-free flatMap. `maxPartitionBytes` has no effect here —
+    * binaryFile yields whole files; size executor memory for the
+    * largest segment (Common Crawl: ~1 GB gz). */
+  def readWarcFiles(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        parseRecords(content).map(r =>
+          (path, r.url, r.warcType, r.date, r.contentType, r.payload))
+      }
+      .toDF("file", "url", "warc_type", "date", "content_type",
+        "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.ingest.Warc
+
+/** WARC parser + reader spec. The WARC bytes are built by hand from
+  * the ISO 28500 grammar (header lines + Content-Length payload +
+  * double CRLF), sharing no code with the parser. */
+class WarcSpec extends SparkSpec {
+
+  private def rec(typ: String, url: String, payload: Array[Byte],
+                  ct: String = "text/plain"): Array[Byte] = {
+    val head = (s"WARC/1.0\r\n" +
+      s"WARC-Type: $typ\r\n" +
+      (if (url.nonEmpty) s"WARC-Target-URI: $url\r\n" else "") +
+      s"WARC-Date: 2026-08-13T00:00:00Z\r\n" +
+      s"Content-Type: $ct\r\n" +
+      s"Content-Length: ${payload.length}\r\n" +
+      "\r\n").getBytes("UTF-8")
+    head ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  private val http =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>hi</html>"
+      .getBytes("UTF-8")
+
+  test("warc: parses concatenated records with headers and payloads") {
+    val bytes = rec("warcinfo", "", "software: graft\r\n".getBytes("UTF-8"),
+      ct = "application/warc-fields") ++
+      rec("response", "https://example.com/a", http,
+        ct = "application/http;msgtype=response") ++
+      rec("request", "https://example.com/a",
+        "GET /a HTTP/1.1\r\n\r\n".getBytes("UTF-8"),
+        ct = "application/http;msgtype=request")
+    val rs = Warc.parseRecords(bytes)
+    assert(rs.map(_.warcType) === Seq("warcinfo", "response", "request"))
+    assert(rs(1).url === "https://example.com/a")
+    assert(rs(1).date === "2026-08-13T00:00:00Z")
+    assert(rs(1).contentType === "application/http;msgtype=response")
+    assert(rs(1).payload.toSeq === http.toSeq) // byte-exact payload
+  }
+
+  test("warc: gzip members decode; truncated tails fail soft") {
+    val plain = rec("response", "https://example.com/x", http) ++
+      rec("response", "https://example.com/y", http)
+    // gzip the whole stream (GZIPInputStream also handles per-record
+    // members — same concatenated-member decode path)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(plain); gz.close()
+    val rs = Warc.parseRecords(bos.toByteArray)
+    assert(rs.map(_.url) ===
+      Seq("https://example.com/x", "https://example.com/y"))
+    // truncated mid-payload: the intact first record is kept
+    val cut = plain.take(plain.length - http.length - 10)
+    val partial = Warc.parseRecords(cut)
+    assert(partial.map(_.url) === Seq("https://example.com/x"))
+    // garbage is not a record stream
+    assert(Warc.parseRecords("not a warc".getBytes("UTF-8")).isEmpty)
+    assert(Warc.parseRecords(Array.emptyByteArray).isEmpty)
+  }
+
+  test("warc: readWarcFiles scans a directory of segments in parallel") {
+    val dir = java.nio.file.Files.createTempDirectory("warc")
+    java.nio.file.Files.write(dir.resolve("seg-0.warc"),
+      rec("response", "https://example.com/1", http) ++
+        rec("response", "https://example.com/2", http))
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(rec("response", "https://example.com/3", http)); gz.close()
+    java.nio.file.Files.write(dir.resolve("seg-1.warc.gz"),
+      bos.toByteArray)
+    val df = Warc.readWarcFiles(spark, dir.toString + "/*")
+    val rows = df.select("url", "warc_type", "n_bytes")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq("https://example.com/1",
+      "https://example.com/2", "https://example.com/3"))
+    assert(rows.forall(r => r._2 == "response" && r._3 == http.length))
+  }
+}
