@@ -196,6 +196,33 @@ object TextOps {
         size(grams).cast("double"))
   }
 
+  /** HTTP message body: everything after the first blank line (CRLF
+    * CRLF) — the step from a WARC `response` payload to the HTML
+    * document. Null-safe: headerless payloads pass through whole. */
+  def httpBody(payload: Column): Column = {
+    val s = payload.cast("string")
+    val sep = instr(s, "\r\n\r\n") // FIRST blank line (1-based, 0=absent)
+    when(sep > 0, substring(s, sep + lit(4), length(s))).otherwise(s)
+  }
+
+  /** HTML → text, the crawl-extraction baseline (the declarative
+    * stand-in for a boilerplate extractor): drop script/style/comment
+    * blocks, strip tags, decode the common entities, collapse
+    * whitespace. Chain of codegen'd regexp_replace — map-side, no
+    * UDF. Production swaps a real extractor at the SAME column seam. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val entities = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(e), r)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** The Gopher-rule ingredients (Rae et al. 2021 §A1.1 shape), shared
     * by the standalone rules query (t46), the curation funnel (t63),
     * and the repetition-budget proxy (t64) — ONE definition, so a

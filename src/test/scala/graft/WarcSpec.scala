@@ -59,6 +59,33 @@ class WarcSpec extends SparkSpec {
     assert(Warc.parseRecords(Array.emptyByteArray).isEmpty)
   }
 
+  test("warc → documents: httpBody + htmlToText extract clean text") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.TextOps
+    val html = "HTTP/1.1 200 OK\r\nServer: x\r\n\r\n" +
+      "<html><head><style>p{color:red}</style>" +
+      "<script>var x = '<p>';</script></head>" +
+      "<!-- nav --><body><h1>Title</h1>" +
+      "<p>Hello &amp; welcome to &lt;graft&gt;!</p>\r\n\r\n" + // blank line IN body
+      "<p>Second&nbsp;para</p></body></html>"
+    val bytes = rec("response", "https://example.com/p",
+      html.getBytes("UTF-8"), ct = "application/http;msgtype=response")
+    val dir = java.nio.file.Files.createTempDirectory("warc2")
+    java.nio.file.Files.write(dir.resolve("seg.warc"), bytes)
+    val txt = Warc.readWarcFiles(spark, dir.toString + "/*")
+      .where(col("warc_type") === "response")
+      .select(TextOps.htmlToText(
+        TextOps.httpBody(col("payload"))).as("text"))
+      .head().getString(0)
+    // body split at the FIRST blank line (the in-body one is content);
+    // script/style/comments dropped, entities decoded, ws collapsed
+    assert(txt === "Title Hello & welcome to <graft>! Second para")
+    // headerless payloads pass through whole
+    val noHdr = spark.sql("SELECT 'plain' AS p")
+      .select(TextOps.httpBody(col("p"))).head().getString(0)
+    assert(noHdr === "plain")
+  }
+
   test("warc: readWarcFiles scans a directory of segments in parallel") {
     val dir = java.nio.file.Files.createTempDirectory("warc")
     java.nio.file.Files.write(dir.resolve("seg-0.warc"),
