@@ -93,10 +93,28 @@ object Warc {
     * shuffle-free flatMap. `maxPartitionBytes` has no effect here —
     * binaryFile yields whole files; size executor memory for the
     * largest segment (Common Crawl: ~1 GB gz). */
-  def readWarcFiles(spark: SparkSession, pathGlob: String): DataFrame = {
+  def readWarcFiles(spark: SparkSession, pathGlob: String): DataFrame =
+    toRecords(spark.read.format("binaryFile").load(pathGlob))
+
+  /** Streaming crawl ingest: segments LANDING in a bucket stream out
+    * as records — `readStream` over the same binaryFile source, the
+    * same shuffle-free parse. Composes directly with the standing
+    * pipeline sinks (`Streaming.appendDedupedStream` /
+    * `cleanCorpusStream` / `dsirScoreStream`): parse here, hand the
+    * frame to the sink of choice. File sources track processed files
+    * in the checkpoint, so a replayed segment re-parses idempotently. */
+  def readWarcStream(spark: SparkSession, pathGlob: String): DataFrame =
+    // streaming file sources require an explicit schema; binaryFile's
+    // is fixed by the format
+    toRecords(spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, " +
+        "length BIGINT, content BINARY")
+      .load(pathGlob))
+
+  private def toRecords(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path"), col("content"))
+    files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, content) =>
         parseRecords(content).map(r =>
