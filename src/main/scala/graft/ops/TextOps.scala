@@ -215,8 +215,10 @@ object TextOps {
       "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
     val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
-    val entities = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
-      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+    // &amp; decodes LAST: doing it first would double-decode literal
+    // text like "&amp;lt;" into "<" instead of the correct "&lt;"
+    val entities = Seq("&nbsp;" -> " ", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
     val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
       regexp_replace(c, java.util.regex.Pattern.quote(e), r)
     }

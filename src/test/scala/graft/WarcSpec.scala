@@ -105,6 +105,11 @@ class WarcSpec extends SparkSpec {
     val noHdr = spark.sql("SELECT 'plain' AS p")
       .select(TextOps.httpBody(col("p"))).head().getString(0)
     assert(noHdr === "plain")
+    // double-encoded entities decode exactly ONE level: &amp;lt; is
+    // the author writing the literal text "&lt;", not a tag bracket
+    val dbl = spark.sql("SELECT 'a &amp;lt;b&amp;gt; &amp;amp; c' AS h")
+      .select(TextOps.htmlToText(col("h"))).head().getString(0)
+    assert(dbl === "a &lt;b&gt; &amp; c")
   }
 
   test("warc: readWarcFiles scans a directory of segments in parallel") {
