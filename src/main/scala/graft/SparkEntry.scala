@@ -1030,6 +1030,94 @@ object SparkEntry {
           expr("CAST(CAST(n_bytes AS DECIMAL(38,0)) * 1000000" +
             " DIV n_bpe AS BIGINT)"))),
 
+    // URL/domain blocklist filter (the UT1-blocklist shape — the
+    // standard crawl-curation step right after WARC extraction): drop
+    // every document citing a blocked domain. The blocklist is a
+    // broadcast (real UT1 is ~4M rows — still broadcast range); the
+    // hit set is blocked-docs-sized, so the final anti-join broadcasts
+    // too. Corpus scans stay map-side; nothing shuffles on doc text.
+    // Same deterministic URL augmentation as t19 so some docs hit.
+    "t66_url_blocklist" -> ((s, dir) => {
+      val blocked = Seq("site0.example.org", "site3.example.org",
+        "host2.net")
+      val blockDf = s.createDataFrame(
+        s.sparkContext.parallelize(blocked.map(Tuple1(_)), 1)
+          .map(org.apache.spark.sql.Row.fromTuple),
+        new org.apache.spark.sql.types.StructType()
+          .add("domain", "string"))
+      val footer = concat(
+        lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/p"), col("doc_id").cast("string"),
+        lit(" and http://host"), (col("doc_id") % 3).cast("string"),
+        lit(".net/q"))
+      val aug = when(col("doc_id") % 5 === 0, concat(col("text"), footer))
+        .otherwise(col("text"))
+      val hits = T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.urlDomains(aug)).as("domain"))
+        .join(broadcast(blockDf), Seq("domain"))
+        .select("doc_id").distinct()
+      T(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // Deterministic corpus shuffle for training (the GPT-3/Pile
+    // "shuffle the corpus" step): an md5 key over a salt+id gives a
+    // reproducible pseudorandom order; the first two hex chars are the
+    // shard (256-way — the output-file/parallelism knob; widen the
+    // prefix for more), rank within shard is the write position.
+    // One hash-partitioned window per shard — no global sort; at
+    // 100 TB each shard sorts independently and writes its own file.
+    "t67_train_shuffle" -> ((s, dir) => {
+      val w = Window.partitionBy("shard").orderBy("key", "doc_id")
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("shuf42:"), col("doc_id").cast("string")))
+            .as("key"))
+        .withColumn("shard", substring(col("key"), 1, 2))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
+    // Sequence packing, concat-and-chunk policy (the corpus → fixed
+    // 2048-token training-window step; n_splits counts context-window
+    // boundary crossings — the fragmentation metric packing policies
+    // trade against). Each doc needs the exclusive prefix sum of token
+    // counts in doc_id order; a single global window is a one-reducer
+    // sort, so this uses the two-level distributed scan: per-bucket
+    // sums (64 docs/bucket; tiny) get bucket offsets via an exclusive
+    // cumsum over the bucket table, then each doc adds an IN-bucket
+    // exclusive cumsum (window partitioned by bucket — parallel). The
+    // bucket-level window is corpus/64-sized; for corpora where that
+    // itself is big, the same two-level step nests (buckets of
+    // buckets). The doc-side join and window share the bucket key, so
+    // the exchange is reused.
+    "t68_sequence_pack" -> ((s, dir) => {
+      val seqLen = 2048L
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.bpeTokenCount(col("text")).as("n_tok"))
+        .withColumn("__b", expr("doc_id DIV 64"))
+      val bucketOff = toks.groupBy("__b")
+        .agg(sum(col("n_tok")).as("__bs"))
+        .withColumn("__off", coalesce(
+          sum(col("__bs")).over(Window.orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("__b", "__off")
+      val wIn = Window.partitionBy("__b").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks.join(bucketOff, Seq("__b"))
+        .withColumn("start", col("__off") +
+          coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+        .withColumn("first_seq", expr(s"start DIV $seqLen"))
+        .withColumn("last_seq",
+          expr(s"(start + greatest(n_tok, 1L) - 1L) DIV $seqLen"))
+        .select(col("doc_id"), col("n_tok"), col("start"),
+          col("first_seq"), col("last_seq"),
+          (col("last_seq") - col("first_seq")).as("n_splits"))
+    }),
+
     // Inverted index: term → sorted distinct posting list + document
     // frequency, posting lists serialized as csv strings so the compare
     // is engine-portable. At 100 TB a stopword-grade term's posting
@@ -3145,6 +3233,53 @@ object SparkEntry {
            CAST(sum(nb) * 1000000 // sum(nt) AS BIGINT)
              AS bytes_per_tok_ppm
          FROM d GROUP BY source, lang""",
+    "t66_url_blocklist" ->
+      """WITH a AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' see https://site' || (doc_id % 7)
+                       || '.example.org/p' || doc_id
+                       || ' and http://host' || (doc_id % 3) || '.net/q'
+                  ELSE text END AS aug
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(aug,
+               'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+           FROM a),
+         hits AS (
+           SELECT DISTINCT doc_id FROM u
+           WHERE domain IN ('site0.example.org', 'site3.example.org',
+                            'host2.net'))
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM hits)""",
+    "t67_train_shuffle" ->
+      """WITH k AS (
+           SELECT doc_id, md5('shuf42:' || doc_id) AS key
+           FROM documents)
+         SELECT doc_id, substr(key, 1, 2) AS shard,
+           CAST(row_number() OVER (PARTITION BY substr(key, 1, 2)
+             ORDER BY key, doc_id) AS BIGINT) AS pos
+         FROM k""",
+    "t68_sequence_pack" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+'))
+               AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS start
+           FROM t)
+         SELECT doc_id, n_tok, start,
+           start // 2048 AS first_seq,
+           (start + greatest(n_tok, 1) - 1) // 2048 AS last_seq,
+           (start + greatest(n_tok, 1) - 1) // 2048 - start // 2048
+             AS n_splits
+         FROM c""",
     "t22_inverted_index" ->
       """WITH u AS (
            SELECT DISTINCT doc_id,

@@ -172,4 +172,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "a sort-merge join means the standing corpus re-shuffles per delta")
   }
+
+  test("t66: blocklist and hit set join as broadcasts") {
+    // the blocklist is tiny and the hit set is blocked-docs-sized:
+    // both must broadcast — a shuffled anti-join re-partitions the
+    // whole corpus to drop a few rows
+    val p = plan("t66_url_blocklist")
+    assert(nodes(p, "BroadcastExchange") >= 2,
+      s"t66 blocklist/hit-set should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "anti-join against the hit set must not shuffle the corpus")
+  }
+
+  test("t67: train shuffle is one shard-partitioned window, no global sort") {
+    val p = plan("t67_train_shuffle")
+    assert(nodes(p, "Exchange") == 1,
+      s"t67 should plan exactly one shard-keyed exchange:\n$p")
+    assert(!p.contains("SinglePartition"),
+      "a SinglePartition window means the corpus sorts on one reducer")
+  }
+
+  test("t68: only the bucket-table cumsum runs single-partition") {
+    // the two-level prefix sum's contract: the corpus-sized window is
+    // partitioned by bucket (parallel); only the corpus/64-sized
+    // bucket table may pass through a SinglePartition window
+    val p = plan("t68_sequence_pack")
+    // SinglePartition is an Exchange ARGUMENT, not a node header —
+    // count the raw string (details section prints each once)
+    assert("SinglePartition".r.findAllIn(p).length == 1,
+      s"t68 must keep the doc-level window bucket-partitioned:\n$p")
+  }
 }
