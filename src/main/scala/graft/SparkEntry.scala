@@ -111,6 +111,22 @@ object SparkEntry {
     Dedup.clusterLabels(docs, "doc_id", "shingles", k = 8, bands = 4)
   }
 
+  /** Deterministic URL augmentation shared by t19 and t66 (the
+    * synthetic corpus has no URLs, so every 5th doc gets a planted
+    * footer; both engines build the same augmented text). ONE Scala
+    * definition so the planted-URL scheme cannot desynchronize
+    * between the two queries' Spark sides; their SQL twins carry the
+    * same literal. */
+  private def urlAugmented: Column = {
+    val footer = concat(
+      lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+      lit(".example.org/p"), col("doc_id").cast("string"),
+      lit(" and http://host"), (col("doc_id") % 3).cast("string"),
+      lit(".net/q"))
+    when(col("doc_id") % 5 === 0, concat(col("text"), footer))
+      .otherwise(col("text"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A pricing-summary aggregate: scan → filter → groupBy, the shape the
     * whole engine is built around. */
@@ -887,15 +903,9 @@ object SparkEntry {
     // same trick as t15). Scan → explode → one agg shuffle keyed by
     // domain (bounded by the domain vocabulary, not the corpus).
     "t19_domain_stats" -> ((s, dir) => {
-      val footer = concat(
-        lit(" see https://site"), (col("doc_id") % 7).cast("string"),
-        lit(".example.org/p"), col("doc_id").cast("string"),
-        lit(" and http://host"), (col("doc_id") % 3).cast("string"),
-        lit(".net/q"))
-      val aug = when(col("doc_id") % 5 === 0, concat(col("text"), footer))
-        .otherwise(col("text"))
       T(s, dir, "documents")
-        .select(col("doc_id"), explode(TextOps.urlDomains(aug)).as("domain"))
+        .select(col("doc_id"),
+          explode(TextOps.urlDomains(urlAugmented)).as("domain"))
         .groupBy("domain")
         .agg(count(lit(1)).as("n_urls"),
           countDistinct(col("doc_id")).as("n_docs"))
@@ -1038,23 +1048,12 @@ object SparkEntry {
     // too. Corpus scans stay map-side; nothing shuffles on doc text.
     // Same deterministic URL augmentation as t19 so some docs hit.
     "t66_url_blocklist" -> ((s, dir) => {
-      val blocked = Seq("site0.example.org", "site3.example.org",
-        "host2.net")
-      val blockDf = s.createDataFrame(
-        s.sparkContext.parallelize(blocked.map(Tuple1(_)), 1)
-          .map(org.apache.spark.sql.Row.fromTuple),
-        new org.apache.spark.sql.types.StructType()
-          .add("domain", "string"))
-      val footer = concat(
-        lit(" see https://site"), (col("doc_id") % 7).cast("string"),
-        lit(".example.org/p"), col("doc_id").cast("string"),
-        lit(" and http://host"), (col("doc_id") % 3).cast("string"),
-        lit(".net/q"))
-      val aug = when(col("doc_id") % 5 === 0, concat(col("text"), footer))
-        .otherwise(col("text"))
+      import s.implicits._
+      val blockDf = Seq("site0.example.org", "site3.example.org",
+        "host2.net").toDF("domain")
       val hits = T(s, dir, "documents")
         .select(col("doc_id"),
-          explode(TextOps.urlDomains(aug)).as("domain"))
+          explode(TextOps.urlDomains(urlAugmented)).as("domain"))
         .join(broadcast(blockDf), Seq("domain"))
         .select("doc_id").distinct()
       T(s, dir, "documents")

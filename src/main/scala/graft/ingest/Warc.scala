@@ -32,10 +32,20 @@ object Warc {
   def parseRecords(raw: Array[Byte]): Seq[Record] = {
     val bytes =
       if (raw.length >= 2 && raw(0) == Gzip(0) && raw(1) == Gzip(1)) {
-        // multi-member gzip: GZIPInputStream reads ALL members
+        // multi-member gzip: GZIPInputStream reads ALL members.
+        // Decompress incrementally and keep what decoded so far — a
+        // segment cut mid-member must fail soft (parsed prefix kept),
+        // same as plain-byte truncation below, not kill the task.
         val in = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(raw))
-        try in.readAllBytes() finally in.close()
+        val acc = new java.io.ByteArrayOutputStream(raw.length * 4)
+        val buf = new Array[Byte](64 * 1024)
+        try {
+          var n = in.read(buf)
+          while (n >= 0) { acc.write(buf, 0, n); n = in.read(buf) }
+        } catch { case _: java.io.IOException => /* truncated member */ }
+        finally in.close()
+        acc.toByteArray
       } else raw
     val out = scala.collection.mutable.ArrayBuffer.empty[Record]
     var p = 0
@@ -59,11 +69,26 @@ object Warc {
       if (!version.startsWith("WARC/")) return out.toSeq
       var url = ""; var typ = ""; var date = ""; var ct = ""
       var len = -1L
+      // collect header lines first, unfolding ISO 28500 continuations
+      // (a line starting with SP/HT extends the PREVIOUS header's
+      // value — naive per-line parsing would truncate folded URLs, or
+      // worse, read a folded line containing "content-length:" as a
+      // new header and desync every later record's payload offset)
+      val headers = scala.collection.mutable.ArrayBuffer.empty[String]
       var h = line()
       while (h.nonEmpty) {
+        if ((h.head == ' ' || h.head == '\t') && headers.nonEmpty)
+          headers(headers.length - 1) = headers.last + " " + h.trim
+        else headers += h
+        h = line()
+      }
+      headers.foreach { h =>
         val i = h.indexOf(':')
         if (i > 0) {
-          val name = h.substring(0, i).trim.toLowerCase
+          // Locale.ROOT: default-locale lowercasing breaks header
+          // matching on e.g. tr-TR JVMs ("URI" -> "urı")
+          val name = h.substring(0, i).trim
+            .toLowerCase(java.util.Locale.ROOT)
           val value = h.substring(i + 1).trim
           name match {
             case "warc-target-uri" => url = value
@@ -75,7 +100,6 @@ object Warc {
             case _ =>
           }
         }
-        h = line()
       }
       // overflow-safe bound: compare len against the REMAINING bytes
       // (p + len could wrap a hostile Content-Length past Long range)

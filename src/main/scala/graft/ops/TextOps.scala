@@ -196,13 +196,22 @@ object TextOps {
         size(grams).cast("double"))
   }
 
-  /** HTTP message body: everything after the first blank line (CRLF
-    * CRLF) — the step from a WARC `response` payload to the HTML
-    * document. Null-safe: headerless payloads pass through whole. */
+  /** HTTP message body: everything after the first blank line — the
+    * step from a WARC `response` payload to the HTML document.
+    * CRLF CRLF per spec, with a bare LF LF fallback (non-conformant
+    * servers are routine in real crawls; without the fallback their
+    * Server:/Set-Cookie: headers leak into the corpus as "body").
+    * Headerless payloads pass through whole. */
   def httpBody(payload: Column): Column = {
     val s = payload.cast("string")
-    val sep = instr(s, "\r\n\r\n") // FIRST blank line (1-based, 0=absent)
-    when(sep > 0, substring(s, sep + lit(4), length(s))).otherwise(s)
+    val crlf = instr(s, "\r\n\r\n") // FIRST blank line (1-based, 0=absent)
+    val lf = instr(s, "\n\n")
+    // whichever separator occurs FIRST ends the headers (a CRLF CRLF
+    // later in the body must not outrank an earlier bare-LF blank)
+    when(crlf > 0 && (lf === 0 || crlf < lf),
+        substring(s, crlf + lit(4), length(s)))
+      .when(lf > 0, substring(s, lf + lit(2), length(s)))
+      .otherwise(s)
   }
 
   /** HTML → text, the crawl-extraction baseline (the declarative
@@ -211,8 +220,12 @@ object TextOps {
     * whitespace. Chain of codegen'd regexp_replace — map-side, no
     * UDF. Production swaps a real extractor at the SAME column seam. */
   def htmlToText(html: Column): Column = {
-    val noScript = regexp_replace(html,
-      "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+    // one pass per tag name — <script…>…</script> then <style…> —
+    // instead of a <(script|style)>…</\1> backreference, keeping the
+    // module's RE2-safe convention (no backrefs/lookaround)
+    val noScript = Seq("script", "style").foldLeft(html) { (c, tag) =>
+      regexp_replace(c, s"(?is)<$tag[^>]*>.*?</$tag>", " ")
+    }
     val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
     // &amp; decodes LAST: doing it first would double-decode literal

@@ -59,6 +59,51 @@ class WarcSpec extends SparkSpec {
     assert(Warc.parseRecords(Array.emptyByteArray).isEmpty)
   }
 
+  test("warc: gzip cut mid-member keeps the decoded prefix (no throw)") {
+    val plain = rec("response", "https://example.com/x", http) ++
+      rec("response", "https://example.com/y", http)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(plain); gz.close()
+    val whole = bos.toByteArray
+    // cut the COMPRESSED stream: GZIPInputStream hits EOF mid-inflate;
+    // the records decoded before the cut must survive — a truncated
+    // segment upload must not kill the ingest task
+    val cut = java.util.Arrays.copyOfRange(whole, 0, whole.length - 8)
+    val rs = Warc.parseRecords(cut)
+    assert(rs.nonEmpty && rs.head.url === "https://example.com/x")
+  }
+
+  test("warc: folded header continuations unfold per ISO 28500") {
+    val payload = "x".getBytes("UTF-8")
+    val bytes = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: https://example.com/very\r\n" +
+      "  /long/path\r\n" + // continuation: extends the URI value
+      s"Content-Length: ${payload.length}\r\n" +
+      "\r\n").getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+    val rs = Warc.parseRecords(bytes)
+    assert(rs.map(_.url) === Seq("https://example.com/very /long/path"))
+    // a folded line containing a colon must NOT parse as a new header
+    // (the dangerous case: "content-length: N" inside a folded value
+    // would desync every later record's payload offset)
+    val tricky = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: https://example.com/a\r\n" +
+      "  content-length: 9999\r\n" +
+      s"Content-Length: ${payload.length}\r\n" +
+      "\r\n").getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8") ++
+      rec("response", "https://example.com/b", payload)
+    val rs2 = Warc.parseRecords(tricky)
+    // the folded text joins the URI VALUE (spec unfold) — the real
+    // invariant is that Content-Length stays 1, payload offsets stay
+    // synced, and the following record still parses
+    assert(rs2.map(_.url) === Seq(
+      "https://example.com/a content-length: 9999",
+      "https://example.com/b"))
+    assert(rs2.head.payload.toSeq === payload.toSeq)
+  }
+
   test("warc: readWarcStream streams records as segments land") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("warcs")
@@ -110,6 +155,13 @@ class WarcSpec extends SparkSpec {
     val dbl = spark.sql("SELECT 'a &amp;lt;b&amp;gt; &amp;amp; c' AS h")
       .select(TextOps.htmlToText(col("h"))).head().getString(0)
     assert(dbl === "a &lt;b&gt; &amp; c")
+    // LF-only responses (non-conformant servers) still split headers
+    // from body — and an earlier bare-LF blank outranks a CRLF CRLF
+    // appearing later inside the body
+    val lf = spark.sql(
+      "SELECT 'HTTP/1.1 200 OK\nServer: x\n\nbody \r\n\r\n tail' AS p")
+      .select(TextOps.httpBody(col("p"))).head().getString(0)
+    assert(lf === "body \r\n\r\n tail")
   }
 
   test("warc: readWarcFiles scans a directory of segments in parallel") {
