@@ -135,6 +135,26 @@ object Warc {
         "length BIGINT, content BINARY")
       .load(pathGlob))
 
+  /** Per-URL latest-capture dedup over a crawl-record frame (the
+    * re-crawl step: a URL captured in many segments/snapshots keeps
+    * only its newest response). WARC-Date is ISO 8601, so lexicographic
+    * order IS time order; (file, n_bytes) break exact-date ties
+    * deterministically. One URL-keyed shuffle + a WindowGroupLimit-
+    * eligible rank-1 window — the canonical per-key top-1 at corpus
+    * scale (URL cardinality partitions it; no skew beyond one URL's
+    * capture count). Records without a target URI (warcinfo etc.)
+    * are dropped — they describe segments, not pages. */
+  def latestCapture(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("url"))
+      .orderBy(col("date").desc, col("file").desc, col("n_bytes").desc)
+    records
+      .where(col("warc_type") === "response" && length(col("url")) > 0)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   private def toRecords(files: DataFrame): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._

@@ -8,11 +8,12 @@ import graft.ingest.Warc
 class WarcSpec extends SparkSpec {
 
   private def rec(typ: String, url: String, payload: Array[Byte],
-                  ct: String = "text/plain"): Array[Byte] = {
+                  ct: String = "text/plain",
+                  date: String = "2026-08-13T00:00:00Z"): Array[Byte] = {
     val head = (s"WARC/1.0\r\n" +
       s"WARC-Type: $typ\r\n" +
       (if (url.nonEmpty) s"WARC-Target-URI: $url\r\n" else "") +
-      s"WARC-Date: 2026-08-13T00:00:00Z\r\n" +
+      s"WARC-Date: $date\r\n" +
       s"Content-Type: $ct\r\n" +
       s"Content-Length: ${payload.length}\r\n" +
       "\r\n").getBytes("UTF-8")
@@ -181,5 +182,29 @@ class WarcSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq === Seq("https://example.com/1",
       "https://example.com/2", "https://example.com/3"))
     assert(rows.forall(r => r._2 == "response" && r._3 == http.length))
+  }
+
+  test("warc: latestCapture keeps the newest response per URL") {
+    val dir = java.nio.file.Files.createTempDirectory("warc3")
+    val old = "old".getBytes("UTF-8"); val neu = "new!".getBytes("UTF-8")
+    // the same URL captured in two snapshots (different segments) —
+    // plus a warcinfo record (no URI) that must drop out entirely
+    java.nio.file.Files.write(dir.resolve("snap1.warc"),
+      rec("warcinfo", "", "software: x\r\n".getBytes("UTF-8")) ++
+        rec("response", "https://example.com/a", old,
+          date = "2026-07-01T00:00:00Z") ++
+        rec("response", "https://example.com/b", old,
+          date = "2026-07-01T00:00:00Z"))
+    java.nio.file.Files.write(dir.resolve("snap2.warc"),
+      rec("response", "https://example.com/a", neu,
+        date = "2026-08-01T00:00:00Z"))
+    val kept = Warc.latestCapture(
+      Warc.readWarcFiles(spark, dir.toString + "/*"))
+      .select("url", "date", "n_bytes").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(kept.toSeq === Seq(
+      ("https://example.com/a", "2026-08-01T00:00:00Z", neu.length.toLong),
+      ("https://example.com/b", "2026-07-01T00:00:00Z", old.length.toLong)))
   }
 }
