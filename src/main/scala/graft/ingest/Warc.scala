@@ -38,7 +38,11 @@ object Warc {
         // same as plain-byte truncation below, not kill the task.
         val in = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(raw))
-        val acc = new java.io.ByteArrayOutputStream(raw.length * 4)
+        // size hint clamped: raw.length * 4 overflows Int for ≥512 MiB
+        // segments (Common Crawl ships ~1 GB) and a negative initial
+        // size throws — outside the try, killing the task
+        val acc = new java.io.ByteArrayOutputStream(
+          math.min(raw.length.toLong * 4, Int.MaxValue - 8L).toInt)
         val buf = new Array[Byte](64 * 1024)
         try {
           var n = in.read(buf)
@@ -137,17 +141,21 @@ object Warc {
 
   /** Per-URL latest-capture dedup over a crawl-record frame (the
     * re-crawl step: a URL captured in many segments/snapshots keeps
-    * only its newest response). WARC-Date is ISO 8601, so lexicographic
-    * order IS time order; (file, n_bytes) break exact-date ties
-    * deterministically. One URL-keyed shuffle + a WindowGroupLimit-
-    * eligible rank-1 window — the canonical per-key top-1 at corpus
-    * scale (URL cardinality partitions it; no skew beyond one URL's
-    * capture count). Records without a target URI (warcinfo etc.)
-    * are dropped — they describe segments, not pages. */
+    * only its newest response). Ordering parses WARC-Date as a real
+    * timestamp — raw string order misorders mixed-precision ISO 8601
+    * ("…00Z" sorts AFTER "…00.999Z" because '.' < 'Z'), which WARC
+    * 1.0/1.1 writer mixes produce; unparseable dates sort last. The
+    * raw string, file, and size break exact ties deterministically.
+    * One URL-keyed shuffle + a WindowGroupLimit-eligible rank-1
+    * window — the canonical per-key top-1 at corpus scale (URL
+    * cardinality partitions it; no skew beyond one URL's capture
+    * count). Records without a target URI (warcinfo etc.) are
+    * dropped — they describe segments, not pages. */
   def latestCapture(records: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("url"))
-      .orderBy(col("date").desc, col("file").desc, col("n_bytes").desc)
+      .orderBy(col("date").cast("timestamp").desc_nulls_last,
+        col("date").desc, col("file").desc, col("n_bytes").desc)
     records
       .where(col("warc_type") === "response" && length(col("url")) > 0)
       .withColumn("__rn", row_number().over(w))

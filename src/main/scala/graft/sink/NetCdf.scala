@@ -95,7 +95,9 @@ object NetCdf {
         // NetCDF classic has no int64: a long above 2^53 would coerce
         // through double with silent precision loss — reject it
         case l: java.lang.Long =>
-          require(math.abs(l) <= (1L << 53),
+          // two-sided compare, not math.abs: abs(Long.MinValue) is
+          // NEGATIVE and would slip through the magnitude guard
+          require(l > -(1L << 53) && l <= (1L << 53),
             s"${fields(i).name}: long value $l not exact in NC_DOUBLE")
           l.toDouble
         case d: java.math.BigDecimal =>

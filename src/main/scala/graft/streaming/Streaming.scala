@@ -197,6 +197,9 @@ object Streaming {
     // run the exact tier at all — and a Bloom FALSE POSITIVE (inner
     // branch, no exact hit) must pass through byte-identical, not get
     // whitespace-normalized by an unconditional token re-join.
+    require(!in.columns.contains("__graft_ws"),
+      "input already has a __graft_ws column — it would be silently " +
+        "clobbered by the working window-hash projection and dropped")
     in.withColumn("__graft_ws", SketchExpressions.windowHashes(toks, n))
       .withColumn(outCol,
         when(maybeHit,

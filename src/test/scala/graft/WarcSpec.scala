@@ -197,7 +197,12 @@ class WarcSpec extends SparkSpec {
           date = "2026-07-01T00:00:00Z"))
     java.nio.file.Files.write(dir.resolve("snap2.warc"),
       rec("response", "https://example.com/a", neu,
-        date = "2026-08-01T00:00:00Z"))
+        date = "2026-08-01T00:00:00Z") ++
+        // mixed-precision same-second capture (WARC 1.1 fractional
+        // seconds): 500 ms NEWER than b's snap1 capture, but the raw
+        // string sorts LOWER ('.' < 'Z') — timestamp parse must win
+        rec("response", "https://example.com/b", neu,
+          date = "2026-07-01T00:00:00.500Z"))
     val kept = Warc.latestCapture(
       Warc.readWarcFiles(spark, dir.toString + "/*"))
       .select("url", "date", "n_bytes").collect()
@@ -205,6 +210,7 @@ class WarcSpec extends SparkSpec {
       .sortBy(_._1)
     assert(kept.toSeq === Seq(
       ("https://example.com/a", "2026-08-01T00:00:00Z", neu.length.toLong),
-      ("https://example.com/b", "2026-07-01T00:00:00Z", old.length.toLong)))
+      ("https://example.com/b", "2026-07-01T00:00:00.500Z",
+        neu.length.toLong)))
   }
 }
