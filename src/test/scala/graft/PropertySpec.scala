@@ -366,4 +366,40 @@ class PropertySpec extends SparkSpec {
         assert(e >= 0.2 * x && e <= 4.0 * x, s"$pair est=$e exact=$x")
     }
   }
+
+  test("warc: serialize→parse round-trips arbitrary records") {
+    // Records with adversarial payloads — raw bytes including CRLF,
+    // "WARC/1.0", gzip magic, NULs — serialized per the ISO 28500
+    // grammar (shared NO code with the parser) must parse back
+    // byte-exactly, concatenated in order, plain AND gzipped.
+    import graft.ingest.Warc
+    val recGen = for {
+      url <- Gen.alphaNumStr.map(s => "https://x/" + s.take(20))
+      typ <- Gen.oneOf("response", "request", "metadata")
+      payload <- Gen.choose(0, 200).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    } yield (url, typ, payload.toArray)
+    forAll(Gen.choose(1, 5).flatMap(Gen.listOfN(_, recGen)), n = 15) {
+      recs =>
+        val bytes = recs.flatMap { case (url, typ, pl) =>
+          (s"WARC/1.0\r\nWARC-Type: $typ\r\n" +
+            s"WARC-Target-URI: $url\r\n" +
+            s"WARC-Date: 2026-08-13T00:00:00Z\r\n" +
+            s"Content-Length: ${pl.length}\r\n\r\n").getBytes("UTF-8") ++
+            pl ++ "\r\n\r\n".getBytes("UTF-8")
+        }.toArray
+        def check(rs: Seq[Warc.Record]): Unit = {
+          assert(rs.length === recs.length)
+          rs.zip(recs).foreach { case (r, (url, typ, pl)) =>
+            assert(r.url === url && r.warcType === typ)
+            assert(r.payload.toSeq === pl.toSeq)
+          }
+        }
+        check(Warc.parseRecords(bytes))
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(bytes); gz.close()
+        check(Warc.parseRecords(bos.toByteArray))
+    }
+  }
 }
