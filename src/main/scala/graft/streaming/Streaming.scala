@@ -120,6 +120,25 @@ object Streaming {
     in.where(if (keepClean) !hit else hit)
   }
 
+  /** Streaming URL/domain blocklist gate — the stateless twin of the
+    * batch t66 filter, sitting right after WARC extraction in the
+    * live-ingest path: drop (or keep only) documents citing a blocked
+    * domain. The blocklist rides as an array literal (UT1 scale,
+    * ~4M entries, is still a bounded broadcast-sized literal);
+    * `arrays_overlap` is map-side — no shuffle, no state. Null text
+    * extracts no domains and passes as a non-hit, same contract as
+    * decontaminateStream. */
+  def blocklistStream(in: DataFrame, textCol: String,
+                      blockedDomains: Seq[String],
+                      keepClean: Boolean = true): DataFrame = {
+    val hit = coalesce(
+      arrays_overlap(
+        graft.ops.TextOps.urlDomains(col(textCol)),
+        lit(blockedDomains.toArray)),
+      lit(false))
+    in.where(if (keepClean) !hit else hit)
+  }
+
   /** Streaming SPAN REDACTION — the stateless twin of the batch
     * t45→t47 pipeline: instead of quarantining whole documents
     * (decontaminateStream), rewrite each one with its contaminated

@@ -331,6 +331,29 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(kept.contains(None))
   }
 
+  test("streaming blocklist gate drops docs citing blocked domains") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streaming.blocklistStream(
+      input.toDS().toDF("ts", "text"), "text",
+      Seq("bad.example.org", "spam.net"))
+      .writeStream.format("memory").queryName("blockout")
+      .outputMode("append").start()
+    input.addData(
+      (t(0), "cite https://bad.example.org/page in this doc"),
+      (t(1), "a clean doc linking https://good.example.org/ref"),
+      (t(2), "no urls at all here"),
+      (t(3), null.asInstanceOf[String])) // null text = not blocked
+    q.processAllAvailable()
+    val kept = spark.table("blockout").select("text")
+      .collect().map(r => Option(r.getString(0))).toSet
+    q.stop()
+    assert(kept.size === 3)
+    assert(!kept.flatten.exists(_.contains("bad.example.org")))
+    assert(kept.contains(None))
+  }
+
   test("stream-static enrichment broadcast-joins the dimension per batch") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
