@@ -192,6 +192,17 @@ class PlanAuditSpec extends SparkSpec {
       "a SinglePartition window means the corpus sorts on one reducer")
   }
 
+  test("no query plans an unbroadcast cartesian product") {
+    // fleet-wide guard: every deliberate crossJoin in the engine is a
+    // broadcast of a singleton/config/codebook side and must plan as
+    // BroadcastNestedLoopJoin — a CartesianProduct node means a small
+    // side lost its broadcast and the query would all-pairs at scale
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
   test("t68: only the bucket-table cumsum runs single-partition") {
     // the two-level prefix sum's contract: the corpus-sized window is
     // partitioned by bucket (parallel); only the corpus/64-sized
