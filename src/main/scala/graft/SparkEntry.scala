@@ -1079,6 +1079,28 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("pos"))
     }),
 
+    // Cluster-balanced diversity sampling (the MiniPile/DCLM-style
+    // selection step: embed → cluster → take a per-cell quota, so the
+    // subset preserves semantic coverage instead of letting the head
+    // domains dominate). Assignment is the broadcast-centroid map-side
+    // kernel q36 verifies; the per-cell quota is an md5-hash rank —
+    // uniform-without-replacement within each cell, deterministic.
+    // WindowGroupLimit prunes each cell to its quota before the full
+    // sort would materialize; cells partition the window, so the one
+    // shuffle is cid-keyed and skew-bounded by cell size.
+    "t69_cluster_sample" -> ((s, dir) => {
+      val quota = 4L
+      val e = T(s, dir, "embeddings")
+      val cent = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val w = Window.partitionBy("cid")
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      Vectors.ivfAssign(e, cent, "vec_id", "cid", "embedding")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= quota)
+        .select(col("cid"), col("vec_id"), col("rk"))
+    }),
+
     // Sequence packing, concat-and-chunk policy (the corpus → fixed
     // 2048-token training-window step; n_splits counts context-window
     // boundary crossings — the fragmentation metric packing policies
@@ -3252,6 +3274,27 @@ object SparkEntry {
                             'host2.net'))
          SELECT doc_id, lang, source FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM hits)""",
+    "t69_cluster_sample" ->
+      """WITH e AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         d AS (
+           SELECT vec_id, cid,
+             list_sum([(v[i]-cv[i])*(v[i]-cv[i])
+                       FOR i IN generate_series(1, 64)]) AS dist
+           FROM e, c),
+         a AS (
+           SELECT vec_id, cid FROM d
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) = 1),
+         r AS (
+           SELECT cid, vec_id,
+             CAST(row_number() OVER (PARTITION BY cid
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS BIGINT) AS rk
+           FROM a)
+         SELECT cid, vec_id, rk FROM r WHERE rk <= 4""",
     "t67_train_shuffle" ->
       """WITH k AS (
            SELECT doc_id, md5('shuf42:' || doc_id) AS key

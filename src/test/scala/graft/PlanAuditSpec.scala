@@ -203,6 +203,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t69: per-cell quota prunes map-side, centroids broadcast") {
+    // the rank<=k filter must plan as WindowGroupLimit on BOTH sides
+    // of the cid exchange (partial prune before the shuffle), and the
+    // centroid table joins as a broadcast
+    val p = plan("t69_cluster_sample")
+    assert(nodes(p, "WindowGroupLimit") == 2,
+      s"t69 quota should prune partial+final:\n$p")
+    assert(p.contains("BroadcastExchange"))
+  }
+
   test("t68: only the bucket-table cumsum runs single-partition") {
     // the two-level prefix sum's contract: the corpus-sized window is
     // partitioned by bucket (parallel); only the corpus/64-sized
