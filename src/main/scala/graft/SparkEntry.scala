@@ -111,6 +111,32 @@ object SparkEntry {
     Dedup.clusterLabels(docs, "doc_id", "shingles", k = 8, bands = 4)
   }
 
+  /** The 16 deterministic seed centroids shared by q36/q39/t69 (first
+    * 16 vectors as seeds; the SQL twins carry the same `vec_id < 16`
+    * literal — ONE Scala definition so the seeding scheme cannot
+    * desynchronize between its three consumers). */
+  private def seedCentroids(e: DataFrame): DataFrame =
+    e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding"))
+
+  /** The IVF-assignment CTE block shared by the q36 and t69 oracles
+    * (`a` = per-vector nearest seed centroid, dist/cid tie-break
+    * matching `Vectors.ivfAssign`). */
+  private val ivfAssignSql: String =
+    """WITH e AS (
+         SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+         FROM embeddings),
+       c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       d AS (
+         SELECT vec_id, cid,
+           list_sum([(v[i]-cv[i])*(v[i]-cv[i])
+                     FOR i IN generate_series(1, 64)]) AS dist
+         FROM e, c),
+       a AS (
+         SELECT vec_id, cid FROM d
+         QUALIFY row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist, cid) = 1)"""
+
   /** Deterministic URL augmentation shared by t19 and t66 (the
     * synthetic corpus has no URLs, so every 5th doc gets a planted
     * footer; both engines build the same augmented text). ONE Scala
@@ -414,9 +440,7 @@ object SparkEntry {
     // IVF coarse quantization: nearest of 16 seed centroids per vector.
     "q36_ivf_assign" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
-      val cent = e.where(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding"))
-      Vectors.ivfAssign(e, cent, "vec_id", "cid", "embedding")
+      Vectors.ivfAssign(e, seedCentroids(e), "vec_id", "cid", "embedding")
     }),
 
     // One Lloyd's iteration (the k-means / IVF re-train step), long-form
@@ -424,9 +448,7 @@ object SparkEntry {
     // the per-(cell, dim) mean via posexplode + partial aggregation.
     "q39_kmeans_step" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
-      val cent = e.where(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding"))
-      Vectors.kmeansStep(e, cent, "vec_id", "cid", "embedding")
+      Vectors.kmeansStep(e, seedCentroids(e), "vec_id", "cid", "embedding")
         .select(col("cid"), posexplode(col("embedding")))
         .select(col("cid"), (col("pos") + 1).cast("long").as("d"),
           round(col("col"), 6).as("c"))
@@ -1053,7 +1075,10 @@ object SparkEntry {
         "host2.net").toDF("domain")
       val hits = T(s, dir, "documents")
         .select(col("doc_id"),
-          explode(TextOps.urlDomains(urlAugmented)).as("domain"))
+          explode(TextOps.urlDomains(urlAugmented)).as("__d"))
+        // hostnames are case-insensitive (RFC 4343): normalize before
+        // the membership join or "BAD.example.org" bypasses the gate
+        .select(col("doc_id"), lower(col("__d")).as("domain"))
         .join(broadcast(blockDf), Seq("domain"))
         .select("doc_id").distinct()
       T(s, dir, "documents")
@@ -1091,11 +1116,9 @@ object SparkEntry {
     "t69_cluster_sample" -> ((s, dir) => {
       val quota = 4L
       val e = T(s, dir, "embeddings")
-      val cent = e.where(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding"))
       val w = Window.partitionBy("cid")
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      Vectors.ivfAssign(e, cent, "vec_id", "cid", "embedding")
+      Vectors.ivfAssign(e, seedCentroids(e), "vec_id", "cid", "embedding")
         .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= quota)
         .select(col("cid"), col("vec_id"), col("rk"))
@@ -2443,18 +2466,8 @@ object SparkEntry {
          FROM embeddings, unnest(generate_series(1, 64)) AS u(d)
          GROUP BY 1, 2""",
     "q36_ivf_assign" ->
-      """WITH e AS (
-           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
-           FROM embeddings),
-         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-         d AS (
-           SELECT vec_id, cid,
-             list_sum([(v[i]-cv[i])*(v[i]-cv[i])
-                       FOR i IN generate_series(1, 64)]) AS dist
-           FROM e, c)
-         SELECT vec_id, cid FROM d
-         QUALIFY row_number() OVER (PARTITION BY vec_id
-           ORDER BY dist, cid) = 1""",
+      s"""$ivfAssignSql
+         SELECT vec_id, cid FROM a""",
     "q32_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""",
@@ -3005,7 +3018,7 @@ object SparkEntry {
          u AS (
            SELECT doc_id,
              unnest(regexp_extract_all(aug,
-               'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+               '(?i)https?://([A-Za-z0-9.-]+)', 1)) AS domain
            FROM a)
          SELECT domain, count(*) AS n_urls,
            count(DISTINCT doc_id) AS n_docs
@@ -3266,28 +3279,16 @@ object SparkEntry {
          u AS (
            SELECT doc_id,
              unnest(regexp_extract_all(aug,
-               'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+               '(?i)https?://([A-Za-z0-9.-]+)', 1)) AS domain
            FROM a),
          hits AS (
            SELECT DISTINCT doc_id FROM u
-           WHERE domain IN ('site0.example.org', 'site3.example.org',
-                            'host2.net'))
+           WHERE lower(domain) IN ('site0.example.org',
+                                   'site3.example.org', 'host2.net'))
          SELECT doc_id, lang, source FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM hits)""",
     "t69_cluster_sample" ->
-      """WITH e AS (
-           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
-           FROM embeddings),
-         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-         d AS (
-           SELECT vec_id, cid,
-             list_sum([(v[i]-cv[i])*(v[i]-cv[i])
-                       FOR i IN generate_series(1, 64)]) AS dist
-           FROM e, c),
-         a AS (
-           SELECT vec_id, cid FROM d
-           QUALIFY row_number() OVER (PARTITION BY vec_id
-             ORDER BY dist, cid) = 1),
+      s"""$ivfAssignSql,
          r AS (
            SELECT cid, vec_id,
              CAST(row_number() OVER (PARTITION BY cid

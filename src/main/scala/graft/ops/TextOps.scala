@@ -173,8 +173,11 @@ object TextOps {
 
   /** Domains of http(s) URLs in a text (capture group 1 per match) —
     * the corpus-provenance signal behind per-domain quality/filter
-    * stats. RE2-safe, map-side. */
-  val urlDomainRe = "https?://([A-Za-z0-9.-]+)"
+    * stats. RE2-safe, map-side. Scheme matches case-insensitively
+    * ("HTTPS://…" is a legal URL); extraction preserves the domain's
+    * case — hostnames are case-insensitive (RFC 4343), so GATES that
+    * compare domains must lower() both sides (t66 does). */
+  val urlDomainRe = "(?i)https?://([A-Za-z0-9.-]+)"
   def urlDomains(text: Column): Column =
     regexp_extract_all(text, lit(urlDomainRe), lit(1))
 

@@ -123,18 +123,30 @@ object Streaming {
   /** Streaming URL/domain blocklist gate — the stateless twin of the
     * batch t66 filter, sitting right after WARC extraction in the
     * live-ingest path: drop (or keep only) documents citing a blocked
-    * domain. The blocklist rides as an array literal (UT1 scale,
-    * ~4M entries, is still a bounded broadcast-sized literal);
-    * `arrays_overlap` is map-side — no shuffle, no state. Null text
-    * extracts no domains and passes as a non-hit, same contract as
+    * domain. Matching is case-normalized on BOTH sides (hostnames are
+    * case-insensitive, RFC 4343) and probes the sorted blocklist by
+    * binary search — O(domains·log n) per row, NOT an O(n) scan of
+    * the list per document (`arrays_overlap` against a big literal
+    * hashes the smaller side and WALKS the larger — wrong shape).
+    * The list rides in the plan as one sorted array literal; the size
+    * guard keeps a mis-pointed "blocklist" from bloating every task's
+    * plan — UT1-scale lists (~4M) belong in the batch t66 broadcast
+    * join, or shard this gate per list segment. Null text extracts no
+    * domains and passes as a non-hit, same contract as
     * decontaminateStream. */
   def blocklistStream(in: DataFrame, textCol: String,
                       blockedDomains: Seq[String],
                       keepClean: Boolean = true): DataFrame = {
-    val hit = coalesce(
-      arrays_overlap(
-        graft.ops.TextOps.urlDomains(col(textCol)),
-        lit(blockedDomains.toArray)),
+    require(blockedDomains.size <= 1000000,
+      s"blocklist has ${blockedDomains.size} entries — the plan-literal " +
+        "gate is for bounded lists; use the batch broadcast join at " +
+        "this size")
+    val norm = blockedDomains
+      .map(_.toLowerCase(java.util.Locale.ROOT)).distinct.toArray
+    val hit = coalesce(exists(
+      graft.ops.TextOps.urlDomains(col(textCol)),
+      d => graft.functions.SketchExpressions
+        .sortedSetContains(lower(d), norm)),
       lit(false))
     in.where(if (keepClean) !hit else hit)
   }

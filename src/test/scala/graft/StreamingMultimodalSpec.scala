@@ -344,13 +344,19 @@ class StreamingMultimodalSpec extends SparkSpec {
       (t(0), "cite https://bad.example.org/page in this doc"),
       (t(1), "a clean doc linking https://good.example.org/ref"),
       (t(2), "no urls at all here"),
-      (t(3), null.asInstanceOf[String])) // null text = not blocked
+      (t(3), null.asInstanceOf[String]), // null text = not blocked
+      // case bypasses (RFC 4343 hostnames + uppercase scheme) must
+      // still be caught
+      (t(4), "see HTTPS://BAD.example.org/x for details"),
+      (t(5), "and https://Spam.NET/y too"))
     q.processAllAvailable()
     val kept = spark.table("blockout").select("text")
       .collect().map(r => Option(r.getString(0))).toSet
     q.stop()
     assert(kept.size === 3)
-    assert(!kept.flatten.exists(_.contains("bad.example.org")))
+    assert(!kept.flatten.exists(t =>
+      t.toLowerCase.contains("bad.example.org") ||
+        t.toLowerCase.contains("spam.net")))
     assert(kept.contains(None))
   }
 
