@@ -1124,6 +1124,60 @@ object SparkEntry {
         .select(col("cid"), col("vec_id"), col("rk"))
     }),
 
+    // UniMax language-balanced budget allocation (Chung et al. 2023):
+    // split a token budget as uniformly as possible across languages
+    // subject to a per-language epoch cap — the multilingual mixing
+    // policy that neither starves tail languages (proportional
+    // sampling) nor over-repeats them (pure uniform). Water-filling:
+    // alloc_l = min(cap_l, θ) with Σ alloc ≈ B, where cap_l =
+    // EPOCH_CAP × n_l and θ is the water level. Policy is defined in
+    // INTEGER arithmetic (θ = integer-div level at the pivot; the
+    // sub-token remainder — < #langs tokens — stays unallocated), so
+    // Spark and the oracle agree bit-for-bit: no float ties. Shape:
+    // ONE corpus pass builds the per-language token table; every
+    // window after that runs on #languages rows (the documented
+    // SinglePartition-is-fine bound, same as t64's bucket frame) —
+    // the 100 TB cost is the token scan, full stop. epochs_bp
+    // (basis points) overflows long only past ~9e14 tokens per
+    // language — two orders above a 100 TB corpus.
+    "t70_unimax" -> ((s, dir) => {
+      // 3 (not 4): on the testdata distribution this makes the
+      // smallest language saturate at cap while the rest take the
+      // water level — both policy branches live in the oracle check
+      val epochCap = 3L
+      val wOrd = Window.orderBy("cap", "lang")
+      val wAll = Window.partitionBy(lit(1))
+      T(s, dir, "documents")
+        .groupBy("lang")
+        .agg(sum(size(split(col("text"), " ")).cast("long"))
+          .as("n_tokens"))
+        .withColumn("cap", col("n_tokens") * epochCap)
+        .withColumn("idx", row_number().over(wOrd).cast("long"))
+        .withColumn("__cum", coalesce(sum("cap").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        // B = 2 average epochs, derived from the lang table itself —
+        // no second corpus scan (dsirLm's O(vocab)-not-O(corpus) rule)
+        .withColumn("__budget", sum("n_tokens").over(wAll) * lit(2L))
+        .withColumn("__theta",
+          expr("(__budget - __cum) DIV (__n - idx + 1L)"))
+        // pivot = first (cap-ascending) language whose fair share no
+        // longer covers its cap; everyone before it saturates at cap,
+        // everyone from it on gets the pivot's water level (which is
+        // < its cap by construction, caps being sorted)
+        .withColumn("__pivot",
+          min(when(col("__theta") < col("cap"), col("idx"))).over(wAll))
+        .withColumn("__ptheta",
+          max(when(col("idx") === col("__pivot"), col("__theta")))
+            .over(wAll))
+        .withColumn("alloc",
+          when(col("__pivot").isNull || col("idx") < col("__pivot"),
+            col("cap")).otherwise(col("__ptheta")))
+        .withColumn("epochs_bp", expr("alloc * 10000L DIV n_tokens"))
+        .select(col("lang"), col("n_tokens"), col("cap"), col("alloc"),
+          col("epochs_bp"))
+    }),
+
     // Sequence packing, concat-and-chunk policy (the corpus → fixed
     // 2048-token training-window step; n_splits counts context-window
     // boundary crossings — the fragmentation metric packing policies
@@ -3296,6 +3350,41 @@ object SparkEntry {
                AS BIGINT) AS rk
            FROM a)
          SELECT cid, vec_id, rk FROM r WHERE rk <= 4""",
+    "t70_unimax" ->
+      """WITH lt AS (
+           SELECT lang,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS n_tokens
+           FROM documents GROUP BY lang),
+         c AS (
+           SELECT lang, n_tokens, n_tokens * 3 AS cap FROM lt),
+         r AS (
+           SELECT lang, n_tokens, cap,
+             CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT)
+               AS idx,
+             COALESCE(sum(cap) OVER (ORDER BY cap, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             sum(n_tokens) OVER () * 2 AS budget
+           FROM c),
+         t AS (
+           SELECT *, (budget - cum) // (n - idx + 1) AS theta FROM r),
+         p AS (
+           SELECT *,
+             min(CASE WHEN theta < cap THEN idx END) OVER () AS pv
+           FROM t),
+         q AS (
+           SELECT *,
+             max(CASE WHEN idx = pv THEN theta END) OVER ()
+               AS ptheta
+           FROM p)
+         SELECT lang, n_tokens, cap,
+           CASE WHEN pv IS NULL OR idx < pv THEN cap
+                ELSE ptheta END AS alloc,
+           (CASE WHEN pv IS NULL OR idx < pv THEN cap
+                 ELSE ptheta END) * 10000 // n_tokens AS epochs_bp
+         FROM q""",
     "t67_train_shuffle" ->
       """WITH k AS (
            SELECT doc_id, md5('shuf42:' || doc_id) AS key

@@ -223,4 +223,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("SinglePartition".r.findAllIn(p).length == 1,
       s"t68 must keep the doc-level window bucket-partitioned:\n$p")
   }
+
+  test("t70: one partial-agged corpus shuffle; windows on the lang table") {
+    // the corpus pass must partial-aggregate map-side into the lang
+    // hash exchange; everything after (the water-filling windows) runs
+    // on #languages rows, so at most two more tiny exchanges
+    val p = plan("t70_unimax")
+    assert(p.contains("partial_sum"),
+      "per-lang token totals must combine map-side")
+    assert(nodes(p, "Exchange") <= 3,
+      s"t70 should shuffle the corpus exactly once:\n$p")
+  }
 }

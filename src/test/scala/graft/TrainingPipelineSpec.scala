@@ -141,4 +141,29 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(star === clique)
     assert(clique.nonEmpty) // the slice must actually exercise collisions
   }
+
+  test("t70 unimax: integer water-filling invariants hold") {
+    // the policy's defining properties, independent of the oracle:
+    // never exceed a language's cap, spend the budget to within one
+    // sub-token remainder per unsaturated language, and saturate
+    // exactly a cap-ascending prefix with one common water level after
+    val rows = SparkEntry.queries("t70_unimax")(
+        spark, "/root/testdata/sf0.001")
+      .orderBy("cap", "lang").collect()
+    val caps = rows.map(_.getLong(2))
+    val allocs = rows.map(_.getLong(3))
+    val budget = 2L * rows.map(_.getLong(1)).sum
+    assert(allocs.zip(caps).forall { case (a, c) => a <= c && a >= 0 })
+    // epochCap=3 > 2 average epochs => the budget is always binding
+    val unsat = allocs.zip(caps).count { case (a, c) => a < c }
+    assert(unsat >= 1, "budget must bind on this distribution")
+    val slack = budget - allocs.sum
+    assert(slack >= 0 && slack < unsat,
+      s"integer water level leaves <1 token per unsaturated lang, got $slack")
+    // prefix structure: saturated langs first, then one shared level
+    val k = allocs.zip(caps).indexWhere { case (a, c) => a < c }
+    assert(allocs.take(k).zip(caps.take(k)).forall { case (a, c) => a == c })
+    assert(allocs.drop(k).distinct.length == 1,
+      "all unsaturated languages share the pivot water level")
+  }
 }
