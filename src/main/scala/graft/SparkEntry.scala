@@ -1178,6 +1178,28 @@ object SparkEntry {
           col("epochs_bp"))
     }),
 
+    // BPE tokenizer TRAINING — learn the merge table itself (t37 only
+    // counts pairs; this is the step that BUILDS the tokenizer a
+    // pretraining pipeline ships). One corpus pass folds the corpus to
+    // the distinct-word count table; each of the 8 merge iterations
+    // runs on that vocab-sized table only (TextOps.bpeTrainMerges —
+    // the driver holds 8 scalar pairs, the q39 k-means precedent; the
+    // oracle is rows-only since the loop isn't one SQL statement — the
+    // exact merge-table equivalence vs a sequential reference BPE is
+    // spec'd in TrainingPipelineSpec on both a classic corpus and a
+    // real slice).
+    "t71_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val words = T(s, dir, "documents")
+        .select(explode(TextOps.tokensLower(col("text"))).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      TextOps.bpeTrainMerges(words, "w", "cnt", numMerges = 8)
+        .zipWithIndex
+        .map { case ((a, b, c), i) => (i + 1L, a, b, a + b, c) }
+        .toDF("rank", "first", "second", "merged", "cnt")
+    }),
+
     // Sequence packing, concat-and-chunk policy (the corpus → fixed
     // 2048-token training-window step; n_splits counts context-window
     // boundary crossings — the fragmentation metric packing policies

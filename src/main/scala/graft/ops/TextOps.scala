@@ -312,4 +312,73 @@ object TextOps {
               (col("__tt") + col("__v"))) -
           log((col("__ns").cast("double") + 1.0) /
               (col("__ts") + col("__v"))))), 6).as("dsir_logweight"))
+
+  /** One BPE merge applied to a symbol array — left-to-right,
+    * non-overlapping (the reference BPE policy) — as a declarative
+    * fold: append each symbol unless the accumulator's tail is `a`
+    * and the symbol is `b`, in which case the pair collapses to a+b.
+    * Greedy-left is exact: a just-merged element can never re-merge
+    * under the same pair because its value a+b ≠ a (b is never
+    * empty). Runs on the distinct-WORD table (vocab-sized), never the
+    * corpus, so the interpreted lambda stays off any hot path. */
+  def bpeMergeOnce(sym: Column, a: String, b: String): Column =
+    aggregate(sym, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016 — the
+    * merge-table learning step; t37 only counts pairs). Input is a
+    * (word, count) table; the corpus is scanned exactly ONCE to build
+    * it, and every iteration after runs on that vocab-sized table
+    * (Heaps' law: ~10⁶-10⁷ distinct words at 100 TB, not corpus-
+    * sized). Per merge: weighted adjacent-pair counts (map-side
+    * partial agg → one tiny shuffle), deterministic top-1
+    * (count desc, pair asc — no engine-order ties), then the merge
+    * folds into every word's symbol array. Driver state is O(merges)
+    * scalar pairs (the q39 k-means precedent); lazy localCheckpoints
+    * truncate the per-iteration lineage exactly like the CC fixpoint.
+    * Symbols start as UTF-16 code units of the word (supplementary-
+    * plane chars split into surrogate halves — merges re-join them by
+    * frequency; byte-level BPE has the same property over bytes). No
+    * end-of-word marker: words are already pre-tokenized units here,
+    * the modern byte-level-BPE convention. Count ties break by the
+    * engine's UTF8 binary pair order, which equals Java String order
+    * except when a supplementary-plane symbol compares against one in
+    * U+E000–U+FFFF (the documented UTF8String-vs-String divergence) —
+    * impossible under ASCII-safe pre-tokenization. */
+  def bpeTrainMerges(words: DataFrame, wordCol: String, cntCol: String,
+                     numMerges: Int): Seq[(String, String, Long)] = {
+    var cur = words
+      .select(split(col(wordCol), "").as("sym"), col(cntCol).as("cnt"))
+      .localCheckpoint(false)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    var done = false
+    while (out.length < numMerges && !done) {
+      val top = cur.where(size(col("sym")) >= 2)
+        .select(col("cnt"), explode(zip_with(
+          slice(col("sym"), lit(1), size(col("sym")) - 1),
+          slice(col("sym"), lit(2), size(col("sym")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true // every word fully merged
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        out += ((a, b, top(0).getLong(2)))
+        val next = cur
+          .withColumn("sym", bpeMergeOnce(col("sym"), a, b))
+          .localCheckpoint(false)
+        cur.unpersist()
+        cur = next
+      }
+    }
+    cur.unpersist()
+    out.toSeq
+  }
 }

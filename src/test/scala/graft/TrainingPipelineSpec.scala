@@ -166,4 +166,59 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(allocs.drop(k).distinct.length == 1,
       "all unsaturated languages share the pivot water level")
   }
+
+  /** Sequential reference BPE trainer (Sennrich et al. 2016) — the
+    * ground truth the distributed trainer must reproduce exactly. */
+  private def refBpe(wordCnt: Map[String, Long],
+                     m: Int): Seq[(String, String, Long)] = {
+    var words = wordCnt.toSeq.map { case (w, c) =>
+      (w.map(_.toString).toVector, c)
+    }
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (out.length < m && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((sym, c) <- words; i <- 0 until sym.length - 1)
+        pc((sym(i), sym(i + 1))) =
+          pc.getOrElse((sym(i), sym(i + 1)), 0L) + c
+      if (pc.isEmpty) done = true
+      else {
+        val ((a, b), c) = pc.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((a, b, c))
+        words = words.map { case (sym, cnt) =>
+          val buf = Vector.newBuilder[String]
+          var i = 0
+          while (i < sym.length) {
+            if (i < sym.length - 1 && sym(i) == a && sym(i + 1) == b) {
+              buf += (a + b); i += 2
+            } else { buf += sym(i); i += 1 }
+          }
+          (buf.result(), cnt)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("t71 bpe train matches the sequential reference, classic corpus") {
+    val corpus =
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val got = TextOps.bpeTrainMerges(
+      corpus.toSeq.toDF("w", "cnt"), "w", "cnt", 8)
+    assert(got === refBpe(corpus, 8))
+    // the famous first merge on this distribution: (e,s) and (s,t)
+    // tie at 9; lexicographic tie-break picks (e,s)
+    assert(got.head === (("e", "s", 9L)))
+  }
+
+  test("t71 bpe train matches the reference on a real corpus slice") {
+    val words = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(TextOps.tokensLower(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val wc = words.as[(String, Long)].collect().toMap
+    assert(TextOps.bpeTrainMerges(words, "w", "cnt", 6) === refBpe(wc, 6))
+  }
 }
