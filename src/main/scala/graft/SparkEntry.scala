@@ -137,6 +137,46 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY vec_id
            ORDER BY dist, cid) = 1)"""
 
+  /** The near-dup cluster-label CTE block shared by the t12 and t72
+    * oracles (`lbl` = per-doc min-reachable-id component label via the
+    * recursive CTE — the SQL twin of `Dedup.clusterLabels`). ONE
+    * definition so the two oracles cannot drift. */
+  private val neardupLabelSql: String =
+    """WITH RECURSIVE t AS (
+         SELECT doc_id, string_split_regex(text, '\s+') AS toks
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+           [array_to_string(toks[i:i+2], ' ')
+            FOR i IN generate_series(1, len(toks)-2)] AS s
+         FROM t WHERE len(toks) >= 3),
+       mh AS (
+         SELECT doc_id,
+           [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
+            FOR k IN generate_series(1, 8)] AS sig
+         FROM sh),
+       bands AS (
+         SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
+         FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       sym AS (
+         SELECT id_a AS src, id_b AS dst FROM pairs
+         UNION SELECT id_b, id_a FROM pairs),
+       reach(id, r) AS (
+         SELECT src, dst FROM sym
+         UNION
+         SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id),
+       lbl AS (
+         SELECT d.doc_id,
+           CASE WHEN m.rmin IS NULL OR d.doc_id < m.rmin THEN d.doc_id
+                ELSE m.rmin END AS cluster_id
+         FROM documents d
+         LEFT JOIN (SELECT id, min(r) AS rmin FROM reach GROUP BY id) m
+           ON m.id = d.doc_id)"""
+
   /** Deterministic URL augmentation shared by t19 and t66 (the
     * synthetic corpus has no URLs, so every 5th doc gets a planted
     * footer; both engines build the same augmented text). ONE Scala
@@ -1176,6 +1216,22 @@ object SparkEntry {
         .withColumn("epochs_bp", expr("alloc * 10000L DIV n_tokens"))
         .select(col("lang"), col("n_tokens"), col("cap"), col("alloc"),
           col("epochs_bp"))
+    }),
+
+    // Leakage-free train/val/test split: t17 assigns SPLITS by doc
+    // hash, which puts near-duplicate documents on both sides of the
+    // train/eval fence — the classic self-contamination bug. Here the
+    // hash is over the near-dup CLUSTER label (t12's machinery —
+    // Dedup.clusterLabels, materialize-once in production), so every
+    // cluster lands whole in one split. Purity is by construction:
+    // split = f(cluster_id). Same 90/5/5 hex thresholds as t17.
+    "t72_cluster_split" -> ((s, dir) => {
+      val h2 = substring(
+        md5(concat(col("cluster_id").cast("string"), lit("|csplit"))),
+        1, 2)
+      neardupLabels(s, dir).select(col("doc_id"), col("cluster_id"),
+        when(h2 < "e6", "train").when(h2 < "f3", "val")
+          .otherwise("test").as("split"))
     }),
 
     // BPE tokenizer TRAINING — learn the merge table itself (t37 only
@@ -2672,39 +2728,17 @@ object SparkEntry {
     // cluster id is the min id it can reach (plus itself); documents in
     // no pair are their own cluster.
     "t12_dup_clusters" ->
-      """WITH RECURSIVE t AS (
-           SELECT doc_id, string_split_regex(text, '\s+') AS toks
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             [array_to_string(toks[i:i+2], ' ')
-              FOR i IN generate_series(1, len(toks)-2)] AS s
-           FROM t WHERE len(toks) >= 3),
-         mh AS (
-           SELECT doc_id,
-             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
-              FOR k IN generate_series(1, 8)] AS sig
-           FROM sh),
-         bands AS (
-           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
-           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bands a JOIN bands b
-             ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         sym AS (
-           SELECT id_a AS src, id_b AS dst FROM pairs
-           UNION SELECT id_b, id_a FROM pairs),
-         reach(id, r) AS (
-           SELECT src, dst FROM sym
-           UNION
-           SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id)
-         SELECT d.doc_id,
-           CASE WHEN m.rmin IS NULL OR d.doc_id < m.rmin THEN d.doc_id
-                ELSE m.rmin END AS cluster_id
-         FROM documents d
-         LEFT JOIN (SELECT id, min(r) AS rmin FROM reach GROUP BY id) m
-           ON m.id = d.doc_id""",
+      s"""$neardupLabelSql
+         SELECT doc_id, cluster_id FROM lbl""",
+    "t72_cluster_split" ->
+      s"""$neardupLabelSql
+         SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR) || '|csplit'),
+                  1, 2) < 'e6' THEN 'train'
+                WHEN substr(md5(CAST(cluster_id AS VARCHAR) || '|csplit'),
+                  1, 2) < 'f3' THEN 'val'
+                ELSE 'test' END AS split
+         FROM lbl""",
     "t3_simhash" ->
       """WITH t AS (
            SELECT doc_id,

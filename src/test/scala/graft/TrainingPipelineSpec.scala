@@ -167,6 +167,21 @@ class TrainingPipelineSpec extends SparkSpec {
       "all unsaturated languages share the pivot water level")
   }
 
+  test("t72: every near-dup cluster lands whole in one split") {
+    // leakage purity — the property t17's doc-hash split lacks; here
+    // it holds by construction (split = f(cluster)), this guards the
+    // construction against a refactor hashing the doc id again
+    val df = SparkEntry.queries("t72_cluster_split")(
+      spark, "/root/testdata/sf0.001")
+    val perCluster = df.groupBy("cluster_id")
+      .agg(countDistinct("split").as("ns"), count(lit(1)).as("n"))
+    assert(perCluster.where(col("ns") =!= 1).count() === 0)
+    // the slice must actually contain multi-doc clusters, or the
+    // purity assertion is vacuous
+    assert(perCluster.where(col("n") > 1).count() > 0)
+    assert(df.select("split").distinct().count() >= 2)
+  }
+
   /** Sequential reference BPE trainer (Sennrich et al. 2016) — the
     * ground truth the distributed trainer must reproduce exactly. */
   private def refBpe(wordCnt: Map[String, Long],
