@@ -1218,6 +1218,39 @@ object SparkEntry {
           col("epochs_bp"))
     }),
 
+    // BPE ENCODE with the learned tokenizer — closes the tokenizer
+    // loop (t71 trains, this applies): per-word symbol counts are
+    // computed ONCE on the vocab-sized word table (the encode fold
+    // unrolls the 8 learned merges statically into the plan), then
+    // per-doc token counts come from the exploded corpus joining that
+    // vocab on the token key — dsirScore's exact join shape (vocab
+    // broadcasts at small corpora via AQE; at 100 TB it's a token-
+    // keyed shuffle join, still linear). fertility_bp = true
+    // BPE-tokens-per-word in basis points — the learned-tokenizer
+    // version of t65's regex proxy. Production trains once and
+    // materializes the merge table (clusterLabels' materialize-once
+    // contract); re-deriving it here keeps the query self-contained.
+    "t73_bpe_encode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val words = docs
+        .select(explode(TextOps.tokensLower(col("text"))).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
+      val merges = TextOps.bpeTrainMerges(words, "w", "cnt",
+        numMerges = 8)
+      val vocab = words.select(col("w"),
+        size(TextOps.bpeEncode(split(col("w"), ""), merges))
+          .cast("long").as("n_sym"))
+      docs.select(col("doc_id"),
+          explode(TextOps.tokensLower(col("text"))).as("w"))
+        .where(length(col("w")) > 0)
+        .join(vocab, Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_bpe"))
+        .withColumn("fertility_bp", expr("n_bpe * 10000L DIV n_words"))
+    }),
+
     // Leakage-free train/val/test split: t17 assigns SPLITS by doc
     // hash, which puts near-duplicate documents on both sides of the
     // train/eval fence — the classic self-contamination bug. Here the

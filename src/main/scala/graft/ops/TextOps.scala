@@ -348,6 +348,14 @@ object TextOps {
     * except when a supplementary-plane symbol compares against one in
     * U+E000–U+FFFF (the documented UTF8String-vs-String divergence) —
     * impossible under ASCII-safe pre-tokenization. */
+  /** Apply a learned merge table to a symbol array, in rank order —
+    * the BPE ENCODE step. The merge list is driver-side state (it IS
+    * the tokenizer), so the fold unrolls statically into the plan:
+    * one nested expression, no per-row table lookups. */
+  def bpeEncode(sym: Column,
+                merges: Seq[(String, String, Long)]): Column =
+    merges.foldLeft(sym) { case (c, (a, b, _)) => bpeMergeOnce(c, a, b) }
+
   def bpeTrainMerges(words: DataFrame, wordCol: String, cntCol: String,
                      numMerges: Int): Seq[(String, String, Long)] = {
     var cur = words

@@ -227,6 +227,39 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(got.head === (("e", "s", 9L)))
   }
 
+  test("t73 bpe encode matches the sequential reference per document") {
+    val toks = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), TextOps.tokensLower(col("text")).as("tl"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, tl) => (id, tl.filter(_.nonEmpty)) }
+    val wc = toks.flatMap(_._2).groupBy(identity)
+      .map { case (w, g) => w -> g.length.toLong }
+    val merges = refBpe(wc, 8)
+    def encLen(w: String): Long = {
+      var sym = w.map(_.toString).toVector
+      for ((a, b, _) <- merges) {
+        val buf = Vector.newBuilder[String]
+        var i = 0
+        while (i < sym.length) {
+          if (i < sym.length - 1 && sym(i) == a && sym(i + 1) == b) {
+            buf += (a + b); i += 2
+          } else { buf += sym(i); i += 1 }
+        }
+        sym = buf.result()
+      }
+      sym.length.toLong
+    }
+    val want = toks.filter(_._2.nonEmpty).map { case (id, tl) =>
+      val nb = tl.map(encLen).sum
+      (id, tl.length.toLong, nb, nb * 10000L / tl.length)
+    }.toSet
+    val got = SparkEntry.queries("t73_bpe_encode")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("t71 bpe train matches the reference on a real corpus slice") {
     val words = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
