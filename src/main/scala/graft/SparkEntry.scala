@@ -177,6 +177,32 @@ object SparkEntry {
          LEFT JOIN (SELECT id, min(r) AS rmin FROM reach GROUP BY id) m
            ON m.id = d.doc_id)"""
 
+  /** PageRank iteration CTEs for the t74 oracle — the SQL twin of
+    * `Graph.pageRankPpm`'s loop, unrolled (one c/d/r CTE triple per
+    * Jacobi round; DuckDB `//` ≡ Spark `div` on the all-positive
+    * operands here). Generated from one template so the three rounds
+    * cannot drift from each other; expects CTEs `en` (src, dst,
+    * p = ppb edge probability), `outw` (src), `nodes` (node),
+    * `nn` (n) and `r0` (node, r) to be in scope. */
+  private def pageRankIterSql(iters: Int): String =
+    (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS (
+           SELECT en.dst AS node,
+             sum((85 * $prev.r * en.p) // 100000000000) AS c
+           FROM $prev JOIN en ON $prev.node = en.src GROUP BY 1),
+         d$i AS (
+           SELECT coalesce(sum(r), 0) AS d FROM $prev
+           WHERE node NOT IN (SELECT src FROM outw)),
+         r$i AS (
+           SELECT nodes.node,
+             (1000000 * 15) // (100 * nn.n)
+               + (85 * d$i.d) // (100 * nn.n)
+               + coalesce(c$i.c, 0) AS r
+           FROM nodes CROSS JOIN nn CROSS JOIN d$i
+           LEFT JOIN c$i ON c$i.node = nodes.node)"""
+    }.mkString(",\n         ")
+
   /** Deterministic URL augmentation shared by t19 and t66 (the
     * synthetic corpus has no URLs, so every 5th doc gets a planted
     * footer; both engines build the same augmented text). ONE Scala
@@ -1265,6 +1291,27 @@ object SparkEntry {
       neardupLabels(s, dir).select(col("doc_id"), col("cluster_id"),
         when(h2 < "e6", "train").when(h2 < "f3", "val")
           .otherwise("test").as("split"))
+    }),
+
+    // Host-level PageRank over the crawl link graph — the link-based
+    // host-quality prior (Common Crawl ships exactly this artifact;
+    // curation pipelines join it back as a document quality signal).
+    // Edges: each document's hosting site (site{doc_id%7} — the t19/
+    // t66 URL convention) links to every domain its text cites, self-
+    // links dropped, weighted by citation count. Rank = 3 fixed
+    // Jacobi iterations in integer-ppm arithmetic (`Graph.pageRankPpm`
+    // — floor division end-to-end, so the DuckDB twin is bit-exact;
+    // see the operator's scaladoc for the per-iteration plan shape).
+    "t74_host_pagerank" -> ((s, dir) => {
+      val srcHost = concat(lit("site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org"))
+      val edges = T(s, dir, "documents")
+        .select(srcHost.as("src_host"),
+          explode(TextOps.urlDomains(urlAugmented)).as("dst_host"))
+        .where(col("src_host") =!= col("dst_host"))
+        .groupBy("src_host", "dst_host").agg(count(lit(1)).as("w"))
+      Graph.pageRankPpm(edges, "src_host", "dst_host", "w", iters = 3)
+        .select(col("node").as("host"), col("rank_ppm"))
     }),
 
     // BPE tokenizer TRAINING — learn the merge table itself (t37 only
@@ -2772,6 +2819,37 @@ object SparkEntry {
                   1, 2) < 'f3' THEN 'val'
                 ELSE 'test' END AS split
          FROM lbl""",
+    "t74_host_pagerank" ->
+      s"""WITH a AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' see https://site' || (doc_id % 7)
+                       || '.example.org/p' || doc_id
+                       || ' and http://host' || (doc_id % 3) || '.net/q'
+                  ELSE text END AS aug
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(aug,
+               '(?i)https?://([A-Za-z0-9.-]+)', 1)) AS dst
+           FROM a),
+         edges AS (
+           SELECT 'site' || (doc_id % 7) || '.example.org' AS src,
+             dst, count(*) AS w
+           FROM u
+           WHERE dst <> 'site' || (doc_id % 7) || '.example.org'
+           GROUP BY 1, 2),
+         outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+         en AS (
+           SELECT e.src, e.dst, (1000000000 * e.w) // o.ow AS p
+           FROM edges e JOIN outw o USING (src)),
+         nodes AS (
+           SELECT src AS node FROM edges
+           UNION SELECT dst FROM edges),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         r0 AS (SELECT node, 1000000 // n AS r FROM nodes CROSS JOIN nn),
+         ${pageRankIterSql(3)}
+         SELECT node AS host, r AS rank_ppm FROM r3""",
     "t3_simhash" ->
       """WITH t AS (
            SELECT doc_id,

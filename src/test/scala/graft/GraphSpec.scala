@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+/** `Graph.pageRankPpm` vs a sequential reference implementation of the
+  * same integer-ppm recurrence (the BPE-spec pattern: the distributed
+  * plan must be bit-identical to straight-line Scala), plus the mass
+  * and guard invariants. */
+class GraphSpec extends SparkSpec {
+
+  /** Sequential twin: same ppb edge quantization, same floor
+    * divisions, same dangling redistribution — positives only, so
+    * Scala `/` (truncation) matches Spark `div` and DuckDB `//`. */
+  private def refPageRank(edges: Seq[(String, String, Long)],
+                          iters: Int): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val ow = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val p = edges.map { case (s, d, w) =>
+      (s, d) -> (1000000000L * w) / ow(s) }.toMap
+    var r = nodes.map(_ -> 1000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(ow.contains).map(r).sum
+      r = nodes.map { v =>
+        val in = edges.collect { case (s, d, _) if d == v =>
+          (85L * r(s) * p((s, d))) / 100000000000L }.sum
+        v -> ((1000000L * 15) / (100L * n) + (85L * dang) / (100L * n) + in)
+      }.toMap
+    }
+    r
+  }
+
+  // cycle + weighted fan-out + a dangling sink: every code path (in-
+  // contributions, dangling redistribution, base term) is exercised
+  private val g = Seq(
+    ("a", "b", 3L), ("a", "d", 1L), ("b", "c", 2L),
+    ("c", "a", 1L), ("c", "b", 1L))
+
+  private def run(edges: Seq[(String, String, Long)],
+                  iters: Int): Map[String, Long] = {
+    import spark.implicits._
+    Graph.pageRankPpm(edges.toDF("s", "d", "w"), "s", "d", "w", iters)
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+  }
+
+  test("pageRankPpm matches the sequential reference bit-for-bit") {
+    for (iters <- Seq(0, 1, 3))
+      assert(run(g, iters) === refPageRank(g, iters))
+  }
+
+  test("rank mass stays within [90%, 100%] of one (floors only lose)") {
+    val total = run(g, 3).values.sum
+    assert(total <= 1000000L && total >= 900000L)
+  }
+
+  test("empty edge list yields an empty ranking, not a div-by-zero") {
+    assert(run(Seq.empty, 3).isEmpty)
+  }
+
+  test("per-edge weight beyond the ppb-normalization domain fails loud") {
+    val e = intercept[Exception] {
+      run(Seq(("a", "b", 10000000000L)), 1)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("pageRankPpm")))
+  }
+}

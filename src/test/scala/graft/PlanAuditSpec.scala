@@ -234,4 +234,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes(p, "Exchange") <= 3,
       s"t70 should shuffle the corpus exactly once:\n$p")
   }
+
+  test("t74/pageRankPpm: scalar sides broadcast, iteration stays hash-based") {
+    // t74's production plan hides behind the per-iteration lazy
+    // checkpoints (Scan ExistingRDD), so the audit reads the same
+    // operator with truncation off: each round's node-count and
+    // dangling-mass scalars must ride as broadcast nested-loop joins
+    // (explicit broadcast() hints — 1-row sides), never a
+    // CartesianProduct, and the rank update must plan hash join +
+    // hash agg — a Sort node means a sort-merge join snuck in
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1L), ("b", "c", 2L)).toDF("s", "d", "w")
+    val p = graft.ops.Graph
+      .pageRankPpm(edges, "s", "d", "w", iters = 1,
+        truncateLineage = false)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"pageRankPpm scalar sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(nodes(p, "Sort") == 0,
+      s"pageRankPpm iteration joins must stay hash-based:\n$p")
+  }
 }
