@@ -1314,6 +1314,61 @@ object SparkEntry {
         .select(col("node").as("host"), col("rank_ppm"))
     }),
 
+    // CCNet-style perplexity split (Wenzek et al. 2020): score every
+    // document under a reference-domain bigram LM (here source=src0 —
+    // the pipeline's "Wikipedia" stand-in — per language, add-one
+    // smoothed so OOV bigrams score finitely), then split each
+    // language into head/middle/tail terciles by score — the head
+    // tercile is what LLaMA-style pipelines keep. The LM tables are
+    // vocab-sized (Heaps' law) and join as broadcasts; the tercile
+    // needs each doc's exact per-language rank, which would be a
+    // one-reducer global sort per language — so ranks come from the
+    // t68 two-level scan: score-decibucket counts get per-lang
+    // exclusive offsets (a window over the tiny bucket table), docs
+    // rank within (lang, bucket) only. Languages with no reference
+    // docs drop out (inner join on the LM's lang set — documented).
+    // Ordering is on the ROUND-6 score (cross-engine stable, the t53
+    // precedent) with doc_id tiebreak, so ranks are deterministic.
+    "t75_ccnet_buckets" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      def toksL = TextOps.tokensLower(col("text"))
+      def bigrams = graft.functions.SketchExpressions.wordShingles(toksL, 2)
+      val ref = docs.where(col("source") === "src0")
+      val bg0 = ref.select(col("lang"), explode(bigrams).as("bg"))
+        .groupBy("lang", "bg").agg(count(lit(1)).as("cb"))
+      val ug0 = ref.select(col("lang"), explode(toksL).as("w1"))
+        .groupBy("lang", "w1").agg(count(lit(1)).as("cu"))
+      val vsz = ug0.groupBy("lang").agg(count(lit(1)).as("v"))
+      val scored = docs
+        .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .join(broadcast(bg0), Seq("lang", "bg"), "left")
+        .join(broadcast(ug0), Seq("lang", "w1"), "left")
+        .join(broadcast(vsz), Seq("lang"))
+        .groupBy("doc_id", "lang")
+        .agg((round(avg(log(
+          (coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("cu"), lit(0L)) + col("v")).cast("double"))), 6)
+          + 0.0).as("lm_lp"))
+      val withB = scored.withColumn("__b",
+        floor(col("lm_lp") * 10).cast("long"))
+      val bTab = withB.groupBy("lang", "__b")
+        .agg(count(lit(1)).as("__bn"))
+        .withColumn("__off", coalesce(sum("__bn").over(
+          Window.partitionBy("lang").orderBy(col("__b").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val nLang = bTab.groupBy("lang").agg(sum("__bn").as("__nl"))
+      val wIn = Window.partitionBy("lang", "__b")
+        .orderBy(col("lm_lp").desc, col("doc_id"))
+      val tb = expr("((__rk - 1) * 3) div __nl")
+      withB.join(bTab.select("lang", "__b", "__off"), Seq("lang", "__b"))
+        .join(broadcast(nLang), Seq("lang"))
+        .withColumn("__rk", col("__off") + row_number().over(wIn))
+        .select(col("doc_id"), col("lang"), col("lm_lp"),
+          when(tb === 0, "head").when(tb === 1, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+    }),
+
     // BPE tokenizer TRAINING — learn the merge table itself (t37 only
     // counts pairs; this is the step that BUILDS the tokenizer a
     // pretraining pipeline ships). One corpus pass folds the corpus to
@@ -2850,6 +2905,44 @@ object SparkEntry {
          r0 AS (SELECT node, 1000000 // n AS r FROM nodes CROSS JOIN nn),
          ${pageRankIterSql(3)}
          SELECT node AS host, r AS rank_ppm FROM r3""",
+    "t75_ccnet_buckets" ->
+      """WITH t AS (
+           SELECT doc_id, lang, source,
+             string_split_regex(lower(text), '\s+') AS toks
+           FROM documents),
+         b AS (
+           SELECT doc_id, lang, source,
+             unnest([array_to_string(toks[i:i+1], ' ')
+                     FOR i IN generate_series(1, len(toks)-1)]) AS bg
+           FROM t WHERE len(toks) >= 2),
+         bg0 AS (
+           SELECT lang, bg, count(*) AS cb FROM b
+           WHERE source = 'src0' GROUP BY 1, 2),
+         ug0 AS (
+           SELECT lang, w, count(*) AS cu FROM (
+             SELECT lang, source, unnest(toks) AS w FROM t)
+           WHERE source = 'src0' GROUP BY 1, 2),
+         v AS (SELECT lang, count(*) AS v FROM ug0 GROUP BY 1),
+         sc AS (
+           SELECT doc_id, b.lang,
+             round(avg(ln((coalesce(cb, 0) + 1)::DOUBLE
+               / (coalesce(cu, 0) + v.v)::DOUBLE)), 6) + 0.0 AS lm_lp
+           FROM b
+           LEFT JOIN bg0 ON bg0.lang = b.lang AND bg0.bg = b.bg
+           LEFT JOIN ug0 ON ug0.lang = b.lang
+             AND ug0.w = split_part(b.bg, ' ', 1)
+           JOIN v ON v.lang = b.lang
+           GROUP BY 1, 2),
+         rk AS (
+           SELECT doc_id, lang, lm_lp,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY lm_lp DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS nl
+           FROM sc)
+         SELECT doc_id, lang, lm_lp,
+           CASE ((rk - 1) * 3) // nl WHEN 0 THEN 'head'
+                WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         FROM rk""",
     "t3_simhash" ->
       """WITH t AS (
            SELECT doc_id,

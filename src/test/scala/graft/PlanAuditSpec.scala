@@ -235,6 +235,18 @@ class PlanAuditSpec extends SparkSpec {
       s"t70 should shuffle the corpus exactly once:\n$p")
   }
 
+  test("t75: LM sides broadcast; no per-language single-reducer sort") {
+    // the vocab-sized LM tables (bigram counts, unigram counts, vocab
+    // size) must join as broadcasts, and every window must stay
+    // hash-partitioned (lang / lang+bucket) — a SinglePartition node
+    // means the tercile rank collapsed into a one-reducer global sort
+    val p = plan("t75_ccnet_buckets")
+    assert(p.contains("BroadcastExchange"),
+      s"t75 LM tables must broadcast:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"t75 rank must not plan a single-reducer window:\n$p")
+  }
+
   test("t74/pageRankPpm: scalar sides broadcast, iteration stays hash-based") {
     // t74's production plan hides behind the per-iteration lazy
     // checkpoints (Scan ExistingRDD), so the audit reads the same

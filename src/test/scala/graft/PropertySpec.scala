@@ -402,4 +402,33 @@ class PropertySpec extends SparkSpec {
         check(Warc.parseRecords(bos.toByteArray))
     }
   }
+
+  test("t75 terciles are ordered, exhaustive, and near-equal-sized") {
+    // Within every language: every head score >= every middle score >=
+    // every tail score (the two-level rank must reproduce a true
+    // global order), tercile sizes differ by at most 1, and all three
+    // buckets are non-empty on the test slice (non-vacuity — an
+    // off-by-one in the rank arithmetic would empty one).
+    val rows = SparkEntry.queries("t75_ccnet_buckets")(
+        spark, "/root/testdata/sf0.001")
+      .groupBy("lang", "ppl_bucket")
+      .agg(count(lit(1)).as("n"), min("lm_lp").as("lo"),
+        max("lm_lp").as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val langs = rows.keys.map(_._1).toSeq.distinct
+    assert(langs.nonEmpty)
+    langs.foreach { lang =>
+      val get = (b: String) => rows.get((lang, b))
+      Seq("head", "middle", "tail").foreach(b =>
+        assert(get(b).nonEmpty, s"$lang/$b is empty"))
+      val Seq(h, m, t) = Seq("head", "middle", "tail").map(b => get(b).get)
+      assert(h._2 >= m._3 && m._2 >= t._3,
+        s"$lang tercile score ranges overlap out of order: $h $m $t")
+      val sizes = Seq(h._1, m._1, t._1)
+      assert(sizes.max - sizes.min <= 1,
+        s"$lang tercile sizes skewed: $sizes")
+    }
+  }
 }
