@@ -1369,6 +1369,57 @@ object SparkEntry {
             .otherwise("tail").as("ppl_bucket"))
     }),
 
+    // LSH index-quality metric — recall AND precision of the minhash
+    // band index against exact Jaccard ground truth (the dedup-side
+    // twin of t60_ivf_recall: the number that tunes k/bands before a
+    // corpus-wide dedup run believes its candidate set). t60's probe
+    // shape: an ABSOLUTE-bounded probe set (≤100 docs at any corpus
+    // size) is scored against the FULL corpus — truth is each probe's
+    // true Jaccard >= 0.5 neighbors anywhere in the corpus (probe side
+    // broadcast: one linear corpus pass, never corpus all-pairs), and
+    // candidates are the probes' `Dedup.lshBandKeys` joined to the
+    // corpus band keys — the exact index surface production dedup
+    // queries (8 hashes, 4 bands). Pairs keep probe orientation
+    // (probe_id, other_id), matching t60's per-query framing. Integer-
+    // ppm ratios; recall < 1 is expected by design (band-index hit
+    // probability 1-(1-J^2)^4 ≈ 0.68 at J = 0.5).
+    "t76_lsh_recall" -> ((s, dir) => {
+      val shingled = T(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.SketchExpressions
+            .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
+      val isProbe = col("doc_id") % 20 === 0 && col("doc_id") < 2000
+      val sets = shingled
+        .select(col("doc_id"), array_distinct(col("shingles")).as("ss"))
+        .where(size(col("ss")) > 0)
+      val truth = sets.where(isProbe)
+        .select(col("doc_id").as("probe_id"), col("ss").as("__sa"))
+        .hint("broadcast")
+        .join(sets.select(col("doc_id").as("other_id"),
+          col("ss").as("__sb")), col("probe_id") =!= col("other_id"))
+        .where(graft.functions.SketchExpressions
+          .jaccard(col("__sa"), col("__sb")) >= 0.5)
+        .select("probe_id", "other_id")
+      val keys = Dedup.lshBandKeys(shingled, "doc_id", "shingles",
+        k = 8, bands = 4)
+      val cand = broadcast(keys.where(isProbe)
+          .select(col("doc_id").as("probe_id"), col("band"), col("bh")))
+        .join(keys.select(col("doc_id").as("other_id"),
+          col("band"), col("bh")), Seq("band", "bh"))
+        .where(col("probe_id") =!= col("other_id"))
+        .select("probe_id", "other_id").distinct()
+      val hit = truth.join(cand, Seq("probe_id", "other_id"), "left_semi")
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nC = cand.agg(count(lit(1)).as("n_cand"))
+      val nH = hit.agg(count(lit(1)).as("n_hit"))
+      nT.crossJoin(broadcast(nC)).crossJoin(broadcast(nH))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          when(col("n_truth") > 0,
+            expr("(1000000 * n_hit) div n_truth")).as("recall_ppm"),
+          when(col("n_cand") > 0,
+            expr("(1000000 * n_hit) div n_cand")).as("precision_ppm"))
+    }),
+
     // BPE tokenizer TRAINING — learn the merge table itself (t37 only
     // counts pairs; this is the step that BUILDS the tokenizer a
     // pretraining pipeline ships). One corpus pass folds the corpus to
@@ -2943,6 +2994,51 @@ object SparkEntry {
            CASE ((rk - 1) * 3) // nl WHEN 0 THEN 'head'
                 WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
          FROM rk""",
+    "t76_lsh_recall" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN generate_series(1, len(toks)-2)] AS s
+           FROM t WHERE len(toks) >= 3),
+         sets AS (SELECT doc_id, list_distinct(s) AS ss FROM sh),
+         truth AS (
+           SELECT a.doc_id AS probe_id, b.doc_id AS other_id
+           FROM sets a JOIN sets b ON a.doc_id <> b.doc_id
+           WHERE a.doc_id % 20 = 0 AND a.doc_id < 2000
+             AND CAST(len(list_filter(a.ss, e -> list_contains(b.ss, e)))
+                      AS DOUBLE)
+             / (len(a.ss) + len(b.ss)
+                - len(list_filter(a.ss, e -> list_contains(b.ss, e))))
+             >= 0.5),
+         mh AS (
+           SELECT doc_id,
+             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
+              FOR k IN generate_series(1, 8)] AS sig
+           FROM sh),
+         bands AS (
+           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
+           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS probe_id, b.doc_id AS other_id
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bh = b.bh AND a.doc_id <> b.doc_id
+           WHERE a.doc_id % 20 = 0 AND a.doc_id < 2000),
+         nt AS (SELECT count(*) AS n_truth FROM truth),
+         nc AS (SELECT count(*) AS n_cand FROM cand),
+         nh AS (
+           SELECT count(*) AS n_hit FROM truth x
+           WHERE EXISTS (SELECT 1 FROM cand c
+             WHERE c.probe_id = x.probe_id
+               AND c.other_id = x.other_id))
+         SELECT n_truth, n_cand, n_hit,
+           CASE WHEN n_truth > 0
+                THEN (1000000 * n_hit) // n_truth END AS recall_ppm,
+           CASE WHEN n_cand > 0
+                THEN (1000000 * n_hit) // n_cand END AS precision_ppm
+         FROM nt CROSS JOIN nc CROSS JOIN nh""",
     "t3_simhash" ->
       """WITH t AS (
            SELECT doc_id,

@@ -247,6 +247,19 @@ class PlanAuditSpec extends SparkSpec {
       s"t75 rank must not plan a single-reducer window:\n$p")
   }
 
+  test("t76: probe sides broadcast — truth is one linear corpus pass") {
+    // the probe set must ride as the broadcast side of BOTH the exact
+    // ground-truth join (non-equi probe<>other ⇒ broadcast nested
+    // loop) and the band-key candidate join (equi on (band,bh) ⇒
+    // broadcast hash) — if either falls back to a shuffle the "probe
+    // vs corpus" cost story breaks
+    val p = plan("t76_lsh_recall")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"t76 truth join must broadcast the probe side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"t76 candidate band join must broadcast the probe keys:\n$p")
+  }
+
   test("t74/pageRankPpm: scalar sides broadcast, iteration stays hash-based") {
     // t74's production plan hides behind the per-iteration lazy
     // checkpoints (Scan ExistingRDD), so the audit reads the same
