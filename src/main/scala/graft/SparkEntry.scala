@@ -1408,11 +1408,16 @@ object SparkEntry {
           col("band"), col("bh")), Seq("band", "bh"))
         .where(col("probe_id") =!= col("other_id"))
         .select("probe_id", "other_id").distinct()
-      val hit = truth.join(cand, Seq("probe_id", "other_id"), "left_semi")
-      val nT = truth.agg(count(lit(1)).as("n_truth"))
-      val nC = cand.agg(count(lit(1)).as("n_cand"))
-      val nH = hit.agg(count(lit(1)).as("n_hit"))
-      nT.crossJoin(broadcast(nC)).crossJoin(broadcast(nH))
+      // one full-outer join + one aggregate: truth and cand (the two
+      // expensive corpus passes) each compute exactly ONCE — separate
+      // count aggregates would re-derive both subtrees per scalar
+      truth.withColumn("__t", lit(1L))
+        .join(cand.withColumn("__c", lit(1L)),
+          Seq("probe_id", "other_id"), "full_outer")
+        .agg(count(col("__t")).as("n_truth"),
+          count(col("__c")).as("n_cand"),
+          count(when(col("__t").isNotNull && col("__c").isNotNull,
+            lit(1))).as("n_hit"))
         .select(col("n_truth"), col("n_cand"), col("n_hit"),
           when(col("n_truth") > 0,
             expr("(1000000 * n_hit) div n_truth")).as("recall_ppm"),
