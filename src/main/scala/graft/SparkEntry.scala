@@ -1331,25 +1331,12 @@ object SparkEntry {
     // precedent) with doc_id tiebreak, so ranks are deterministic.
     "t75_ccnet_buckets" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      def toksL = TextOps.tokensLower(col("text"))
-      def bigrams = graft.functions.SketchExpressions.wordShingles(toksL, 2)
-      val ref = docs.where(col("source") === "src0")
-      val bg0 = ref.select(col("lang"), explode(bigrams).as("bg"))
-        .groupBy("lang", "bg").agg(count(lit(1)).as("cb"))
-      val ug0 = ref.select(col("lang"), explode(toksL).as("w1"))
-        .groupBy("lang", "w1").agg(count(lit(1)).as("cu"))
-      val vsz = ug0.groupBy("lang").agg(count(lit(1)).as("v"))
-      val scored = docs
-        .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-        .join(broadcast(bg0), Seq("lang", "bg"), "left")
-        .join(broadcast(ug0), Seq("lang", "w1"), "left")
-        .join(broadcast(vsz), Seq("lang"))
-        .groupBy("doc_id", "lang")
-        .agg((round(avg(log(
-          (coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double") /
-            (coalesce(col("cu"), lit(0L)) + col("v")).cast("double"))), 6)
-          + 0.0).as("lm_lp"))
+      val (bg0, ug0, vsz) =
+        TextOps.bigramLm(docs.where(col("source") === "src0"),
+          "lang", "text")
+      val scored =
+        TextOps.bigramLmScore(docs, "doc_id", "lang", "text",
+          bg0, ug0, vsz)
       val withB = scored.withColumn("__b",
         floor(col("lm_lp") * 10).cast("long"))
       val bTab = withB.groupBy("lang", "__b")

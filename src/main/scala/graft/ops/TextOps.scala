@@ -313,6 +313,52 @@ object TextOps {
           log((col("__ns").cast("double") + 1.0) /
               (col("__ts") + col("__v"))))), 6).as("dsir_logweight"))
 
+  /** Per-language reference bigram LM — the CCNet artifact (Wenzek et
+    * al. 2020: a LM trained on a reference domain, scoring the crawl).
+    * Counts come from the REFERENCE frame only (caller pre-filters to
+    * the reference source); all three tables are vocab-sized (Heaps'
+    * law) and broadcastable. Returns (bigram counts (lang, bg, cb),
+    * unigram counts (lang, w1, cu), vocab sizes (lang, v)) — the
+    * standing artifact: materialize once, consume from batch scoring
+    * (t75) and the streaming twin (`Streaming.lmScoreStream`) alike. */
+  def bigramLm(ref: DataFrame, langCol: String,
+               textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    def toksL = tokensLower(col(textCol))
+    def bigrams = graft.functions.SketchExpressions.wordShingles(toksL, 2)
+    val bg0 = ref.select(col(langCol).as("lang"), explode(bigrams).as("bg"))
+      .groupBy("lang", "bg").agg(count(lit(1)).as("cb"))
+    val ug0 = ref.select(col(langCol).as("lang"), explode(toksL).as("w1"))
+      .groupBy("lang", "w1").agg(count(lit(1)).as("cu"))
+    val vsz = ug0.groupBy("lang").agg(count(lit(1)).as("v"))
+    (bg0, ug0, vsz)
+  }
+
+  /** Per-document score under the reference bigram LM: mean add-one-
+    * smoothed bigram log-likelihood ln((cb+1)/(cu+V)), per the doc's
+    * language. OOV bigrams/unigrams score finitely through the
+    * smoothing (count 0); documents whose language has no reference
+    * LM drop out (inner join on the LM's lang set — documented), as
+    * do documents with fewer than two tokens (no bigrams). Round-6
+    * output (cross-engine-stable, the t53 precedent). LM sides join
+    * as broadcasts; one corpus pass + one per-doc agg. */
+  def bigramLmScore(docs: DataFrame, idCol: String, langCol: String,
+                    textCol: String, bg0: DataFrame, ug0: DataFrame,
+                    vsz: DataFrame): DataFrame = {
+    def bigrams = graft.functions.SketchExpressions
+      .wordShingles(tokensLower(col(textCol)), 2)
+    docs
+      .select(col(idCol), col(langCol).as("lang"), explode(bigrams).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(broadcast(bg0), Seq("lang", "bg"), "left")
+      .join(broadcast(ug0), Seq("lang", "w1"), "left")
+      .join(broadcast(vsz), Seq("lang"))
+      .groupBy(col(idCol), col("lang"))
+      .agg((round(avg(log(
+        (coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("cu"), lit(0L)) + col("v")).cast("double"))), 6)
+        + 0.0).as("lm_lp"))
+  }
+
   /** One BPE merge applied to a symbol array — left-to-right,
     * non-overlapping (the reference BPE policy) — as a declarative
     * fold: append each symbol unless the accumulator's tail is `a`

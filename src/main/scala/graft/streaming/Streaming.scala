@@ -434,6 +434,23 @@ object Streaming {
         ()
     }
 
+  /** CCNet-scoring twin of `dsirScoreStream`: score a live feed per
+    * microbatch against the standing per-language reference bigram LM
+    * (`TextOps.bigramLm`, materialized once — vocab-sized tables the
+    * batch scorer broadcasts). Same sink-owned append contract as the
+    * other foreachBatch sinks; the stream's scores ARE the batch
+    * operator's scores on the same rows (spec-asserted). */
+  def lmScoreStream(in: DataFrame, idCol: String, langCol: String,
+                    textCol: String, bg0: DataFrame, ug0: DataFrame,
+                    vsz: DataFrame, sinkPath: String) =
+    in.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.ops.TextOps.bigramLmScore(batch, idCol, langCol, textCol,
+          bg0, ug0, vsz)
+          .write.mode("append").parquet(sinkPath)
+        ()
+    }
+
   /** Stream-static enrichment: every microbatch left-joins the static
     * dimension, broadcast so the stream side never shuffles — the
     * standard shape for attaching source mixing weights / calibration

@@ -226,6 +226,43 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(got(3L)._1 === 2L && got(3L)._2 > 0 && got(3L)._2 < got(1L)._2)
   }
 
+  test("lmScoreStream scores a delta against the standing bigram LM") {
+    implicit val sc = spark.sqlContext
+    import graft.ops.TextOps
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_lmscore").toString + "/scores"
+    // reference LM: English alpha-beta prose, French gamma-delta
+    val ref = Seq(
+      ("en", "alpha beta alpha beta alpha"),
+      ("fr", "gamma delta gamma delta"))
+      .toDF("lang", "text")
+    val (bg0, ug0, vsz) = TextOps.bigramLm(ref, "lang", "text")
+    val input = MemoryStream[(Long, String, String)]
+    val q = Streaming.lmScoreStream(
+      input.toDS().toDF("doc_id", "lang", "text"), "doc_id", "lang",
+      "text", bg0, ug0, vsz, sink).start()
+    // in-domain, OOV-heavy, cross-language (scored under ITS lang's
+    // LM), unknown-language (dropped), and too-short (no bigram) docs
+    input.addData((1L, "en", "alpha beta alpha"),
+      (2L, "en", "zzz qqq www"), (3L, "fr", "gamma delta"),
+      (4L, "zz", "alpha beta"), (5L, "en", "alpha"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(sink).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("lm_lp")).toMap
+    // twin equivalence: stream scores ARE the batch operator's scores
+    val batch = TextOps.bigramLmScore(
+      Seq((1L, "en", "alpha beta alpha"), (2L, "en", "zzz qqq www"),
+        (3L, "fr", "gamma delta"), (4L, "zz", "alpha beta"),
+        (5L, "en", "alpha")).toDF("doc_id", "lang", "text"),
+      "doc_id", "lang", "text", bg0, ug0, vsz).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("lm_lp")).toMap
+    assert(got === batch)
+    // in-domain beats OOV junk; no-LM lang and bigramless docs drop
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) > got(2L))
+  }
+
   test("semDedupStream drops near-dups within batches and vs the sink") {
     implicit val sc = spark.sqlContext
     val sink = java.nio.file.Files
