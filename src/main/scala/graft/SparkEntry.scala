@@ -203,6 +203,62 @@ object SparkEntry {
            LEFT JOIN c$i ON c$i.node = nodes.node)"""
     }.mkString(",\n         ")
 
+  /** Host link-graph + 3-round PageRank CTE block shared by the t74
+    * and t77 oracles (`r3` = (node, r) final integer-ppm ranks). ONE
+    * definition so the rank artifact its consumers join cannot drift
+    * from the artifact itself. */
+  private val hostRankSql: String =
+    s"""a AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' see https://site' || (doc_id % 7)
+                       || '.example.org/p' || doc_id
+                       || ' and http://host' || (doc_id % 3) || '.net/q'
+                  ELSE text END AS aug
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(aug,
+               '(?i)https?://([A-Za-z0-9.-]+)', 1)) AS dst
+           FROM a),
+         edges AS (
+           SELECT 'site' || (doc_id % 7) || '.example.org' AS src,
+             dst, count(*) AS w
+           FROM u
+           WHERE dst <> 'site' || (doc_id % 7) || '.example.org'
+           GROUP BY 1, 2),
+         outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+         en AS (
+           SELECT e.src, e.dst, (1000000000 * e.w) // o.ow AS p
+           FROM edges e JOIN outw o USING (src)),
+         nodes AS (
+           SELECT src AS node FROM edges
+           UNION SELECT dst FROM edges),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         r0 AS (SELECT node, 1000000 // n AS r FROM nodes CROSS JOIN nn),
+         ${pageRankIterSql(3)}"""
+
+  /** Each document's hosting site under the t19/t66 planted-URL
+    * convention — the doc→host key shared by t74 (edge sources) and
+    * t77 (curation grouping). */
+  private def hostingSite: Column =
+    concat(lit("site"), (col("doc_id") % 7).cast("string"),
+      lit(".example.org"))
+
+  /** The host link-graph rank artifact (node, rank_ppm) shared by t74
+    * (the artifact itself) and t77 (its per-host consumer): citation
+    * edges from each doc's hosting site to every domain its text
+    * cites, ranked by `Graph.pageRankPpm`. Materialize-once contract
+    * at corpus scale — the table is host-cardinality. */
+  private def hostRanks(s: SparkSession, dir: String): DataFrame = {
+    val edges = T(s, dir, "documents")
+      .select(hostingSite.as("src_host"),
+        explode(TextOps.urlDomains(urlAugmented)).as("dst_host"))
+      .where(col("src_host") =!= col("dst_host"))
+      .groupBy("src_host", "dst_host").agg(count(lit(1)).as("w"))
+    Graph.pageRankPpm(edges, "src_host", "dst_host", "w", iters = 3)
+  }
+
   /** Deterministic URL augmentation shared by t19 and t66 (the
     * synthetic corpus has no URLs, so every 5th doc gets a planted
     * footer; both engines build the same augmented text). ONE Scala
@@ -1302,16 +1358,36 @@ object SparkEntry {
     // Jacobi iterations in integer-ppm arithmetic (`Graph.pageRankPpm`
     // — floor division end-to-end, so the DuckDB twin is bit-exact;
     // see the operator's scaladoc for the per-iteration plan shape).
-    "t74_host_pagerank" -> ((s, dir) => {
-      val srcHost = concat(lit("site"), (col("doc_id") % 7).cast("string"),
-        lit(".example.org"))
-      val edges = T(s, dir, "documents")
-        .select(srcHost.as("src_host"),
-          explode(TextOps.urlDomains(urlAugmented)).as("dst_host"))
-        .where(col("src_host") =!= col("dst_host"))
-        .groupBy("src_host", "dst_host").agg(count(lit(1)).as("w"))
-      Graph.pageRankPpm(edges, "src_host", "dst_host", "w", iters = 3)
-        .select(col("node").as("host"), col("rank_ppm"))
+    "t74_host_pagerank" -> ((s, dir) =>
+      hostRanks(s, dir).select(col("node").as("host"), col("rank_ppm"))),
+
+    // Per-host curation table — the FineWeb-style domain decision
+    // artifact: for every hosting site, its document count, exact-dup
+    // rate (docs whose text hash repeats WITHIN the host), mean doc
+    // size, and the t74 link rank — the four signals a keep/drop/
+    // downweight decision per domain reads together. Two partial-agged
+    // shuffles ((host,hash) then host); the rank artifact is
+    // host-cardinality and joins as a broadcast. Integer outputs
+    // (ppm / x100 fixed-point floor division) — exact oracle twin,
+    // which shares the t74 rank CTE block so artifact and consumer
+    // cannot drift.
+    "t77_host_curation" -> ((s, dir) => {
+      val byHash = T(s, dir, "documents")
+        .select(hostingSite.as("host"), md5(col("text")).as("h"),
+          col("n_chars"))
+        .groupBy("host", "h")
+        .agg(count(lit(1)).as("c"), sum("n_chars").as("sc"))
+      val perHost = byHash.groupBy("host")
+        .agg(sum("c").as("n_docs"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("nd"),
+          sum("sc").as("sch"))
+      perHost.join(broadcast(hostRanks(s, dir)
+          .select(col("node").as("host"), col("rank_ppm").as("__r"))),
+          Seq("host"), "left")
+        .select(col("host"), col("n_docs"),
+          expr("(1000000 * nd) div n_docs").as("dup_ppm"),
+          expr("(100 * sch) div n_docs").as("chars_x100"),
+          coalesce(col("__r"), lit(0L)).as("rank_ppm"))
     }),
 
     // CCNet-style perplexity split (Wenzek et al. 2020): score every
@@ -2918,36 +2994,27 @@ object SparkEntry {
                 ELSE 'test' END AS split
          FROM lbl""",
     "t74_host_pagerank" ->
-      s"""WITH a AS (
-           SELECT doc_id,
-             CASE WHEN doc_id % 5 = 0
-                  THEN text || ' see https://site' || (doc_id % 7)
-                       || '.example.org/p' || doc_id
-                       || ' and http://host' || (doc_id % 3) || '.net/q'
-                  ELSE text END AS aug
-           FROM documents),
-         u AS (
-           SELECT doc_id,
-             unnest(regexp_extract_all(aug,
-               '(?i)https?://([A-Za-z0-9.-]+)', 1)) AS dst
-           FROM a),
-         edges AS (
-           SELECT 'site' || (doc_id % 7) || '.example.org' AS src,
-             dst, count(*) AS w
-           FROM u
-           WHERE dst <> 'site' || (doc_id % 7) || '.example.org'
-           GROUP BY 1, 2),
-         outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
-         en AS (
-           SELECT e.src, e.dst, (1000000000 * e.w) // o.ow AS p
-           FROM edges e JOIN outw o USING (src)),
-         nodes AS (
-           SELECT src AS node FROM edges
-           UNION SELECT dst FROM edges),
-         nn AS (SELECT count(*) AS n FROM nodes),
-         r0 AS (SELECT node, 1000000 // n AS r FROM nodes CROSS JOIN nn),
-         ${pageRankIterSql(3)}
+      s"""WITH $hostRankSql
          SELECT node AS host, r AS rank_ppm FROM r3""",
+    "t77_host_curation" ->
+      s"""WITH $hostRankSql,
+         hx AS (
+           SELECT 'site' || (doc_id % 7) || '.example.org' AS host,
+             md5(text) AS h, n_chars
+           FROM documents),
+         bh AS (
+           SELECT host, h, count(*) AS c, sum(n_chars) AS sc
+           FROM hx GROUP BY 1, 2),
+         ph AS (
+           SELECT host, sum(c) AS n_docs,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS nd,
+             sum(sc) AS sch
+           FROM bh GROUP BY 1)
+         SELECT ph.host, n_docs,
+           (1000000 * nd) // n_docs AS dup_ppm,
+           (100 * sch) // n_docs AS chars_x100,
+           coalesce(r.r, 0) AS rank_ppm
+         FROM ph LEFT JOIN r3 r ON r.node = ph.host""",
     "t75_ccnet_buckets" ->
       """WITH t AS (
            SELECT doc_id, lang, source,

@@ -247,6 +247,18 @@ class PlanAuditSpec extends SparkSpec {
       s"t75 rank must not plan a single-reducer window:\n$p")
   }
 
+  test("t77: curation aggs combine map-side; rank artifact broadcasts") {
+    // the (host,hash) and host rollups must partial-aggregate before
+    // their exchanges, and the host-cardinality rank table must join
+    // as a broadcast — a shuffled join here would move the corpus-
+    // derived aggregate through a second full exchange
+    val p = plan("t77_host_curation")
+    assert(p.contains("partial_sum"),
+      "host rollup must combine map-side")
+    assert(p.contains("BroadcastHashJoin"),
+      s"t77 rank join must broadcast:\n$p")
+  }
+
   test("t76: probe sides broadcast — truth is one linear corpus pass") {
     // the probe set must ride as the broadcast side of BOTH the exact
     // ground-truth join (non-equi probe<>other ⇒ broadcast nested
