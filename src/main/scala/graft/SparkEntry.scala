@@ -137,12 +137,15 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY vec_id
            ORDER BY dist, cid) = 1)"""
 
-  /** The near-dup cluster-label CTE block shared by the t12 and t72
-    * oracles (`lbl` = per-doc min-reachable-id component label via the
-    * recursive CTE — the SQL twin of `Dedup.clusterLabels`). ONE
-    * definition so the two oracles cannot drift. */
-  private val neardupLabelSql: String =
-    """WITH RECURSIVE t AS (
+  /** Minhash/band CTE block — 3-token shingles, 8 hashes, 4 bands
+    * over `documents`: the SQL twin of the production LSH index
+    * surface (`Dedup.lshBandKeys` / `minhashSig`). ONE definition
+    * shared by every oracle that probes that surface (t2/t20/t31/
+    * t56/t57/t58/t76/d5 and the cluster-label block behind t12/t72)
+    * so a change to the index scheme cannot leave a stale twin
+    * behind. */
+  private val minhashBandsSql: String =
+    """t AS (
          SELECT doc_id, string_split_regex(text, '\s+') AS toks
          FROM documents),
        sh AS (
@@ -157,7 +160,35 @@ object SparkEntry {
          FROM sh),
        bands AS (
          SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
-         FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+         FROM mh, unnest(generate_series(1, 4)) AS u(b))"""
+
+  /** Planted-URL augmentation + domain extraction CTEs (`a`, `u` with
+    * column `domain`) — the SQL twin of `urlAugmented` +
+    * `TextOps.urlDomains`, shared by t19, t66 and the t74/t77 host
+    * graph so the planted-URL scheme cannot desynchronize between its
+    * SQL consumers (it is already a single definition on the Scala
+    * side). */
+  private val urlAugSql: String =
+    """a AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || ' see https://site' || (doc_id % 7)
+                     || '.example.org/p' || doc_id
+                     || ' and http://host' || (doc_id % 3) || '.net/q'
+                ELSE text END AS aug
+         FROM documents),
+       u AS (
+         SELECT doc_id,
+           unnest(regexp_extract_all(aug,
+             '(?i)https?://([A-Za-z0-9.-]+)', 1)) AS domain
+         FROM a)"""
+
+  /** The near-dup cluster-label CTE block shared by the t12 and t72
+    * oracles (`lbl` = per-doc min-reachable-id component label via the
+    * recursive CTE — the SQL twin of `Dedup.clusterLabels`). ONE
+    * definition so the two oracles cannot drift. */
+  private val neardupLabelSql: String =
+    s"""WITH RECURSIVE $minhashBandsSql,
        pairs AS (
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b
@@ -208,24 +239,13 @@ object SparkEntry {
     * definition so the rank artifact its consumers join cannot drift
     * from the artifact itself. */
   private val hostRankSql: String =
-    s"""a AS (
-           SELECT doc_id,
-             CASE WHEN doc_id % 5 = 0
-                  THEN text || ' see https://site' || (doc_id % 7)
-                       || '.example.org/p' || doc_id
-                       || ' and http://host' || (doc_id % 3) || '.net/q'
-                  ELSE text END AS aug
-           FROM documents),
-         u AS (
-           SELECT doc_id,
-             unnest(regexp_extract_all(aug,
-               '(?i)https?://([A-Za-z0-9.-]+)', 1)) AS dst
-           FROM a),
+    s"""$urlAugSql,
          edges AS (
            SELECT 'site' || (doc_id % 7) || '.example.org' AS src,
-             dst, count(*) AS w
+             lower(domain) AS dst, count(*) AS w
            FROM u
-           WHERE dst <> 'site' || (doc_id % 7) || '.example.org'
+           WHERE lower(domain) <> 'site' || (doc_id % 7)
+             || '.example.org'
            GROUP BY 1, 2),
          outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
          en AS (
@@ -251,9 +271,15 @@ object SparkEntry {
     * cites, ranked by `Graph.pageRankPpm`. Materialize-once contract
     * at corpus scale — the table is host-cardinality. */
   private def hostRanks(s: SparkSession, dir: String): DataFrame = {
+    // domains lower()ed per RFC 4343 (the t66 rule) BEFORE the
+    // self-link gate and the edge rollup: a doc citing its own host
+    // in uppercase must not mint a phantom graph node that siphons
+    // rank mass (urlDomains preserves case; hosting sites are
+    // lowercase literals)
     val edges = T(s, dir, "documents")
       .select(hostingSite.as("src_host"),
-        explode(TextOps.urlDomains(urlAugmented)).as("dst_host"))
+        explode(TextOps.urlDomains(urlAugmented)).as("__d"))
+      .select(col("src_host"), lower(col("__d")).as("dst_host"))
       .where(col("src_host") =!= col("dst_host"))
       .groupBy("src_host", "dst_host").agg(count(lit(1)).as("w"))
     Graph.pageRankPpm(edges, "src_host", "dst_host", "w", iters = 3)
@@ -2926,22 +2952,7 @@ object SparkEntry {
               FOR k IN generate_series(1, 8)], '|') AS mh
          FROM sh""",
     "t2_lsh_jaccard" ->
-      """WITH t AS (
-           SELECT doc_id, string_split_regex(text, '\s+') AS toks
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             [array_to_string(toks[i:i+2], ' ')
-              FOR i IN generate_series(1, len(toks)-2)] AS s
-           FROM t WHERE len(toks) >= 3),
-         mh AS (
-           SELECT doc_id,
-             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
-              FOR k IN generate_series(1, 8)] AS sig
-           FROM sh),
-         bands AS (
-           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
-           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+      raw"""WITH $minhashBandsSql,
          pairs AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bands a JOIN bands b
@@ -3054,14 +3065,7 @@ object SparkEntry {
                 WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
          FROM rk""",
     "t76_lsh_recall" ->
-      """WITH t AS (
-           SELECT doc_id, string_split_regex(text, '\s+') AS toks
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             [array_to_string(toks[i:i+2], ' ')
-              FOR i IN generate_series(1, len(toks)-2)] AS s
-           FROM t WHERE len(toks) >= 3),
+      raw"""WITH $minhashBandsSql,
          sets AS (SELECT doc_id, list_distinct(s) AS ss FROM sh),
          truth AS (
            SELECT a.doc_id AS probe_id, b.doc_id AS other_id
@@ -3072,14 +3076,6 @@ object SparkEntry {
              / (len(a.ss) + len(b.ss)
                 - len(list_filter(a.ss, e -> list_contains(b.ss, e))))
              >= 0.5),
-         mh AS (
-           SELECT doc_id,
-             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
-              FOR k IN generate_series(1, 8)] AS sig
-           FROM sh),
-         bands AS (
-           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
-           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
          cand AS (
            SELECT DISTINCT a.doc_id AS probe_id, b.doc_id AS other_id
            FROM bands a JOIN bands b
@@ -3476,39 +3472,12 @@ object SparkEntry {
              END AS dup_char_frac
          FROM l""",
     "t19_domain_stats" ->
-      """WITH a AS (
-           SELECT doc_id,
-             CASE WHEN doc_id % 5 = 0
-                  THEN text || ' see https://site' || (doc_id % 7)
-                       || '.example.org/p' || doc_id
-                       || ' and http://host' || (doc_id % 3) || '.net/q'
-                  ELSE text END AS aug
-           FROM documents),
-         u AS (
-           SELECT doc_id,
-             unnest(regexp_extract_all(aug,
-               '(?i)https?://([A-Za-z0-9.-]+)', 1)) AS domain
-           FROM a)
+      raw"""WITH $urlAugSql
          SELECT domain, count(*) AS n_urls,
            count(DISTINCT doc_id) AS n_docs
          FROM u GROUP BY domain""",
     "t20_minhash_est" ->
-      """WITH t AS (
-           SELECT doc_id, string_split_regex(text, '\s+') AS toks
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             [array_to_string(toks[i:i+2], ' ')
-              FOR i IN generate_series(1, len(toks)-2)] AS s
-           FROM t WHERE len(toks) >= 3),
-         mh AS (
-           SELECT doc_id,
-             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
-              FOR k IN generate_series(1, 8)] AS sig
-           FROM sh),
-         bands AS (
-           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
-           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+      raw"""WITH $minhashBandsSql,
          pairs AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bands a JOIN bands b
@@ -3583,22 +3552,7 @@ object SparkEntry {
              AND n_tokens BETWEEN 10 AND 5000 AS BIGINT) AS keep
          FROM feat""",
     "d5_neardup_keep" ->
-      """WITH RECURSIVE t AS (
-           SELECT doc_id, string_split_regex(text, '\s+') AS toks
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             [array_to_string(toks[i:i+2], ' ')
-              FOR i IN generate_series(1, len(toks)-2)] AS s
-           FROM t WHERE len(toks) >= 3),
-         mh AS (
-           SELECT doc_id,
-             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
-              FOR k IN generate_series(1, 8)] AS sig
-           FROM sh),
-         bands AS (
-           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
-           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+      raw"""WITH RECURSIVE $minhashBandsSql,
          pairs AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bands a JOIN bands b
@@ -3618,22 +3572,7 @@ object SparkEntry {
            ON m.id = d.doc_id
          GROUP BY 1""",
     "t56_keep_best" ->
-      """WITH RECURSIVE t AS (
-           SELECT doc_id, string_split_regex(text, '\s+') AS toks
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             [array_to_string(toks[i:i+2], ' ')
-              FOR i IN generate_series(1, len(toks)-2)] AS s
-           FROM t WHERE len(toks) >= 3),
-         mh AS (
-           SELECT doc_id,
-             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
-              FOR k IN generate_series(1, 8)] AS sig
-           FROM sh),
-         bands AS (
-           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
-           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+      raw"""WITH RECURSIVE $minhashBandsSql,
          pairs AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bands a JOIN bands b
@@ -3676,22 +3615,7 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY cluster_id
            ORDER BY q_score DESC, doc_id) = 1""",
     "t57_source_dup_rate" ->
-      """WITH RECURSIVE t AS (
-           SELECT doc_id, string_split_regex(text, '\s+') AS toks
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             [array_to_string(toks[i:i+2], ' ')
-              FOR i IN generate_series(1, len(toks)-2)] AS s
-           FROM t WHERE len(toks) >= 3),
-         mh AS (
-           SELECT doc_id,
-             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
-              FOR k IN generate_series(1, 8)] AS sig
-           FROM sh),
-         bands AS (
-           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
-           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+      raw"""WITH RECURSIVE $minhashBandsSql,
          pairs AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bands a JOIN bands b
@@ -3737,19 +3661,7 @@ object SparkEntry {
              AS bytes_per_tok_ppm
          FROM d GROUP BY source, lang""",
     "t66_url_blocklist" ->
-      """WITH a AS (
-           SELECT doc_id,
-             CASE WHEN doc_id % 5 = 0
-                  THEN text || ' see https://site' || (doc_id % 7)
-                       || '.example.org/p' || doc_id
-                       || ' and http://host' || (doc_id % 3) || '.net/q'
-                  ELSE text END AS aug
-           FROM documents),
-         u AS (
-           SELECT doc_id,
-             unnest(regexp_extract_all(aug,
-               '(?i)https?://([A-Za-z0-9.-]+)', 1)) AS domain
-           FROM a),
+      raw"""WITH $urlAugSql,
          hits AS (
            SELECT DISTINCT doc_id FROM u
            WHERE lower(domain) IN ('site0.example.org',
@@ -4007,22 +3919,7 @@ object SparkEntry {
          FROM tf JOIN qt USING (term) JOIN dl USING (doc_id), st
          GROUP BY tf.doc_id""",
     "t31_fuzzy_decontam" ->
-      """WITH t AS (
-           SELECT doc_id, string_split_regex(text, '\s+') AS toks
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             [array_to_string(toks[i:i+2], ' ')
-              FOR i IN generate_series(1, len(toks)-2)] AS s
-           FROM t WHERE len(toks) >= 3),
-         mh AS (
-           SELECT doc_id,
-             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
-              FOR k IN generate_series(1, 8)] AS sig
-           FROM sh),
-         bands AS (
-           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
-           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+      raw"""WITH $minhashBandsSql,
          hits AS (
            SELECT DISTINCT tr.doc_id
            FROM bands tr JOIN bands be
@@ -4033,22 +3930,7 @@ object SparkEntry {
          FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
          WHERE d.doc_id % 20 <> 0""",
     "t58_neardup_churn" ->
-      """WITH t AS (
-           SELECT doc_id, string_split_regex(text, '\s+') AS toks
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             [array_to_string(toks[i:i+2], ' ')
-              FOR i IN generate_series(1, len(toks)-2)] AS s
-           FROM t WHERE len(toks) >= 3),
-         mh AS (
-           SELECT doc_id,
-             [list_min([md5(k::VARCHAR || '|' || x) FOR x IN s])
-              FOR k IN generate_series(1, 8)] AS sig
-           FROM sh),
-         bands AS (
-           SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
-           FROM mh, unnest(generate_series(1, 4)) AS u(b)),
+      raw"""WITH $minhashBandsSql,
          hits AS (
            SELECT DISTINCT ad.doc_id
            FROM bands ad JOIN bands rm

@@ -18,14 +18,15 @@ class GraphSpec extends SparkSpec {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     val n = nodes.size.toLong
     val ow = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
-    val p = edges.map { case (s, d, w) =>
-      (s, d) -> (1000000000L * w) / ow(s) }.toMap
     var r = nodes.map(_ -> 1000000L / n).toMap
     for (_ <- 1 to iters) {
       val dang = nodes.filterNot(ow.contains).map(r).sum
       r = nodes.map { v =>
-        val in = edges.collect { case (s, d, _) if d == v =>
-          (85L * r(s) * p((s, d))) / 100000000000L }.sum
+        // per EDGE OCCURRENCE, like the operator: a duplicated
+        // (src,dst) row quantizes and contributes independently — a
+        // keyed map would collapse duplicates and diverge
+        val in = edges.collect { case (s, d, w) if d == v =>
+          (85L * r(s) * ((1000000000L * w) / ow(s))) / 100000000000L }.sum
         v -> ((1000000L * 15) / (100L * n) + (85L * dang) / (100L * n) + in)
       }.toMap
     }
@@ -48,6 +49,9 @@ class GraphSpec extends SparkSpec {
   test("pageRankPpm matches the sequential reference bit-for-bit") {
     for (iters <- Seq(0, 1, 3))
       assert(run(g, iters) === refPageRank(g, iters))
+    // duplicate (src,dst) rows are independent edges on both sides
+    val gDup = g ++ Seq(("a", "b", 2L))
+    assert(run(gDup, 3) === refPageRank(gDup, 3))
   }
 
   test("rank mass stays within [90%, 100%] of one (floors only lose)") {
