@@ -451,6 +451,61 @@ object Streaming {
         ()
     }
 
+  /** One microbatch of the live host-rank fold (factored out of
+    * `hostRankStream` so replay idempotence is directly testable):
+    * the batch's (src, dst) citation pairs aggregate to per-batch edge
+    * weights written under `batch_id=<id>` with DYNAMIC partition
+    * overwrite — Structured Streaming re-delivers a replayed batch
+    * under the SAME batchId, so the replay overwrites its own
+    * partition instead of double-counting (the canonical idempotent-
+    * foreachBatch pattern). The standing edge table is then summed by
+    * key (host-cardinality — never a corpus re-scan) and re-ranked. */
+  def foldHostRankBatch(batch: DataFrame, batchId: Long, srcCol: String,
+                        dstCol: String, edgesSink: String,
+                        ranksSink: String, iters: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      batch.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(edgesSink)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val standing = spark.read.parquet(edgesSink)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    // ranks are a DERIVED cache, not state: the crash-safe store is
+    // the batchId-partitioned edge sink; a torn ranks write self-heals
+    // on the next batch's rebuild (unlike sourceSketchStream, whose
+    // sink IS the state and needs the temp-swap)
+    graft.ops.Graph.pageRankPpm(standing, "src", "dst", "w", iters)
+      .write.mode("overwrite").parquet(ranksSink)
+  }
+
+  /** Live host-rank maintenance — the streaming twin of the t74/t77
+    * rank artifact over the crawl path (readWarcStream → extraction →
+    * (src, dst) citation pairs → this): every microbatch folds its
+    * edges into the standing table and refreshes the rank artifact
+    * downstream curation joins (t77's shape) read. Per batch the
+    * re-rank costs iters × (host-cardinality join + agg) — hosts, not
+    * documents, so a continuous refresh is affordable at crawl
+    * scale. */
+  def hostRankStream(in: DataFrame, srcCol: String, dstCol: String,
+                     edgesSink: String, ranksSink: String,
+                     iters: Int = 3) =
+    in.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        foldHostRankBatch(batch, batchId, srcCol, dstCol, edgesSink,
+          ranksSink, iters)
+    }
+
   /** Stream-static enrichment: every microbatch left-joins the static
     * dimension, broadcast so the stream side never shuffles — the
     * standard shape for attaching source mixing weights / calibration

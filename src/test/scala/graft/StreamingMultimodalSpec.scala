@@ -263,6 +263,40 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
+  test("hostRankStream maintains the rank artifact; replays are no-ops") {
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_hostrank").toString
+    val (edges, ranks) = (base + "/edges", base + "/ranks")
+    val input = MemoryStream[(String, String)]
+    val q = Streaming.hostRankStream(
+      input.toDS().toDF("src", "dst"), "src", "dst", edges, ranks).start()
+    input.addData(("a", "b"), ("a", "b"), ("b", "c"))
+    q.processAllAvailable()
+    input.addData(("c", "a"), ("a", "b"))
+    q.processAllAvailable()
+    q.stop()
+    // artifact == the batch operator over the summed standing edges
+    val expected = graft.ops.Graph.pageRankPpm(
+      Seq(("a", "b", 3L), ("b", "c", 1L), ("c", "a", 1L))
+        .toDF("src", "dst", "w"), "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def readRanks() = spark.read.parquet(ranks).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(readRanks() === expected)
+    // replaying batch 1 (same batchId, same data — the Structured
+    // Streaming redelivery contract) overwrites its own partition:
+    // standing edges and ranks must not change
+    Streaming.foldHostRankBatch(
+      Seq(("c", "a"), ("a", "b")).toDF("src", "dst"), 1L,
+      "src", "dst", edges, ranks)
+    assert(readRanks() === expected)
+    // a NEW batch does change the fold (non-vacuity of the replay test)
+    Streaming.foldHostRankBatch(
+      Seq(("b", "a")).toDF("src", "dst"), 2L, "src", "dst", edges, ranks)
+    assert(readRanks() !== expected)
+  }
+
   test("semDedupStream drops near-dups within batches and vs the sink") {
     implicit val sc = spark.sqlContext
     val sink = java.nio.file.Files
