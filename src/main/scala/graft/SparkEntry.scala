@@ -162,6 +162,39 @@ object SparkEntry {
          SELECT doc_id, b, md5(sig[2*b-1] || sig[2*b]) AS bh
          FROM mh, unnest(generate_series(1, 4)) AS u(b))"""
 
+  /** Reference-bigram-LM scoring CTE block (`sc` = (doc_id, lang,
+    * lm_lp)) — the SQL twin of `TextOps.bigramLm` + `bigramLmScore`,
+    * shared by the t75 and t78 oracles so the scoring scheme cannot
+    * drift between the tercile split and the rank fusion. */
+  private val bigramScoreSql: String =
+    """t AS (
+         SELECT doc_id, lang, source,
+           string_split_regex(lower(text), '\s+') AS toks
+         FROM documents),
+       b AS (
+         SELECT doc_id, lang, source,
+           unnest([array_to_string(toks[i:i+1], ' ')
+                   FOR i IN generate_series(1, len(toks)-1)]) AS bg
+         FROM t WHERE len(toks) >= 2),
+       bg0 AS (
+         SELECT lang, bg, count(*) AS cb FROM b
+         WHERE source = 'src0' GROUP BY 1, 2),
+       ug0 AS (
+         SELECT lang, w, count(*) AS cu FROM (
+           SELECT lang, source, unnest(toks) AS w FROM t)
+         WHERE source = 'src0' GROUP BY 1, 2),
+       v AS (SELECT lang, count(*) AS v FROM ug0 GROUP BY 1),
+       sc AS (
+         SELECT doc_id, b.lang,
+           round(avg(ln((coalesce(cb, 0) + 1)::DOUBLE
+             / (coalesce(cu, 0) + v.v)::DOUBLE)), 6) + 0.0 AS lm_lp
+         FROM b
+         LEFT JOIN bg0 ON bg0.lang = b.lang AND bg0.bg = b.bg
+         LEFT JOIN ug0 ON ug0.lang = b.lang
+           AND ug0.w = split_part(b.bg, ' ', 1)
+         JOIN v ON v.lang = b.lang
+         GROUP BY 1, 2)"""
+
   /** Planted-URL augmentation + domain extraction CTEs (`a`, `u` with
     * column `domain`) — the SQL twin of `urlAugmented` +
     * `TextOps.urlDomains`, shared by t19, t66 and the t74/t77 host
@@ -1416,6 +1449,52 @@ object SparkEntry {
           coalesce(col("__r"), lit(0L)).as("rank_ppm"))
     }),
 
+    // Reciprocal-rank fusion of independent curation signals (the
+    // standard multi-signal combiner — Cormack et al. 2009): each doc
+    // is ranked globally under three orthogonal signals (reference-LM
+    // quality, hosting-site link authority, document size), and the
+    // fused score Σ 1e6 div (60 + rank_i) selects the final top-50.
+    // All three rankings are exact and distributed: the two corpus-
+    // sized ones go through `Windows.twoLevelRank` (no one-reducer
+    // global sort); the host ranking is host-cardinality (a tiny
+    // window) inherited through a broadcast join. Integer floor
+    // division end-to-end — no float ties, exact DuckDB twin (which
+    // shares the LM-score and host-rank CTE blocks). Docs without an
+    // LM score (no bigrams / no reference LM for their language) drop,
+    // as in t75.
+    "t78_rrf_fusion" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (bg0, ug0, vsz) =
+        TextOps.bigramLm(docs.where(col("source") === "src0"),
+          "lang", "text")
+      val lm = TextOps.bigramLmScore(docs, "doc_id", "lang", "text",
+        bg0, ug0, vsz)
+      val rLm = Windows.twoLevelRank(lm, Seq.empty,
+          (-floor(col("lm_lp") * 10)).cast("long"),
+          Seq(col("lm_lp").desc, col("doc_id")), "r_lm")
+        .select(col("doc_id"), col("r_lm"))
+      val hostPos = hostRanks(s, dir)
+        .withColumn("r_host", row_number().over(
+          Window.orderBy(col("rank_ppm").desc, col("node")))
+          .cast("long"))
+        .select(col("node").as("host"), col("r_host"))
+      val rHost = T(s, dir, "documents")
+        .select(col("doc_id"), hostingSite.as("host"))
+        .join(broadcast(hostPos), Seq("host"))
+        .select(col("doc_id"), col("r_host"))
+      val rSize = Windows.twoLevelRank(
+          T(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          Seq.empty, expr("-(n_chars div 100)").cast("long"),
+          Seq(col("n_chars").desc, col("doc_id")), "r_size")
+        .select(col("doc_id"), col("r_size"))
+      rLm.join(rSize, Seq("doc_id")).join(rHost, Seq("doc_id"))
+        .select(col("doc_id"), col("r_lm"), col("r_host"), col("r_size"),
+          (expr("1000000 div (60 + r_lm)") +
+            expr("1000000 div (60 + r_host)") +
+            expr("1000000 div (60 + r_size)")).as("rrf_ppm"))
+        .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(50)
+    }),
+
     // CCNet-style perplexity split (Wenzek et al. 2020): score every
     // document under a reference-domain bigram LM (here source=src0 —
     // the pipeline's "Wikipedia" stand-in — per language, add-one
@@ -1439,20 +1518,12 @@ object SparkEntry {
       val scored =
         TextOps.bigramLmScore(docs, "doc_id", "lang", "text",
           bg0, ug0, vsz)
-      val withB = scored.withColumn("__b",
-        floor(col("lm_lp") * 10).cast("long"))
-      val bTab = withB.groupBy("lang", "__b")
-        .agg(count(lit(1)).as("__bn"))
-        .withColumn("__off", coalesce(sum("__bn").over(
-          Window.partitionBy("lang").orderBy(col("__b").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      val nLang = bTab.groupBy("lang").agg(sum("__bn").as("__nl"))
-      val wIn = Window.partitionBy("lang", "__b")
-        .orderBy(col("lm_lp").desc, col("doc_id"))
+      val nLang = scored.groupBy("lang").agg(count(lit(1)).as("__nl"))
+      val ranked = Windows.twoLevelRank(scored, Seq("lang"),
+        (-floor(col("lm_lp") * 10)).cast("long"),
+        Seq(col("lm_lp").desc, col("doc_id")), "__rk")
       val tb = expr("((__rk - 1) * 3) div __nl")
-      withB.join(bTab.select("lang", "__b", "__off"), Seq("lang", "__b"))
-        .join(broadcast(nLang), Seq("lang"))
-        .withColumn("__rk", col("__off") + row_number().over(wIn))
+      ranked.join(broadcast(nLang), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("lm_lp"),
           when(tb === 0, "head").when(tb === 1, "middle")
             .otherwise("tail").as("ppl_bucket"))
@@ -3027,33 +3098,7 @@ object SparkEntry {
            coalesce(r.r, 0) AS rank_ppm
          FROM ph LEFT JOIN r3 r ON r.node = ph.host""",
     "t75_ccnet_buckets" ->
-      """WITH t AS (
-           SELECT doc_id, lang, source,
-             string_split_regex(lower(text), '\s+') AS toks
-           FROM documents),
-         b AS (
-           SELECT doc_id, lang, source,
-             unnest([array_to_string(toks[i:i+1], ' ')
-                     FOR i IN generate_series(1, len(toks)-1)]) AS bg
-           FROM t WHERE len(toks) >= 2),
-         bg0 AS (
-           SELECT lang, bg, count(*) AS cb FROM b
-           WHERE source = 'src0' GROUP BY 1, 2),
-         ug0 AS (
-           SELECT lang, w, count(*) AS cu FROM (
-             SELECT lang, source, unnest(toks) AS w FROM t)
-           WHERE source = 'src0' GROUP BY 1, 2),
-         v AS (SELECT lang, count(*) AS v FROM ug0 GROUP BY 1),
-         sc AS (
-           SELECT doc_id, b.lang,
-             round(avg(ln((coalesce(cb, 0) + 1)::DOUBLE
-               / (coalesce(cu, 0) + v.v)::DOUBLE)), 6) + 0.0 AS lm_lp
-           FROM b
-           LEFT JOIN bg0 ON bg0.lang = b.lang AND bg0.bg = b.bg
-           LEFT JOIN ug0 ON ug0.lang = b.lang
-             AND ug0.w = split_part(b.bg, ' ', 1)
-           JOIN v ON v.lang = b.lang
-           GROUP BY 1, 2),
+      raw"""WITH $bigramScoreSql,
          rk AS (
            SELECT doc_id, lang, lm_lp,
              row_number() OVER (PARTITION BY lang
@@ -3064,6 +3109,37 @@ object SparkEntry {
            CASE ((rk - 1) * 3) // nl WHEN 0 THEN 'head'
                 WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
          FROM rk""",
+    "t78_rrf_fusion" ->
+      raw"""WITH $bigramScoreSql,
+         $hostRankSql,
+         rl AS (
+           SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY lm_lp DESC, doc_id)
+               AS BIGINT) AS r_lm
+           FROM sc),
+         hp AS (
+           SELECT node AS host,
+             CAST(row_number() OVER (ORDER BY r DESC, node)
+               AS BIGINT) AS r_host
+           FROM r3),
+         rh AS (
+           SELECT doc_id, r_host
+           FROM (SELECT doc_id,
+                   'site' || (doc_id % 7) || '.example.org' AS host
+                 FROM documents) dh
+           JOIN hp USING (host)),
+         rs AS (
+           SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+               AS BIGINT) AS r_size
+           FROM documents)
+         SELECT rl.doc_id, r_lm, r_host, r_size,
+           1000000 // (60 + r_lm) + 1000000 // (60 + r_host)
+             + 1000000 // (60 + r_size) AS rrf_ppm
+         FROM rl
+         JOIN rs ON rs.doc_id = rl.doc_id
+         JOIN rh ON rh.doc_id = rl.doc_id
+         ORDER BY rrf_ppm DESC, rl.doc_id LIMIT 50""",
     "t76_lsh_recall" ->
       raw"""WITH $minhashBandsSql,
          sets AS (SELECT doc_id, list_distinct(s) AS ss FROM sh),

@@ -147,6 +147,38 @@ object Windows {
         .when(pv.isNotNull, pv))
   }
 
+  /** Exact global (or per-partition) rank WITHOUT a one-reducer sort —
+    * the two-level distributed scan shared by t68's prefix sums, t75's
+    * perplexity terciles and t78's rank fusion. `bucket` must be an
+    * integer expression MONOTONE ASCENDING in the caller's order (for
+    * a descending score s, pass e.g. -floor(s*10): floor/negate are
+    * exact, so bucket(a) <= bucket(b) whenever a ranks before b, and
+    * ties land in the same bucket where `order` decides). Level 1:
+    * per-bucket counts get exclusive offsets via a window over the
+    * BUCKET table (bucket-cardinality — tiny; nest the same step for
+    * corpora where it is not). Level 2: rows rank inside their bucket
+    * only (hash-partitioned window). rank = offset + in-bucket
+    * row_number — identical to a global row_number over `order`
+    * (spec-asserted), with every window hash-partitioned. */
+  def twoLevelRank(df: DataFrame, partition: Seq[String], bucket: Column,
+                   order: Seq[Column], out: String): DataFrame = {
+    val part = partition.map(col)
+    val withB = df.withColumn("__tlb", bucket)
+    val bTab = withB
+      .groupBy((part :+ col("__tlb")): _*)
+      .agg(count(lit(1)).as("__tlbn"))
+      .withColumn("__tloff", coalesce(
+        sum("__tlbn").over(Window.partitionBy(part: _*)
+          .orderBy(col("__tlb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((part :+ col("__tlb") :+ col("__tloff")): _*)
+    val wIn = Window.partitionBy((part :+ col("__tlb")): _*)
+      .orderBy(order: _*)
+    withB.join(bTab, partition :+ "__tlb")
+      .withColumn(out, col("__tloff") + row_number().over(wIn))
+      .drop("__tlb", "__tloff")
+  }
+
   /** A2 — modal spacing between consecutive timestamps, in seconds
     * (fs_pp.py:557-558 infers the logger cadence). Returns the most common
     * positive gap; ties break toward the smaller gap. Driver scalar. */

@@ -259,6 +259,18 @@ class PlanAuditSpec extends SparkSpec {
       s"t77 rank join must broadcast:\n$p")
   }
 
+  test("t78: fused top-k is TakeOrdered; corpus windows stay bucketed") {
+    // the final top-50 must plan as TakeOrderedAndProject (never a
+    // global sort of the corpus), and the only SinglePartition spots
+    // allowed are the tiny ones: the two bucket-table cumsums and the
+    // host-cardinality rank window
+    val p = plan("t78_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"t78 top-k must be TakeOrdered:\n$p")
+    assert("SinglePartition".r.findAllIn(p).length <= 3,
+      s"t78 corpus-sized windows must stay bucket-partitioned:\n$p")
+  }
+
   test("t76: probe sides broadcast — truth is one linear corpus pass") {
     // the probe set must ride as the broadcast side of BOTH the exact
     // ground-truth join (non-equi probe<>other ⇒ broadcast nested

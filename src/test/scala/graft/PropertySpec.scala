@@ -403,6 +403,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("twoLevelRank equals a global row_number on random scored data") {
+    // the distributed two-level rank must be indistinguishable from
+    // the one-reducer window it replaces — including duplicate scores
+    // (same bucket, tiebreak) and scores straddling bucket boundaries
+    import graft.ops.Windows
+    import org.apache.spark.sql.expressions.Window
+    val gen = Gen.listOfN(60, Gen.zip(Gen.choose(0, 2), Gen.choose(-50, 50)))
+    forAll(gen, n = 6) { xs =>
+      val df = xs.zipWithIndex.map { case ((g, v), i) =>
+        (s"g$g", i.toLong, v.toDouble / 7.0) }.toDF("grp", "id", "s")
+      val got = Windows
+        .twoLevelRank(df, Seq("grp"), (-floor(col("s") * 10)).cast("long"),
+          Seq(col("s").desc, col("id")), "rk")
+        .select("grp", "id", "rk").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = df.withColumn("rk",
+          row_number().over(Window.partitionBy("grp")
+            .orderBy(col("s").desc, col("id"))).cast("long"))
+        .select("grp", "id", "rk").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === want)
+    }
+  }
+
   test("t75 terciles are ordered, exhaustive, and near-equal-sized") {
     // Within every language: every head score >= every middle score >=
     // every tail score (the two-level rank must reproduce a true
