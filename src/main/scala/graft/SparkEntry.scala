@@ -1495,6 +1495,33 @@ object SparkEntry {
         .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(50)
     }),
 
+    // Standing-corpus CDC merge (`Cdc.applyChanges`): re-crawl
+    // revisions, takedown deletes, and new-page inserts applied in one
+    // last-op-wins pass — the maintenance step t49's insert-only
+    // ingest leaves open. The synthetic feed exercises every path:
+    // updates (doc_id%10==3, revised text), deletes (%10==5), inserts
+    // (%10==7 under shifted ids), AND a second-op delete on %100==3
+    // keys so last-op-wins is observable (update at seq 1, delete at
+    // seq 2 — the delete must win). Output hashes the text so the
+    // compare stays narrow.
+    "t79_cdc_merge" -> ((s, dir) => {
+      val base = T(s, dir, "documents")
+      val upd = base.where(col("doc_id") % 10 === 3)
+        .withColumn("text", concat(col("text"), lit(" [rev2]")))
+        .withColumn("__op", lit("update")).withColumn("__seq", lit(1L))
+      val del = base.where(col("doc_id") % 10 === 5)
+        .withColumn("__op", lit("delete")).withColumn("__seq", lit(1L))
+      val ins = base.where(col("doc_id") % 10 === 7)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("__op", lit("insert")).withColumn("__seq", lit(1L))
+      val del2 = base.where(col("doc_id") % 100 === 3)
+        .withColumn("__op", lit("delete")).withColumn("__seq", lit(2L))
+      val delta = upd.unionByName(del).unionByName(ins).unionByName(del2)
+      Cdc.applyChanges(base, delta, "doc_id", "__op", "__seq")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"))
+    }),
+
     // CCNet-style perplexity split (Wenzek et al. 2020): score every
     // document under a reference-domain bigram LM (here source=src0 —
     // the pipeline's "Wikipedia" stand-in — per language, add-one
@@ -3140,6 +3167,33 @@ object SparkEntry {
          JOIN rs ON rs.doc_id = rl.doc_id
          JOIN rh ON rh.doc_id = rl.doc_id
          ORDER BY rrf_ppm DESC, rl.doc_id LIMIT 50""",
+    "t79_cdc_merge" ->
+      """WITH delta AS (
+           SELECT doc_id, text || ' [rev2]' AS text, lang, source,
+             n_chars, 'update' AS op, 1 AS seq
+           FROM documents WHERE doc_id % 10 = 3
+           UNION ALL
+           SELECT doc_id, text, lang, source, n_chars, 'delete', 1
+           FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id + 1000000, text, lang, source, n_chars,
+             'insert', 1
+           FROM documents WHERE doc_id % 10 = 7
+           UNION ALL
+           SELECT doc_id, text, lang, source, n_chars, 'delete', 2
+           FROM documents WHERE doc_id % 100 = 3),
+         last AS (
+           SELECT * FROM delta
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+             ORDER BY seq DESC, op DESC) = 1),
+         merged AS (
+           SELECT doc_id, text, lang, source FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM last)
+           UNION ALL
+           SELECT doc_id, text, lang, source FROM last
+           WHERE op <> 'delete')
+         SELECT doc_id, md5(text) AS text_md5, lang, source
+         FROM merged""",
     "t76_lsh_recall" ->
       raw"""WITH $minhashBandsSql,
          sets AS (SELECT doc_id, list_distinct(s) AS ss FROM sh),

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture merge — the standing-corpus MAINTENANCE step
+  * the incremental-ingest family (t49, `appendDedupedStream`) leaves
+  * open: those only ADD novel documents, but a live corpus also takes
+  * retractions (takedowns, robots.txt revocations, licensing pulls)
+  * and in-place revisions (re-crawled pages). This is the MERGE
+  * semantics of a Delta-style upsert expressed as plain joins, so it
+  * runs on bare parquet with no table-format dependency. */
+object Cdc {
+
+  /** Apply a change feed to a standing table, last-op-per-key wins:
+    * rows of `delta` carry the base's data columns plus `opCol`
+    * ('insert' | 'update' | 'delete') and `seqCol` (change order —
+    * e.g. a CDC log offset or capture timestamp). Multiple ops on one
+    * key collapse to the highest (seq, op) pair (the op tiebreak
+    * makes equal-seq feeds deterministic); then every touched key
+    * leaves the base, and non-delete survivors re-enter with their
+    * new row — insert and update are deliberately symmetric, as in
+    * SCD-1 merges, so a replayed insert is just an idempotent update.
+    *
+    * Scale shape: one delta-sized window (partitioned by key), one
+    * key-keyed anti-join, one union — the base never shuffles more
+    * than its join key, and with both sides bucketed by key the
+    * anti-join is co-located. The delta is usually days-sized against
+    * a corpus-sized base: broadcast it when small enough (AQE picks
+    * this up from stats). */
+  def applyChanges(base: DataFrame, delta: DataFrame, idCol: String,
+                   opCol: String, seqCol: String): DataFrame = {
+    val dataCols = base.columns
+    require(!dataCols.contains(opCol) && !dataCols.contains(seqCol),
+      s"base already has a '$opCol'/'$seqCol' column — rename the " +
+        "feed's op/seq columns")
+    val lastOp = delta
+      .withColumn("__cdc_rk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col(seqCol).desc, col(opCol).desc)))
+      .where(col("__cdc_rk") === 1)
+    val survivors =
+      base.join(lastOp.select(col(idCol)), Seq(idCol), "left_anti")
+    val upserts = lastOp.where(col(opCol) =!= "delete")
+      .select(dataCols.map(col): _*)
+    survivors.unionByName(upserts)
+  }
+}

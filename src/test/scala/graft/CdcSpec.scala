@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Cdc
+
+/** `Cdc.applyChanges` semantics beyond what the t79 oracle exercises:
+  * no-op deletes, insert-as-update symmetry, equal-seq determinism,
+  * and the column-collision guard. */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+
+  private def merge(delta: Seq[(Long, String, String, Long)]) =
+    Cdc.applyChanges(base, delta.toDF("id", "v", "op", "seq"),
+      "id", "op", "seq")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("update revises, delete removes, insert adds") {
+    assert(merge(Seq((1L, "a2", "update", 1L), (2L, "b", "delete", 1L),
+      (9L, "z", "insert", 1L))) === Map(1L -> "a2", 3L -> "c", 9L -> "z"))
+  }
+
+  test("delete of an absent key is a no-op; replayed insert upserts") {
+    // takedown for a never-ingested page changes nothing; an insert
+    // replayed against an existing key behaves as an update (SCD-1
+    // symmetry), not a duplicate row
+    assert(merge(Seq((7L, "x", "delete", 1L))) ===
+      Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(merge(Seq((2L, "b9", "insert", 1L))) ===
+      Map(1L -> "a", 2L -> "b9", 3L -> "c"))
+  }
+
+  test("last op per key wins; equal seq resolves deterministically") {
+    // update@1 then delete@2 — the delete wins (the t79 oracle path);
+    // at EQUAL seq the op-name tiebreak ('update' > 'delete' DESC)
+    // must pick the same winner on every run
+    assert(merge(Seq((1L, "a2", "update", 1L), (1L, "a2", "delete", 2L)))
+      === Map(2L -> "b", 3L -> "c"))
+    val tied = merge(Seq((1L, "a2", "update", 1L), (1L, "xx", "delete", 1L)))
+    assert(tied === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+  }
+
+  test("a base column clashing with op/seq fails loud") {
+    val badBase = Seq((1L, "a", "u")).toDF("id", "v", "op")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.applyChanges(badBase, badBase.withColumn("seq", lit(1L)),
+        "id", "op", "seq")
+    }
+    assert(e.getMessage.contains("rename"))
+  }
+}
