@@ -17,8 +17,13 @@ object Cdc {
     * rows of `delta` carry the base's data columns plus `opCol`
     * ('insert' | 'update' | 'delete') and `seqCol` (change order —
     * e.g. a CDC log offset or capture timestamp). Multiple ops on one
-    * key collapse to the highest (seq, op) pair (the op tiebreak
-    * makes equal-seq feeds deterministic); then every touched key
+    * key collapse to the highest (seq, op, payload-hash) triple —
+    * the op tiebreak orders equal-seq cross-op feeds, and the payload
+    * hash makes even a fully-tied pair (same key, seq AND op with
+    * different payloads: two revisions inside one timestamp
+    * granularity) resolve to the SAME winner on every run and replay,
+    * instead of whichever row a partition ordered first. Then every
+    * touched key
     * leaves the base, and non-delete survivors re-enter with their
     * new row — insert and update are deliberately symmetric, as in
     * SCD-1 merges, so a replayed insert is just an idempotent update.
@@ -38,7 +43,8 @@ object Cdc {
     val lastOp = delta
       .withColumn("__cdc_rk", row_number().over(
         Window.partitionBy(col(idCol))
-          .orderBy(col(seqCol).desc, col(opCol).desc)))
+          .orderBy(col(seqCol).desc, col(opCol).desc,
+            xxhash64(dataCols.map(col): _*))))
       .where(col("__cdc_rk") === 1)
     val survivors =
       base.join(lastOp.select(col(idCol)), Seq(idCol), "left_anti")

@@ -162,6 +162,9 @@ object Windows {
     * (spec-asserted), with every window hash-partitioned. */
   def twoLevelRank(df: DataFrame, partition: Seq[String], bucket: Column,
                    order: Seq[Column], out: String): DataFrame = {
+    require(!df.columns.contains("__tlb") && !df.columns.contains("__tloff"),
+      "twoLevelRank: input already has a __tlb/__tloff column — it " +
+        "would be clobbered and dropped (rename it)")
     val part = partition.map(col)
     val withB = df.withColumn("__tlb", bucket)
     val bTab = withB

@@ -452,32 +452,73 @@ object Streaming {
     }
 
   /** One microbatch of the live host-rank fold (factored out of
-    * `hostRankStream` so replay idempotence is directly testable):
-    * the batch's (src, dst) citation pairs aggregate to per-batch edge
-    * weights written under `batch_id=<id>` with DYNAMIC partition
-    * overwrite — Structured Streaming re-delivers a replayed batch
+    * `hostRankStream` so replay idempotence and compaction are
+    * directly testable): the batch's (src, dst) citation pairs
+    * aggregate to per-batch edge weights written under
+    * `batch_id=<id>` with DYNAMIC partition overwrite, scoped to THIS
+    * write via the writer option (a session-conf flip would race
+    * concurrent streams: another stream's finally-restore mid-write
+    * would flip this write to static mode and wipe every other
+    * partition). Structured Streaming re-delivers a replayed batch
     * under the SAME batchId, so the replay overwrites its own
-    * partition instead of double-counting (the canonical idempotent-
-    * foreachBatch pattern). The standing edge table is then summed by
-    * key (host-cardinality — never a corpus re-scan) and re-ranked. */
+    * partition instead of double-counting — the canonical idempotent-
+    * foreachBatch pattern, which only holds with a DURABLE stream
+    * checkpoint (`hostRankStream` requires one: a temp checkpoint
+    * renumbers batches from 0 on restart and double-counts history).
+    *
+    * Partition growth is BOUNDED: once the sink holds more than
+    * `compactAfter` batch partitions, everything older than
+    * `keepRecent` batches folds into the consolidated `batch_id=-1`
+    * partition via the sourceSketchStream temp-swap (write complete
+    * temp, delete old, rename; recovery promotes a complete orphan
+    * temp at the next call) — so the standing read stays
+    * O(hosts + keepRecent) for the stream's whole lifetime.
+    * `keepRecent` must cover the redelivery window (foreachBatch
+    * re-runs at most the last uncommitted batch, so the default of 8
+    * is generous); a compacted batch's replay would re-add its
+    * partition, which the checkpoint contract prevents. */
   def foldHostRankBatch(batch: DataFrame, batchId: Long, srcCol: String,
                         dstCol: String, edgesSink: String,
-                        ranksSink: String, iters: Int = 3): Unit = {
+                        ranksSink: String, iters: Int = 3,
+                        compactAfter: Int = 64,
+                        keepRecent: Int = 8): Unit = {
     val spark = batch.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      batch.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .where(col("src") =!= col("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id")
-        .parquet(edgesSink)
-    } finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val hPath = new org.apache.hadoop.fs.Path(edgesSink)
+    val tmp = new org.apache.hadoop.fs.Path(edgesSink + "__tmp")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recovery: death between delete-old and rename-temp left a
+    // COMPLETE temp (has _SUCCESS) and no sink — promote it first
+    if (!fs.exists(hPath) && fs.exists(tmp) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      fs.rename(tmp, hPath)
+    batch.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(edgesSink)
+    // an all-self-citation (or empty) first batch writes no part
+    // files; reading the sink would fail schema inference, and there
+    // is nothing to rank yet
+    if (!fs.exists(hPath) || !fs.listStatus(hPath).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch_id=")))
+      return
+    val nParts = fs.listStatus(hPath)
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    if (nParts > compactAfter) {
+      val all = spark.read.parquet(edgesSink)
+      val cutoff = batchId - keepRecent
+      val folded = all.where(col("batch_id") <= cutoff)
+        .groupBy("src", "dst").agg(sum("w").as("w"))
+        .withColumn("batch_id", lit(-1L))
+      val compacted = folded
+        .unionByName(all.where(col("batch_id") > cutoff))
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      compacted.write.partitionBy("batch_id").parquet(tmp.toString)
+      fs.delete(hPath, true)
+      fs.rename(tmp, hPath)
     }
     val standing = spark.read.parquet(edgesSink)
       .groupBy("src", "dst").agg(sum("w").as("w"))
@@ -495,16 +536,20 @@ object Streaming {
     * edges into the standing table and refreshes the rank artifact
     * downstream curation joins (t77's shape) read. Per batch the
     * re-rank costs iters × (host-cardinality join + agg) — hosts, not
-    * documents, so a continuous refresh is affordable at crawl
-    * scale. */
+    * documents, so a continuous refresh is affordable at crawl scale.
+    * `checkpointDir` is REQUIRED (not optional) because the replay
+    * idempotence of the edge fold rests on stable batch ids — see
+    * `foldHostRankBatch`. */
   def hostRankStream(in: DataFrame, srcCol: String, dstCol: String,
                      edgesSink: String, ranksSink: String,
-                     iters: Int = 3) =
-    in.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, batchId: Long) =>
-        foldHostRankBatch(batch, batchId, srcCol, dstCol, edgesSink,
-          ranksSink, iters)
-    }
+                     checkpointDir: String, iters: Int = 3) =
+    in.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: DataFrame, batchId: Long) =>
+          foldHostRankBatch(batch, batchId, srcCol, dstCol, edgesSink,
+            ranksSink, iters)
+      }
 
   /** Stream-static enrichment: every microbatch left-joins the static
     * dimension, broadcast so the stream side never shuffles — the

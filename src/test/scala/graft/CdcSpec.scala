@@ -40,6 +40,14 @@ class CdcSpec extends SparkSpec {
       === Map(2L -> "b", 3L -> "c"))
     val tied = merge(Seq((1L, "a2", "update", 1L), (1L, "xx", "delete", 1L)))
     assert(tied === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    // FULLY tied (same key, seq AND op, different payloads): the
+    // payload-hash tiebreak must pick the same winner on every run,
+    // independent of input order/partitioning
+    val fullTie = Seq((1L, "p", "update", 1L), (1L, "q", "update", 1L))
+    val r1 = merge(fullTie)
+    val r2 = merge(fullTie.reverse)
+    assert(r1 === r2)
+    assert(Set("p", "q").contains(r1(1L)))
   }
 
   test("a base column clashing with op/seq fails loud") {

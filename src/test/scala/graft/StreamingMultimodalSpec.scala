@@ -270,7 +270,8 @@ class StreamingMultimodalSpec extends SparkSpec {
     val (edges, ranks) = (base + "/edges", base + "/ranks")
     val input = MemoryStream[(String, String)]
     val q = Streaming.hostRankStream(
-      input.toDS().toDF("src", "dst"), "src", "dst", edges, ranks).start()
+      input.toDS().toDF("src", "dst"), "src", "dst", edges, ranks,
+      base + "/ckpt").start()
     input.addData(("a", "b"), ("a", "b"), ("b", "c"))
     q.processAllAvailable()
     input.addData(("c", "a"), ("a", "b"))
@@ -295,6 +296,38 @@ class StreamingMultimodalSpec extends SparkSpec {
     Streaming.foldHostRankBatch(
       Seq(("b", "a")).toDF("src", "dst"), 2L, "src", "dst", edges, ranks)
     assert(readRanks() !== expected)
+  }
+
+  test("foldHostRankBatch: empty first batch is safe; compaction bounds") {
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_hostrank2").toString
+    val (edges, ranks) = (base + "/edges", base + "/ranks")
+    // batch 0 is all self-citations → zero surviving edges: must not
+    // kill the fold on schema inference, and must not publish ranks
+    Streaming.foldHostRankBatch(
+      Seq(("a", "a")).toDF("src", "dst"), 0L, "src", "dst", edges, ranks)
+    assert(!new java.io.File(ranks).exists())
+    // 6 more batches with compactAfter=3, keepRecent=2: partitions
+    // beyond the recent window fold into batch_id=-1, the artifact
+    // stays equal to the full-history rank, and the partition count
+    // stays bounded
+    (1L to 6L).foreach { i =>
+      Streaming.foldHostRankBatch(
+        Seq(("a", "b"), ("b", "c")).toDF("src", "dst"), i,
+        "src", "dst", edges, ranks, compactAfter = 3, keepRecent = 2)
+    }
+    val expected = graft.ops.Graph.pageRankPpm(
+      Seq(("a", "b", 6L), ("b", "c", 6L)).toDF("src", "dst", "w"),
+      "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = spark.read.parquet(ranks).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    val parts = new java.io.File(edges).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(parts <= 4, s"compaction must bound partitions, saw $parts")
+    assert(new java.io.File(edges + "/batch_id=-1").exists())
   }
 
   test("semDedupStream drops near-dups within batches and vs the sink") {
