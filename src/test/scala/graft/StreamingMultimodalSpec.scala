@@ -330,6 +330,48 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(new java.io.File(edges + "/batch_id=-1").exists())
   }
 
+  test("cdcMergeStream merges into touched buckets; replays converge") {
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cdc").toString + "/corpus"
+    def state() = spark.read.parquet(base)
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val input = MemoryStream[(Long, String, String, Long)]
+    val q = Streaming.cdcMergeStream(
+      input.toDS().toDF("id", "v", "op", "seq"), base, "id", "op",
+      "seq", base + "_ckpt", nBuckets = 4).start()
+    // batch 0 bootstraps; batch 1 revises/deletes/inserts across
+    // buckets (ids spread over pmod(xxhash64,4))
+    input.addData((1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 1L), (4L, "d", "insert", 1L))
+    q.processAllAvailable()
+    assert(state() === Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    input.addData((2L, "b2", "update", 2L), (3L, "c", "delete", 2L),
+      (9L, "z", "insert", 2L))
+    q.processAllAvailable()
+    q.stop()
+    val want = Map(1L -> "a", 2L -> "b2", 4L -> "d", 9L -> "z")
+    assert(state() === want)
+    // SCD-1 replay: re-applying batch 1 against the merged base
+    // converges to the same state (update rewrites, delete no-ops,
+    // insert upserts) — no batch-id machinery needed
+    Streaming.mergeCdcBatch(
+      Seq((2L, "b2", "update", 2L), (3L, "c", "delete", 2L),
+        (9L, "z", "insert", 2L)).toDF("id", "v", "op", "seq"),
+      base, "id", "op", "seq", nBuckets = 4)
+    assert(state() === want)
+    // a bucket fully emptied by deletes must drop its partition, not
+    // leave stale rows behind the dynamic overwrite
+    Streaming.mergeCdcBatch(
+      want.keys.map(id => (id, "", "delete", 3L)).toSeq
+        .toDF("id", "v", "op", "seq"),
+      base, "id", "op", "seq", nBuckets = 4)
+    val dirs = new java.io.File(base).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("__kb="))
+    assert(dirs === 0, s"emptied buckets must be dropped, saw $dirs")
+  }
+
   test("semDedupStream drops near-dups within batches and vs the sink") {
     implicit val sc = spark.sqlContext
     val sink = java.nio.file.Files
