@@ -251,6 +251,18 @@ object Streaming {
     fs.exists(p) &&
       fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
 
+  /** Partitioned-sink state probe shared by the foreachBatch
+    * maintainers (`foldHostRankBatch`, `mergeCdcBatch`): a sink
+    * "exists" only when it holds at least one `prefix`-named partition
+    * directory — a dir with just _SUCCESS/_temporary (empty first
+    * batch, crashed write, fully-emptied corpus) must route to the
+    * bootstrap path, not a schema-inference crash. */
+  private def hasPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                               p: org.apache.hadoop.fs.Path,
+                               prefix: String): Boolean =
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith(prefix))
+
   /** Incremental corpus append with SINK-OWNED dedup state — the
     * operational ingest loop (t49's streaming form): each microbatch
     * anti-joins the content hashes already IN the sink, then appends
@@ -502,9 +514,7 @@ object Streaming {
     // an all-self-citation (or empty) first batch writes no part
     // files; reading the sink would fail schema inference, and there
     // is nothing to rank yet
-    if (!fs.exists(hPath) || !fs.listStatus(hPath).exists(s =>
-        s.isDirectory && s.getPath.getName.startsWith("batch_id=")))
-      return
+    if (!hasPartitionDirs(fs, hPath, "batch_id=")) return
     val nParts = fs.listStatus(hPath)
       .count(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
     if (nParts > compactAfter) {
@@ -559,10 +569,15 @@ object Streaming {
     * bucket set (≤ nBuckets values — a bounded driver collect, like
     * the q39 centroid scalars) prunes the base read down to affected
     * partitions, and the merged slice rewrites just those partitions
-    * via per-write dynamic overwrite. At 100 TB a days-sized delta
-    * touches a bounded fraction of buckets, so the rewrite is
-    * delta-proportional — never a corpus rewrite (the bare-parquet
-    * answer to merge-on-read table formats).
+    * via per-write dynamic overwrite — the bare-parquet answer to
+    * merge-on-read table formats. The rewrite is delta-proportional
+    * ONLY if nBuckets outnumbers the per-batch distinct-key count:
+    * random keys saturate all buckets at ~1.5k distinct keys per 256
+    * buckets (coupon collector), at which point every merge is a full
+    * corpus rewrite. Size nBuckets ≈ corpus_size / target_rewrite
+    * (e.g. 10⁴–10⁵ at 100 TB so one bucket is a few GB and a batch
+    * rewrites batch-keys × bucket-size bytes); the 256 default suits
+    * mid-size corpora and tests, not the 100 TB point.
     *
     * Replays need no batch-id machinery: SCD-1 merge is IDEMPOTENT
     * (re-applied update rewrites the same row, re-applied delete
@@ -581,41 +596,76 @@ object Streaming {
       }
 
   /** One microbatch of `cdcMergeStream` (factored for direct replay
-    * testing). */
+    * testing). ONE code path for bootstrap and merge: when no
+    * standing partitions exist (first batch, crashed write, or a
+    * corpus fully emptied by deletes) the base slice is simply empty,
+    * and the dynamic-overwrite write creates the partitions — no
+    * ErrorIfExists wedge state. The standing table persists each
+    * row's winning change order as `__seq`, and the base slice joins
+    * the merge as a pseudo-update at its stored seq — so a STALE
+    * straggler (an update whose seq is lower than the standing row's)
+    * loses to the base instead of blindly overwriting it. Deletes are
+    * NOT tombstoned: a straggler older than an applied delete
+    * re-inserts its row (full out-of-order-delete protection needs a
+    * tombstone table — documented limitation, as in most bare-file
+    * CDC folds). `nBuckets` is persisted in a `_graft_nbuckets`
+    * marker and re-validated on every merge (the sourceSketchStream
+    * k-guard): merging under a different bucket count would strand
+    * standing rows in partitions the pruned read never visits —
+    * silent duplicate keys and missed deletes. */
   def mergeCdcBatch(delta: DataFrame, basePath: String, idCol: String,
                     opCol: String, seqCol: String,
                     nBuckets: Int): Unit = {
     val spark = delta.sparkSession
-    val kb = pmod(xxhash64(col(idCol)), lit(nBuckets.toLong))
+    require(!delta.columns.contains("__kb") &&
+        !delta.columns.contains("__seq"),
+      "mergeCdcBatch: the feed already has a __kb/__seq column — it " +
+        "would be clobbered (rename it)")
     val hPath = new org.apache.hadoop.fs.Path(basePath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val withKb = delta.withColumn("__kb", kb)
-    if (!hasPartFiles(fs, hPath) &&
-        !(fs.exists(hPath) && fs.listStatus(hPath).exists(s =>
-          s.isDirectory && s.getPath.getName.startsWith("__kb=")))) {
-      // bootstrap: the standing corpus IS the feed's first non-delete
-      // image (last-op-per-key still applies inside the batch)
-      val dataCols = delta.columns
-        .filterNot(c => c == opCol || c == seqCol).map(col)
-      graft.ops.Cdc.applyChanges(
-          withKb.where(lit(false))
-            .select((dataCols :+ col("__kb")): _*),
-          withKb, idCol, opCol, seqCol)
-        .write.partitionBy("__kb").parquet(basePath)
-      return
-    }
+    // one eager materialization: the touched-set collect and the merge
+    // both consume the batch — without it the source re-reads and
+    // re-hashes every batch row twice per trigger
+    val d = delta
+      .withColumn("__kb", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
+      .withColumn("__seq", col(seqCol))
+      .localCheckpoint(eager = true)
     // touched buckets: bounded by nBuckets — a scalar-sized collect
-    val touched = withKb.select("__kb").distinct()
-      .collect().map(_.getLong(0))
+    val touched = d.select("__kb").distinct().collect().map(_.getLong(0))
     if (touched.isEmpty) return
-    val baseSlice = spark.read.parquet(basePath)
-      .where(col("__kb").isin(touched: _*)) // partition-pruned scan
+    val marker = new org.apache.hadoop.fs.Path(hPath, "_graft_nbuckets")
+    if (fs.exists(marker)) {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(marker), "UTF-8"))
+      val stored = try in.readLine().trim.toInt finally in.close()
+      require(stored == nBuckets,
+        s"mergeCdcBatch: standing corpus was bucketed with " +
+          s"nBuckets=$stored, stream configured with $nBuckets — " +
+          "rebucket the corpus or match its layout")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(nBuckets.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+    val dataCols = delta.columns
+      .filterNot(c => c == opCol || c == seqCol)
+    val storedCols = (dataCols :+ "__seq" :+ "__kb").map(col)
+    val feedCols = storedCols :+ col(opCol) :+ col(seqCol)
+    val basePseudo =
+      if (hasPartitionDirs(fs, hPath, "__kb="))
+        spark.read.parquet(basePath)
+          .where(col("__kb").isin(touched: _*)) // partition-pruned scan
+          .withColumn(opCol, lit("update"))
+          .withColumn(seqCol, col("__seq"))
+      else d.where(lit(false)) // empty, schema-complete
     // EAGER materialization before the write: the merged slice reads
     // the very partitions the write overwrites (Spark rejects lazy
     // self-overwrite); the checkpoint is slice-sized —
     // delta-proportional, the whole point of the bucket pruning
-    val merged = graft.ops.Cdc
-      .applyChanges(baseSlice, withKb, idCol, opCol, seqCol)
+    val merged = graft.ops.Cdc.applyChanges(
+        d.where(lit(false)).select(storedCols: _*),
+        basePseudo.select(feedCols: _*).unionByName(d.select(feedCols: _*)),
+        idCol, opCol, seqCol)
       .localCheckpoint(eager = true)
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

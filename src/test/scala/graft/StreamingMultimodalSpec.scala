@@ -361,10 +361,25 @@ class StreamingMultimodalSpec extends SparkSpec {
         (9L, "z", "insert", 2L)).toDF("id", "v", "op", "seq"),
       base, "id", "op", "seq", nBuckets = 4)
     assert(state() === want)
+    // a STALE straggler (seq older than the standing row's) must lose
+    // to the base — the stored __seq makes cross-batch ordering hold
+    Streaming.mergeCdcBatch(
+      Seq((2L, "bOLD", "update", 1L)).toDF("id", "v", "op", "seq"),
+      base, "id", "op", "seq", nBuckets = 4)
+    assert(state() === want,
+      "a lower-seq straggler must not overwrite a newer standing row")
+    // restarting with a different bucket count must fail loud, not
+    // silently strand standing rows in unvisited partitions
+    val e = intercept[IllegalArgumentException] {
+      Streaming.mergeCdcBatch(
+        Seq((2L, "x", "update", 9L)).toDF("id", "v", "op", "seq"),
+        base, "id", "op", "seq", nBuckets = 8)
+    }
+    assert(e.getMessage.contains("nBuckets"))
     // a bucket fully emptied by deletes must drop its partition, not
     // leave stale rows behind the dynamic overwrite
     Streaming.mergeCdcBatch(
-      want.keys.map(id => (id, "", "delete", 3L)).toSeq
+      want.keys.map(id => (id, "", "delete", 9L)).toSeq
         .toDF("id", "v", "op", "seq"),
       base, "id", "op", "seq", nBuckets = 4)
     val dirs = new java.io.File(base).listFiles()
