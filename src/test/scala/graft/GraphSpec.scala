@@ -59,6 +59,28 @@ class GraphSpec extends SparkSpec {
     assert(total <= 1000000L && total >= 900000L)
   }
 
+  test("pageRankPpm ≡ reference on random graphs (cycles, dangling, dups)") {
+    // deterministic scalacheck-style sweep (the PropertySpec pattern):
+    // random multigraphs hit shapes the fixed graph cannot — isolated
+    // cycles, multiple dangling sinks, duplicate edges, self-loop-free
+    // but otherwise arbitrary topology
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val nodeG = Gen.choose(0, 7).map(i => s"n$i")
+    val edgeG = for {
+      s <- nodeG; d <- nodeG.suchThat(_ != s)
+      w <- Gen.choose(1L, 5L)
+    } yield (s, d, w)
+    val graphG = Gen.choose(1, 15).flatMap(Gen.listOfN(_, edgeG))
+    (0 until 12).foreach { i =>
+      graphG.apply(Gen.Parameters.default, Seed(1000L + i)).foreach { es =>
+        assert(run(es, 3) === refPageRank(es, 3), s"seed ${1000 + i}: $es")
+        val total = run(es, 3).values.sum
+        assert(total <= 1000000L, s"mass created on seed ${1000 + i}")
+      }
+    }
+  }
+
   test("empty edge list yields an empty ranking, not a div-by-zero") {
     assert(run(Seq.empty, 3).isEmpty)
   }
