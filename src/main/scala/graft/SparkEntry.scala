@@ -85,6 +85,20 @@ object SparkEntry {
       coalesce(guard.cast("double"), lit(0.0))
   }
 
+  /** Cross-engine-stable rounded SUM of a money-valued double
+    * expression: per-row HALF_UP quantization to 8 dp via the decimal
+    * cast (deterministic from identical doubles — the stableAvg
+    * pattern), EXACT decimal summation (no float summation order),
+    * round to cents, back to double. A plain `round(sum(double), 2)`
+    * flips its last cent once group sums reach ~1e10 over 1e5+ rows:
+    * Spark's partial-agg tree and DuckDB's sequential sum then differ
+    * in the final ulp exactly at a .xx5 boundary — observed on
+    * q11/q12 at the sf1 (10×) scale point, invisible at the sf0.1
+    * gate. Decimal(24,8) holds 1e16 per row and the sum widens to
+    * decimal(34,8): no overflow this side of 1e26. */
+  private def moneySum(c: Column): Column =
+    round(sum(c.cast("decimal(24,8)")), 2).cast("double")
+
   /** Time-sliced events read with the range predicate applied to the RAW
     * int64(ns) column BEFORE the µs conversion — so it pushes into the
     * parquet scan (PushedFilters: GreaterThanOrEqual/LessThan on ts) and
@@ -348,8 +362,8 @@ object SparkEntry {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          moneySum(col("l_extendedprice")).as("sum_base"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("sum_disc"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           count(lit(1)).as("n"))
@@ -447,7 +461,7 @@ object SparkEntry {
         .join(broadcast(T(s, dir, "part")),
           col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"), count(lit(1)).as("n"))),
 
     // Multi-join with filter (TPC-H Q5 shape): customer⋈nation⋈orders⋈
@@ -461,7 +475,7 @@ object SparkEntry {
           col("o_custkey") === col("c_custkey"))
         .join(T(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"), count(lit(1)).as("n"))),
 
     // J6 — as-of join: each click gets the user's most recent purchase
@@ -667,7 +681,7 @@ object SparkEntry {
     // Cube — all grouping-set combinations in one pass.
     "q26_cube" -> ((s, dir) =>
       T(s, dir, "lineitem").cube("l_returnflag", "l_linestatus")
-        .agg(round(sum("l_extendedprice"), 2).as("sum_price"),
+        .agg(moneySum(col("l_extendedprice")).as("sum_price"),
           count(lit(1)).as("n"))),
 
     // Exact interpolating quantiles per group (Spark `percentile` ≡
