@@ -69,7 +69,9 @@ object DataGen {
       d.withColumn("l_orderkey", col("l_orderkey") + lit(r * okMod))),
       "lineitem")
 
-    val events = read("events") // ts arrives as int64 nanos (see conf)
+    // ts passes through untouched in whichever parquet layout it
+    // arrived (int64-nanos legacy or timestamp[us] — see SparkEntry.T)
+    val events = read("events")
     val evMod = maxOf(events, "event_id") + 1
     val userMod = maxOf(events, "user_id") + 1
     write(stack(events)((d, r) =>

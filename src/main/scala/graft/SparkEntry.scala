@@ -15,19 +15,28 @@ import graft.ops._
   */
 object SparkEntry {
 
-  /** Table loader. The `events` table carries a nanosecond-precision
-    * parquet timestamp, which Spark 4 only reads as a long
-    * (spark.sql.legacy.parquet.nanosAsLong); we convert to TimestampType
-    * (microseconds) with integer division — `ns / 1000` as doubles would
-    * lose precision above 2^53. DuckDB likewise truncates ns → µs, so the
-    * two engines agree on the values. */
+  /** Table loader. The `events` table's `ts` has shipped in two parquet
+    * layouts across driver testdata generations, and both must read:
+    *  - timestamp[ns], which Spark 4 only reads as a long
+    *    (spark.sql.legacy.parquet.nanosAsLong) — converted to
+    *    TimestampType (µs) with integer division (`ns / 1000` as doubles
+    *    would lose precision above 2^53; DuckDB likewise truncates
+    *    ns → µs, so the engines agree);
+    *  - timestamp[us] without UTC adjustment, which Spark reads as
+    *    TIMESTAMP_NTZ — cast to TimestampType, value-preserving because
+    *    every entrypoint pins spark.sql.session.timeZone=UTC.
+    * Either way downstream code sees one canonical TimestampType µs
+    * column. */
   private def T(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f =>
-      f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
-      .getOrElse(df)
+    df.schema.fields.find(_.name == "ts").map(_.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }).getOrElse(df)
   }
 
   /** Cross-engine-stable rounded mean of a NON-NEGATIVE double column:
@@ -108,9 +117,16 @@ object SparkEntry {
                             lo: String, hi: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def ns(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000000L
-    s.read.parquet(s"$dir/events.parquet")
-      .where(col("ts") >= ns(lo) && col("ts") < ns(hi))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // timestamp[ns] layout
+        df.where(col("ts") >= ns(lo) && col("ts") < ns(hi))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case t => // timestamp[us] (NTZ) layout: compare in the column's own
+        // domain so the predicate still reaches the parquet scan
+        df.where(col("ts") >= lit(lo).cast(t) && col("ts") < lit(hi).cast(t))
+          .withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Near-dup cluster labels for the documents table — the ONE place
@@ -1534,6 +1550,78 @@ object SparkEntry {
       Cdc.applyChanges(base, delta, "doc_id", "__op", "__seq")
         .select(col("doc_id"), md5(col("text")).as("text_md5"),
           col("lang"), col("source"))
+    }),
+
+    // Corpus line-level dedup REWRITE (the CCNet/FineWeb boilerplate
+    // scrub): t23 only REPORTS cross-document pseudo-lines; this
+    // rewrites every document with those lines removed — headers,
+    // footers, license blocks that repeat across pages. Shape: one
+    // corpus-line-keyed shuffle builds the line doc-frequency table;
+    // the boilerplate subset (df > 1 — small by definition: only
+    // *repeated* lines qualify) then anti-joins BROADCAST against the
+    // exploded lines, so the corpus itself never shuffles for the
+    // filter; the reassembly groupBy(doc_id) is the one remaining
+    // corpus-sized shuffle and carries only surviving line text.
+    // Documents whose every line is boilerplate drop out — the
+    // pipeline's drop-empty-docs step, folded in.
+    "t80_line_dedup" -> ((s, dir) => {
+      val lines = T(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.SketchExpressions
+            .tokenChunks(TextOps.tokens(col("text")), 10).as("chs"))
+        .select(col("doc_id"), size(col("chs")).cast("long").as("n_lines"),
+          posexplode(col("chs")).as(Seq("pos", "line")))
+        .withColumn("lh", md5(col("line")))
+      val boiler = lines.groupBy("lh")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") > 1)
+        .select(col("lh"))
+      lines.join(broadcast(boiler), Seq("lh"), "left_anti")
+        .groupBy("doc_id")
+        .agg(first(col("n_lines")).as("n_lines"),
+          concat_ws(" ",
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("line")))),
+              c => c("line"))).as("text_clean"),
+          count(lit(1)).as("n_kept"))
+        .select(col("doc_id"), col("text_clean"), col("n_lines"),
+          (col("n_lines") - col("n_kept")).as("n_dropped"))
+    }),
+
+    // Hashed-feature linear quality classifier (the fastText/DCLM
+    // shape): unigram + bigram features hash into 256 buckets
+    // (md5-prefix — the hashing trick: model size is FIXED no matter
+    // the vocabulary, collisions are the accepted price), bucket
+    // weights are the seed-set purity — docs from src0/src1 stand in
+    // for the curated positive seed (wiki/books in a real pipeline) —
+    // and scoring is one broadcast join + a per-doc partial-agged sum.
+    // Everything is integer ppm floor division, so the DuckDB twin is
+    // bit-exact (no float ties, no ln ulp divergence). Train and
+    // apply are ONE job here for the oracle; production materializes
+    // the 256-row model once and only the broadcast-score side runs
+    // per corpus — the train pass is a single feature-keyed shuffle
+    // either way.
+    "t81_hash_classifier" -> ((s, dir) => {
+      val feats = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.tokensLower(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"),
+          explode(concat(col("toks"),
+            graft.functions.SketchExpressions
+              .wordShingles(col("toks"), 2))).as("f"))
+        .withColumn("b", substring(md5(col("f")), 1, 2))
+      val model = feats.groupBy("b")
+        .agg(sum(when(col("source").isin("src0", "src1"), 1L)
+          .otherwise(0L)).as("cpos"),
+          count(lit(1)).as("ctot"))
+        .select(col("b"),
+          expr("(1000000 * (cpos + 1)) div (ctot + 2)").as("w_ppm"))
+      feats.join(broadcast(model), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum(col("w_ppm")).as("sw"))
+        .select(col("doc_id"), col("n_feats"),
+          expr("sw div n_feats").as("score_ppm"),
+          expr("CAST(sw div n_feats > 500000 AS BIGINT)").as("keep"))
     }),
 
     // CCNet-style perplexity split (Wenzek et al. 2020): score every
@@ -3208,6 +3296,52 @@ object SparkEntry {
            WHERE op <> 'delete')
          SELECT doc_id, md5(text) AS text_md5, lang, source
          FROM merged""",
+    "t80_line_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         l AS (
+           SELECT doc_id, CAST(ceil(len(toks) / 10.0) AS BIGINT)
+               AS n_lines,
+             unnest(generate_series(1,
+               CAST(ceil(len(toks) / 10.0) AS INT))) AS pos,
+             unnest([array_to_string(toks[(i-1)*10+1:(i-1)*10+10], ' ')
+                     FOR i IN generate_series(1,
+                       CAST(ceil(len(toks) / 10.0) AS INT))]) AS line
+           FROM t),
+         b AS (
+           SELECT md5(line) AS lh FROM l GROUP BY md5(line)
+           HAVING count(DISTINCT doc_id) > 1)
+         SELECT doc_id,
+           string_agg(line, ' ' ORDER BY pos) AS text_clean,
+           any_value(n_lines) AS n_lines,
+           any_value(n_lines) - count(*) AS n_dropped
+         FROM l WHERE md5(line) NOT IN (SELECT lh FROM b)
+         GROUP BY doc_id""",
+    "t81_hash_classifier" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             string_split_regex(lower(text), '\s+') AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id, source, unnest(toks) AS f FROM t
+           UNION ALL
+           SELECT doc_id, source,
+             unnest([array_to_string(toks[i:i+1], ' ')
+                     FOR i IN generate_series(1, len(toks)-1)]) AS f
+           FROM t WHERE len(toks) >= 2),
+         h AS (SELECT doc_id, source, substr(md5(f), 1, 2) AS b FROM f),
+         m AS (
+           SELECT b, CAST((1000000 *
+               (sum(CASE WHEN source IN ('src0', 'src1')
+                    THEN 1 ELSE 0 END) + 1))
+             // (count(*) + 2) AS BIGINT) AS w_ppm
+           FROM h GROUP BY b)
+         SELECT doc_id, count(*) AS n_feats,
+           CAST(sum(w_ppm) // count(*) AS BIGINT) AS score_ppm,
+           CAST((sum(w_ppm) // count(*)) > 500000 AS BIGINT) AS keep
+         FROM h JOIN m USING (b)
+         GROUP BY doc_id""",
     "t76_lsh_recall" ->
       raw"""WITH $minhashBandsSql,
          sets AS (SELECT doc_id, list_distinct(s) AS ss FROM sh),

@@ -399,4 +399,108 @@ object Multimodal {
       explode(transform(sequence(lit(0), lit(n - 1)),
         i => ((i * coalesce(col("meta.duration_ms"), lit(0L))) / n)
           .cast("long"))))
+
+  /** 64-bit difference hash (dHash) of an image payload: ImageIO
+    * decode, average-pool integer luma onto a 9×8 grid in PURE integer
+    * arithmetic (bit-for-bit reproducible on any JVM — no float
+    * resampling, no Graphics2D interpolation nondeterminism), then one
+    * bit per horizontally-adjacent cell pair (`grid[y][x] <
+    * grid[y][x+1]`). The relative-comparison construction makes the
+    * hash invariant to uniform brightness/contrast shifts and — via
+    * the pooled grid — to resizing; it is the standard public dHash
+    * scheme from the perceptual-hashing literature. None for
+    * undecodable/empty payloads. */
+  def dHash64(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    val w = img.getWidth; val h = img.getHeight
+    val grid = Array.ofDim[Long](8, 9)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        // cell bounds by integer proration; tiny images (w<9 / h<8)
+        // degenerate to ≥1-pixel cells clamped in-range, so every cell
+        // is non-empty and the division below is safe
+        val x0 = math.min(cx * w / 9, w - 1)
+        val x1 = math.max(x0 + 1, math.min((cx + 1) * w / 9, w))
+        val y0 = math.min(cy * h / 8, h - 1)
+        val y1 = math.max(y0 + 1, math.min((cy + 1) * h / 8, h))
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            // ITU-R BT.601 integer luma — same formula as ImageIoKernel
+            sum += (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF)
+              + 114 * (rgb & 0xFF)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        grid(cy)(cx) = sum / ((x1 - x0).toLong * (y1 - y0))
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      val y = b / 8; val x = b % 8
+      if (grid(y)(x) < grid(y)(x + 1)) bits |= (1L << b)
+      b += 1
+    }
+    Some(bits)
+  }
+
+  /** (id, phash) table over a multimodal frame: one ImageIO decode
+    * pass via mapPartitions (decode parallelism = partition count),
+    * non-image / undecodable rows dropped. The 8-byte hash is the
+    * whole downstream footprint — payload pages are never read again
+    * by the dedup path. */
+  def imageDHash(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("id"), col("modality"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, mod, payload) =>
+          if (mod != "image" || payload == null) Iterator.empty
+          else dHash64(payload).map(h => (id, h)).iterator
+        }
+      }
+      .toDF("id", "phash")
+  }
+
+  /** Near-duplicate image candidate pairs at Hamming distance ≤
+    * `maxDist` over (id, phash): the LSH band trick on the 64-bit
+    * dHash — 4 × 16-bit bands, so any two hashes within Hamming ≤ 3
+    * MUST share at least one untouched band (pigeonhole) and recall is
+    * EXACT for maxDist ≤ 3; the join is band-bucketed (shuffle keyed on
+    * (band, 16-bit value) — never all-pairs) and the distance check is
+    * exact (`bit_count(xor)`), so false band collisions cost only the
+    * in-bucket probe. Same candidate-generation shape as the text
+    * MinHash path (`Dedup`): buckets bound the quadratic term. */
+  def phashNearDup(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      s"maxDist=$maxDist > 3 breaks the 4-band pigeonhole recall " +
+        "guarantee; raise the band count instead")
+    val banded = hashes.select(col("id"), col("phash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey",
+        expr("(phash >> (16 * band)) & 65535"))
+    val a = banded.select(col("band"), col("bkey"),
+      col("id").as("id_a"), col("phash").as("h_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("id").as("id_b"), col("phash").as("h_b"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(h_a ^ h_b)").cast("int").as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
+  }
 }

@@ -797,4 +797,73 @@ class StreamingMultimodalSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(idx === Seq(0L, 250L, 500L, 750L))
   }
+
+  /** Render a 9×8-cell pattern as a PNG, each cell a `block`×`block`
+    * square of the constant gray level pattern(y)(x) — so the dHash
+    * average-pooled grid recovers the pattern EXACTLY (graylevel
+    * (v,v,v) has integer luma v: (299+587+114)v/1000 = v). */
+  private def patternPng(pattern: Array[Array[Int]], block: Int)
+      : Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(9 * block, 8 * block,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8 * block; x <- 0 until 9 * block) {
+      val v = pattern(y / block)(x / block)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("multimodal: dHash is brightness/scale-invariant; band join finds near-dups") {
+    // base: luma strictly increasing left→right in every row → every
+    // adjacent comparison is "<" → all 64 bits set
+    val base = Array.tabulate(8, 9)((y, x) => x * 10 + y)
+    // +20 uniform brightness: every comparison unchanged
+    val bright = base.map(_.map(_ + 20))
+    // reversed: strictly decreasing → all bits clear (Hamming 64)
+    val reversed = Array.tabulate(8, 9)((y, x) => (8 - x) * 10 + y)
+    // one flipped comparison: cell (0,0) raised above cell (0,1)
+    val oneOff = base.map(_.clone())
+    oneOff(0)(0) = 15 // 15 > 10 = cell (0,1) → bit (0,0) flips
+    val pngBase = patternPng(base, 2)       // 18×16
+    val pngBright = patternPng(bright, 2)
+    val pngScaled = patternPng(base, 4)     // 36×32: 2× upscale
+    val pngRev = patternPng(reversed, 2)
+    val pngOne = patternPng(oneOff, 2)
+
+    val hBase = Multimodal.dHash64(pngBase).get
+    assert(hBase === -1L) // all comparisons increasing
+    assert(Multimodal.dHash64(pngBright).get === hBase)
+    assert(Multimodal.dHash64(pngScaled).get === hBase)
+    assert(Multimodal.dHash64(pngRev).get === 0L)
+    assert(java.lang.Long.bitCount(
+      Multimodal.dHash64(pngOne).get ^ hBase) === 1)
+    assert(Multimodal.dHash64(Array[Byte](1, 2, 3)) === None)
+
+    val rows = Seq(
+      Row(1L, "image", pngBase, Row(18, 16, null, 0L, "png")),
+      Row(2L, "image", pngBright, Row(18, 16, null, 0L, "png")),
+      Row(3L, "image", pngScaled, Row(36, 32, null, 0L, "png")),
+      Row(4L, "image", pngRev, Row(18, 16, null, 0L, "png")),
+      Row(5L, "image", pngOne, Row(18, 16, null, 0L, "png")),
+      Row(6L, "audio", pngBase, Row(null, null, 8000, 0L, "wav")),
+      Row(7L, "image", Array[Byte](9, 9), Row(null, null, null, 0L, "x")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.Schema)
+    val hashed = Multimodal.imageDHash(df)
+    // non-image (6) and undecodable (7) rows drop in the decode pass
+    assert(hashed.count() === 5)
+    val pairs = Multimodal.phashNearDup(hashed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(p => (p._1, p._2))
+    // {1,2,3} identical; 5 at Hamming 1 from each; 4 nowhere near
+    assert(pairs.toSeq === Seq(
+      (1L, 2L, 0), (1L, 3L, 0), (1L, 5L, 1),
+      (2L, 3L, 0), (2L, 5L, 1), (3L, 5L, 1)))
+    // the guarantee bound is enforced, not silently degraded
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDup(hashed, maxDist = 10)
+    }
+  }
 }
