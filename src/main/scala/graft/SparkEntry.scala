@@ -174,6 +174,21 @@ object SparkEntry {
     * t56/t57/t58/t76/d5 and the cluster-label block behind t12/t72)
     * so a change to the index scheme cannot leave a stale twin
     * behind. */
+  /** Morton bit-spread of a 16-bit value to the even bit positions —
+    * the classic fixed-shift mask cascade ((x|x<<8)&m, (x|x<<4)&m, …),
+    * emitted as a SQL string so the Spark query and the DuckDB twin
+    * compute the IDENTICAL integer expression (pure &/|/<< — both
+    * engines bit-exact on non-negative longs). Textual inlining
+    * duplicates the base subexpression; that is deliberate — the ops
+    * are integer-cheap and a single shared definition beats a
+    * hand-tuned but divergent pair. */
+  private def zSpread(c: String): String = {
+    val a = s"((($c) | (($c) << 8)) & 16711935)"
+    val b = s"(($a | ($a << 4)) & 252645135)"
+    val d = s"(($b | ($b << 2)) & 858993459)"
+    s"(($d | ($d << 1)) & 1431655765)"
+  }
+
   private val minhashBandsSql: String =
     """t AS (
          SELECT doc_id, string_split_regex(text, '\s+') AS toks
@@ -1623,6 +1638,50 @@ object SparkEntry {
           expr("sw div n_feats").as("score_ppm"),
           expr("CAST(sw div n_feats > 500000 AS BIGINT)").as("keep"))
     }),
+
+    // Z-order data layout (the OPTIMIZE ZORDER shape): assign every
+    // event a Morton key interleaving the bits of its two query
+    // dimensions (user, value bucket), radix-split the key space into
+    // files, and report per-file min/max of BOTH dims — the column
+    // stats a scan prunes on. The point at 100 TB: a z-ordered write
+    // makes range predicates on EITHER dimension skip most files
+    // (linear-order sorting serves only its leading column). The bit
+    // spread uses the classic fixed-shift mask cascade, so both
+    // engines compute it in pure integer ops — no per-bit loop, no
+    // UDF; the whole key derivation is map-side, and the only shuffle
+    // is the per-file stats aggregation (file-count-sized).
+    "t82_zorder_layout" -> ((s, dir) =>
+      T(s, dir, "events")
+        .select(col("event_id"),
+          expr("user_id & 65535").as("ux"),
+          expr("CAST(floor(value) AS BIGINT) & 65535").as("vx"))
+        .withColumn("zkey",
+          expr(s"${zSpread("ux")} | (${zSpread("vx")} << 1)"))
+        .withColumn("file_id", expr("zkey div 16384")) // 2^14-key files
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ux")).as("min_user"), max(col("ux")).as("max_user"),
+          min(col("vx")).as("min_val"), max(col("vx")).as("max_val"))),
+
+    // RAG passage chunking with overlap: fixed-width token windows
+    // (w=30) at stride 20, so consecutive chunks share 10 tokens —
+    // the retrieval-ingestion step that keeps answers from being cut
+    // at chunk boundaries. Entirely map-side (per-row sequence +
+    // slice + explode); the deliberate ~1.5× text inflation is the
+    // documented storage trade — at corpus scale you materialize
+    // (doc_id, chunk_id, token offsets) and defer chunk text to read
+    // time if the index layer allows it.
+    "t83_chunk_overlap" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), expr("(size(toks) - 1) div 20")),
+            i => concat_ws(" ", slice(col("toks"), i * 20 + 1, lit(30)))))
+            .as(Seq("chunk_id", "chunk_text")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_text"),
+          size(split(col("chunk_text"), " ")).cast("long").as("n_tokens"))),
 
     // CCNet-style perplexity split (Wenzek et al. 2020): score every
     // document under a reference-domain bigram LM (here source=src0 —
@@ -3342,6 +3401,33 @@ object SparkEntry {
            CAST((sum(w_ppm) // count(*)) > 500000 AS BIGINT) AS keep
          FROM h JOIN m USING (b)
          GROUP BY doc_id""",
+    "t82_zorder_layout" ->
+      s"""WITH t AS (
+           SELECT event_id, user_id & 65535 AS ux,
+             CAST(floor(value) AS BIGINT) & 65535 AS vx
+           FROM events),
+         z AS (
+           SELECT event_id, ux, vx,
+             ${zSpread("ux")} | (${zSpread("vx")} << 1) AS zkey
+           FROM t)
+         SELECT zkey // 16384 AS file_id, count(*) AS n_rows,
+           min(ux) AS min_user, max(ux) AS max_user,
+           min(vx) AS min_val, max(vx) AS max_val
+         FROM z GROUP BY zkey // 16384""",
+    "t83_chunk_overlap" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             unnest(generate_series(0, (len(toks) - 1) // 20)) AS chunk_id,
+             unnest([array_to_string(toks[i*20+1:i*20+30], ' ')
+                     FOR i IN generate_series(0, (len(toks) - 1) // 20)])
+               AS chunk_text
+           FROM t)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
+           CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens
+         FROM c""",
     "t76_lsh_recall" ->
       raw"""WITH $minhashBandsSql,
          sets AS (SELECT doc_id, list_distinct(s) AS ss FROM sh),

@@ -151,6 +151,100 @@ object Streaming {
     in.where(if (keepClean) !hit else hit)
   }
 
+  /** Streaming LINE-LEVEL DEDUP — the stateless twin of the batch
+    * t80_line_dedup rewrite: drop every pseudo-line whose hash is in
+    * the standing boilerplate set (built once by the batch
+    * line-df pass over the standing corpus), entirely within the row —
+    * no explode, no reassembly shuffle, no stream-side state. The set
+    * is driver-collected with the redactStream bound-before-collect
+    * guard (a mis-pointed "boilerplate" frame — say the full line-df
+    * table — fails loud, before materialization) and probed per chunk
+    * by binary search. Docs whose every line is boilerplate drop
+    * (the batch operator's fold-in of the drop-empty-docs step);
+    * null text passes through with a null rewrite, the
+    * decontaminateStream null contract. */
+  def lineDedupStream(in: DataFrame, textCol: String,
+                      boilerplateHashes: DataFrame, lhCol: String = "lh",
+                      w: Int = 10, outCol: String = "text_clean",
+                      maxHashes: Int = 1000000): DataFrame = {
+    import graft.functions.SketchExpressions
+    val hs: Array[String] = boilerplateHashes.select(col(lhCol))
+      .distinct().limit(maxHashes + 1).collect()
+      .map(r => org.apache.spark.unsafe.types.UTF8String
+        .fromString(r.getString(0)))
+      .sortWith(_.compareTo(_) < 0).map(_.toString)
+    require(hs.length <= maxHashes,
+      s"lineDedupStream: boilerplate hash set exceeds $maxHashes " +
+        "entries — it ships to every task as a literal. The set is " +
+        "df>1 lines only; a set this large is almost certainly the " +
+        "full line-df table, not the boilerplate subset.")
+    if (hs.isEmpty) return in.withColumn(outCol, col(textCol))
+    // bound ONCE in a working projection (the redactStream precedent:
+    // no CSE inside lambda trees — two references would tokenize,
+    // chunk, and probe every row twice)
+    require(!in.columns.contains("__graft_kept"),
+      "input already has a __graft_kept column — it would be " +
+        "clobbered by the line-dedup working projection")
+    in.withColumn("__graft_kept", filter(
+        graft.functions.SketchExpressions
+          .tokenChunks(graft.ops.TextOps.tokens(col(textCol)), w),
+        c => !SketchExpressions.sortedSetContains(md5(c), hs)))
+      .withColumn(outCol,
+        when(col(textCol).isNull, lit(null: String))
+          .otherwise(concat_ws(" ", col("__graft_kept"))))
+      .where(col(textCol).isNull || size(col("__graft_kept")) > 0)
+      .drop("__graft_kept")
+  }
+
+  /** Streaming twin of the t81 hashed-feature quality classifier:
+    * score a live feed against the standing 256-bucket model (trained
+    * once by the batch pass; bucket → integer-ppm purity weight). The
+    * model rides as a map literal — 256 entries regardless of corpus
+    * vocabulary, THE point of the hashing trick — so scoring is pure
+    * map-side arithmetic: no join, no shuffle, no state; same integer
+    * floor-division semantics as the batch query (features whose
+    * bucket the model never saw are excluded from numerator AND
+    * denominator, matching the batch inner join). Rows with null or
+    * featureless text emit a null score (the batch pass emits no row —
+    * a stream must not silently drop data rows, so the null score
+    * marks them instead; spec-asserted). */
+  def classifierScoreStream(in: DataFrame, textCol: String,
+                            model: DataFrame, bCol: String = "b",
+                            wCol: String = "w_ppm",
+                            maxBuckets: Int = 65536): DataFrame = {
+    val rows = model.select(col(bCol), col(wCol))
+      .limit(maxBuckets + 1).collect()
+    require(rows.length <= maxBuckets,
+      s"classifierScoreStream: model has >$maxBuckets buckets — not a " +
+        "hashed-bucket model; at that size use the batch broadcast join")
+    require(rows.nonEmpty, "classifierScoreStream: empty model")
+    val wmap = map_from_arrays(
+      lit(rows.map(_.getString(0))),
+      lit(rows.map(_.getLong(1))))
+    val toks = graft.ops.TextOps.tokensLower(col(textCol))
+    val feats = concat(toks,
+      graft.functions.SketchExpressions.wordShingles(toks, 2))
+    // bind the surviving-feature array ONCE in its own projection (the
+    // redactStream precedent: no CSE inside lambda trees — inlining
+    // `present` would re-run tokenize+shingle+probe per reference)
+    require(!in.columns.contains("__graft_feats") &&
+      !in.columns.contains("__graft_sw"),
+      "input already has a __graft_feats/__graft_sw column — it would " +
+        "be clobbered by the classifier's working projections")
+    in.withColumn("__graft_feats", filter(feats,
+        f => element_at(wmap, substring(md5(f), 1, 2)).isNotNull))
+      .withColumn("n_feats",
+        coalesce(size(col("__graft_feats")), lit(0)).cast("long"))
+      .withColumn("__graft_sw", aggregate(col("__graft_feats"), lit(0L),
+        (acc, f) => acc + element_at(wmap, substring(md5(f), 1, 2))))
+      .withColumn("score_ppm",
+        when(col("n_feats") > 0, expr("__graft_sw div n_feats")))
+      .withColumn("keep",
+        when(col("n_feats") > 0,
+          (col("score_ppm") > 500000L).cast("long")))
+      .drop("__graft_feats", "__graft_sw")
+  }
+
   /** Streaming SPAN REDACTION — the stateless twin of the batch
     * t45→t47 pipeline: instead of quarantining whole documents
     * (decontaminateStream), rewrite each one with its contaminated

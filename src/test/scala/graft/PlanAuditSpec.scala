@@ -305,4 +305,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes(p, "Sort") == 0,
       s"pageRankPpm iteration joins must stay hash-based:\n$p")
   }
+
+  test("t80: boilerplate set anti-joins as a broadcast; corpus never shuffles to filter") {
+    // the df>1 line-hash subset must ride as the BROADCAST side of the
+    // left-anti join — a shuffled anti-join would re-key the whole
+    // exploded corpus on line hashes a second time
+    val p = plan("t80_line_dedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"t80 boilerplate filter must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"t80 must not sort-merge the corpus against the line-df table:\n$p")
+  }
+
+  test("t81: the 256-bucket model joins as a broadcast, scoring partial-aggs") {
+    val p = plan("t81_hash_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"t81 model join must broadcast the fixed-size bucket table:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"t81 scoring must never shuffle the corpus against the model:\n$p")
+  }
 }

@@ -866,4 +866,95 @@ class StreamingMultimodalSpec extends SparkSpec {
       Multimodal.phashNearDup(hashed, maxDist = 10)
     }
   }
+
+  test("lineDedupStream drops standing boilerplate lines in-row") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // 10-token pseudo-lines; B is the cross-document boilerplate
+    val lineB = (1 to 10).map(i => s"boiler$i").mkString(" ")
+    val uniq1 = (1 to 10).map(i => s"one$i").mkString(" ")
+    val uniq2 = (1 to 10).map(i => s"two$i").mkString(" ")
+    // the standing set the batch line-df pass would produce: df>1 lines
+    val boiler = Seq(lineB).toDF("line")
+      .select(md5($"line").as("lh"))
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.lineDedupStream(
+      input.toDS().toDF("doc_id", "text"), "text", boiler)
+      .writeStream.format("memory").queryName("linededup")
+      .outputMode("append").start()
+    input.addData(
+      (1L, s"$lineB $uniq1"),        // boilerplate head stripped
+      (2L, s"$uniq2 $lineB"),        // boilerplate tail stripped
+      (3L, lineB),                   // all-boilerplate → dropped
+      (4L, null.asInstanceOf[String])) // null passthrough
+    q.processAllAvailable()
+    val got = spark.table("linededup")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    q.stop()
+    assert(got === Map(1L -> Some(uniq1), 2L -> Some(uniq2), 4L -> None))
+    // empty standing set short-circuits to passthrough (no rewrite)
+    val none = Streaming.lineDedupStream(
+      Seq((9L, s"$lineB x")).toDF("doc_id", "text"), "text",
+      boiler.where(lit(false)))
+    assert(none.head().getString(2) === s"$lineB x")
+    // a corpus-sized "boilerplate" frame fails loud, before collect
+    intercept[IllegalArgumentException] {
+      Streaming.lineDedupStream(
+        Seq((1L, "x")).toDF("doc_id", "text"), "text",
+        spark.range(20).select(md5($"id".cast("string")).as("lh")),
+        maxHashes = 10)
+    }
+  }
+
+  test("classifierScoreStream scores map-side against the standing model") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    def bucket(f: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(f.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(2)
+    // model trained on the positive-seed features of "alpha beta":
+    // unigrams + the bigram, fixed purity 900000 ppm
+    val seedFeats = Seq("alpha", "beta", "alpha beta")
+    val model = seedFeats.map(f => (bucket(f), 900000L)).distinct
+      .toDF("b", "w_ppm")
+    val wmap = seedFeats.map(f => bucket(f) -> 900000L).toMap
+    // sequential reference: same integer semantics as the batch t81
+    def ref(text: String): (Long, Option[Long]) = {
+      val toks = text.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").toSeq
+      val feats = toks ++
+        toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val present = feats.filter(f => wmap.contains(bucket(f)))
+      if (present.isEmpty) (0L, None)
+      else (present.size.toLong,
+        Some(present.map(f => wmap(bucket(f))).sum / present.size))
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.classifierScoreStream(
+      input.toDS().toDF("doc_id", "text"), "text", model)
+      .writeStream.format("memory").queryName("clfout")
+      .outputMode("append").start()
+    val texts = Map(1L -> "alpha beta alpha", 2L -> "alpha", 5L -> "")
+    input.addData((1L, texts(1L)), (2L, texts(2L)),
+      (3L, null.asInstanceOf[String]), (5L, texts(5L)))
+    q.processAllAvailable()
+    val got = spark.table("clfout").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    q.stop()
+    texts.foreach { case (id, t) =>
+      val (nf, sc2) = ref(t)
+      // "" tokenizes to [""] whose bucket the model may or may not
+      // contain — the reference computes whatever is right
+      assert(got(id)._1 === nf, s"doc $id n_feats")
+      assert(got(id)._2 === sc2, s"doc $id score")
+    }
+    assert(got(3L) === ((0L, None))) // null text: kept, null score
+    assert(got(1L)._2.contains(900000L))
+    intercept[IllegalArgumentException] {
+      Streaming.classifierScoreStream(
+        Seq((1L, "x")).toDF("doc_id", "text"), "text",
+        model.where(lit(false)))
+    }
+  }
 }
