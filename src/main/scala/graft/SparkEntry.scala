@@ -874,6 +874,32 @@ object SparkEntry {
       Vectors.bruteForceTopK(q, e, "qid", "vec_id", "embedding", k = 5)
     }),
 
+    // Hard-negative mining for contrastive embedding training (the
+    // DPR/E5 curation step): for each probe, the top-k most-similar
+    // vectors with a DIFFERENT label — "close but wrong" examples, the
+    // ones a contrastive loss learns most from. Same shape as t4: the
+    // bounded probe set broadcasts against one linear corpus pass
+    // (BroadcastNestedLoopJoin — the label filter is non-equi), per-
+    // probe top-k via a probe-partitioned window. At corpus scale the
+    // IVF route (t9) replaces the linear pass; the label-mismatch
+    // filter composes unchanged.
+    "t84_hard_negatives" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("__qv"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("__cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .where(col("label") =!= col("qlabel"))
+        .withColumn("__cos", Vectors.cosine(col("__qv"), col("embedding")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 5)
+        .select(col("qid"), col("qlabel").cast("long").as("qlabel"),
+          col("vec_id"), col("label").cast("long").as("label"),
+          round(col("__cos"), 6).as("cos"), col("rn"))
+    }),
+
     // SRP-LSH bucket histogram: 8 pseudo-random ±1 hyperplanes (md5-
     // derived), bucket assigned map-side — the scale path for ANN.
     "t5_srp_buckets" -> ((s, dir) =>
@@ -3484,6 +3510,25 @@ object SparkEntry {
              AS c
            FROM e, q WHERE qid <> vec_id)
          SELECT qid, vec_id, round(c, 6) AS cos,
+           row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id)
+             AS rn
+         FROM s QUALIFY rn <= 5""",
+    "t84_hard_negatives" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+             [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+               FROM e WHERE vec_id < 10),
+         s AS (
+           SELECT qid, qlabel, vec_id, label,
+             list_sum([qv[i]*v[i] FOR i IN generate_series(1,64)]) /
+             (sqrt(list_sum([qv[i]*qv[i] FOR i IN generate_series(1,64)])) *
+              sqrt(list_sum([v[i]*v[i] FOR i IN generate_series(1,64)])))
+             AS c
+           FROM e, q WHERE label <> qlabel)
+         SELECT qid, CAST(qlabel AS BIGINT) AS qlabel, vec_id,
+           CAST(label AS BIGINT) AS label, round(c, 6) AS cos,
            row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id)
              AS rn
          FROM s QUALIFY rn <= 5""",
