@@ -116,7 +116,13 @@ object SparkEntry {
   private def eventsBetween(s: SparkSession, dir: String,
                             lo: String, hi: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def ns(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000000L
+    // UTC-anchored, NOT java.sql.Timestamp.valueOf (which parses in
+    // the JVM default timezone): on a non-UTC host that would shift
+    // the nanos-layout window while the NTZ branch and the DuckDB
+    // oracle compare wall-clock — same query, layout-dependent rows
+    def ns(t: String) =
+      java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
     val df = s.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // timestamp[ns] layout
@@ -167,13 +173,6 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY vec_id
            ORDER BY dist, cid) = 1)"""
 
-  /** Minhash/band CTE block — 3-token shingles, 8 hashes, 4 bands
-    * over `documents`: the SQL twin of the production LSH index
-    * surface (`Dedup.lshBandKeys` / `minhashSig`). ONE definition
-    * shared by every oracle that probes that surface (t2/t20/t31/
-    * t56/t57/t58/t76/d5 and the cluster-label block behind t12/t72)
-    * so a change to the index scheme cannot leave a stale twin
-    * behind. */
   /** Morton bit-spread of a 16-bit value to the even bit positions —
     * the classic fixed-shift mask cascade ((x|x<<8)&m, (x|x<<4)&m, …),
     * emitted as a SQL string so the Spark query and the DuckDB twin
@@ -189,6 +188,13 @@ object SparkEntry {
     s"(($d | ($d << 1)) & 1431655765)"
   }
 
+  /** Minhash/band CTE block — 3-token shingles, 8 hashes, 4 bands
+    * over `documents`: the SQL twin of the production LSH index
+    * surface (`Dedup.lshBandKeys` / `minhashSig`). ONE definition
+    * shared by every oracle that probes that surface (t2/t20/t31/
+    * t56/t57/t58/t76/d5 and the cluster-label block behind t12/t72)
+    * so a change to the index scheme cannot leave a stale twin
+    * behind. */
   private val minhashBandsSql: String =
     """t AS (
          SELECT doc_id, string_split_regex(text, '\s+') AS toks

@@ -82,9 +82,11 @@ object Multimodal {
       if (modality != "image" || dim < 3)
         return HistogramKernel.decode(modality, payload, dim)
       val img =
+        // NonFatal: JDK readers throw RuntimeExceptions on corrupt
+        // payloads (CMMException etc.) — fall back, don't kill the job
         try javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return HistogramKernel.decode(modality, payload, dim)
       val bins = dim - 2
       val out = new Array[Float](dim)
@@ -412,9 +414,14 @@ object Multimodal {
     * undecodable/empty payloads. */
   def dHash64(payload: Array[Byte]): Option[Long] = {
     val img =
+      // NonFatal, not just IOException: the JDK image readers throw
+      // RuntimeExceptions on recognized-but-corrupt payloads (bad ICC
+      // profile → CMMException, malformed BMP/GIF headers →
+      // NegativeArraySize/ArrayIndexOutOfBounds) — one corrupt crawl
+      // image must drop the row, not kill the job
       try javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
     val w = img.getWidth; val h = img.getHeight
     val grid = Array.ofDim[Long](8, 9)

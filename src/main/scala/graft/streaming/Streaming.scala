@@ -166,20 +166,28 @@ object Streaming {
   def lineDedupStream(in: DataFrame, textCol: String,
                       boilerplateHashes: DataFrame, lhCol: String = "lh",
                       w: Int = 10, outCol: String = "text_clean",
-                      maxHashes: Int = 1000000): DataFrame = {
+                      maxHashes: Int = 100000): DataFrame = {
     import graft.functions.SketchExpressions
     val hs: Array[String] = boilerplateHashes.select(col(lhCol))
       .distinct().limit(maxHashes + 1).collect()
       .map(r => org.apache.spark.unsafe.types.UTF8String
         .fromString(r.getString(0)))
       .sortWith(_.compareTo(_) < 0).map(_.toString)
+    // default cap 10^5: consistent with SortedSetContainsExpr's own
+    // documented plan-literal bound (~10^5 hashes / low MB) — these
+    // are 32-char md5 strings shipped with every task; a bigger
+    // standing set wants the batch broadcast-join rewrite (t80)
     require(hs.length <= maxHashes,
       s"lineDedupStream: boilerplate hash set exceeds $maxHashes " +
         "entries — it ships to every task as a literal. The set is " +
         "df>1 lines only; a set this large is almost certainly the " +
         "full line-df table, not the boilerplate subset.")
-    if (hs.isEmpty) return in.withColumn(outCol, col(textCol))
-    // bound ONCE in a working projection (the redactStream precedent:
+    // NO empty-set passthrough short-circuit: the rewrite normalizes
+    // whitespace (chunks rejoined with single spaces) and drops
+    // emptied docs, so a passthrough would make the SAME row hash
+    // differently across microbatches as the standing set transitions
+    // empty -> non-empty. An empty set just keeps every chunk.
+    // Bound ONCE in a working projection (the redactStream precedent:
     // no CSE inside lambda trees — two references would tokenize,
     // chunk, and probe every row twice)
     require(!in.columns.contains("__graft_kept"),
@@ -224,25 +232,27 @@ object Streaming {
     val toks = graft.ops.TextOps.tokensLower(col(textCol))
     val feats = concat(toks,
       graft.functions.SketchExpressions.wordShingles(toks, 2))
-    // bind the surviving-feature array ONCE in its own projection (the
-    // redactStream precedent: no CSE inside lambda trees — inlining
-    // `present` would re-run tokenize+shingle+probe per reference)
-    require(!in.columns.contains("__graft_feats") &&
+    // Hash each feature ONCE: map features → model weights up front,
+    // keep the non-null (bucket-hit) weights, and bind THAT array in
+    // its own projection (the redactStream precedent: no CSE inside
+    // lambda trees) — n_feats is its size, the sum never rehashes.
+    require(!in.columns.contains("__graft_ws") &&
       !in.columns.contains("__graft_sw"),
-      "input already has a __graft_feats/__graft_sw column — it would " +
-        "be clobbered by the classifier's working projections")
-    in.withColumn("__graft_feats", filter(feats,
-        f => element_at(wmap, substring(md5(f), 1, 2)).isNotNull))
+      "input already has a __graft_ws/__graft_sw column — it would be " +
+        "clobbered by the classifier's working projections")
+    in.withColumn("__graft_ws", filter(
+        transform(feats, f => element_at(wmap, substring(md5(f), 1, 2))),
+        w => w.isNotNull))
       .withColumn("n_feats",
-        coalesce(size(col("__graft_feats")), lit(0)).cast("long"))
-      .withColumn("__graft_sw", aggregate(col("__graft_feats"), lit(0L),
-        (acc, f) => acc + element_at(wmap, substring(md5(f), 1, 2))))
+        coalesce(size(col("__graft_ws")), lit(0)).cast("long"))
+      .withColumn("__graft_sw",
+        aggregate(col("__graft_ws"), lit(0L), (acc, w) => acc + w))
       .withColumn("score_ppm",
         when(col("n_feats") > 0, expr("__graft_sw div n_feats")))
       .withColumn("keep",
         when(col("n_feats") > 0,
           (col("score_ppm") > 500000L).cast("long")))
-      .drop("__graft_feats", "__graft_sw")
+      .drop("__graft_ws", "__graft_sw")
   }
 
   /** Streaming SPAN REDACTION — the stateless twin of the batch

@@ -324,4 +324,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"t81 scoring must never shuffle the corpus against the model:\n$p")
   }
+
+  test("t82: z-key derivation is map-side — one partial->final agg exchange") {
+    val p = plan("t82_zorder_layout")
+    assert(nodes(p, "Exchange") <= 1,
+      s"t82 must only shuffle the file-count-sized stats agg:\n$p")
+    assert(!p.contains("Join"), s"t82 needs no join:\n$p")
+  }
+
+  test("t83: overlapping chunking plans zero shuffles") {
+    assert(!plan("t83_chunk_overlap").contains("Exchange"),
+      "t83 claims pure map-side chunking but plans a shuffle")
+  }
+
+  test("t84: probe set broadcasts; top-k prunes via WindowGroupLimit") {
+    val p = plan("t84_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"t84 must broadcast the probe side of the non-equi join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"t84 per-probe top-k must prune map-side before the qid shuffle:\n$p")
+  }
 }

@@ -840,6 +840,9 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(
       Multimodal.dHash64(pngOne).get ^ hBase) === 1)
     assert(Multimodal.dHash64(Array[Byte](1, 2, 3)) === None)
+    // recognized-but-corrupt payload (PNG magic, truncated body):
+    // decoder throws — must drop, not propagate
+    assert(Multimodal.dHash64(pngBase.take(30)) === None)
 
     val rows = Seq(
       Row(1L, "image", pngBase, Row(18, 16, null, 0L, "png")),
@@ -892,11 +895,20 @@ class StreamingMultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
     q.stop()
     assert(got === Map(1L -> Some(uniq1), 2L -> Some(uniq2), 4L -> None))
-    // empty standing set short-circuits to passthrough (no rewrite)
+    // empty standing set keeps every chunk — same normalize path as
+    // the non-empty case (NOT a passthrough: output text must hash
+    // identically across microbatches whatever the set's size)
     val none = Streaming.lineDedupStream(
       Seq((9L, s"$lineB x")).toDF("doc_id", "text"), "text",
       boiler.where(lit(false)))
     assert(none.head().getString(2) === s"$lineB x")
+    // multi-space input: normalized identically with empty AND
+    // non-empty sets (the cross-batch hash-stability contract)
+    val spaced = Seq((10L, "a  b\tc")).toDF("doc_id", "text")
+    assert(Streaming.lineDedupStream(spaced, "text",
+      boiler.where(lit(false))).head().getString(2) === "a b c")
+    assert(Streaming.lineDedupStream(spaced, "text", boiler)
+      .head().getString(2) === "a b c")
     // a corpus-sized "boilerplate" frame fails loud, before collect
     intercept[IllegalArgumentException] {
       Streaming.lineDedupStream(
