@@ -838,6 +838,36 @@ object SparkEntry {
             .jaccard(col("__sa"), col("__sb")), 6).as("jac"))
     }),
 
+    // Near-dup threshold tuning curve: exact-Jaccard histogram over
+    // the LSH candidate pairs (decile bins) — where you LOOK before
+    // picking the 0.5 cut every dedup query inherits: a bimodal
+    // histogram separates true near-dups from band-collision noise; a
+    // flat one says re-tune k/bands, not the threshold. Same candidate
+    // machinery as t2 (bucketed, never all-pairs) + a 10-row agg; the
+    // bin edges are floor(10·j) on the SAME IEEE division both engines
+    // compute, so the twin is exact.
+    "t85_jaccard_sweep" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.SketchExpressions
+            .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "shingles",
+        k = 8, bands = 4)
+      val sets = docs.select(col("doc_id"),
+        array_distinct(col("shingles")).as("ss"))
+      pairs
+        .join(sets.select(col("doc_id").as("id_a"), col("ss").as("__sa")),
+          Seq("id_a"))
+        .join(sets.select(col("doc_id").as("id_b"), col("ss").as("__sb")),
+          Seq("id_b"))
+        .select(graft.functions.SketchExpressions
+          .jaccard(col("__sa"), col("__sb")).as("__jac"))
+        .where(col("__jac").isNotNull)
+        .select(least(floor(col("__jac") * 10), lit(9.0)).cast("long")
+          .as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // SimHash 32-bit signature as a portable bitstring (custom
     // expression: one digest per token in a tight loop).
     "t3_simhash" -> ((s, dir) =>
@@ -3258,6 +3288,26 @@ object SparkEntry {
          FROM pairs
          JOIN sets x ON x.doc_id = id_a
          JOIN sets y ON y.doc_id = id_b""",
+    "t85_jaccard_sweep" ->
+      raw"""WITH $minhashBandsSql,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sets AS (SELECT doc_id, list_distinct(s) AS ss FROM sh),
+         j AS (
+           SELECT CAST(len(list_filter(x.ss, e -> list_contains(y.ss, e)))
+                       AS DOUBLE)
+             / (len(x.ss) + len(y.ss)
+                - len(list_filter(x.ss, e -> list_contains(y.ss, e))))
+             AS jac
+           FROM pairs
+           JOIN sets x ON x.doc_id = id_a
+           JOIN sets y ON y.doc_id = id_b)
+         SELECT CAST(least(floor(jac * 10), 9) AS BIGINT) AS bin,
+           count(*) AS n_pairs
+         FROM j WHERE jac IS NOT NULL
+         GROUP BY 1""",
     "d3_vocab" ->
       """SELECT tok, count(*) AS n FROM (
            SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok

@@ -491,6 +491,22 @@ object Multimodal {
     * exact (`bit_count(xor)`), so false band collisions cost only the
     * in-bucket probe. Same candidate-generation shape as the text
     * MinHash path (`Dedup`): buckets bound the quadratic term. */
+  /** Image near-dup CLUSTERS: the band-bucketed pairs fed through the
+    * same pointer-jumping connected-components the text path uses
+    * (`Dedup.connectedComponents`) — (id, cluster) with singletons
+    * self-labeled, so keep-one / keep-best policies compose exactly
+    * like their text twins. One decode pass, 8 bytes per image
+    * downstream, cluster cost bounded by band-bucket sizes. */
+  def phashClusters(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    val pairs = phashNearDup(hashes, maxDist)
+    val labels = graft.ops.Dedup
+      .connectedComponents(pairs, "id_a", "id_b")
+    hashes.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("label"), col("id")).as("cluster"))
+  }
+
   def phashNearDup(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3,
       s"maxDist=$maxDist > 3 breaks the 4-band pigeonhole recall " +

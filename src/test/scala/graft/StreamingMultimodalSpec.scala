@@ -868,6 +868,12 @@ class StreamingMultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.phashNearDup(hashed, maxDist = 10)
     }
+    // clusters: {1,2,3,5} connect (via the Hamming-1 bridge), 4 is a
+    // self-labeled singleton — same CC semantics as the text path
+    val clusters = Multimodal.phashClusters(hashed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      4L -> 4L))
   }
 
   test("lineDedupStream drops standing boilerplate lines in-row") {
