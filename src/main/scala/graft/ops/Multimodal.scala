@@ -491,6 +491,34 @@ object Multimodal {
     * exact (`bit_count(xor)`), so false band collisions cost only the
     * in-bucket probe. Same candidate-generation shape as the text
     * MinHash path (`Dedup`): buckets bound the quadratic term. */
+  /** Image-directory ingestion: Spark's `binaryFile` source → the
+    * multimodal schema (payload = file bytes; meta.format from the
+    * extension; width/height stay null until a decode pass fills
+    * them). Per-file parallelism is the source's own partitioning —
+    * at corpus scale the scan splits across executors like any file
+    * source — and `pathGlobFilter` keeps non-image files out of the
+    * scan entirely (never read, not read-and-dropped). id is the
+    * first 60 bits of md5(path): deterministic across runs and
+    * engines, collision odds ~n²/2⁶¹ — negligible below ~10⁸ files
+    * per ingested directory tree. */
+  def readImages(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 glob: String = "*.{png,jpg,jpeg,bmp,gif}"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        expr("CAST(conv(substr(md5(path), 1, 15), 16, 10) AS BIGINT)")
+          .as("id"),
+        lit("image").as("modality"),
+        col("content").as("payload"),
+        struct(lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          lit(null).cast("long").as("duration_ms"),
+          lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+            .as("format")).as("meta"),
+        col("path"))
+
   /** Image near-dup CLUSTERS: the band-bucketed pairs fed through the
     * same pointer-jumping connected-components the text path uses
     * (`Dedup.connectedComponents`) — (id, cluster) with singletons

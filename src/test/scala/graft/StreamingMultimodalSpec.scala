@@ -876,6 +876,50 @@ class StreamingMultimodalSpec extends SparkSpec {
       4L -> 4L))
   }
 
+  test("multimodal: readImages ingests a directory end-to-end into dHash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_imgs")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    val base = Array.tabulate(8, 9)((y, x) => x * 10 + y)
+    put("a.png", patternPng(base, 2))
+    put("b.png", patternPng(base.map(_.map(_ + 7)), 2)) // near-dup of a
+    put("notes.txt", "not an image".getBytes) // filtered by glob
+    put("broken.png", Array[Byte](1, 2, 3))   // decode-drops
+    val ingested = Multimodal.readImages(spark, dir.toString)
+    assert(ingested.count() === 3) // txt never scanned
+    assert(ingested.select("modality").distinct().head().getString(0)
+      === "image")
+    assert(ingested.select("meta.format").distinct().head().getString(0)
+      === "png")
+    // ids deterministic across reads
+    val ids1 = ingested.select("id").collect().map(_.getLong(0)).sorted
+    val ids2 = Multimodal.readImages(spark, dir.toString)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids1.toSeq === ids2.toSeq && ids1.distinct.length === 3)
+    // end-to-end: ingest → decode-hash (broken.png drops) → one cluster
+    val hashed = Multimodal.imageDHash(ingested)
+    assert(hashed.count() === 2)
+    val cl = Multimodal.phashClusters(hashed)
+      .select("cluster").distinct().collect()
+    assert(cl.length === 1)
+  }
+
+  test("multimodal: dHash brightness invariance holds on random patterns") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 50) {
+      // random 9×8 pattern, values 0..199; +δ stays within 0..255
+      val p = Array.fill(8, 9)(rnd.nextInt(200))
+      val delta = 1 + rnd.nextInt(55)
+      val block = 1 + rnd.nextInt(3)
+      val h = Multimodal.dHash64(patternPng(p, block))
+      // uniform brightness shift: every adjacent comparison unchanged
+      assert(Multimodal.dHash64(
+        patternPng(p.map(_.map(_ + delta)), block)) === h)
+      // integer block upscale: pooling recovers the same grid
+      assert(Multimodal.dHash64(patternPng(p, block * 2)) === h)
+    }
+  }
+
   test("lineDedupStream drops standing boilerplate lines in-row") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
