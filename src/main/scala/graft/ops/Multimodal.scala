@@ -503,21 +503,37 @@ object Multimodal {
     * per ingested directory tree. */
   def readImages(spark: org.apache.spark.sql.SparkSession, dir: String,
                  glob: String = "*.{png,jpg,jpeg,bmp,gif}"): DataFrame =
-    spark.read.format("binaryFile")
+    toMultimodal(spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
-      .load(dir)
-      .select(
-        expr("CAST(conv(substr(md5(path), 1, 15), 16, 10) AS BIGINT)")
-          .as("id"),
-        lit("image").as("modality"),
-        col("content").as("payload"),
-        struct(lit(null).cast("int").as("width"),
-          lit(null).cast("int").as("height"),
-          lit(null).cast("int").as("sample_rate"),
-          lit(null).cast("long").as("duration_ms"),
-          lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
-            .as("format")).as("meta"),
-        col("path"))
+      .load(dir))
+
+  /** Streaming twin of [[readImages]]: picks up image files as they
+    * land (the crawl-output watcher), same schema. Streaming file
+    * sources need the schema declared; binaryFile's is fixed by the
+    * format. */
+  def readImageStream(spark: org.apache.spark.sql.SparkSession,
+                      dir: String,
+                      glob: String = "*.{png,jpg,jpeg,bmp,gif}")
+      : DataFrame =
+    toMultimodal(spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, " +
+        "length BIGINT, content BINARY")
+      .option("pathGlobFilter", glob)
+      .load(dir))
+
+  private def toMultimodal(files: DataFrame): DataFrame =
+    files.select(
+      expr("CAST(conv(substr(md5(path), 1, 15), 16, 10) AS BIGINT)")
+        .as("id"),
+      lit("image").as("modality"),
+      col("content").as("payload"),
+      struct(lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("long").as("duration_ms"),
+        lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+          .as("format")).as("meta"),
+      col("path"))
 
   /** Image near-dup CLUSTERS: the band-bucketed pairs fed through the
     * same pointer-jumping connected-components the text path uses

@@ -405,6 +405,45 @@ object Streaming {
     }
   }
 
+  /** Live IMAGE dedup — the multimodal leg of the crawl path
+    * (readImageStream → here): per microbatch, one decode pass to the
+    * 64-bit dHash, keep the in-batch first row per hash, then
+    * anti-join the standing sink on the PERSISTED phash column —
+    * appendDedupedStream's sink-owned-state shape with an 8-byte
+    * perceptual key instead of md5(text), so "seen" is a narrow
+    * 8-byte-column scan and payload pages in the sink are never
+    * re-read. Equal-dHash is the stream gate (it already absorbs
+    * brightness shifts and rescales by construction); Hamming ≤ 3
+    * near-dup CLUSTERING stays a batch pass over the sink
+    * (`Multimodal.phashClusters`) — a per-batch band join against the
+    * standing corpus would re-shuffle the sink every few seconds for
+    * marginal extra recall. Undecodable payloads drop in the decode
+    * pass (spec'd); replays re-land the same hashes and anti-join to
+    * nothing — idempotent without batch-id machinery. */
+  def imageDedupStream(in: DataFrame, sinkPath: String) =
+    in.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val withHash = batch.join(
+          graft.ops.Multimodal.imageDHash(batch), Seq("id"))
+        val inBatchFirst = withHash
+          .withColumn("__rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("phash").orderBy("id")))
+          .where(col("__rk") === 1).drop("__rk")
+        val hPath = new org.apache.hadoop.fs.Path(sinkPath)
+        val fs = hPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val novel =
+          if (hasPartFiles(fs, hPath)) {
+            val seen = spark.read.parquet(sinkPath)
+              .select(col("phash")).distinct()
+            inBatchFirst.join(seen, Seq("phash"), "left_anti")
+          } else inBatchFirst
+        novel.write.mode("append").parquet(sinkPath)
+        ()
+    }
+
   /** Standing per-source KMV overlap sketches maintained incrementally
     * — t52b's operational form. Each microbatch sketches only ITS OWN
     * rows (one text pass, O(k) mergeable state per source), then folds

@@ -904,6 +904,39 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(cl.length === 1)
   }
 
+  test("multimodal: live image path — readImageStream feeds the phash-dedup sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_imgstream")
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_imgsink").toString + "/images"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_imgckpt").toString
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    val base = Array.tabulate(8, 9)((y, x) => x * 10 + y)
+    put("a.png", patternPng(base, 2))
+    put("b.png", patternPng(base.map(_.map(_ + 9)), 2)) // same dHash as a
+    val q = Streaming.imageDedupStream(
+      Multimodal.readImageStream(spark, dir.toString), sink)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    assert(spark.read.parquet(sink).count() === 1) // brightness twin deduped
+    // new files land: a scaled twin (dup vs the SINK), a genuinely new
+    // image, a non-image (glob-filtered), a corrupt image (decode-drop)
+    put("c.png", patternPng(base, 4))
+    put("d.png", patternPng(
+      Array.tabulate(8, 9)((y, x) => (8 - x) * 10 + y), 2))
+    put("e.txt", "not an image".getBytes)
+    put("f.png", Array[Byte](3, 1, 4))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(sink)
+    assert(rows.count() === 2)
+    assert(rows.select("phash").distinct().count() === 2)
+    // the sink kept real payload rows (8-byte key + original columns)
+    assert(rows.columns.contains("payload") &&
+      rows.columns.contains("path"))
+  }
+
   test("multimodal: dHash brightness invariance holds on random patterns") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 50) {
