@@ -535,6 +535,83 @@ object Multimodal {
           .as("format")).as("meta"),
       col("path"))
 
+  /** 64-bit audio ENVELOPE hash — the audio analog of [[dHash64]]:
+    * decode to PCM (javax.sound, any JDK-supported container), pool
+    * the first channel's absolute amplitude into 65 equal windows,
+    * then one bit per adjacent-window comparison (env[i] < env[i+1]).
+    * The relative-comparison construction is invariant to uniform
+    * GAIN (volume) changes exactly as dHash is to brightness, and the
+    * pooled envelope is robust to resampling. Same 64-bit key space
+    * as dHash, so [[phashNearDup]]/[[phashClusters]] serve both
+    * modalities unchanged. None for undecodable audio or clips
+    * shorter than 65 frames. */
+  def audioEnvHash64(payload: Array[Byte]): Option[Long] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val samples =
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val base = in.getFormat
+        val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          base.getSampleRate, 16, base.getChannels,
+          base.getChannels * 2, base.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
+        val bytes = pcm.readAllBytes()
+        val ch = base.getChannels
+        val frames = bytes.length / 2 / math.max(ch, 1)
+        // first channel only, |amplitude| as int (gain-scale preserved)
+        val out = new Array[Long](frames)
+        var f = 0
+        while (f < frames) {
+          val i = f * ch * 2
+          val lo = bytes(i) & 0xFF
+          val hi = bytes(i + 1).toInt
+          out(f) = math.abs(((hi << 8) | lo).toLong)
+          f += 1
+        }
+        Some(out)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    samples.filter(_.length >= 65).map { s =>
+      // integer average-pool |amplitude| into 65 windows (same
+      // proration as the dHash grid; every window non-empty)
+      val n = s.length
+      val env = new Array[Long](65)
+      var wdx = 0
+      while (wdx < 65) {
+        val a = math.min(wdx * n / 65, n - 1)
+        val b = math.max(a + 1, math.min((wdx + 1) * n / 65, n))
+        var sum = 0L
+        var i = a
+        while (i < b) { sum += s(i); i += 1 }
+        env(wdx) = sum / (b - a)
+        wdx += 1
+      }
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (env(i) < env(i + 1)) bits |= (1L << i)
+        i += 1
+      }
+      bits
+    }
+  }
+
+  /** (id, phash) table for AUDIO rows — [[imageDHash]]'s twin over
+    * [[audioEnvHash64]]; output feeds the same near-dup band join
+    * and clustering. */
+  def audioEnvHash(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("id"), col("modality"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, mod, payload) =>
+          if (mod != "audio" || payload == null) Iterator.empty
+          else audioEnvHash64(payload).map(h => (id, h)).iterator
+        }
+      }
+      .toDF("id", "phash")
+  }
+
   /** Image near-dup CLUSTERS: the band-bucketed pairs fed through the
     * same pointer-jumping connected-components the text path uses
     * (`Dedup.connectedComponents`) — (id, cluster) with singletons

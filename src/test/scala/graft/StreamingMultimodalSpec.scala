@@ -937,6 +937,52 @@ class StreamingMultimodalSpec extends SparkSpec {
       rows.columns.contains("path"))
   }
 
+  test("multimodal: audio envelope hash is gain-invariant and clusters near-dups") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    // 1 s at 8 kHz whose |amplitude| ramps linearly (constant-sign
+    // samples — a sine's per-window mean fluctuates with partial
+    // periods and can exceed the ~1.5% ramp step): the 65-window
+    // envelope is strictly increasing → all 64 bits set
+    def wav(gain: Double, rampUp: Boolean): Array[Byte] = {
+      val sr = 8000f; val n = 8000
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val pos = if (rampUp) i else n - 1 - i
+        val s = (gain * pos / n * 32767).toInt
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm),
+        new AudioFormat(sr, 16, 1, true, false), n.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val loud = wav(0.8, rampUp = true)
+    val quiet = wav(0.4, rampUp = true) // half gain: same comparisons
+    val fading = wav(0.8, rampUp = false) // reversed envelope
+    val h = Multimodal.audioEnvHash64(loud).get
+    assert(h === -1L)
+    assert(Multimodal.audioEnvHash64(quiet).get === h)
+    assert(Multimodal.audioEnvHash64(fading).get === 0L)
+    assert(Multimodal.audioEnvHash64(Array[Byte](1, 2)) === None)
+    val rows = Seq(
+      Row(1L, "audio", loud, Row(null, null, 8000, 1000L, "wav")),
+      Row(2L, "audio", quiet, Row(null, null, 8000, 1000L, "wav")),
+      Row(3L, "audio", fading, Row(null, null, 8000, 1000L, "wav")),
+      Row(4L, "image", loud, Row(null, null, null, 0L, "png")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.Schema)
+    val hashed = Multimodal.audioEnvHash(df)
+    assert(hashed.count() === 3) // non-audio row skipped
+    // the SAME band join + CC serve audio: {1,2} cluster, 3 singleton
+    val clusters = Multimodal.phashClusters(hashed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("multimodal: dHash brightness invariance holds on random patterns") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 50) {
