@@ -901,6 +901,27 @@ object SparkEntry {
     // cluster even though (A,C) was never a candidate pair.
     "t12_dup_clusters" -> ((s, dir) => neardupLabels(s, dir)),
 
+    // Dedup savings report — the "what did near-dedup buy" artifact
+    // you read before paying for a corpus-wide dedup materialization:
+    // cluster-size histogram with total vs kept tokens (keep-min
+    // convention, d5's). Shares the ONE cluster-label pipeline
+    // (`Dedup.clusterLabels` via neardupLabels — materialize-once at
+    // scale) + a cluster-keyed agg + a histogram-sized agg; the only
+    // new shuffles are cluster-count-sized.
+    "t86_dedup_savings" -> ((s, dir) => {
+      val toks = T(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
+      val per = neardupLabels(s, dir).join(toks, Seq("doc_id"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("sz"), sum(col("n_tok")).as("tok"),
+          min(struct(col("doc_id"), col("n_tok"))).as("__keep"))
+      per.groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("tok")).as("total_tokens"),
+          (sum(col("tok")) - sum(col("__keep.n_tok")))
+            .as("tokens_saved"))
+    }),
+
     // Brute-force exact cosine top-5 for 10 query vectors (ANN baseline):
     // corpus never shuffles; queries broadcast.
     "t4_knn_cosine" -> ((s, dir) => {
@@ -3336,6 +3357,25 @@ object SparkEntry {
     "t12_dup_clusters" ->
       s"""$neardupLabelSql
          SELECT doc_id, cluster_id FROM lbl""",
+    "t86_dedup_savings" ->
+      s"""$neardupLabelSql,
+         tk AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+               AS n_tok
+           FROM documents),
+         per AS (
+           SELECT l.cluster_id, count(*) AS sz, sum(tk.n_tok) AS tok,
+             min(l.doc_id) AS keep_id
+           FROM lbl l JOIN tk ON tk.doc_id = l.doc_id
+           GROUP BY 1),
+         kept AS (
+           SELECT p.sz, p.tok, tk.n_tok AS kept_tok
+           FROM per p JOIN tk ON tk.doc_id = p.keep_id)
+         SELECT sz AS cluster_size, count(*) AS n_clusters,
+           sum(tok) AS total_tokens,
+           sum(tok) - sum(kept_tok) AS tokens_saved
+         FROM kept GROUP BY 1""",
     "t72_cluster_split" ->
       s"""$neardupLabelSql
          SELECT doc_id, cluster_id,
