@@ -39,6 +39,15 @@ object Multimodal {
     StructField("payload", BinaryType),
     StructField("meta", MetaType)))
 
+  /** Default ingest glob. Hadoop's GlobFilter is CASE-SENSITIVE, and
+    * camera/Windows-originated crawls routinely carry .JPG/.PNG —
+    * a lowercase-only glob silently drops them from the SCAN (worse
+    * than a decode-drop: the row never exists). Mixed-case variants
+    * beyond all-upper/all-lower stay out deliberately — the
+    * combinatorial glob explodes; normalize exotic filenames upstream. */
+  val ImageGlob: String =
+    "*.{png,PNG,jpg,JPG,jpeg,JPEG,bmp,BMP,gif,GIF}"
+
   /** One decoded unit: the feature vector a downstream model consumes. */
   case class Features(id: Long, modality: String, features: Array[Float])
 
@@ -464,6 +473,29 @@ object Multimodal {
     Some(bits)
   }
 
+  /** Full rows + appended `phash`, ONE decode pass over the payload
+    * column (mapPartitions, no self-join, no payload shuffle) —
+    * for consumers that need the original columns alongside the hash
+    * (the streaming dedup sink). Non-image / undecodable rows drop.
+    * When only (id, hash) is needed, use [[imageDHash]] instead: its
+    * narrow projection lets parquet skip payload pages entirely on
+    * hash-only passes. */
+  def withDHash(df: DataFrame): DataFrame = {
+    val schema = df.schema.add("phash", LongType)
+    val modIdx = df.schema.fieldIndex("modality")
+    val payIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val mod = r.getString(modIdx)
+        val payload =
+          if (r.isNullAt(payIdx)) null else r.getAs[Array[Byte]](payIdx)
+        if (mod != "image" || payload == null) Iterator.empty
+        else dHash64(payload)
+          .map(h => Row.fromSeq(r.toSeq :+ h)).iterator
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** (id, phash) table over a multimodal frame: one ImageIO decode
     * pass via mapPartitions (decode parallelism = partition count),
     * non-image / undecodable rows dropped. The 8-byte hash is the
@@ -482,15 +514,6 @@ object Multimodal {
       .toDF("id", "phash")
   }
 
-  /** Near-duplicate image candidate pairs at Hamming distance ≤
-    * `maxDist` over (id, phash): the LSH band trick on the 64-bit
-    * dHash — 4 × 16-bit bands, so any two hashes within Hamming ≤ 3
-    * MUST share at least one untouched band (pigeonhole) and recall is
-    * EXACT for maxDist ≤ 3; the join is band-bucketed (shuffle keyed on
-    * (band, 16-bit value) — never all-pairs) and the distance check is
-    * exact (`bit_count(xor)`), so false band collisions cost only the
-    * in-bucket probe. Same candidate-generation shape as the text
-    * MinHash path (`Dedup`): buckets bound the quadratic term. */
   /** Image-directory ingestion: Spark's `binaryFile` source → the
     * multimodal schema (payload = file bytes; meta.format from the
     * extension; width/height stay null until a decode pass fills
@@ -502,7 +525,7 @@ object Multimodal {
     * engines, collision odds ~n²/2⁶¹ — negligible below ~10⁸ files
     * per ingested directory tree. */
   def readImages(spark: org.apache.spark.sql.SparkSession, dir: String,
-                 glob: String = "*.{png,jpg,jpeg,bmp,gif}"): DataFrame =
+                 glob: String = ImageGlob): DataFrame =
     toMultimodal(spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir))
@@ -513,7 +536,7 @@ object Multimodal {
     * format. */
   def readImageStream(spark: org.apache.spark.sql.SparkSession,
                       dir: String,
-                      glob: String = "*.{png,jpg,jpeg,bmp,gif}")
+                      glob: String = ImageGlob)
       : DataFrame =
     toMultimodal(spark.readStream.format("binaryFile")
       .schema("path STRING, modificationTime TIMESTAMP, " +
@@ -539,61 +562,63 @@ object Multimodal {
     * decode to PCM (javax.sound, any JDK-supported container), pool
     * the first channel's absolute amplitude into 65 equal windows,
     * then one bit per adjacent-window comparison (env[i] < env[i+1]).
-    * The relative-comparison construction is invariant to uniform
-    * GAIN (volume) changes exactly as dHash is to brightness, and the
-    * pooled envelope is robust to resampling. Same 64-bit key space
-    * as dHash, so [[phashNearDup]]/[[phashClusters]] serve both
-    * modalities unchanged. None for undecodable audio or clips
-    * shorter than 65 frames. */
+    * The relative-comparison construction makes the hash
+    * APPROXIMATELY invariant to uniform gain changes and robust to
+    * resampling — approximately, not exactly: gain is multiplicative,
+    * so integer quantization can flip a bit whose two windows were
+    * near-ties (dHash's brightness invariance is exact because an
+    * additive shift survives integer pooling unchanged). Near-tie
+    * flips land within the Hamming ≤ 3 band-join budget rather than
+    * defeating it. Same 64-bit key space as dHash, so
+    * [[phashNearDup]]/[[phashClusters]] serve both modalities
+    * unchanged. None for undecodable audio or clips shorter than 65
+    * frames. Memory: the decoded PCM byte buffer is the only
+    * clip-sized allocation — windows pool straight out of it (65 long
+    * accumulators), no per-frame array. */
   def audioEnvHash64(payload: Array[Byte]): Option[Long] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
-    val samples =
-      try {
-        val in = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        val base = in.getFormat
-        val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-          base.getSampleRate, 16, base.getChannels,
-          base.getChannels * 2, base.getSampleRate, false)
-        val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
-        val bytes = pcm.readAllBytes()
-        val ch = base.getChannels
-        val frames = bytes.length / 2 / math.max(ch, 1)
-        // first channel only, |amplitude| as int (gain-scale preserved)
-        val out = new Array[Long](frames)
-        var f = 0
-        while (f < frames) {
-          val i = f * ch * 2
-          val lo = bytes(i) & 0xFF
-          val hi = bytes(i + 1).toInt
-          out(f) = math.abs(((hi << 8) | lo).toLong)
-          f += 1
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val base = in.getFormat
+      val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        base.getSampleRate, 16, base.getChannels,
+        base.getChannels * 2, base.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
+      val bytes = pcm.readAllBytes()
+      val ch = math.max(base.getChannels, 1)
+      val n = bytes.length / 2 / ch // frames
+      if (n < 65) None
+      else {
+        // integer average-pool the first channel's |amplitude| into 65
+        // windows, reading frames straight from the PCM buffer (same
+        // proration as the dHash grid; every window non-empty)
+        val env = new Array[Long](65)
+        var wdx = 0
+        while (wdx < 65) {
+          val a = math.min(wdx * n / 65, n - 1)
+          val b = math.max(a + 1, math.min((wdx + 1) * n / 65, n))
+          var sum = 0L
+          var f = a
+          while (f < b) {
+            val i = f * ch * 2
+            val lo = bytes(i) & 0xFF
+            val hi = bytes(i + 1).toInt // sign-extends
+            sum += math.abs(((hi << 8) | lo).toLong)
+            f += 1
+          }
+          env(wdx) = sum / (b - a)
+          wdx += 1
         }
-        Some(out)
-      } catch { case scala.util.control.NonFatal(_) => None }
-    samples.filter(_.length >= 65).map { s =>
-      // integer average-pool |amplitude| into 65 windows (same
-      // proration as the dHash grid; every window non-empty)
-      val n = s.length
-      val env = new Array[Long](65)
-      var wdx = 0
-      while (wdx < 65) {
-        val a = math.min(wdx * n / 65, n - 1)
-        val b = math.max(a + 1, math.min((wdx + 1) * n / 65, n))
-        var sum = 0L
-        var i = a
-        while (i < b) { sum += s(i); i += 1 }
-        env(wdx) = sum / (b - a)
-        wdx += 1
+        var bits = 0L
+        var i = 0
+        while (i < 64) {
+          if (env(i) < env(i + 1)) bits |= (1L << i)
+          i += 1
+        }
+        Some(bits)
       }
-      var bits = 0L
-      var i = 0
-      while (i < 64) {
-        if (env(i) < env(i + 1)) bits |= (1L << i)
-        i += 1
-      }
-      bits
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** (id, phash) table for AUDIO rows — [[imageDHash]]'s twin over
@@ -628,6 +653,15 @@ object Multimodal {
         coalesce(col("label"), col("id")).as("cluster"))
   }
 
+  /** Near-duplicate image candidate pairs at Hamming distance ≤
+    * `maxDist` over (id, phash): the LSH band trick on the 64-bit
+    * dHash — 4 × 16-bit bands, so any two hashes within Hamming ≤ 3
+    * MUST share at least one untouched band (pigeonhole) and recall is
+    * EXACT for maxDist ≤ 3; the join is band-bucketed (shuffle keyed on
+    * (band, 16-bit value) — never all-pairs) and the distance check is
+    * exact (`bit_count(xor)`), so false band collisions cost only the
+    * in-bucket probe. Same candidate-generation shape as the text
+    * MinHash path (`Dedup`): buckets bound the quadratic term. */
   def phashNearDup(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3,
       s"maxDist=$maxDist > 3 breaks the 4-band pigeonhole recall " +

@@ -381,28 +381,37 @@ object Streaming {
                           sinkPath: String) = {
     in.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val withHash = batch.withColumn("__h", md5(col(textCol)))
-        val inBatchFirst = withHash
-          .withColumn("__rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("__h").orderBy(idCol)))
-          .where(col("__rk") === 1).drop("__rk")
-        val hPath = new org.apache.hadoop.fs.Path(sinkPath)
-        val fs = hPath.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val hasData = hasPartFiles(fs, hPath)
-        val novel =
-          if (hasData) {
-            // __h is PERSISTED in the sink: "seen" is a single narrow
-            // hash-column scan, not a full-text re-hash of the corpus
-            val seen = spark.read.parquet(sinkPath)
-              .select(col("__h")).distinct()
-            inBatchFirst.join(seen, Seq("__h"), "left_anti")
-          } else inBatchFirst
-        novel.write.mode("append").parquet(sinkPath)
-        ()
+        dedupAppendBatch(batch.withColumn("__h", md5(col(textCol))),
+          "__h", idCol, sinkPath)
     }
+  }
+
+  /** The ONE sink-owned-state dedup microbatch, shared by every
+    * keyed append sink (`appendDedupedStream` on md5(text),
+    * `imageDedupStream` on the dHash): keep the in-batch first row
+    * per key, anti-join the standing sink on the PERSISTED key column
+    * (a single narrow-column scan — payloads/text in the sink are
+    * never re-read), append the novel rows. Replays re-land the same
+    * keys and anti-join to nothing — idempotent without batch-id
+    * machinery. One copy so a crash-safety or commit-protocol fix
+    * can never cover one modality and miss the other. */
+  private def dedupAppendBatch(keyed: DataFrame, keyCol: String,
+                               idCol: String, sinkPath: String): Unit = {
+    val spark = keyed.sparkSession
+    val inBatchFirst = keyed
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCol).orderBy(idCol)))
+      .where(col("__rk") === 1).drop("__rk")
+    val hPath = new org.apache.hadoop.fs.Path(sinkPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val novel =
+      if (hasPartFiles(fs, hPath)) {
+        val seen = spark.read.parquet(sinkPath)
+          .select(col(keyCol)).distinct()
+        inBatchFirst.join(seen, Seq(keyCol), "left_anti")
+      } else inBatchFirst
+    novel.write.mode("append").parquet(sinkPath)
   }
 
   /** Live IMAGE dedup — the multimodal leg of the crawl path
@@ -423,25 +432,11 @@ object Streaming {
   def imageDedupStream(in: DataFrame, sinkPath: String) =
     in.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val withHash = batch.join(
-          graft.ops.Multimodal.imageDHash(batch), Seq("id"))
-        val inBatchFirst = withHash
-          .withColumn("__rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("phash").orderBy("id")))
-          .where(col("__rk") === 1).drop("__rk")
-        val hPath = new org.apache.hadoop.fs.Path(sinkPath)
-        val fs = hPath.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val novel =
-          if (hasPartFiles(fs, hPath)) {
-            val seen = spark.read.parquet(sinkPath)
-              .select(col("phash")).distinct()
-            inBatchFirst.join(seen, Seq("phash"), "left_anti")
-          } else inBatchFirst
-        novel.write.mode("append").parquet(sinkPath)
-        ()
+        // ONE decode pass appends phash to the full rows
+        // (mapPartitions — no self-join, no payload-sized shuffle, no
+        // second read of the binaryFile source)
+        dedupAppendBatch(graft.ops.Multimodal.withDHash(batch),
+          "phash", "id", sinkPath)
     }
 
   /** Standing per-source KMV overlap sketches maintained incrementally

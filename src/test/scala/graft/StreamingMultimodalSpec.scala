@@ -883,22 +883,23 @@ class StreamingMultimodalSpec extends SparkSpec {
     val base = Array.tabulate(8, 9)((y, x) => x * 10 + y)
     put("a.png", patternPng(base, 2))
     put("b.png", patternPng(base.map(_.map(_ + 7)), 2)) // near-dup of a
+    put("c.PNG", patternPng(base, 4)) // uppercase ext must still ingest
     put("notes.txt", "not an image".getBytes) // filtered by glob
     put("broken.png", Array[Byte](1, 2, 3))   // decode-drops
     val ingested = Multimodal.readImages(spark, dir.toString)
-    assert(ingested.count() === 3) // txt never scanned
+    assert(ingested.count() === 4) // txt never scanned; .PNG included
     assert(ingested.select("modality").distinct().head().getString(0)
       === "image")
     assert(ingested.select("meta.format").distinct().head().getString(0)
-      === "png")
+      === "png") // format lowercased either way
     // ids deterministic across reads
     val ids1 = ingested.select("id").collect().map(_.getLong(0)).sorted
     val ids2 = Multimodal.readImages(spark, dir.toString)
       .select("id").collect().map(_.getLong(0)).sorted
-    assert(ids1.toSeq === ids2.toSeq && ids1.distinct.length === 3)
+    assert(ids1.toSeq === ids2.toSeq && ids1.distinct.length === 4)
     // end-to-end: ingest → decode-hash (broken.png drops) → one cluster
     val hashed = Multimodal.imageDHash(ingested)
-    assert(hashed.count() === 2)
+    assert(hashed.count() === 3)
     val cl = Multimodal.phashClusters(hashed)
       .select("cluster").distinct().collect()
     assert(cl.length === 1)
