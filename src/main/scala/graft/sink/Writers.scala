@@ -73,6 +73,41 @@ object Writers {
       fields.mkString("{", ", ", "}"))
   }
 
+  /** Partitioned parquet write + a `_manifest.jsonl` stats sidecar:
+    * one JSON object per partition with its row count and min/max of
+    * the requested columns — the manifest a planner consults to skip
+    * partitions WITHOUT listing/footer-reading them (the lightweight
+    * version of what table formats keep; t82's z-order stats are the
+    * same idea at file grain). The underscore prefix keeps Spark's
+    * directory scan from tripping on the sidecar; the stats pass is
+    * one partial-agged shuffle of partition-count rows, and the
+    * driver-side collect is partition-count-sized (bounded by the
+    * partition-column cardinality, which a partitioned write already
+    * requires to be modest). All values serialize as strings — the
+    * manifest is planner metadata, not a typed table. */
+  def writeWithManifest(df: DataFrame, path: String,
+                        partitionCols: Seq[String],
+                        statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    require(partitionCols.nonEmpty, "writeWithManifest needs partition columns")
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    val aggs = count(lit(1)).cast("string").as("rows") +:
+      statsCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c")))
+    val stats = df.groupBy(partitionCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(partitionCols.map(col): _*)
+      .collect()
+    val lines = stats.map { r =>
+      jobj(r.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+        f -> (if (r.isNullAt(i)) "" else r.get(i).toString)
+      }.toMap)
+    }
+    Files.writeString(Paths.get(path, "_manifest.jsonl"),
+      lines.mkString("", "\n", "\n"))
+  }
+
   /** Parse the sidecar back: (global attrs, per-variable attrs). A tiny
     * recursive-descent JSON reader scoped to what the writer emits —
     * string values one level deep, plus the `__variables` object. */
