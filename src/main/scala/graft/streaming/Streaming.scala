@@ -411,7 +411,12 @@ object Streaming {
           .select(col(keyCol)).distinct()
         inBatchFirst.join(seen, Seq(keyCol), "left_anti")
       } else inBatchFirst
-    novel.write.mode("append").parquet(sinkPath)
+    // the anti-join moves the key column to the front — re-select the
+    // batch's own order so every sink file carries ONE column layout
+    // (parquet merges by name either way, but mixed-order files make
+    // positional readers and schema diffs needlessly confusing)
+    novel.select(inBatchFirst.columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").parquet(sinkPath)
   }
 
   /** Live IMAGE dedup — the multimodal leg of the crawl path
@@ -438,6 +443,35 @@ object Streaming {
         dedupAppendBatch(graft.ops.Multimodal.withDHash(batch),
           "phash", "id", sinkPath)
     }
+
+  /** Small-file compaction for the append sinks (appendDedupedStream,
+    * imageDedupStream, the score sinks): every microbatch appends its
+    * own part files, so a long-lived sink accretes thousands of tiny
+    * files and the "seen"-key scan pays a per-file open cost that
+    * eventually dwarfs the read. Rewrites the sink into `targetFiles`
+    * files via the sourceSketchStream temp-swap (write complete temp →
+    * delete old → rename; a complete orphan temp from a previous crash
+    * is promoted first), so every crash point leaves a readable sink
+    * on an atomic-rename filesystem. Run from a MAINTENANCE schedule,
+    * never inside foreachBatch — the swap must not race an in-flight
+    * append. Content is unchanged (spec-asserted); only the layout. */
+  def compactSink(spark: org.apache.spark.sql.SparkSession,
+                  sinkPath: String, targetFiles: Int = 8): Unit = {
+    require(targetFiles > 0, s"targetFiles=$targetFiles")
+    val hPath = new org.apache.hadoop.fs.Path(sinkPath)
+    val tmp = new org.apache.hadoop.fs.Path(sinkPath + "__tmp")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hasPartFiles(fs, hPath) && hasPartFiles(fs, tmp) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+      if (fs.exists(hPath)) fs.delete(hPath, true)
+      fs.rename(tmp, hPath)
+    }
+    if (!hasPartFiles(fs, hPath)) return // nothing to compact
+    spark.read.parquet(sinkPath).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
+  }
 
   /** Standing per-source KMV overlap sketches maintained incrementally
     * — t52b's operational form. Each microbatch sketches only ITS OWN

@@ -984,6 +984,41 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("compactSink rewrites the append sink without changing content") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString + "/docs"
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.appendDedupedStream(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", sink)
+      .start()
+    // several appends → several part-file generations
+    (1 to 4).foreach { b =>
+      input.addData((b * 10L, s"doc $b"), (b * 10L + 1, s"doc $b dup base"))
+      q.processAllAvailable()
+    }
+    def parts() = new java.io.File(sink).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    val before = spark.read.parquet(sink).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+    assert(parts() > 2)
+    Streaming.compactSink(spark, sink, targetFiles = 2)
+    assert(parts() <= 2)
+    val after = spark.read.parquet(sink).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+    assert(after === before)
+    // the sink keeps serving the dedup contract after the swap
+    input.addData((99L, "doc 1"), (100L, "fresh content"))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.read.parquet(sink).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(fin.contains(100L) && !fin.contains(99L)) // dup still caught
+    // compacting an empty path is a no-op, not an error
+    Streaming.compactSink(spark, sink + "_nothere")
+  }
+
   test("multimodal: dHash brightness invariance holds on random patterns") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 50) {
