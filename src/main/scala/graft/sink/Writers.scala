@@ -28,8 +28,20 @@ object Writers {
       .option("header", "true").csv(path)
   }
 
+  // escapes control chars too: attrs were curated metadata, but the
+  // manifest feeds DATA values (min/max of arbitrary columns) through
+  // here — a raw newline inside a JSON string breaks both the JSON
+  // and the one-object-per-line JSONL contract
   private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   private def jobj(m: Map[String, String]): String =
     m.toSeq.sortBy(_._1)
@@ -91,17 +103,27 @@ object Writers {
     import org.apache.spark.sql.functions._
     require(partitionCols.nonEmpty, "writeWithManifest needs partition columns")
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    // stats come from the WRITTEN parquet, never from re-evaluating
+    // df: a non-deterministic or source-shifting input would make the
+    // manifest describe rows that are not in the files (a planner
+    // would then prune wrongly) — and the read-back is cheaper anyway
+    // (column-pruned to the partition + stats columns)
+    val spark = df.sparkSession
+    val written = spark.read.parquet(path)
     val aggs = count(lit(1)).cast("string").as("rows") +:
       statsCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"min_$c"),
         max(col(c)).cast("string").as(s"max_$c")))
-    val stats = df.groupBy(partitionCols.map(col): _*)
+    val stats = written.groupBy(partitionCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(partitionCols.map(col): _*)
       .collect()
+    // all-null stats OMIT their key: "" would be indistinguishable
+    // from a legitimate empty-string min/max, and a planner must be
+    // able to tell "no stats — scan" from "bound is empty string"
     val lines = stats.map { r =>
-      jobj(r.schema.fieldNames.zipWithIndex.map { case (f, i) =>
-        f -> (if (r.isNullAt(i)) "" else r.get(i).toString)
+      jobj(r.schema.fieldNames.zipWithIndex.flatMap { case (f, i) =>
+        if (r.isNullAt(i)) None else Some(f -> r.get(i).toString)
       }.toMap)
     }
     Files.writeString(Paths.get(path, "_manifest.jsonl"),

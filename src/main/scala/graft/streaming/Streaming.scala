@@ -403,8 +403,13 @@ object Streaming {
         org.apache.spark.sql.expressions.Window
           .partitionBy(keyCol).orderBy(idCol)))
       .where(col("__rk") === 1).drop("__rk")
-    val hPath = new org.apache.hadoop.fs.Path(sinkPath)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (fs, hPath, tmp) = sinkPaths(spark, sinkPath)
+    // a compactSink crash between delete-old and rename leaves the
+    // WHOLE corpus in the temp dir and no sink; if this batch ran
+    // first without promoting it, the bootstrap write would create a
+    // new sink and strand the history (the orphan condition would
+    // never fire again). Promotion must precede the has-data probe.
+    promoteOrphanTemp(fs, hPath, tmp)
     val novel =
       if (hasPartFiles(fs, hPath)) {
         val seen = spark.read.parquet(sinkPath)
@@ -414,9 +419,49 @@ object Streaming {
     // the anti-join moves the key column to the front — re-select the
     // batch's own order so every sink file carries ONE column layout
     // (parquet merges by name either way, but mixed-order files make
-    // positional readers and schema diffs needlessly confusing)
-    novel.select(inBatchFirst.columns.map(col).toIndexedSeq: _*)
+    // positional readers and schema diffs needlessly confusing).
+    // Backtick-quoted: a dotted column name must select literally,
+    // not resolve as a nested field path.
+    novel.select(inBatchFirst.columns.toIndexedSeq
+        .map(n => col("`" + n.replace("`", "``") + "`")): _*)
       .write.mode("append").parquet(sinkPath)
+  }
+
+  /** Normalized (fs, sink, temp) triple for the temp-swap protocol.
+    * The temp is a SIBLING of the normalized sink path — deriving it
+    * by string concat would nest it INSIDE the sink when callers pass
+    * a trailing slash, and the swap's delete-old would then destroy
+    * the freshly written temp. */
+  private def sinkPaths(spark: org.apache.spark.sql.SparkSession,
+                        sinkPath: String) = {
+    val hPath = new org.apache.hadoop.fs.Path(sinkPath)
+    val tmp = new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + "__tmp")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, hPath, tmp)
+  }
+
+  /** Orphan-recovery half of the temp-swap: death between delete-old
+    * and rename-temp left a COMPLETE temp (has _SUCCESS) and no sink —
+    * promote it before anything probes or writes the sink. The target
+    * must not exist at rename time: Hadoop rename onto an existing
+    * directory NESTS the source inside it. */
+  private def promoteOrphanTemp(fs: org.apache.hadoop.fs.FileSystem,
+                                hPath: org.apache.hadoop.fs.Path,
+                                tmp: org.apache.hadoop.fs.Path): Unit =
+    if (!hasPartFiles(fs, hPath) && hasPartFiles(fs, tmp) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+      if (fs.exists(hPath)) fs.delete(hPath, true)
+      fs.rename(tmp, hPath)
+    }
+
+  /** Commit half of the temp-swap: the replacement at `tmp` is durable
+    * (_SUCCESS written) — retire the old sink and move the new one in. */
+  private def swapInTemp(fs: org.apache.hadoop.fs.FileSystem,
+                         hPath: org.apache.hadoop.fs.Path,
+                         tmp: org.apache.hadoop.fs.Path): Unit = {
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
   }
 
   /** Live IMAGE dedup — the multimodal leg of the crawl path
@@ -458,19 +503,17 @@ object Streaming {
   def compactSink(spark: org.apache.spark.sql.SparkSession,
                   sinkPath: String, targetFiles: Int = 8): Unit = {
     require(targetFiles > 0, s"targetFiles=$targetFiles")
-    val hPath = new org.apache.hadoop.fs.Path(sinkPath)
-    val tmp = new org.apache.hadoop.fs.Path(sinkPath + "__tmp")
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!hasPartFiles(fs, hPath) && hasPartFiles(fs, tmp) &&
-        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
-      if (fs.exists(hPath)) fs.delete(hPath, true)
-      fs.rename(tmp, hPath)
-    }
+    val (fs, hPath, tmp) = sinkPaths(spark, sinkPath)
+    promoteOrphanTemp(fs, hPath, tmp)
     if (!hasPartFiles(fs, hPath)) return // nothing to compact
-    spark.read.parquet(sinkPath).repartition(targetFiles)
+    // mergeSchema: an accreted sink can carry files under an evolved
+    // schema (stream restarted with an added column) — a single-footer
+    // read would DROP the newer column and compaction would make that
+    // loss permanent
+    spark.read.option("mergeSchema", "true").parquet(hPath.toString)
+      .repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(hPath, true)
-    fs.rename(tmp, hPath)
+    swapInTemp(fs, hPath, tmp)
   }
 
   /** Standing per-source KMV overlap sketches maintained incrementally
@@ -507,20 +550,10 @@ object Streaming {
           .kmvSourceSketches(batch, textCol, sourceCol, n, k)
         // same has-data probe as appendDedupedStream: Hadoop FS (the
         // sink can be object storage), and only a dir with part files
-        // counts (schema inference fails on an empty dir)
-        val hPath = new org.apache.hadoop.fs.Path(sinkPath)
-        val tmp = new org.apache.hadoop.fs.Path(sinkPath + "__tmp")
-        val fs = hPath.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        // recovery: death between delete-old and rename-temp left a
-        // COMPLETE temp (has _SUCCESS) and no sink — promote it first.
-        // The target must not exist at rename time: Hadoop rename onto
-        // an existing directory NESTS the source inside it.
-        if (!hasPartFiles(fs, hPath) && hasPartFiles(fs, tmp) &&
-            fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
-          if (fs.exists(hPath)) fs.delete(hPath, true)
-          fs.rename(tmp, hPath)
-        }
+        // counts (schema inference fails on an empty dir); shared
+        // swap protocol (normalized sibling temp + orphan promotion)
+        val (fs, hPath, tmp) = sinkPaths(spark, sinkPath)
+        promoteOrphanTemp(fs, hPath, tmp)
         val merged =
           if (hasPartFiles(fs, hPath)) {
             val standing = spark.read.parquet(sinkPath)
@@ -551,8 +584,7 @@ object Streaming {
         // the write job reads the OLD sink while producing the temp —
         // the sink is only deleted once the replacement is durable
         merged.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(hPath, true)
-        fs.rename(tmp, hPath)
+        swapInTemp(fs, hPath, tmp)
         ()
     }
   }
@@ -668,7 +700,11 @@ object Streaming {
                         keepRecent: Int = 8): Unit = {
     val spark = batch.sparkSession
     val hPath = new org.apache.hadoop.fs.Path(edgesSink)
-    val tmp = new org.apache.hadoop.fs.Path(edgesSink + "__tmp")
+    // sibling of the NORMALIZED path — string concat would nest the
+    // temp inside the sink under a trailing-slash edgesSink and the
+    // swap's delete would destroy it (see sinkPaths)
+    val tmp = new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + "__tmp")
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // recovery: death between delete-old and rename-temp left a
     // COMPLETE temp (has _SUCCESS) and no sink — promote it first

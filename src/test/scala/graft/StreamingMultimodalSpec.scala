@@ -1019,6 +1019,34 @@ class StreamingMultimodalSpec extends SparkSpec {
     Streaming.compactSink(spark, sink + "_nothere")
   }
 
+  test("append sink recovers the compaction crash window (orphan temp)") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_orphan").toString + "/docs"
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.appendDedupedStream(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", sink)
+      .start()
+    input.addData((1L, "historic doc"))
+    q.processAllAvailable()
+    // simulate compactSink dying between delete-old and rename: the
+    // whole corpus sits in the sibling __tmp (complete, has _SUCCESS)
+    // and the sink is gone
+    assert(new java.io.File(sink)
+      .renameTo(new java.io.File(sink + "__tmp")))
+    // the NEXT batch must promote the orphan before its has-data
+    // probe — otherwise it bootstraps a fresh sink, strands the
+    // history, and re-admits the duplicate
+    input.addData((2L, "historic doc"), (3L, "new doc"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(sink).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+    assert(rows === Set((1L, "historic doc"), (3L, "new doc")))
+    assert(!new java.io.File(sink + "__tmp").exists())
+  }
+
   test("multimodal: dHash brightness invariance holds on random patterns") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 50) {
