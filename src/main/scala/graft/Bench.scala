@@ -90,6 +90,15 @@ object Bench {
     // the recorded total. `queries` stays name→seconds for the driver;
     // `ok` carries per-query success alongside.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // The driver archives only the LAST ~2000 chars of stdout; the full
+    // JSON above is ~8 KB, so its per-query timings were truncated away
+    // in r10 (BENCH_r10.json parsed:null). Repeat the signal in a
+    // compact tail line — total, top-10 slowest with times, failures —
+    // sized to always survive the driver's tail window.
+    val top10 = results.toSeq.sortBy(-_._2._1).take(10)
+      .map { case (k, (t, _)) => f""""$k":${t}%.2f""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top10,"partial_top10":true,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

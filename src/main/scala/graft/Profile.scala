@@ -13,6 +13,9 @@ object Profile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // SparkEntry.T's NTZ→LTZ events cast is only value-preserving
+      // under UTC; every entrypoint pins it (see T's scaladoc)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -318,6 +318,46 @@ object SparkEntry {
            LEFT JOIN c$i ON c$i.node = nodes.node)"""
     }.mkString(",\n         ")
 
+  /** Unrolled BPE-training iteration CTEs for the t73 oracle — the
+    * SQL twin of `TextOps.bpeTrainMerges`'s loop (pair counts →
+    * deterministic top-1 by (count desc, a, b) → merge fold), one
+    * sy/pc/best/st CTE quadruple per merge, generated from one
+    * template so the rounds cannot drift (the pageRankIterSql
+    * precedent). Each word's symbol list rides as a chr(30)-delimited
+    * string — SEP + join(syms, SEP·SEP) + SEP — where every symbol
+    * carries its OWN bracketing separators, so a single replace() of
+    * SEP·a·SEP·SEP·b·SEP with SEP·ab·SEP IS the leftmost-
+    * non-overlapping merge: consecutive same-pair merges cannot
+    * starve ("aaaa" → [aa, aa], exactly `TextOps.bpeMergeOnce`'s
+    * fold). chr(30) cannot collide with token bytes (tokens are
+    * whitespace-split text; the corpus carries no control chars).
+    * Expects CTE `st0` (w, cnt, s) in scope; leaves `st<iters>` and
+    * the per-round winners `best1..best<iters>` (a, b, c) — t71
+    * reads the winners, t73 reads the final state. */
+  private val bpeSep = "chr(30)"
+  private val bpeSepSep = s"($bpeSep || $bpeSep)"
+  private def bpeTrainIterSql(iters: Int): String =
+    (1 to iters).map { i =>
+      val prev = s"st${i - 1}"
+      s"""sy$i AS (
+           SELECT cnt, string_split(substr(s, 2, length(s) - 2),
+             $bpeSepSep) AS y
+           FROM $prev),
+         pc$i AS (
+           SELECT u.p.a AS a, u.p.b AS b, sum(cnt) AS c
+           FROM sy$i, unnest([{'a': y[j], 'b': y[j+1]}
+             FOR j IN generate_series(1, len(y) - 1)]) AS u(p)
+           GROUP BY 1, 2),
+         best$i AS (SELECT a, b, c FROM pc$i
+           ORDER BY c DESC, a, b LIMIT 1),
+         st$i AS (
+           SELECT w, cnt,
+             replace(s,
+               $bpeSep || best.a || $bpeSepSep || best.b || $bpeSep,
+               $bpeSep || best.a || best.b || $bpeSep) AS s
+           FROM $prev CROSS JOIN best$i best)"""
+    }.mkString(",\n         ")
+
   /** Host link-graph + 3-round PageRank CTE block shared by the t74
     * and t77 oracles (`r3` = (node, r) final integer-ppm ranks). ONE
     * definition so the rank artifact its consumers join cannot drift
@@ -1861,11 +1901,11 @@ object SparkEntry {
     // pretraining pipeline ships). One corpus pass folds the corpus to
     // the distinct-word count table; each of the 8 merge iterations
     // runs on that vocab-sized table only (TextOps.bpeTrainMerges —
-    // the driver holds 8 scalar pairs, the q39 k-means precedent; the
-    // oracle is rows-only since the loop isn't one SQL statement — the
-    // exact merge-table equivalence vs a sequential reference BPE is
-    // spec'd in TrainingPipelineSpec on both a classic corpus and a
-    // real slice).
+    // the driver holds 8 scalar pairs, the q39 k-means precedent).
+    // Oracle: the training loop UNROLLED into SQL CTEs (one
+    // pair-count/top-1/merge round each — bpeTrainIterSql), bit-exact
+    // vs this side; the sequential-reference equivalence is
+    // additionally spec'd in TrainingPipelineSpec.
     "t71_bpe_train" -> ((s, dir) => {
       import s.implicits._
       val words = T(s, dir, "documents")
@@ -3373,8 +3413,8 @@ object SparkEntry {
            SELECT p.sz, p.tok, tk.n_tok AS kept_tok
            FROM per p JOIN tk ON tk.doc_id = p.keep_id)
          SELECT sz AS cluster_size, count(*) AS n_clusters,
-           sum(tok) AS total_tokens,
-           sum(tok) - sum(kept_tok) AS tokens_saved
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           CAST(sum(tok) - sum(kept_tok) AS BIGINT) AS tokens_saved
          FROM kept GROUP BY 1""",
     "t72_cluster_split" ->
       s"""$neardupLabelSql
@@ -3387,7 +3427,7 @@ object SparkEntry {
          FROM lbl""",
     "t74_host_pagerank" ->
       s"""WITH $hostRankSql
-         SELECT node AS host, r AS rank_ppm FROM r3""",
+         SELECT node AS host, CAST(r AS BIGINT) AS rank_ppm FROM r3""",
     "t77_host_curation" ->
       s"""WITH $hostRankSql,
          hx AS (
@@ -3402,10 +3442,10 @@ object SparkEntry {
              sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS nd,
              sum(sc) AS sch
            FROM bh GROUP BY 1)
-         SELECT ph.host, n_docs,
-           (1000000 * nd) // n_docs AS dup_ppm,
-           (100 * sch) // n_docs AS chars_x100,
-           coalesce(r.r, 0) AS rank_ppm
+         SELECT ph.host, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST((1000000 * nd) // n_docs AS BIGINT) AS dup_ppm,
+           CAST((100 * sch) // n_docs AS BIGINT) AS chars_x100,
+           CAST(coalesce(r.r, 0) AS BIGINT) AS rank_ppm
          FROM ph LEFT JOIN r3 r ON r.node = ph.host""",
     "t75_ccnet_buckets" ->
       raw"""WITH $bigramScoreSql,
@@ -4212,10 +4252,11 @@ object SparkEntry {
                AS ptheta
            FROM p)
          SELECT lang, n_tokens, cap,
-           CASE WHEN pv IS NULL OR idx < pv THEN cap
-                ELSE ptheta END AS alloc,
-           (CASE WHEN pv IS NULL OR idx < pv THEN cap
-                 ELSE ptheta END) * 10000 // n_tokens AS epochs_bp
+           CAST(CASE WHEN pv IS NULL OR idx < pv THEN cap
+                ELSE ptheta END AS BIGINT) AS alloc,
+           CAST((CASE WHEN pv IS NULL OR idx < pv THEN cap
+                 ELSE ptheta END) * 10000 // n_tokens AS BIGINT)
+             AS epochs_bp
          FROM q""",
     "t67_train_shuffle" ->
       """WITH k AS (
@@ -4238,12 +4279,69 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                0) AS start
            FROM t)
-         SELECT doc_id, n_tok, start,
-           start // 2048 AS first_seq,
-           (start + greatest(n_tok, 1) - 1) // 2048 AS last_seq,
-           (start + greatest(n_tok, 1) - 1) // 2048 - start // 2048
-             AS n_splits
+         SELECT doc_id, n_tok, CAST(start AS BIGINT) AS start,
+           CAST(start // 2048 AS BIGINT) AS first_seq,
+           CAST((start + greatest(n_tok, 1) - 1) // 2048 AS BIGINT)
+             AS last_seq,
+           CAST((start + greatest(n_tok, 1) - 1) // 2048
+             - start // 2048 AS BIGINT) AS n_splits
          FROM c""",
+    // The full tokenizer loop in SQL: train 8 merges over the word
+    // table (unrolled CTEs — see bpeTrainIterSql), then read each
+    // word's encoded length straight off the final training state
+    // (for words IN the training vocab, encode ≡ final state — the
+    // standard BPE property, both sides greedy-leftmost per merge in
+    // rank order), and aggregate per doc through the same
+    // explode-join the Spark side uses.
+    "t73_bpe_encode" ->
+      raw"""WITH w0 AS (
+           SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(string_split_regex(lower(text), '\s+'))
+                   AS tok
+                 FROM documents)
+           WHERE len(tok) > 0 GROUP BY 1),
+         st0 AS (
+           SELECT w, cnt,
+             $bpeSep || array_to_string(string_split(w, ''),
+               $bpeSepSep) || $bpeSep AS s
+           FROM w0),
+         ${bpeTrainIterSql(8)},
+         vocab AS (
+           SELECT w,
+             CAST(len(string_split(substr(s, 2, length(s) - 2),
+               $bpeSepSep)) AS BIGINT) AS n_sym
+           FROM st8),
+         doc AS (
+           SELECT doc_id, tok AS w
+           FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\s+')) AS tok
+                 FROM documents)
+           WHERE len(tok) > 0)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_sym) AS BIGINT) AS n_bpe,
+           CAST((sum(n_sym) * 10000) // count(*) AS BIGINT)
+             AS fertility_bp
+         FROM doc JOIN vocab USING (w)
+         GROUP BY doc_id""",
+    // Same unrolled training CTEs; the output is the merge table
+    // itself — one row per round's winning pair, read off best1..8.
+    "t71_bpe_train" ->
+      raw"""WITH w0 AS (
+           SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(string_split_regex(lower(text), '\s+'))
+                   AS tok
+                 FROM documents)
+           WHERE len(tok) > 0 GROUP BY 1),
+         st0 AS (
+           SELECT w, cnt,
+             $bpeSep || array_to_string(string_split(w, ''),
+               $bpeSepSep) || $bpeSep AS s
+           FROM w0),
+         ${bpeTrainIterSql(8)}
+         ${(1 to 8).map(i =>
+             s"""SELECT CAST($i AS BIGINT) AS rank, a AS first,
+                b AS second, a || b AS merged, CAST(c AS BIGINT) AS cnt
+                FROM best$i""").mkString("\n         UNION ALL\n         ")}""",
     "t22_inverted_index" ->
       """WITH u AS (
            SELECT DISTINCT doc_id,
@@ -4431,7 +4529,8 @@ object SparkEntry {
              ON tr.b = be.b AND tr.bh = be.bh
            WHERE tr.doc_id % 20 <> 0 AND be.doc_id % 20 = 0)
          SELECT d.doc_id,
-           CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS contaminated
+           CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END
+             AS BIGINT) AS contaminated
          FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
          WHERE d.doc_id % 20 <> 0""",
     "t58_neardup_churn" ->
@@ -4442,7 +4541,8 @@ object SparkEntry {
              ON ad.b = rm.b AND ad.bh = rm.bh
            WHERE ad.doc_id % 4 = 3 AND rm.doc_id % 4 = 0)
          SELECT d.doc_id,
-           CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS recrawl
+           CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END
+             AS BIGINT) AS recrawl
          FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
          WHERE d.doc_id % 4 = 3""",
     "t64_repetition_budget" ->

@@ -1,7 +1,8 @@
 package graft.sink
 
 import org.apache.spark.sql.DataFrame
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 
 /** Sinks S4/S7/S8: level-1/2 CSV products and the Parquet+sidecar
   * replacement for the reference's NetCDF export.
@@ -48,6 +49,30 @@ object Writers {
       .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
       .mkString("{", ", ", "}")
 
+  // Sidecars go through the Hadoop FileSystem resolved from the path —
+  // java.nio on the raw string only works for local paths, while the
+  // parquet half of these sinks accepts any Hadoop URI (HDFS, object
+  // storage); the two halves must land on the SAME filesystem.
+  private def writeSidecar(conf: Configuration, dir: String,
+                           name: String, content: String): Unit = {
+    val hp = new Path(dir, name)
+    val out = hp.getFileSystem(conf).create(hp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSidecar(dir: String, name: String): String = {
+    val hp = new Path(dir, name)
+    val in = hp.getFileSystem(new Configuration()).open(hp)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   /** S8 — Parquet + JSON attribute sidecar, optionally partitioned by
     * time columns for scan pruning. This is the DISTRIBUTED analytical
     * store; for interchange with NetCDF/CF tooling the same dataset
@@ -81,8 +106,8 @@ object Writers {
           .map { case (v, m) => s"${jstr(v)}: ${jobj(m)}" }
           .mkString("{", ", ", "}"))
       else Nil)
-    Files.writeString(Paths.get(path, "_attrs.json"),
-      fields.mkString("{", ", ", "}"))
+    writeSidecar(df.sparkSession.sparkContext.hadoopConfiguration,
+      path, "_attrs.json", fields.mkString("{", ", ", "}"))
   }
 
   /** Partitioned parquet write + a `_manifest.jsonl` stats sidecar:
@@ -109,7 +134,11 @@ object Writers {
     // would then prune wrongly) — and the read-back is cheaper anyway
     // (column-pruned to the partition + stats columns)
     val spark = df.sparkSession
-    val written = spark.read.parquet(path)
+    // explicit schema: an EMPTY input writes no part files, and
+    // schema inference over the bare directory would throw — the
+    // manifest for an empty dataset is legitimately empty, not an
+    // error. Partition columns populate from directory names as usual.
+    val written = spark.read.schema(df.schema).parquet(path)
     val aggs = count(lit(1)).cast("string").as("rows") +:
       statsCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"min_$c"),
@@ -126,8 +155,9 @@ object Writers {
         if (r.isNullAt(i)) None else Some(f -> r.get(i).toString)
       }.toMap)
     }
-    Files.writeString(Paths.get(path, "_manifest.jsonl"),
-      lines.mkString("", "\n", "\n"))
+    writeSidecar(spark.sparkContext.hadoopConfiguration,
+      path, "_manifest.jsonl",
+      if (lines.isEmpty) "" else lines.mkString("", "\n", "\n"))
   }
 
   /** Parse the sidecar back: (global attrs, per-variable attrs). A tiny
@@ -135,7 +165,7 @@ object Writers {
     * string values one level deep, plus the `__variables` object. */
   def readAttrs(path: String): (Map[String, String],
                                 Map[String, Map[String, String]]) = {
-    val s = Files.readString(Paths.get(path, "_attrs.json"))
+    val s = readSidecar(path, "_attrs.json")
     var i = 0
     def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
     def expect(c: Char): Unit = { ws(); require(s(i) == c, s"$c at $i"); i += 1 }

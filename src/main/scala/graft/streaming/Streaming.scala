@@ -404,6 +404,13 @@ object Streaming {
           .partitionBy(keyCol).orderBy(idCol)))
       .where(col("__rk") === 1).drop("__rk")
     val (fs, hPath, tmp) = sinkPaths(spark, sinkPath)
+    // refuse to append under a live compaction lease: the compactor's
+    // delete-old would silently destroy this batch's files. Throwing
+    // makes the stream engine retry the batch after the lease clears.
+    if (lockIsFresh(fs, lockPath(hPath)))
+      throw new IllegalStateException(
+        s"dedupAppendBatch: compaction in flight on $sinkPath " +
+          "(lock file present) — batch will be retried")
     // a compactSink crash between delete-old and rename leaves the
     // WHOLE corpus in the temp dir and no sink; if this batch ran
     // first without promoting it, the bootstrap write would create a
@@ -456,13 +463,47 @@ object Streaming {
     }
 
   /** Commit half of the temp-swap: the replacement at `tmp` is durable
-    * (_SUCCESS written) — retire the old sink and move the new one in. */
+    * — retire the old sink and move the new one in. The _SUCCESS
+    * marker `promoteOrphanTemp` keys on is written HERE, not assumed
+    * from the job committer: with
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` the
+    * committer writes none, and a crash between delete-old and
+    * rename-temp would then strand the whole corpus in __tmp forever
+    * (the promote predicate could never fire and the next batch would
+    * bootstrap a fresh sink, silently re-admitting duplicates). The
+    * write call returning IS the commit signal — the marker just makes
+    * it durable for the recovery path. */
   private def swapInTemp(fs: org.apache.hadoop.fs.FileSystem,
                          hPath: org.apache.hadoop.fs.Path,
                          tmp: org.apache.hadoop.fs.Path): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, true).close()
     fs.delete(hPath, true)
     fs.rename(tmp, hPath)
   }
+
+  /** Best-effort compaction lease: `compactSink`'s swap must not race
+    * an in-flight append (an append landing between compaction's read
+    * and its delete-old is silently destroyed). The lease turns that
+    * silent loss into a LOUD, retryable failure: compaction holds a
+    * sibling `__lock` file while it runs, and the append batches
+    * refuse to write under a fresh lock (the stream engine retries
+    * the batch). A crashed compaction's leftover lock expires after
+    * `lockStaleMs` so the stream cannot wedge forever. This is a
+    * lease, not a mutex — an append already past its lock check when
+    * compaction starts can still race; run compaction from a
+    * maintenance window (stream paused) for a hard guarantee. */
+  private val lockStaleMs = 15 * 60 * 1000L
+
+  private def lockPath(hPath: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + "__lock")
+
+  private def lockIsFresh(fs: org.apache.hadoop.fs.FileSystem,
+                          lock: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(lock) &&
+      System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime < lockStaleMs
 
   /** Live IMAGE dedup — the multimodal leg of the crawl path
     * (readImageStream → here): per microbatch, one decode pass to the
@@ -504,16 +545,26 @@ object Streaming {
                   sinkPath: String, targetFiles: Int = 8): Unit = {
     require(targetFiles > 0, s"targetFiles=$targetFiles")
     val (fs, hPath, tmp) = sinkPaths(spark, sinkPath)
-    promoteOrphanTemp(fs, hPath, tmp)
-    if (!hasPartFiles(fs, hPath)) return // nothing to compact
-    // mergeSchema: an accreted sink can carry files under an evolved
-    // schema (stream restarted with an added column) — a single-footer
-    // read would DROP the newer column and compaction would make that
-    // loss permanent
-    spark.read.option("mergeSchema", "true").parquet(hPath.toString)
-      .repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    swapInTemp(fs, hPath, tmp)
+    val lock = lockPath(hPath)
+    if (lockIsFresh(fs, lock))
+      throw new IllegalStateException(
+        s"compactSink: another compaction holds the lease on $sinkPath")
+    if (fs.exists(lock)) fs.delete(lock, false) // stale crash leftover
+    if (!fs.createNewFile(lock))
+      throw new IllegalStateException(
+        s"compactSink: lost the lease race on $sinkPath")
+    try {
+      promoteOrphanTemp(fs, hPath, tmp)
+      if (!hasPartFiles(fs, hPath)) return // nothing to compact
+      // mergeSchema: an accreted sink can carry files under an evolved
+      // schema (stream restarted with an added column) — a single-footer
+      // read would DROP the newer column and compaction would make that
+      // loss permanent
+      spark.read.option("mergeSchema", "true").parquet(hPath.toString)
+        .repartition(targetFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      swapInTemp(fs, hPath, tmp)
+    } finally fs.delete(lock, false)
   }
 
   /** Standing per-source KMV overlap sketches maintained incrementally
@@ -735,8 +786,10 @@ object Streaming {
         .unionByName(all.where(col("batch_id") > cutoff))
       if (fs.exists(tmp)) fs.delete(tmp, true)
       compacted.write.partitionBy("batch_id").parquet(tmp.toString)
-      fs.delete(hPath, true)
-      fs.rename(tmp, hPath)
+      // shared commit half: guarantees the _SUCCESS marker the
+      // promote-on-recovery predicate above keys on, independent of
+      // the committer's marksuccessfuljobs setting
+      swapInTemp(fs, hPath, tmp)
     }
     val standing = spark.read.parquet(edgesSink)
       .groupBy("src", "dst").agg(sum("w").as("w"))
@@ -930,3 +983,4 @@ object Streaming {
       }
   }
 }
+

@@ -40,6 +40,24 @@ def main(outdir, sfdir):
             got = canon(con.sql(
                 f"SELECT * FROM read_parquet({files!r})").df())
             want = canon(con.sql(sql).df())
+            # Dtype-strict gate (the driver's hash is dtype-sensitive:
+            # an uncast DuckDB SUM widens to HUGEINT where Spark emits
+            # BIGINT and fails the driver despite equal values — r10
+            # lost 5 queries to exactly this). Describe BOTH sides
+            # through DuckDB so the type vocabulary is uniform.
+            gt = {r[0]: r[1] for r in con.sql(
+                f"DESCRIBE SELECT * FROM read_parquet({files!r})"
+            ).fetchall()}
+            wt = {r[0]: r[1] for r in con.sql(
+                f"DESCRIBE {sql}").fetchall()}
+            dbad = [(c, gt.get(c), wt.get(c)) for c in sorted(gt)
+                    if gt.get(c) != wt.get(c)]
+            if dbad:
+                print(f"FAIL {name}: dtype mismatch "
+                      + "; ".join(f"{c}: spark={a} duck={b}"
+                                  for c, a, b in dbad))
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if list(got.columns) != list(want.columns):
