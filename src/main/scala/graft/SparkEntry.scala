@@ -755,11 +755,27 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n"))),
 
-    // Cube — all grouping-set combinations in one pass.
-    "q26_cube" -> ((s, dir) =>
-      T(s, dir, "lineitem").cube("l_returnflag", "l_linestatus")
-        .agg(moneySum(col("l_extendedprice")).as("sum_price"),
-          count(lit(1)).as("n"))),
+    // Cube — all grouping-set combinations. NOT a single-pass cube:
+    // Expand×decimal-sum measured 3× slower than the same aggregate
+    // without grouping sets (decimal accumulation runs 4× per row
+    // under Expand and off the fast path — r10's one cross-round
+    // regression, after moneySum switched this from double to exact
+    // decimal). Instead aggregate ONCE at the finest grain, then cube
+    // the group-cardinality pre-aggregate — decimal addition is exact
+    // and associative, so every grouping set's total is bit-identical
+    // (asserted vs the single-pass plan at sf0.1), and the Expand
+    // runs over |flags×statuses| rows instead of the corpus. This is
+    // also the only shape that survives 100 TB: the wide scan feeds
+    // one partial-agged groupBy; the lattice work is driver-trivial.
+    "q26_cube" -> ((s, dir) => {
+      val base = T(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_extendedprice").cast("decimal(24,8)")).as("__s"),
+          count(lit(1)).as("__n"))
+      base.cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("__s"), 2).cast("double").as("sum_price"),
+          sum("__n").as("n"))
+    }),
 
     // Exact interpolating quantiles per group (Spark `percentile` ≡
     // DuckDB `quantile_cont`). ONE percentile aggregate over the array
