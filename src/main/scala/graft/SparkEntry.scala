@@ -978,6 +978,117 @@ object SparkEntry {
             .as("tokens_saved"))
     }),
 
+    // END-TO-END crawl pipeline — every stage is individually green;
+    // this query runs them COMPOSED, because composition (column
+    // collisions, layout drift, ordering assumptions) is where
+    // pipelines break. The crawl itself is synthesized in-engine from
+    // `documents` so the DuckDB twin can verify the whole chain:
+    // each doc wraps into HTML (script/style/comment junk included) →
+    // an HTTP response → a WARC/1.0 record; records (plus a STALE
+    // re-crawl capture for every doc_id%3==0, which latest-capture
+    // must drop, and an exact-content MIRROR under a second URL for
+    // doc_id%11==7, which content-dedup must drop) concatenate into 8
+    // in-memory segments that round-trip through the REAL byte parser
+    // (`Warc.records` — the same flatMap file ingest uses). Then:
+    // latest-capture per URL → httpBody → htmlToText → t66 blocklist
+    // gate → exact-content dedup (keep min url) → t68's packing
+    // prefix-sum over the survivors. A stale capture surviving, a
+    // mirror kept, or an extraction drift all surface as value
+    // mismatches against the oracle, which computes the end state
+    // directly from `documents`. Production swaps the synthesis for
+    // `readWarcFiles(segments)`; everything downstream is identical.
+    "t87_warc_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val pUrl = concat(lit("https://site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.org/p"), col("doc_id").cast("string"))
+      val qUrl = concat(lit("https://site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.org/q"), col("doc_id").cast("string"))
+      def html(body: Column): Column = concat(
+        lit("<html><head><script>var x = 1;</script><style>p{}" +
+          "</style></head><body><p>"), body,
+        lit("</p><!-- crawler junk --></body></html>"))
+      def http(h: Column): Column = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+          "charset=utf-8\r\nX-Crawler: graft\r\n\r\n"), h)
+      def rec(u: Column, date: String, payload: Column): Column = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), u,
+        lit(s"\r\nWARC-Date: $date\r\nContent-Type: application/http; " +
+          "msgtype=response\r\nContent-Length: "),
+        octet_length(payload).cast("string"),
+        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      val live = rec(pUrl, "2026-01-01T00:00:00Z", http(html(urlAugmented)))
+      val stale = rec(pUrl, "2025-06-01T00:00:00Z",
+        http(html(concat(lit("STALE CAPTURE "), urlAugmented))))
+      val mirror = rec(qUrl, "2026-01-01T00:00:00Z",
+        http(html(urlAugmented)))
+      val recs = docs.select(col("doc_id"), live.as("rec"))
+        .unionByName(docs.where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), stale.as("rec")))
+        .unionByName(docs.where(col("doc_id") % 11 === 7)
+          .select(col("doc_id"), mirror.as("rec")))
+      // 32 segments (the local parallelism grain; real crawls ship
+      // thousands of files); record order inside a segment is sorted
+      // (doc_id, bytes) so the synthesized content is deterministic —
+      // Content-Length framing makes parse order-insensitive anyway,
+      // but the bytes themselves must not depend on task order
+      val segments = recs
+        .withColumn("path",
+          concat(lit("mem://seg"), (col("doc_id") % 32).cast("string")))
+        .groupBy("path")
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("rec"))))
+          .as("rs"))
+        .select(col("path"),
+          aggregate(col("rs"), lit("").cast("string"),
+            (a, x) => concat(a, x.getField("rec"))).cast("binary")
+            .as("content"))
+      val parsed = graft.ingest.Warc.records(segments)
+      val latest = graft.ingest.Warc.latestCapture(parsed)
+      val txt = latest.select(col("url"),
+        TextOps.htmlToText(TextOps.httpBody(col("payload"))).as("text"))
+      // t66 gate on the EXTRACTED text (the real pipeline order:
+      // extraction feeds curation)
+      val blockDf = Seq("site0.example.org", "site3.example.org",
+        "host2.net").toDF("domain")
+      val hits = txt
+        .select(col("url"), explode(TextOps.urlDomains(col("text")))
+          .as("__d"))
+        .select(col("url"), lower(col("__d")).as("domain"))
+        .join(broadcast(blockDf), Seq("domain"))
+        .select("url").distinct()
+      val gated = txt.join(broadcast(hits), Seq("url"), "left_anti")
+      // exact-content dedup, keep-min-URL (the mirror's /q loses to
+      // /p on the same host; a real cross-doc text collision resolves
+      // by URL order on both sides)
+      val wDup = Window.partitionBy(col("__h")).orderBy(col("url"))
+      val kept = gated.withColumn("__h", md5(col("text")))
+        .withColumn("__rk", row_number().over(wDup))
+        .where(col("__rk") === 1)
+        .select(
+          regexp_extract(col("url"), "/p([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      // t68's two-level prefix sum (no global one-reducer sort)
+      val bucketed = kept.withColumn("__b", expr("doc_id DIV 64"))
+      val bucketOff = bucketed.groupBy("__b")
+        .agg(sum(col("n_tok")).as("__bs"))
+        .withColumn("__off", coalesce(
+          sum(col("__bs")).over(Window.orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("__b", "__off")
+      val wIn = Window.partitionBy("__b").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed.join(bucketOff, Seq("__b"))
+        .withColumn("start", col("__off") +
+          coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+        .select(col("doc_id"), col("n_tok"), col("start"),
+          expr("start DIV 2048").as("first_seq"),
+          expr("(start + greatest(n_tok, 1) - 1) DIV 2048")
+            .as("last_seq"))
+    }),
+
     // Brute-force exact cosine top-5 for 10 query vectors (ANN baseline):
     // corpus never shuffles; queries broadcast.
     "t4_knn_cosine" -> ((s, dir) => {
@@ -3432,6 +3543,44 @@ object SparkEntry {
            CAST(sum(tok) AS BIGINT) AS total_tokens,
            CAST(sum(tok) - sum(kept_tok) AS BIGINT) AS tokens_saved
          FROM kept GROUP BY 1""",
+    // The end state of the synthesized crawl, computed directly from
+    // documents: the WARC wrap/parse round-trip is identity on the
+    // augmented text (tags/junk strip back out, whitespace collapses
+    // — the corpus is already single-spaced), the stale capture loses
+    // latest-capture, the mirror loses content-dedup (same text, /q
+    // sorts after /p), so survivors = unblocked docs deduped by
+    // content with keep-min-url, packed in doc_id order.
+    "t87_warc_pipeline" ->
+      raw"""WITH $urlAugSql,
+         hits AS (
+           SELECT DISTINCT doc_id FROM u
+           WHERE lower(domain) IN ('site0.example.org',
+                                   'site3.example.org', 'host2.net')),
+         k0 AS (
+           SELECT doc_id, trim(regexp_replace(aug, '\s+', ' ')) AS text,
+             'https://site' || (doc_id % 7) || '.example.org/p'
+               || doc_id AS url
+           FROM a
+           WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+         kd AS (
+           SELECT doc_id, text FROM k0
+           QUALIFY row_number()
+             OVER (PARTITION BY md5(text) ORDER BY url) = 1),
+         t AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM kd),
+         c AS (
+           SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start
+           FROM t)
+         SELECT doc_id, n_tok, CAST(start AS BIGINT) AS start,
+           CAST(start // 2048 AS BIGINT) AS first_seq,
+           CAST((start + greatest(n_tok, 1) - 1) // 2048 AS BIGINT)
+             AS last_seq
+         FROM c""",
     "t72_cluster_split" ->
       s"""$neardupLabelSql
          SELECT doc_id, cluster_id,

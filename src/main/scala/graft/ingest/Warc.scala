@@ -163,6 +163,12 @@ object Warc {
       .drop("__rn")
   }
 
+  /** (path, content) segment rows → one row per parsed WARC record —
+    * the parse half of `readWarcFiles`/`readWarcStream`, public so
+    * in-memory segments (tests, the t87 synthesized crawl) run the
+    * SAME shuffle-free flatMap as file-backed ones. */
+  def records(files: DataFrame): DataFrame = toRecords(files)
+
   private def toRecords(files: DataFrame): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
