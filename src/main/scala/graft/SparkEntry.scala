@@ -1089,6 +1089,115 @@ object SparkEntry {
             .as("last_seq"))
     }),
 
+    // Binary (sign-bit) embedding quantization + Hamming-prefilter ANN:
+    // each 64-dim vector compresses map-side to TWO longs (one sign bit
+    // per dim — a 128× size cut vs float64), Hamming distance is
+    // bit_count(xor) on those longs, and only the 20 Hamming-nearest
+    // candidates per probe pay the exact-cosine rerank. This is the
+    // memory-bound ANN scale path (the signature table fits where the
+    // vectors don't); the 100 TB shape is identical to t4 — bounded
+    // probe set broadcast against one linear pass — but the linear pass
+    // touches 16 bytes/vector, not 256, and the rerank touches only
+    // 20 vectors/probe. Sign bits pack by polynomial accumulation
+    // (acc*2+bit, MSB = lowest dim) over two 32-dim halves so neither
+    // engine needs a 1<<63 literal; the twin packs the same way.
+    "t88_binary_ann" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      def half(lo: Int): Column =
+        aggregate(slice(col("embedding"), lo, 32), lit(0L),
+          (acc, x) => acc * 2 + when(x >= 0, 1L).otherwise(0L))
+      val sig = e.select(col("vec_id"), col("embedding"),
+        half(1).as("h1"), half(33).as("h2"))
+      val probes = sig.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("__qv"),
+          col("h1").as("__qh1"), col("h2").as("__qh2"))
+      val wH = Window.partitionBy("qid")
+        .orderBy(col("hamming"), col("vec_id"))
+      val cand = sig.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("hamming",
+          expr("CAST(bit_count(h1 ^ __qh1) + bit_count(h2 ^ __qh2)" +
+            " AS BIGINT)"))
+        .withColumn("__hrn", row_number().over(wH))
+        .where(col("__hrn") <= 20)
+      val wC = Window.partitionBy("qid")
+        .orderBy(col("__cos").desc, col("vec_id"))
+      cand.withColumn("__cos", Vectors.cosine(col("__qv"), col("embedding")))
+        .withColumn("rn", row_number().over(wC).cast("long"))
+        .where(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), col("hamming"),
+          round(col("__cos"), 6).as("cos"), col("rn"))
+    }),
+
+    // Crawl-frontier URL canonicalization + dedup-by-URL: five messy
+    // variants of each logical URL (case soup, www., default port,
+    // trailing slash, utm_* tracking params, fragments) are planted
+    // deterministically, canonicalized (`TextOps.canonicalUrl` — pure
+    // per-row string work), and grouped on the canonical key. Variants
+    // r∈{0..3} collapse to one URL; r=4 keeps its real `id=` param and
+    // stays distinct — stripping must be selective, not "drop the
+    // query". At corpus scale this is the frontier-dedup kernel: the
+    // canonical key derives map-side, so the whole operator is ONE
+    // aggregation shuffle, and the same key is what a 100 TB crawl
+    // partitions its URL-seen table by.
+    "t89_url_canonical" -> ((s, dir) => {
+      val g = expr("CAST(doc_id DIV 5 AS STRING)")
+      val h = expr("CAST((doc_id DIV 5) % 7 AS STRING)")
+      val r = col("doc_id") % 5
+      val base = concat(lit("https://site"), h, lit(".example.com/p/"), g)
+      val messy = when(r === 0, base)
+        .when(r === 1, concat(lit("HTTPS://Site"), h,
+          lit(".Example.COM/p/"), g))
+        .when(r === 2, concat(lit("https://www.site"), h,
+          lit(".example.com:443/p/"), g))
+        .when(r === 3, concat(base, lit("/?utm_source=feed&utm_medium=rss")))
+        .otherwise(concat(base, lit("?id="), h, lit("&utm_campaign=x#frag")))
+      T(s, dir, "documents")
+        .select(col("doc_id"), messy.as("url"))
+        .withColumn("curl", TextOps.canonicalUrl(col("url")))
+        .groupBy("curl")
+        .agg(count(lit(1)).as("n_dups"),
+          min(col("doc_id")).as("keep_id"),
+          countDistinct(col("url")).as("n_variants"))
+    }),
+
+    // Inference micro-batching: bucket sequences by length (width-64
+    // buckets bound intra-batch padding), pack each bucket into batches
+    // under a 2048-token budget via t68's two-level prefix sum — the
+    // outer partition is the bucket, the inner grain is doc_id DIV 64,
+    // so no per-bucket one-reducer sort exists even though bucket
+    // cardinality is tiny (the classic skew trap for "partition by
+    // bucket" windows). Per (bucket, batch): sequence count, real
+    // tokens, max length, and padding waste in ppm — the number a
+    // serving stack actually optimizes (padded slots are burned FLOPs).
+    "t90_length_batches" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n_tok"))
+        .withColumn("bucket", expr("(greatest(n_tok, 1L) - 1L) DIV 64"))
+        .withColumn("__b", expr("doc_id DIV 64"))
+      val off = toks.groupBy("bucket", "__b")
+        .agg(sum(col("n_tok")).as("__bs"))
+        .withColumn("__off", coalesce(
+          sum(col("__bs")).over(Window.partitionBy("bucket").orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bucket", "__b", "__off")
+      val wIn = Window.partitionBy("bucket", "__b").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks.join(off, Seq("bucket", "__b"))
+        .withColumn("start", col("__off") +
+          coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+        .withColumn("batch", expr("start DIV 2048"))
+        .groupBy("bucket", "batch")
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(col("n_tok")).as("n_tokens"),
+          max(col("n_tok")).as("max_len"))
+        .withColumn("pad_ppm", expr(
+          // greatest(...,1): a batch of all-empty docs has max_len 0;
+          // Spark DIV-by-zero yields null but DuckDB errors — pin both
+          "(n_seqs * max_len - n_tokens) * 1000000" +
+            " DIV greatest(n_seqs * max_len, 1L)"))
+    }),
+
     // Brute-force exact cosine top-5 for 10 query vectors (ANN baseline):
     // corpus never shuffles; queries broadcast.
     "t4_knn_cosine" -> ((s, dir) => {
@@ -3581,6 +3690,119 @@ object SparkEntry {
            CAST((start + greatest(n_tok, 1) - 1) // 2048 AS BIGINT)
              AS last_seq
          FROM c""",
+    // Sign-bit packing mirrors the Spark polynomial fold exactly: two
+    // 32-dim halves, MSB = lowest dim, so shifts stay under 1<<31.
+    "t88_binary_ann" ->
+      """WITH e AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+           FROM embeddings),
+         sig AS (
+           SELECT vec_id, v,
+             CAST(list_sum([CASE WHEN v[d] >= 0
+                 THEN (1::BIGINT << (32 - d)) ELSE 0 END
+               FOR d IN generate_series(1, 32)]) AS BIGINT) AS h1,
+             CAST(list_sum([CASE WHEN v[d] >= 0
+                 THEN (1::BIGINT << (64 - d)) ELSE 0 END
+               FOR d IN generate_series(33, 64)]) AS BIGINT) AS h2
+           FROM e),
+         q AS (SELECT vec_id AS qid, v AS qv, h1 AS qh1, h2 AS qh2
+               FROM sig WHERE vec_id < 10),
+         h AS (
+           SELECT qid, vec_id, qv, v,
+             CAST(bit_count(xor(h1, qh1)) + bit_count(xor(h2, qh2))
+               AS BIGINT) AS hamming
+           FROM sig, q WHERE vec_id <> qid),
+         c AS (
+           SELECT qid, vec_id, hamming, qv, v,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY hamming, vec_id) AS hrn
+           FROM h QUALIFY hrn <= 20),
+         s AS (
+           SELECT qid, vec_id, hamming,
+             list_sum([qv[i]*v[i] FOR i IN generate_series(1,64)]) /
+             (sqrt(list_sum([qv[i]*qv[i] FOR i IN generate_series(1,64)])) *
+              sqrt(list_sum([v[i]*v[i] FOR i IN generate_series(1,64)])))
+             AS c0
+           FROM c)
+         SELECT qid, vec_id, hamming, round(c0, 6) AS cos,
+           row_number() OVER (PARTITION BY qid ORDER BY c0 DESC, vec_id)
+             AS rn
+         FROM s QUALIFY rn <= 5""",
+    // Messy-URL synthesis + canonicalization twin of
+    // TextOps.canonicalUrl. Anchored single-occurrence patterns, so
+    // DuckDB's replace-first ≡ Spark's replace-all; backref is \1
+    // here, $1 there.
+    "t89_url_canonical" ->
+      raw"""WITH m AS (
+           SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'https://site' || ((doc_id // 5) % 7)
+                 || '.example.com/p/' || (doc_id // 5)
+               WHEN 1 THEN 'HTTPS://Site' || ((doc_id // 5) % 7)
+                 || '.Example.COM/p/' || (doc_id // 5)
+               WHEN 2 THEN 'https://www.site' || ((doc_id // 5) % 7)
+                 || '.example.com:443/p/' || (doc_id // 5)
+               WHEN 3 THEN 'https://site' || ((doc_id // 5) % 7)
+                 || '.example.com/p/' || (doc_id // 5)
+                 || '/?utm_source=feed&utm_medium=rss'
+               ELSE 'https://site' || ((doc_id // 5) % 7)
+                 || '.example.com/p/' || (doc_id // 5)
+                 || '?id=' || ((doc_id // 5) % 7) || '&utm_campaign=x#frag'
+             END AS url
+           FROM documents),
+         c1 AS (SELECT doc_id, url,
+             regexp_replace(url, '#.*$$', '') AS nf FROM m),
+         c2 AS (SELECT doc_id, url,
+             lower(regexp_extract(nf,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(nf,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+               '^www\.', ''), ':(80|443)$$', '') AS host,
+             regexp_extract(nf,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$$', 1) AS rest
+           FROM c1),
+         c3 AS (SELECT doc_id, url, scheme, host,
+             regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+               '(.)/$$', '\1') AS path,
+             regexp_extract(rest, '^[^?]*\?(.*)$$', 1) AS q
+           FROM c2),
+         c4 AS (SELECT doc_id, url, scheme || '://' || host || path ||
+             CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS curl
+           FROM (SELECT *, COALESCE(array_to_string(list_filter(
+               string_split(q, '&'),
+               p -> NOT starts_with(p, 'utm_')), '&'), '') AS kq
+             FROM c3))
+         SELECT curl, CAST(count(*) AS BIGINT) AS n_dups,
+           min(doc_id) AS keep_id,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+         FROM c4 GROUP BY 1""",
+    "t90_length_batches" ->
+      raw"""WITH t AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+'))
+               AS BIGINT) AS n_tok
+           FROM documents),
+         b AS (
+           SELECT doc_id, n_tok,
+             (greatest(n_tok, 1) - 1) // 64 AS bucket
+           FROM t),
+         c AS (
+           SELECT bucket, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY bucket
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start
+           FROM b),
+         p AS (SELECT bucket, start // 2048 AS batch, n_tok FROM c)
+         SELECT bucket, CAST(batch AS BIGINT) AS batch,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           max(n_tok) AS max_len,
+           CAST((count(*) * max(n_tok) - sum(n_tok)) * 1000000
+             // greatest(count(*) * max(n_tok), 1) AS BIGINT) AS pad_ppm
+         FROM p GROUP BY 1, 2""",
     "t72_cluster_split" ->
       s"""$neardupLabelSql
          SELECT doc_id, cluster_id,

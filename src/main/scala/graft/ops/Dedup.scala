@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Round count of the most recent `connectedComponents` fixpoint on
+    * this JVM (-1 while one is in flight). Observability for the
+    * sf-scaling smokes: pointer-jumping must converge in ~log2(graph
+    * diameter) rounds, so a scale-up that inflates this number flags a
+    * pathological candidate graph long before wall time does. Driver-
+    * side diagnostic only — never read by query logic. */
+  @volatile var lastCcIterations: Int = -1
+
   /** MinHash signature: k independent permutations simulated by salting
     * md5 with the hash index; the signature element is the lexicographic
     * min over the document's shingles.
@@ -213,6 +221,7 @@ object Dedup {
     * their own singleton cluster — callers left-join and coalesce. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20, strict: Boolean = false): DataFrame = {
+    lastCcIterations = -1
     val a = col(aCol).cast("long"); val b = col(bCol).cast("long")
     // LAZY local checkpoints throughout: the checkpoint still truncates
     // lineage (the iterative-fixpoint requirement) but is materialized
@@ -272,6 +281,7 @@ object Dedup {
       if (strict) throw new IllegalStateException(msg)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
+    lastCcIterations = it
     labels
   }
 

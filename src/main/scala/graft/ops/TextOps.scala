@@ -181,6 +181,33 @@ object TextOps {
   def urlDomains(text: Column): Column =
     regexp_extract_all(text, lit(urlDomainRe), lit(1))
 
+  /** Crawl-frontier URL canonicalization (the normalization step every
+    * dedup-by-URL pipeline runs before hashing the key): lowercase
+    * scheme and host, strip a leading `www.`, drop default ports
+    * (:80/:443), drop the fragment, strip tracking query params
+    * (`utm_*`), drop an empty `?`, and remove a trailing slash on a
+    * non-root path. Everything is per-row string work — the canonical
+    * key is derived map-side, so at corpus scale URL-dedup costs one
+    * aggregation shuffle on the canonical key and nothing else.
+    * Piecewise regexps (RE2-safe, no lookaround, no backrefs): parse
+    * scheme/hostport/rest with three anchored extracts, then filter
+    * query params with a higher-order array op, not a regex. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      regexp_replace(lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+        "^www\\.", ""),
+      ":(80|443)$", "")
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "(.)/$", "$1")
+    val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val keptQ = array_join(
+      filter(split(query, "&"), p => !p.startsWith("utm_")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ)))
+  }
+
   /** BPE-ish token count: contractions, letter runs, digit runs, and
     * other non-space runs as separate tokens (the GPT-2 pre-tokenizer
     * shape, RE2-safe — no lookaround). Whitespace-count twin: d2. */

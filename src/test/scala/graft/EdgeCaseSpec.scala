@@ -103,6 +103,34 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r(4).getLong(5) === 5L)
   }
 
+  test("canonicalUrl: the cases the t89 corpus can't plant") {
+    val urls = Seq(
+      // root path: the trailing-slash strip must NOT eat the lone /
+      "https://example.com/",
+      // non-default port survives; default :80 drops even on http
+      "http://example.com:8080/a", "HTTP://EXAMPLE.com:80/a",
+      // utm param in the MIDDLE of the query; non-utm params keep order
+      "https://e.com/p?a=1&utm_source=x&b=2",
+      // all-utm query drops the '?' entirely; empty-query '?' drops too
+      "https://e.com/p?utm_a=1&utm_b=2", "https://e.com/p?",
+      // fragment-only and fragment-after-query
+      "https://e.com/p#sec", "https://e.com/p?a=1#sec",
+      // www-strip is a prefix op, not a substring op
+      "https://www.e.com/x", "https://notwww.e.com/x",
+      // path case is preserved (only scheme+host lowercase)
+      "https://E.COM/CaseSensitive/Path")
+    val got = urls.toDF("u")
+      .select(TextOps.canonicalUrl($"u")).as[String].collect()
+    assert(got === Seq(
+      "https://example.com/",
+      "http://example.com:8080/a", "http://example.com/a",
+      "https://e.com/p?a=1&b=2",
+      "https://e.com/p", "https://e.com/p",
+      "https://e.com/p", "https://e.com/p?a=1",
+      "https://e.com/x", "https://notwww.e.com/x",
+      "https://e.com/CaseSensitive/Path"))
+  }
+
   test("span machinery on degenerate documents: empty, short, null-ish") {
     import graft.functions.SketchExpressions
     // empty text tokenizes to [""], shorter than any window → no grams;

@@ -344,4 +344,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"t84 per-probe top-k must prune map-side before the qid shuffle:\n$p")
   }
+
+  test("t88: signatures scan once, probes broadcast, top-k prunes early") {
+    val p = plan("t88_binary_ann")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"t88 must broadcast the probe signatures against one linear pass:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"t88 Hamming top-20 must prune map-side before the qid shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"t88 must never shuffle the signature table against the probes:\n$p")
+  }
+
+  test("t89: canonical key derives map-side — agg-only exchanges, no join") {
+    val p = plan("t89_url_canonical")
+    // count(DISTINCT url) plans the standard two-phase distinct agg:
+    // partial-agg on (curl, url), exchange, then agg on curl — BOTH
+    // exchanges key on the canonical URL, so the shape stays a single
+    // logical shuffle of pre-combined rows. Anything beyond 2 means
+    // the key derivation stopped being map-side.
+    assert(nodes(p, "Exchange") <= 2,
+      s"t89 must only shuffle the canonical-key aggregation:\n$p")
+    assert(!p.contains("Join"), s"t89 needs no join:\n$p")
+  }
+
+  test("t90: no window runs single-partition — both prefix-sum levels " +
+    "stay bucketed") {
+    val p = plan("t90_length_batches")
+    assert(!p.contains("SinglePartition"),
+      s"t90's offset window partitions by bucket; a SinglePartition " +
+        s"means the two-level shape was lost:\n$p")
+  }
 }
