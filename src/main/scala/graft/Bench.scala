@@ -98,7 +98,10 @@ object Bench {
     val top10 = results.toSeq.sortBy(-_._2._1).take(10)
       .map { case (k, (t, _)) => f""""$k":${t}%.2f""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top10,"partial_top10":true,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // cc_iters: rounds the last connected-components fixpoint took
+    // (-1 = none ran). The scaling smokes read this — pointer-jumping
+    // must stay ~log2(diameter) as the corpus grows.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top10,"partial_top10":true,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cc_iters":${graft.ops.Dedup.lastCcIterations},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
