@@ -51,12 +51,20 @@ object Cli {
     var a = Args(cmd, argv(1), new java.io.File(".").getCanonicalPath,
       None, None, None, ow = false)
     var i = 2
+    // value-taking flag as the LAST token (value forgotten) must print
+    // usage, not die on an ArrayIndexOutOfBoundsException
+    def value(flag: String): String = {
+      if (i + 1 >= argv.length) {
+        System.err.println(s"missing value for $flag"); usage()
+      }
+      argv(i + 1)
+    }
     while (i < argv.length) {
       argv(i) match {
-        case "-data_root" => a = a.copy(dataRoot = argv(i + 1)); i += 2
-        case "-metafile" => a = a.copy(metafile = Some(argv(i + 1))); i += 2
-        case "-outfile" => a = a.copy(outfile = Some(argv(i + 1))); i += 2
-        case "-l1file" => a = a.copy(l1file = Some(argv(i + 1))); i += 2
+        case f @ "-data_root" => a = a.copy(dataRoot = value(f)); i += 2
+        case f @ "-metafile" => a = a.copy(metafile = Some(value(f))); i += 2
+        case f @ "-outfile" => a = a.copy(outfile = Some(value(f))); i += 2
+        case f @ "-l1file" => a = a.copy(l1file = Some(value(f))); i += 2
         case "-ow" => a = a.copy(ow = true); i += 1
         case other =>
           System.err.println(s"unknown option: $other"); usage()

@@ -1091,25 +1091,29 @@ object SparkEntry {
 
     // Binary (sign-bit) embedding quantization + Hamming-prefilter ANN:
     // each 64-dim vector compresses map-side to TWO longs (one sign bit
-    // per dim — a 128× size cut vs float64), Hamming distance is
-    // bit_count(xor) on those longs, and only the 20 Hamming-nearest
-    // candidates per probe pay the exact-cosine rerank. This is the
-    // memory-bound ANN scale path (the signature table fits where the
-    // vectors don't); the 100 TB shape is identical to t4 — bounded
-    // probe set broadcast against one linear pass — but the linear pass
-    // touches 16 bytes/vector, not 256, and the rerank touches only
-    // 20 vectors/probe. Sign bits pack by polynomial accumulation
-    // (acc*2+bit, MSB = lowest dim) over two 32-dim halves so neither
-    // engine needs a 1<<63 literal; the twin packs the same way.
+    // per dim — 16 bytes, a 16× cut vs the stored float32 and 32× vs
+    // float64 working form), Hamming distance is bit_count(xor) on
+    // those longs, and only the 20 Hamming-nearest candidates per
+    // probe pay the exact-cosine rerank. This is the memory-bound ANN
+    // scale path (the signature table fits where the vectors don't);
+    // the 100 TB shape is identical to t4 — bounded probe set
+    // broadcast against one linear pass — but the linear pass carries
+    // 16 bytes/vector, and the rerank touches only 20 vectors/probe.
+    // Sign bits pack by polynomial accumulation (acc*2+bit, MSB =
+    // lowest dim) over two 32-dim halves so neither engine needs a
+    // 1<<63 literal; the twin packs the same way.
     "t88_binary_ann" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       def half(lo: Int): Column =
         aggregate(slice(col("embedding"), lo, 32), lit(0L),
           (acc, x) => acc * 2 + when(x >= 0, 1L).otherwise(0L))
-      val sig = e.select(col("vec_id"), col("embedding"),
+      // the linear pass carries ONLY (vec_id, h1, h2) — 16 bytes of
+      // signature, never the 512-byte vector (that would forfeit the
+      // advertised memory cut; vectors rejoin below, candidates only)
+      val sig = e.select(col("vec_id"),
         half(1).as("h1"), half(33).as("h2"))
       val probes = sig.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("__qv"),
+        .select(col("vec_id").as("qid"),
           col("h1").as("__qh1"), col("h2").as("__qh2"))
       val wH = Window.partitionBy("qid")
         .orderBy(col("hamming"), col("vec_id"))
@@ -1120,9 +1124,19 @@ object SparkEntry {
             " AS BIGINT)"))
         .withColumn("__hrn", row_number().over(wH))
         .where(col("__hrn") <= 20)
+        .select("qid", "vec_id", "hamming")
+      // rerank: the probes×20 candidate ids broadcast back against the
+      // embeddings table (BroadcastHashJoin — the corpus streams, only
+      // matched rows materialize their vector), then probe vectors
+      // (10 rows) broadcast by qid
+      val qvecs = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
       val wC = Window.partitionBy("qid")
         .orderBy(col("__cos").desc, col("vec_id"))
-      cand.withColumn("__cos", Vectors.cosine(col("__qv"), col("embedding")))
+      e.select(col("vec_id"), col("embedding"))
+        .join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(qvecs), Seq("qid"))
+        .withColumn("__cos", Vectors.cosine(col("__qv"), col("embedding")))
         .withColumn("rn", row_number().over(wC).cast("long"))
         .where(col("rn") <= 5)
         .select(col("qid"), col("vec_id"), col("hamming"),
@@ -3755,18 +3769,26 @@ object SparkEntry {
          c2 AS (SELECT doc_id, url,
              lower(regexp_extract(nf,
                '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-             regexp_replace(regexp_replace(
+             regexp_replace(
                lower(regexp_extract(nf,
                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-               '^www\.', ''), ':(80|443)$$', '') AS host,
+               '^www\.', '') AS hostraw,
              regexp_extract(nf,
                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$$', 1) AS rest
            FROM c1),
-         c3 AS (SELECT doc_id, url, scheme, host,
-             regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
-               '(.)/$$', '\1') AS path,
-             regexp_extract(rest, '^[^?]*\?(.*)$$', 1) AS q
+         c2b AS (SELECT doc_id, url, scheme, rest,
+             CASE WHEN scheme = 'http'
+                    THEN regexp_replace(hostraw, ':80$$', '')
+                  WHEN scheme = 'https'
+                    THEN regexp_replace(hostraw, ':443$$', '')
+                  ELSE hostraw END AS host
            FROM c2),
+         c3 AS (SELECT doc_id, url, scheme, host,
+             CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path,
+             regexp_extract(rest, '^[^?]*\?(.*)$$', 1) AS q
+           FROM (SELECT *, regexp_replace(
+               regexp_extract(rest, '^([^?]*)', 1),
+               '(.)/$$', '\1') AS p0 FROM c2b)),
          c4 AS (SELECT doc_id, url, scheme || '://' || host || path ||
              CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS curl
            FROM (SELECT *, COALESCE(array_to_string(list_filter(

@@ -183,24 +183,32 @@ object TextOps {
 
   /** Crawl-frontier URL canonicalization (the normalization step every
     * dedup-by-URL pipeline runs before hashing the key): lowercase
-    * scheme and host, strip a leading `www.`, drop default ports
-    * (:80/:443), drop the fragment, strip tracking query params
-    * (`utm_*`), drop an empty `?`, and remove a trailing slash on a
-    * non-root path. Everything is per-row string work — the canonical
-    * key is derived map-side, so at corpus scale URL-dedup costs one
-    * aggregation shuffle on the canonical key and nothing else.
-    * Piecewise regexps (RE2-safe, no lookaround, no backrefs): parse
-    * scheme/hostport/rest with three anchored extracts, then filter
-    * query params with a higher-order array op, not a regex. */
+    * scheme and host, strip a leading `www.`, drop the scheme's OWN
+    * default port (http:80, https:443 — a non-default port like
+    * http://h:443 names a genuinely different resource and must keep
+    * its key), drop the fragment, strip tracking query params
+    * (`utm_*`), drop an empty `?`, remove a trailing slash on a
+    * non-root path, and normalize the empty path to `/` (RFC 3986
+    * §6.2.3: `https://e.com` ≡ `https://e.com/` — the most common
+    * real-world duplicate-URL pair). Everything is per-row string
+    * work — the canonical key is derived map-side, so at corpus scale
+    * URL-dedup costs one aggregation shuffle on the canonical key and
+    * nothing else. Piecewise regexps (RE2-safe, no lookaround, no
+    * backrefs in patterns): parse scheme/hostport/rest with three
+    * anchored extracts, then filter query params with a higher-order
+    * array op, not a regex. */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host = regexp_replace(
-      regexp_replace(lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
-        "^www\\.", ""),
-      ":(80|443)$", "")
+    val hostRaw = regexp_replace(
+      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
     val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
-    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "(.)/$", "$1")
+    val path0 = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "(.)/$", "$1")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
     val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
     val keptQ = array_join(
       filter(split(query, "&"), p => !p.startsWith("utm_")), "&")

@@ -63,7 +63,16 @@ object Writers {
 
   private def readSidecar(dir: String, name: String): String = {
     val hp = new Path(dir, name)
-    val in = hp.getFileSystem(new Configuration()).open(hp)
+    // resolve through the live session's hadoopConfiguration when one
+    // exists — the WRITE side does, and a sidecar written to a
+    // runtime-configured filesystem (programmatic credentials, a
+    // registered fs.X.impl) would otherwise be unreadable through a
+    // bare new Configuration()
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+    val in = hp.getFileSystem(conf).open(hp)
     try {
       val bos = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)

@@ -405,12 +405,17 @@ object Streaming {
       .where(col("__rk") === 1).drop("__rk")
     val (fs, hPath, tmp) = sinkPaths(spark, sinkPath)
     // refuse to append under a live compaction lease: the compactor's
-    // delete-old would silently destroy this batch's files. Throwing
-    // makes the stream engine retry the batch after the lease clears.
+    // delete-old would silently destroy this batch's files. NOTE a
+    // foreachBatch exception FAILS the streaming query — there is no
+    // engine-level batch retry. The checkpoint still holds this
+    // batch's offsets, so the operator's restart policy re-runs it
+    // from the same data, and the idempotent append makes that replay
+    // safe; what the throw buys is that the failure is LOUD instead
+    // of silent data loss.
     if (lockIsFresh(fs, lockPath(hPath)))
       throw new IllegalStateException(
         s"dedupAppendBatch: compaction in flight on $sinkPath " +
-          "(lock file present) — batch will be retried")
+          "(lock file present) — restart the stream to retry the batch")
     // a compactSink crash between delete-old and rename leaves the
     // WHOLE corpus in the temp dir and no sink; if this batch ran
     // first without promoting it, the bootstrap write would create a
@@ -458,8 +463,13 @@ object Streaming {
                                 tmp: org.apache.hadoop.fs.Path): Unit =
     if (!hasPartFiles(fs, hPath) && hasPartFiles(fs, tmp) &&
         fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
-      if (fs.exists(hPath)) fs.delete(hPath, true)
-      fs.rename(tmp, hPath)
+      if (fs.exists(hPath) && !fs.delete(hPath, true))
+        throw new java.io.IOException(
+          s"promoteOrphanTemp: delete($hPath) returned false")
+      if (!fs.rename(tmp, hPath))
+        throw new java.io.IOException(
+          s"promoteOrphanTemp: rename($tmp, $hPath) returned false — " +
+            "corpus still in the temp dir; fix the filesystem and rerun")
     }
 
   /** Commit half of the temp-swap: the replacement at `tmp` is durable
@@ -478,21 +488,37 @@ object Streaming {
                          tmp: org.apache.hadoop.fs.Path): Unit = {
     val marker = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
     if (!fs.exists(marker)) fs.create(marker, true).close()
-    fs.delete(hPath, true)
-    fs.rename(tmp, hPath)
+    // Hadoop FS mutations fail BOTH ways: by throwing AND by returning
+    // false (the HDFS convention for e.g. a missing rename parent).
+    // An unchecked false here reports success with the sink missing —
+    // every reader breaks until maintenance happens to run again.
+    if (fs.exists(hPath) && !fs.delete(hPath, true))
+      throw new java.io.IOException(
+        s"swapInTemp: delete($hPath) returned false — old sink still " +
+          "in place, replacement intact in the temp; rerun")
+    if (!fs.rename(tmp, hPath))
+      throw new java.io.IOException(
+        s"swapInTemp: rename($tmp, $hPath) returned false — corpus is " +
+          "in the temp dir; promoteOrphanTemp recovers it on the next " +
+          "maintenance or append run")
   }
 
   /** Best-effort compaction lease: `compactSink`'s swap must not race
     * an in-flight append (an append landing between compaction's read
     * and its delete-old is silently destroyed). The lease turns that
     * silent loss into a LOUD, retryable failure: compaction holds a
-    * sibling `__lock` file while it runs, and the append batches
-    * refuse to write under a fresh lock (the stream engine retries
-    * the batch). A crashed compaction's leftover lock expires after
-    * `lockStaleMs` so the stream cannot wedge forever. This is a
-    * lease, not a mutex — an append already past its lock check when
-    * compaction starts can still race; run compaction from a
-    * maintenance window (stream paused) for a hard guarantee. */
+    * sibling `__lock` file (containing its owner token) while it
+    * runs, and the append batches refuse to write under a fresh lock.
+    * A crashed compaction's leftover lock expires after `lockStaleMs`
+    * so the stream cannot wedge forever; a LIVE compaction renews its
+    * lock's mtime from a heartbeat thread so a long rewrite never
+    * expires mid-run, and verifies it still owns the token before the
+    * destructive swap. Stale-lock reclaim goes through an atomic
+    * rename, so two reclaimers have exactly one winner. This is still
+    * a lease, not a mutex — an append already past its lock check when
+    * compaction starts can race; the pre-swap part-file snapshot
+    * check narrows that window to the swap itself, and a maintenance
+    * window (stream paused) remains the hard guarantee. */
   private val lockStaleMs = 15 * 60 * 1000L
 
   private def lockPath(hPath: org.apache.hadoop.fs.Path) =
@@ -501,9 +527,14 @@ object Streaming {
 
   private def lockIsFresh(fs: org.apache.hadoop.fs.FileSystem,
                           lock: org.apache.hadoop.fs.Path): Boolean =
-    fs.exists(lock) &&
+    // exists→getFileStatus is a window: the holder's finally-release
+    // can delete the lock in between, and a FileNotFoundException here
+    // would kill the CALLER's streaming query at exactly the moment
+    // the append became safe. A vanished lock is a released lease.
+    try fs.exists(lock) &&
       System.currentTimeMillis() -
         fs.getFileStatus(lock).getModificationTime < lockStaleMs
+    catch { case _: java.io.FileNotFoundException => false }
 
   /** Live IMAGE dedup — the multimodal leg of the crawl path
     * (readImageStream → here): per microbatch, one decode pass to the
@@ -549,13 +580,58 @@ object Streaming {
     if (lockIsFresh(fs, lock))
       throw new IllegalStateException(
         s"compactSink: another compaction holds the lease on $sinkPath")
-    if (fs.exists(lock)) fs.delete(lock, false) // stale crash leftover
+    if (fs.exists(lock)) {
+      // Stale crash leftover. Reclaim via ATOMIC rename: two
+      // compactors both seeing the same stale lock race right here,
+      // and delete-then-create admits BOTH (B's delete can remove A's
+      // freshly created lock). rename has exactly one winner.
+      val grave = new org.apache.hadoop.fs.Path(lock.getParent,
+        lock.getName + ".reclaimed." + java.util.UUID.randomUUID())
+      if (!fs.rename(lock, grave))
+        throw new IllegalStateException(
+          s"compactSink: lost the stale-lease reclaim race on $sinkPath")
+      fs.delete(grave, false)
+    }
     if (!fs.createNewFile(lock))
       throw new IllegalStateException(
         s"compactSink: lost the lease race on $sinkPath")
+    // Owner token: freshness alone cannot distinguish OUR lock from a
+    // rival's after a reclaim; every destructive step re-reads it.
+    val token = java.util.UUID.randomUUID().toString
+    locally {
+      val out = fs.create(lock, true)
+      out.write(token.getBytes("UTF-8")); out.close()
+    }
+    def owned(): Boolean =
+      try {
+        val in = fs.open(lock)
+        val buf = new Array[Byte](64)
+        val n = try in.read(buf) finally in.close()
+        n > 0 && new String(buf, 0, n, "UTF-8") == token
+      } catch { case _: java.io.IOException => false }
+    // Heartbeat: a rewrite longer than lockStaleMs must not let the
+    // lease expire mid-run (appends would then pass their freshness
+    // check and land files the swap silently destroys). A daemon
+    // thread bumps the lock mtime at a third of the stale horizon.
+    val heartbeat = java.util.concurrent.Executors
+      .newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, "graft-compact-lease"); t.setDaemon(true); t
+      })
+    heartbeat.scheduleAtFixedRate(
+      () => try {
+        if (owned())
+          fs.setTimes(lock, System.currentTimeMillis(), -1)
+      } catch { case _: java.io.IOException => () },
+      lockStaleMs / 3, lockStaleMs / 3,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    def partSnapshot(): Set[String] =
+      if (!fs.exists(hPath)) Set.empty
+      else fs.listStatus(hPath).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).toSet
     try {
       promoteOrphanTemp(fs, hPath, tmp)
       if (!hasPartFiles(fs, hPath)) return // nothing to compact
+      val before = partSnapshot()
       // mergeSchema: an accreted sink can carry files under an evolved
       // schema (stream restarted with an added column) — a single-footer
       // read would DROP the newer column and compaction would make that
@@ -563,8 +639,30 @@ object Streaming {
       spark.read.option("mergeSchema", "true").parquet(hPath.toString)
         .repartition(targetFiles)
         .write.mode("overwrite").parquet(tmp.toString)
+      // Destructive-step gates, in order: (1) we still own the lease
+      // (a reclaimer overwrote the token → our rewrite is outdated and
+      // ITS swap is in flight); (2) the sink is byte-identical to what
+      // we read (an append that slipped past its freshness check —
+      // lease expiry, or in flight before we locked — left files the
+      // swap would silently destroy). Both abort LOUDLY with the sink
+      // untouched; rerunning compaction is always safe.
+      if (!owned())
+        throw new IllegalStateException(
+          s"compactSink: lease on $sinkPath lost during the rewrite — " +
+            "aborting before the swap; sink untouched, rerun")
+      val appended = partSnapshot() -- before
+      if (appended.nonEmpty)
+        throw new IllegalStateException(
+          s"compactSink: sink $sinkPath changed during the rewrite " +
+            s"(${appended.size} new files) — aborting the swap; sink " +
+            "untouched, rerun")
       swapInTemp(fs, hPath, tmp)
-    } finally fs.delete(lock, false)
+    } finally {
+      heartbeat.shutdownNow()
+      // release only OUR lease — deleting a reclaimer's fresh lock
+      // would hand a third compactor the same sink
+      if (owned()) fs.delete(lock, false)
+    }
   }
 
   /** Standing per-source KMV overlap sketches maintained incrementally

@@ -111,6 +111,87 @@ class CrashProtocolSpec extends SparkSpec {
       .count(_.getName.startsWith("part-")) === 1)
   }
 
+  test("compactSink: rename returning FALSE (HDFS convention) fails " +
+    "loudly, then recovers") {
+    import spark.implicits._
+    val sink = faultPath("docs")
+    val localSink = new java.io.File(new java.net.URI("file:" +
+      new org.apache.hadoop.fs.Path(sink).toUri.getPath))
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+      .repartition(3).write.mode("overwrite").parquet(sink)
+    val before = spark.read.parquet(sink).as[(Long, String)].collect().toSet
+    // the OTHER failure mode: rename fails by returning false, not by
+    // throwing — an unchecked swap would report success with the sink
+    // gone (the pre-fix behavior)
+    FaultFs.falseRenameDst = Some(
+      new org.apache.hadoop.fs.Path(sink).toUri.getPath)
+    val e = try intercept[java.io.IOException] {
+      Streaming.compactSink(spark, sink, targetFiles = 1)
+    } finally FaultFs.falseRenameDst = None
+    assert(e.getMessage.contains("returned false"))
+    // same crash-window state as the throwing path; same recovery
+    assert(!localSink.exists())
+    assert(new java.io.File(localSink.getParent, "docs__tmp").exists())
+    Streaming.compactSink(spark, sink, targetFiles = 1)
+    assert(spark.read.parquet(sink).as[(Long, String)].collect().toSet
+      === before)
+  }
+
+  test("compactSink: an append landing mid-rewrite aborts the swap " +
+    "with the sink untouched") {
+    import spark.implicits._
+    val sink = faultPath("docs")
+    val localSink = new java.io.File(new java.net.URI("file:" +
+      new org.apache.hadoop.fs.Path(sink).toUri.getPath))
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+      .repartition(3).write.mode("overwrite").parquet(sink)
+    // fire during the tmp write's commit renames: copy a part file in
+    // under a new name — an append that slipped past its lease check
+    // (expired lease or in flight before the lock)
+    FaultFs.onRenameTo = Some(("docs__tmp", () => {
+      val part = localSink.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(localSink, "part-appended.parquet").toPath)
+    }))
+    val e = try intercept[IllegalStateException] {
+      Streaming.compactSink(spark, sink, targetFiles = 1)
+    } finally FaultFs.onRenameTo = None
+    assert(e.getMessage.contains("changed during the rewrite"))
+    // the swap never ran: sink intact INCLUDING the raced append —
+    // nothing was silently destroyed (the pre-fix failure mode)
+    assert(new java.io.File(localSink, "part-appended.parquet").exists())
+    assert(localSink.listFiles().count(_.getName.endsWith(".parquet")) === 4)
+    // a rerun (no race this time) compacts everything, append included
+    Streaming.compactSink(spark, sink, targetFiles = 1)
+    assert(localSink.listFiles().count(_.getName.startsWith("part-")) === 1)
+  }
+
+  test("compactSink: lease token overwritten mid-rewrite aborts before " +
+    "the swap and leaves the rival's lock") {
+    import spark.implicits._
+    val sink = faultPath("docs")
+    val localSink = new java.io.File(new java.net.URI("file:" +
+      new org.apache.hadoop.fs.Path(sink).toUri.getPath))
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .repartition(2).write.mode("overwrite").parquet(sink)
+    val lock = new java.io.File(localSink.getParent, "docs__lock")
+    // a reclaimer that judged OUR lease stale overwrites the token
+    // while the rewrite runs; the destructive swap must then abort
+    FaultFs.onRenameTo = Some(("docs__tmp", () =>
+      java.nio.file.Files.writeString(lock.toPath, "rival-token")))
+    val e = try intercept[IllegalStateException] {
+      Streaming.compactSink(spark, sink, targetFiles = 1)
+    } finally FaultFs.onRenameTo = None
+    assert(e.getMessage.contains("lost during the rewrite"))
+    // sink untouched, and the RIVAL's lock must survive our release
+    // (deleting it would hand a third compactor the same sink)
+    assert(spark.read.parquet(sink).count() === 2)
+    assert(lock.exists() &&
+      java.nio.file.Files.readString(lock.toPath) == "rival-token")
+    lock.delete()
+  }
+
   test("writeWithManifest: empty input writes an empty manifest, not a crash") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_emptymf")

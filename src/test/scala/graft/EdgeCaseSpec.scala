@@ -118,7 +118,12 @@ class EdgeCaseSpec extends SparkSpec {
       // www-strip is a prefix op, not a substring op
       "https://www.e.com/x", "https://notwww.e.com/x",
       // path case is preserved (only scheme+host lowercase)
-      "https://E.COM/CaseSensitive/Path")
+      "https://E.COM/CaseSensitive/Path",
+      // RFC 3986 §6.2.3: empty path normalizes to '/'
+      "https://e.com", "https://e.com?a=1",
+      // default-port strip is per-SCHEME: http:443 / https:80 are
+      // real non-default ports naming different resources
+      "http://e.com:443/x", "https://e.com:80/x")
     val got = urls.toDF("u")
       .select(TextOps.canonicalUrl($"u")).as[String].collect()
     assert(got === Seq(
@@ -128,7 +133,9 @@ class EdgeCaseSpec extends SparkSpec {
       "https://e.com/p", "https://e.com/p",
       "https://e.com/p", "https://e.com/p?a=1",
       "https://e.com/x", "https://notwww.e.com/x",
-      "https://e.com/CaseSensitive/Path"))
+      "https://e.com/CaseSensitive/Path",
+      "https://e.com/", "https://e.com/?a=1",
+      "http://e.com:443/x", "https://e.com:80/x"))
   }
 
   test("span machinery on degenerate documents: empty, short, null-ish") {

@@ -17,9 +17,17 @@ class FaultFs extends RawLocalFileSystem {
   override def getUri: URI = URI.create("faultfs:///")
 
   override def rename(src: Path, dst: Path): Boolean = {
+    FaultFs.onRenameTo match {
+      case Some((sub, cb)) if dst.toUri.getPath.contains(sub) =>
+        FaultFs.onRenameTo = None // one-shot BEFORE the callback: a
+        cb()                      // callback that renames must not refire
+      case _ => ()
+    }
     if (FaultFs.failRenameDst.contains(dst.toUri.getPath))
       throw new java.io.IOException(
         s"[faultfs] injected rename failure: $src -> $dst")
+    if (FaultFs.falseRenameDst.contains(dst.toUri.getPath))
+      return false
     super.rename(src, dst)
   }
 }
@@ -27,4 +35,14 @@ class FaultFs extends RawLocalFileSystem {
 object FaultFs {
   /** Absolute path (no scheme) whose rename-to should fail; None = off. */
   @volatile var failRenameDst: Option[String] = None
+  /** Absolute path whose rename-to returns FALSE without renaming —
+    * the OTHER Hadoop failure mode (HDFS convention), distinct from
+    * throwing: an unchecked caller would sail on believing the rename
+    * happened. None = off. */
+  @volatile var falseRenameDst: Option[String] = None
+  /** One-shot callback fired before the first rename whose destination
+    * path CONTAINS the substring — lets a test mutate the world at an
+    * exact protocol point (e.g. append to a sink while its compaction
+    * is mid-rewrite). Cleared on fire. */
+  @volatile var onRenameTo: Option[(String, () => Unit)] = None
 }

@@ -345,14 +345,17 @@ class PlanAuditSpec extends SparkSpec {
       s"t84 per-probe top-k must prune map-side before the qid shuffle:\n$p")
   }
 
-  test("t88: signatures scan once, probes broadcast, top-k prunes early") {
+  test("t88: Hamming pass reads signatures only; vectors rejoin by " +
+    "broadcast") {
     val p = plan("t88_binary_ann")
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"t88 must broadcast the probe signatures against one linear pass:\n$p")
     assert(p.contains("WindowGroupLimit"),
       s"t88 Hamming top-20 must prune map-side before the qid shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"t88 rerank must broadcast the candidate ids against the corpus:\n$p")
     assert(!p.contains("SortMergeJoin"),
-      s"t88 must never shuffle the signature table against the probes:\n$p")
+      s"t88 must never shuffle the corpus for probes or rerank:\n$p")
   }
 
   test("t89: canonical key derives map-side — agg-only exchanges, no join") {
