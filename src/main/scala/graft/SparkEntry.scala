@@ -252,6 +252,51 @@ object SparkEntry {
     * graph so the planted-URL scheme cannot desynchronize between its
     * SQL consumers (it is already a single definition on the Scala
     * side). */
+  /** Binary-quantized ANN CTE chain (sign-bit signatures → Hamming
+    * top-20 → exact-cosine rerank top-5, ending in `approx`
+    * (qid, vec_id, hamming, c0, rn) and exposing `q`
+    * (qid, qv, qh1, qh2)) — shared by the t88 result twin and t92's
+    * recall measurement so the quantization scheme cannot drift
+    * between them. Sign bits pack by the same MSB-first two-half
+    * polynomial the Spark side uses. */
+  private val binaryAnnSql: String =
+    """e AS (
+         SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+         FROM embeddings),
+       sig AS (
+         SELECT vec_id, v,
+           CAST(list_sum([CASE WHEN v[d] >= 0
+               THEN (1::BIGINT << (32 - d)) ELSE 0 END
+             FOR d IN generate_series(1, 32)]) AS BIGINT) AS h1,
+           CAST(list_sum([CASE WHEN v[d] >= 0
+               THEN (1::BIGINT << (64 - d)) ELSE 0 END
+             FOR d IN generate_series(33, 64)]) AS BIGINT) AS h2
+         FROM e),
+       q AS (SELECT vec_id AS qid, v AS qv, h1 AS qh1, h2 AS qh2
+             FROM sig WHERE vec_id < 10),
+       h AS (
+         SELECT qid, vec_id, qv, v,
+           CAST(bit_count(xor(h1, qh1)) + bit_count(xor(h2, qh2))
+             AS BIGINT) AS hamming
+         FROM sig, q WHERE vec_id <> qid),
+       c AS (
+         SELECT qid, vec_id, hamming, qv, v,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY hamming, vec_id) AS hrn
+         FROM h QUALIFY hrn <= 20),
+       s AS (
+         SELECT qid, vec_id, hamming,
+           list_sum([qv[i]*v[i] FOR i IN generate_series(1,64)]) /
+           (sqrt(list_sum([qv[i]*qv[i] FOR i IN generate_series(1,64)])) *
+            sqrt(list_sum([v[i]*v[i] FOR i IN generate_series(1,64)])))
+           AS c0
+         FROM c),
+       approx AS (
+         SELECT qid, vec_id, hamming, c0,
+           row_number() OVER (PARTITION BY qid ORDER BY c0 DESC, vec_id)
+             AS rn
+         FROM s QUALIFY rn <= 5)"""
+
   private val urlAugSql: String =
     """a AS (
          SELECT doc_id,
@@ -1210,6 +1255,126 @@ object SparkEntry {
           // Spark DIV-by-zero yields null but DuckDB errors — pin both
           "(n_seqs * max_len - n_tokens) * 1000000" +
             " DIV greatest(n_seqs * max_len, 1L)"))
+    }),
+
+    // MMR-diversified retrieval (Carbonell & Goldstein 1998) — the
+    // RAG rerank that stops top-k from returning five near-copies of
+    // the same passage: greedily pick argmax of
+    // 0.7·sim(q,d) − 0.3·max_{s∈picked} sim(d,s), k=3 picks from the
+    // 10 cosine-nearest candidates per probe. The scale contract: ONE
+    // linear corpus pass builds the candidate pool (t4's broadcast
+    // shape); everything after — the 10×10 pairwise sims and the
+    // unrolled greedy — runs on probe-bounded rows, which is how MMR
+    // always deploys (it reranks a page, never a corpus). Constants
+    // 0.7/0.3 are written literally on BOTH sides: deriving 0.3 as
+    // 1−λ gives 0.30000000000000004 and a cross-engine rank flip.
+    "t91_mmr_diversify" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val probes = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("__qv"))
+      val wQ = Window.partitionBy("qid")
+        .orderBy(col("simq").desc, col("vec_id"))
+      val cand = e.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("simq", Vectors.cosine(col("__qv"), col("v")))
+        .withColumn("__rn", row_number().over(wQ))
+        .where(col("__rn") <= 10)
+        .select("qid", "vec_id", "simq", "v")
+      val pair = cand.select(col("qid"), col("vec_id").as("id_a"),
+          col("v").as("__va"))
+        .join(cand.select(col("qid"), col("vec_id").as("id_b"),
+          col("v").as("__vb")), Seq("qid"))
+        .where(col("id_a") =!= col("id_b"))
+        .withColumn("sim_ab", Vectors.cosine(col("__va"), col("__vb")))
+        .select("qid", "id_a", "id_b", "sim_ab")
+      var rem = cand.select("qid", "vec_id", "simq")
+      var picks: DataFrame = null
+      for (i <- 1 to 3) {
+        val scored =
+          if (i == 1) rem.withColumn("mmr", col("simq") * lit(0.7))
+          else rem
+            .join(pair.join(picks.select(col("qid"),
+                col("vec_id").as("id_b")), Seq("qid", "id_b"))
+              .groupBy(col("qid"), col("id_a").as("vec_id"))
+              .agg(max(col("sim_ab")).as("__ms")), Seq("qid", "vec_id"))
+            .withColumn("mmr",
+              col("simq") * lit(0.7) - col("__ms") * lit(0.3))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("mmr").desc, col("vec_id"))
+        val best = scored.withColumn("__r", row_number().over(w))
+          .where(col("__r") === 1)
+          .select(col("qid"), lit(i.toLong).as("pick"),
+            col("vec_id"), col("mmr"))
+        picks = if (picks == null) best else picks.unionByName(best)
+        rem = rem.join(picks.select("qid", "vec_id"),
+          Seq("qid", "vec_id"), "left_anti")
+      }
+      picks.select(col("qid"), col("pick"), col("vec_id"),
+        round(col("mmr"), 6).as("mmr"))
+    }),
+
+    // Recall@5 of the t88 sign-bit prefilter vs the exact cosine
+    // truth — the ANN-quality measurement pattern (t60 for IVF, here
+    // for binary quantization). Reuses the REGISTERED t88 query so
+    // the measured thing is exactly the shipped thing; the exact side
+    // is one linear corpus pass (the deliberate baseline, priced as
+    // such). Integer ppm keeps the compare engine-portable.
+    "t92_binary_recall" -> ((s, dir) => {
+      val approx = queries("t88_binary_ann")(s, dir)
+        .select(col("qid"), col("vec_id"))
+      val e = T(s, dir, "embeddings")
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val exact = Vectors.bruteForceTopK(probes, e,
+          "qid", "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("vec_id"))
+      val hits = approx.join(exact, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      probes.select("qid").join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr("CAST(coalesce(n_hit, 0) * 1000000 DIV 5 AS BIGINT)")
+            .as("recall_ppm"))
+    }),
+
+    // Robots-exclusion gate with LONGEST-MATCH precedence (the Google
+    // robots.txt semantics: all rules whose prefix matches the path
+    // compete, longest prefix wins, a length tie goes to allow, no
+    // match means allow) — the crawl-politeness step between frontier
+    // dedup (t89) and fetch. Planted rules per host: disallow /p/,
+    // re-allow /p/1 (longest-match must override), and on even hosts
+    // disallow /p/12 (a 3-deep precedence chain). Scale shape: the
+    // rule table is robots.txt-sized and broadcasts; the winner is an
+    // ARGMAX-BY-STRUCT aggregation (partial map-side) rather than a
+    // per-URL window — at 100 TB the gate is one broadcast join plus
+    // one partial-agged shuffle on doc_id.
+    "t93_robots_gate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        concat(lit("site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com")).as("host"),
+        concat(lit("/p/"), col("doc_id").cast("string")).as("path"))
+      val ruleDf = (0 until 7).flatMap { g =>
+        Seq((s"site$g.example.com", "disallow", "/p/"),
+          (s"site$g.example.com", "allow", "/p/1")) ++
+          (if (g % 2 == 0)
+            Seq((s"site$g.example.com", "disallow", "/p/12")) else Nil)
+      }.toDF("host", "rtype", "prefix")
+      val matched = docs.join(broadcast(ruleDf), Seq("host"))
+        .where(col("path").startsWith(col("prefix")))
+        .groupBy("doc_id")
+        .agg(max(struct(length(col("prefix")).as("l"),
+          when(col("rtype") === "allow", 1).otherwise(0).as("a"),
+          col("prefix").as("p"))).as("m"))
+        .select(col("doc_id"), col("m.a").as("__a"),
+          col("m.p").as("matched"))
+      docs.join(matched, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("host"),
+          when(col("__a").isNull || col("__a") === 1, "allow")
+            .otherwise("block").as("verdict"),
+          coalesce(col("matched"), lit("")).as("matched"))
     }),
 
     // Brute-force exact cosine top-5 for 10 query vectors (ANN baseline):
@@ -3707,41 +3872,66 @@ object SparkEntry {
     // Sign-bit packing mirrors the Spark polynomial fold exactly: two
     // 32-dim halves, MSB = lowest dim, so shifts stay under 1<<31.
     "t88_binary_ann" ->
-      """WITH e AS (
-           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
-           FROM embeddings),
-         sig AS (
-           SELECT vec_id, v,
-             CAST(list_sum([CASE WHEN v[d] >= 0
-                 THEN (1::BIGINT << (32 - d)) ELSE 0 END
-               FOR d IN generate_series(1, 32)]) AS BIGINT) AS h1,
-             CAST(list_sum([CASE WHEN v[d] >= 0
-                 THEN (1::BIGINT << (64 - d)) ELSE 0 END
-               FOR d IN generate_series(33, 64)]) AS BIGINT) AS h2
-           FROM e),
-         q AS (SELECT vec_id AS qid, v AS qv, h1 AS qh1, h2 AS qh2
-               FROM sig WHERE vec_id < 10),
-         h AS (
-           SELECT qid, vec_id, qv, v,
-             CAST(bit_count(xor(h1, qh1)) + bit_count(xor(h2, qh2))
-               AS BIGINT) AS hamming
-           FROM sig, q WHERE vec_id <> qid),
-         c AS (
-           SELECT qid, vec_id, hamming, qv, v,
-             row_number() OVER (PARTITION BY qid
-               ORDER BY hamming, vec_id) AS hrn
-           FROM h QUALIFY hrn <= 20),
-         s AS (
-           SELECT qid, vec_id, hamming,
+      s"""WITH $binaryAnnSql
+         SELECT qid, vec_id, hamming, round(c0, 6) AS cos, rn
+         FROM approx""",
+    // Recall of the sign-bit prefilter against the exact cosine
+    // truth, per probe — the number that justifies (or indicts) the
+    // 16-byte signature. `exact` recomputes the t4 baseline from the
+    // shared `e`/`q` CTEs; hits = |approx ∩ exact| per probe.
+    "t92_binary_recall" ->
+      s"""WITH $binaryAnnSql,
+         x0 AS (
+           SELECT qid, vec_id,
              list_sum([qv[i]*v[i] FOR i IN generate_series(1,64)]) /
              (sqrt(list_sum([qv[i]*qv[i] FOR i IN generate_series(1,64)])) *
               sqrt(list_sum([v[i]*v[i] FOR i IN generate_series(1,64)])))
-             AS c0
-           FROM c)
-         SELECT qid, vec_id, hamming, round(c0, 6) AS cos,
-           row_number() OVER (PARTITION BY qid ORDER BY c0 DESC, vec_id)
-             AS rn
-         FROM s QUALIFY rn <= 5""",
+             AS cx
+           FROM e, q WHERE vec_id <> qid),
+         exact AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+               ORDER BY cx DESC, vec_id) AS rn FROM x0)
+           WHERE rn <= 5),
+         hits AS (
+           SELECT a.qid, CAST(count(*) AS BIGINT) AS n_hit
+           FROM approx a JOIN exact x
+             ON a.qid = x.qid AND a.vec_id = x.vec_id
+           GROUP BY 1)
+         SELECT q.qid, CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(n_hit, 0) * 1000000 // 5 AS BIGINT)
+             AS recall_ppm
+         FROM (SELECT DISTINCT qid FROM q) q
+         LEFT JOIN hits ON hits.qid = q.qid""",
+    // Longest-match argmax mirrored as max-of-struct (field-by-field
+    // comparison is the same rule in both engines).
+    "t93_robots_gate" ->
+      """WITH d AS (
+           SELECT doc_id,
+             'site' || (doc_id % 7) || '.example.com' AS host,
+             '/p/' || doc_id AS path
+           FROM documents),
+         rules AS (
+           SELECT 'site' || g || '.example.com' AS host, rtype, prefix
+           FROM generate_series(0, 6) t0(g),
+             (VALUES ('disallow', '/p/', 0), ('allow', '/p/1', 0),
+                     ('disallow', '/p/12', 1)) v(rtype, prefix, evenonly)
+           WHERE evenonly = 0 OR g % 2 = 0),
+         m AS (
+           SELECT doc_id,
+             max(struct_pack(
+               l := len(prefix),
+               a := CASE WHEN rtype = 'allow' THEN 1 ELSE 0 END,
+               p := prefix)) AS mm
+           FROM d JOIN rules ON d.host = rules.host
+             AND starts_with(d.path, rules.prefix)
+           GROUP BY 1)
+         SELECT d.doc_id, d.host,
+           CASE WHEN m.doc_id IS NULL
+                  OR struct_extract(mm, 'a') = 1
+             THEN 'allow' ELSE 'block' END AS verdict,
+           COALESCE(struct_extract(mm, 'p'), '') AS matched
+         FROM d LEFT JOIN m ON d.doc_id = m.doc_id""",
     // Messy-URL synthesis + canonicalization twin of
     // TextOps.canonicalUrl. Anchored single-occurrence patterns, so
     // DuckDB's replace-first ≡ Spark's replace-all; backref is \1
@@ -3825,6 +4015,67 @@ object SparkEntry {
            CAST((count(*) * max(n_tok) - sum(n_tok)) * 1000000
              // greatest(count(*) * max(n_tok), 1) AS BIGINT) AS pad_ppm
          FROM p GROUP BY 1, 2""",
+    // The greedy loop unrolled as pick-1/2/3 CTEs (the bpeTrainIterSql
+    // pattern); 0.7/0.3 literal on both sides — see the Spark comment.
+    "t91_mmr_diversify" ->
+      """WITH e AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         cd0 AS (
+           SELECT qid, vec_id, v,
+             list_sum([qv[i]*v[i] FOR i IN generate_series(1,64)]) /
+             (sqrt(list_sum([qv[i]*qv[i] FOR i IN generate_series(1,64)])) *
+              sqrt(list_sum([v[i]*v[i] FOR i IN generate_series(1,64)])))
+             AS simq
+           FROM e, q WHERE vec_id <> qid),
+         cd AS (SELECT qid, vec_id, v, simq FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY simq DESC, vec_id) AS rn FROM cd0) WHERE rn <= 10),
+         pr AS (
+           SELECT a.qid, a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum([a.v[i]*b.v[i] FOR i IN generate_series(1,64)]) /
+             (sqrt(list_sum([a.v[i]*a.v[i] FOR i IN generate_series(1,64)])) *
+              sqrt(list_sum([b.v[i]*b.v[i] FOR i IN generate_series(1,64)])))
+             AS sim_ab
+           FROM cd a JOIN cd b
+             ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+         p1 AS (SELECT qid, CAST(1 AS BIGINT) AS pick, vec_id, mmr
+           FROM (SELECT qid, vec_id, simq * 0.7 AS mmr,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY simq * 0.7 DESC, vec_id) AS r FROM cd)
+           WHERE r = 1),
+         r1 AS (SELECT cd.qid, cd.vec_id, cd.simq FROM cd
+           LEFT JOIN p1 ON cd.qid = p1.qid AND cd.vec_id = p1.vec_id
+           WHERE p1.vec_id IS NULL),
+         m2 AS (SELECT r1.qid, r1.vec_id, r1.simq,
+             max(pr.sim_ab) AS ms
+           FROM r1 JOIN pr ON pr.qid = r1.qid AND pr.id_a = r1.vec_id
+           JOIN p1 ON p1.qid = pr.qid AND p1.vec_id = pr.id_b
+           GROUP BY 1, 2, 3),
+         p2 AS (SELECT qid, CAST(2 AS BIGINT) AS pick, vec_id, mmr
+           FROM (SELECT qid, vec_id, simq * 0.7 - ms * 0.3 AS mmr,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY simq * 0.7 - ms * 0.3 DESC, vec_id) AS r
+             FROM m2) WHERE r = 1),
+         sel2 AS (SELECT qid, vec_id FROM p1
+           UNION ALL SELECT qid, vec_id FROM p2),
+         r2 AS (SELECT r1.qid, r1.vec_id, r1.simq FROM r1
+           LEFT JOIN p2 ON r1.qid = p2.qid AND r1.vec_id = p2.vec_id
+           WHERE p2.vec_id IS NULL),
+         m3 AS (SELECT r2.qid, r2.vec_id, r2.simq,
+             max(pr.sim_ab) AS ms
+           FROM r2 JOIN pr ON pr.qid = r2.qid AND pr.id_a = r2.vec_id
+           JOIN sel2 s ON s.qid = pr.qid AND s.vec_id = pr.id_b
+           GROUP BY 1, 2, 3),
+         p3 AS (SELECT qid, CAST(3 AS BIGINT) AS pick, vec_id, mmr
+           FROM (SELECT qid, vec_id, simq * 0.7 - ms * 0.3 AS mmr,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY simq * 0.7 - ms * 0.3 DESC, vec_id) AS r
+             FROM m3) WHERE r = 1)
+         SELECT qid, pick, vec_id, round(mmr, 6) AS mmr FROM (
+           SELECT * FROM p1 UNION ALL SELECT * FROM p2
+           UNION ALL SELECT * FROM p3)""",
     "t72_cluster_split" ->
       s"""$neardupLabelSql
          SELECT doc_id, cluster_id,

@@ -386,6 +386,26 @@ object Streaming {
     }
   }
 
+  /** Crawl-frontier URL dedup — t89's operational form: discovered
+    * URLs stream in, canonicalize map-side (`TextOps.canonicalUrl` —
+    * the same key a 100 TB frontier partitions its seen-table by),
+    * and only FIRST sightings of a canonical URL append to the
+    * frontier sink (`canon_url` column alongside the original).
+    * Identical sink-owned-state shape as the content-dedup ingest:
+    * the seen-check is one narrow canon_url-column scan of the sink,
+    * in-batch rivals collapse to the min-`idCol` row, and replays
+    * anti-join to nothing — idempotent without batch-id machinery. */
+  def frontierDedupStream(in: DataFrame, idCol: String, urlCol: String,
+                          sinkPath: String) = {
+    in.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        dedupAppendBatch(
+          batch.withColumn("canon_url",
+            graft.ops.TextOps.canonicalUrl(col(urlCol))),
+          "canon_url", idCol, sinkPath)
+    }
+  }
+
   /** The ONE sink-owned-state dedup microbatch, shared by every
     * keyed append sink (`appendDedupedStream` on md5(text),
     * `imageDedupStream` on the dHash): keep the in-batch first row

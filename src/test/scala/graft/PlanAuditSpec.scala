@@ -370,6 +370,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"t89 needs no join:\n$p")
   }
 
+  test("t93: rules broadcast; the longest-match winner is a partial " +
+    "agg, not a window") {
+    val p = plan("t93_robots_gate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"t93 must broadcast the robots-sized rule table:\n$p")
+    assert(p.contains("partial_max"),
+      s"t93 argmax-by-struct must combine map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"t93 must not pay a per-URL window for the argmax:\n$p")
+  }
+
   test("t90: no window runs single-partition — both prefix-sum levels " +
     "stay bucketed") {
     val p = plan("t90_length_batches")

@@ -182,6 +182,35 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out === Map(1L -> "doc A", 2L -> "doc B", 5L -> "doc C"))
   }
 
+  test("frontierDedupStream: canonical-URL first-sighting across batches") {
+    implicit val sc = spark.sqlContext
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_frontier").toString + "/frontier"
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.frontierDedupStream(
+      input.toDS().toDF("disc_id", "url"), "disc_id", "url", sink)
+      .start()
+    // batch 1: one logical URL under two spellings + a distinct one
+    input.addData(
+      (1L, "https://www.Site.com:443/a/?utm_source=x"),
+      (2L, "https://site.com/a"),
+      (3L, "https://site.com/b"))
+    q.processAllAvailable()
+    // batch 2: a sink duplicate under a THIRD spelling + a novel URL
+    input.addData(
+      (4L, "HTTPS://SITE.com/a#frag"),
+      (5L, "https://site.com"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(sink).collect()
+      .map(r => r.getAs[Long]("disc_id") -> r.getAs[String]("canon_url"))
+      .toMap
+    assert(out === Map(
+      1L -> "https://site.com/a", // min disc_id of the in-batch rivals
+      3L -> "https://site.com/b",
+      5L -> "https://site.com/"))
+  }
+
   test("dsirScoreStream scores a delta against the standing LM") {
     implicit val sc = spark.sqlContext
     import graft.ops.TextOps
