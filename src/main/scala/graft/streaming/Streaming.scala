@@ -151,6 +151,44 @@ object Streaming {
     in.where(if (keepClean) !hit else hit)
   }
 
+  /** Streaming robots-exclusion gate — the stateless twin of the
+    * batch t93 gate, for the frontier path (discover → canonicalize →
+    * THIS → fetch). Rules (host, allow?, pathPrefix) inline as a
+    * plan-literal array (robots.txt corpora are host-count-sized —
+    * same bound rationale as `blocklistStream`); per row, the
+    * longest-match winner folds out of a higher-order aggregate over
+    * the matching rules (length ties go to allow, no match allows —
+    * the Google semantics, identical to t93's argmax-by-struct).
+    * Entirely within the row: no join, no state, no shuffle. */
+  def robotsGateStream(in: DataFrame, urlCol: String,
+                       rules: Seq[(String, Boolean, String)],
+                       keepAllowed: Boolean = true): DataFrame = {
+    require(rules.size <= 100000,
+      s"rule table has ${rules.size} entries — the plan-literal gate " +
+        "is for robots-sized lists; use the batch broadcast join (t93)")
+    val arr = array(rules.map { case (h, allow, p) =>
+      struct(lit(h.toLowerCase(java.util.Locale.ROOT)).as("h"),
+        lit(if (allow) 1 else 0).as("a"), lit(p).as("p"))
+    }: _*)
+    val host = lower(regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+    val path = regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val matches = filter(arr,
+      r => r.getField("h") === host && path.startsWith(r.getField("p")))
+    val best = aggregate(matches,
+      struct(lit(-1).as("l"), lit(1).as("a"), lit("").as("p")),
+      (acc, r) => {
+        val rl = length(r.getField("p"))
+        val better = rl > acc.getField("l") ||
+          (rl === acc.getField("l") && r.getField("a") > acc.getField("a"))
+        when(better, struct(rl.as("l"), r.getField("a").as("a"),
+          r.getField("p").as("p"))).otherwise(acc)
+      })
+    val allowed = best.getField("a") === 1 // init a=1 → no match allows
+    in.where(if (keepAllowed) allowed else !allowed)
+  }
+
   /** Streaming LINE-LEVEL DEDUP — the stateless twin of the batch
     * t80_line_dedup rewrite: drop every pseudo-line whose hash is in
     * the standing boilerplate set (built once by the batch

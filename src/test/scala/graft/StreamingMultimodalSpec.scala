@@ -211,6 +211,33 @@ class StreamingMultimodalSpec extends SparkSpec {
       5L -> "https://site.com/"))
   }
 
+  test("robotsGateStream: longest-match precedence within the row") {
+    implicit val sc = spark.sqlContext
+    val rules = (0 until 7).flatMap { g =>
+      Seq((s"site$g.example.com", false, "/p/"),
+        (s"site$g.example.com", true, "/p/1")) ++
+        (if (g % 2 == 0)
+          Seq((s"site$g.example.com", false, "/p/12")) else Nil)
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.robotsGateStream(
+      input.toDS().toDF("id", "url"), "url", rules)
+      .writeStream.format("memory").queryName("robots_gate")
+      .outputMode("append").start()
+    input.addData(
+      (1L, "https://site0.example.com/p/5"),    // /p/ → block
+      (2L, "https://site0.example.com/p/15"),   // /p/1 beats /p/ → allow
+      (3L, "https://site0.example.com/p/125"),  // /p/12 beats /p/1 → block
+      (4L, "https://site1.example.com/p/125"),  // odd host: /p/1 → allow
+      (5L, "https://SITE1.example.com/p/19"),   // host match is case-blind
+      (6L, "https://other.example.com/p/5"))    // no rules → allow
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.sql("SELECT id FROM robots_gate")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L, 5L, 6L))
+  }
+
   test("dsirScoreStream scores a delta against the standing LM") {
     implicit val sc = spark.sqlContext
     import graft.ops.TextOps
