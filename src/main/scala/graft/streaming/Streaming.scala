@@ -916,8 +916,15 @@ object Streaming {
     // recovery: death between delete-old and rename-temp left a
     // COMPLETE temp (has _SUCCESS) and no sink — promote it first
     if (!fs.exists(hPath) && fs.exists(tmp) &&
-        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
-      fs.rename(tmp, hPath)
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")) &&
+        !fs.rename(tmp, hPath))
+      // unchecked, a false return would let this batch's overwrite
+      // bootstrap a FRESH sink and strand the whole edge history in
+      // the temp (the orphan predicate could never fire again)
+      throw new java.io.IOException(
+        s"foldHostRankBatch: orphan promote rename($tmp, $hPath) " +
+          "returned false — edge history stranded; fix the filesystem " +
+          "and rerun")
     batch.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
@@ -940,7 +947,9 @@ object Streaming {
         .withColumn("batch_id", lit(-1L))
       val compacted = folded
         .unionByName(all.where(col("batch_id") > cutoff))
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(tmp) && !fs.delete(tmp, true))
+        throw new java.io.IOException(
+          s"foldHostRankBatch: clearing stale temp $tmp returned false")
       compacted.write.partitionBy("batch_id").parquet(tmp.toString)
       // shared commit half: guarantees the _SUCCESS marker the
       // promote-on-recovery predicate above keys on, independent of
@@ -1095,7 +1104,14 @@ object Streaming {
     val remaining = merged.select("__kb").distinct()
       .collect().map(_.getLong(0)).toSet
     touched.filterNot(remaining).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$basePath/__kb=$b"), true)
+      val dir = new org.apache.hadoop.fs.Path(s"$basePath/__kb=$b")
+      // checked: a silently-surviving emptied bucket RESURRECTS
+      // deleted rows on the next read — data corruption, not cleanup
+      if (fs.exists(dir) && !fs.delete(dir, true))
+        throw new java.io.IOException(
+          s"mergeCdcBatch: delete of emptied bucket $dir returned " +
+            "false — deleted rows would resurface; fix and rerun " +
+            "(replay-safe)")
     }
   }
 

@@ -487,4 +487,53 @@ class PropertySpec extends SparkSpec {
       s"band join != brute force: missed ${truth -- got}, " +
         s"extra ${got -- truth}")
   }
+
+  test("t90 batches respect the token budget modulo one straddler") {
+    // assignment is by START position, so a batch's token sum can
+    // exceed the budget only by the tail of its last (straddling)
+    // doc: sum ≤ 2048 + max_len − 1. Also padding is a true fraction.
+    val rows = SparkEntry.queries("t90_length_batches")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, maxLen, pad) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("max_len"), r.getAs[Long]("pad_ppm"))
+      assert(nTok <= 2048 + maxLen - 1,
+        s"batch over budget beyond its straddler: $r")
+      assert(pad >= 0 && pad < 1000000, s"pad_ppm out of range: $r")
+      // bucket width 64 bounds intra-batch length spread
+      val bucket = r.getAs[Long]("bucket")
+      assert(maxLen >= bucket * 64 + 1 && maxLen <= bucket * 64 + 64,
+        s"max_len outside its bucket: $r")
+    }
+  }
+
+  test("t91 MMR: pick-1 is the cosine top-1 and scores never increase") {
+    val picks = SparkEntry.queries("t91_mmr_diversify")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("pick"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("mmr")))
+    val byQ = picks.groupBy(_._1)
+    assert(byQ.nonEmpty && byQ.values.forall(_.length === 3))
+    byQ.values.foreach { ps =>
+      // distinct picks
+      assert(ps.map(_._3).distinct.length === 3)
+      // λ·sim is the whole pick-1 score, so pick-1 ≡ cosine argmax;
+      // penalties only grow with the picked set, so MMR scores are
+      // non-increasing in pick order
+      val sorted = ps.sortBy(_._2).map(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b },
+        s"MMR scores increased across picks: ${ps.toSeq}")
+    }
+    // pick-1 matches the independent exact top-1 (t4's machinery)
+    val e = SparkEntry.queries("t4_knn_cosine")(
+      spark, "/root/testdata/sf0.001")
+      .where(col("rn") === 1 && col("qid") < 5)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("vec_id"))
+      .toMap
+    byQ.foreach { case (qid, ps) =>
+      assert(ps.find(_._2 == 1L).get._3 === e(qid),
+        s"pick-1 for qid=$qid is not the cosine top-1")
+    }
+  }
 }
