@@ -1263,11 +1263,17 @@ object SparkEntry {
     // 0.7·sim(q,d) − 0.3·max_{s∈picked} sim(d,s), k=3 picks from the
     // 10 cosine-nearest candidates per probe. The scale contract: ONE
     // linear corpus pass builds the candidate pool (t4's broadcast
-    // shape); everything after — the 10×10 pairwise sims and the
-    // unrolled greedy — runs on probe-bounded rows, which is how MMR
-    // always deploys (it reranks a page, never a corpus). Constants
-    // 0.7/0.3 are written literally on BOTH sides: deriving 0.3 as
-    // 1−λ gives 0.30000000000000004 and a cross-engine rank flip.
+    // shape + WindowGroupLimit prune), one shuffle groups each
+    // probe's pool, and the sequential-by-definition greedy runs as a
+    // local kernel over the BOUNDED pool (`MmrPicksExpr`) — which is
+    // how MMR always deploys (it reranks a page, never a corpus).
+    // Unrolling the k rounds as plan nodes instead re-derives the
+    // candidate scan each round (the pre-kernel form planned 44
+    // nested-loop joins and 138 exchanges for k=3). Constants 0.7/0.3
+    // are written literally on BOTH sides: deriving 0.3 as 1−λ gives
+    // 0.30000000000000004 and a cross-engine rank flip. collect_list
+    // order is non-deterministic; the kernel's argmax tie-breaks on
+    // vec_id, so pool order cannot reach the result.
     "t91_mmr_diversify" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -1282,37 +1288,15 @@ object SparkEntry {
         .withColumn("__rn", row_number().over(wQ))
         .where(col("__rn") <= 10)
         .select("qid", "vec_id", "simq", "v")
-      val pair = cand.select(col("qid"), col("vec_id").as("id_a"),
-          col("v").as("__va"))
-        .join(cand.select(col("qid"), col("vec_id").as("id_b"),
-          col("v").as("__vb")), Seq("qid"))
-        .where(col("id_a") =!= col("id_b"))
-        .withColumn("sim_ab", Vectors.cosine(col("__va"), col("__vb")))
-        .select("qid", "id_a", "id_b", "sim_ab")
-      var rem = cand.select("qid", "vec_id", "simq")
-      var picks: DataFrame = null
-      for (i <- 1 to 3) {
-        val scored =
-          if (i == 1) rem.withColumn("mmr", col("simq") * lit(0.7))
-          else rem
-            .join(pair.join(picks.select(col("qid"),
-                col("vec_id").as("id_b")), Seq("qid", "id_b"))
-              .groupBy(col("qid"), col("id_a").as("vec_id"))
-              .agg(max(col("sim_ab")).as("__ms")), Seq("qid", "vec_id"))
-            .withColumn("mmr",
-              col("simq") * lit(0.7) - col("__ms") * lit(0.3))
-        val w = Window.partitionBy("qid")
-          .orderBy(col("mmr").desc, col("vec_id"))
-        val best = scored.withColumn("__r", row_number().over(w))
-          .where(col("__r") === 1)
-          .select(col("qid"), lit(i.toLong).as("pick"),
-            col("vec_id"), col("mmr"))
-        picks = if (picks == null) best else picks.unionByName(best)
-        rem = rem.join(picks.select("qid", "vec_id"),
-          Seq("qid", "vec_id"), "left_anti")
-      }
-      picks.select(col("qid"), col("pick"), col("vec_id"),
-        round(col("mmr"), 6).as("mmr"))
+      cand.groupBy("qid")
+        .agg(collect_list(struct(col("vec_id"), col("simq"), col("v")))
+          .as("__cands"))
+        .select(col("qid"),
+          explode(graft.functions.VectorExpressions
+            .mmrPicks(col("__cands"), 0.7, 0.3, 3)).as("__p"))
+        .select(col("qid"), col("__p.pick").as("pick"),
+          col("__p.vec_id").as("vec_id"),
+          round(col("__p.mmr"), 6).as("mmr"))
     }),
 
     // Recall@5 of the t88 sign-bit prefilter vs the exact cosine

@@ -455,6 +455,56 @@ object SketchExpressions {
       : Expression = copy(child = newChild)
   }
 
+  /** Binary-search INDEX of `child` in a sorted string array: the
+    * 0-based position, or −1 when absent. `SortedSetContainsExpr`'s
+    * lookup generalized to return WHERE the key sits, so a parallel
+    * plan-literal array can be probed by `element_at(arr, idx + 1)` —
+    * the shape behind per-host rule dispatch (`robotsGateStream`):
+    * O(log hosts) to find the host's slot, then only THAT host's
+    * rules are walked, never the whole rule corpus per row. Same
+    * UTF-8-byte-order (re)sort-on-deserialize contract as the
+    * contains form — callers that also ship a values array aligned to
+    * `sortedSet` MUST pre-sort the pairs together (the expression
+    * sorting alone would silently misalign the values). */
+  case class SortedIndexOfExpr(child: Expression,
+                               sortedSet: Array[String])
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_sorted_index_of"
+
+    @transient private lazy val keys: Array[UTF8String] = {
+      val ks = sortedSet.map(UTF8String.fromString)
+      var i = 1
+      while (i < ks.length) {
+        require(ks(i - 1).compareTo(ks(i)) <= 0,
+          "graft_sorted_index_of: probe array is not in UTF-8 byte " +
+            "order — the caller must sort (with any aligned value " +
+            "array) before building the plan; re-sorting here would " +
+            "silently misalign aligned values")
+        i += 1
+      }
+      ks
+    }
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[UTF8String]
+      var lo = 0
+      var hi = keys.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val c = keys(mid).compareTo(v)
+        if (c == 0) return mid
+        else if (c < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      -1
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+  }
+
   /** Gopher-style repetition signal from a tokens array in one pass: the
     * fraction of word n-grams duplicating an earlier n-gram of the same
     * document, `1 − distinct/total` as a double; null when there are
@@ -735,6 +785,25 @@ object SketchExpressions {
   def sortedSetContains(c: Column, sortedSet: Array[String]): Column =
     GraftColumnBridge.column(
       SortedSetContainsExpr(GraftColumnBridge.expression(c), sortedSet))
+
+  /** 0-based binary-search index of `c` in `sortedSet` (−1 when
+    * absent). The array must ALREADY be in UTF-8 byte order (use
+    * [[utf8Sorted]]) — unlike `sortedSetContains` this never re-sorts,
+    * because callers align a values array to the same order. */
+  def sortedIndexOf(c: Column, sortedSet: Array[String]): Column =
+    GraftColumnBridge.column(
+      SortedIndexOfExpr(GraftColumnBridge.expression(c), sortedSet))
+
+  /** Sort under UTF8String (UTF-8 byte) ordering — the order the
+    * binary-search expressions compare in; Java String ordering
+    * diverges for strings mixing supplementary code points with
+    * U+E000–U+FFFF. */
+  def utf8Sorted(xs: Array[String]): Array[String] = {
+    val ks = xs.map(UTF8String.fromString)
+    java.util.Arrays.sort(ks,
+      (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    ks.map(_.toString)
+  }
 
   /** Takes the raw TOKENS column; shingles, hashes and selects bottom-k
     * in one pass. */

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
 
@@ -203,7 +203,118 @@ object VectorExpressions {
     GraftColumnBridge.column(VecCosineExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Greedy MMR (Carbonell & Goldstein 1998) over a BOUNDED candidate
+    * pool, entirely within the row: from `array<struct<vec_id:long,
+    * simq:double, v:array<numeric>>>` pick `k` candidates maximizing
+    * `λ·simq − μ·max_{s∈picked} cos(v, v_s)` (pick 1 scores `λ·simq`
+    * with NO penalty term), ties on the score going to the smaller
+    * vec_id. Returns `array<struct<pick, vec_id, mmr>>`, pick 1-based
+    * in selection order.
+    *
+    * Why an expression and not a driver loop of DataFrame ops: MMR is
+    * sequential in k by definition, and unrolling k rounds as plan
+    * nodes re-derives the candidate scan each round (the pre-rewrite
+    * t91 planned 44 nested-loop joins and 138 exchanges for k=3). The
+    * pool is top-N-per-probe — bounded by construction — so the O(k·N)
+    * greedy with O(N²) pairwise cosines belongs IN the row: one corpus
+    * pass builds pools, one shuffle groups them, this kernel finishes.
+    *
+    * λ and μ are taken separately, NOT μ=1−λ: `1.0 − 0.7` is
+    * `0.30000000000000004` in IEEE doubles and flips ranks vs an
+    * engine (the DuckDB twin) that writes `0.3` literally. Argmax is
+    * order-independent (strict `>` + vec_id tie-break), so the
+    * non-deterministic `collect_list` pool order cannot leak into the
+    * result. Cosine folds in ascending index order — bit-identical to
+    * `VecCosineExpr`. */
+  case class MmrPicksExpr(child: Expression, lambda: Double, mu: Double,
+                          k: Int)
+    extends UnaryExpression with CodegenFallback {
+    require(k > 0, "mmrPicks: k must be positive")
+    override def prettyName: String = "graft_mmr_picks"
+    override def dataType: DataType = ArrayType(new StructType()
+      .add("pick", LongType, nullable = false)
+      .add("vec_id", LongType, nullable = false)
+      .add("mmr", DoubleType, nullable = false), containsNull = false)
+
+    @transient private lazy val vType: DataType = child.dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+      .fields(2).dataType.asInstanceOf[ArrayType].elementType
+
+    private def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0
+      while (i < a.length) {
+        ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i)
+        i += 1
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val ids = new Array[Long](n)
+      val simq = new Array[Double](n)
+      val vs = new Array[Array[Double]](n)
+      var i = 0
+      while (i < n) {
+        val s = arr.getStruct(i, 3)
+        ids(i) = s.getLong(0)
+        simq(i) = s.getDouble(1)
+        val va = s.getArray(2)
+        val v = new Array[Double](va.numElements())
+        var j = 0
+        while (j < v.length) { v(j) = get(va, j, vType); j += 1 }
+        vs(i) = v
+        i += 1
+      }
+      val nPick = math.min(k, n)
+      val picked = new Array[Int](nPick)
+      val isPicked = new Array[Boolean](n)
+      val out = new Array[Any](nPick)
+      var p = 0
+      while (p < nPick) {
+        var bi = -1
+        var bm = 0.0
+        var c = 0
+        while (c < n) {
+          if (!isPicked(c)) {
+            val m =
+              if (p == 0) simq(c) * lambda
+              else {
+                var pen = Double.NegativeInfinity
+                var q = 0
+                while (q < p) {
+                  val sab = cos(vs(c), vs(picked(q)))
+                  if (sab > pen) pen = sab
+                  q += 1
+                }
+                simq(c) * lambda - pen * mu
+              }
+            if (bi < 0 || m > bm || (m == bm && ids(c) < ids(bi))) {
+              bi = c; bm = m
+            }
+          }
+          c += 1
+        }
+        picked(p) = bi
+        isPicked(bi) = true
+        out(p) = new GenericInternalRow(
+          Array[Any]((p + 1).toLong, ids(bi), bm))
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+  }
+
   def argminCentroid(vec: Column, cents: Column): Column =
     GraftColumnBridge.column(VecArgminCentroidExpr(
       GraftColumnBridge.expression(vec), GraftColumnBridge.expression(cents)))
+
+  def mmrPicks(cands: Column, lambda: Double, mu: Double, k: Int): Column =
+    GraftColumnBridge.column(MmrPicksExpr(
+      GraftColumnBridge.expression(cands), lambda, mu, k))
 }

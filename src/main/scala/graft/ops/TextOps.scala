@@ -196,7 +196,16 @@ object TextOps {
     * nothing else. Piecewise regexps (RE2-safe, no lookaround, no
     * backrefs in patterns): parse scheme/hostport/rest with three
     * anchored extracts, then filter query params with a higher-order
-    * array op, not a regex. */
+    * array op, not a regex.
+    *
+    * A string with NO scheme (a relative link, a protocol-relative
+    * `//cdn…`, garbage) passes through UNCHANGED: every extract
+    * returns "" for it, so normalizing would collapse ALL such
+    * strings onto the single degenerate key `":///"` — in a
+    * frontier-dedup sink that key's first arrival would permanently
+    * swallow every later unparseable URL. Pass-through keeps each
+    * distinct raw string its own key; resolution against a base URL
+    * is the caller's (the extractor's) job, not the canonicalizer's. */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -212,8 +221,9 @@ object TextOps {
     val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
     val keptQ = array_join(
       filter(split(query, "&"), p => !p.startsWith("utm_")), "&")
-    concat(scheme, lit("://"), host, path,
-      when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ)))
+    when(scheme === "", url).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ))))
   }
 
   /** BPE-ish token count: contractions, letter runs, digit runs, and

@@ -153,29 +153,61 @@ object Streaming {
 
   /** Streaming robots-exclusion gate — the stateless twin of the
     * batch t93 gate, for the frontier path (discover → canonicalize →
-    * THIS → fetch). Rules (host, allow?, pathPrefix) inline as a
-    * plan-literal array (robots.txt corpora are host-count-sized —
-    * same bound rationale as `blocklistStream`); per row, the
-    * longest-match winner folds out of a higher-order aggregate over
-    * the matching rules (length ties go to allow, no match allows —
-    * the Google semantics, identical to t93's argmax-by-struct).
-    * Entirely within the row: no join, no state, no shuffle. */
+    * THIS → fetch). Rules are (authority, allow?, pathPrefix):
+    * RFC 9309 scopes robots per AUTHORITY, port included, so the key
+    * is `host[:port]` — lowercased, with the scheme's own default
+    * port dropped (`canonicalUrl`'s convention: http:80/https:443
+    * collapse, a non-default port is a different robots scope and
+    * must appear in the rule verbatim). URL userinfo (`user@…`) is
+    * not part of the scope and is stripped before matching. Per row,
+    * dispatch is a BINARY SEARCH of the sorted authority array
+    * (`sortedIndexOf`) into a parallel per-authority rule array —
+    * O(log authorities) + that authority's own rules, never a walk of
+    * the whole rule corpus per row (the linear-scan shape
+    * `blocklistStream`'s doc rejects). The longest-match winner folds
+    * out of a higher-order aggregate over the matching rules (length
+    * ties go to allow, no match allows — the Google semantics,
+    * identical to t93's argmax-by-struct). Entirely within the row:
+    * no join, no state, no shuffle. */
   def robotsGateStream(in: DataFrame, urlCol: String,
                        rules: Seq[(String, Boolean, String)],
                        keepAllowed: Boolean = true): DataFrame = {
+    import graft.functions.SketchExpressions
     require(rules.size <= 100000,
       s"rule table has ${rules.size} entries — the plan-literal gate " +
         "is for robots-sized lists; use the batch broadcast join (t93)")
-    val arr = array(rules.map { case (h, allow, p) =>
-      struct(lit(h.toLowerCase(java.util.Locale.ROOT)).as("h"),
-        lit(if (allow) 1 else 0).as("a"), lit(p).as("p"))
+    // group driver-side by canonical authority; sort hosts + rule
+    // slices TOGETHER in UTF-8 byte order (the binary search's order)
+    val grouped = rules
+      .groupBy(_._1.toLowerCase(java.util.Locale.ROOT)).toArray
+    val hostOrder = SketchExpressions.utf8Sorted(grouped.map(_._1))
+      .zipWithIndex.toMap
+    val sortedGroups = grouped.sortBy(g => hostOrder(g._1))
+    val hosts: Array[String] = sortedGroups.map(_._1)
+    val ruleSlices = array(sortedGroups.map { case (_, rs) =>
+      array(rs.map { case (_, allow, p) =>
+        struct(lit(if (allow) 1 else 0).as("a"), lit(p).as("p"))
+      }: _*)
     }: _*)
-    val host = lower(regexp_extract(col(urlCol),
-      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+    val noRules = array().cast("array<struct<a:int,p:string>>")
+    val authRaw = lower(regexp_replace(regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1), "^[^/@]*@", ""))
+    val scheme = lower(regexp_extract(col(urlCol),
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = when(scheme === "http", regexp_replace(authRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(authRaw, ":443$", ""))
+      .otherwise(authRaw)
     val path = regexp_extract(col(urlCol),
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
-    val matches = filter(arr,
-      r => r.getField("h") === host && path.startsWith(r.getField("p")))
+    // bind the index once (self-contained projection would recompute
+    // the search per reference inside the lambda tree)
+    val idx = SketchExpressions.sortedIndexOf(auth, hosts)
+    val hostRules =
+      if (hosts.isEmpty) noRules
+      else when(idx >= 0, element_at(ruleSlices, idx + 1))
+        .otherwise(noRules)
+    val matches = filter(hostRules,
+      r => path.startsWith(r.getField("p")))
     val best = aggregate(matches,
       struct(lit(-1).as("l"), lit(1).as("a"), lit("").as("p")),
       (acc, r) => {

@@ -123,7 +123,12 @@ class EdgeCaseSpec extends SparkSpec {
       "https://e.com", "https://e.com?a=1",
       // default-port strip is per-SCHEME: http:443 / https:80 are
       // real non-default ports naming different resources
-      "http://e.com:443/x", "https://e.com:80/x")
+      "http://e.com:443/x", "https://e.com:80/x",
+      // NO scheme → pass through unchanged (distinct raw strings stay
+      // distinct keys; collapsing them onto ":///" would let the
+      // first unparseable URL swallow every later one in a
+      // frontier-dedup sink)
+      "//cdn.site.com/lib.js", "/relative/path?utm_a=1", "not a url")
     val got = urls.toDF("u")
       .select(TextOps.canonicalUrl($"u")).as[String].collect()
     assert(got === Seq(
@@ -135,7 +140,8 @@ class EdgeCaseSpec extends SparkSpec {
       "https://e.com/x", "https://notwww.e.com/x",
       "https://e.com/CaseSensitive/Path",
       "https://e.com/", "https://e.com/?a=1",
-      "http://e.com:443/x", "https://e.com:80/x"))
+      "http://e.com:443/x", "https://e.com:80/x",
+      "//cdn.site.com/lib.js", "/relative/path?utm_a=1", "not a url"))
   }
 
   test("span machinery on degenerate documents: empty, short, null-ish") {

@@ -381,6 +381,40 @@ class PlanAuditSpec extends SparkSpec {
       s"t93 must not pay a per-URL window for the argmax:\n$p")
   }
 
+  test("t91: one corpus pass + bounded-pool kernel — no per-round " +
+    "re-derivation") {
+    // MMR is sequential in k; the kernel form must plan exactly one
+    // broadcast corpus pass (probes side broadcast), a WindowGroupLimit
+    // top-10 prune, and the pool-grouping shuffle — NOT k unrolled
+    // rounds each re-deriving the scan (the pre-kernel form planned 22
+    // nested-loop joins and 69 exchanges; a regression to driver-loop
+    // plan-building shows up here as exploding node counts)
+    val p = plan("t91_mmr_diversify")
+    assert(nodes(p, "BroadcastNestedLoopJoin") === 1,
+      s"t91 must scan the corpus exactly once, probes broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"t91 top-10 pool prune must run map-side:\n$p")
+    assert(nodes(p, "Exchange") <= 2,
+      s"t91 is one window shuffle + one grouping shuffle, max:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"t91's pairwise/greedy work belongs in the row kernel, " +
+        s"not in joins:\n$p")
+  }
+
+  test("t92: both rankings broadcast-shaped; the recall join never " +
+    "shuffles the corpus") {
+    val p = plan("t92_binary_recall")
+    // two corpus passes by design (approx + exact truth), each with
+    // probes broadcast; the approx∩exact compare and the final probe
+    // join run on probe-bounded rows
+    assert(nodes(p, "BroadcastNestedLoopJoin") === 2,
+      s"t92 runs exactly two linear corpus passes:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"t92 must never plan an unbroadcast cross:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"t92 top-k prunes must stay map-side:\n$p")
+  }
+
   test("t90: no window runs single-partition — both prefix-sum levels " +
     "stay bucketed") {
     val p = plan("t90_length_batches")

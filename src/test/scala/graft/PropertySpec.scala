@@ -501,39 +501,79 @@ class PropertySpec extends SparkSpec {
       assert(nTok <= 2048 + maxLen - 1,
         s"batch over budget beyond its straddler: $r")
       assert(pad >= 0 && pad < 1000000, s"pad_ppm out of range: $r")
-      // bucket width 64 bounds intra-batch length spread
+      // bucket width 64 bounds intra-batch length spread. Bucket 0
+      // admits max_len 0: an all-empty-docs batch (the edge the
+      // query's greatest(n_seqs*max_len, 1) pad guard exists for)
+      // lands there via greatest(n_tok,1)-1 — demanding >= 1 would
+      // fail on exactly the input the production query is hardened
+      // against.
       val bucket = r.getAs[Long]("bucket")
-      assert(maxLen >= bucket * 64 + 1 && maxLen <= bucket * 64 + 64,
+      val lo = if (bucket == 0L) 0L else bucket * 64 + 1
+      assert(maxLen >= lo && maxLen <= bucket * 64 + 64,
         s"max_len outside its bucket: $r")
     }
   }
 
-  test("t91 MMR: pick-1 is the cosine top-1 and scores never increase") {
+  test("t91 MMR equals a sequential greedy-MMR replay, pick by pick") {
+    // NOT asserted: "scores non-increasing in pick order" — that is
+    // not a theorem of MMR. With a NEGATIVE cosine to an earlier
+    // pick, the −0.3·max_sim penalty is a BONUS and a later pick can
+    // legitimately out-score an earlier one (the shipped pools carry
+    // pairwise sims down to −0.23, so a testdata regeneration could
+    // plant a violation with no code change). The real invariant is
+    // the algorithm itself: replay the greedy selection sequentially
+    // from the same pools and demand identical picks AND scores.
     val picks = SparkEntry.queries("t91_mmr_diversify")(
       spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("pick"),
         r.getAs[Long]("vec_id"), r.getAs[Double]("mmr")))
     val byQ = picks.groupBy(_._1)
     assert(byQ.nonEmpty && byQ.values.forall(_.length === 3))
-    byQ.values.foreach { ps =>
-      // distinct picks
-      assert(ps.map(_._3).distinct.length === 3)
-      // λ·sim is the whole pick-1 score, so pick-1 ≡ cosine argmax;
-      // penalties only grow with the picked set, so MMR scores are
-      // non-increasing in pick order
-      val sorted = ps.sortBy(_._2).map(_._4)
-      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b },
-        s"MMR scores increased across picks: ${ps.toSeq}")
+    byQ.values.foreach(ps => assert(ps.map(_._3).distinct.length === 3))
+
+    // sequential reference: same float→double cast, same left-to-right
+    // dot-product fold as VecCosineExpr, same (desc score, asc id)
+    // tie-breaks, same HALF_UP 6-dp rounding as round(col, 6)
+    val vecs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
     }
-    // pick-1 matches the independent exact top-1 (t4's machinery)
-    val e = SparkEntry.queries("t4_knn_cosine")(
-      spark, "/root/testdata/sf0.001")
-      .where(col("rn") === 1 && col("qid") < 5)
-      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("vec_id"))
-      .toMap
-    byQ.foreach { case (qid, ps) =>
-      assert(ps.find(_._2 == 1L).get._3 === e(qid),
-        s"pick-1 for qid=$qid is not the cosine top-1")
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0L until 5L).foreach { qid =>
+      val qv = vecs(qid)
+      val pool = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v), v) }
+        .sortBy { case (id, s, _) => (-s, id) }.take(10)
+      var picked = List.empty[(Long, Double)] // (vec_id, mmr) in order
+      (1 to 3).foreach { _ =>
+        val best = pool
+          .filterNot(c => picked.exists(_._1 == c._1))
+          .map { case (id, simq, v) =>
+            val m =
+              if (picked.isEmpty) simq * 0.7 // no penalty term at all
+              else {
+                val pen = picked.map(p => cos(vecs(p._1), v))
+                  .foldLeft(Double.NegativeInfinity)(math.max)
+                simq * 0.7 - pen * 0.3
+              }
+            (id, m)
+          }
+          .minBy { case (id, m) => (-m, id) }
+        picked = picked :+ best
+      }
+      val got = byQ(qid).sortBy(_._2).map(p => (p._3, p._4))
+      val want = picked.map { case (id, m) => (id, r6(m)) }
+      assert(got.toList === want,
+        s"qid=$qid: distributed MMR $got != sequential replay $want")
     }
   }
 }

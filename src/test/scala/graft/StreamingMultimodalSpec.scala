@@ -197,9 +197,14 @@ class StreamingMultimodalSpec extends SparkSpec {
       (3L, "https://site.com/b"))
     q.processAllAvailable()
     // batch 2: a sink duplicate under a THIRD spelling + a novel URL
+    // + two DISTINCT scheme-less strings — unparseable URLs pass
+    // through as their own keys (each kept), they must NOT collapse
+    // onto one degenerate key that swallows all later ones
     input.addData(
       (4L, "HTTPS://SITE.com/a#frag"),
-      (5L, "https://site.com"))
+      (5L, "https://site.com"),
+      (6L, "//cdn.site.com/lib.js"),
+      (7L, "/relative/path"))
     q.processAllAvailable()
     q.stop()
     val out = spark.read.parquet(sink).collect()
@@ -208,7 +213,9 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out === Map(
       1L -> "https://site.com/a", // min disc_id of the in-batch rivals
       3L -> "https://site.com/b",
-      5L -> "https://site.com/"))
+      5L -> "https://site.com/",
+      6L -> "//cdn.site.com/lib.js",
+      7L -> "/relative/path"))
   }
 
   test("robotsGateStream: longest-match precedence within the row") {
@@ -218,7 +225,10 @@ class StreamingMultimodalSpec extends SparkSpec {
         (s"site$g.example.com", true, "/p/1")) ++
         (if (g % 2 == 0)
           Seq((s"site$g.example.com", false, "/p/12")) else Nil)
-    }
+    } ++ Seq(
+      // RFC 9309 scope is the AUTHORITY: a non-default port is its
+      // own robots scope with its own rules
+      ("site0.example.com:8080", false, "/q/"))
     val input = MemoryStream[(Long, String)]
     val q = Streaming.robotsGateStream(
       input.toDS().toDF("id", "url"), "url", rules)
@@ -230,12 +240,20 @@ class StreamingMultimodalSpec extends SparkSpec {
       (3L, "https://site0.example.com/p/125"),  // /p/12 beats /p/1 → block
       (4L, "https://site1.example.com/p/125"),  // odd host: /p/1 → allow
       (5L, "https://SITE1.example.com/p/19"),   // host match is case-blind
-      (6L, "https://other.example.com/p/5"))    // no rules → allow
+      (6L, "https://other.example.com/p/5"),    // no rules → allow
+      // default :443 collapses onto the port-less scope → /p/ blocks
+      (7L, "https://site0.example.com:443/p/5"),
+      // the :8080 scope has its OWN rules: /q/ blocks there…
+      (8L, "https://site0.example.com:8080/q/1"),
+      // …and the port-less /p/ rules do NOT leak into it
+      (9L, "https://site0.example.com:8080/p/5"),
+      // userinfo is not part of the scope: still site0's /p/ → block
+      (10L, "https://crawler@site0.example.com/p/5"))
     q.processAllAvailable()
     q.stop()
     val kept = spark.sql("SELECT id FROM robots_gate")
       .collect().map(_.getLong(0)).toSet
-    assert(kept === Set(2L, 4L, 5L, 6L))
+    assert(kept === Set(2L, 4L, 5L, 6L, 9L))
   }
 
   test("dsirScoreStream scores a delta against the standing LM") {
