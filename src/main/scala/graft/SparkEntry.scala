@@ -1361,6 +1361,53 @@ object SparkEntry {
           coalesce(col("matched"), lit("")).as("matched"))
     }),
 
+    // Crawl-frontier scheduling — the artifact a polite priority
+    // crawler (the Heritrix/Frontera frontier shape) actually
+    // executes: discovered URLs canonicalize and dedup (t89's key),
+    // each host forms a FIFO queue ordered by canonical URL, and
+    // `fetch_round` r takes the r-th URL of EVERY host — at most one
+    // fetch per host per round, the politeness constraint as a
+    // per-host window. WITHIN a round, hosts are served by t74's link
+    // rank (`pos_in_round`) so important sites drain first; hosts
+    // outside the link graph rank 0 and fetch last. Composes three
+    // shipped artifacts — canonicalUrl, the t74 rank table (broadcast:
+    // it is host-cardinality), t89's dedup — because the composed
+    // schedule is what a crawler runs, and composition bugs (key
+    // drift, column collisions) are what this repo's history says to
+    // test. Scale shape: canonical key derives map-side; one agg
+    // shuffle dedups; both windows hash-partition on host-cardinality
+    // keys (host, then round) — no global sort anywhere.
+    "t94_frontier_schedule" -> ((s, dir) => {
+      val g = expr("CAST(doc_id DIV 14 AS STRING)")
+      val h = expr("CAST(doc_id % 7 AS STRING)")
+      // two spellings per canonical URL (doc_id and doc_id+7 land on
+      // the same key; %3 sprinkles www/bare across both) — enough to
+      // prove the dedup seam without re-testing t89's full matrix
+      val messy = when(col("doc_id") % 3 === 0,
+          concat(lit("https://www.site"), h, lit(".example.org/p/"), g))
+        .otherwise(
+          concat(lit("https://site"), h, lit(".example.org/p/"), g))
+      val frontier = T(s, dir, "documents")
+        .select(col("doc_id"), messy.as("url"))
+        .withColumn("curl", TextOps.canonicalUrl(col("url")))
+        .groupBy("curl").agg(min(col("doc_id")).as("keep_id"))
+        .withColumn("host",
+          regexp_extract(col("curl"), "^https?://([^/]+)", 1))
+      val ranked = frontier
+        .join(broadcast(hostRanks(s, dir)
+          .select(col("node").as("host"), col("rank_ppm"))),
+          Seq("host"), "left")
+        .na.fill(0L, Seq("rank_ppm"))
+      val queueW = Window.partitionBy("host").orderBy(col("curl"))
+      val roundW = Window.partitionBy("fetch_round")
+        .orderBy(col("rank_ppm").desc, col("host"))
+      ranked
+        .withColumn("fetch_round", row_number().over(queueW).cast("long"))
+        .withColumn("pos_in_round", row_number().over(roundW).cast("long"))
+        .select("curl", "host", "keep_id", "rank_ppm",
+          "fetch_round", "pos_in_round")
+    }),
+
     // Brute-force exact cosine top-5 for 10 query vectors (ANN baseline):
     // corpus never shuffles; queries broadcast.
     "t4_knn_cosine" -> ((s, dir) => {
@@ -3916,6 +3963,32 @@ object SparkEntry {
              THEN 'allow' ELSE 'block' END AS verdict,
            COALESCE(struct_extract(mm, 'p'), '') AS matched
          FROM d LEFT JOIN m ON d.doc_id = m.doc_id""",
+    // The twin states the canonical key DIRECTLY (both planted
+    // spellings normalize to the bare-host form — the www-strip is
+    // t89's tested seam, not this query's), then mirrors the two
+    // windows; shares the t74 rank CTE block so the schedule and the
+    // rank artifact cannot drift.
+    "t94_frontier_schedule" ->
+      s"""WITH $hostRankSql,
+         f AS (
+           SELECT 'https://site' || (doc_id % 7) || '.example.org/p/'
+               || (doc_id // 14) AS curl,
+             'site' || (doc_id % 7) || '.example.org' AS host,
+             min(doc_id) AS keep_id
+           FROM documents GROUP BY 1, 2),
+         j AS (
+           SELECT f.curl, f.host, f.keep_id,
+             CAST(COALESCE(r3.r, 0) AS BIGINT) AS rank_ppm
+           FROM f LEFT JOIN r3 ON f.host = r3.node),
+         sch AS (
+           SELECT *, row_number() OVER (
+               PARTITION BY host ORDER BY curl) AS fetch_round
+           FROM j)
+         SELECT curl, host, keep_id, rank_ppm,
+           CAST(fetch_round AS BIGINT) AS fetch_round,
+           CAST(row_number() OVER (PARTITION BY fetch_round
+             ORDER BY rank_ppm DESC, host) AS BIGINT) AS pos_in_round
+         FROM sch""",
     // Messy-URL synthesis + canonicalization twin of
     // TextOps.canonicalUrl. Anchored single-occurrence patterns, so
     // DuckDB's replace-first ≡ Spark's replace-all; backref is \1

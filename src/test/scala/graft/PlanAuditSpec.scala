@@ -415,6 +415,20 @@ class PlanAuditSpec extends SparkSpec {
       s"t92 top-k prunes must stay map-side:\n$p")
   }
 
+  test("t94: rank joins broadcast; dedup + both schedule windows " +
+    "hash-partition — no global sort") {
+    val p = plan("t94_frontier_schedule")
+    assert(p.contains("BroadcastHashJoin"),
+      s"t94's host-cardinality rank table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"t94 must never shuffle the frontier for the rank join:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"t94's per-host queue and per-round windows partition on " +
+        s"host/round; SinglePartition means a window lost its key:\n$p")
+    assert(nodes(p, "Exchange") <= 3,
+      s"t94 is dedup-agg + host window + round window, max:\n$p")
+  }
+
   test("t90: no window runs single-partition — both prefix-sum levels " +
     "stay bucketed") {
     val p = plan("t90_length_batches")
