@@ -407,6 +407,34 @@ object SparkEntry {
     * and t77 oracles (`r3` = (node, r) final integer-ppm ranks). ONE
     * definition so the rank artifact its consumers join cannot drift
     * from the artifact itself. */
+  /** t7's quality-score formula as a DuckDB expression over `text` —
+    * one definition shared by the t7 twin and every oracle that
+    * orders by quality (t95), so the consumers cannot drift from the
+    * artifact. Plain (non-interpolated) literal: the regex
+    * backslashes must reach DuckDB verbatim. */
+  private val qScoreSql: String =
+    """round(
+           least(CAST(len(string_split_regex(text,'\s+')) AS DOUBLE)/100.0,
+                 1.0) * 0.4
+           + CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / greatest(CAST(len(text) AS DOUBLE), 1.0) * 0.3
+           + CAST(len(list_filter(string_split_regex(lower(text),'\s+'),
+               x -> list_contains(
+                 ['the','and','of','to','in','is','that','it'], x)))
+               AS DOUBLE)
+             / greatest(CAST(len(string_split_regex(text,'\s+')) AS DOUBLE),
+                        1.0) * 0.2
+           + least((CAST(len(text) AS DOUBLE)
+                    - len(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)
+             * 0.1, 6)"""
+
+  /** d6's BPE-ish token count as a DuckDB expression over `text` —
+    * the shared tokens-per-document yardstick (d6, t90, t95 budget). */
+  private val bpeCountSql: String =
+    """len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+'))"""
+
   private val hostRankSql: String =
     s"""$urlAugSql,
          edges AS (
@@ -1406,6 +1434,45 @@ object SparkEntry {
         .withColumn("pos_in_round", row_number().over(roundW).cast("long"))
         .select("curl", "host", "keep_id", "rank_ppm",
           "fetch_round", "pos_in_round")
+    }),
+
+    // Token-budget corpus selection — "give me the best B tokens":
+    // rank every document by the t7 quality score and keep documents
+    // in score order until the cumulative token count crosses B
+    // (here B = total/4, i.e. the best quarter of the corpus by
+    // tokens). The greedy-by-score prefix IS the optimal selection
+    // for a budget knapsack with uniform value-per-token, and the
+    // cumulative cutoff is a GLOBAL ordered prefix sum — the classic
+    // one-reducer trap — computed here by `Windows.twoLevelPrefixSum`
+    // (level 1 windows over the distinct-score bucket table, level 2
+    // hash-partitions by bucket). The threshold compares integers
+    // (start·4 < total, no division, no doubles) so the cut is exact
+    // cross-engine. Output: what the budget does to the source mix —
+    // kept docs/tokens and admitted fraction per source. Bucket key =
+    // −round(q·10⁶): q is already 6-dp, so the mapping is exact and
+    // monotone; bucket cardinality = distinct scores (≤10⁶ — at
+    // corpus scale coarsen to 3-4 dp and let `order` break ties, the
+    // documented twoLevelRank knob).
+    "t95_token_budget_select" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.functions.SketchExpressions.textStats(col("text"))
+            .as("__st"),
+          TextOps.bpeTokenCount(col("text")).as("tok"))
+        .withColumn("q", TextOps.qualityScoreFrom(col("__st")))
+        .drop("__st")
+      val started = Windows.twoLevelPrefixSum(docs, Seq.empty,
+        (-round(col("q") * lit(1000000.0))).cast("long"),
+        Seq(col("q").desc, col("doc_id")), col("tok"), "start")
+      val total = docs.agg(sum(col("tok")).cast("long").as("__total"))
+      started.crossJoin(broadcast(total))
+        .withColumn("__keep", col("start") * 4 < col("__total"))
+        .groupBy("source")
+        .agg(count(when(col("__keep"), 1)).as("n_kept"),
+          coalesce(sum(when(col("__keep"), col("tok"))), lit(0L))
+            .as("tok_kept"),
+          expr("CAST(count(CASE WHEN __keep THEN 1 END) * 1000000" +
+            " DIV count(*) AS BIGINT)").as("kept_ppm"))
     }),
 
     // Brute-force exact cosine top-5 for 10 query vectors (ANN baseline):
@@ -3989,6 +4056,29 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY fetch_round
              ORDER BY rank_ppm DESC, host) AS BIGINT) AS pos_in_round
          FROM sch""",
+    // The twin is the one-machine form of the same selection: a plain
+    // window prefix sum in quality order (DuckDB sorts; Spark's side
+    // is the two-level distributed scan), the same integer threshold
+    // start·4 < total, and the same shared q/token expressions — so
+    // the ORDER the budget cuts in is definitionally identical.
+    "t95_token_budget_select" ->
+      s"""WITH t AS (
+           SELECT doc_id, source, $qScoreSql AS q, $bpeCountSql AS tok
+           FROM documents),
+         tot AS (SELECT sum(tok) AS total FROM t),
+         st AS (
+           SELECT *, COALESCE(SUM(tok) OVER (ORDER BY q DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS start
+           FROM t)
+         SELECT source,
+           CAST(count(CASE WHEN start * 4 < total THEN 1 END) AS BIGINT)
+             AS n_kept,
+           CAST(COALESCE(sum(CASE WHEN start * 4 < total THEN tok END), 0)
+             AS BIGINT) AS tok_kept,
+           CAST(count(CASE WHEN start * 4 < total THEN 1 END) * 1000000
+             // count(*) AS BIGINT) AS kept_ppm
+         FROM st CROSS JOIN tot GROUP BY 1""",
     // Messy-URL synthesis + canonicalization twin of
     // TextOps.canonicalUrl. Anchored single-occurrence patterns, so
     // DuckDB's replace-first ≡ Spark's replace-all; backref is \1
@@ -4425,21 +4515,7 @@ object SparkEntry {
                 ELSE 'fr' END AS lang_pred
          FROM s""",
     "t7_quality" ->
-      """SELECT doc_id, round(
-           least(CAST(len(string_split_regex(text,'\s+')) AS DOUBLE)/100.0,
-                 1.0) * 0.4
-           + CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-             / greatest(CAST(len(text) AS DOUBLE), 1.0) * 0.3
-           + CAST(len(list_filter(string_split_regex(lower(text),'\s+'),
-               x -> list_contains(
-                 ['the','and','of','to','in','is','that','it'], x)))
-               AS DOUBLE)
-             / greatest(CAST(len(string_split_regex(text,'\s+')) AS DOUBLE),
-                        1.0) * 0.2
-           + least((CAST(len(text) AS DOUBLE)
-                    - len(regexp_replace(text, '[.,!?;:]', '', 'g')))
-                   / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)
-             * 0.1, 6) AS q_score
+      s"""SELECT doc_id, $qScoreSql AS q_score
          FROM documents""",
     "q39_kmeans_step" ->
       """WITH e AS (
@@ -4903,10 +4979,7 @@ object SparkEntry {
                  / count(*), 6) AS dup_rate
          FROM cl GROUP BY source""",
     "d6_bpe_tokens" ->
-      """SELECT doc_id,
-         len(regexp_extract_all(text,
-           '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+'))
-           AS n_bpe
+      s"""SELECT doc_id, $bpeCountSql AS n_bpe
          FROM documents""",
     "t65_tokenizer_fertility" ->
       """WITH d AS (

@@ -182,6 +182,43 @@ object Windows {
       .drop("__tlb", "__tloff")
   }
 
+  /** Exact global (or per-partition) EXCLUSIVE running sum of `value`
+    * WITHOUT a one-reducer sort — `twoLevelRank`'s shape with sums in
+    * place of counts (t68 inlines the same two levels for its packing
+    * offsets, keyed there by doc_id blocks). Same `bucket` contract:
+    * an integer expression MONOTONE ASCENDING in the caller's order;
+    * ties land in one bucket where `order` decides. Level 1 windows
+    * over the bucket-cardinality table only; level 2 hash-partitions
+    * by bucket. `out` = the sum of `value` over all rows STRICTLY
+    * before the row in the global order (0 for the first row) —
+    * the running-total shape budget cutoffs and packing offsets need. */
+  def twoLevelPrefixSum(df: DataFrame, partition: Seq[String],
+                        bucket: Column, order: Seq[Column],
+                        value: Column, out: String): DataFrame = {
+    require(!df.columns.contains("__tlb") && !df.columns.contains("__tloff")
+        && !df.columns.contains("__tlv"),
+      "twoLevelPrefixSum: input already has a __tlb/__tloff/__tlv " +
+        "column — it would be clobbered and dropped (rename it)")
+    val part = partition.map(col)
+    val withB = df.withColumn("__tlb", bucket)
+      .withColumn("__tlv", value.cast("long"))
+    val bTab = withB
+      .groupBy((part :+ col("__tlb")): _*)
+      .agg(sum(col("__tlv")).as("__tlbs"))
+      .withColumn("__tloff", coalesce(
+        sum("__tlbs").over(Window.partitionBy(part: _*)
+          .orderBy(col("__tlb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((part :+ col("__tlb") :+ col("__tloff")): _*)
+    val wIn = Window.partitionBy((part :+ col("__tlb")): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(bTab, partition :+ "__tlb")
+      .withColumn(out,
+        col("__tloff") + coalesce(sum(col("__tlv")).over(wIn), lit(0L)))
+      .drop("__tlb", "__tlv", "__tloff")
+  }
+
   /** A2 — modal spacing between consecutive timestamps, in seconds
     * (fs_pp.py:557-558 infers the logger cadence). Returns the most common
     * positive gap; ties break toward the smaller gap. Driver scalar. */

@@ -429,6 +429,23 @@ class PlanAuditSpec extends SparkSpec {
       s"t94 is dedup-agg + host window + round window, max:\n$p")
   }
 
+  test("t95: corpus prefix sum stays bucket-partitioned; the scalar " +
+    "total broadcasts") {
+    // the only SinglePartition spots allowed are the tiny ones — the
+    // bucket-table cumsum and the 1-row total aggregate; the
+    // corpus-sized in-bucket window must hash-partition, and the
+    // total must join back as a broadcast, never shuffle the corpus
+    val p = plan("t95_token_budget_select")
+    assert("SinglePartition".r.findAllIn(p).length <= 4,
+      s"t95's corpus window must stay bucket-partitioned:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"t95's 1-row total must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"t95 must not shuffle the corpus for the total or the " +
+        s"bucket offsets:\n$p")
+  }
+
   test("t90: no window runs single-partition — both prefix-sum levels " +
     "stay bucketed") {
     val p = plan("t90_length_batches")

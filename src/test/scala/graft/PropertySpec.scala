@@ -427,6 +427,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("twoLevelPrefixSum equals a global exclusive running sum") {
+    // same contract as the rank twin above: indistinguishable from
+    // the one-reducer window, including duplicate scores and
+    // bucket-boundary straddles; first row in order must get 0
+    import graft.ops.Windows
+    import org.apache.spark.sql.expressions.Window
+    val gen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0, 2), Gen.choose(-50, 50), Gen.choose(0, 9)))
+    forAll(gen, n = 6) { xs =>
+      val df = xs.zipWithIndex.map { case ((g, v, t), i) =>
+        (s"g$g", i.toLong, v.toDouble / 7.0, t.toLong) }
+        .toDF("grp", "id", "s", "tok")
+      val got = Windows
+        .twoLevelPrefixSum(df, Seq("grp"),
+          (-floor(col("s") * 10)).cast("long"),
+          Seq(col("s").desc, col("id")), col("tok"), "start")
+        .select("grp", "id", "start").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = df.withColumn("start",
+          coalesce(sum("tok").over(Window.partitionBy("grp")
+            .orderBy(col("s").desc, col("id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("grp", "id", "start").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === want)
+    }
+  }
+
+  test("t95 budget selection equals a sequential greedy replay") {
+    // collect (q, tok) from the REGISTERED t7/d6 queries, replay the
+    // greedy-by-quality cut sequentially, and demand the same
+    // per-source aggregates — plus the budget sandwich the cut
+    // implies: 4·tok_kept < total + 4·max_tok (the one straddler),
+    // and 4·tok_kept ≥ total when anything was excluded
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("t7_quality")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val tok = SparkEntry.queries("d6_bpe_tokens")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val total = tok.values.sum
+    val order = q.keys.toSeq.sortBy(id => (-q(id), id))
+    var run = 0L
+    val kept = order.takeWhile { id =>
+      val in = run * 4 < total; run += tok(id); in
+    }.toSet
+    val wantBySrc = src.keys.toSeq.groupBy(src)
+      .map { case (s0, ids) =>
+        val k = ids.filter(kept) // Seq, not Set — map(tok) must not dedupe
+        s0 -> ((k.size.toLong, k.map(tok).sum,
+          k.size.toLong * 1000000 / ids.size)) }
+    val got = SparkEntry.queries("t95_token_budget_select")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === wantBySrc)
+    val tokKept = kept.toSeq.map(tok).sum
+    assert(4 * tokKept < total + 4 * tok.values.max,
+      "budget overshoots by more than the straddler")
+    if (kept.size < tok.size)
+      assert(4 * tokKept >= total, "budget undershoots with docs left")
+  }
+
   test("t75 terciles are ordered, exhaustive, and near-equal-sized") {
     // Within every language: every head score >= every middle score >=
     // every tail score (the two-level rank must reproduce a true
