@@ -403,10 +403,6 @@ object SparkEntry {
            FROM $prev CROSS JOIN best$i best)"""
     }.mkString(",\n         ")
 
-  /** Host link-graph + 3-round PageRank CTE block shared by the t74
-    * and t77 oracles (`r3` = (node, r) final integer-ppm ranks). ONE
-    * definition so the rank artifact its consumers join cannot drift
-    * from the artifact itself. */
   /** t7's quality-score formula as a DuckDB expression over `text` —
     * one definition shared by the t7 twin and every oracle that
     * orders by quality (t95), so the consumers cannot drift from the
@@ -435,6 +431,10 @@ object SparkEntry {
     """len(regexp_extract_all(text,
            '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+'))"""
 
+  /** Host link-graph + 3-round PageRank CTE block shared by the t74,
+    * t77 and t94 oracles (`r3` = (node, r) final integer-ppm ranks).
+    * ONE definition so the rank artifact its consumers join cannot
+    * drift from the artifact itself. */
   private val hostRankSql: String =
     s"""$urlAugSql,
          edges AS (
@@ -1296,8 +1296,8 @@ object SparkEntry {
     // local kernel over the BOUNDED pool (`MmrPicksExpr`) — which is
     // how MMR always deploys (it reranks a page, never a corpus).
     // Unrolling the k rounds as plan nodes instead re-derives the
-    // candidate scan each round (the pre-kernel form planned 44
-    // nested-loop joins and 138 exchanges for k=3). Constants 0.7/0.3
+    // candidate scan each round (the pre-kernel form planned 22
+    // nested-loop joins and 69 exchanges for k=3). Constants 0.7/0.3
     // are written literally on BOTH sides: deriving 0.3 as 1−λ gives
     // 0.30000000000000004 and a cross-engine rank flip. collect_list
     // order is non-deterministic; the kernel's argmax tie-breaks on
@@ -1454,12 +1454,18 @@ object SparkEntry {
     // corpus scale coarsen to 3-4 dp and let `order` break ties, the
     // documented twoLevelRank knob).
     "t95_token_budget_select" -> ((s, dir) => {
+      // null text pins q=−1 (after every real score) and tok=0 on
+      // BOTH sides: twoLevelPrefixSum rejects null buckets (null keys
+      // can't join/order consistently), and the two engines disagree
+      // on where NULL sorts under DESC anyway — the sentinel makes
+      // the cut order explicit instead of engine-defined
       val docs = T(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           graft.functions.SketchExpressions.textStats(col("text"))
             .as("__st"),
-          TextOps.bpeTokenCount(col("text")).as("tok"))
-        .withColumn("q", TextOps.qualityScoreFrom(col("__st")))
+          coalesce(TextOps.bpeTokenCount(col("text")), lit(0L)).as("tok"))
+        .withColumn("q",
+          coalesce(TextOps.qualityScoreFrom(col("__st")), lit(-1.0)))
         .drop("__st")
       val started = Windows.twoLevelPrefixSum(docs, Seq.empty,
         (-round(col("q") * lit(1000000.0))).cast("long"),
@@ -4063,7 +4069,9 @@ object SparkEntry {
     // the ORDER the budget cuts in is definitionally identical.
     "t95_token_budget_select" ->
       s"""WITH t AS (
-           SELECT doc_id, source, $qScoreSql AS q, $bpeCountSql AS tok
+           SELECT doc_id, source,
+             COALESCE($qScoreSql, -1.0) AS q,
+             COALESCE($bpeCountSql, 0) AS tok
            FROM documents),
          tot AS (SELECT sum(tok) AS total FROM t),
          st AS (

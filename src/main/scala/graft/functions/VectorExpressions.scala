@@ -214,7 +214,7 @@ object VectorExpressions {
     * Why an expression and not a driver loop of DataFrame ops: MMR is
     * sequential in k by definition, and unrolling k rounds as plan
     * nodes re-derives the candidate scan each round (the pre-rewrite
-    * t91 planned 44 nested-loop joins and 138 exchanges for k=3). The
+    * t91 planned 22 nested-loop joins and 69 exchanges for k=3). The
     * pool is top-N-per-probe — bounded by construction — so the O(k·N)
     * greedy with O(N²) pairwise cosines belongs IN the row: one corpus
     * pass builds pools, one shuffle groups them, this kernel finishes.
@@ -222,7 +222,9 @@ object VectorExpressions {
     * λ and μ are taken separately, NOT μ=1−λ: `1.0 − 0.7` is
     * `0.30000000000000004` in IEEE doubles and flips ranks vs an
     * engine (the DuckDB twin) that writes `0.3` literally. Argmax is
-    * order-independent (strict `>` + vec_id tie-break), so the
+    * order-independent — total-order comparison with vec_id
+    * tie-break, where a real score always beats NaN (a zero-norm
+    * vector's cosine) and NaN-vs-NaN falls to the id — so the
     * non-deterministic `collect_list` pool order cannot leak into the
     * result. Cosine folds in ascending index order — bit-identical to
     * `VecCosineExpr`. */
@@ -286,14 +288,28 @@ object VectorExpressions {
                 var q = 0
                 while (q < p) {
                   val sab = cos(vs(c), vs(picked(q)))
-                  if (sab > pen) pen = sab
+                  // total-order max: a NaN sim (zero-norm vector)
+                  // POISONS the penalty — matching math.max's NaN
+                  // propagation in the spec replay — instead of
+                  // silently reading as "no penalty"
+                  if (java.lang.Double.compare(sab, pen) > 0) pen = sab
                   q += 1
                 }
                 simq(c) * lambda - pen * mu
               }
-            if (bi < 0 || m > bm || (m == bm && ids(c) < ids(bi))) {
-              bi = c; bm = m
-            }
+            // NaN-aware argmax, so the result stays independent of
+            // the non-deterministic pool order even with zero-norm
+            // vectors: a real score always beats NaN, NaN-vs-NaN
+            // falls to the vec_id tie-break (plain `>`/`==` are both
+            // false against NaN, which would let whichever NaN
+            // arrived first squat on the pick)
+            val mNaN = java.lang.Double.isNaN(m)
+            val bNaN = java.lang.Double.isNaN(bm)
+            val cmp = java.lang.Double.compare(m, bm)
+            val beats =
+              if (mNaN != bNaN) bNaN
+              else cmp > 0 || (cmp == 0 && ids(c) < ids(bi))
+            if (bi < 0 || beats) { bi = c; bm = m }
           }
           c += 1
         }

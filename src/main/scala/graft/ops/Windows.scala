@@ -191,7 +191,17 @@ object Windows {
     * over the bucket-cardinality table only; level 2 hash-partitions
     * by bucket. `out` = the sum of `value` over all rows STRICTLY
     * before the row in the global order (0 for the first row) —
-    * the running-total shape budget cutoffs and packing offsets need. */
+    * the running-total shape budget cutoffs and packing offsets need.
+    *
+    * A NULL bucket fails LOUDLY at eval time rather than silently
+    * corrupting: the level-2 equi-join would drop null-keyed rows
+    * (violating the advertised ≡-one-reducer-window contract), and
+    * even a null-safe join could not place them correctly — the
+    * level-1 cumsum orders buckets nulls-FIRST while a typical
+    * `x.desc` caller orders rows nulls-LAST, so no single null
+    * placement is right for both. Callers with nullable keys must
+    * coalesce the bucket AND the order to an explicit sentinel (t95
+    * pins null quality to −1, after all real scores). */
   def twoLevelPrefixSum(df: DataFrame, partition: Seq[String],
                         bucket: Column, order: Seq[Column],
                         value: Column, out: String): DataFrame = {
@@ -200,7 +210,12 @@ object Windows {
       "twoLevelPrefixSum: input already has a __tlb/__tloff/__tlv " +
         "column — it would be clobbered and dropped (rename it)")
     val part = partition.map(col)
-    val withB = df.withColumn("__tlb", bucket)
+    val checkedBucket = when(bucket.isNull, raise_error(lit(
+        "twoLevelPrefixSum: bucket expression evaluated to NULL — " +
+          "null keys cannot join or order consistently across the " +
+          "two levels; coalesce the bucket (and the order) to a " +
+          "sentinel in the caller"))).otherwise(bucket)
+    val withB = df.withColumn("__tlb", checkedBucket)
       .withColumn("__tlv", value.cast("long"))
     val bTab = withB
       .groupBy((part :+ col("__tlb")): _*)

@@ -176,10 +176,20 @@ object Streaming {
     require(rules.size <= 100000,
       s"rule table has ${rules.size} entries — the plan-literal gate " +
         "is for robots-sized lists; use the batch broadcast join (t93)")
-    // group driver-side by canonical authority; sort hosts + rule
-    // slices TOGETHER in UTF-8 byte order (the binary search's order)
-    val grouped = rules
-      .groupBy(_._1.toLowerCase(java.util.Locale.ROOT)).toArray
+    // group driver-side by CANONICAL authority — lowercased AND
+    // default-port-collapsed, the same normalization the URL side
+    // gets below, so a rule keyed "host:443"/"host:80" (natural when
+    // a robots corpus is keyed by origin) matches instead of being
+    // silently dead. Corner: after collapsing, a rule meant for the
+    // UNUSUAL scheme/port pairing (http on 443, https on 80) is not
+    // representable — those URLs keep their port (non-default for
+    // their scheme) and match only a ported rule, which this collapse
+    // just removed; acceptable, because a robots corpus keys by the
+    // fetched origin and those pairings don't occur in one.
+    def canonAuth(a: String): String = a
+      .toLowerCase(java.util.Locale.ROOT)
+      .replaceFirst(":(80|443)$", "")
+    val grouped = rules.groupBy(r => canonAuth(r._1)).toArray
     val hostOrder = SketchExpressions.utf8Sorted(grouped.map(_._1))
       .zipWithIndex.toMap
     val sortedGroups = grouped.sortBy(g => hostOrder(g._1))
@@ -199,13 +209,17 @@ object Streaming {
       .otherwise(authRaw)
     val path = regexp_extract(col(urlCol),
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
-    // bind the index once (self-contained projection would recompute
-    // the search per reference inside the lambda tree)
+    // ONE reference to the binary search: Columns are expression
+    // trees, not bound values, and SortedIndexOfExpr is interpreted
+    // (CodegenFallback — no whole-stage CSE), so `when(idx >= 0, …,
+    // element_at(…, idx + 1))` would run the O(log hosts) search
+    // twice per row. Prepending the no-match slice at position 1 and
+    // shifting the index by 2 makes the miss case (idx = −1 → slot 1)
+    // a plain array read on the same single index expression.
     val idx = SketchExpressions.sortedIndexOf(auth, hosts)
     val hostRules =
       if (hosts.isEmpty) noRules
-      else when(idx >= 0, element_at(ruleSlices, idx + 1))
-        .otherwise(noRules)
+      else element_at(concat(array(noRules), ruleSlices), idx + 2)
     val matches = filter(hostRules,
       r => path.startsWith(r.getField("p")))
     val best = aggregate(matches,

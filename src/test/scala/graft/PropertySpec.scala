@@ -455,6 +455,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("twoLevelPrefixSum fails loudly on a null bucket key") {
+    // a null key would silently vanish in the level-2 equi-join and
+    // cannot order consistently across the two levels — the contract
+    // is an eval-time error, not a dropped row
+    import graft.ops.Windows
+    val df = Seq((1L, Some(1.0), 2L), (2L, None, 3L))
+      .toDF("id", "s", "tok")
+    val ex = intercept[Throwable] {
+      Windows.twoLevelPrefixSum(df, Seq.empty, col("s").cast("long"),
+        Seq(col("s"), col("id")), col("tok"), "start").collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("bucket expression evaluated to NULL"),
+      s"expected the loud null-bucket error, got:\n$msgs")
+  }
+
+  test("mmrPicks is pool-order independent with zero-norm (NaN) vectors") {
+    // two real candidates + two zero-norm vectors (cosine to any
+    // picked vector = NaN). Plain >/== comparisons are both false
+    // against NaN, which would let whichever NaN arrived first in the
+    // non-deterministic pool order squat on a pick — the kernel must
+    // instead prefer real scores over NaN and break NaN-vs-NaN on
+    // vec_id, identically for every permutation of the pool
+    import graft.functions.VectorExpressions
+    val cands = Seq(
+      (1L, 0.9, Seq(1.0, 0.0)),
+      (2L, 0.8, Seq(0.6, 0.8)),
+      (3L, 0.7, Seq(0.0, 0.0)), // zero-norm
+      (4L, 0.65, Seq(0.0, 0.0))) // zero-norm
+    val results = cands.permutations.toSeq.map { cs =>
+      Seq(Tuple1(cs)).toDF("cands")
+        .select(explode(VectorExpressions
+          .mmrPicks(col("cands"), 0.7, 0.3, 4)).as("p"))
+        .select("p.pick", "p.vec_id", "p.mmr").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    }
+    assert(results.distinct.size === 1,
+      s"picks varied with pool order: ${results.distinct}")
+    // picks 1-2 are the real-scored candidates; the NaN pair follows
+    // in id order (3 before 4), their mmr NaN
+    assert(results.head.map(p => (p._1, p._2)) ===
+      Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
+    assert(results.head.drop(2).forall(p =>
+      java.lang.Double.isNaN(java.lang.Double.longBitsToDouble(p._3))))
+  }
+
   test("t95 budget selection equals a sequential greedy replay") {
     // collect (q, tok) from the REGISTERED t7/d6 queries, replay the
     // greedy-by-quality cut sequentially, and demand the same

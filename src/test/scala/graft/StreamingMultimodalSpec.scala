@@ -228,7 +228,10 @@ class StreamingMultimodalSpec extends SparkSpec {
     } ++ Seq(
       // RFC 9309 scope is the AUTHORITY: a non-default port is its
       // own robots scope with its own rules
-      ("site0.example.com:8080", false, "/q/"))
+      ("site0.example.com:8080", false, "/q/"),
+      // a rule keyed by origin with the DEFAULT port must collapse
+      // onto the port-less scope, not die unmatched
+      ("site3.example.com:443", false, "/z/"))
     val input = MemoryStream[(Long, String)]
     val q = Streaming.robotsGateStream(
       input.toDS().toDF("id", "url"), "url", rules)
@@ -248,12 +251,16 @@ class StreamingMultimodalSpec extends SparkSpec {
       // …and the port-less /p/ rules do NOT leak into it
       (9L, "https://site0.example.com:8080/p/5"),
       // userinfo is not part of the scope: still site0's /p/ → block
-      (10L, "https://crawler@site0.example.com/p/5"))
+      (10L, "https://crawler@site0.example.com/p/5"),
+      // the :443-keyed rule gates the port-less https URL → block
+      (11L, "https://site3.example.com/z/1"),
+      // …without leaking beyond its prefix
+      (12L, "https://site3.example.com/y/1"))
     q.processAllAvailable()
     q.stop()
     val kept = spark.sql("SELECT id FROM robots_gate")
       .collect().map(_.getLong(0)).toSet
-    assert(kept === Set(2L, 4L, 5L, 6L, 9L))
+    assert(kept === Set(2L, 4L, 5L, 6L, 9L, 12L))
   }
 
   test("dsirScoreStream scores a delta against the standing LM") {
