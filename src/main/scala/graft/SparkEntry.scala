@@ -1481,6 +1481,39 @@ object SparkEntry {
             " DIV count(*) AS BIGINT)").as("kept_ppm"))
     }),
 
+    // Coherent-context packing (the In-Context Pretraining recipe,
+    // Shi et al. 2023: fill each context window with RELATED
+    // documents instead of random concatenation, so long-range
+    // attention sees coherent text). Relatedness key here = source
+    // (in production: link-cluster or host); within a source,
+    // documents pack in doc_id order into 8192-token windows by START
+    // position — t68's concat-and-chunk, PER GROUP. The prefix sum is
+    // `Windows.twoLevelPrefixSum` with a real `partition` (source),
+    // so even a source with most of the corpus never serializes
+    // through one task: level 1 is (source × doc_id-block)-
+    // cardinality, level 2 hash-partitions on the block. Per (source,
+    // ctx): docs starting there, their tokens, and how many spill
+    // into the next window (the fragmentation the ICP paper trades
+    // against coherence).
+    "t96_context_stitch" -> ((s, dir) => {
+      val ctxLen = 8192L
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.bpeTokenCount(col("text")).as("tok"))
+      val packed = Windows.twoLevelPrefixSum(toks, Seq("source"),
+        expr("doc_id DIV 64"), Seq(col("doc_id")), col("tok"), "start")
+        .withColumn("ctx", expr(s"start DIV $ctxLen"))
+        .withColumn("__spill", (expr(
+          s"(start + greatest(tok, 1L) - 1L) DIV $ctxLen") >
+          col("ctx")).cast("long"))
+      packed.groupBy("source", "ctx")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("n_tokens"),
+          sum(col("__spill")).as("n_spill"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+    }),
+
     // Brute-force exact cosine top-5 for 10 query vectors (ANN baseline):
     // corpus never shuffles; queries broadcast.
     "t4_knn_cosine" -> ((s, dir) => {
@@ -4062,6 +4095,29 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY fetch_round
              ORDER BY rank_ppm DESC, host) AS BIGINT) AS pos_in_round
          FROM sch""",
+    // One-machine twin: per-source window prefix sum where Spark runs
+    // the partitioned two-level scan; same shared token expression.
+    "t96_context_stitch" ->
+      s"""WITH t AS (
+           SELECT doc_id, source, $bpeCountSql AS tok
+           FROM documents),
+         st AS (
+           SELECT *, COALESCE(SUM(tok) OVER (PARTITION BY source
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS start
+           FROM t),
+         p AS (
+           SELECT source, start // 8192 AS ctx, doc_id, tok,
+             CASE WHEN (start + greatest(tok, 1) - 1) // 8192
+               > start // 8192 THEN 1 ELSE 0 END AS spill
+           FROM st)
+         SELECT source, CAST(ctx AS BIGINT) AS ctx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(sum(spill) AS BIGINT) AS n_spill,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM p GROUP BY 1, 2""",
     // The twin is the one-machine form of the same selection: a plain
     // window prefix sum in quality order (DuckDB sorts; Spark's side
     // is the two-level distributed scan), the same integer threshold

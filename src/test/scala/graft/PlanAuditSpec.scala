@@ -446,6 +446,19 @@ class PlanAuditSpec extends SparkSpec {
         s"bucket offsets:\n$p")
   }
 
+  test("t96: partitioned prefix sum plans with NO SinglePartition at " +
+    "all — both levels key on source") {
+    // with a real partition column, even twoLevelPrefixSum's level-1
+    // bucket window partitions (by source) — the per-group packing
+    // must never plan a global window, and the bucket-table join back
+    // must broadcast
+    val p = plan("t96_context_stitch")
+    assert(!p.contains("SinglePartition"),
+      s"t96's windows must all hash-partition:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"t96's (source × block) offset table must broadcast back:\n$p")
+  }
+
   test("t90: no window runs single-partition — both prefix-sum levels " +
     "stay bucketed") {
     val p = plan("t90_length_batches")
