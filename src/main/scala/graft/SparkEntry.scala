@@ -1449,10 +1449,14 @@ object SparkEntry {
     // (start·4 < total, no division, no doubles) so the cut is exact
     // cross-engine. Output: what the budget does to the source mix —
     // kept docs/tokens and admitted fraction per source. Bucket key =
-    // −round(q·10⁶): q is already 6-dp, so the mapping is exact and
-    // monotone; bucket cardinality = distinct scores (≤10⁶ — at
-    // corpus scale coarsen to 3-4 dp and let `order` break ties, the
-    // documented twoLevelRank knob).
+    // −round(q·10⁴): monotone and exact (round of a round), and 4 dp
+    // bounds the level-1 bucket table at ≤10⁴+1 rows REGARDLESS of
+    // corpus size — at 6 dp it tracked distinct scores and grew with
+    // the corpus (measured 17.8× wall on 100× data; the bucket-table
+    // SinglePartition window was the growing term). Ties within a
+    // bucket fall to `order` (full 6-dp q, then doc_id), so the cut
+    // order is unchanged — the knob trades bucket count, never
+    // exactness.
     "t95_token_budget_select" -> ((s, dir) => {
       // null text pins q=−1 (after every real score) and tok=0 on
       // BOTH sides: twoLevelPrefixSum rejects null buckets (null keys
@@ -1468,7 +1472,7 @@ object SparkEntry {
           coalesce(TextOps.qualityScoreFrom(col("__st")), lit(-1.0)))
         .drop("__st")
       val started = Windows.twoLevelPrefixSum(docs, Seq.empty,
-        (-round(col("q") * lit(1000000.0))).cast("long"),
+        (-round(col("q") * lit(10000.0))).cast("long"),
         Seq(col("q").desc, col("doc_id")), col("tok"), "start")
       val total = docs.agg(sum(col("tok")).cast("long").as("__total"))
       started.crossJoin(broadcast(total))
