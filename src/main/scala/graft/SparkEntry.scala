@@ -1518,6 +1518,99 @@ object SparkEntry {
           max(col("doc_id")).as("last_doc"))
     }),
 
+    // Interpolated Kneser–Ney trigram table (Chen & Goodman 1998) —
+    // the count-based LM corpora still train for perplexity-based
+    // data scoring (CCNet's filter is exactly such a model). The
+    // corpus shuffles ONCE, on the trigram key with map-side partial
+    // agg; every other statistic reaggregates the TYPE-level count
+    // table c3 (orders of magnitude smaller): context totals c(w1w2)
+    // and follower-type counts N1+(w1w2·) by prefix, the middle
+    // order's continuation counts N1+(·w2w3) / their per-w2 totals /
+    // follower types, and the unigram continuation distribution
+    // N1+(·w3)/N1+(··). Convention: all orders count from the trigram
+    // table (a bigram at a document edge that never appears inside a
+    // trigram context doesn't vote) — the standard choice when
+    // training from an n-gram count file. The report keeps the 50
+    // most frequent trigrams (TakeOrdered, no global sort); each
+    // stats join streams its type table once against the BROADCAST
+    // top-50, so nothing type-cardinality ever shuffles for the
+    // report. D = 0.75 (the Chen–Goodman default); probabilities
+    // ship as HALF_UP ppm so the twin comparison is integer-exact.
+    "t97_kn_trigram" -> ((s, dir) => {
+      val D = 0.75
+      val c3 = T(s, dir, "documents")
+        .select(explode(graft.functions.SketchExpressions
+          .wordShingles(TextOps.tokensLower(col("text")), 3)).as("tg"))
+        .groupBy("tg").agg(count(lit(1)).as("c3"))
+      val keyed = c3
+        .withColumn("ctx12", substring_index(col("tg"), " ", 2))
+        .withColumn("w23", substring_index(col("tg"), " ", -2))
+        .withColumn("w3", substring_index(col("tg"), " ", -1))
+      val ctx = keyed.groupBy("ctx12")
+        .agg(sum("c3").as("c12"), count(lit(1)).as("n1ctx"))
+      val mid = keyed.groupBy("w23").agg(count(lit(1)).as("cc23"))
+      val midK = mid
+        .withColumn("w2", substring_index(col("w23"), " ", 1))
+        .withColumn("w3u", substring_index(col("w23"), " ", -1))
+      val midCtx = midK.groupBy("w2")
+        .agg(sum("cc23").as("ccdot2"), count(lit(1)).as("n2w2"))
+      val uni = midK.groupBy(col("w3u").as("w3"))
+        .agg(count(lit(1)).as("n1w3"))
+      val tot = mid.agg(count(lit(1)).cast("double").as("nbt"))
+      val top = keyed.orderBy(col("c3").desc, col("tg")).limit(50)
+      val j1 = ctx.join(broadcast(top), "ctx12")
+      val j2 = mid.join(broadcast(j1), "w23")
+        .withColumn("w2", substring_index(col("w23"), " ", 1))
+      val j3 = midCtx.join(broadcast(j2), "w2")
+      val j4 = uni.join(broadcast(j3), "w3")
+      j4.crossJoin(broadcast(tot))
+        .withColumn("pc", col("n1w3") / col("nbt"))
+        .withColumn("p2",
+          (greatest(col("cc23") - lit(D), lit(0.0)) +
+            lit(D) * col("n2w2") * col("pc")) / col("ccdot2"))
+        .withColumn("p3",
+          (greatest(col("c3") - lit(D), lit(0.0)) +
+            lit(D) * col("n1ctx") * col("p2")) / col("c12"))
+        .select(col("tg"), col("c3"),
+          round(col("p3") * lit(1000000.0)).cast("long").as("kn_ppm"),
+          round(col("p2") * lit(1000000.0)).cast("long").as("backoff_ppm"),
+          round(col("pc") * lit(1000000.0)).cast("long").as("cont_ppm"))
+    }),
+
+    // Dedup-scope audit (the FineWeb finding, Penedo et al. 2024:
+    // deduplicating each crawl snapshot individually can beat one
+    // global pass — the audit that decides the scope is this table).
+    // Per snapshot: docs a within-snapshot exact dedup keeps vs a
+    // global (all-snapshots) dedup, split into within-snapshot
+    // copies and cross-snapshot copies of EARLIER snapshots.
+    // Snapshot = doc_id % 3 (the testdata carries no crawl date;
+    // deterministic stand-in, documented). Both keep flags fall out
+    // of one window family PARTITIONED BY the canonical hash — the
+    // corpus shuffles once on h, never through a global window — and
+    // the report is one snapshot-cardinality agg. Keep order is
+    // (snapshot, doc_id): the earliest crawl owns the document, so
+    // kept_global ≤ kept_scoped per snapshot by construction.
+    "t98_dedup_scope" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 3).as("snap"),
+          md5(graft.functions.SketchExpressions
+            .canonicalizeText(col("text"))).as("h"))
+      val wG = Window.partitionBy("h").orderBy(col("snap"), col("doc_id"))
+      val wS = Window.partitionBy("h", "snap").orderBy(col("doc_id"))
+      d.withColumn("keep_g", (row_number().over(wG) === 1).cast("long"))
+        .withColumn("keep_s", (row_number().over(wS) === 1).cast("long"))
+        .groupBy("snap")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("keep_s").as("kept_scoped"),
+          sum("keep_g").as("kept_global"),
+          (sum("keep_s") - sum("keep_g")).as("cross_dups"),
+          (count(lit(1)) - sum("keep_s")).as("within_dups"))
+        .withColumn("scoped_keep_ppm",
+          expr("kept_scoped * 1000000L div n_docs"))
+        .withColumn("global_keep_ppm",
+          expr("kept_global * 1000000L div n_docs"))
+    }),
+
     // Brute-force exact cosine top-5 for 10 query vectors (ANN baseline):
     // corpus never shuffles; queries broadcast.
     "t4_knn_cosine" -> ((s, dir) => {
@@ -4122,6 +4215,89 @@ object SparkEntry {
            CAST(sum(spill) AS BIGINT) AS n_spill,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM p GROUP BY 1, 2""",
+    // One-machine KN twin: same tokenization as t53's bigram twin,
+    // same single c3 type table feeding every reaggregated statistic,
+    // the same arithmetic expression tree (greatest(c−D,0) + D·n·p,
+    // then one division) so the doubles are bit-identical before the
+    // shared HALF_UP ppm rounding. split_part on the 3-token string
+    // is exact even with empty tokens (single-space separators).
+    "t97_kn_trigram" ->
+      """WITH t AS (SELECT string_split_regex(lower(text), '\s+')
+             AS toks FROM documents),
+         g AS (SELECT
+             unnest([array_to_string(toks[i:i+2], ' ')
+                     FOR i IN generate_series(1, len(toks)-2)]) AS tg
+           FROM t WHERE len(toks) >= 3),
+         c3 AS (SELECT tg, count(*) AS c3 FROM g GROUP BY tg),
+         k AS (SELECT tg, c3,
+             split_part(tg,' ',1) || ' ' || split_part(tg,' ',2)
+               AS ctx12,
+             split_part(tg,' ',2) || ' ' || split_part(tg,' ',3)
+               AS w23,
+             split_part(tg,' ',3) AS w3
+           FROM c3),
+         ctx AS (SELECT ctx12, sum(c3) AS c12, count(*) AS n1ctx
+           FROM k GROUP BY ctx12),
+         mid AS (SELECT w23, count(*) AS cc23 FROM k GROUP BY w23),
+         midk AS (SELECT w23, cc23,
+             split_part(w23,' ',1) AS w2,
+             split_part(w23,' ',2) AS w3u
+           FROM mid),
+         midctx AS (SELECT w2, sum(cc23) AS ccdot2, count(*) AS n2w2
+           FROM midk GROUP BY w2),
+         uni AS (SELECT w3u AS w3, count(*) AS n1w3
+           FROM midk GROUP BY w3u),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS nbt FROM mid),
+         top AS (SELECT tg, c3, ctx12, w23, w3 FROM k
+           ORDER BY c3 DESC, tg LIMIT 50),
+         p AS (SELECT top.tg, top.c3, ctx.c12, ctx.n1ctx,
+             mid.cc23, midctx.ccdot2, midctx.n2w2, uni.n1w3, tot.nbt,
+             uni.n1w3 / tot.nbt AS pc
+           FROM top
+           JOIN ctx USING (ctx12)
+           JOIN mid USING (w23)
+           JOIN midctx ON midctx.w2 = split_part(top.w23,' ',1)
+           JOIN uni ON uni.w3 = top.w3
+           CROSS JOIN tot),
+         p2 AS (SELECT *,
+             (greatest(cc23 - 0.75, 0.0) + 0.75 * n2w2 * pc) / ccdot2
+               AS p2
+           FROM p)
+         SELECT tg, CAST(c3 AS BIGINT) AS c3,
+           CAST(round(((greatest(c3 - 0.75, 0.0) + 0.75 * n1ctx * p2)
+             / c12) * 1000000.0) AS BIGINT) AS kn_ppm,
+           CAST(round(p2 * 1000000.0) AS BIGINT) AS backoff_ppm,
+           CAST(round(pc * 1000000.0) AS BIGINT) AS cont_ppm
+         FROM p2""",
+    // Same canonical-hash expression as the t54 twin; both keep
+    // flags are row_number()=1 windows keyed by the hash, and the
+    // derived counts cast back to BIGINT (sum() widens to HUGEINT).
+    "t98_dedup_scope" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 3 AS snap,
+             md5(trim(regexp_replace(lower(nfc_normalize(text)),
+               '\s+', ' ', 'g'))) AS h
+           FROM documents),
+         f AS (SELECT snap,
+             CASE WHEN row_number() OVER (PARTITION BY h
+               ORDER BY snap, doc_id) = 1 THEN 1 ELSE 0 END AS keep_g,
+             CASE WHEN row_number() OVER (PARTITION BY h, snap
+               ORDER BY doc_id) = 1 THEN 1 ELSE 0 END AS keep_s
+           FROM d),
+         a AS (SELECT snap, count(*) AS n_docs,
+             sum(keep_s) AS kept_scoped, sum(keep_g) AS kept_global
+           FROM f GROUP BY snap)
+         SELECT CAST(snap AS BIGINT) AS snap,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(kept_scoped AS BIGINT) AS kept_scoped,
+           CAST(kept_global AS BIGINT) AS kept_global,
+           CAST(kept_scoped - kept_global AS BIGINT) AS cross_dups,
+           CAST(n_docs - kept_scoped AS BIGINT) AS within_dups,
+           CAST(kept_scoped * 1000000 // n_docs AS BIGINT)
+             AS scoped_keep_ppm,
+           CAST(kept_global * 1000000 // n_docs AS BIGINT)
+             AS global_keep_ppm
+         FROM a""",
     // The twin is the one-machine form of the same selection: a plain
     // window prefix sum in quality order (DuckDB sorts; Spark's side
     // is the two-level distributed scan), the same integer threshold

@@ -1171,6 +1171,46 @@ object Streaming {
                    keys: Seq[String]): DataFrame =
     in.join(broadcast(dim), keys, "left")
 
+  case class BudgetDoc(source: String, doc_id: Long, tok: Long)
+  case class AdmitOut(source: String, doc_id: Long, tok: Long, start: Long)
+
+  /** t95's admission rule as a stream: per-source token budgets over a
+    * live feed. The batch t95 takes the best-quality PREFIX of the
+    * whole corpus — a stream cannot sort the future, so the streaming
+    * contract is FIFO admission (arrival order; doc_id within a
+    * microbatch, for replay determinism): a document is admitted iff
+    * the tokens already admitted for its source are STRICTLY under
+    * the budget — t95's exact cut (`start·4 < total` there, `start <
+    * budget` here), so the boundary document that straddles the
+    * budget is admitted and everything after it is not. State = ONE
+    * long per source (tokens admitted so far) — bounded by source
+    * cardinality, no timeout needed; `start` in the output is the
+    * admitted document's per-source token offset, the same packing
+    * coordinate the batch query reports. Quality-ORDERED budget
+    * selection in a streaming setting is a periodic batch re-rank
+    * over the admitted sink (t95 on the sink path); this gate is the
+    * ingest-side form that stops paying for tokens past the budget. */
+  def budgetAdmitStream(in: Dataset[BudgetDoc],
+                        budget: Long): Dataset[AdmitOut] = {
+    import in.sparkSession.implicits._
+    require(budget > 0, s"budgetAdmitStream: budget must be positive, got $budget")
+    in.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, AdmitOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (source, rows, state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
+            if (used < budget) {
+              val admitted = AdmitOut(source, d.doc_id, d.tok, used)
+              used += math.max(d.tok, 0L)
+              Some(admitted)
+            } else None
+          }
+          state.update(used)
+          out.iterator
+      }
+  }
+
   case class UdgReading(sensor: String, ts: java.sql.Timestamp, udg: Double)
   case class DepthOut(sensor: String, ts: java.sql.Timestamp, depth: Double)
   case class X1State(offset: Double, initialized: Boolean)

@@ -459,6 +459,26 @@ class PlanAuditSpec extends SparkSpec {
       s"t96's (source × block) offset table must broadcast back:\n$p")
   }
 
+  test("t97: one corpus shuffle; every stats join broadcasts the " +
+    "top-50, never a sort-merge join") {
+    val p = plan("t97_kn_trigram")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"t97's type-table joins must stream against the broadcast " +
+        s"top-50:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"t97's top-50 must be TakeOrdered, not a global sort+limit:\n$p")
+    assert(nodes(p, "HashAggregate") >= 2,
+      s"trigram counting must partial-agg map-side:\n$p")
+  }
+
+  test("t98: keep-flag windows stay partitioned by the canonical hash") {
+    val p = plan("t98_dedup_scope")
+    assert(!p.contains("SinglePartition"),
+      s"t98's dedup windows must hash-partition on h, never " +
+        s"serialize the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("t90: no window runs single-partition — both prefix-sum levels " +
     "stay bucketed") {
     val p = plan("t90_length_batches")

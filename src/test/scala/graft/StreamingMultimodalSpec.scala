@@ -34,6 +34,32 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out === Seq(-1.0, -0.5, 0.0, -0.5)) // == batch UdgDepthSpec
   }
 
+  test("budget admission: strict-start cut, state carries across " +
+    "batches, per-source isolation") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Streaming.BudgetDoc]
+    val q = Streaming.budgetAdmitStream(input.toDS(), budget = 10L)
+      .writeStream.format("memory").queryName("admitout")
+      .outputMode("append").start()
+    // batch 1, source a: 4 + 5 admitted (starts 0, 4); the third doc
+    // STARTS at 9 < 10 so it is admitted even though it crosses the
+    // budget (t95's strict-start rule) — used becomes 12
+    input.addData(Streaming.BudgetDoc("a", 1, 4),
+      Streaming.BudgetDoc("a", 2, 5), Streaming.BudgetDoc("a", 3, 3))
+    q.processAllAvailable()
+    // batch 2: source a is over budget (12 >= 10) → rejected even
+    // for a tiny doc; source b's budget is untouched
+    input.addData(Streaming.BudgetDoc("a", 4, 1),
+      Streaming.BudgetDoc("b", 5, 7))
+    q.processAllAvailable()
+    val rows = spark.table("admitout")
+      .orderBy("source", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    q.stop()
+    assert(rows.toSeq === Seq(("a", 1L, 0L), ("a", 2L, 4L),
+      ("a", 3L, 9L), ("b", 5L, 0L)))
+  }
+
   test("streaming dedup keeps one row per timestamp") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Double)]
