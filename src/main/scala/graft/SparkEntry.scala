@@ -1577,6 +1577,81 @@ object SparkEntry {
           round(col("pc") * lit(1000000.0)).cast("long").as("cont_ppm"))
     }),
 
+    // Fill-in-the-middle transformation (Bavarian et al. 2022: train
+    // on prefix/suffix/middle re-orderings so the model learns to
+    // infill — applied to ~half the corpus at data-prep time, which
+    // is exactly this query). Pure per-row expression work over the
+    // token array — NO shuffle, codegen'd, trivially 100 TB. The two
+    // cut points must be deterministic AND identical cross-engine, so
+    // they are integer arithmetic on doc_id modulo n+1 (no RNG, no
+    // hash-library dependence); the FIM half is doc_id parity. Docs
+    // ship in PSM order (<fim_prefix> pre <fim_suffix> suf
+    // <fim_middle> mid) with the span token counts a loss-masking
+    // step needs. Null/short docs pass through as mode plain.
+    "t99_fim_transform" -> ((s, dir) => {
+      val toks = split(lower(coalesce(col("text"), lit(""))), "\\s+")
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("fim",
+          (pmod(col("doc_id"), lit(2)) === 0 && col("n") >= 2)
+            .cast("long"))
+        .withColumn("c1", pmod(col("doc_id") * lit(31L) + lit(7L),
+          col("n") + lit(1L)))
+        .withColumn("c2", pmod(col("doc_id") * lit(17L) + lit(3L),
+          col("n") + lit(1L)))
+        .withColumn("lo", least(col("c1"), col("c2")))
+        .withColumn("hi", greatest(col("c1"), col("c2")))
+      d.select(col("doc_id"), col("fim"),
+        when(col("fim") === 1, col("lo")).otherwise(col("n"))
+          .as("n_pre"),
+        when(col("fim") === 1, col("hi") - col("lo")).otherwise(lit(0L))
+          .as("n_mid"),
+        when(col("fim") === 1, col("n") - col("hi")).otherwise(lit(0L))
+          .as("n_suf"),
+        when(col("fim") === 1, concat(
+          lit("<fim_prefix>"),
+          array_join(slice(col("toks"), lit(1), col("lo").cast("int")), " "),
+          lit("<fim_suffix>"),
+          array_join(slice(col("toks"), col("hi").cast("int") + 1,
+            (col("n") - col("hi")).cast("int")), " "),
+          lit("<fim_middle>"),
+          array_join(slice(col("toks"), col("lo").cast("int") + 1,
+            (col("hi") - col("lo")).cast("int")), " ")))
+          .otherwise(array_join(col("toks"), " ")).as("packed"))
+    }),
+
+    // Negative-sampling table (word2vec/NCE, Mikolov et al. 2013:
+    // draw negatives ∝ count^0.75). The artifact is the broadcastable
+    // sampler: per token its damped weight and HALF-OPEN cumulative
+    // range [cum_lo, cum_hi) in milliweight units — a sampler binary-
+    // searches a uniform draw into the ranges. One corpus shuffle
+    // (unigram counts, map-side partial agg); the vocab-cardinality
+    // cumsum runs through `Windows.twoLevelPrefixSum` bucketed by the
+    // token's first code point (monotone in the binary string order —
+    // UTF-8 preserves code-point order; widen to a 2-char prefix if
+    // one initial dominates the vocab), so no single-reducer window.
+    // count^0.75 is computed as sqrt(sqrt(c³)): sqrt is IEEE-
+    // correctly-rounded in both engines where pow() is not, and c³ is
+    // exact in doubles up to c ~ 2×10⁵ — the twin is bit-identical by
+    // construction, not by libm luck. Report: top-100 tokens by count
+    // (TakeOrdered), ranges kept from the FULL vocab scan.
+    "t100_neg_sampling" -> ((s, dir) => {
+      val ugc = T(s, dir, "documents")
+        .select(explode(TextOps.tokensLower(col("text"))).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .withColumn("w_milli", round(
+          sqrt(sqrt((col("c") * col("c") * col("c")).cast("double")))
+            * lit(1000.0)).cast("long"))
+      val ranged = Windows.twoLevelPrefixSum(ugc, Seq.empty,
+        ascii(substring(col("term"), 1, 1)).cast("long"),
+        Seq(col("term")), col("w_milli"), "cum_lo")
+        .withColumn("cum_hi", col("cum_lo") + col("w_milli"))
+      ranged.orderBy(col("c").desc, col("term")).limit(100)
+        .select("term", "c", "w_milli", "cum_lo", "cum_hi")
+    }),
+
     // Dedup-scope audit (the FineWeb finding, Penedo et al. 2024:
     // deduplicating each crawl snapshot individually can beat one
     // global pass — the audit that decides the scope is this table).
@@ -4269,6 +4344,64 @@ object SparkEntry {
            CAST(round(p2 * 1000000.0) AS BIGINT) AS backoff_ppm,
            CAST(round(pc * 1000000.0) AS BIGINT) AS cont_ppm
          FROM p2""",
+    // Sampler twin: t27's tokenization, the same sqrt(sqrt(c³))
+    // damping (correctly-rounded on both engines), a plain window
+    // cumsum in token order standing in for Spark's two-level scan.
+    "t100_neg_sampling" ->
+      """WITH f AS (
+           SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+           FROM documents),
+         g AS (SELECT term FROM f WHERE len(term) > 0),
+         v AS (SELECT term, count(*) AS c FROM g GROUP BY term),
+         w AS (SELECT term, c,
+             CAST(round(sqrt(sqrt(CAST(c*c*c AS DOUBLE))) * 1000.0)
+               AS BIGINT) AS w_milli
+           FROM v),
+         r AS (SELECT term, c, w_milli,
+             COALESCE(SUM(w_milli) OVER (ORDER BY term
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_lo
+           FROM w)
+         SELECT term, CAST(c AS BIGINT) AS c, w_milli,
+           CAST(cum_lo AS BIGINT) AS cum_lo,
+           CAST(cum_lo + w_milli AS BIGINT) AS cum_hi
+         FROM r ORDER BY c DESC, term LIMIT 100""",
+    // FIM twin: identical integer cut arithmetic on doc_id mod n+1,
+    // identical 1-indexed inclusive slices; array_to_string of an
+    // empty DuckDB list is NULL (Spark array_join is '') so every
+    // join is coalesced.
+    "t99_fim_transform" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split_regex(lower(COALESCE(text, '')), '\s+') AS toks
+           FROM documents),
+         d AS (
+           SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN doc_id % 2 = 0 AND len(toks) >= 2
+               THEN 1 ELSE 0 END AS fim,
+             (doc_id * 31 + 7) % (len(toks) + 1) AS c1,
+             (doc_id * 17 + 3) % (len(toks) + 1) AS c2
+           FROM t),
+         e AS (
+           SELECT doc_id, toks, n, fim,
+             least(c1, c2) AS lo, greatest(c1, c2) AS hi
+           FROM d)
+         SELECT doc_id, CAST(fim AS BIGINT) AS fim,
+           CAST(CASE WHEN fim = 1 THEN lo ELSE n END AS BIGINT)
+             AS n_pre,
+           CAST(CASE WHEN fim = 1 THEN hi - lo ELSE 0 END AS BIGINT)
+             AS n_mid,
+           CAST(CASE WHEN fim = 1 THEN n - hi ELSE 0 END AS BIGINT)
+             AS n_suf,
+           CASE WHEN fim = 1 THEN
+             '<fim_prefix>' ||
+             COALESCE(array_to_string(toks[1:lo], ' '), '') ||
+             '<fim_suffix>' ||
+             COALESCE(array_to_string(toks[hi+1:n], ' '), '') ||
+             '<fim_middle>' ||
+             COALESCE(array_to_string(toks[lo+1:hi], ' '), '')
+           ELSE COALESCE(array_to_string(toks, ' '), '') END AS packed
+         FROM e""",
     // Same canonical-hash expression as the t54 twin; both keep
     // flags are row_number()=1 windows keyed by the hash, and the
     // derived counts cast back to BIGINT (sum() widens to HUGEINT).

@@ -471,6 +471,27 @@ class PlanAuditSpec extends SparkSpec {
       s"trigram counting must partial-agg map-side:\n$p")
   }
 
+  test("t99: FIM transform is pure map-side — zero shuffles") {
+    assert(!plan("t99_fim_transform").contains("Exchange"),
+      "t99 claims per-row expression work but plans a shuffle")
+  }
+
+  test("t100: sampler cumsum never plans a global window; top-100 is " +
+    "TakeOrdered") {
+    val p = plan("t100_neg_sampling")
+    // the vocab prefix sum must ride the two-level scan: only the
+    // first-codepoint bucket table (≤ #initial code points, bounded)
+    // may window single-partition; the vocab-sized in-bucket window
+    // must hash-partition, and the bucket offsets must rejoin as a
+    // broadcast, never a sort-merge
+    assert("SinglePartition".r.findAllIn(p).length <= 2,
+      s"t100's vocab window must stay bucket-partitioned:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"t100's bucket offsets must broadcast back:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be TakeOrdered, not sort+limit:\n$p")
+  }
+
   test("t98: keep-flag windows stay partitioned by the canonical hash") {
     val p = plan("t98_dedup_scope")
     assert(!p.contains("SinglePartition"),
