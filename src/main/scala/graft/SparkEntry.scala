@@ -1686,6 +1686,129 @@ object SparkEntry {
           expr("kept_global * 1000000L div n_docs"))
     }),
 
+    // SFT chat-template assembly + loss-mask spans (the instruction-
+    // tuning data-prep step: render multi-turn conversations into one
+    // training string and record WHICH token spans the loss applies
+    // to — assistant turns train, user turns are context-only). The
+    // testdata carries no conversations, so they are synthesized
+    // deterministically: within each source, docs in doc_id order
+    // become turns, 4 turns per conversation, roles alternating
+    // user/assistant. Token positions are a per-conversation prefix
+    // sum (conversations are bounded, so the window partitions by
+    // (source, conv) — never globally); each role tag costs 1 token.
+    // Span/render aggregation goes through sort_array(collect_list(
+    // struct(turn, …))) so shuffle nondeterminism cannot reorder the
+    // rendered string. Two corpus shuffles total (source window,
+    // conversation agg); both keys stay high-cardinality at scale.
+    // Empty span lists render as '' (Spark array_join convention;
+    // the twin COALESCEs DuckDB's NULL string_agg to match).
+    "t101_chat_template" -> ((s, dir) => {
+      val wSrc = Window.partitionBy("source").orderBy("doc_id")
+      val turns = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("text"), lit("")).as("text"))
+        .withColumn("rn", row_number().over(wSrc).cast("long"))
+        .withColumn("conv", expr("(rn - 1) div 4"))
+        .withColumn("turn", (col("rn") - lit(1L)) % 4 + 1)
+        .withColumn("role",
+          when(col("turn") % 2 === 1, lit("user"))
+            .otherwise(lit("assistant")))
+        .withColumn("n_tok",
+          size(TextOps.tokensLower(col("text"))).cast("long") + lit(1L))
+      val wConv = Window.partitionBy("source", "conv").orderBy("turn")
+      val sp = turns
+        .withColumn("end", sum("n_tok").over(wConv))
+        .withColumn("piece",
+          concat(lit("<|"), col("role"), lit("|>"), col("text")))
+        .withColumn("span", concat_ws(":",
+          (col("end") - col("n_tok")).cast("string"),
+          col("end").cast("string")))
+      sp.groupBy("source", "conv")
+        .agg(count(lit(1)).as("n_turns"),
+          sum("n_tok").as("n_tokens"),
+          sum(when(col("role") === "assistant", col("n_tok"))
+            .otherwise(0L)).as("n_loss_tokens"),
+          array_join(transform(
+            array_sort(collect_list(when(col("role") === "assistant",
+              struct(col("turn"), col("span"))))),
+            x => x.getField("span")), ";").as("loss_spans"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("turn"), col("piece")))),
+            x => x.getField("piece")), "").as("rendered"))
+    }),
+
+    // Deterministic per-step batch composition — the step-level
+    // realisation of the t26/t70 mixture weights: WHICH source feeds
+    // each optimizer step. Largest-remainder / Bresenham
+    // apportionment in pure integer arithmetic: source i contributes
+    // floor((s+1)·tok_i·B/T) − floor(s·tok_i·B/T) samples at step s,
+    // so every schedule prefix is within one sample of its exact
+    // quota — no RNG, no drift, cross-engine exact by construction.
+    // One corpus pass (per-source token counts, map-side partial
+    // agg); the schedule itself is steps × sources — driver-bounded
+    // cardinality built from two broadcast sides, never a shuffle.
+    "t102_batch_schedule" -> ((s, dir) => {
+      val tok = T(s, dir, "documents")
+        .select(col("source"),
+          size(TextOps.tokensLower(coalesce(col("text"), lit(""))))
+            .cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("tok"))
+      // t_all via a global window over the SOURCE-CARDINALITY agg
+      // table (bounded, like the bucket tables elsewhere) — a
+      // separate .agg would re-derive the corpus scan twice
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val withTot = tok.withColumn("t_all",
+        greatest(sum("tok").over(wAll), lit(1L)))
+      val steps = s.range(0, 100).select(col("id").as("step"))
+      withTot.crossJoin(broadcast(steps))
+        .withColumn("cum_slots",
+          expr("((step + 1) * tok * 8) div t_all"))
+        .withColumn("slots",
+          col("cum_slots") - expr("(step * tok * 8) div t_all"))
+        .where(col("slots") > 0)
+        .select("step", "source", "slots", "cum_slots")
+    }),
+
+    // Preference-pair mining for DPO/RLHF reward data: within each
+    // source, rank docs by the t7 quality score and pair the top half
+    // (chosen) against the bottom half (rejected), aligned at rank
+    // offset ⌈n/2⌉ — pair r is (rank r, rank r+⌈n/2⌉), so margins are
+    // non-negative by construction and the middle element of an odd
+    // group sits out. Margins ship in exact micro-units (the score is
+    // 6-dp-rounded, so round(q·10⁶) is integer-exact cross-engine and
+    // ORDER BY qm ≡ ORDER BY q); `strong` flags pairs clearing 0.05.
+    // Shapes: one text scan, source-partitioned windows, one
+    // (source, rank)-keyed equi self-join — nothing global, skew
+    // bounded by source size.
+    "t103_dpo_pairs" -> ((s, dir) => {
+      val wq = Window.partitionBy("source")
+        .orderBy(col("qm").desc, col("doc_id"))
+      val ranked = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.functions.SketchExpressions.textStats(col("text"))
+            .as("__st"))
+        .withColumn("q", TextOps.qualityScoreFrom(col("__st")))
+        .withColumn("qm", round(col("q") * lit(1000000.0)).cast("long"))
+        .withColumn("r", row_number().over(wq).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy("source")))
+        .select("doc_id", "source", "qm", "r", "n")
+      val chosen = ranked.where(col("r") <= expr("n div 2"))
+        .select(col("source"), col("r").as("pair_id"),
+          col("doc_id").as("chosen_doc"), col("qm").as("chosen_qm"),
+          (col("r") + expr("n - (n div 2)")).as("rj"))
+      val rejected = ranked
+        .select(col("source"), col("r").as("rj"),
+          col("doc_id").as("rejected_doc"), col("qm").as("rejected_qm"))
+      chosen.join(rejected, Seq("source", "rj"))
+        .withColumn("margin_micro", col("chosen_qm") - col("rejected_qm"))
+        .withColumn("strong",
+          (col("margin_micro") >= 50000L).cast("long"))
+        .select("source", "pair_id", "chosen_doc", "rejected_doc",
+          "chosen_qm", "rejected_qm", "margin_micro", "strong")
+    }),
+
     // Brute-force exact cosine top-5 for 10 query vectors (ANN baseline):
     // corpus never shuffles; queries broadcast.
     "t4_knn_cosine" -> ((s, dir) => {
@@ -4431,6 +4554,86 @@ object SparkEntry {
            CAST(kept_global * 1000000 // n_docs AS BIGINT)
              AS global_keep_ppm
          FROM a""",
+    // Chat-template twin: identical synthetic conversation keys
+    // ((rn-1)//4, alternating roles), the same +1 role-tag token
+    // cost, a per-conversation running sum for the span endpoints,
+    // and ORDER BY turn inside string_agg standing in for Spark's
+    // sort_array(collect_list(struct)). string_agg skips the NULL
+    // user-turn spans exactly as collect_list does; its empty result
+    // is NULL where Spark's array_join gives '', hence the COALESCE.
+    "t101_chat_template" ->
+      """WITH d AS (
+           SELECT doc_id, source, COALESCE(text, '') AS text,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn
+           FROM documents),
+         t AS (SELECT source, (rn-1)//4 AS conv, (rn-1)%4 + 1 AS turn,
+             CASE WHEN ((rn-1)%4 + 1) % 2 = 1
+               THEN 'user' ELSE 'assistant' END AS role,
+             len(string_split_regex(lower(text), '\s+')) + 1 AS n_tok,
+             text
+           FROM d),
+         sp AS (SELECT *,
+             sum(n_tok) OVER (PARTITION BY source, conv ORDER BY turn)
+               AS e
+           FROM t)
+         SELECT source, CAST(conv AS BIGINT) AS conv,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN role = 'assistant' THEN n_tok ELSE 0 END)
+             AS BIGINT) AS n_loss_tokens,
+           COALESCE(string_agg(CASE WHEN role = 'assistant'
+             THEN CAST(e - n_tok AS BIGINT) || ':' || CAST(e AS BIGINT)
+             END, ';' ORDER BY turn), '') AS loss_spans,
+           string_agg('<|' || role || '|>' || text, '' ORDER BY turn)
+             AS rendered
+         FROM sp GROUP BY source, conv""",
+    // Schedule twin: the same integer Bresenham quotas — `*` and `//`
+    // are left-associative at equal precedence in both engines, but
+    // both sides parenthesise the product anyway so the expression
+    // tree is identical by construction, not by precedence luck.
+    "t102_batch_schedule" ->
+      """WITH tok AS (
+           SELECT source,
+             CAST(sum(len(string_split_regex(lower(COALESCE(text, '')),
+               '\s+'))) AS BIGINT) AS tok
+           FROM documents GROUP BY source),
+         tot AS (SELECT greatest(CAST(sum(tok) AS BIGINT), 1) AS t_all
+           FROM tok),
+         st AS (SELECT CAST(unnest(generate_series(0, 99)) AS BIGINT)
+           AS step)
+         SELECT step, source,
+           CAST(((step+1)*tok*8) // t_all - (step*tok*8) // t_all
+             AS BIGINT) AS slots,
+           CAST(((step+1)*tok*8) // t_all AS BIGINT) AS cum_slots
+         FROM tok CROSS JOIN tot CROSS JOIN st
+         WHERE ((step+1)*tok*8) // t_all - (step*tok*8) // t_all > 0""",
+    // DPO twin: the shared t7 score expression in exact micro-units
+    // (the score is already 6-dp-rounded, so round(q*1e6) is an exact
+    // integer and ORDER BY qm DESC ≡ Spark's ORDER BY q DESC — both
+    // engines put NULLs last under DESC), the same ⌈n/2⌉ rank offset,
+    // and the same (source, rank) equi self-join.
+    "t103_dpo_pairs" ->
+      s"""WITH q AS (
+           SELECT doc_id, source,
+             CAST(round($qScoreSql * 1000000.0) AS BIGINT) AS qm
+           FROM documents),
+         r AS (SELECT doc_id, source, qm,
+             row_number() OVER (PARTITION BY source
+               ORDER BY qm DESC NULLS LAST, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM q),
+         c AS (SELECT source, r AS pair_id, doc_id AS chosen_doc,
+             qm AS chosen_qm, r + (n - n//2) AS rj
+           FROM r WHERE r <= n//2),
+         j AS (SELECT source, r AS rj, doc_id AS rejected_doc,
+             qm AS rejected_qm
+           FROM r)
+         SELECT c.source, CAST(pair_id AS BIGINT) AS pair_id,
+           chosen_doc, rejected_doc, chosen_qm, rejected_qm,
+           CAST(chosen_qm - rejected_qm AS BIGINT) AS margin_micro,
+           CAST(chosen_qm - rejected_qm >= 50000 AS BIGINT) AS strong
+         FROM c JOIN j ON c.source = j.source AND c.rj = j.rj""",
     // The twin is the one-machine form of the same selection: a plain
     // window prefix sum in quality order (DuckDB sorts; Spark's side
     // is the two-level distributed scan), the same integer threshold

@@ -507,4 +507,36 @@ class PlanAuditSpec extends SparkSpec {
       s"t90's offset window partitions by bucket; a SinglePartition " +
         s"means the two-level shape was lost:\n$p")
   }
+
+  test("t101: conversation windows stay keyed — no global window, " +
+    "no shuffle join") {
+    val p = plan("t101_chat_template")
+    assert(!p.contains("SinglePartition"),
+      s"t101's turn/span windows partition by (source[, conv]); " +
+        s"SinglePartition means a window lost its key:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"t101 is window + agg only — no join may appear:\n$p")
+  }
+
+  test("t102: schedule builds from broadcast sides over ONE corpus " +
+    "agg shuffle") {
+    val p = plan("t102_batch_schedule")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"t102's 1-row total and 100-row step table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"t102 must never shuffle for the schedule cross joins:\n$p")
+    assert(nodes(p, "Exchange") <= 2,
+      s"t102's only shuffle is the per-source token agg " +
+        s"(plus its 1-row rollup):\n$p")
+  }
+
+  test("t103: rank windows partition by source; the pair self-join " +
+    "is (source, rank)-keyed — never a cartesian") {
+    val p = plan("t103_dpo_pairs")
+    assert(!p.contains("SinglePartition"),
+      s"t103's quality-rank windows partition by source:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"t103's pair join must stay an equi-join on (source, rank):\n$p")
+  }
 }

@@ -688,4 +688,92 @@ class PropertySpec extends SparkSpec {
         s"qid=$qid: distributed MMR $got != sequential replay $want")
     }
   }
+
+  test("t101 loss spans are disjoint, in-range, and sum to the " +
+    "loss-token count") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("t101_chat_template")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTurns = r.getLong(2); val nTok = r.getLong(3)
+      val nLoss = r.getLong(4); val spansS = r.getString(5)
+      assert(nTurns >= 1 && nTurns <= 4)
+      val spans =
+        if (spansS.isEmpty) Seq.empty
+        else spansS.split(";").toSeq.map { sp =>
+          val Array(lo, hi) = sp.split(":").map(_.toLong); (lo, hi)
+        }
+      // alternating roles starting at user: assistant turns = ⌊n/2⌋
+      assert(spans.size == nTurns / 2,
+        s"span count ${spans.size} != assistant turns for $r")
+      assert(spans.map { case (lo, hi) => hi - lo }.sum == nLoss)
+      spans.foreach { case (lo, hi) =>
+        assert(lo >= 0 && lo < hi && hi <= nTok) }
+      // strictly ordered and disjoint (prefix-sum positions)
+      spans.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => assert(h1 <= l2)
+        case _                     => }
+    }
+    // every doc lands in exactly one conversation turn
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == docs)
+  }
+
+  test("t102 schedule equals a sequential Bresenham apportionment " +
+    "replay") {
+    val dir = "/root/testdata/sf0.001"
+    val tokBySrc = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => r.getString(0) ->
+        Option(r.getString(1)).getOrElse("")
+          .toLowerCase.split("\\s+", -1).length.toLong)
+      .groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._2).sum }
+    val tAll = math.max(tokBySrc.values.sum, 1L)
+    val want = (for {
+      (src, tk) <- tokBySrc.toSeq
+      step <- 0L until 100L
+      cum = (step + 1) * tk * 8 / tAll
+      slots = cum - step * tk * 8 / tAll
+      if slots > 0
+    } yield (step, src, slots, cum)).toSet
+    val got = SparkEntry.queries("t102_batch_schedule")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+    // every schedule prefix is within one sample of its exact quota
+    want.foreach { case (step, src, _, cum) =>
+      val exact = (step + 1).toDouble * tokBySrc(src) * 8 / tAll
+      assert(cum <= exact && exact - cum < 1.0) }
+  }
+
+  test("t103 pairs equal a per-source rank replay; chosen and " +
+    "rejected sets never overlap") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("t7_quality")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        math.round(r.getDouble(1) * 1000000.0)).toMap
+    val bySrc = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._2).map { case (s0, xs) => s0 -> xs.map(_._1).toSeq }
+    val want = bySrc.flatMap { case (src, ids) =>
+      val ranked = ids.sortBy(id => (-q(id), id))
+      val n = ranked.size; val half = n / 2
+      (0 until half).map { i =>
+        val c = ranked(i); val rj = ranked(i + (n - half))
+        (src, (i + 1).toLong, c, rj, q(c), q(rj), q(c) - q(rj),
+          if (q(c) - q(rj) >= 50000L) 1L else 0L)
+      }
+    }.toSet
+    val rows = SparkEntry.queries("t103_dpo_pairs")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(rows.toSet === want)
+    rows.foreach(r => assert(r._7 >= 0, s"negative margin in $r"))
+    val chosen = rows.map(_._3).toSet; val rejected = rows.map(_._4).toSet
+    assert(chosen.intersect(rejected).isEmpty,
+      "a doc must not appear on both sides of the preference table")
+  }
 }
