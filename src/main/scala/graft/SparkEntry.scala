@@ -431,6 +431,55 @@ object SparkEntry {
     """len(regexp_extract_all(text,
            '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+'))"""
 
+  /** Kneser–Ney trigram statistic tables (c3/k/ctx/mid/midk/midctx/
+    * uni/tot) as a DuckDB CTE block — ONE definition shared by the
+    * t97 model twin and the t104 held-out scorer twin so the scorer's
+    * statistics cannot drift from the model artifact. Kept as a plain
+    * (non-interpolated) literal so the regex backslash reaches DuckDB
+    * verbatim; `__WHERE__` is substituted with the training-split
+    * predicate ('' = whole corpus). */
+  private val knStatsSqlTemplate: String =
+    """t AS (SELECT string_split_regex(lower(text), '\s+')
+             AS toks FROM documents __WHERE__),
+         g AS (SELECT
+             unnest([array_to_string(toks[i:i+2], ' ')
+                     FOR i IN generate_series(1, len(toks)-2)]) AS tg
+           FROM t WHERE len(toks) >= 3),
+         c3 AS (SELECT tg, count(*) AS c3 FROM g GROUP BY tg),
+         k AS (SELECT tg, c3,
+             split_part(tg,' ',1) || ' ' || split_part(tg,' ',2)
+               AS ctx12,
+             split_part(tg,' ',2) || ' ' || split_part(tg,' ',3)
+               AS w23,
+             split_part(tg,' ',3) AS w3
+           FROM c3),
+         ctx AS (SELECT ctx12, sum(c3) AS c12, count(*) AS n1ctx
+           FROM k GROUP BY ctx12),
+         mid AS (SELECT w23, count(*) AS cc23 FROM k GROUP BY w23),
+         midk AS (SELECT w23, cc23,
+             split_part(w23,' ',1) AS w2,
+             split_part(w23,' ',2) AS w3u
+           FROM mid),
+         midctx AS (SELECT w2, sum(cc23) AS ccdot2, count(*) AS n2w2
+           FROM midk GROUP BY w2),
+         uni AS (SELECT w3u AS w3, count(*) AS n1w3
+           FROM midk GROUP BY w3u),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS nbt FROM mid)"""
+
+  private def knStatsSql(where: String): String =
+    knStatsSqlTemplate.replace("__WHERE__", where)
+
+  /** Per-document trigram stream for the t104 scorer (doc_id kept,
+    * unlike the model side's type tables). Same __WHERE__ contract. */
+  private val knDocTrigramsSqlTemplate: String =
+    """tt AS (SELECT doc_id,
+             string_split_regex(lower(text), '\s+') AS toks
+           FROM documents __WHERE__),
+         gt AS (SELECT doc_id,
+             unnest([array_to_string(toks[i:i+2], ' ')
+                     FOR i IN generate_series(1, len(toks)-2)]) AS tg
+           FROM tt WHERE len(toks) >= 3)"""
+
   /** Host link-graph + 3-round PageRank CTE block shared by the t74,
     * t77 and t94 oracles (`r3` = (node, r) final integer-ppm ranks).
     * ONE definition so the rank artifact its consumers join cannot
@@ -1650,6 +1699,77 @@ object SparkEntry {
         .withColumn("cum_hi", col("cum_lo") + col("w_milli"))
       ranged.orderBy(col("c").desc, col("term")).limit(100)
         .select("term", "c", "w_milli", "cum_lo", "cum_hi")
+    }),
+
+    // Held-out perplexity filter (the CCNet/Wikipedia-LM gate, Wenzek
+    // et al. 2020 — score documents with a smoothed LM trained on a
+    // reference split, drop the worst): train the t97 interpolated-KN
+    // trigram model on the EVEN doc_ids, score the ODD ones with the
+    // full backoff chain — seen trigram → KN p3; unseen trigram in a
+    // seen context → the context's reserved mass times p2; unseen
+    // context → p2; unseen (w2 ·) → OOV-floored continuation
+    // probability (n1w3 + 0.5)/(nbt + 0.5). Per-trigram log-probs
+    // round to integer MICRO units before the per-doc sum (BIGINT
+    // addition is order-free; summing raw doubles would hash-differ
+    // cross-engine), and the keep gate compares integers —
+    // sum_lp ≥ −8·10⁶·n_tg, i.e. avg logprob ≥ −8 — so no division
+    // semantics (Spark div truncates, DuckDB // floors — they differ
+    // on NEGATIVES) can leak in. Scale shape: the scorer is keyed
+    // shuffle joins (tg/ctx/w23/w2/w3) between the doc-trigram stream
+    // and the model tables — LM tables are vocab-scale, so none is
+    // assumed broadcastable; only the 1-row bigram-type total
+    // broadcasts. Docs with no trigram (< 3 tokens) have no
+    // perplexity and are not scored.
+    "t104_kn_doc_ppl" -> ((s, dir) => {
+      val D = 0.75
+      val docs = T(s, dir, "documents")
+      def tgs(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        explode(graft.functions.SketchExpressions
+          .wordShingles(TextOps.tokensLower(col("text")), 3)).as("tg"))
+      val c3 = tgs(docs.where(pmod(col("doc_id"), lit(2)) === 0))
+        .groupBy("tg").agg(count(lit(1)).as("c3"))
+      val keyed = c3
+        .withColumn("ctx12", substring_index(col("tg"), " ", 2))
+        .withColumn("w23", substring_index(col("tg"), " ", -2))
+      val ctx = keyed.groupBy("ctx12")
+        .agg(sum("c3").as("c12"), count(lit(1)).as("n1ctx"))
+      val mid = keyed.groupBy("w23").agg(count(lit(1)).as("cc23"))
+      val midK = mid
+        .withColumn("w2", substring_index(col("w23"), " ", 1))
+        .withColumn("w3u", substring_index(col("w23"), " ", -1))
+      val midCtx = midK.groupBy("w2")
+        .agg(sum("cc23").as("ccdot2"), count(lit(1)).as("n2w2"))
+      val uni = midK.groupBy(col("w3u").as("w3"))
+        .agg(count(lit(1)).as("n1w3"))
+      val tot = mid.agg(count(lit(1)).cast("double").as("nbt"))
+      tgs(docs.where(pmod(col("doc_id"), lit(2)) === 1))
+        .withColumn("ctx12", substring_index(col("tg"), " ", 2))
+        .withColumn("w23", substring_index(col("tg"), " ", -2))
+        .withColumn("w3", substring_index(col("tg"), " ", -1))
+        .join(c3, Seq("tg"), "left")
+        .join(ctx, Seq("ctx12"), "left")
+        .join(mid, Seq("w23"), "left")
+        .join(midCtx.withColumnRenamed("w2", "__w2"),
+          col("__w2") === substring_index(col("w23"), " ", 1), "left")
+        .join(uni, Seq("w3"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("pc", (coalesce(col("n1w3"), lit(0L)) + lit(0.5))
+          / (col("nbt") + lit(0.5)))
+        .withColumn("p2", when(col("ccdot2").isNotNull,
+          (greatest(coalesce(col("cc23"), lit(0L)) - lit(D), lit(0.0))
+            + lit(D) * col("n2w2") * col("pc")) / col("ccdot2"))
+          .otherwise(col("pc")))
+        .withColumn("p3", when(col("c12").isNotNull,
+          (greatest(coalesce(col("c3"), lit(0L)) - lit(D), lit(0.0))
+            + lit(D) * col("n1ctx") * col("p2")) / col("c12"))
+          .otherwise(col("p2")))
+        .withColumn("lp_micro",
+          round(log(col("p3")) * lit(1000000.0)).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tg"), sum("lp_micro").as("sum_lp_micro"))
+        .withColumn("keep",
+          (col("sum_lp_micro") >= lit(-8000000L) * col("n_tg"))
+            .cast("long"))
     }),
 
     // Dedup-scope audit (the FineWeb finding, Penedo et al. 2024:
@@ -4420,32 +4540,7 @@ object SparkEntry {
     // shared HALF_UP ppm rounding. split_part on the 3-token string
     // is exact even with empty tokens (single-space separators).
     "t97_kn_trigram" ->
-      """WITH t AS (SELECT string_split_regex(lower(text), '\s+')
-             AS toks FROM documents),
-         g AS (SELECT
-             unnest([array_to_string(toks[i:i+2], ' ')
-                     FOR i IN generate_series(1, len(toks)-2)]) AS tg
-           FROM t WHERE len(toks) >= 3),
-         c3 AS (SELECT tg, count(*) AS c3 FROM g GROUP BY tg),
-         k AS (SELECT tg, c3,
-             split_part(tg,' ',1) || ' ' || split_part(tg,' ',2)
-               AS ctx12,
-             split_part(tg,' ',2) || ' ' || split_part(tg,' ',3)
-               AS w23,
-             split_part(tg,' ',3) AS w3
-           FROM c3),
-         ctx AS (SELECT ctx12, sum(c3) AS c12, count(*) AS n1ctx
-           FROM k GROUP BY ctx12),
-         mid AS (SELECT w23, count(*) AS cc23 FROM k GROUP BY w23),
-         midk AS (SELECT w23, cc23,
-             split_part(w23,' ',1) AS w2,
-             split_part(w23,' ',2) AS w3u
-           FROM mid),
-         midctx AS (SELECT w2, sum(cc23) AS ccdot2, count(*) AS n2w2
-           FROM midk GROUP BY w2),
-         uni AS (SELECT w3u AS w3, count(*) AS n1w3
-           FROM midk GROUP BY w3u),
-         tot AS (SELECT CAST(count(*) AS DOUBLE) AS nbt FROM mid),
+      s"""WITH ${knStatsSql("")},
          top AS (SELECT tg, c3, ctx12, w23, w3 FROM k
            ORDER BY c3 DESC, tg LIMIT 50),
          p AS (SELECT top.tg, top.c3, ctx.c12, ctx.n1ctx,
@@ -4467,6 +4562,55 @@ object SparkEntry {
            CAST(round(p2 * 1000000.0) AS BIGINT) AS backoff_ppm,
            CAST(round(pc * 1000000.0) AS BIGINT) AS cont_ppm
          FROM p2""",
+    // Held-out scorer twin: the SAME shared stats block (trained on
+    // the even split), the same backoff CASE chain and double
+    // expression trees as the Spark side, per-trigram HALF_UP micro
+    // rounding (away from zero on negatives in both engines) before
+    // the order-free BIGINT sum, and a multiplication-form keep gate
+    // (no integer division — Spark div truncates where DuckDB //
+    // floors, and these sums are negative).
+    "t104_kn_doc_ppl" ->
+      s"""WITH ${knStatsSql("WHERE doc_id % 2 = 0")},
+         ${knDocTrigramsSqlTemplate.replace(
+        "__WHERE__", "WHERE doc_id % 2 = 1")},
+         s1 AS (SELECT doc_id, tg,
+             split_part(tg,' ',1) || ' ' || split_part(tg,' ',2)
+               AS ctx12,
+             split_part(tg,' ',2) || ' ' || split_part(tg,' ',3)
+               AS w23,
+             split_part(tg,' ',3) AS w3
+           FROM gt),
+         j AS (SELECT s1.doc_id, c3.c3, ctx.c12, ctx.n1ctx, mid.cc23,
+             midctx.ccdot2, midctx.n2w2, uni.n1w3, tot.nbt
+           FROM s1
+           LEFT JOIN c3 USING (tg)
+           LEFT JOIN ctx USING (ctx12)
+           LEFT JOIN mid USING (w23)
+           LEFT JOIN midctx ON midctx.w2 = split_part(s1.w23,' ',1)
+           LEFT JOIN uni ON uni.w3 = s1.w3
+           CROSS JOIN tot),
+         pcs AS (SELECT *,
+             (COALESCE(n1w3, 0) + 0.5) / (nbt + 0.5) AS pc
+           FROM j),
+         p2s AS (SELECT *,
+             CASE WHEN ccdot2 IS NOT NULL THEN
+               (greatest(COALESCE(cc23, 0) - 0.75, 0.0)
+                 + 0.75 * n2w2 * pc) / ccdot2
+             ELSE pc END AS p2
+           FROM pcs),
+         p3s AS (SELECT doc_id,
+             CASE WHEN c12 IS NOT NULL THEN
+               (greatest(COALESCE(c3, 0) - 0.75, 0.0)
+                 + 0.75 * n1ctx * p2) / c12
+             ELSE p2 END AS p3
+           FROM p2s),
+         lp AS (SELECT doc_id,
+             CAST(round(ln(p3) * 1000000.0) AS BIGINT) AS lp_micro
+           FROM p3s)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tg,
+           CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro,
+           CAST(sum(lp_micro) >= -8000000 * count(*) AS BIGINT) AS keep
+         FROM lp GROUP BY doc_id""",
     // Sampler twin: t27's tokenization, the same sqrt(sqrt(c³))
     // damping (correctly-rounded on both engines), a plain window
     // cumsum in token order standing in for Spark's two-level scan.

@@ -530,6 +530,20 @@ class PlanAuditSpec extends SparkSpec {
         s"(plus its 1-row rollup):\n$p")
   }
 
+  test("t104: LM scoring joins are keyed shuffles (vocab-scale model " +
+    "tables, never assumed broadcastable); only the 1-row total " +
+    "broadcasts") {
+    val p = plan("t104_kn_doc_ppl")
+    assert(!p.contains("CartesianProduct"),
+      s"t104's stat lookups must stay equi-joins:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"t104's 1-row bigram-type total must broadcast:\n$p")
+    // the 1-row total agg and nothing else may single-partition
+    assert("SinglePartition".r.findAllIn(p).length <= 2,
+      s"t104 must not serialize the corpus or the model:\n$p")
+  }
+
   test("t103: rank windows partition by source; the pair self-join " +
     "is (source, rank)-keyed — never a cartesian") {
     val p = plan("t103_dpo_pairs")

@@ -747,6 +747,69 @@ class PropertySpec extends SparkSpec {
       assert(cum <= exact && exact - cum < 1.0) }
   }
 
+  test("t104 held-out KN scoring equals a sequential model replay") {
+    // train the interpolated-KN trigram model on the even split in
+    // plain Scala (same tokenization, same double expression trees,
+    // same HALF_UP micro rounding) and score the odd split — the
+    // distributed backoff-join chain must agree doc-for-doc
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+    def tgsOf(text: String): Seq[String] = {
+      val toks = text.toLowerCase.split("\\s+", -1).toSeq
+      if (toks.size < 3) Seq.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val train = docs.filter(_._1 % 2 == 0).flatMap(d => tgsOf(d._2))
+    val c3 = train.groupBy(identity).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    def last2(t: String) = t.split(" ", 2)(1)
+    def first2(t: String) = { val i = t.lastIndexOf(' '); t.take(i) }
+    def lastW(t: String) = t.drop(t.lastIndexOf(' ') + 1)
+    def firstW(t: String) = t.takeWhile(_ != ' ')
+    val ctx = c3.groupBy { case (t, _) => first2(t) }
+      .map { case (c, m) => c -> ((m.values.sum, m.size.toLong)) }
+    val mid = c3.keys.groupBy(last2).map { case (b, xs) =>
+      b -> xs.size.toLong }
+    val midCtx = mid.groupBy { case (b, _) => firstW(b) }
+      .map { case (w, m) => w -> ((m.values.sum, m.size.toLong)) }
+    val uni = mid.keys.groupBy(lastW).map { case (w, xs) =>
+      w -> xs.size.toLong }
+    val nbt = mid.size.toDouble
+    def microLp(tg: String): Long = {
+      val w3 = lastW(last2(tg))
+      val pc = (uni.getOrElse(w3, 0L) + 0.5) / (nbt + 0.5)
+      val b = last2(tg)
+      val p2 = midCtx.get(firstW(b)) match {
+        case Some((ccdot2, n2w2)) =>
+          (math.max(mid.getOrElse(b, 0L) - 0.75, 0.0) +
+            0.75 * n2w2 * pc) / ccdot2
+        case None => pc
+      }
+      val p3 = ctx.get(first2(tg)) match {
+        case Some((c12, n1ctx)) =>
+          (math.max(c3.getOrElse(tg, 0L) - 0.75, 0.0) +
+            0.75 * n1ctx * p2) / c12
+        case None => p2
+      }
+      new java.math.BigDecimal(math.log(p3) * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    }
+    val want = docs.filter(_._1 % 2 == 1)
+      .map { case (id, tx) => id -> tgsOf(tx) }
+      .filter(_._2.nonEmpty)
+      .map { case (id, ts) =>
+        val sum = ts.map(microLp).sum
+        (id, ts.size.toLong, sum,
+          if (sum >= -8000000L * ts.size) 1L else 0L)
+      }.toSet
+    val got = SparkEntry.queries("t104_kn_doc_ppl")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === want)
+  }
+
   test("t103 pairs equal a per-source rank replay; chosen and " +
     "rejected sets never overlap") {
     val dir = "/root/testdata/sf0.001"
