@@ -431,6 +431,14 @@ object SparkEntry {
     """len(regexp_extract_all(text,
            '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+'))"""
 
+  /** Canonical-text md5 (t54's normalization) as a DuckDB expression
+    * over `text` — shared by the t98/t105 twins so the dedup key
+    * cannot drift from the t54 artifact. Plain literal: the regex
+    * backslash must reach DuckDB verbatim. */
+  private val canonHashSql: String =
+    """md5(trim(regexp_replace(lower(nfc_normalize(text)),
+               '\s+', ' ', 'g')))"""
+
   /** Kneser–Ney trigram statistic tables (c3/k/ctx/mid/midk/midctx/
     * uni/tot) as a DuckDB CTE block — ONE definition shared by the
     * t97 model twin and the t104 held-out scorer twin so the scorer's
@@ -1770,6 +1778,49 @@ object SparkEntry {
         .withColumn("keep",
           (col("sum_lp_micro") >= lit(-8000000L) * col("n_tg"))
             .cast("long"))
+    }),
+
+    // Per-source dataset card (the release artifact a corpus ships
+    // with — Datasheets for Datasets, Gebru et al. 2021): one row per
+    // source carrying the signals every curation decision reads —
+    // volume (docs, BPE tokens, chars), exact-dup rate on the t54
+    // canonical hash, dominant language, mean quality. Every mean
+    // ships as an integer ratio (sum div count on non-negative
+    // BIGINTs — exact in both engines, no double summation); the
+    // dominant language is a (source, lang) agg + top-1 window joined
+    // back as a broadcast (source cardinality). ONE corpus scan feeds
+    // both aggs; countDistinct plans the standard two-phase exact
+    // distinct — at 100 TB the same card computes with the hash
+    // distinct partially aggregated map-side.
+    "t105_data_card" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          graft.functions.SketchExpressions.textStats(col("text"))
+            .as("__st"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("tok"),
+          md5(graft.functions.SketchExpressions
+            .canonicalizeText(col("text"))).as("h"))
+        .withColumn("qm",
+          round(TextOps.qualityScoreFrom(col("__st")) * lit(1000000.0))
+            .cast("long"))
+      val agg = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("tok").as("n_tok"),
+        countDistinct(col("h")).as("n_uniq"),
+        sum("qm").as("sum_qm"),
+        sum("n_chars").as("sum_chars"))
+      val langTop = d.groupBy("source", "lang")
+        .agg(count(lit(1)).as("lc"))
+        .withColumn("rn", row_number().over(Window.partitionBy("source")
+          .orderBy(col("lc").desc, col("lang"))))
+        .where(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      agg.join(broadcast(langTop), Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tok"),
+          expr("(n_docs - n_uniq) * 1000000 div n_docs").as("dup_ppm"),
+          col("top_lang"),
+          expr("sum_qm div n_docs").as("mean_q_micro"),
+          expr("(sum_chars * 100) div n_docs").as("mean_chars_x100"))
     }),
 
     // Dedup-scope audit (the FineWeb finding, Penedo et al. 2024:
@@ -4611,6 +4662,34 @@ object SparkEntry {
            CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro,
            CAST(sum(lp_micro) >= -8000000 * count(*) AS BIGINT) AS keep
          FROM lp GROUP BY doc_id""",
+    // Data-card twin: the shared t54 hash / t7 score / d6 token-count
+    // expressions (one definition each, so the card cannot drift from
+    // the artifacts it summarizes); integer sum//count means; window
+    // top-1 after GROUP BY for the dominant language.
+    "t105_data_card" ->
+      s"""WITH d AS (
+           SELECT source, lang, n_chars,
+             CAST(round($qScoreSql * 1000000.0) AS BIGINT) AS qm,
+             CAST($bpeCountSql AS BIGINT) AS tok,
+             $canonHashSql AS h
+           FROM documents),
+         a AS (SELECT source, count(*) AS n_docs, sum(tok) AS n_tok,
+             count(DISTINCT h) AS n_uniq, sum(qm) AS sum_qm,
+             sum(n_chars) AS sum_chars
+           FROM d GROUP BY source),
+         l AS (SELECT source, lang,
+             row_number() OVER (PARTITION BY source
+               ORDER BY count(*) DESC, lang) AS rn
+           FROM d GROUP BY source, lang)
+         SELECT a.source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST((n_docs - n_uniq) * 1000000 // n_docs AS BIGINT)
+             AS dup_ppm,
+           l.lang AS top_lang,
+           CAST(sum_qm // n_docs AS BIGINT) AS mean_q_micro,
+           CAST((sum_chars * 100) // n_docs AS BIGINT)
+             AS mean_chars_x100
+         FROM a JOIN l ON a.source = l.source AND l.rn = 1""",
     // Sampler twin: t27's tokenization, the same sqrt(sqrt(c³))
     // damping (correctly-rounded on both engines), a plain window
     // cumsum in token order standing in for Spark's two-level scan.
@@ -4673,10 +4752,9 @@ object SparkEntry {
     // flags are row_number()=1 windows keyed by the hash, and the
     // derived counts cast back to BIGINT (sum() widens to HUGEINT).
     "t98_dedup_scope" ->
-      """WITH d AS (
+      s"""WITH d AS (
            SELECT doc_id, doc_id % 3 AS snap,
-             md5(trim(regexp_replace(lower(nfc_normalize(text)),
-               '\s+', ' ', 'g'))) AS h
+             $canonHashSql AS h
            FROM documents),
          f AS (SELECT snap,
              CASE WHEN row_number() OVER (PARTITION BY h

@@ -544,6 +544,16 @@ class PlanAuditSpec extends SparkSpec {
       s"t104 must not serialize the corpus or the model:\n$p")
   }
 
+  test("t105: one corpus scan into keyed aggs; the language top-1 " +
+    "joins back as a broadcast") {
+    val p = plan("t105_data_card")
+    assert(!p.contains("SinglePartition"),
+      s"t105's aggs and top-1 window all key on source:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"t105's source-cardinality language table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("t103: rank windows partition by source; the pair self-join " +
     "is (source, rank)-keyed — never a cartesian") {
     val p = plan("t103_dpo_pairs")

@@ -810,6 +810,36 @@ class PropertySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("t105 card equals a replay from its verified building blocks " +
+    "(t7 score, d6 tokens, t54 hash)") {
+    val dir = "/root/testdata/sf0.001"
+    val qm = SparkEntry.queries("t7_quality")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        math.round(r.getDouble(1) * 1000000.0)).toMap
+    val tok = SparkEntry.queries("d6_bpe_tokens")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hash = SparkEntry.queries("t54_canonical_hash")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    val want = docs.groupBy(_._2).map { case (src, xs) =>
+      val n = xs.length.toLong
+      val topLang = xs.groupBy(_._3).toSeq
+        .map { case (l, ys) => (l, ys.length) }
+        .minBy { case (l, c) => (-c, l) }._1
+      (src, n, xs.map(x => tok(x._1)).sum,
+        (n - xs.map(x => hash(x._1)).distinct.length) * 1000000L / n,
+        topLang, xs.map(x => qm(x._1)).sum / n,
+        xs.map(_._4).sum * 100 / n)
+    }.toSet
+    val got = SparkEntry.queries("t105_data_card")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got === want)
+  }
+
   test("t103 pairs equal a per-source rank replay; chosen and " +
     "rejected sets never overlap") {
     val dir = "/root/testdata/sf0.001"
