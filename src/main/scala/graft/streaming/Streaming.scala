@@ -842,6 +842,125 @@ object Streaming {
     }
   }
 
+  /** Incremental t105 data card — the release card maintained AS THE
+    * CORPUS ARRIVES instead of recomputed per release. Sink-owned
+    * state in `sourceSketchStream`'s mold: the standing table holds
+    * one row per (source, lang) of MERGEABLE statistics — doc/token/
+    * char/quality sums merge by addition (exact BIGINTs, no double
+    * summation); the distinct-hash term is a bottom-k KMV sketch of
+    * the t54 canonical md5 (mergeable by union + re-bottom-k; exact
+    * below k, a2's (k−1)/h_k estimator above). Per batch: batch-local
+    * agg, unionByName with the standing (source, lang)-sized table,
+    * re-agg, temp-swap — never a corpus rescan. Render with
+    * [[readDataCard]]. */
+  def dataCardStream(in: DataFrame, textCol: String, sourceCol: String,
+                     langCol: String, charsCol: String,
+                     sinkPath: String, k: Int = 256) = {
+    in.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val enriched = batch.select(
+          col(sourceCol).as("source"), col(langCol).as("lang"),
+          col(charsCol).cast("long").as("n_chars"),
+          graft.functions.SketchExpressions.textStats(col(textCol))
+            .as("__st"),
+          graft.ops.TextOps.bpeTokenCount(col(textCol)).cast("long")
+            .as("tok"),
+          md5(graft.functions.SketchExpressions
+            .canonicalizeText(col(textCol))).as("h"))
+          .withColumn("qm", round(graft.ops.TextOps
+            .qualityScoreFrom(col("__st")) * lit(1000000.0))
+            .cast("long"))
+        val bAgg = enriched.groupBy("source", "lang").agg(
+          count(lit(1)).as("n_docs"), sum("tok").as("sum_tok"),
+          sum("qm").as("sum_qm"), sum("n_chars").as("sum_chars"),
+          graft.functions.AggregateExpressions
+            .bottomKStrings(col("h"), k).as("sk"))
+          .withColumn("k", lit(k))
+        val (fs, hPath, tmp) = sinkPaths(spark, sinkPath)
+        promoteOrphanTemp(fs, hPath, tmp)
+        val merged =
+          if (hasPartFiles(fs, hPath)) {
+            val standing = spark.read.parquet(sinkPath)
+            // same k-compatibility guard as sourceSketchStream: a
+            // smaller-k standing sketch silently caps the merge
+            val kHead = standing.agg(min(col("k"))).head
+            if (!kHead.isNullAt(0)) {
+              val standingK = kHead.getInt(0)
+              require(standingK == k,
+                s"dataCardStream: standing card was built with " +
+                  s"k=$standingK, stream configured with k=$k — " +
+                  "rebuild the standing table or match its k")
+            }
+            val u = standing.unionByName(bAgg)
+            // two (source, lang)-sized aggs, NOT one: exploding the
+            // sketch before a combined agg would multiply the sums
+            // by the sketch size
+            val sums = u.groupBy("source", "lang").agg(
+              sum("n_docs").as("n_docs"), sum("sum_tok").as("sum_tok"),
+              sum("sum_qm").as("sum_qm"),
+              sum("sum_chars").as("sum_chars"))
+            val sks = u
+              .select(col("source"), col("lang"),
+                explode(col("sk")).as("__h"))
+              .groupBy("source", "lang")
+              .agg(graft.functions.AggregateExpressions
+                .bottomKStrings(col("__h"), k).as("sk"))
+            // left + coalesce: an all-null-text group has an empty
+            // sketch, which explode drops entirely
+            sums.join(sks, Seq("source", "lang"), "left")
+              .withColumn("sk",
+                coalesce(col("sk"), array().cast("array<string>")))
+              .withColumn("k", lit(k))
+          } else bAgg
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        swapInTemp(fs, hPath, tmp)
+        ()
+    }
+  }
+
+  /** Render the standing [[dataCardStream]] table in t105's shape:
+    * per-source rollup, deterministic top-1 language (docs desc,
+    * lang), integer-ratio means, and `dup_ppm_est` from the merged
+    * KMV sketch — IDENTICAL to batch t105's exact `dup_ppm` whenever
+    * the per-source distinct count is under k. */
+  def readDataCard(spark: org.apache.spark.sql.SparkSession,
+                   sinkPath: String): DataFrame = {
+    val st = spark.read.parquet(sinkPath)
+    val kHead = st.agg(min(col("k"))).head
+    require(!kHead.isNullAt(0), s"readDataCard: $sinkPath is empty")
+    val k = kHead.getInt(0)
+    val sums = st.groupBy("source").agg(
+      sum("n_docs").as("n_docs"), sum("sum_tok").as("n_tok"),
+      sum("sum_qm").as("sum_qm"), sum("sum_chars").as("sum_chars"))
+    val sks = st.select(col("source"), explode(col("sk")).as("__h"))
+      .groupBy("source")
+      .agg(graft.functions.AggregateExpressions
+        .bottomKStrings(col("__h"), k).as("sk"))
+    val langTop = st.groupBy("source", "lang")
+      .agg(sum("n_docs").as("lc"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("lc").desc, col("lang"))))
+      .where(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    sums.join(sks, Seq("source"), "left")
+      .join(broadcast(langTop), Seq("source"))
+      .withColumn("est_uniq",
+        when(coalesce(size(col("sk")), lit(0)) < k,
+          coalesce(size(col("sk")), lit(0)).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4503599627370496.0) /
+            conv(substring(element_at(col("sk"), k), 1, 13), 16, 10)
+              .cast("double")))
+      .select(col("source"), col("n_docs"), col("n_tok"),
+        greatest(lit(0L),
+          expr("(n_docs - CAST(round(est_uniq) AS BIGINT)) " +
+            "* 1000000 div n_docs")).as("dup_ppm_est"),
+        col("top_lang"),
+        expr("sum_qm div n_docs").as("mean_q_micro"),
+        expr("(sum_chars * 100) div n_docs").as("mean_chars_x100"))
+  }
+
   /** Incremental SemDeDup — t62's operational form: each microbatch of
     * embeddings is (1) deduped WITHIN the batch by the same
     * cluster-scoped keep-min rule (`Dedup.semDedupKeep`), then

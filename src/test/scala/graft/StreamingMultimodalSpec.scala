@@ -494,6 +494,47 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(dirs === 0, s"emptied buckets must be dropped, saw $dirs")
   }
 
+  test("dataCardStream merges to the exact batch t105 card; null-text " +
+    "groups survive the sketch explode") {
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "lang", "n_chars", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3)))
+    val sink = java.nio.file.Files
+      .createTempDirectory("datacard").toString + "/card"
+    val input = MemoryStream[(String, String, Long, String)]
+    val q = Streaming.dataCardStream(
+      input.toDS().toDF("source", "lang", "n_chars", "text"),
+      "text", "source", "lang", "n_chars", sink).start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    input.addData(b1.toSeq); q.processAllAvailable()
+    input.addData(b2.toSeq); q.processAllAvailable()
+    // a whole source of null text: empty sketch, null quality sums —
+    // the merge's left-join path, not a crash
+    input.addData(Seq(("s_null", "xx", 0L, null: String)))
+    q.processAllAvailable()
+    q.stop()
+    val got = Streaming.readDataCard(spark, sink).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // per-source distincts here are far under k=256, so the KMV term
+    // is exact and the streamed card must EQUAL the batch card
+    val want = SparkEntry.queries("t105_data_card")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getLong(5), r.getLong(6)))
+    want.foreach { case (src, nDocs, nTok, dupPpm, topLang, mq, mc) =>
+      val g = got(src)
+      assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getString(4),
+        g.getLong(5), g.getLong(6)) ===
+        ((nDocs, nTok, dupPpm, topLang, mq, mc)), s"source $src")
+    }
+    val nullRow = got("s_null")
+    assert(nullRow.getLong(1) === 1L)       // n_docs counts the doc
+    assert(nullRow.getLong(3) === 1000000L) // 0 distinct hashes ⇒ all-dup
+    assert(nullRow.isNullAt(5))             // no quality signal ⇒ null mean
+  }
+
   test("semDedupStream drops near-dups within batches and vs the sink") {
     implicit val sc = spark.sqlContext
     val sink = java.nio.file.Files
