@@ -431,6 +431,63 @@ object SparkEntry {
     """len(regexp_extract_all(text,
            '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+'))"""
 
+  /** t81's hashed-feature classifier scores, per doc WITH the source
+    * column (t81 drops it; t107's calibration audit bins on it) — one
+    * definition so the audit scores exactly the classifier it audits.
+    * 256-bucket hashed unigram+bigram features, Laplace-smoothed
+    * positive rate per bucket in integer ppm, per-doc mean over a
+    * broadcast of the 256-row model. */
+  private def hashClassifierScores(s: SparkSession,
+                                   dir: String): DataFrame = {
+    val feats = T(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.tokensLower(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("toks"),
+          graft.functions.SketchExpressions
+            .wordShingles(col("toks"), 2))).as("f"))
+      .withColumn("b", substring(md5(col("f")), 1, 2))
+    val model = feats.groupBy("b")
+      .agg(sum(when(col("source").isin("src0", "src1"), 1L)
+        .otherwise(0L)).as("cpos"),
+        count(lit(1)).as("ctot"))
+      .select(col("b"),
+        expr("(1000000 * (cpos + 1)) div (ctot + 2)").as("w_ppm"))
+    feats.join(broadcast(model), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_ppm")).as("sw"))
+      .select(col("doc_id"), col("source"), col("n_feats"),
+        expr("sw div n_feats").as("score_ppm"))
+  }
+
+  /** DuckDB CTE block for [[hashClassifierScores]] — ends in `sc`
+    * (doc_id, source, n_feats, score_ppm); shared by the t81 and
+    * t107 twins. Plain literal for the regex backslash. */
+  private val hashClfSql: String =
+    """t AS (
+           SELECT doc_id, source,
+             string_split_regex(lower(text), '\s+') AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id, source, unnest(toks) AS f FROM t
+           UNION ALL
+           SELECT doc_id, source,
+             unnest([array_to_string(toks[i:i+1], ' ')
+                     FOR i IN generate_series(1, len(toks)-1)]) AS f
+           FROM t WHERE len(toks) >= 2),
+         h AS (SELECT doc_id, source, substr(md5(f), 1, 2) AS b FROM f),
+         m AS (
+           SELECT b, CAST((1000000 *
+               (sum(CASE WHEN source IN ('src0', 'src1')
+                    THEN 1 ELSE 0 END) + 1))
+             // (count(*) + 2) AS BIGINT) AS w_ppm
+           FROM h GROUP BY b),
+         sc AS (
+           SELECT doc_id, source, count(*) AS n_feats,
+             CAST(sum(w_ppm) // count(*) AS BIGINT) AS score_ppm
+           FROM h JOIN m USING (b)
+           GROUP BY doc_id, source)"""
+
   /** Canonical-text md5 (t54's normalization) as a DuckDB expression
     * over `text` — shared by the t98/t105 twins so the dedup key
     * cannot drift from the t54 artifact. Plain literal: the regex
@@ -2757,27 +2814,49 @@ object SparkEntry {
     // the 256-row model once and only the broadcast-score side runs
     // per corpus — the train pass is a single feature-keyed shuffle
     // either way.
-    "t81_hash_classifier" -> ((s, dir) => {
-      val feats = T(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          TextOps.tokensLower(col("text")).as("toks"))
-        .select(col("doc_id"), col("source"),
-          explode(concat(col("toks"),
-            graft.functions.SketchExpressions
-              .wordShingles(col("toks"), 2))).as("f"))
-        .withColumn("b", substring(md5(col("f")), 1, 2))
-      val model = feats.groupBy("b")
-        .agg(sum(when(col("source").isin("src0", "src1"), 1L)
-          .otherwise(0L)).as("cpos"),
-          count(lit(1)).as("ctot"))
-        .select(col("b"),
-          expr("(1000000 * (cpos + 1)) div (ctot + 2)").as("w_ppm"))
-      feats.join(broadcast(model), Seq("b"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_feats"), sum(col("w_ppm")).as("sw"))
-        .select(col("doc_id"), col("n_feats"),
-          expr("sw div n_feats").as("score_ppm"),
-          expr("CAST(sw div n_feats > 500000 AS BIGINT)").as("keep"))
+    "t81_hash_classifier" -> ((s, dir) =>
+      hashClassifierScores(s, dir)
+        .select(col("doc_id"), col("n_feats"), col("score_ppm"),
+          expr("CAST(score_ppm > 500000 AS BIGINT)").as("keep"))),
+
+    // Classifier calibration audit (the reliability table every
+    // model-based quality filter should ship with — Guo et al. 2017):
+    // EQUAL-MASS decile bins of the t81 classifier's per-doc score
+    // (fixed-width bins are useless when scores concentrate — here
+    // the whole corpus lands in one 100k-ppm band), each comparing
+    // the bin's mean PREDICTED positive rate against the OBSERVED
+    // rate (membership in the curated seed t81 trained on). |gap| per
+    // bin is the ECE numerator; the threshold choice (t81's 0.5)
+    // reads straight off this table. Quantile binning needs a global
+    // rank — `twoLevelRank` keeps it hash-partitioned (no global
+    // sort, no one-reducer window); the doc total joins as a 1-row
+    // broadcast computed from a column-pruned count scan, NOT a
+    // second classifier pass. All integer ppm floor division on
+    // non-negative values — bit-exact cross-engine.
+    "t107_calibration_bins" -> ((s, dir) => {
+      val scored = hashClassifierScores(s, dir)
+      // docs with null text produce no features and never score —
+      // the cheap count must use the same membership rule
+      val n1 = T(s, dir, "documents").where(col("text").isNotNull)
+        .agg(count(lit(1)).as("n"))
+      Windows.twoLevelRank(scored, Seq.empty,
+        expr("score_ppm div 1000"),
+        Seq(col("score_ppm"), col("doc_id")), "r")
+        .crossJoin(broadcast(n1))
+        .withColumn("bin", expr("((r - 1) * 10) div n"))
+        .withColumn("y", when(col("source").isin("src0", "src1"), 1L)
+          .otherwise(0L))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min("score_ppm").as("min_pred_ppm"),
+          max("score_ppm").as("max_pred_ppm"),
+          sum("score_ppm").as("sp"), sum("y").as("sy"))
+        .select(col("bin"), col("n_docs"),
+          col("min_pred_ppm"), col("max_pred_ppm"),
+          expr("sp div n_docs").as("mean_pred_ppm"),
+          expr("(sy * 1000000) div n_docs").as("obs_pos_ppm"),
+          abs(expr("sp div n_docs") - expr("(sy * 1000000) div n_docs"))
+            .as("gap_ppm"))
     }),
 
     // Z-order data layout (the OPTIMIZE ZORDER shape): assign every
@@ -5149,29 +5228,35 @@ object SparkEntry {
          FROM l WHERE md5(line) NOT IN (SELECT lh FROM b)
          GROUP BY doc_id""",
     "t81_hash_classifier" ->
-      """WITH t AS (
-           SELECT doc_id, source,
-             string_split_regex(lower(text), '\s+') AS toks
-           FROM documents),
-         f AS (
-           SELECT doc_id, source, unnest(toks) AS f FROM t
-           UNION ALL
-           SELECT doc_id, source,
-             unnest([array_to_string(toks[i:i+1], ' ')
-                     FOR i IN generate_series(1, len(toks)-1)]) AS f
-           FROM t WHERE len(toks) >= 2),
-         h AS (SELECT doc_id, source, substr(md5(f), 1, 2) AS b FROM f),
-         m AS (
-           SELECT b, CAST((1000000 *
-               (sum(CASE WHEN source IN ('src0', 'src1')
-                    THEN 1 ELSE 0 END) + 1))
-             // (count(*) + 2) AS BIGINT) AS w_ppm
-           FROM h GROUP BY b)
-         SELECT doc_id, count(*) AS n_feats,
-           CAST(sum(w_ppm) // count(*) AS BIGINT) AS score_ppm,
-           CAST((sum(w_ppm) // count(*)) > 500000 AS BIGINT) AS keep
-         FROM h JOIN m USING (b)
-         GROUP BY doc_id""",
+      s"""WITH $hashClfSql
+         SELECT doc_id, n_feats, score_ppm,
+           CAST(score_ppm > 500000 AS BIGINT) AS keep
+         FROM sc""",
+    // Calibration twin: the shared scorer block, a plain window
+    // row_number standing in for Spark's two-level rank (identical
+    // (score, doc_id) total order), the same equal-mass bin integer
+    // arithmetic, and one bin-cardinality rollup in ppm floor
+    // division.
+    "t107_calibration_bins" ->
+      s"""WITH $hashClfSql,
+         cnt AS (SELECT count(*) AS n FROM sc),
+         r AS (SELECT sc.*, row_number()
+             OVER (ORDER BY score_ppm, doc_id) AS r
+           FROM sc),
+         b AS (SELECT ((r - 1) * 10) // n AS bin, score_ppm,
+             CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END
+               AS y
+           FROM r CROSS JOIN cnt)
+         SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(score_ppm) AS BIGINT) AS min_pred_ppm,
+           CAST(max(score_ppm) AS BIGINT) AS max_pred_ppm,
+           CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_pred_ppm,
+           CAST((sum(y) * 1000000) // count(*) AS BIGINT)
+             AS obs_pos_ppm,
+           CAST(abs(sum(score_ppm) // count(*)
+             - (sum(y) * 1000000) // count(*)) AS BIGINT) AS gap_ppm
+         FROM b GROUP BY bin""",
     "t82_zorder_layout" ->
       s"""WITH t AS (
            SELECT event_id, user_id & 65535 AS ux,
