@@ -1791,7 +1791,11 @@ object SparkEntry {
       def tgs(df: DataFrame): DataFrame = df.select(col("doc_id"),
         explode(graft.functions.SketchExpressions
           .wordShingles(TextOps.tokensLower(col("text")), 3)).as("tg"))
-      val c3 = tgs(docs.where(pmod(col("doc_id"), lit(2)) === 0))
+      // abs % 2, not pmod: DuckDB's % keeps the sign (−1 % 2 = −1),
+      // so a negative odd doc_id would land in NEITHER split there
+      // while pmod scores it — abs() on both sides makes the twins
+      // agree for any doc_id, not just the testdata's non-negatives
+      val c3 = tgs(docs.where(abs(col("doc_id")) % 2 === 0))
         .groupBy("tg").agg(count(lit(1)).as("c3"))
       val keyed = c3
         .withColumn("ctx12", substring_index(col("tg"), " ", 2))
@@ -1807,7 +1811,7 @@ object SparkEntry {
       val uni = midK.groupBy(col("w3u").as("w3"))
         .agg(count(lit(1)).as("n1w3"))
       val tot = mid.agg(count(lit(1)).cast("double").as("nbt"))
-      tgs(docs.where(pmod(col("doc_id"), lit(2)) === 1))
+      tgs(docs.where(abs(col("doc_id")) % 2 === 1))
         .withColumn("ctx12", substring_index(col("tg"), " ", 2))
         .withColumn("w23", substring_index(col("tg"), " ", -2))
         .withColumn("w3", substring_index(col("tg"), " ", -1))
@@ -1866,10 +1870,13 @@ object SparkEntry {
         countDistinct(col("h")).as("n_uniq"),
         sum("qm").as("sum_qm"),
         sum("n_chars").as("sum_chars"))
+      // asc_nulls_last: DuckDB's ASC default is NULLS LAST where
+      // Spark's is NULLS FIRST — a NULL lang tied with a named one
+      // must pick the same top_lang in both engines
       val langTop = d.groupBy("source", "lang")
         .agg(count(lit(1)).as("lc"))
         .withColumn("rn", row_number().over(Window.partitionBy("source")
-          .orderBy(col("lc").desc, col("lang"))))
+          .orderBy(col("lc").desc, col("lang").asc_nulls_last)))
         .where(col("rn") === 1)
         .select(col("source"), col("lang").as("top_lang"))
       agg.join(broadcast(langTop), Seq("source"))
@@ -4700,9 +4707,9 @@ object SparkEntry {
     // (no integer division — Spark div truncates where DuckDB //
     // floors, and these sums are negative).
     "t104_kn_doc_ppl" ->
-      s"""WITH ${knStatsSql("WHERE doc_id % 2 = 0")},
+      s"""WITH ${knStatsSql("WHERE abs(doc_id) % 2 = 0")},
          ${knDocTrigramsSqlTemplate.replace(
-        "__WHERE__", "WHERE doc_id % 2 = 1")},
+        "__WHERE__", "WHERE abs(doc_id) % 2 = 1")},
          s1 AS (SELECT doc_id, tg,
              split_part(tg,' ',1) || ' ' || split_part(tg,' ',2)
                AS ctx12,

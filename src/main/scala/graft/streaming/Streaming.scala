@@ -852,12 +852,25 @@ object Streaming {
     * below k, a2's (k−1)/h_k estimator above). Per batch: batch-local
     * agg, unionByName with the standing (source, lang)-sized table,
     * re-agg, temp-swap — never a corpus rescan. Render with
-    * [[readDataCard]]. */
+    * [[readDataCard]].
+    *
+    * Replay idempotence: unlike the KMV-only sourceSketchStream
+    * (where re-merging a batch is a set-union no-op), the additive
+    * sums here WOULD double-count a replayed microbatch — so the
+    * standing table carries the last merged batchId and the fold
+    * skips any batch at or below it (foldHostRankBatch's batchId
+    * keying, in column form). The guard holds across the temp-swap
+    * crash window: a swap that completed before the checkpoint
+    * committed leaves last_batch == the replayed id, and the orphan
+    * promote recovers the swap's own crash window first. Like
+    * hostRankStream, the contract needs a DURABLE stream checkpoint —
+    * a temp checkpoint renumbers batches from 0 and the guard would
+    * wrongly skip real early batches. */
   def dataCardStream(in: DataFrame, textCol: String, sourceCol: String,
                      langCol: String, charsCol: String,
                      sinkPath: String, k: Int = 256) = {
     in.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val enriched = batch.select(
           col(sourceCol).as("source"), col(langCol).as("lang"),
@@ -877,9 +890,10 @@ object Streaming {
           graft.functions.AggregateExpressions
             .bottomKStrings(col("h"), k).as("sk"))
           .withColumn("k", lit(k))
+          .withColumn("last_batch", lit(batchId))
         val (fs, hPath, tmp) = sinkPaths(spark, sinkPath)
         promoteOrphanTemp(fs, hPath, tmp)
-        val merged =
+        val mergedOpt =
           if (hasPartFiles(fs, hPath)) {
             val standing = spark.read.parquet(sinkPath)
             // same k-compatibility guard as sourceSketchStream: a
@@ -892,29 +906,40 @@ object Streaming {
                   s"k=$standingK, stream configured with k=$k — " +
                   "rebuild the standing table or match its k")
             }
-            val u = standing.unionByName(bAgg)
-            // two (source, lang)-sized aggs, NOT one: exploding the
-            // sketch before a combined agg would multiply the sums
-            // by the sketch size
-            val sums = u.groupBy("source", "lang").agg(
-              sum("n_docs").as("n_docs"), sum("sum_tok").as("sum_tok"),
-              sum("sum_qm").as("sum_qm"),
-              sum("sum_chars").as("sum_chars"))
-            val sks = u
-              .select(col("source"), col("lang"),
-                explode(col("sk")).as("__h"))
-              .groupBy("source", "lang")
-              .agg(graft.functions.AggregateExpressions
-                .bottomKStrings(col("__h"), k).as("sk"))
-            // left + coalesce: an all-null-text group has an empty
-            // sketch, which explode drops entirely
-            sums.join(sks, Seq("source", "lang"), "left")
-              .withColumn("sk",
-                coalesce(col("sk"), array().cast("array<string>")))
-              .withColumn("k", lit(k))
-          } else bAgg
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        swapInTemp(fs, hPath, tmp)
+            // replay guard: a batch already folded into the standing
+            // sums must not fold twice (see scaladoc)
+            val lbHead = standing.agg(max(col("last_batch"))).head
+            val lastMerged =
+              if (lbHead.isNullAt(0)) -1L else lbHead.getLong(0)
+            if (batchId <= lastMerged) None
+            else {
+              val u = standing.unionByName(bAgg)
+              // two (source, lang)-sized aggs, NOT one: exploding the
+              // sketch before a combined agg would multiply the sums
+              // by the sketch size
+              val sums = u.groupBy("source", "lang").agg(
+                sum("n_docs").as("n_docs"), sum("sum_tok").as("sum_tok"),
+                sum("sum_qm").as("sum_qm"),
+                sum("sum_chars").as("sum_chars"))
+              val sks = u
+                .select(col("source"), col("lang"),
+                  explode(col("sk")).as("__h"))
+                .groupBy("source", "lang")
+                .agg(graft.functions.AggregateExpressions
+                  .bottomKStrings(col("__h"), k).as("sk"))
+              // left + coalesce: an all-null-text group has an empty
+              // sketch, which explode drops entirely
+              Some(sums.join(sks, Seq("source", "lang"), "left")
+                .withColumn("sk",
+                  coalesce(col("sk"), array().cast("array<string>")))
+                .withColumn("k", lit(k))
+                .withColumn("last_batch", lit(batchId)))
+            }
+          } else Some(bAgg)
+        mergedOpt.foreach { merged =>
+          merged.write.mode("overwrite").parquet(tmp.toString)
+          swapInTemp(fs, hPath, tmp)
+        }
         ()
     }
   }
@@ -937,11 +962,13 @@ object Streaming {
       .groupBy("source")
       .agg(graft.functions.AggregateExpressions
         .bottomKStrings(col("__h"), k).as("sk"))
+    // asc_nulls_last mirrors batch t105's tiebreak (DuckDB's ASC is
+    // NULLS LAST; Spark's default is NULLS FIRST)
     val langTop = st.groupBy("source", "lang")
       .agg(sum("n_docs").as("lc"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("source")
-          .orderBy(col("lc").desc, col("lang"))))
+          .orderBy(col("lc").desc, col("lang").asc_nulls_last)))
       .where(col("rn") === 1)
       .select(col("source"), col("lang").as("top_lang"))
     sums.join(sks, Seq("source"), "left")

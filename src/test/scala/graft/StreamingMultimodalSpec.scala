@@ -533,6 +533,21 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(nullRow.getLong(1) === 1L)       // n_docs counts the doc
     assert(nullRow.getLong(3) === 1000000L) // 0 distinct hashes ⇒ all-dup
     assert(nullRow.isNullAt(5))             // no quality signal ⇒ null mean
+    // REPLAY: a second stream over the same sink runs on a fresh
+    // checkpoint, so its batches renumber from 0 and re-deliver rows
+    // already folded into the standing sums — the last_batch guard
+    // must skip them (before the guard this double-counted n_docs and
+    // every additive mean)
+    val input2 = MemoryStream[(String, String, Long, String)]
+    val q2 = Streaming.dataCardStream(
+      input2.toDS().toDF("source", "lang", "n_chars", "text"),
+      "text", "source", "lang", "n_chars", sink).start()
+    input2.addData(b2.toSeq); q2.processAllAvailable()
+    q2.stop()
+    val replayed = Streaming.readDataCard(spark, sink).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    assert(replayed === got.map { case (s2, r) => s2 -> r.toSeq },
+      "a replayed (re-numbered) batch must not double-count the card")
   }
 
   test("semDedupStream drops near-dups within batches and vs the sink") {
