@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   *  - events keep their time range: 10× denser traffic (the scale-up
   *    shape) rather than a 10× longer history.
   *
-  * Usage: runMain graft.DataGen [srcDir] [outDir] [factor]
+  * Usage: runMain graft.DataGen [srcDir] [outDir] [factor] [skew]
+  * (4th arg literal "skew": 80% of documents collapse into one
+  * dominant source — the per-group-window stress shape.)
   * Writes OUTSIDE the repo (default /tmp/sf1); never touches
   * /root/testdata. */
 object DataGen {
@@ -81,11 +83,23 @@ object DataGen {
 
     val docs = read("documents")
     val docMod = maxOf(docs, "doc_id") + 1
-    write(stack(docs)((d, r) =>
+    // skew mode (4th arg "skew"): collapse 80% of documents into ONE
+    // dominant source — the real shape of a pretraining corpus (one
+    // crawl dwarfs every curated set) and the shape that breaks any
+    // plan sorting a whole source through one task. Deterministic
+    // (doc_id mod 10), applied after replication so the dominant
+    // source also dominates every replica.
+    val skew = args.length > 3 && args(3) == "skew"
+    val skewed: DataFrame => DataFrame = d =>
+      if (!skew) d
+      else d.withColumn("source",
+        when(pmod(col("doc_id"), lit(10)) < 8, lit("src_dominant"))
+          .otherwise(col("source")))
+    write(skewed(stack(docs)((d, r) =>
       d.withColumn("doc_id", col("doc_id") + lit(r * docMod))
         .withColumn("text", translate(col("text"),
           "aeiou0123456789",
-          rot("aeiou", r % 5) + rot("0123456789", r % 10)))),
+          rot("aeiou", r % 5) + rot("0123456789", r % 10))))),
       "documents")
 
     val vecs = read("embeddings")

@@ -1933,16 +1933,21 @@ object SparkEntry {
     // (source, conv) — never globally); each role tag costs 1 token.
     // Span/render aggregation goes through sort_array(collect_list(
     // struct(turn, …))) so shuffle nondeterminism cannot reorder the
-    // rendered string. Two corpus shuffles total (source window,
-    // conversation agg); both keys stay high-cardinality at scale.
+    // rendered string. Turn numbers come from `Windows.twoLevelRank`
+    // (bucket = doc_id block), NOT a per-source row_number window: a
+    // pretraining corpus has O(10) sources with one routinely 80% of
+    // the data, and a single-level Window.partitionBy(source) would
+    // serialize that source's entire document set through ONE task's
+    // sort — the t95/t96 trap. Corpus shuffles stay keyed on
+    // (source × block) and (source, conv); both high-cardinality.
     // Empty span lists render as '' (Spark array_join convention;
     // the twin COALESCEs DuckDB's NULL string_agg to match).
     "t101_chat_template" -> ((s, dir) => {
-      val wSrc = Window.partitionBy("source").orderBy("doc_id")
-      val turns = T(s, dir, "documents")
+      val docs = T(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           coalesce(col("text"), lit("")).as("text"))
-        .withColumn("rn", row_number().over(wSrc).cast("long"))
+      val turns = Windows.twoLevelRank(docs, Seq("source"),
+          expr("doc_id DIV 64"), Seq(col("doc_id")), "rn")
         .withColumn("conv", expr("(rn - 1) div 4"))
         .withColumn("turn", (col("rn") - lit(1L)) % 4 + 1)
         .withColumn("role",
@@ -2013,21 +2018,28 @@ object SparkEntry {
     // group sits out. Margins ship in exact micro-units (the score is
     // 6-dp-rounded, so round(q·10⁶) is integer-exact cross-engine and
     // ORDER BY qm ≡ ORDER BY q); `strong` flags pairs clearing 0.05.
-    // Shapes: one text scan, source-partitioned windows, one
-    // (source, rank)-keyed equi self-join — nothing global, skew
-    // bounded by source size.
+    // Shapes: one text scan; per-source ranks via
+    // `Windows.twoLevelRank` (bucket = −qm block, monotone in the
+    // qm-desc order — a single-level per-source rank window would
+    // sort a dominant source through ONE task at 100 TB); per-source
+    // counts as a source-cardinality agg broadcast back; one
+    // (source, rank)-keyed equi self-join. Nothing global; skew
+    // bounded by the qm-bucket size, not the source size.
     "t103_dpo_pairs" -> ((s, dir) => {
-      val wq = Window.partitionBy("source")
-        .orderBy(col("qm").desc, col("doc_id"))
-      val ranked = T(s, dir, "documents")
+      val scored = T(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           graft.functions.SketchExpressions.textStats(col("text"))
             .as("__st"))
         .withColumn("q", TextOps.qualityScoreFrom(col("__st")))
         .withColumn("qm", round(col("q") * lit(1000000.0)).cast("long"))
-        .withColumn("r", row_number().over(wq).cast("long"))
-        .withColumn("n",
-          count(lit(1)).over(Window.partitionBy("source")))
+      val counts = scored.groupBy("source").agg(count(lit(1)).as("n"))
+      // coalesce(−1) in bucket AND order: a NULL qm would silently
+      // drop out of twoLevelRank's bucket join; −1 sits below every
+      // real micro-score, reproducing qm-desc NULLS LAST exactly
+      val ranked = Windows.twoLevelRank(scored, Seq("source"),
+          expr("-(coalesce(qm, -1L) DIV 1000)"), // ascending in qm desc
+          Seq(coalesce(col("qm"), lit(-1L)).desc, col("doc_id")), "r")
+        .join(broadcast(counts), Seq("source"))
         .select("doc_id", "source", "qm", "r", "n")
       val chosen = ranked.where(col("r") <= expr("n div 2"))
         .select(col("source"), col("r").as("pair_id"),
@@ -3110,36 +3122,59 @@ object SparkEntry {
 
     // Sequence packing: assign documents to fixed-token-budget packs by
     // an exclusive running token count, deterministically ordered by
-    // doc_id WITHIN each source shard — packing parallelizes per shard
-    // (the window never sees the whole corpus), the standard layout for
+    // doc_id WITHIN each source shard — the standard layout for
     // pretraining batch assembly. Greedy first-fit is order-dependent;
     // the deterministic shard+cumsum form is reproducible anywhere.
+    // The running count is `Windows.twoLevelPrefixSum` keyed on
+    // (source × doc_id block): a single-level per-source cumsum
+    // window would serialize a dominant source through ONE task —
+    // the t95/t96 trap.
     "t24_seq_packing" -> ((s, dir) => {
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      T(s, dir, "documents")
+      val toks = T(s, dir, "documents")
         .select(col("source"), col("doc_id"),
           size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      Windows.twoLevelPrefixSum(toks, Seq("source"),
+          expr("doc_id DIV 64"), Seq(col("doc_id")),
+          col("n_tokens"), "__cum")
         .withColumn("pack_id",
-          floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
-            / lit(2000.0)).cast("long"))
+          floor(col("__cum") / lit(2000.0)).cast("long"))
         .select(col("source"), col("doc_id"), col("n_tokens"),
           col("pack_id"))
     }),
 
     // Quality-tiered sharding: ntile(4) per language by descending
     // quality score (doc_id tiebreak) — curriculum/data-mixing shards.
-    // Per-group windows parallelize across languages; the quality
-    // signal comes off the single-pass textStats kernel.
+    // The quality signal comes off the single-pass textStats kernel.
+    // ntile is derived arithmetically from a `Windows.twoLevelRank`
+    // rank plus a lang-cardinality count broadcast (the SQL-standard
+    // tiling: the first n%k tiles take ⌈n/k⌉ rows — exactly Spark's
+    // and DuckDB's NTile), because the builtin ntile window needs a
+    // single-level per-lang sort: ONE task per language at 100 TB
+    // when one language dominates the corpus.
     "t25_quality_shards" -> ((s, dir) => {
-      val w = Window.partitionBy("lang")
-        .orderBy(col("q_score").desc, col("doc_id"))
-      T(s, dir, "documents")
+      val scored = T(s, dir, "documents")
         .select(col("lang"), col("doc_id"),
           graft.functions.SketchExpressions.textStats(col("text"))
             .as("__st"))
         .select(col("lang"), col("doc_id"),
           TextOps.qualityScoreFrom(col("__st")).as("q_score"))
-        .withColumn("tier", ntile(4).over(w).cast("long"))
+      val counts = scored.groupBy("lang").agg(count(lit(1)).as("__n"))
+      // coalesce(−1) in bucket AND order: NULL q_score would silently
+      // drop out of the bucket join; −1 sits below every real score,
+      // reproducing q-desc NULLS LAST exactly
+      Windows.twoLevelRank(scored, Seq("lang"),
+          -floor(coalesce(col("q_score"), lit(-1.0)) * lit(10000.0))
+            .cast("long"),
+          Seq(coalesce(col("q_score"), lit(-1.0)).desc, col("doc_id")),
+          "__r")
+        .join(broadcast(counts), Seq("lang"))
+        .withColumn("tier",
+          expr("""CASE WHEN __r <= (__n % 4) * (__n DIV 4 + 1)
+                  THEN (__r - 1) DIV (__n DIV 4 + 1) + 1
+                  ELSE __n % 4
+                    + (__r - (__n % 4) * (__n DIV 4 + 1) - 1)
+                      DIV (__n DIV 4) + 1 END""").cast("long"))
+        .select("lang", "doc_id", "q_score", "tier")
     }),
 
     // Data-mixing weights: per-source token share of the corpus (the
@@ -3291,16 +3326,22 @@ object SparkEntry {
 
     // Stratified deterministic sampling: keep the top 20% of each
     // source by md5(doc_id) rank — reproducible anywhere (no RNG
-    // state), per-stratum quota honored exactly via one window pass.
-    // The 100 TB shape: rank keys are map-side hashes; each stratum
-    // sorts independently inside its partition group.
+    // state), per-stratum quota honored exactly. The 100 TB shape:
+    // ranks via `Windows.twoLevelRank` bucketed on the hash's first
+    // 3 hex digits (fixed-width lowercase hex ⇒ lexical order ≡
+    // numeric order, so the bucket is monotone in the rank order); a
+    // single-level per-source window would sort a dominant stratum
+    // through ONE task. Stratum sizes are a source-cardinality agg
+    // broadcast back.
     "t32_stratified_sample" -> ((s, dir) => {
-      val w = Window.partitionBy("source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      val wc = Window.partitionBy("source")
-      T(s, dir, "documents").select(col("source"), col("doc_id"))
-        .withColumn("__rn", row_number().over(w))
-        .withColumn("__n", count(lit(1)).over(wc))
+      val hashed = T(s, dir, "documents")
+        .select(col("source"), col("doc_id"))
+        .withColumn("__h", md5(col("doc_id").cast("string")))
+      val counts = hashed.groupBy("source").agg(count(lit(1)).as("__n"))
+      Windows.twoLevelRank(hashed, Seq("source"),
+          conv(substring(col("__h"), 1, 3), 16, 10).cast("long"),
+          Seq(col("__h"), col("doc_id")), "__rn")
+        .join(broadcast(counts), Seq("source"))
         .where(col("__rn") <= ceil(col("__n") * 0.2))
         .select(col("source"), col("doc_id"))
     }),

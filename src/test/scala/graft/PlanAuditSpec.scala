@@ -459,6 +459,35 @@ class PlanAuditSpec extends SparkSpec {
       s"t96's (source × block) offset table must broadcast back:\n$p")
   }
 
+  // The one-task-per-source trap: a window partitioned by a LOW-
+  // cardinality group key (source/lang — O(10) values, one of them
+  // routinely 80% of a pretraining corpus) sorting real data rows
+  // serializes the dominant group through ONE task. In the plan text
+  // such a window reads `windowspecdefinition(source#N, <col> ASC…`
+  // — a single partition key followed directly by a SORT item. The
+  // only legitimate instance is twoLevelRank/PrefixSum's level-1
+  // cumsum, which orders the BUCKET-cardinality table by __tlb.
+  private val perGroupCorpusSort =
+    """windowspecdefinition\((source|lang)#\d+, (?!__tlb#)[^,]* (ASC|DESC)""".r
+
+  test("t101/t103/t24/t25/t32: per-source ranks ride the two-level " +
+    "scan — no single-level per-group window ever sorts corpus rows") {
+    Seq("t101_chat_template", "t103_dpo_pairs", "t24_seq_packing",
+      "t25_quality_shards", "t32_stratified_sample").foreach { q =>
+      val p = plan(q)
+      assert(perGroupCorpusSort.findFirstIn(p).isEmpty,
+        s"$q plans a corpus-row sort window partitioned by the group " +
+          s"key alone — one task per source at 100 TB:\n" +
+          perGroupCorpusSort.findFirstIn(p).getOrElse(""))
+      assert(p.contains("__tlb"),
+        s"$q must rank through twoLevelRank/PrefixSum's bucket path")
+      assert(!p.contains("SinglePartition"),
+        s"$q must not plan any global window:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q's bucket-offset/count tables must broadcast back:\n$p")
+    }
+  }
+
   test("t97: one corpus shuffle; every stats join broadcasts the " +
     "top-50, never a sort-merge join") {
     val p = plan("t97_kn_trigram")
