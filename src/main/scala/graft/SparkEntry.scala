@@ -2623,8 +2623,9 @@ object SparkEntry {
 
     // BPE ENCODE with the learned tokenizer — closes the tokenizer
     // loop (t71 trains, this applies): per-word symbol counts are
-    // computed ONCE on the vocab-sized word table (the encode fold
-    // unrolls the 8 learned merges statically into the plan), then
+    // computed ONCE on the vocab-sized word table (the merge table
+    // ships as DATA inside one BpeEncodeExpr kernel — plan size flat
+    // in merge count, so a 32k-merge vocab plans like this 8), then
     // per-doc token counts come from the exploded corpus joining that
     // vocab on the token key — dsirScore's exact join shape (vocab
     // broadcasts at small corpora via AQE; at 100 TB it's a token-

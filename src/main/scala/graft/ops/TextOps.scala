@@ -439,12 +439,26 @@ object TextOps {
     * except when a supplementary-plane symbol compares against one in
     * U+E000–U+FFFF (the documented UTF8String-vs-String divergence) —
     * impossible under ASCII-safe pre-tokenization. */
-  /** Apply a learned merge table to a symbol array, in rank order —
-    * the BPE ENCODE step. The merge list is driver-side state (it IS
-    * the tokenizer), so the fold unrolls statically into the plan:
-    * one nested expression, no per-row table lookups. */
+  /** Apply a learned merge table to a symbol array — the BPE ENCODE
+    * step. The merge list is driver-side state (it IS the tokenizer)
+    * and ships as DATA inside one Catalyst kernel expression
+    * ([[graft.functions.BpeExpressions.BpeEncodeExpr]]): plan size
+    * and per-row cost stay FLAT in the merge count, so a production
+    * 32k-merge vocabulary plans exactly like the toy 8-merge one.
+    * (The previous form folded `bpeMergeOnce` once per merge —
+    * statically unrolling the table into the plan, linear plan growth;
+    * kept below for training and spec-locked equivalent on trained
+    * tables in BpeKernelSpec.) */
   def bpeEncode(sym: Column,
                 merges: Seq[(String, String, Long)]): Column =
+    graft.functions.BpeExpressions.bpeEncode(
+      sym, merges.map(m => (m._1, m._2)))
+
+  /** The unrolled fold form of encode — one plan node per merge.
+    * Retained as the independent reference implementation for the
+    * kernel's equivalence spec; production encode is [[bpeEncode]]. */
+  def bpeEncodeUnrolled(sym: Column,
+                        merges: Seq[(String, String, Long)]): Column =
     merges.foldLeft(sym) { case (c, (a, b, _)) => bpeMergeOnce(c, a, b) }
 
   def bpeTrainMerges(words: DataFrame, wordCol: String, cntCol: String,
@@ -478,6 +492,77 @@ object TextOps {
       }
     }
     cur.unpersist()
+    out.toSeq
+  }
+
+  /** Driver-local BPE training over a COLLECTED (word, count) vocab —
+    * the production trainer for real merge counts. `bpeTrainMerges`
+    * runs one Spark job per merge (fine for its distributed-counting
+    * demonstration; 32k merges would be 32k jobs), while the actual
+    * working set after the one corpus-scan word count is vocab-sized
+    * (Heaps: ~10⁶ distinct words at 100 TB — MBs on the driver, the
+    * q39/Misra–Gries bounded-driver-state precedent; real tokenizer
+    * recipes also train on a capped sample). Same algorithm, same
+    * determinism contract: per round, weighted adjacent-pair counts,
+    * winner by (count desc, a asc, b asc) in Java String order (≡ the
+    * engine's UTF8 binary order under ASCII-safe pre-tokenization —
+    * the bpeTrainMerges scaladoc's caveat), merge folded into every
+    * word. Equality with bpeTrainMerges is spec-locked on the shared
+    * vocab (BpeKernelSpec). */
+  def bpeTrainMergesLocal(words: Seq[(String, Long)],
+                          numMerges: Int): Seq[(String, String, Long)] = {
+    val syms: Array[scala.collection.mutable.ArrayBuffer[String]] =
+      words.map { case (w, _) =>
+        // UTF-16 code units, like split(w, "") on the engine side
+        scala.collection.mutable.ArrayBuffer
+          .from(w.toCharArray.map(_.toString))
+      }.toArray
+    val cnts = words.map(_._2).toArray
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    var done = false
+    while (out.length < numMerges && !done) {
+      val pc = new java.util.HashMap[(String, String), Long]()
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi)
+        var j = 0
+        while (j < s.length - 1) {
+          val k = (s(j), s(j + 1))
+          pc.merge(k, cnts(wi), (x, y) => x + y)
+          j += 1
+        }
+        wi += 1
+      }
+      if (pc.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        pc.forEach { (k, c) =>
+          if (best == null || c > best._2 ||
+              (c == best._2 && (k._1 < best._1._1 ||
+                (k._1 == best._1._1 && k._2 < best._1._2))))
+            best = (k, c)
+        }
+        val ((a, b), c) = best
+        out += ((a, b, c))
+        val ab = a + b
+        wi = 0
+        while (wi < syms.length) {
+          val s = syms(wi)
+          if (s.length >= 2) {
+            val ns = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == a && s(j + 1) == b) {
+                ns += ab; j += 2
+              } else { ns += s(j); j += 1 }
+            }
+            syms(wi) = ns
+          }
+          wi += 1
+        }
+      }
+    }
     out.toSeq
   }
 }

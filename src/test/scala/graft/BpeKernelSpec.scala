@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+/** The data-driven BPE encode kernel (BpeExpressions.BpeEncodeExpr)
+  * and the driver-local trainer, against three independent anchors:
+  * the unrolled fold (the old plan-structural encode), the
+  * distributed Spark trainer, and a plain-Scala reference encode —
+  * plus the scale property the kernel exists for: plan size flat in
+  * the merge count at ≥1k merges. */
+class BpeKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpusWords(dir: String): Seq[(String, Long)] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(TextOps.tokensLower(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy("w")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Reference encode: apply merges once each in rank order, one
+    * greedy left-to-right pass per merge, in plain Scala. */
+  private def refEncode(w: String,
+                        merges: Seq[(String, String, Long)]): Seq[String] =
+    merges.foldLeft(w.toCharArray.map(_.toString).toSeq) {
+      case (syms, (a, b, _)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        out.toSeq
+    }
+
+  test("local trainer reproduces the distributed trainer's merge " +
+    "table exactly (same counts, same tie order)") {
+    val words = corpusWords("/root/testdata/sf0.001")
+    val df = words.toDF("w", "cnt")
+    val dist = TextOps.bpeTrainMerges(df, "w", "cnt", numMerges = 8)
+    val local = TextOps.bpeTrainMergesLocal(words, numMerges = 8)
+    assert(local === dist)
+  }
+
+  test("kernel encode == unrolled fold == plain-Scala reference on " +
+    "every corpus word under the trained table") {
+    val words = corpusWords("/root/testdata/sf0.001")
+    val merges = TextOps.bpeTrainMergesLocal(words, numMerges = 8)
+    val df = words.toDF("w", "cnt")
+      .select(col("w"),
+        TextOps.bpeEncode(split(col("w"), ""), merges).as("kern"),
+        TextOps.bpeEncodeUnrolled(split(col("w"), ""), merges)
+          .as("fold"))
+      .collect()
+    df.foreach { r =>
+      val w = r.getString(0)
+      val kern = r.getSeq[String](1)
+      val fold = r.getSeq[String](2)
+      assert(kern === fold, s"kernel vs fold diverged on '$w'")
+      assert(kern === refEncode(w, merges),
+        s"kernel vs scala reference diverged on '$w'")
+      assert(kern.mkString === w, s"tokens must respell '$w'")
+    }
+  }
+
+  /** ≥1k merges: the corpus vocab (31 distinct synthetic words)
+    * exhausts after ~100 merges, so the scale point runs on a
+    * generated 4k-word vocab with enough pair mass to sustain 1200
+    * merges. */
+  private def bigVocab: Seq[(String, Long)] =
+    (0 until 4000).map { i =>
+      // deterministic pseudo-words over a 6-letter alphabet, length 12
+      val sb = new StringBuilder
+      var x = i * 2654435761L & 0x7fffffffL
+      (0 until 12).foreach { _ =>
+        sb += ('a' + (x % 6).toInt).toChar; x = (x * 48271) % 2147483647L
+      }
+      (sb.toString, (i % 97 + 1).toLong)
+    }.distinct
+
+  test("1k+ merge table: kernel encode equals the reference at every " +
+    "word, and the PLAN stays flat in the merge count") {
+    val words = bigVocab
+    val merges = TextOps.bpeTrainMergesLocal(words, numMerges = 1200)
+    assert(merges.length >= 1000,
+      s"vocab only sustained ${merges.length} merges")
+    val df = words.toDF("w", "cnt")
+    val enc = df.select(col("w"),
+      TextOps.bpeEncode(split(col("w"), ""), merges).as("t"))
+    // correctness at 1200 merges, all 4k words
+    enc.collect().foreach { r =>
+      val w = r.getString(0)
+      assert(r.getSeq[String](1) === refEncode(w, merges),
+        s"kernel diverged from reference on '$w'")
+    }
+    // plan-size flatness: 8 merges vs 1200 merges must plan the same
+    // number of nodes and near-identical text (the old fold grew one
+    // nested aggregate() per merge). Measured over a PARQUET-backed
+    // frame — ConvertToLocalRelation eagerly evaluates projections
+    // over a local Seq and would reduce every variant to its result
+    // rows, flattening the comparison to nothing.
+    val pdf = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(TextOps.tokensLower(col("text"))).as("w"))
+    def planOf(m: Seq[(String, String, Long)]): String =
+      pdf.select(TextOps.bpeEncode(split(col("w"), ""), m).as("t"))
+        .queryExecution.optimizedPlan.toString
+    val p8 = planOf(merges.take(8))
+    val p1200 = planOf(merges)
+    assert(p1200.linesIterator.size === p8.linesIterator.size,
+      "plan NODE count must not grow with the merge count")
+    // the only textual growth allowed is the expression's truncated
+    // argument display (maxToStringFields caps it), never per-merge
+    // plan structure
+    assert(p1200.length <= p8.length + 512,
+      s"plan text grew superlinearly: 8 merges -> ${p8.length} " +
+        s"chars, 1200 merges -> ${p1200.length} chars")
+    // and the unrolled fold demonstrably does NOT stay flat (the
+    // motivation, kept honest)
+    def foldPlanLen(m: Seq[(String, String, Long)]): Int =
+      pdf.select(TextOps.bpeEncodeUnrolled(split(col("w"), ""), m)
+          .as("t"))
+        .queryExecution.optimizedPlan.toString.length
+    assert(foldPlanLen(merges.take(64)) > 4 * foldPlanLen(merges.take(8)),
+      "the unrolled fold should grow ~linearly in merges")
+  }
+
+  test("t73 still rides the kernel: encode of an in-vocab word " +
+    "equals its final training state") {
+    val words = corpusWords("/root/testdata/sf0.001")
+    val merges = TextOps.bpeTrainMergesLocal(words, numMerges = 8)
+    // final training state = refEncode under the trained-table
+    // contract; spot-lock the whole vocab through the KERNEL column
+    val enc = words.toDF("w", "cnt")
+      .select(col("w"), TextOps.bpeEncode(split(col("w"), ""), merges)
+        .as("t")).collect()
+    enc.foreach { r =>
+      assert(r.getSeq[String](1) === refEncode(r.getString(0), merges))
+    }
+  }
+}
