@@ -147,6 +147,34 @@ object SparkEntry {
     Dedup.clusterLabels(docs, "doc_id", "shingles", k = 8, bands = 4)
   }
 
+  /** Materialize-once cluster labels — `Dedup.clusterLabels`' scaladoc
+    * contract made real instead of prose: the first caller per (JVM,
+    * corpus dir) computes the t12 label table ONCE and persists it via
+    * `Writers.writeWithManifest` (16 cluster-hash shards, min/max
+    * stats); every d5/t56/t57/t72/t86-style report then derives from
+    * the ARTIFACT scan — the LSH shingle/signature pass and the CC
+    * fixpoint never re-run per consumer (plan-locked: the derived
+    * plans contain zero graft_minhash/word_shingles work). t12 itself
+    * stays on the live pipeline so the machinery keeps its own
+    * oracle + bench measurement. The memo is per-JVM: a fresh process
+    * recomputes once (labels are deterministic, so an overwrite is
+    * idempotent); within a process the artifact is reused, which is
+    * exactly the production cadence (one labeling per corpus
+    * snapshot, many consumers). */
+  private val stagedLabelsDone =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def stagedNeardupLabels(s: SparkSession,
+                                  dir: String): DataFrame = {
+    val path = "/tmp/graft_staged/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "/cluster_labels"
+    if (stagedLabelsDone.add(path))
+      graft.sink.Writers.writeWithManifest(
+        neardupLabels(s, dir)
+          .withColumn("shard", pmod(col("cluster_id"), lit(16L))),
+        path, Seq("shard"), Seq("doc_id", "cluster_id"))
+    s.read.parquet(path).select("doc_id", "cluster_id")
+  }
+
   /** The 16 deterministic seed centroids shared by q36/q39/t69 (first
     * 16 vectors as seeds; the SQL twins carry the same `vec_id < 16`
     * literal — ONE Scala definition so the seeding scheme cannot
@@ -1147,14 +1175,14 @@ object SparkEntry {
     // Dedup savings report — the "what did near-dedup buy" artifact
     // you read before paying for a corpus-wide dedup materialization:
     // cluster-size histogram with total vs kept tokens (keep-min
-    // convention, d5's). Shares the ONE cluster-label pipeline
-    // (`Dedup.clusterLabels` via neardupLabels — materialize-once at
-    // scale) + a cluster-keyed agg + a histogram-sized agg; the only
-    // new shuffles are cluster-count-sized.
+    // convention, d5's). Reads the ONE staged cluster-label artifact
+    // (stagedNeardupLabels — materialized once per corpus snapshot)
+    // + a cluster-keyed agg + a histogram-sized agg; the only new
+    // shuffles are cluster-count-sized.
     "t86_dedup_savings" -> ((s, dir) => {
       val toks = T(s, dir, "documents").select(col("doc_id"),
         size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
-      val per = neardupLabels(s, dir).join(toks, Seq("doc_id"))
+      val per = stagedNeardupLabels(s, dir).join(toks, Seq("doc_id"))
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("sz"), sum(col("n_tok")).as("tok"),
           min(struct(col("doc_id"), col("n_tok"))).as("__keep"))
@@ -2433,17 +2461,18 @@ object SparkEntry {
     // Near-dedup resolution: one kept document per duplicate cluster
     // (the cluster label IS the min doc_id by construction) with member
     // counts — the step that turns t12's clusters into the deduped
-    // corpus. Same LSH star-edge → connected-components pipeline, plus
-    // one cluster-keyed agg.
+    // corpus. Reads the STAGED label artifact (stagedNeardupLabels —
+    // labels materialize once per corpus, plan-locked LSH/CC-free
+    // here), plus one cluster-keyed agg.
     "d5_neardup_keep" -> ((s, dir) =>
-      neardupLabels(s, dir)
+      stagedNeardupLabels(s, dir)
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_docs"))),
 
     // Quality-aware canonical selection: d5 keeps each near-dup
     // cluster's MIN doc_id; real pipelines keep the BEST copy — the
-    // member maximizing the quality kernel (doc_id tiebreak). Same
-    // cluster machinery (star edges → connected components), then one
+    // member maximizing the quality kernel (doc_id tiebreak). Labels
+    // come off the staged artifact (materialize-once), then one
     // per-cluster window over cluster-sized groups; singletons keep
     // themselves via the left-join coalesce.
     "t56_keep_best" -> ((s, dir) => {
@@ -2455,7 +2484,7 @@ object SparkEntry {
             .as("__st"))
         .select(col("doc_id"),
           TextOps.qualityScoreFrom(col("__st")).as("q_score"))
-        .join(neardupLabels(s, dir), Seq("doc_id"))
+        .join(stagedNeardupLabels(s, dir), Seq("doc_id"))
         .withColumn("__rk", row_number().over(w))
         .where(col("__rk") === 1)
         .select(col("cluster_id"), col("doc_id").as("kept_doc"),
@@ -2466,11 +2495,11 @@ object SparkEntry {
     // documents are non-canonical members of a near-dup cluster (the
     // metric that tells you which feed is paying for redundant
     // storage/training). Canonical = cluster min id, d5's convention;
-    // the rate is dropped/total per source. Cluster labels are the
-    // same CC output; the per-source agg is a tiny shuffle.
+    // the rate is dropped/total per source. Cluster labels read off
+    // the staged artifact; the per-source agg is a tiny shuffle.
     "t57_source_dup_rate" -> ((s, dir) =>
       T(s, dir, "documents").select(col("doc_id"), col("source"))
-        .join(neardupLabels(s, dir), Seq("doc_id"))
+        .join(stagedNeardupLabels(s, dir), Seq("doc_id"))
         .select(col("source"),
           (col("cluster_id") =!= col("doc_id")).cast("long").as("__dup"))
         .groupBy("source")
@@ -2666,7 +2695,7 @@ object SparkEntry {
       val h2 = substring(
         md5(concat(col("cluster_id").cast("string"), lit("|csplit"))),
         1, 2)
-      neardupLabels(s, dir).select(col("doc_id"), col("cluster_id"),
+      stagedNeardupLabels(s, dir).select(col("doc_id"), col("cluster_id"),
         when(h2 < "e6", "train").when(h2 < "f3", "val")
           .otherwise("test").as("split"))
     }),
@@ -3897,6 +3926,47 @@ object SparkEntry {
       Dedup.kmvOverlapEstimates(
         Dedup.kmvSourceSketches(T(s, dir, "documents"), "text", "source",
           n = 8, k = 256), k = 256)),
+
+    // t52b's estimates graduated into the DRIVER's gate (the a1b
+    // pattern): the PropertySpec ε contract — disjoint pairs estimate
+    // EXACT zero-ish (≤5 grams: KMV intersection of disjoint sketches
+    // is empty, so false positives are structural, not statistical),
+    // established pairs (≥30 shared grams) stay inside the honest
+    // [0.2x, 4x] band of the tiny-J regime, the in-between stays
+    // unconstrained — evaluated INSIDE the query against the exact
+    // t52 matrix over the same rows, emitting only booleans plus the
+    // exact count. The DuckDB oracle (which cannot reproduce the KMV
+    // estimate) contributes the exact counts over ALL source pairs
+    // and the expectation that every bound HOLDS — any estimator
+    // drift flips a flag and hash-fails the round. t52b itself stays
+    // rows-only so the raw estimates remain inspectable.
+    "t52c_overlap_bounds" -> ((s, dir) => {
+      val n = 8
+      val g = T(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.SketchExpressions
+            .windowHashes(TextOps.tokens(col("text")), n)).as("__w"))
+        .select(col("source"), col("__w.gh").as("gh")).distinct()
+      val exact = g.select(col("source").as("source_a"), col("gh"))
+        .join(g.select(col("source").as("source_b"), col("gh")),
+          Seq("gh"))
+        .where(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(countDistinct(col("gh")).as("__x"))
+      Dedup.kmvOverlapEstimates(
+          Dedup.kmvSourceSketches(T(s, dir, "documents"), "text",
+            "source", n = n, k = 256), k = 256)
+        .join(exact, Seq("source_a", "source_b"), "left")
+        .withColumn("n_shared_grams", coalesce(col("__x"), lit(0L)))
+        .select(col("source_a"), col("source_b"),
+          col("n_shared_grams"),
+          when(col("n_shared_grams") === 0,
+            col("est_shared_grams") <= 5.0)
+            .when(col("n_shared_grams") >= 30,
+              col("est_shared_grams") >= col("n_shared_grams") * 0.2 &&
+                col("est_shared_grams") <= col("n_shared_grams") * 4.0)
+            .otherwise(lit(true)).as("est_ok"))
+    }),
 
     // Gopher-style rule-based quality gate (Rae et al. 2021, table A1):
     // named per-document heuristics — word count bounds, mean word
@@ -6781,6 +6851,34 @@ object SparkEntry {
          FROM g a JOIN g b USING (gh)
          WHERE a.source < b.source
          GROUP BY 1, 2""",
+    // exact counts over ALL pairs (zero-overlap pairs included — the
+    // estimator emits every a<b pair) + the expectation that every
+    // ε bound HOLDS; the booleans are computed Spark-side against the
+    // exact matrix over the same rows
+    "t52c_overlap_bounds" ->
+      """WITH t AS (
+           SELECT source, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         f AS (SELECT source, toks FROM t WHERE len(toks) >= 8),
+         g AS (SELECT DISTINCT source,
+             unnest([substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16)
+                     FOR i IN generate_series(1, len(toks)-7)]) AS gh
+           FROM f),
+         x AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+             count(DISTINCT a.gh) AS nsh
+           FROM g a JOIN g b USING (gh)
+           WHERE a.source < b.source
+           GROUP BY 1, 2),
+         s AS (SELECT DISTINCT source FROM documents),
+         p AS (
+           SELECT a.source AS source_a, b.source AS source_b
+           FROM s a, s b WHERE a.source < b.source)
+         SELECT p.source_a, p.source_b,
+           CAST(COALESCE(x.nsh, 0) AS BIGINT) AS n_shared_grams,
+           true AS est_ok
+         FROM p LEFT JOIN x
+           ON p.source_a = x.source_a AND p.source_b = x.source_b""",
     "t51_eval_exposure" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks

@@ -459,6 +459,21 @@ class PlanAuditSpec extends SparkSpec {
       s"t96's (source × block) offset table must broadcast back:\n$p")
   }
 
+  test("d5/t56/t57/t72/t86: cluster reports derive from the staged " +
+    "label artifact — zero LSH/CC work in the derived plans") {
+    Seq("d5_neardup_keep", "t56_keep_best", "t57_source_dup_rate",
+      "t72_cluster_split", "t86_dedup_savings").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("graft_minhash_sig") &&
+        !p.contains("graft_word_shingles") &&
+        !p.contains("graft_bottomk_shingle_hashes"),
+        s"$q must read the staged label artifact, not re-derive " +
+          s"labels per consumer:\n$p")
+      assert(p.contains("cluster_labels"),
+        s"$q must scan the staged cluster_labels artifact:\n$p")
+    }
+  }
+
   // The one-task-per-source trap: a window partitioned by a LOW-
   // cardinality group key (source/lang — O(10) values, one of them
   // routinely 80% of a pretraining corpus) sorting real data rows
