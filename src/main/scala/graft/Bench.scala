@@ -54,31 +54,28 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val firstPass = selected.map { case (name, fn) => name -> timeOne(name, fn) }
-    // Re-measure apparent stalls once and keep the min: a long-running
-    // 100-query JVM occasionally stalls one query >10× (GC/compaction
-    // transient — observed 0.9 s → 20 s on identical code), which
-    // would poison the recorded round total. The 5 s absolute floor
-    // keeps legitimately-heavy steady-state queries (2-3 s) on the
-    // same single-sample policy as everything else. The min-of-reruns
-    // policy applies ONLY when the first pass SUCCEEDED: a failed run's
-    // time is never replaced by a lucky re-run (the failure must stay
-    // visible in the ok map), and a fast failure must not replace a
-    // valid slow measurement.
-    val results =
-      if (firstPass.isEmpty) firstPass
-      else {
-        val med = firstPass.values.map(_._1).toSeq.sorted.apply(firstPass.size / 2)
-        firstPass.map { case (name, (t, ok)) =>
-          if (ok && t > math.max(5.0, 5 * med)) {
-            val (t2, ok2) = timeOne(name, selected(name))
-            // a re-run FAILURE is a real failure observed this run —
-            // it must reach the ok map, not hide behind the first
-            // pass's success
-            name -> ((if (ok2) math.min(t, t2) else t, ok && ok2))
-          } else name -> ((t, ok))
-        }
-      }
+    // Min-of-2: every query is timed in TWO full passes and the min
+    // is recorded. One pass is noise-dominated on this box — three
+    // same-tree r11 runs spanned 75-159 s for identical plans (GC,
+    // JIT recompilation, tiny-task scheduling, ambient load), which
+    // drowned cross-round per-query regression detection. The min of
+    // two steady-state samples tracks the plan's true cost; both pass
+    // totals are printed so the run-to-run spread itself stays
+    // visible. A failure in EITHER pass is a real failure observed
+    // this run: it reaches the ok map, and a failed sample's time
+    // never replaces a valid measurement.
+    val pass1 = selected.map { case (name, fn) => name -> timeOne(name, fn) }
+    val pass2 = selected.map { case (name, fn) => name -> timeOne(name, fn) }
+    val results = pass1.map { case (name, (t1, ok1)) =>
+      val (t2, ok2) = pass2(name)
+      val t =
+        if (ok1 && ok2) math.min(t1, t2)
+        else if (ok1) t1
+        else t2
+      name -> ((t, ok1 && ok2))
+    }
+    def passTotal(p: Map[String, (Double, Boolean)]): Double =
+      if (p.isEmpty) 0.0 else p.values.map(_._1).sum
     val qs = results.map { case (k, (t, _)) => s"\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     val oks = results.map { case (k, (_, ok)) => s"\"" + k + "\":" + ok }
@@ -89,7 +86,7 @@ object Bench {
     // broken query contributes a near-zero time and silently IMPROVES
     // the recorded total. `queries` stays name→seconds for the driver;
     // `ok` carries per-query success alongside.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"pass1_total":${passTotal(pass1)},"pass2_total":${passTotal(pass2)},"sf":"$sfDir"}""")
     // The driver archives only the LAST ~2000 chars of stdout; the full
     // JSON above is ~8 KB, so its per-query timings were truncated away
     // in r10 (BENCH_r10.json parsed:null). Repeat the signal in a
@@ -101,7 +98,7 @@ object Bench {
     // cc_iters: rounds the last connected-components fixpoint took
     // (-1 = none ran). The scaling smokes read this — pointer-jumping
     // must stay ~log2(diameter) as the corpus grows.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top10,"partial_top10":true,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cc_iters":${graft.ops.Dedup.lastCcIterations},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top10,"partial_top10":true,"min_of":2,"pass1_total":${passTotal(pass1)},"pass2_total":${passTotal(pass2)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cc_iters":${graft.ops.Dedup.lastCcIterations},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
