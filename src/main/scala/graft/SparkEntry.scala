@@ -1807,12 +1807,19 @@ object SparkEntry {
     // cross-engine), and the keep gate compares integers —
     // sum_lp ≥ −8·10⁶·n_tg, i.e. avg logprob ≥ −8 — so no division
     // semantics (Spark div truncates, DuckDB // floors — they differ
-    // on NEGATIVES) can leak in. Scale shape: the scorer is keyed
-    // shuffle joins (tg/ctx/w23/w2/w3) between the doc-trigram stream
-    // and the model tables — LM tables are vocab-scale, so none is
-    // assumed broadcastable; only the 1-row bigram-type total
-    // broadcasts. Docs with no trigram (< 3 tokens) have no
-    // perplexity and are not scored.
+    // on NEGATIVES) can leak in. Scale shape: the held-out trigram
+    // stream pays exactly TWO keyed shuffle joins — (1) ctx12 against
+    // the context table, which carries c12/n1ctx AND a per-context
+    // continuation map w3→c3 (folding what was a separate trigram-
+    // keyed join; map size = the context's trigram-type count, the
+    // n1ctx it already stores — Zipf-bounded per context, far smaller
+    // than a per-unigram map would be), and (2) w23 against the
+    // bigram-type table. The three UNIGRAM-scale stats (midCtx, uni)
+    // and the 1-row total broadcast: vocab ~10⁶-10⁷ rows of two
+    // numerics at 100 TB — low-GB broadcast territory; if a corpus
+    // ever pushed past that, these two joins degrade gracefully to
+    // keyed shuffles by dropping the hint. Docs with no trigram
+    // (< 3 tokens) have no perplexity and are not scored.
     "t104_kn_doc_ppl" -> ((s, dir) => {
       val D = 0.75
       val docs = T(s, dir, "documents")
@@ -1829,7 +1836,10 @@ object SparkEntry {
         .withColumn("ctx12", substring_index(col("tg"), " ", 2))
         .withColumn("w23", substring_index(col("tg"), " ", -2))
       val ctx = keyed.groupBy("ctx12")
-        .agg(sum("c3").as("c12"), count(lit(1)).as("n1ctx"))
+        .agg(sum("c3").as("c12"), count(lit(1)).as("n1ctx"),
+          map_from_entries(collect_list(struct(
+            substring_index(col("tg"), " ", -1).as("k"),
+            col("c3").as("v")))).as("__cmap"))
       val mid = keyed.groupBy("w23").agg(count(lit(1)).as("cc23"))
       val midK = mid
         .withColumn("w2", substring_index(col("w23"), " ", 1))
@@ -1843,12 +1853,16 @@ object SparkEntry {
         .withColumn("ctx12", substring_index(col("tg"), " ", 2))
         .withColumn("w23", substring_index(col("tg"), " ", -2))
         .withColumn("w3", substring_index(col("tg"), " ", -1))
-        .join(c3, Seq("tg"), "left")
         .join(ctx, Seq("ctx12"), "left")
+        // c3 off the context's continuation map: null when the ctx is
+        // unseen (cmap null) or the trigram is (key miss) — exactly
+        // the old tg-keyed left join's nullness
+        .withColumn("c3", element_at(col("__cmap"), col("w3")))
+        .drop("__cmap")
         .join(mid, Seq("w23"), "left")
-        .join(midCtx.withColumnRenamed("w2", "__w2"),
+        .join(broadcast(midCtx.withColumnRenamed("w2", "__w2")),
           col("__w2") === substring_index(col("w23"), " ", 1), "left")
-        .join(uni, Seq("w3"), "left")
+        .join(broadcast(uni), Seq("w3"), "left")
         .crossJoin(broadcast(tot))
         .withColumn("pc", (coalesce(col("n1w3"), lit(0L)) + lit(0.5))
           / (col("nbt") + lit(0.5)))

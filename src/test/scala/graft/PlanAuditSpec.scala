@@ -574,15 +574,22 @@ class PlanAuditSpec extends SparkSpec {
         s"(plus its 1-row rollup):\n$p")
   }
 
-  test("t104: LM scoring joins are keyed shuffles (vocab-scale model " +
-    "tables, never assumed broadcastable); only the 1-row total " +
-    "broadcasts") {
+  test("t104: the held-out stream pays <=2 keyed shuffle joins " +
+    "(ctx12 carrying the folded continuation map, w23); unigram " +
+    "stats + total broadcast") {
     val p = plan("t104_kn_doc_ppl")
     assert(!p.contains("CartesianProduct"),
       s"t104's stat lookups must stay equi-joins:\n$p")
-    assert(p.contains("BroadcastExchange") ||
-      p.contains("BroadcastNestedLoopJoin"),
-      s"t104's 1-row bigram-type total must broadcast:\n$p")
+    // the tg-keyed c3 join is folded into the ctx12 join as a
+    // per-context map — losing the fold re-adds a third
+    // trigram-keyed shuffle of the whole stream
+    assert(p.contains("map_from_entries"),
+      s"t104's c3 lookup must ride the ctx12 continuation map:\n$p")
+    assert(nodes(p, "SortMergeJoin") + nodes(p, "ShuffledHashJoin") <= 2,
+      s"t104's held-out stream must shuffle-join at most twice " +
+        s"(ctx12, w23):\n$p")
+    assert(nodes(p, "BroadcastExchange") >= 3,
+      s"t104's midCtx/uni/total must broadcast:\n$p")
     // the 1-row total agg and nothing else may single-partition
     assert("SinglePartition".r.findAllIn(p).length <= 2,
       s"t104 must not serialize the corpus or the model:\n$p")

@@ -550,6 +550,49 @@ class StreamingMultimodalSpec extends SparkSpec {
       "a replayed (re-numbered) batch must not double-count the card")
   }
 
+  test("dataCardStream k boundary: dup_ppm_est is EXACT below k and " +
+    "error-bounded at and above it") {
+    // The readDataCard ≡ batch-t105 claim holds "whenever per-source
+    // distinct count < k" — sweep the boundary so the contract's edge
+    // is pinned, not assumed. k = 8; distinct counts straddle it.
+    implicit val sc = spark.sqlContext
+    val k = 8
+    val counts = Seq(4, 7, 8, 9, 16, 32)
+    // each source: d distinct texts, each duplicated once (so the
+    // exact distinct is d out of 2d docs -> true dup_ppm = 500000)
+    val rows = counts.flatMap { d =>
+      (0 until d).flatMap(i => Seq.fill(2)(
+        (s"s$d", "xx", 10L, s"doc $d $i unique body " + ("t " * 8))))
+    }
+    val sink = java.nio.file.Files
+      .createTempDirectory("cardk").toString + "/card"
+    val input = MemoryStream[(String, String, Long, String)]
+    val q = Streaming.dataCardStream(
+      input.toDS().toDF("source", "lang", "n_chars", "text"),
+      "text", "source", "lang", "n_chars", sink, k = k).start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val card = Streaming.readDataCard(spark, sink).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap // dup_ppm_est
+    counts.foreach { d =>
+      val est = card(s"s$d")
+      if (d < k)
+        assert(est === 500000L,
+          s"d=$d < k: sketch holds ALL hashes, estimate must be exact")
+      else {
+        // estimator regime: (k−1)/h_k on the union sketch. With k=8
+        // the relative sd of the distinct estimate is ~1/sqrt(k-2)
+        // ≈ 41%; est_uniq in [0.4d, 1.9d] ⇒ dup_ppm in [50000,
+        // 800000]. Deterministic given md5 — the band cannot flake —
+        // and a broken estimator (0 or 10^6) lands outside it.
+        assert(est >= 50000L && est <= 800000L,
+          s"d=$d >= k: dup_ppm_est $est outside the estimator band")
+      }
+    }
+  }
+
   test("semDedupStream drops near-dups within batches and vs the sink") {
     implicit val sc = spark.sqlContext
     val sink = java.nio.file.Files
