@@ -3982,6 +3982,82 @@ object SparkEntry {
             .otherwise(lit(true)).as("est_ok"))
     }),
 
+    // Per-document n-gram NOVELTY — the memorization-risk/diversity
+    // signal (what fraction of a doc's 8-gram types appears nowhere
+    // else in the corpus; low novelty = boilerplate/copy, the docs a
+    // dedup pass missed and an LM memorizes). Shapes, all keyed at
+    // gram cardinality with map-side partial agg — the honest 100 TB
+    // form, nothing broadcastable: per-doc DISTINCT grams (a doc
+    // repeating its own gram is repetition, t'd elsewhere — not
+    // corpus novelty), gram document-frequency agg, gram-keyed join
+    // back, doc-keyed rollup. Docs under 8 tokens have no grams and
+    // no novelty row (twin identical).
+    "t108_ngram_novelty" -> ((s, dir) => {
+      val dg = T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.SketchExpressions
+            .windowHashes(TextOps.tokens(col("text")), 8)).as("__w"))
+        .select(col("doc_id"), col("__w.gh").as("gh")).distinct()
+      val dfreq = dg.groupBy("gh").agg(count(lit(1)).as("df"))
+      dg.join(dfreq, Seq("gh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novel_ppm", expr("n_novel * 1000000 div n_grams"))
+    }),
+
+    // Cross-source copy FLOW — t52's "how much do sources overlap"
+    // made directional: every non-canonical member of a near-dup
+    // cluster is attributed to its cluster's canonical doc (min
+    // doc_id — in production the earliest crawl timestamp), giving an
+    // (origin_source → copy_source) matrix: the provenance artifact
+    // that tells you which feed is just re-syndicating which (and
+    // which to stop paying for). Shapes: labels off the STAGED
+    // artifact (no LSH/CC re-run), two doc-id-keyed joins to attach
+    // the member and origin sources — corpus-keyed, partial-agged, no
+    // broadcast assumed; the output is source²-bounded.
+    "t109_copy_flow" -> ((s, dir) => {
+      val src = T(s, dir, "documents").select(col("doc_id"), col("source"))
+      stagedNeardupLabels(s, dir)
+        .where(col("cluster_id") =!= col("doc_id"))
+        .join(src, Seq("doc_id"))
+        .withColumnRenamed("source", "copy_source")
+        .join(src.withColumnRenamed("doc_id", "cluster_id")
+          .withColumnRenamed("source", "origin_source"),
+          Seq("cluster_id"))
+        .groupBy("origin_source", "copy_source")
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+    }),
+
+    // Asymmetric CONTAINMENT within near-dup clusters: Jaccard (t12's
+    // machinery) treats a quote-plus-commentary doc and its source as
+    // mildly similar, but containment |member ∩ canonical| / |member|
+    // is what detects "this doc is mostly inside that one" —
+    // the wire-syndication/quotation case every news-heavy corpus
+    // hits. Scope: cluster members vs their canonical rep (labels off
+    // the STAGED artifact — no LSH/CC re-run), so the pair set is
+    // cluster-bounded, never doc×doc; the gram probe is a
+    // (cluster, gram)-keyed equi-join. Members under 8 tokens have
+    // no grams and no row.
+    "t110_containment" -> ((s, dir) => {
+      val dg = T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.SketchExpressions
+            .windowHashes(TextOps.tokens(col("text")), 8)).as("__w"))
+        .select(col("doc_id"), col("__w.gh").as("gh")).distinct()
+      val lab = dg.join(stagedNeardupLabels(s, dir), Seq("doc_id"))
+      val rep = lab.where(col("cluster_id") === col("doc_id"))
+        .select(col("cluster_id"), col("gh"), lit(1L).as("__r"))
+      lab.where(col("cluster_id") =!= col("doc_id"))
+        .join(rep, Seq("cluster_id", "gh"), "left")
+        .groupBy("doc_id", "cluster_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("__r"), lit(0L))).as("n_shared"))
+        .withColumn("containment_ppm",
+          expr("n_shared * 1000000 div n_grams"))
+    }),
+
     // Gopher-style rule-based quality gate (Rae et al. 2021, table A1):
     // named per-document heuristics — word count bounds, mean word
     // length band, alphabetic-word fraction, minimum stopword hits —
@@ -6893,6 +6969,92 @@ object SparkEntry {
            true AS est_ok
          FROM p LEFT JOIN x
            ON p.source_a = x.source_a AND p.source_b = x.source_b""",
+    "t108_ngram_novelty" ->
+      raw"""WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+         g AS (SELECT DISTINCT doc_id,
+             unnest([substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16)
+                     FOR i IN generate_series(1, len(toks)-7)]) AS gh
+           FROM f),
+         d AS (SELECT gh, count(*) AS df FROM g GROUP BY gh)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS BIGINT) AS novel_ppm
+         FROM g JOIN d USING (gh)
+         GROUP BY doc_id""",
+    "t109_copy_flow" ->
+      raw"""WITH RECURSIVE $minhashBandsSql,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sym AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, dst FROM sym
+           UNION
+           SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id),
+         lab AS (
+           SELECT d.doc_id,
+             CASE WHEN m.rmin IS NULL OR d.doc_id < m.rmin
+                  THEN d.doc_id ELSE m.rmin END AS cluster_id
+           FROM documents d
+           LEFT JOIN (SELECT id, min(r) AS rmin FROM reach GROUP BY id) m
+             ON m.id = d.doc_id),
+         mem AS (
+           SELECT doc_id, cluster_id FROM lab
+           WHERE doc_id <> cluster_id)
+         SELECT oc.source AS origin_source, dc.source AS copy_source,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT mem.cluster_id) AS BIGINT) AS n_clusters
+         FROM mem
+         JOIN documents dc ON dc.doc_id = mem.doc_id
+         JOIN documents oc ON oc.doc_id = mem.cluster_id
+         GROUP BY 1, 2""",
+    "t110_containment" ->
+      raw"""WITH RECURSIVE $minhashBandsSql,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sym AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, dst FROM sym
+           UNION
+           SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id),
+         lab AS (
+           SELECT d.doc_id,
+             CASE WHEN m.rmin IS NULL OR d.doc_id < m.rmin
+                  THEN d.doc_id ELSE m.rmin END AS cluster_id
+           FROM documents d
+           LEFT JOIN (SELECT id, min(r) AS rmin FROM reach GROUP BY id) m
+             ON m.id = d.doc_id),
+         gf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+         gg AS (SELECT DISTINCT doc_id,
+             unnest([substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16)
+                     FOR i IN generate_series(1, len(toks)-7)]) AS gh
+           FROM gf),
+         lg AS (
+           SELECT gg.doc_id, lab.cluster_id, gg.gh
+           FROM gg JOIN lab ON lab.doc_id = gg.doc_id),
+         rep AS (SELECT cluster_id, gh FROM lg WHERE doc_id = cluster_id)
+         SELECT m.doc_id, m.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN r.gh IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_shared,
+           CAST(sum(CASE WHEN r.gh IS NOT NULL THEN 1 ELSE 0 END)
+             * 1000000 // count(*) AS BIGINT) AS containment_ppm
+         FROM lg m LEFT JOIN rep r
+           ON r.cluster_id = m.cluster_id AND r.gh = m.gh
+         WHERE m.doc_id <> m.cluster_id
+         GROUP BY 1, 2""",
     "t51_eval_exposure" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks

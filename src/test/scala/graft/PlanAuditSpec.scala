@@ -459,10 +459,19 @@ class PlanAuditSpec extends SparkSpec {
       s"t96's (source × block) offset table must broadcast back:\n$p")
   }
 
-  test("d5/t56/t57/t72/t86: cluster reports derive from the staged " +
-    "label artifact — zero LSH/CC work in the derived plans") {
+  test("t108: novelty is gram-keyed end to end — no broadcast of a " +
+    "corpus-scale side, no global window") {
+    val p = plan("t108_ngram_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SinglePartition"),
+      s"t108 must stay keyed at gram/doc cardinality:\n$p")
+  }
+
+  test("d5/t56/t57/t72/t86/t109/t110: cluster reports derive from " +
+    "the staged label artifact — zero LSH/CC work in the derived plans") {
     Seq("d5_neardup_keep", "t56_keep_best", "t57_source_dup_rate",
-      "t72_cluster_split", "t86_dedup_savings").foreach { q =>
+      "t72_cluster_split", "t86_dedup_savings", "t109_copy_flow",
+      "t110_containment").foreach { q =>
       val p = plan(q)
       assert(!p.contains("graft_minhash_sig") &&
         !p.contains("graft_word_shingles") &&
