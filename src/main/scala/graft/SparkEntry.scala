@@ -3967,9 +3967,18 @@ object SparkEntry {
         .where(col("source_a") < col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(countDistinct(col("gh")).as("__x"))
-      Dedup.kmvOverlapEstimates(
-          Dedup.kmvSourceSketches(T(s, dir, "documents"), "text",
-            "source", n = n, k = 256), k = 256)
+      // sketches derive from the SAME distinct (source, gh) stream
+      // the exact matrix uses — one text scan for both tiers (KMV is
+      // a set sketch: bottom-k of the distinct stream ≡
+      // kmvSourceSketches' bottom-k of the raw stream, spec-held by
+      // t52b's own estimates staying unchanged)
+      val sketches = g
+        .select(col("source"), md5(col("gh")).as("__h"))
+        .groupBy("source")
+        .agg(graft.functions.AggregateExpressions
+          .bottomKStrings(col("__h"), 256).as("sk"))
+        .withColumn("k", lit(256))
+      Dedup.kmvOverlapEstimates(sketches, k = 256)
         .join(exact, Seq("source_a", "source_b"), "left")
         .withColumn("n_shared_grams", coalesce(col("__x"), lit(0L)))
         .select(col("source_a"), col("source_b"),

@@ -231,4 +231,9 @@ object BloomExpressions {
     GraftColumnBridge.column(BloomMightContainExpr(
       GraftColumnBridge.expression(bits),
       GraftColumnBridge.expression(v)))
+
+  /** The header word a bitmap built with `numHashes` carries in word
+    * 0 — for persisted-bitmap compatibility guards (a standing sketch
+    * outlives the code that built it). */
+  def headerWord(numHashes: Int): Long = BloomHash.header(numHashes)
 }

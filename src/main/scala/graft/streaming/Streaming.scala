@@ -988,6 +988,118 @@ object Streaming {
         expr("(sum_chars * 100) div n_docs").as("mean_chars_x100"))
   }
 
+  /** Online NOVELTY gate — batch t108's operational form: admit a
+    * document only if at least `minNovelPpm` of its n-gram TYPES are
+    * unseen so far, then fold the admitted documents' grams into a
+    * standing Bloom filter. This is the streaming curation gate that
+    * rejects re-syndicated/boilerplate arrivals without any corpus
+    * rescan: per batch the work is batch-grams × an O(numBits)
+    * broadcast bitmap.
+    *
+    * Semantics and caveats, stated rather than implied:
+    *  - Novelty is measured against the STANDING state only — docs
+    *    inside one microbatch do not see each other (arrival order
+    *    within a batch is undefined in a stream; making admission
+    *    depend on it would be nondeterministic). Two near-copies in
+    *    one batch therefore BOTH pass; the next batch's copy fails.
+    *  - Only ADMITTED docs' grams fold into the filter: a rejected
+    *    doc is by definition mostly already present, and folding its
+    *    few novel grams would let rejected content "use up" novelty
+    *    it never contributed.
+    *  - Bloom false positives can only UNDERCOUNT novelty (a truly
+    *    novel gram reads as seen) — the gate errs toward rejecting,
+    *    never admits stale content; size numBits for the corpus gram
+    *    budget.
+    *  - Docs with fewer than n tokens have no grams, hence no
+    *    novelty evidence: they are NOT admitted (report row with
+    *    n_grams = 0, admitted = 0).
+    *  - Replay: admissions write under batch_id=<id> with dynamic
+    *    partition overwrite (the foldHostRankBatch pattern — a replay
+    *    overwrites its own partition), and the Bloom fold is a set
+    *    union, idempotent under re-folding. Needs a DURABLE stream
+    *    checkpoint: a temp checkpoint renumbers batches from 0 and
+    *    batch 0's replay would overwrite a real earlier admission
+    *    partition.
+    *  - The standing bitmap carries its self-describing header; a
+    *    restart with different numBits/numHashes fails loudly instead
+    *    of silently probing wrong. */
+  def noveltyGateStream(in: DataFrame, idCol: String, textCol: String,
+                        sinkPath: String, n: Int = 8,
+                        numBits: Int = 1 << 20, numHashes: Int = 4,
+                        minNovelPpm: Long = 500000L) = {
+    in.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val keptPath = s"$sinkPath/admitted"
+        val bloomPath = s"$sinkPath/bloom"
+        val (fs, bPath, bTmp) = sinkPaths(spark, bloomPath)
+        promoteOrphanTemp(fs, bPath, bTmp)
+        val grams = batch.select(col(idCol).as("doc_id"),
+            explode(graft.functions.SketchExpressions
+              .windowHashes(graft.ops.TextOps.tokens(col(textCol)), n))
+              .as("__w"))
+          .select(col("doc_id"), col("__w.gh").as("gh")).distinct()
+        val standing =
+          if (hasPartFiles(fs, bPath)) {
+            val st = spark.read.parquet(bloomPath)
+            val h = st.select(element_at(col("bits"), 1).as("hdr"),
+              size(col("bits")).as("len")).head
+            require(h.getLong(0) ==
+                graft.functions.BloomExpressions.headerWord(numHashes) &&
+                h.getInt(1) == numBits / 64 + 1,
+              s"noveltyGateStream: standing bloom at $bloomPath was " +
+                s"built with different numBits/numHashes than " +
+                s"($numBits, $numHashes) — rebuild it or match its " +
+                "configuration")
+            Some(st)
+          } else None
+        val probed = standing match {
+          case Some(st) => grams.crossJoin(broadcast(st))
+            .withColumn("__seen", graft.functions.BloomExpressions
+              .bloomMightContain(col("bits"), col("gh")))
+          case None => grams.withColumn("__seen", lit(false))
+        }
+        val report = batch.select(col(idCol).as("doc_id"))
+          .join(probed.groupBy("doc_id")
+            .agg(count(lit(1)).as("n_grams"),
+              sum(when(!col("__seen"), 1L).otherwise(0L))
+                .as("n_novel")), Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_grams", "n_novel"))
+          .withColumn("novel_ppm",
+            when(col("n_grams") > 0,
+              expr("n_novel * 1000000 div n_grams")).otherwise(0L))
+          .withColumn("admitted",
+            (col("n_grams") > 0 &&
+              col("novel_ppm") >= minNovelPpm).cast("long"))
+        report.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(keptPath)
+        // fold ADMITTED docs' grams into the standing bitmap; the
+        // written report is the authoritative admission set, so the
+        // fold reads it back (crash between the two writes replays
+        // the whole batch: report overwrite + re-OR are idempotent)
+        val admittedIds = spark.read.parquet(keptPath)
+          .where(col("batch_id") === batchId && col("admitted") === 1)
+          .select(col("doc_id"))
+        val batchBloom = grams
+          .join(admittedIds, Seq("doc_id"), "left_semi")
+          .agg(graft.functions.BloomExpressions
+            .bloomFilter(col("gh"), numBits, numHashes).as("bits"))
+        val merged = standing match {
+          case Some(st) => batchBloom.select(col("bits").as("__b"))
+            .crossJoin(broadcast(st))
+            .select(zip_with(col("__b"), col("bits"),
+              (a, b) => a.bitwiseOR(b)).as("bits"))
+          case None => batchBloom
+        }
+        merged.write.mode("overwrite").parquet(bTmp.toString)
+        swapInTemp(fs, bPath, bTmp)
+        ()
+    }
+  }
+
   /** Incremental SemDeDup — t62's operational form: each microbatch of
     * embeddings is (1) deduped WITHIN the batch by the same
     * cluster-scoped keep-min rule (`Dedup.semDedupKeep`), then

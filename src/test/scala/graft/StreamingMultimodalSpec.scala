@@ -593,6 +593,48 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("noveltyGateStream admits novel docs, rejects re-syndication, " +
+    "folds ONLY admitted grams") {
+    implicit val sc = spark.sqlContext
+    val sink = java.nio.file.Files
+      .createTempDirectory("novelty").toString + "/ng"
+    def words(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.noveltyGateStream(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", sink,
+      n = 4, numBits = 1 << 16, numHashes = 4,
+      minNovelPpm = 500000L).start()
+    // batch 0: two fully-novel docs
+    input.addData((1L, words(0, 40)), (2L, words(100, 140)))
+    q.processAllAvailable()
+    // batch 1: 30 seen + 10 new tokens -> 10/37 grams novel (27%,
+    // rejected); a fully new doc (admitted); a 3-token doc (< n, no
+    // gram evidence, not admitted)
+    val doc3 = words(0, 30) + " " + words(300, 310)
+    input.addData((3L, doc3), (4L, words(200, 240)), (5L, "a b c"))
+    q.processAllAvailable()
+    // batch 2: copies of an ADMITTED doc (novelty 0 — its grams
+    // folded) and of the REJECTED doc 3 — whose grams must NOT have
+    // folded, so the copy re-measures doc 3's own 27%, not 0
+    input.addData((6L, doc3), (7L, words(200, 240)))
+    q.processAllAvailable()
+    q.stop()
+    val rep = spark.read.parquet(s"$sink/admitted").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("admitted"), r.getAs[Long]("novel_ppm")))).toMap
+    assert(rep(1L) === ((1L, 1000000L)))
+    assert(rep(2L) === ((1L, 1000000L)))
+    assert(rep(4L) === ((1L, 1000000L)))
+    assert(rep(5L) === ((0L, 0L)), "no gram evidence -> not admitted")
+    assert(rep(3L)._1 === 0L, "27% novel must be rejected at 50%")
+    assert(rep(3L)._2 === 1000000L * 10 / 37)
+    assert(rep(6L) === ((0L, 1000000L * 10 / 37)),
+      "rejected doc 3's grams must not have folded — its copy " +
+        "re-measures the same novelty, not zero")
+    assert(rep(7L) === ((0L, 0L)),
+      "admitted doc 4's grams folded — its copy has zero novelty")
+  }
+
   test("semDedupStream drops near-dups within batches and vs the sink") {
     implicit val sc = spark.sqlContext
     val sink = java.nio.file.Files
