@@ -3942,18 +3942,22 @@ object SparkEntry {
           n = 8, k = 256), k = 256)),
 
     // t52b's estimates graduated into the DRIVER's gate (the a1b
-    // pattern): the PropertySpec ε contract — disjoint pairs estimate
-    // EXACT zero-ish (≤5 grams: KMV intersection of disjoint sketches
-    // is empty, so false positives are structural, not statistical),
-    // established pairs (≥30 shared grams) stay inside the honest
-    // [0.2x, 4x] band of the tiny-J regime, the in-between stays
-    // unconstrained — evaluated INSIDE the query against the exact
-    // t52 matrix over the same rows, emitting only booleans plus the
-    // exact count. The DuckDB oracle (which cannot reproduce the KMV
-    // estimate) contributes the exact counts over ALL source pairs
-    // and the expectation that every bound HOLDS — any estimator
-    // drift flips a flag and hash-fails the round. t52b itself stays
-    // rows-only so the raw estimates remain inspectable.
+    // pattern): disjoint pairs estimate EXACT zero-ish (≤5 grams —
+    // the KMV intersection of disjoint sketches is empty, so false
+    // positives are structural, not statistical); overlapping pairs
+    // must land within the estimator's own RESOLUTION — one
+    // union-sketch slot ≈ est_union/k grams, so the honest band is
+    // |est − exact| ≤ 5·(est_union/k) + exact. (A fixed relative
+    // band like [0.2x, 4x] is statistically IMPOSSIBLE in the tiny-J
+    // regime: at sf0.1 a pair sharing 112 of ~120k union grams sits
+    // below one slot's granularity — the sf0.1 spot-check caught
+    // exactly this, r12.) Evaluated INSIDE the query against the
+    // exact t52 matrix over the same rows, emitting only booleans
+    // plus the exact count; the DuckDB oracle (which cannot
+    // reproduce the KMV estimate) contributes the exact counts over
+    // ALL source pairs and the expectation that every bound HOLDS.
+    // t52b itself stays rows-only so the raw estimates remain
+    // inspectable.
     "t52c_overlap_bounds" -> ((s, dir) => {
       val n = 8
       val g = T(s, dir, "documents")
@@ -3985,10 +3989,10 @@ object SparkEntry {
           col("n_shared_grams"),
           when(col("n_shared_grams") === 0,
             col("est_shared_grams") <= 5.0)
-            .when(col("n_shared_grams") >= 30,
-              col("est_shared_grams") >= col("n_shared_grams") * 0.2 &&
-                col("est_shared_grams") <= col("n_shared_grams") * 4.0)
-            .otherwise(lit(true)).as("est_ok"))
+            .otherwise(
+              abs(col("est_shared_grams") - col("n_shared_grams")) <=
+                col("est_union") / 256.0 * 5.0 +
+                  col("n_shared_grams")).as("est_ok"))
     }),
 
     // Per-document n-gram NOVELTY — the memorization-risk/diversity

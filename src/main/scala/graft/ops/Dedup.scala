@@ -377,7 +377,12 @@ object Dedup {
     a.join(broadcast(b), col("source_a") < col("source_b"))
       .select(col("source_a"), col("source_b"),
         (round(j, 6) + g0).as("j_est"),
-        (round(j * estU, 2) + g0).as("est_shared_grams"))
+        (round(j * estU, 2) + g0).as("est_shared_grams"),
+        // the estimator's RESOLUTION rides along: one union-sketch
+        // slot ≈ est_union/k grams — the granularity any downstream
+        // ε gate must be stated in (t52c); also the honest answer to
+        // "how big are these gram universes" that j alone hides
+        (round(estU, 2) + g0).as("est_union"))
   }
 
   /** SimHash (32-bit, as a '0'/'1' bitstring): per bit position i, sum
