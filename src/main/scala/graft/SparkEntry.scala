@@ -1568,12 +1568,18 @@ object SparkEntry {
           .select(col("node").as("host"), col("rank_ppm"))),
           Seq("host"), "left")
         .na.fill(0L, Seq("rank_ppm"))
+      // per-host queue position: host is a HIGH-cardinality key with
+      // politeness-bounded queues — a plain window is right. The
+      // per-round serving order is NOT: round 1 contains every host
+      // (10⁸ rows through one task at crawl scale — the same
+      // one-task-per-group trap t101/t103 shed this round), so the
+      // position comes from twoLevelRank bucketed on the rank score.
       val queueW = Window.partitionBy("host").orderBy(col("curl"))
-      val roundW = Window.partitionBy("fetch_round")
-        .orderBy(col("rank_ppm").desc, col("host"))
-      ranked
+      val queued = ranked
         .withColumn("fetch_round", row_number().over(queueW).cast("long"))
-        .withColumn("pos_in_round", row_number().over(roundW).cast("long"))
+      Windows.twoLevelRank(queued, Seq("fetch_round"),
+          expr("-(rank_ppm DIV 1000)"),
+          Seq(col("rank_ppm").desc, col("host")), "pos_in_round")
         .select("curl", "host", "keep_id", "rank_ppm",
           "fetch_round", "pos_in_round")
     }),

@@ -177,7 +177,12 @@ object Windows {
       .select((part :+ col("__tlb") :+ col("__tloff")): _*)
     val wIn = Window.partitionBy((part :+ col("__tlb")): _*)
       .orderBy(order: _*)
-    withB.join(bTab, partition :+ "__tlb")
+    // explicit hint: bTab is bounded by construction (partition ×
+    // bucket cardinality — the contract of this operator), but when
+    // the INPUT lineage carries windows/joins Spark has no size
+    // estimate and would plan a sort-merge join of the whole corpus
+    // against the tiny offset table (observed on t94 r12)
+    withB.join(broadcast(bTab), partition :+ "__tlb")
       .withColumn(out, col("__tloff") + row_number().over(wIn))
       .drop("__tlb", "__tloff")
   }
@@ -228,7 +233,8 @@ object Windows {
     val wIn = Window.partitionBy((part :+ col("__tlb")): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    withB.join(bTab, partition :+ "__tlb")
+    // same bounded-bTab broadcast hint as twoLevelRank (see there)
+    withB.join(broadcast(bTab), partition :+ "__tlb")
       .withColumn(out,
         col("__tloff") + coalesce(sum(col("__tlv")).over(wIn), lit(0L)))
       .drop("__tlb", "__tlv", "__tloff")

@@ -415,18 +415,23 @@ class PlanAuditSpec extends SparkSpec {
       s"t92 top-k prunes must stay map-side:\n$p")
   }
 
-  test("t94: rank joins broadcast; dedup + both schedule windows " +
-    "hash-partition — no global sort") {
+  test("t94: rank joins broadcast; queue window keys on host; the " +
+    "per-round position rides the two-level scan (round 1 holds " +
+    "EVERY host — no single-task round sort)") {
     val p = plan("t94_frontier_schedule")
     assert(p.contains("BroadcastHashJoin"),
       s"t94's host-cardinality rank table must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"t94 must never shuffle the frontier for the rank join:\n$p")
     assert(!p.contains("SinglePartition"),
-      s"t94's per-host queue and per-round windows partition on " +
-        s"host/round; SinglePartition means a window lost its key:\n$p")
-    assert(nodes(p, "Exchange") <= 3,
-      s"t94 is dedup-agg + host window + round window, max:\n$p")
+      s"t94's queue/round windows must all hash-partition:\n$p")
+    assert(p.contains("__tlb"),
+      s"t94's per-round position must rank through the bucketed " +
+        s"two-level path:\n$p")
+    assert(
+      """windowspecdefinition\(fetch_round#\d+L?, (?!__tlb#)[^,]* (ASC|DESC)"""
+        .r.findFirstIn(p).isEmpty,
+      s"t94 must not sort a whole round's hosts in one task:\n$p")
   }
 
   test("t95: corpus prefix sum stays bucket-partitioned; the scalar " +
