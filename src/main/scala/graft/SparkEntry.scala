@@ -2704,6 +2704,42 @@ object SparkEntry {
         .withColumn("fertility_bp", expr("n_bpe * 10000L DIV n_words"))
     }),
 
+    // Per-source TOKENIZER FIT — the data-card signal for "does the
+    // learned tokenizer suit this source": mean fertility (BPE tokens
+    // per word, t73's metric rolled up per source) and the fraction
+    // of word occurrences the tokenizer keeps WHOLE (n_sym = 1).
+    // A source with high fertility relative to the corpus is the one
+    // paying extra sequence length — the signal that drives
+    // per-domain vocab extension decisions. Same shapes as t73: the
+    // encode kernel runs ONCE on the vocab-sized word table, the
+    // corpus explode joins it on the token key (vocab broadcasts at
+    // small corpora via AQE, token-keyed shuffle at 100 TB), one
+    // source-keyed rollup.
+    "t111_tokenizer_fit" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val words = docs
+        .select(explode(TextOps.tokensLower(col("text"))).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
+      val merges = TextOps.bpeTrainMerges(words, "w", "cnt",
+        numMerges = 8)
+      val vocab = words.select(col("w"),
+        size(TextOps.bpeEncode(split(col("w"), ""), merges))
+          .cast("long").as("n_sym"))
+      docs.select(col("source"),
+          explode(TextOps.tokensLower(col("text"))).as("w"))
+        .where(length(col("w")) > 0)
+        .join(vocab, Seq("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_bpe"),
+          sum(when(col("n_sym") === 1, 1L).otherwise(0L))
+            .as("n_whole"))
+        .withColumn("fertility_bp", expr("n_bpe * 10000L DIV n_words"))
+        .withColumn("whole_word_ppm",
+          expr("n_whole * 1000000 DIV n_words"))
+    }),
+
     // Leakage-free train/val/test split: t17 assigns SPLITS by doc
     // hash, which puts near-duplicate documents on both sides of the
     // train/eval fence — the classic self-contamination bug. Here the
@@ -6228,6 +6264,42 @@ object SparkEntry {
              AS fertility_bp
          FROM doc JOIN vocab USING (w)
          GROUP BY doc_id""",
+    // t73's training + vocab CTEs, rolled up per source instead of
+    // per doc, plus the whole-word (n_sym = 1) share.
+    "t111_tokenizer_fit" ->
+      raw"""WITH w0 AS (
+           SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(string_split_regex(lower(text), '\s+'))
+                   AS tok
+                 FROM documents)
+           WHERE len(tok) > 0 GROUP BY 1),
+         st0 AS (
+           SELECT w, cnt,
+             $bpeSep || array_to_string(string_split(w, ''),
+               $bpeSepSep) || $bpeSep AS s
+           FROM w0),
+         ${bpeTrainIterSql(8)},
+         vocab AS (
+           SELECT w,
+             CAST(len(string_split(substr(s, 2, length(s) - 2),
+               $bpeSepSep)) AS BIGINT) AS n_sym
+           FROM st8),
+         doc AS (
+           SELECT source, tok AS w
+           FROM (SELECT source,
+                   unnest(string_split_regex(lower(text), '\s+')) AS tok
+                 FROM documents)
+           WHERE len(tok) > 0)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_sym) AS BIGINT) AS n_bpe,
+           CAST(sum(CASE WHEN n_sym = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_whole,
+           CAST((sum(n_sym) * 10000) // count(*) AS BIGINT)
+             AS fertility_bp,
+           CAST((sum(CASE WHEN n_sym = 1 THEN 1 ELSE 0 END) * 1000000)
+             // count(*) AS BIGINT) AS whole_word_ppm
+         FROM doc JOIN vocab USING (w)
+         GROUP BY source""",
     // Same unrolled training CTEs; the output is the merge table
     // itself — one row per round's winning pair, read off best1..8.
     "t71_bpe_train" ->
