@@ -1015,11 +1015,19 @@ object Streaming {
     *    n_grams = 0, admitted = 0).
     *  - Replay: admissions write under batch_id=<id> with dynamic
     *    partition overwrite (the foldHostRankBatch pattern — a replay
-    *    overwrites its own partition), and the Bloom fold is a set
-    *    union, idempotent under re-folding. Needs a DURABLE stream
-    *    checkpoint: a temp checkpoint renumbers batches from 0 and
-    *    batch 0's replay would overwrite a real earlier admission
-    *    partition.
+    *    overwrites its own partition), and the standing bitmap
+    *    carries the last folded batchId: a batch at or below it is
+    *    SKIPPED entirely. The guard is load-bearing, not bookkeeping
+    *    — if a replayed batch re-probed a bloom that already folded
+    *    its own admitted grams (the crash window between the bitmap
+    *    swap and the checkpoint commit), every admitted doc would
+    *    re-measure as novelty 0 and the report overwrite would flip
+    *    its admissions to rejections (fault-injected in
+    *    CrashProtocolSpec). The fold runs only AFTER the report
+    *    write, so a folded batch always has its report partition on
+    *    disk — skipping is safe. Needs a DURABLE stream checkpoint:
+    *    a temp checkpoint renumbers batches from 0 and the guard
+    *    would wrongly skip real early batches.
     *  - The standing bitmap carries its self-describing header; a
     *    restart with different numBits/numHashes fails loudly instead
     *    of silently probing wrong. */
@@ -1039,11 +1047,17 @@ object Streaming {
               .windowHashes(graft.ops.TextOps.tokens(col(textCol)), n))
               .as("__w"))
           .select(col("doc_id"), col("__w.gh").as("gh")).distinct()
-        val standing =
+        // standing = None (no state yet) / Some(Some(bits)) (probe
+        // against it) / Some(None) = REPLAY: this batch already
+        // folded — skip entirely (guard is load-bearing, see
+        // scaladoc: a bloom that already folded this batch would
+        // flip the replayed report's admissions to rejections)
+        val standing: Option[Option[DataFrame]] =
           if (hasPartFiles(fs, bPath)) {
             val st = spark.read.parquet(bloomPath)
             val h = st.select(element_at(col("bits"), 1).as("hdr"),
-              size(col("bits")).as("len")).head
+              size(col("bits")).as("len"),
+              col("last_batch")).head
             require(h.getLong(0) ==
                 graft.functions.BloomExpressions.headerWord(numHashes) &&
                 h.getInt(1) == numBits / 64 + 1,
@@ -1051,9 +1065,11 @@ object Streaming {
                 s"built with different numBits/numHashes than " +
                 s"($numBits, $numHashes) — rebuild it or match its " +
                 "configuration")
-            Some(st)
+            if (batchId <= h.getLong(2)) Some(None)
+            else Some(Some(st.select(col("bits"))))
           } else None
-        val probed = standing match {
+        if (standing != Some(None)) {
+        val probed = standing.flatten match {
           case Some(st) => grams.crossJoin(broadcast(st))
             .withColumn("__seen", graft.functions.BloomExpressions
               .bloomMightContain(col("bits"), col("gh")))
@@ -1087,15 +1103,17 @@ object Streaming {
           .join(admittedIds, Seq("doc_id"), "left_semi")
           .agg(graft.functions.BloomExpressions
             .bloomFilter(col("gh"), numBits, numHashes).as("bits"))
-        val merged = standing match {
+        val merged = standing.flatten match {
           case Some(st) => batchBloom.select(col("bits").as("__b"))
             .crossJoin(broadcast(st))
             .select(zip_with(col("__b"), col("bits"),
               (a, b) => a.bitwiseOR(b)).as("bits"))
           case None => batchBloom
         }
-        merged.write.mode("overwrite").parquet(bTmp.toString)
+        merged.withColumn("last_batch", lit(batchId))
+          .write.mode("overwrite").parquet(bTmp.toString)
         swapInTemp(fs, bPath, bTmp)
+        }
         ()
     }
   }

@@ -192,6 +192,60 @@ class CrashProtocolSpec extends SparkSpec {
     lock.delete()
   }
 
+  test("noveltyGateStream: bloom-swap crash + renumbered replay must " +
+    "not flip the replayed batch's admissions to rejections") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val sink = faultPath("ng")
+    def words(a: Int, b: Int) = (a until b).map(i => s"n$i").mkString(" ")
+    // batch 0 with the bloom swap's final rename armed to throw: the
+    // report partition lands, the only bitmap copy is the temp — the
+    // exact crash window where a replay would probe a bloom that
+    // already contains its own admitted grams
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = Streaming.noveltyGateStream(
+      in1.toDS().toDF("doc_id", "text"), "doc_id", "text", sink,
+      n = 4, numBits = 1 << 16, numHashes = 4).start()
+    FaultFs.failRenameDst = Some(
+      new org.apache.hadoop.fs.Path(s"$sink/bloom").toUri.getPath)
+    try {
+      in1.addData((1L, words(0, 40)), (2L, words(100, 140)))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+    } finally { FaultFs.failRenameDst = None; q1.stop() }
+    // report is on disk with the TRUE admissions; bloom is stranded
+    val rep0 = spark.read.parquet(s"$sink/admitted")
+      .where(col("batch_id") === 0)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("admitted")).toMap
+    assert(rep0 === Map(1L -> 1L, 2L -> 1L))
+    // "restart": a fresh stream (fresh checkpoint — batches renumber
+    // from 0) redelivers the same data. Recovery promotes the orphan
+    // bitmap (which already folded batch 0), so WITHOUT the
+    // last_batch guard this re-probe would measure zero novelty and
+    // overwrite both admissions with rejections.
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.noveltyGateStream(
+      in2.toDS().toDF("doc_id", "text"), "doc_id", "text", sink,
+      n = 4, numBits = 1 << 16, numHashes = 4).start()
+    in2.addData((1L, words(0, 40)), (2L, words(100, 140)))
+    q2.processAllAvailable()
+    // batch 1 (a genuinely new doc + a copy of doc 1) must process
+    // normally against the recovered bitmap
+    in2.addData((3L, words(200, 240)), (4L, words(0, 40)))
+    q2.processAllAvailable()
+    q2.stop()
+    val all = spark.read.parquet(s"$sink/admitted")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("admitted")).toMap
+    assert(all(1L) === 1L && all(2L) === 1L,
+      "replayed batch must keep its original admissions")
+    assert(all(3L) === 1L, "post-recovery novel doc must admit")
+    assert(all(4L) === 0L,
+      "post-recovery copy must reject against the recovered bitmap")
+  }
+
   test("writeWithManifest: empty input writes an empty manifest, not a crash") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_emptymf")
