@@ -1075,6 +1075,21 @@ object Streaming {
               .bloomMightContain(col("bits"), col("gh")))
           case None => grams.withColumn("__seen", lit(false))
         }
+        // pre-batch bitmap saturation rides every report row: a
+        // saturating bloom reads ever more truly-novel grams as seen
+        // and silently rejects everything — the number monitoring
+        // must alarm on (resize numBits and rebuild past ~50%)
+        val satPpm = standing.flatten match {
+          case Some(st) => st.select(
+            (aggregate(slice(col("bits"), 2, numBits / 64), lit(0L),
+              (acc, x) => acc + bit_count(x)) * 1000000L / numBits)
+              .cast("long").as("s")).head.getLong(0)
+          case None => 0L
+        }
+        if (satPpm > 500000L)
+          System.err.println(s"[noveltyGateStream] standing bloom at " +
+            s"$bloomPath is ${satPpm / 10000}% saturated — novelty " +
+            "is being undercounted; resize numBits and rebuild")
         val report = batch.select(col(idCol).as("doc_id"))
           .join(probed.groupBy("doc_id")
             .agg(count(lit(1)).as("n_grams"),
@@ -1087,6 +1102,7 @@ object Streaming {
           .withColumn("admitted",
             (col("n_grams") > 0 &&
               col("novel_ppm") >= minNovelPpm).cast("long"))
+          .withColumn("bloom_sat_ppm", lit(satPpm))
         report.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -633,6 +633,14 @@ class StreamingMultimodalSpec extends SparkSpec {
         "re-measures the same novelty, not zero")
     assert(rep(7L) === ((0L, 0L)),
       "admitted doc 4's grams folded — its copy has zero novelty")
+    // saturation observability: batch 0 probed no standing bitmap
+    // (0 ppm); later batches report the folded bits, far below the
+    // 50% alarm at this sizing
+    val sat = spark.read.parquet(s"$sink/admitted")
+      .select("doc_id", "bloom_sat_ppm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sat(1L) === 0L)
+    assert(sat(6L) > 0L && sat(6L) < 500000L)
   }
 
   test("semDedupStream drops near-dups within batches and vs the sink") {
