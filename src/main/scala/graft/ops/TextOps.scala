@@ -430,9 +430,10 @@ object TextOps {
     * folds into every word's symbol array. Driver state is O(merges)
     * scalar pairs (the q39 k-means precedent); lazy localCheckpoints
     * truncate the per-iteration lineage exactly like the CC fixpoint.
-    * Symbols start as UTF-16 code units of the word (supplementary-
-    * plane chars split into surrogate halves — merges re-join them by
-    * frequency; byte-level BPE has the same property over bytes). No
+    * Symbols start as the CODE POINTS of the word (probed r12:
+    * Spark's split(w, "") keeps a supplementary-plane char as one
+    * element — the r11 surrogate-halves claim here was wrong about
+    * the engine; `bpeTrainMergesLocal` matches via codePoints()). No
     * end-of-word marker: words are already pre-tokenized units here,
     * the modern byte-level-BPE convention. Count ties break by the
     * engine's UTF8 binary pair order, which equals Java String order
@@ -513,9 +514,12 @@ object TextOps {
                           numMerges: Int): Seq[(String, String, Long)] = {
     val syms: Array[scala.collection.mutable.ArrayBuffer[String]] =
       words.map { case (w, _) =>
-        // UTF-16 code units, like split(w, "") on the engine side
-        scala.collection.mutable.ArrayBuffer
-          .from(w.toCharArray.map(_.toString))
+        // CODE POINTS, matching split(w, "") on the engine side
+        // (probed: Spark's empty-pattern split keeps a supplementary
+        // char as ONE element — toCharArray would break it into
+        // surrogate halves and diverge from the distributed trainer)
+        scala.collection.mutable.ArrayBuffer.from(
+          w.codePoints().toArray.map(Character.toString))
       }.toArray
     val cnts = words.map(_._2).toArray
     val out = scala.collection.mutable.ArrayBuffer

@@ -161,7 +161,8 @@ object Windows {
     * row_number — identical to a global row_number over `order`
     * (spec-asserted), with every window hash-partitioned. */
   def twoLevelRank(df: DataFrame, partition: Seq[String], bucket: Column,
-                   order: Seq[Column], out: String): DataFrame = {
+                   order: Seq[Column], out: String,
+                   broadcastBuckets: Boolean = true): DataFrame = {
     require(!df.columns.contains("__tlb") && !df.columns.contains("__tloff"),
       "twoLevelRank: input already has a __tlb/__tloff column — it " +
         "would be clobbered and dropped (rename it)")
@@ -177,12 +178,16 @@ object Windows {
       .select((part :+ col("__tlb") :+ col("__tloff")): _*)
     val wIn = Window.partitionBy((part :+ col("__tlb")): _*)
       .orderBy(order: _*)
-    // explicit hint: bTab is bounded by construction (partition ×
-    // bucket cardinality — the contract of this operator), but when
-    // the INPUT lineage carries windows/joins Spark has no size
-    // estimate and would plan a sort-merge join of the whole corpus
-    // against the tiny offset table (observed on t94 r12)
-    withB.join(broadcast(bTab), partition :+ "__tlb")
+    // broadcastBuckets: when the bucket expression has a FIXED value
+    // range (score buckets, hash prefixes), bTab is bounded by
+    // construction and the hint stops Spark planning a sort-merge
+    // join of the whole corpus against the tiny offset table when the
+    // input lineage has no size stats (observed on t94 r12). Callers
+    // whose bucket COUNT grows with the corpus (doc-id blocks) must
+    // pass false: there a stats-driven shuffle join is the correct
+    // plan at scale, and a forced broadcast would be the bug.
+    val bJoin = if (broadcastBuckets) broadcast(bTab) else bTab
+    withB.join(bJoin, partition :+ "__tlb")
       .withColumn(out, col("__tloff") + row_number().over(wIn))
       .drop("__tlb", "__tloff")
   }
@@ -209,7 +214,8 @@ object Windows {
     * pins null quality to −1, after all real scores). */
   def twoLevelPrefixSum(df: DataFrame, partition: Seq[String],
                         bucket: Column, order: Seq[Column],
-                        value: Column, out: String): DataFrame = {
+                        value: Column, out: String,
+                        broadcastBuckets: Boolean = true): DataFrame = {
     require(!df.columns.contains("__tlb") && !df.columns.contains("__tloff")
         && !df.columns.contains("__tlv"),
       "twoLevelPrefixSum: input already has a __tlb/__tloff/__tlv " +
@@ -233,8 +239,9 @@ object Windows {
     val wIn = Window.partitionBy((part :+ col("__tlb")): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    // same bounded-bTab broadcast hint as twoLevelRank (see there)
-    withB.join(broadcast(bTab), partition :+ "__tlb")
+    // same bounded-bTab broadcast contract as twoLevelRank (see there)
+    val bJoin = if (broadcastBuckets) broadcast(bTab) else bTab
+    withB.join(bJoin, partition :+ "__tlb")
       .withColumn(out,
         col("__tloff") + coalesce(sum(col("__tlv")).over(wIn), lit(0L)))
       .drop("__tlb", "__tlv", "__tloff")

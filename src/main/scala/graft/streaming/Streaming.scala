@@ -907,13 +907,20 @@ object Streaming {
                   "rebuild the standing table or match its k")
             }
             // replay guard: a batch already folded into the standing
-            // sums must not fold twice (see scaladoc)
-            val lbHead = standing.agg(max(col("last_batch"))).head
+            // sums must not fold twice (see scaladoc). A standing
+            // card written before the guard existed has no
+            // last_batch column — treat it as -1 (merge everything)
+            // instead of crashing the stream on an unresolved column
             val lastMerged =
-              if (lbHead.isNullAt(0)) -1L else lbHead.getLong(0)
+              if (!standing.columns.contains("last_batch")) -1L
+              else {
+                val lbHead = standing.agg(max(col("last_batch"))).head
+                if (lbHead.isNullAt(0)) -1L else lbHead.getLong(0)
+              }
             if (batchId <= lastMerged) None
             else {
-              val u = standing.unionByName(bAgg)
+              val u = standing.unionByName(bAgg,
+                allowMissingColumns = true)
               // two (source, lang)-sized aggs, NOT one: exploding the
               // sketch before a combined agg would multiply the sums
               // by the sketch size
@@ -1065,6 +1072,14 @@ object Streaming {
                 s"built with different numBits/numHashes than " +
                 s"($numBits, $numHashes) — rebuild it or match its " +
                 "configuration")
+            // the gram size is as corrupting a config drift as the
+            // bitmap geometry: probing n=4 grams against folded
+            // n=8 hashes reads EVERYTHING as novel — silently
+            val storedN = st.select(col("gram_n")).head.getInt(0)
+            require(storedN == n,
+              s"noveltyGateStream: standing bloom at $bloomPath " +
+                s"folds $storedN-grams, stream configured with " +
+                s"n=$n — rebuild it or match its gram size")
             if (batchId <= h.getLong(2)) Some(None)
             else Some(Some(st.select(col("bits"))))
           } else None
@@ -1127,6 +1142,7 @@ object Streaming {
           case None => batchBloom
         }
         merged.withColumn("last_batch", lit(batchId))
+          .withColumn("gram_n", lit(n))
           .write.mode("overwrite").parquet(bTmp.toString)
         swapInTemp(fs, bPath, bTmp)
         }

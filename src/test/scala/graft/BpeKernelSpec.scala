@@ -45,6 +45,22 @@ class BpeKernelSpec extends SparkSpec {
     assert(local === dist)
   }
 
+  test("local trainer matches the distributed trainer on " +
+    "supplementary-plane words (code points, not UTF-16 units)") {
+    // Spark's split(w, "") keeps 😀 as ONE symbol; a toCharArray
+    // trainer would see two surrogate halves and learn different
+    // merges from round 1
+    val words = Seq(("a😀b", 5L), ("a😀", 3L),
+      ("xy", 2L))
+    val df = words.toDF("w", "cnt")
+    val dist = TextOps.bpeTrainMerges(df, "w", "cnt", numMerges = 3)
+    val local = TextOps.bpeTrainMergesLocal(words, numMerges = 3)
+    assert(local === dist)
+    assert(dist.head._1 === "a" &&
+      dist.head._2 === new String(Character.toChars(0x1F600)),
+      s"top merge must join 'a' with the WHOLE emoji, got ${dist.head}")
+  }
+
   test("kernel encode == unrolled fold == plain-Scala reference on " +
     "every corpus word under the trained table") {
     val words = corpusWords("/root/testdata/sf0.001")

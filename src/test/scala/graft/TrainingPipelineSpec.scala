@@ -121,6 +121,42 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(got(12L) === ((0L, 0L)))
   }
 
+  test("cluster-family cross-query consistency: copy-flow totals = " +
+    "t57's dup counts = t86's dropped docs; containment rows = " +
+    "non-canonical members with grams") {
+    // four independent queries ride the same staged label artifact —
+    // their totals must reconcile exactly, or one of them is reading
+    // a different clustering than it claims
+    val dir = "/root/testdata/sf0.001"
+    val flows = SparkEntry.queries("t109_copy_flow")(spark, dir)
+      .collect()
+    val nCopies = flows.map(_.getAs[Long]("n_copies")).sum
+    val dupTotal = SparkEntry.queries("t57_source_dup_rate")(spark, dir)
+      .collect().map(_.getAs[Long]("n_dup")).sum
+    assert(nCopies === dupTotal,
+      "every non-canonical member is exactly one copy-flow edge")
+    val savings = SparkEntry.queries("t86_dedup_savings")(spark, dir)
+      .collect()
+    val dropped = savings.map(r => (r.getAs[Long]("cluster_size") - 1L) *
+      r.getAs[Long]("n_clusters")).sum
+    assert(dropped === dupTotal,
+      "t86's cluster-size histogram must account for the same drops")
+    val contained = SparkEntry.queries("t110_containment")(spark, dir)
+      .collect()
+    assert(contained.length <= nCopies,
+      "containment rows are the members (minus gram-less docs)")
+    assert(contained.forall(r =>
+      r.getAs[Long]("containment_ppm") >= 0L &&
+        r.getAs[Long]("containment_ppm") <= 1000000L))
+    // members of REAL near-dup clusters share most grams with their
+    // canonical — median containment should sit high, not near zero
+    assert(contained.nonEmpty,
+      "near-dup members with >= 8 tokens must exist in the testdata")
+    val ppms = contained.map(_.getAs[Long]("containment_ppm")).sorted
+    assert(ppms(ppms.length / 2) >= 500000L,
+      s"median member-vs-canonical containment ${ppms(ppms.length / 2)}")
+  }
+
   test("star edges give the same components as clique pairs") {
     // The clustering path (lshStarEdges) must be indistinguishable from
     // the pair path (lshCandidatePairs) after connected components —
