@@ -427,6 +427,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("twoLevelRank with broadcastBuckets=false is value-identical " +
+    "(the flag only changes the bucket-join plan)") {
+    import graft.ops.Windows
+    val df = (0 until 80).map(i =>
+      (s"g${i % 3}", i.toLong, (i * 37 % 23).toDouble)).toDF("grp", "id", "s")
+    def ranks(bb: Boolean) = Windows
+      .twoLevelRank(df, Seq("grp"), (-floor(col("s") * 10)).cast("long"),
+        Seq(col("s").desc, col("id")), "rk", broadcastBuckets = bb)
+      .select("grp", "id", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ranks(bb = false) === ranks(bb = true))
+  }
+
   test("twoLevelPrefixSum equals a global exclusive running sum") {
     // same contract as the rank twin above: indistinguishable from
     // the one-reducer window, including duplicate scores and
