@@ -4126,6 +4126,126 @@ object SparkEntry {
           expr("n_shared * 1000000 div n_grams"))
     }),
 
+    // EDIT-DISTANCE stratification within near-dup clusters: LSH+CC
+    // (t12) says these docs are related; the edit layer says HOW —
+    // byte-identical copy ("exact"), light touch-up ("near", ≤20%
+    // of chars changed), or a shared template with rewritten content
+    // ("template"). Curation stacks route the layers differently
+    // (drop exact, keep one near-edit, keep template families but
+    // strip the boilerplate), and t110's set-based containment can't
+    // see ORDER — a shuffled bag of the same 8-grams scores 100%
+    // there but lands in "template" here. Scope is cluster-bounded
+    // (members vs their canonical rep, labels off the STAGED
+    // artifact — no LSH/CC re-run, never doc×doc) and the O(n·m) DP
+    // is capped by comparing 160-char prefixes (the cheap tier; a
+    // full-text pass would only re-rank inside the 'near' band).
+    // levenshtein() is unit-cost DP in both engines over ASCII-safe
+    // text — bit-identical integers, no float anywhere.
+    "t112_edit_layers" -> ((s, dir) => {
+      val px = T(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 160).as("__t"))
+      stagedNeardupLabels(s, dir)
+        .where(col("cluster_id") =!= col("doc_id"))
+        .join(px, Seq("doc_id"))
+        .join(px.select(col("doc_id").as("cluster_id"),
+          col("__t").as("__ct")), Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          levenshtein(col("__t"), col("__ct")).cast("long").as("lev"),
+          greatest(length(col("__t")), length(col("__ct")))
+            .cast("long").as("__mx"))
+        .withColumn("rel_ppm", expr("lev * 1000000 DIV __mx"))
+        .withColumn("layer",
+          when(col("lev") === 0, "exact")
+            .when(col("rel_ppm") <= lit(200000L), "near")
+            .otherwise("template"))
+        .drop("__mx")
+    }),
+
+    // Data-constrained budget accounting (Muennighoff et al. 2023,
+    // "Scaling Data-Constrained Language Models": repeated data decays
+    // in value; ~4 epochs is where returns run out). Given a token
+    // budget of 3× the corpus, give every source an equal share (the
+    // UniMax first-round allocation — the full iterative waterfill is
+    // t70), cap each source at 4 epochs of its own tokens, then price
+    // what it actually serves with a linear per-epoch decay (epoch k
+    // is worth 1 − 0.2·(k−1)): `eff_tok_milli` is the effective
+    // unique-token value the mix buys, the number a data-mix planner
+    // compares across candidate corpora. Arithmetic is INTEGER end to
+    // end (milli-token units; the closed form for the full-epoch sum
+    // is 1000f − 100f(f−1)), so the DuckDB twin is bit-exact. Shape:
+    // one corpus scan → per-source token sums (O(10) rows), a
+    // broadcast of two scalars, map-side arithmetic — trivially flat
+    // at 100 TB.
+    "t113_epoch_alloc" -> ((s, dir) => {
+      val u = T(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(TextOps.tokens(col("text"))).cast("long"))
+          .as("u_tokens"))
+      val tot = u.agg(sum("u_tokens").as("__tot"),
+        count(lit(1)).as("__ns"))
+      u.crossJoin(broadcast(tot))
+        .withColumn("alloc", expr("__tot * 3 DIV __ns"))
+        .withColumn("serve", least(col("alloc"), col("u_tokens") * 4))
+        .withColumn("epochs_milli", expr("serve * 1000 DIV u_tokens"))
+        .withColumn("__f", expr("serve DIV u_tokens"))
+        .withColumn("__r", expr("serve % u_tokens"))
+        .withColumn("eff_tok_milli",
+          expr("u_tokens * (1000 * __f - 100 * __f * (__f - 1))" +
+            " + __r * (1000 - 200 * __f)"))
+        .select("source", "u_tokens", "alloc", "serve",
+          "epochs_milli", "eff_tok_milli")
+    }),
+
+    // Tokenizer-COMPRESSION anomaly gate: a doc whose BPE tokens-per-
+    // char ratio sits far from its source's typical band is format
+    // noise — base64/minified blobs (ratio spikes) or wrong-language
+    // spillover the shared vocab can't compress. t65/t111 report
+    // corpus/source fertility health; THIS is the per-doc gate a
+    // pipeline runs after training the tokenizer. Fence is robust
+    // median + 3×MAD so the outliers being hunted cannot drag it.
+    //
+    // Scale shape: cr_ppm has a BOUNDED integer domain (≤10⁶ —
+    // a BPE symbol covers ≥1 char), so both medians aggregate a
+    // (source × value) HISTOGRAM via percentile(v, 0.5, cnt) — the
+    // agg state is distinct-value-sized and map-side combined, never
+    // a collect of the dominant source's rows (the same low-
+    // cardinality-group trap as the banned per-source sort windows,
+    // solved by domain-bounding instead of bucketing). Stats tables
+    // are O(sources) rows → explicit broadcast back. Integer-exact
+    // gate: medians of integers are multiples of 0.5, so dev4 =
+    // |4·cr − 4·med| and 3·mad4 are integer-valued doubles and the
+    // comparison cannot sit on a float boundary.
+    "t114_compression_gate" -> ((s, dir) => {
+      val merges = trainedMerges(s, dir)
+      val vocab = corpusWordCounts(s, dir).select(col("w"),
+        size(TextOps.bpeEncode(split(col("w"), ""), merges))
+          .cast("long").as("n_sym"))
+      val perDoc = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          explode(TextOps.tokensLower(col("text"))).as("w"))
+        .where(length(col("w")) > 0)
+        .join(vocab, Seq("w"))
+        .groupBy("doc_id", "source", "n_chars")
+        .agg(sum("n_sym").as("n_bpe"))
+        .withColumn("cr_ppm", expr("n_bpe * 1000000 DIV n_chars"))
+      val med = perDoc.groupBy("source", "cr_ppm")
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("source")
+        .agg(expr("percentile(cr_ppm, 0.5D, __c)").as("__med"))
+      val dev = perDoc.join(broadcast(med), Seq("source"))
+        .withColumn("__dev4",
+          abs(col("cr_ppm") * 4 - col("__med") * 4).cast("long"))
+      val mad = dev.groupBy("source", "__dev4")
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("source")
+        .agg(expr("percentile(__dev4, 0.5D, __c)").as("__mad4"))
+      dev.join(broadcast(mad), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_bpe"),
+          col("cr_ppm"),
+          (col("__dev4") > col("__mad4") * 3).cast("long")
+            .as("outlier"))
+    }),
+
     // Gopher-style rule-based quality gate (Rae et al. 2021, table A1):
     // named per-document heuristics — word count bounds, mean word
     // length band, alphabetic-word fraction, minimum stopword hits —
@@ -7159,6 +7279,113 @@ object SparkEntry {
            ON r.cluster_id = m.cluster_id AND r.gh = m.gh
          WHERE m.doc_id <> m.cluster_id
          GROUP BY 1, 2""",
+    // Same recursive-CC label block as t109/t110; members then join
+    // 160-char text prefixes and levenshtein stratifies the layer.
+    "t112_edit_layers" ->
+      raw"""WITH RECURSIVE $minhashBandsSql,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sym AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, dst FROM sym
+           UNION
+           SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id),
+         lab AS (
+           SELECT d.doc_id,
+             CASE WHEN m.rmin IS NULL OR d.doc_id < m.rmin
+                  THEN d.doc_id ELSE m.rmin END AS cluster_id
+           FROM documents d
+           LEFT JOIN (SELECT id, min(r) AS rmin FROM reach GROUP BY id) m
+             ON m.id = d.doc_id),
+         mem AS (
+           SELECT doc_id, cluster_id FROM lab
+           WHERE doc_id <> cluster_id),
+         px AS (
+           SELECT doc_id, substr(text, 1, 160) AS pt FROM documents),
+         ed AS (
+           SELECT m.doc_id, m.cluster_id,
+             levenshtein(a.pt, b.pt) AS lev,
+             greatest(length(a.pt), length(b.pt)) AS mx
+           FROM mem m
+           JOIN px a ON a.doc_id = m.doc_id
+           JOIN px b ON b.doc_id = m.cluster_id)
+         SELECT doc_id, cluster_id, CAST(lev AS BIGINT) AS lev,
+           CAST(lev * 1000000 // mx AS BIGINT) AS rel_ppm,
+           CASE WHEN lev = 0 THEN 'exact'
+                WHEN lev * 1000000 // mx <= 200000 THEN 'near'
+                ELSE 'template' END AS layer
+         FROM ed""",
+    // Integer milli-token arithmetic — identical closed form on both
+    // sides, so the hash compare is exact with zero rounding.
+    "t113_epoch_alloc" ->
+      raw"""WITH u AS (
+           SELECT source,
+             CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+               AS u_tokens
+           FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(u_tokens) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS ns FROM u),
+         a AS (
+           SELECT source, u_tokens, tot * 3 // ns AS alloc,
+             least(tot * 3 // ns, u_tokens * 4) AS serve
+           FROM u, t),
+         b AS (SELECT *, serve // u_tokens AS f, serve % u_tokens AS r
+               FROM a)
+         SELECT source, u_tokens, CAST(alloc AS BIGINT) AS alloc,
+           CAST(serve AS BIGINT) AS serve,
+           CAST(serve * 1000 // u_tokens AS BIGINT) AS epochs_milli,
+           CAST(u_tokens * (1000 * f - 100 * f * (f - 1))
+             + r * (1000 - 200 * f) AS BIGINT) AS eff_tok_milli
+         FROM b""",
+    // t73's training + vocab CTEs feed per-doc BPE counts; the fence
+    // is median + 3×MAD per source (DuckDB median interpolates at
+    // 0.5 exactly like Spark's percentile(v, 0.5, freq), and every
+    // compared quantity is an integer-valued double — see the Spark
+    // side's comment).
+    "t114_compression_gate" ->
+      raw"""WITH w0 AS (
+           SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(string_split_regex(lower(text), '\s+'))
+                   AS tok
+                 FROM documents)
+           WHERE len(tok) > 0 GROUP BY 1),
+         st0 AS (
+           SELECT w, cnt,
+             $bpeSep || array_to_string(string_split(w, ''),
+               $bpeSepSep) || $bpeSep AS s
+           FROM w0),
+         ${bpeTrainIterSql(8)},
+         vocab AS (
+           SELECT w,
+             CAST(len(string_split(substr(s, 2, length(s) - 2),
+               $bpeSepSep)) AS BIGINT) AS n_sym
+           FROM st8),
+         doc AS (
+           SELECT doc_id, source, n_chars, tok AS w
+           FROM (SELECT doc_id, source, n_chars,
+                   unnest(string_split_regex(lower(text), '\s+')) AS tok
+                 FROM documents)
+           WHERE len(tok) > 0),
+         pd AS (
+           SELECT doc_id, source, n_chars,
+             CAST(sum(n_sym) AS BIGINT) AS n_bpe
+           FROM doc JOIN vocab USING (w)
+           GROUP BY 1, 2, 3),
+         pc AS (SELECT *, n_bpe * 1000000 // n_chars AS cr_ppm FROM pd),
+         md AS (SELECT source, median(cr_ppm) AS med FROM pc GROUP BY 1),
+         dv AS (
+           SELECT pc.*, CAST(abs(4 * cr_ppm - CAST(4 * med AS BIGINT))
+             AS BIGINT) AS dev4
+           FROM pc JOIN md USING (source)),
+         m2 AS (SELECT source, median(dev4) AS mad4 FROM dv GROUP BY 1)
+         SELECT doc_id, source, n_bpe, CAST(cr_ppm AS BIGINT) AS cr_ppm,
+           CAST(CASE WHEN dev4 > 3 * mad4 THEN 1 ELSE 0 END AS BIGINT)
+             AS outlier
+         FROM dv JOIN m2 USING (source)""",
     "t51_eval_exposure" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks

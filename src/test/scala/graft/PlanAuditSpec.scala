@@ -476,7 +476,7 @@ class PlanAuditSpec extends SparkSpec {
     "the staged label artifact — zero LSH/CC work in the derived plans") {
     Seq("d5_neardup_keep", "t56_keep_best", "t57_source_dup_rate",
       "t72_cluster_split", "t86_dedup_savings", "t109_copy_flow",
-      "t110_containment").foreach { q =>
+      "t110_containment", "t112_edit_layers").foreach { q =>
       val p = plan(q)
       assert(!p.contains("graft_minhash_sig") &&
         !p.contains("graft_word_shingles") &&
@@ -486,6 +486,30 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("cluster_labels"),
         s"$q must scan the staged cluster_labels artifact:\n$p")
     }
+  }
+
+  test("t114: per-source median/MAD aggregate a bounded-domain " +
+    "histogram — no per-source row collect, stats broadcast back") {
+    val p = plan("t114_compression_gate")
+    // the fence must come from percentile-over-(value, count): a
+    // refactor to median()/percentile() straight over the doc rows
+    // re-opens the dominant-source one-buffer trap
+    assert(!p.contains("SinglePartition"),
+      s"t114 must stay source/doc-keyed end to end:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"t114's O(sources) stats tables must broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"t114 must not shuffle-sort-join the corpus against " +
+        s"20-row stats tables:\n$p")
+    assert(!perGroupCorpusSort.findFirstIn(p).isDefined,
+      s"t114 must not sort corpus rows per source:\n$p")
+  }
+
+  test("t113: the budget scalars broadcast; the per-source table " +
+    "never cartesians against corpus rows") {
+    val p = plan("t113_epoch_alloc")
+    assert(!p.contains("CartesianProduct"),
+      s"t113's one-row totals must broadcast:\n$p")
   }
 
   // The one-task-per-source trap: a window partitioned by a LOW-
