@@ -4246,6 +4246,70 @@ object SparkEntry {
             .as("outlier"))
     }),
 
+    // Quality-classifier DISTILLATION by gradient descent — the
+    // FineWeb-Edu/DCLM move: a cheap linear student learns a slow
+    // teacher's verdicts so the full corpus only ever pays the
+    // student. Teacher = the Gopher rule gate (t46's pass flag);
+    // student = logistic regression over t81's hashed unigram+bigram
+    // features (256 md5 buckets — model size fixed no matter the
+    // vocabulary); 3 full-batch GD steps. Per step: margins are a
+    // 256-row broadcast join + per-doc partial-agged sum, gradients
+    // one feature-keyed shuffle; driver state is the 257-long weight
+    // vector (q39 k-means / t71 BPE precedent). Joins the engine's
+    // iterative family: k-means (q39), PageRank (t74), BPE (t71).
+    //
+    // Cross-engine exactness: NO transcendental anywhere — the
+    // sigmoid is the rational approximation s(z) = 1/2 + z/(2(1+|z|))
+    // in fixed-point ppm, and every division is integer TRUNCATION
+    // (Spark DIV ≡ DuckDB // ≡ Java / — all toward zero, probed on
+    // negatives), so the unrolled SQL twin reproduces the training
+    // run bit-for-bit. Overflow headroom: per-row |e·x| ≤ 10¹²
+    // pre-division and the summed gradient stays ≤ ~10⁶ per
+    // (doc, bucket) row — decimal territory only past ~10¹² docs.
+    "t115_logreg_distill" -> ((s, dir) => {
+      import s.implicits._
+      val base = T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokensLower(col("text")).as("toks"))
+      val lbl = base.select(col("doc_id"),
+        TextOps.gopherPass(col("toks")).cast("long").as("y"))
+      val x = base.select(col("doc_id"),
+          explode(concat(col("toks"), graft.functions.SketchExpressions
+            .wordShingles(col("toks"), 2))).as("f"))
+        .withColumn("b", substring(md5(col("f")), 1, 2))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .withColumn("n",
+          sum(col("c")).over(Window.partitionBy("doc_id")))
+        .select(col("doc_id"), col("b"), expr("c * 1000000 DIV n").as("x"))
+        .localCheckpoint(false)
+      val lblm = lbl.join(x.select("doc_id").distinct(), Seq("doc_id"))
+        .localCheckpoint(false)
+      val nd = lblm.count()
+      var bias = 0L
+      var w: Map[String, Long] = Map.empty
+      for (_ <- 1 to 3) {
+        val z =
+          if (w.isEmpty) // step 1: all-zero weights, z ≡ bias (= 0)
+            x.select(col("doc_id")).distinct()
+              .withColumn("z", lit(bias))
+          else x.join(broadcast(w.toSeq.toDF("b", "w")), Seq("b"))
+            .groupBy("doc_id")
+            .agg((expr("sum(w * x) DIV 1000000") + lit(bias)).as("z"))
+        val e = z.join(lblm, Seq("doc_id"))
+          .select(col("doc_id"),
+            (lit(500000L) + expr("z * 500000 DIV (1000000 + abs(z))")
+              - col("y") * lit(1000000L)).as("e"))
+          .localCheckpoint(false)
+        val g = x.join(e, Seq("doc_id"))
+          .groupBy("b").agg(sum(expr("e * x DIV 1000000")).as("g"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val ge = e.agg(sum("e")).collect()(0).getLong(0)
+        w = g.map { case (b, gb) =>
+          b -> (w.getOrElse(b, 0L) - gb / nd) }
+        bias = bias - ge / nd
+      }
+      (w.toSeq :+ ("__bias" -> bias)).toDF("b", "w_micro")
+    }),
+
     // Gopher-style rule-based quality gate (Rae et al. 2021, table A1):
     // named per-document heuristics — word count bounds, mean word
     // length band, alphabetic-word fraction, minimum stopword hits —
@@ -7386,6 +7450,68 @@ object SparkEntry {
            CAST(CASE WHEN dev4 > 3 * mad4 THEN 1 ELSE 0 END AS BIGINT)
              AS outlier
          FROM dv JOIN m2 USING (source)""",
+    // The 3-step GD loop UNROLLED (t71's bpeTrainIterSql discipline):
+    // t81's feature CTEs (t/f/h via hashClfSql; its m/sc go unused),
+    // t46's metric block for the teacher label, then per step one
+    // margin CTE (zK), one error CTE (eK) through the rational
+    // sigmoid, and one weight CTE (wK/bK). `//` truncates toward
+    // zero in DuckDB exactly like Spark DIV and Java / — probed on
+    // negative operands, which gradients produce.
+    "t115_logreg_distill" ->
+      raw"""WITH $hashClfSql,
+         mm AS (SELECT doc_id,
+             len(toks) AS nw,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / len(toks) AS ml,
+             CAST(len(list_filter(toks,
+                 x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / len(toks) AS af,
+             len(list_filter(toks, x -> x IN ('the','be','to','of',
+                 'and','that','have','with','it','in'))) AS ns
+           FROM t),
+         lbl AS (SELECT doc_id,
+             CAST(nw BETWEEN 50 AND 100000 AND ml BETWEEN 3 AND 10
+                  AND af >= 0.8 AND ns >= 2 AS BIGINT) AS y
+           FROM mm),
+         ft AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+                FROM h GROUP BY 1, 2),
+         nf AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+                FROM ft GROUP BY 1),
+         x AS (SELECT doc_id, b, c * 1000000 // n AS x
+               FROM ft JOIN nf USING (doc_id)),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM nf),
+         e1 AS (SELECT l.doc_id, 500000 - y * 1000000 AS e
+                FROM lbl l JOIN nf USING (doc_id)),
+         w1 AS (SELECT b, 0 - (sum(e * x // 1000000) // nd) AS w
+                FROM x JOIN e1 USING (doc_id), nd GROUP BY b, nd),
+         b1 AS (SELECT 0 - (sum(e) // nd) AS bias FROM e1, nd
+                GROUP BY nd),
+         z2 AS (SELECT x.doc_id, (sum(w * x) // 1000000) + bias AS z
+                FROM x JOIN w1 USING (b), b1 GROUP BY x.doc_id, bias),
+         e2 AS (SELECT z2.doc_id,
+                  (500000 + (z * 500000 // (1000000 + abs(z))))
+                    - y * 1000000 AS e
+                FROM z2 JOIN lbl USING (doc_id)),
+         w2 AS (SELECT x.b, w - (sum(e * x // 1000000) // nd) AS w
+                FROM x JOIN e2 USING (doc_id) JOIN w1 USING (b), nd
+                GROUP BY x.b, w, nd),
+         b2 AS (SELECT bias - (sum(e) // nd) AS bias FROM e2, b1, nd
+                GROUP BY bias, nd),
+         z3 AS (SELECT x.doc_id, (sum(w * x) // 1000000) + bias AS z
+                FROM x JOIN w2 USING (b), b2 GROUP BY x.doc_id, bias),
+         e3 AS (SELECT z3.doc_id,
+                  (500000 + (z * 500000 // (1000000 + abs(z))))
+                    - y * 1000000 AS e
+                FROM z3 JOIN lbl USING (doc_id)),
+         w3 AS (SELECT x.b, w - (sum(e * x // 1000000) // nd) AS w
+                FROM x JOIN e3 USING (doc_id) JOIN w2 USING (b), nd
+                GROUP BY x.b, w, nd),
+         b3 AS (SELECT bias - (sum(e) // nd) AS bias FROM e3, b2, nd
+                GROUP BY bias, nd)
+         SELECT b, CAST(w AS BIGINT) AS w_micro FROM w3
+         UNION ALL
+         SELECT '__bias' AS b, CAST(bias AS BIGINT) AS w_micro
+         FROM b3""",
     "t51_eval_exposure" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks
