@@ -514,6 +514,104 @@ object SparkEntry {
         expr("sw div n_feats").as("score_ppm"))
   }
 
+  /** t115/t116's shared per-doc feature table (doc_id, b, x):
+    * t81's hashed unigram+bigram buckets normalized to ppm of the
+    * doc's feature total, PLUS two capped structural scalars under
+    * reserved bucket names (`_nw` word count ×2000, `_ns` stopword
+    * hits ×50000 — the t46 metric expressions, so the student's
+    * feature space can actually express the teacher's binding
+    * rules; ppm-normalized bag-of-buckets alone is length-blind and
+    * the best linear student collapses to majority voting, which
+    * the t116 audit showed). All integers ≤10⁶. The doc-partitioned
+    * window is hash-partitioned on the high-cardinality doc key
+    * (t44's precedent), never a global sort. */
+  private def hashedFeaturePpm(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokensLower(col("text")).as("toks"))
+    val hashed = base
+      .select(col("doc_id"),
+        explode(concat(col("toks"), graft.functions.SketchExpressions
+          .wordShingles(col("toks"), 2))).as("f"))
+      .withColumn("b", substring(md5(col("f")), 1, 2))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy("doc_id")))
+      .select(col("doc_id"), col("b"), expr("c * 1000000 DIV n").as("x"))
+    val structural = base.where(col("toks").isNotNull)
+      .select(col("doc_id"), lit("_nw").as("b"),
+        (least(TextOps.gopherNWords(col("toks")), lit(500))
+          * 2000L).cast("long").as("x"))
+      .union(base.where(col("toks").isNotNull)
+        .select(col("doc_id"), lit("_ns").as("b"),
+          (least(TextOps.gopherNStop(col("toks")), lit(20))
+            * 50000L).cast("long").as("x")))
+    hashed.union(structural)
+  }
+
+  /** Teacher labels for the distillation pair t115/t116: the Gopher
+    * rule gate's verdict per doc (t46's pass flag). */
+  private def teacherLabels(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"),
+      TextOps.gopherPass(TextOps.tokensLower(col("text")))
+        .cast("long").as("y"))
+
+  /** Memoized 3-step GD training per corpus dir (the trainedMerges
+    * argument: training is deterministic, so compute-once-per-JVM is
+    * an identity and t115 (ships the model) + t116 (audits it) share
+    * one run). Returns (bucket → w_micro, bias_micro). All integer
+    * truncating division — see the t115 query comment for the
+    * cross-engine exactness contract. */
+  private val distillMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[String, Long], Long)]()
+  private def distilledModel(s: SparkSession,
+                             dir: String): (Map[String, Long], Long) =
+    distillMemo.computeIfAbsent(dir, _ => {
+      val x = hashedFeaturePpm(s, dir).localCheckpoint(false)
+      val lblm = teacherLabels(s, dir)
+        .join(x.select("doc_id").distinct(), Seq("doc_id"))
+        .localCheckpoint(false)
+      val nd = lblm.count()
+      var bias = 0L
+      var w: Map[String, Long] = Map.empty
+      // 8 full-batch steps with a 1/step-decayed rate (integer:
+      // lw = 1024 DIV step). The ×1024 base scale compensates each
+      // bucket seeing only a slice of the ppm feature mass (a raw
+      // average gradient moves the weight axis ~10³ too slowly and
+      // the student never leaves bias-only majority voting); the
+      // decay is what makes the full-batch iteration SETTLE — at a
+      // constant rate the bounded rational sigmoid keeps per-doc
+      // error near ±5·10⁵ and the trajectory oscillates between
+      // all-positive and all-negative instead of converging (probed
+      // on sf0.1: fixed lr lands at a knife-edge, decayed lr is
+      // stable from step 5 on). Both rates are exact integer
+      // divisions, so the unrolled twin reproduces every step.
+      for (it <- 1 to 8) {
+        val z =
+          if (w.isEmpty) // step 1: all-zero weights, z ≡ bias (= 0)
+            x.select(col("doc_id")).distinct()
+              .withColumn("z", lit(bias))
+          else x.join(
+            broadcast(s.createDataFrame(w.toSeq).toDF("b", "w")),
+            Seq("b"))
+            .groupBy("doc_id")
+            .agg((expr("sum(w * x) DIV 1000000") + lit(bias)).as("z"))
+        val e = z.join(lblm, Seq("doc_id"))
+          .select(col("doc_id"),
+            (lit(500000L) + expr("z * 500000 DIV (1000000 + abs(z))")
+              - col("y") * lit(1000000L)).as("e"))
+          .localCheckpoint(false)
+        val g = x.join(e, Seq("doc_id"))
+          .groupBy("b").agg(sum(expr("e * x DIV 1000000")).as("g"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val ge = e.agg(sum("e")).collect()(0).getLong(0)
+        val lw = 1024L / it
+        w = g.map { case (b, gb) =>
+          b -> (w.getOrElse(b, 0L) - (gb * lw) / nd) }
+        bias = bias - (ge / it) / nd
+      }
+      (w, bias)
+    })
+
   /** DuckDB CTE block for [[hashClassifierScores]] — ends in `sc`
     * (doc_id, source, n_feats, score_ppm); shared by the t81 and
     * t107 twins. Plain literal for the regex backslash. */
@@ -541,6 +639,82 @@ object SparkEntry {
              CAST(sum(w_ppm) // count(*) AS BIGINT) AS score_ppm
            FROM h JOIN m USING (b)
            GROUP BY doc_id, source)"""
+
+  /** Shared base CTEs for the t115/t116 twins (rides hashClfSql's
+    * t/h): teacher metrics + label, per-doc feature totals, the
+    * feature table x with the two structural rows, and the doc
+    * count. Plain \\s regex literals reach DuckDB verbatim via raw
+    * interpolation at the use site. */
+  private val logregBaseSql: String =
+    """mm AS (SELECT doc_id,
+             len(toks) AS nw,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / len(toks) AS ml,
+             CAST(len(list_filter(toks,
+                 x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / len(toks) AS af,
+             len(list_filter(toks, x -> x IN ('the','be','to','of',
+                 'and','that','have','with','it','in'))) AS ns
+           FROM t),
+         lbl AS MATERIALIZED (SELECT doc_id,
+             CAST(nw BETWEEN 50 AND 100000 AND ml BETWEEN 3 AND 10
+                  AND af >= 0.8 AND ns >= 2 AS BIGINT) AS y
+           FROM mm),
+         ft AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+                FROM h GROUP BY 1, 2),
+         nf AS MATERIALIZED (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+                FROM ft GROUP BY 1),
+         x AS MATERIALIZED (SELECT doc_id, b, c * 1000000 // n AS x
+               FROM ft JOIN nf USING (doc_id)
+               UNION ALL
+               SELECT doc_id, '_nw' AS b,
+                 CAST(least(len(toks), 500) * 2000 AS BIGINT) AS x
+               FROM t WHERE toks IS NOT NULL
+               UNION ALL
+               SELECT doc_id, '_ns' AS b,
+                 CAST(least(len(list_filter(toks,
+                     tk -> tk IN ('the','be','to','of','and','that',
+                       'have','with','it','in'))), 20)
+                   * 50000 AS BIGINT) AS x
+               FROM t WHERE toks IS NOT NULL),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM nf)"""
+
+  /** The t115/t116 GD loop UNROLLED into per-step CTE rounds
+    * (bpeTrainIterSql's discipline): step k emits z$k (margins from
+    * the previous weights), e$k (error through the rational
+    * sigmoid), w$k and b$k (decayed update; the per-step rates
+    * 1024 DIV k and the bias divisor k are embedded as literals, so
+    * the twin replays the exact integer schedule the Scala loop
+    * runs). */
+  private def logregStepSql(steps: Int): String =
+    (1 to steps).map { k =>
+      val lw = 1024L / k
+      val z =
+        if (k == 1)
+          "z1 AS MATERIALIZED (SELECT doc_id, CAST(0 AS BIGINT) AS z FROM nf)"
+        else
+          s"""z$k AS MATERIALIZED (SELECT x.doc_id,
+                  (sum(w * x) // 1000000) + bias AS z
+                FROM x JOIN w${k - 1} USING (b), b${k - 1}
+                GROUP BY x.doc_id, bias)"""
+      val wPrev = if (k == 1) "0" else "w"
+      val wJoin = if (k == 1) "" else s" JOIN w${k - 1} USING (b)"
+      val wGrp = if (k == 1) "" else ", w"
+      val bPrev = if (k == 1) "0" else "bias"
+      val bFrom = if (k == 1) "" else s", b${k - 1}"
+      val bGrp = if (k == 1) "" else "bias, "
+      s"""$z,
+         e$k AS MATERIALIZED (SELECT z$k.doc_id,
+                  (500000 + (z * 500000 // (1000000 + abs(z))))
+                    - y * 1000000 AS e
+                FROM z$k JOIN lbl USING (doc_id)),
+         w$k AS MATERIALIZED (SELECT x.b,
+                  $wPrev - (($lw * sum(e * x // 1000000)) // nd) AS w
+                FROM x JOIN e$k USING (doc_id)$wJoin, nd
+                GROUP BY x.b$wGrp, nd),
+         b$k AS MATERIALIZED (SELECT $bPrev - ((sum(e) // $k) // nd) AS bias
+                FROM e$k$bFrom, nd GROUP BY ${bGrp}nd)"""
+    }.mkString(",\n         ")
 
   /** Canonical-text md5 (t54's normalization) as a DuckDB expression
     * over `text` — shared by the t98/t105 twins so the dedup key
@@ -4252,10 +4426,13 @@ object SparkEntry {
     // student. Teacher = the Gopher rule gate (t46's pass flag);
     // student = logistic regression over t81's hashed unigram+bigram
     // features (256 md5 buckets — model size fixed no matter the
-    // vocabulary); 3 full-batch GD steps. Per step: margins are a
-    // 256-row broadcast join + per-doc partial-agged sum, gradients
-    // one feature-keyed shuffle; driver state is the 257-long weight
-    // vector (q39 k-means / t71 BPE precedent). Joins the engine's
+    // vocabulary) plus two capped structural scalars (word count,
+    // stopword hits — see hashedFeaturePpm's comment for why the
+    // student needs them); 8 full-batch GD steps at a 1/step-decayed
+    // rate (see distilledModel). Per step: margins are a ~258-row
+    // broadcast join + per-doc partial-agged sum, gradients one
+    // feature-keyed shuffle; driver state is the weight vector
+    // (q39 k-means / t71 BPE precedent). Joins the engine's
     // iterative family: k-means (q39), PageRank (t74), BPE (t71).
     //
     // Cross-engine exactness: NO transcendental anywhere — the
@@ -4267,47 +4444,44 @@ object SparkEntry {
     // pre-division and the summed gradient stays ≤ ~10⁶ per
     // (doc, bucket) row — decimal territory only past ~10¹² docs.
     "t115_logreg_distill" -> ((s, dir) => {
-      import s.implicits._
-      val base = T(s, dir, "documents")
-        .select(col("doc_id"), TextOps.tokensLower(col("text")).as("toks"))
-      val lbl = base.select(col("doc_id"),
-        TextOps.gopherPass(col("toks")).cast("long").as("y"))
-      val x = base.select(col("doc_id"),
-          explode(concat(col("toks"), graft.functions.SketchExpressions
-            .wordShingles(col("toks"), 2))).as("f"))
-        .withColumn("b", substring(md5(col("f")), 1, 2))
-        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-        .withColumn("n",
-          sum(col("c")).over(Window.partitionBy("doc_id")))
-        .select(col("doc_id"), col("b"), expr("c * 1000000 DIV n").as("x"))
-        .localCheckpoint(false)
-      val lblm = lbl.join(x.select("doc_id").distinct(), Seq("doc_id"))
-        .localCheckpoint(false)
-      val nd = lblm.count()
-      var bias = 0L
-      var w: Map[String, Long] = Map.empty
-      for (_ <- 1 to 3) {
-        val z =
-          if (w.isEmpty) // step 1: all-zero weights, z ≡ bias (= 0)
-            x.select(col("doc_id")).distinct()
-              .withColumn("z", lit(bias))
-          else x.join(broadcast(w.toSeq.toDF("b", "w")), Seq("b"))
-            .groupBy("doc_id")
-            .agg((expr("sum(w * x) DIV 1000000") + lit(bias)).as("z"))
-        val e = z.join(lblm, Seq("doc_id"))
-          .select(col("doc_id"),
-            (lit(500000L) + expr("z * 500000 DIV (1000000 + abs(z))")
-              - col("y") * lit(1000000L)).as("e"))
-          .localCheckpoint(false)
-        val g = x.join(e, Seq("doc_id"))
-          .groupBy("b").agg(sum(expr("e * x DIV 1000000")).as("g"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val ge = e.agg(sum("e")).collect()(0).getLong(0)
-        w = g.map { case (b, gb) =>
-          b -> (w.getOrElse(b, 0L) - gb / nd) }
-        bias = bias - ge / nd
-      }
-      (w.toSeq :+ ("__bias" -> bias)).toDF("b", "w_micro")
+      val (w, bias) = distilledModel(s, dir)
+      s.createDataFrame(w.toSeq :+ ("__bias" -> bias))
+        .toDF("b", "w_micro")
+    }),
+
+    // AUDIT of the distilled model (t115's student) against its
+    // teacher: score every doc with the final weights, decide with
+    // t81's keep convention (score_ppm > 500000), and report the
+    // per-source confusion — the acceptance gate a distilled
+    // classifier must pass before it replaces the teacher in the
+    // corpus-wide pass (and the per-source breakdown is what catches
+    // a student that only learned the dominant source's shortcut).
+    // One scoring pass: 256-row weight broadcast → per-doc partial-
+    // agged margin → source rollup; the training run is shared with
+    // t115 via the memo (materialize-once contract).
+    "t116_distill_audit" -> ((s, dir) => {
+      val (w, bias) = distilledModel(s, dir)
+      val scored = hashedFeaturePpm(s, dir)
+        .join(broadcast(s.createDataFrame(w.toSeq).toDF("b", "w")),
+          Seq("b"))
+        .groupBy("doc_id")
+        .agg((expr("sum(w * x) DIV 1000000") + lit(bias)).as("z"))
+        .withColumn("sp",
+          lit(500000L) + expr("z * 500000 DIV (1000000 + abs(z))"))
+        .withColumn("st", (col("sp") > 500000L).cast("long"))
+      scored
+        .join(teacherLabels(s, dir), Seq("doc_id"))
+        .join(T(s, dir, "documents").select("doc_id", "source"),
+          Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("y").as("teacher_pos"),
+          sum("st").as("student_pos"),
+          sum(col("y") * col("st")).as("both_pos"),
+          sum(when(col("y") === col("st"), 1L).otherwise(0L))
+            .as("__agree"))
+        .withColumn("agree_ppm", expr("__agree * 1000000 DIV n_docs"))
+        .drop("__agree")
     }),
 
     // Gopher-style rule-based quality gate (Rae et al. 2021, table A1):
@@ -7450,68 +7624,43 @@ object SparkEntry {
            CAST(CASE WHEN dev4 > 3 * mad4 THEN 1 ELSE 0 END AS BIGINT)
              AS outlier
          FROM dv JOIN m2 USING (source)""",
-    // The 3-step GD loop UNROLLED (t71's bpeTrainIterSql discipline):
+    // The 8-step GD loop UNROLLED (t71's bpeTrainIterSql discipline):
     // t81's feature CTEs (t/f/h via hashClfSql; its m/sc go unused),
-    // t46's metric block for the teacher label, then per step one
-    // margin CTE (zK), one error CTE (eK) through the rational
-    // sigmoid, and one weight CTE (wK/bK). `//` truncates toward
-    // zero in DuckDB exactly like Spark DIV and Java / — probed on
-    // negative operands, which gradients produce.
+    // logregBaseSql for the teacher label + feature table, then one
+    // generated round (z/e/w/b CTEs) per step with the decayed-rate
+    // literals baked in. `//` truncates toward zero in DuckDB
+    // exactly like Spark DIV and Java / — probed on negative
+    // operands, which gradients produce.
     "t115_logreg_distill" ->
       raw"""WITH $hashClfSql,
-         mm AS (SELECT doc_id,
-             len(toks) AS nw,
-             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
-               / len(toks) AS ml,
-             CAST(len(list_filter(toks,
-                 x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-               / len(toks) AS af,
-             len(list_filter(toks, x -> x IN ('the','be','to','of',
-                 'and','that','have','with','it','in'))) AS ns
-           FROM t),
-         lbl AS (SELECT doc_id,
-             CAST(nw BETWEEN 50 AND 100000 AND ml BETWEEN 3 AND 10
-                  AND af >= 0.8 AND ns >= 2 AS BIGINT) AS y
-           FROM mm),
-         ft AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
-                FROM h GROUP BY 1, 2),
-         nf AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
-                FROM ft GROUP BY 1),
-         x AS (SELECT doc_id, b, c * 1000000 // n AS x
-               FROM ft JOIN nf USING (doc_id)),
-         nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM nf),
-         e1 AS (SELECT l.doc_id, 500000 - y * 1000000 AS e
-                FROM lbl l JOIN nf USING (doc_id)),
-         w1 AS (SELECT b, 0 - (sum(e * x // 1000000) // nd) AS w
-                FROM x JOIN e1 USING (doc_id), nd GROUP BY b, nd),
-         b1 AS (SELECT 0 - (sum(e) // nd) AS bias FROM e1, nd
-                GROUP BY nd),
-         z2 AS (SELECT x.doc_id, (sum(w * x) // 1000000) + bias AS z
-                FROM x JOIN w1 USING (b), b1 GROUP BY x.doc_id, bias),
-         e2 AS (SELECT z2.doc_id,
-                  (500000 + (z * 500000 // (1000000 + abs(z))))
-                    - y * 1000000 AS e
-                FROM z2 JOIN lbl USING (doc_id)),
-         w2 AS (SELECT x.b, w - (sum(e * x // 1000000) // nd) AS w
-                FROM x JOIN e2 USING (doc_id) JOIN w1 USING (b), nd
-                GROUP BY x.b, w, nd),
-         b2 AS (SELECT bias - (sum(e) // nd) AS bias FROM e2, b1, nd
-                GROUP BY bias, nd),
-         z3 AS (SELECT x.doc_id, (sum(w * x) // 1000000) + bias AS z
-                FROM x JOIN w2 USING (b), b2 GROUP BY x.doc_id, bias),
-         e3 AS (SELECT z3.doc_id,
-                  (500000 + (z * 500000 // (1000000 + abs(z))))
-                    - y * 1000000 AS e
-                FROM z3 JOIN lbl USING (doc_id)),
-         w3 AS (SELECT x.b, w - (sum(e * x // 1000000) // nd) AS w
-                FROM x JOIN e3 USING (doc_id) JOIN w2 USING (b), nd
-                GROUP BY x.b, w, nd),
-         b3 AS (SELECT bias - (sum(e) // nd) AS bias FROM e3, b2, nd
-                GROUP BY bias, nd)
-         SELECT b, CAST(w AS BIGINT) AS w_micro FROM w3
+         $logregBaseSql,
+         ${logregStepSql(8)}
+         SELECT b, CAST(w AS BIGINT) AS w_micro FROM w8
          UNION ALL
          SELECT '__bias' AS b, CAST(bias AS BIGINT) AS w_micro
-         FROM b3""",
+         FROM b8""",
+    // t115's unrolled training CTEs, then one scoring pass with the
+    // final weights and the per-source confusion rollup.
+    "t116_distill_audit" ->
+      raw"""WITH $hashClfSql,
+         $logregBaseSql,
+         ${logregStepSql(8)},
+         zf AS (SELECT x.doc_id, (sum(w * x) // 1000000) + bias AS z
+                FROM x JOIN w8 USING (b), b8 GROUP BY x.doc_id, bias),
+         sf AS (SELECT doc_id,
+                  500000 + (z * 500000 // (1000000 + abs(z))) AS sp
+                FROM zf),
+         j AS (SELECT d.source, l.y,
+                 CASE WHEN sp > 500000 THEN 1 ELSE 0 END AS st
+               FROM sf JOIN lbl l USING (doc_id)
+               JOIN documents d USING (doc_id))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS teacher_pos,
+           CAST(sum(st) AS BIGINT) AS student_pos,
+           CAST(sum(y * st) AS BIGINT) AS both_pos,
+           CAST(sum(CASE WHEN y = st THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS BIGINT) AS agree_ppm
+         FROM j GROUP BY 1""",
     "t51_eval_exposure" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks
