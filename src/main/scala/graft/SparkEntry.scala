@@ -491,9 +491,13 @@ object SparkEntry {
     * 256-bucket hashed unigram+bigram features, Laplace-smoothed
     * positive rate per bucket in integer ppm, per-doc mean over a
     * broadcast of the 256-row model. */
-  private def hashClassifierScores(s: SparkSession,
-                                   dir: String): DataFrame = {
-    val feats = T(s, dir, "documents")
+  /** t81's hashed feature rows (doc_id, source, b) — unigrams +
+    * 2-shingles into 256 md5-prefix buckets. ONE definition for the
+    * whole classifier family (t81/t107 scoring, t115/t116
+    * distillation) so the bucketing scheme cannot desynchronize
+    * between consumers; the SQL twin is hashClfSql's t/f/h block. */
+  private def hashedFeatureRows(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         TextOps.tokensLower(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
@@ -501,6 +505,10 @@ object SparkEntry {
           graft.functions.SketchExpressions
             .wordShingles(col("toks"), 2))).as("f"))
       .withColumn("b", substring(md5(col("f")), 1, 2))
+
+  private def hashClassifierScores(s: SparkSession,
+                                   dir: String): DataFrame = {
+    val feats = hashedFeatureRows(s, dir)
     val model = feats.groupBy("b")
       .agg(sum(when(col("source").isin("src0", "src1"), 1L)
         .otherwise(0L)).as("cpos"),
@@ -528,11 +536,7 @@ object SparkEntry {
   private def hashedFeaturePpm(s: SparkSession, dir: String): DataFrame = {
     val base = T(s, dir, "documents")
       .select(col("doc_id"), TextOps.tokensLower(col("text")).as("toks"))
-    val hashed = base
-      .select(col("doc_id"),
-        explode(concat(col("toks"), graft.functions.SketchExpressions
-          .wordShingles(col("toks"), 2))).as("f"))
-      .withColumn("b", substring(md5(col("f")), 1, 2))
+    val hashed = hashedFeatureRows(s, dir)
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
       .withColumn("n",
         sum(col("c")).over(Window.partitionBy("doc_id")))
@@ -555,16 +559,19 @@ object SparkEntry {
       TextOps.gopherPass(TextOps.tokensLower(col("text")))
         .cast("long").as("y"))
 
-  /** Memoized 3-step GD training per corpus dir (the trainedMerges
+  /** Memoized 8-step GD training per corpus dir (the trainedMerges
     * argument: training is deterministic, so compute-once-per-JVM is
     * an identity and t115 (ships the model) + t116 (audits it) share
-    * one run). Returns (bucket → w_micro, bias_micro). All integer
-    * truncating division — see the t115 query comment for the
-    * cross-engine exactness contract. */
+    * one run). Returns (bucket → w_micro, bias_micro, the
+    * checkpointed feature table) — the features ride along so the
+    * audit's scoring pass reuses the materialization instead of
+    * re-tokenizing the corpus. All integer truncating division —
+    * see the t115 query comment for the cross-engine exactness
+    * contract. */
   private val distillMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (Map[String, Long], Long)]()
-  private def distilledModel(s: SparkSession,
-                             dir: String): (Map[String, Long], Long) =
+    String, (Map[String, Long], Long, DataFrame)]()
+  private def distilledModel(
+      s: SparkSession, dir: String): (Map[String, Long], Long, DataFrame) =
     distillMemo.computeIfAbsent(dir, _ => {
       val x = hashedFeaturePpm(s, dir).localCheckpoint(false)
       val lblm = teacherLabels(s, dir)
@@ -609,7 +616,7 @@ object SparkEntry {
           b -> (w.getOrElse(b, 0L) - (gb * lw) / nd) }
         bias = bias - (ge / it) / nd
       }
-      (w, bias)
+      (w, bias, x)
     })
 
   /** DuckDB CTE block for [[hashClassifierScores]] — ends in `sc`
@@ -640,13 +647,15 @@ object SparkEntry {
            FROM h JOIN m USING (b)
            GROUP BY doc_id, source)"""
 
-  /** Shared base CTEs for the t115/t116 twins (rides hashClfSql's
-    * t/h): teacher metrics + label, per-doc feature totals, the
-    * feature table x with the two structural rows, and the doc
-    * count. Plain \\s regex literals reach DuckDB verbatim via raw
-    * interpolation at the use site. */
-  private val logregBaseSql: String =
-    """mm AS (SELECT doc_id,
+  /** Gopher metric CTE `gm` (doc_id, nw, ml, af, ns) over a `t`
+    * CTE's (doc_id, toks), plus the pass predicate over gm's
+    * columns — the SQL twins of TextOps.gopherNWords/MeanLen/
+    * AlphaFrac/NStop/gopherPass. ONE definition (the minhashBandsSql
+    * pattern) shared by the t46 twin and logregBaseSql so a
+    * threshold tweak cannot desynchronize the rule gate from the
+    * distillation teacher. */
+  private val gopherMetricSql: String =
+    """gm AS (SELECT doc_id,
              len(toks) AS nw,
              CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
                / len(toks) AS ml,
@@ -655,11 +664,21 @@ object SparkEntry {
                / len(toks) AS af,
              len(list_filter(toks, x -> x IN ('the','be','to','of',
                  'and','that','have','with','it','in'))) AS ns
-           FROM t),
+           FROM t)"""
+  private val gopherPassSql: String =
+    """nw BETWEEN 50 AND 100000 AND ml BETWEEN 3 AND 10
+                  AND af >= 0.8 AND ns >= 2"""
+
+  /** Shared base CTEs for the t115/t116 twins (rides hashClfSql's
+    * t/h): teacher metrics + label, per-doc feature totals, the
+    * feature table x with the two structural rows, and the doc
+    * count. Plain \s regex literals reach DuckDB verbatim via raw
+    * interpolation at the use site. */
+  private val logregBaseSql: String =
+    s"""$gopherMetricSql,
          lbl AS MATERIALIZED (SELECT doc_id,
-             CAST(nw BETWEEN 50 AND 100000 AND ml BETWEEN 3 AND 10
-                  AND af >= 0.8 AND ns >= 2 AS BIGINT) AS y
-           FROM mm),
+             CAST($gopherPassSql AS BIGINT) AS y
+           FROM gm),
          ft AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
                 FROM h GROUP BY 1, 2),
          nf AS MATERIALIZED (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
@@ -4402,6 +4421,11 @@ object SparkEntry {
         .groupBy("doc_id", "source", "n_chars")
         .agg(sum("n_sym").as("n_bpe"))
         .withColumn("cr_ppm", expr("n_bpe * 1000000 DIV n_chars"))
+        // materialize once (disk-spillable, lineage-truncating — the
+        // distilledModel precedent): med, dev and the output join all
+        // read this table, and without the checkpoint each reference
+        // re-plans the tokenize + vocab-encode pipeline
+        .localCheckpoint(false)
       val med = perDoc.groupBy("source", "cr_ppm")
         .agg(count(lit(1)).as("__c"))
         .groupBy("source")
@@ -4444,7 +4468,7 @@ object SparkEntry {
     // pre-division and the summed gradient stays ≤ ~10⁶ per
     // (doc, bucket) row — decimal territory only past ~10¹² docs.
     "t115_logreg_distill" -> ((s, dir) => {
-      val (w, bias) = distilledModel(s, dir)
+      val (w, bias, _) = distilledModel(s, dir)
       s.createDataFrame(w.toSeq :+ ("__bias" -> bias))
         .toDF("b", "w_micro")
     }),
@@ -4460,8 +4484,8 @@ object SparkEntry {
     // agged margin → source rollup; the training run is shared with
     // t115 via the memo (materialize-once contract).
     "t116_distill_audit" -> ((s, dir) => {
-      val (w, bias) = distilledModel(s, dir)
-      val scored = hashedFeaturePpm(s, dir)
+      val (w, bias, x) = distilledModel(s, dir)
+      val scored = x
         .join(broadcast(s.createDataFrame(w.toSeq).toDF("b", "w")),
           Seq("b"))
         .groupBy("doc_id")
@@ -7770,24 +7794,14 @@ object SparkEntry {
            md5(coalesce(array_to_string(kept, ' '), '')) AS redacted_md5
          FROM k""",
     "t46_gopher_rules" ->
-      """WITH t AS (
+      raw"""WITH t AS (
            SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
            FROM documents),
-         m AS (SELECT doc_id,
-             len(toks) AS n_words,
-             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
-               / len(toks) AS ml,
-             CAST(len(list_filter(toks,
-                 x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-               / len(toks) AS af,
-             len(list_filter(toks, x -> x IN ('the','be','to','of','and',
-                 'that','have','with','it','in'))) AS ns
-           FROM t)
-         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         $gopherMetricSql
+         SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
            round(ml, 6) AS mean_word_len, round(af, 6) AS alpha_frac,
            CAST(ns AS BIGINT) AS n_stop,
-           CAST(n_words BETWEEN 50 AND 100000 AND ml BETWEEN 3 AND 10
-                AND af >= 0.8 AND ns >= 2 AS BIGINT) AS pass
-         FROM m""",
+           CAST($gopherPassSql AS BIGINT) AS pass
+         FROM gm""",
   )
 }
