@@ -157,6 +157,33 @@ class TrainingPipelineSpec extends SparkSpec {
       s"median member-vs-canonical containment ${ppms(ppms.length / 2)}")
   }
 
+  test("t115/t116: the distilled student discriminates — agreement " +
+    "beats majority voting and both decision classes occur") {
+    val dir = "/root/testdata/sf0.001"
+    val audit = SparkEntry.queries("t116_distill_audit")(spark, dir)
+      .collect()
+    val n = audit.map(_.getAs[Long]("n_docs")).sum
+    val tp = audit.map(_.getAs[Long]("teacher_pos")).sum
+    val sp = audit.map(_.getAs[Long]("student_pos")).sum
+    val agreeDocs = audit.map(r =>
+      r.getAs[Long]("agree_ppm") * r.getAs[Long]("n_docs")).sum / 1e6
+    val base = math.max(tp, n - tp).toDouble / n
+    assert(sp > 0L && sp < n,
+      "the student must use both decision classes (a bias-only " +
+        "majority voter is exactly the failure t116 exists to catch)")
+    assert(agreeDocs / n > base,
+      f"student agreement ${agreeDocs / n}%.3f must beat the " +
+        f"majority base rate $base%.3f")
+    // the shipped model is the audited model (one memoized run), and
+    // the structural axes must carry learned signal
+    val model = SparkEntry.queries("t115_logreg_distill")(spark, dir)
+      .collect()
+    assert(model.exists(_.getString(0) == "__bias"))
+    assert(model.exists(r => r.getString(0).startsWith("_n") &&
+      r.getAs[Long]("w_micro") > 0L),
+      "the structural features must carry positive learned weight")
+  }
+
   test("star edges give the same components as clique pairs") {
     // The clustering path (lshStarEdges) must be indistinguishable from
     // the pair path (lshCandidatePairs) after connected components —
