@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -233,6 +233,69 @@ object Streaming {
       })
     val allowed = best.getField("a") === 1 // init a=1 → no match allows
     in.where(if (keepAllowed) allowed else !allowed)
+  }
+
+  /** Streaming QUALITY SCORING with the standing distilled
+    * classifier — the serve side of t115's train-offline pattern
+    * (FineWeb-Edu's production shape: the slow teacher never sees
+    * the firehose, only the linear student does). The model (bucket
+    * → w_micro, from the t115 artifact) ships as plan literals: a
+    * sorted hashed-bucket array + parallel weight array, per-row
+    * dispatch ONE binary search per DISTINCT bucket (≤256) into the
+    * weight slot — no join, no state, no shuffle; the two
+    * structural weights are plain literal terms. The in-row
+    * arithmetic replays the batch scoring EXACTLY — per-bucket ppm
+    * truncation against the doc's hashed-feature total, micro-unit
+    * dot, rational sigmoid, every division a true integer DIV — so
+    * a document receives the SAME verdict streaming or batch
+    * (spec-locked against t116's decision column). Per-row cost is
+    * O(distinct buckets × features) for the occurrence counts —
+    * bounded by 256·|feats|, the price of statelessness. Null text
+    * scores null and keeps=false (the batch pass never scores those
+    * docs). Output: `in` + (score_ppm, keep) — callers filter. */
+  def qualityScoreStream(in: DataFrame, textCol: String,
+                         model: Seq[(String, Long)],
+                         biasMicro: Long): DataFrame = {
+    import graft.functions.SketchExpressions
+    import org.apache.spark.sql.GraftColumnBridge.{column => C,
+      expression => E}
+    def idiv(a: Column, b: Column): Column = C(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        E(a), E(b)))
+    require(model.size <= 1000000,
+      s"model has ${model.size} buckets — the plan-literal gate is " +
+        "for hashed-vocabulary sizes; use the batch broadcast join " +
+        "(t116) at this size")
+    val hashedW = model.filter(!_._1.startsWith("_")).toMap
+    val buckets = SketchExpressions.utf8Sorted(hashedW.keys.toArray)
+    // ONE miss slot at position 1 (idx = −1 → slot 1 reads 0), then
+    // the weights in bucket-sort order — the robotsGateStream idx+2
+    // single-lookup pattern
+    val wArr = array(lit(0L) +:
+      buckets.map(b => lit(hashedW(b))): _*)
+    val wNw = model.toMap.getOrElse("_nw", 0L)
+    val wNs = model.toMap.getOrElse("_ns", 0L)
+    val toks = graft.ops.TextOps.tokensLower(col(textCol))
+    val feats = concat(toks, SketchExpressions.wordShingles(toks, 2))
+    val bs = transform(feats, f => substring(md5(f), 1, 2))
+    val n = size(bs).cast("long")
+    val hdot = aggregate(array_distinct(bs), lit(0L), (acc, b) => {
+      val w = element_at(wArr,
+        SketchExpressions.sortedIndexOf(b, buckets) + 2)
+      val c = size(filter(bs, f => f === b)).cast("long")
+      acc + w * idiv(c * lit(1000000L), n)
+    })
+    val sdot = lit(wNw) *
+      (least(graft.ops.TextOps.gopherNWords(toks), lit(500))
+        * 2000L).cast("long") +
+      lit(wNs) *
+      (least(graft.ops.TextOps.gopherNStop(toks), lit(20))
+        * 50000L).cast("long")
+    val z = idiv(hdot + sdot, lit(1000000L)) + lit(biasMicro)
+    val sp = lit(500000L) +
+      idiv(z * lit(500000L), lit(1000000L) + abs(z))
+    in.withColumn("score_ppm", sp)
+      .withColumn("keep", coalesce(sp > lit(500000L), lit(false)))
   }
 
   /** Streaming LINE-LEVEL DEDUP — the stateless twin of the batch

@@ -34,6 +34,46 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out === Seq(-1.0, -0.5, 0.0, -0.5)) // == batch UdgDepthSpec
   }
 
+  test("streaming quality gate gives every doc the batch student's " +
+    "verdict; null text rejects") {
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the standing model exactly as a pipeline would load it: the
+    // t115 artifact (bias travels as the __bias row)
+    val model = SparkEntry.queries("t115_logreg_distill")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val bias = model.find(_._1 == "__bias").get._2
+    val wts = model.filterNot(_._1 == "__bias").toSeq
+    val input = MemoryStream[(Long, String, String)]
+    val q = Streaming.qualityScoreStream(
+      input.toDS().toDF("doc_id", "text", "source"), "text", wts, bias)
+      .writeStream.format("memory").queryName("qualgate")
+      .outputMode("append").start()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // split across two microbatches + one null-text row
+    val (d1, d2) = docs.splitAt(docs.length / 2)
+    input.addData(d1.toSeq: _*); q.processAllAvailable()
+    input.addData(d2.toSeq :+ ((-1L, null.asInstanceOf[String], "sz")): _*)
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("qualgate")
+    assert(out.count() === docs.length + 1)
+    val nullRow = out.where(col("doc_id") === -1L).collect()(0)
+    assert(nullRow.isNullAt(nullRow.fieldIndex("score_ppm")))
+    assert(nullRow.getBoolean(nullRow.fieldIndex("keep")) === false)
+    // per-source keep counts must EQUAL the batch audit's student_pos
+    // — the stream replays the batch integer arithmetic verdict for
+    // verdict, so any divergence anywhere shifts a count
+    val streamKeep = out.where(col("doc_id") >= 0L).groupBy("source")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("sp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val audit = SparkEntry.queries("t116_distill_audit")(spark, dir)
+      .collect().map(r => r.getString(r.fieldIndex("source")) ->
+        r.getLong(r.fieldIndex("student_pos"))).toMap
+    assert(streamKeep === audit)
+  }
+
   test("budget admission: strict-start cut, state carries across " +
     "batches, per-source isolation") {
     implicit val sc = spark.sqlContext
