@@ -2579,18 +2579,51 @@ object SparkEntry {
     // Window-rank family: rank/dense_rank/percent_rank/cume_dist over
     // the value ordering (tie-stable — rank functions depend only on
     // the ORDER BY key values) plus lead over a fully-deterministic
-    // ordering. One sort per partition key serves all five.
+    // ordering. event_type has O(5) values — a single-level
+    // partitionBy(event_type) window is the one-task-per-group trap
+    // (the t101/t103/t94 class, just on a different key), so every
+    // rank derives from ONE two-level row_number rn over
+    // (value, event_id) with floor(value) buckets (monotone in the
+    // order, value-RANGE-bounded → the offset table broadcasts):
+    //   rank      = min rn among the row's value-peers
+    //   dense     = the value's two-level rank in the PEER table
+    //   pct/cd    = (rank−1)/(n−1), max-peer-rn/n — n broadcasts
+    //   lead      = the rn+1 row's value via an rn-keyed self-join
+    // The peer table (event_type, value) can scale with the corpus,
+    // so its joins stay shuffle joins; only the O(types) count table
+    // and the bucket offsets broadcast. Plan-locked: no per-type
+    // corpus sort, zero SinglePartition.
     "q40_window_ranks" -> ((s, dir) => {
-      val wv = Window.partitionBy("event_type").orderBy("value")
-      val wu = Window.partitionBy("event_type")
-        .orderBy(col("value"), col("event_id"))
-      T(s, dir, "events").select(col("event_id"), col("event_type"),
-        col("value"),
-        rank().over(wv).cast("long").as("rnk"),
-        dense_rank().over(wv).cast("long").as("drnk"),
-        round(percent_rank().over(wv), 6).as("prnk"),
-        round(cume_dist().over(wv), 6).as("cd"),
-        lead(col("value"), 1).over(wu).as("nxt"))
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      // testdata value is never null; the sentinel keeps the bucket
+      // total (nulls sort first in Spark ASC, below every real floor)
+      val vBucket = coalesce(floor(col("value")).cast("long"),
+        lit(Long.MinValue))
+      val ranked = Windows.twoLevelRank(ev, Seq("event_type"), vBucket,
+        Seq(col("value"), col("event_id")), "__rn")
+      val n = ranked.groupBy("event_type").agg(count(lit(1)).as("__n"))
+      val peers = ranked.groupBy("event_type", "value")
+        .agg(min("__rn").as("__minrn"), max("__rn").as("__maxrn"))
+      val dr = Windows.twoLevelRank(peers, Seq("event_type"), vBucket,
+        Seq(col("value")), "__drnk")
+      val nxt = ranked.select(col("event_type"),
+        (col("__rn") - 1L).as("__rn"), col("value").as("nxt"))
+      ranked
+        .join(dr, Seq("event_type", "value"))
+        .join(broadcast(n), Seq("event_type"))
+        .join(nxt, Seq("event_type", "__rn"), "left")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("__minrn").as("rnk"),
+          col("__drnk").cast("long").as("drnk"),
+          // SQL percent_rank pins the n = 1 partition to 0.0 (the
+          // (rank−1)/(n−1) form would be 0/0)
+          round(when(col("__n") === 1L, lit(0.0))
+            .otherwise((col("__minrn") - 1L).cast("double")
+              / (col("__n") - 1L).cast("double")), 6).as("prnk"),
+          round(col("__maxrn").cast("double")
+            / col("__n").cast("double"), 6).as("cd"),
+          col("nxt"))
     }),
 
     // GROUPING SETS beyond rollup/cube's fixed lattices (SQL-only

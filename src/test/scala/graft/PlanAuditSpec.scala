@@ -521,12 +521,13 @@ class PlanAuditSpec extends SparkSpec {
   // only legitimate instance is twoLevelRank/PrefixSum's level-1
   // cumsum, which orders the BUCKET-cardinality table by __tlb.
   private val perGroupCorpusSort =
-    """windowspecdefinition\((source|lang)#\d+, (?!__tlb#)[^,]* (ASC|DESC)""".r
+    """windowspecdefinition\((source|lang|event_type)#\d+, (?!__tlb#)[^,]* (ASC|DESC)""".r
 
-  test("t101/t103/t24/t25/t32: per-source ranks ride the two-level " +
+  test("t101/t103/t24/t25/t32/q40: per-group ranks ride the two-level " +
     "scan — no single-level per-group window ever sorts corpus rows") {
     Seq("t101_chat_template", "t103_dpo_pairs", "t24_seq_packing",
-      "t25_quality_shards", "t32_stratified_sample").foreach { q =>
+      "t25_quality_shards", "t32_stratified_sample",
+      "q40_window_ranks").foreach { q =>
       val p = plan(q)
       assert(perGroupCorpusSort.findFirstIn(p).isEmpty,
         s"$q plans a corpus-row sort window partitioned by the group " +
