@@ -619,6 +619,22 @@ object SparkEntry {
       (w, bias, x)
     })
 
+  /** Per-doc student verdict (doc_id, z, sp, st) off the memoized
+    * model — the scoring kernel shared by t116 (confusion audit) and
+    * t117 (mix shift): ONE definition so the decision rule cannot
+    * drift between consumers. Weight broadcast → per-doc partial-
+    * agged margin → rational sigmoid → t81's keep convention. */
+  private def studentVerdicts(s: SparkSession, dir: String): DataFrame = {
+    val (w, bias, x) = distilledModel(s, dir)
+    x.join(broadcast(s.createDataFrame(w.toSeq).toDF("b", "w")),
+        Seq("b"))
+      .groupBy("doc_id")
+      .agg((expr("sum(w * x) DIV 1000000") + lit(bias)).as("z"))
+      .withColumn("sp",
+        lit(500000L) + expr("z * 500000 DIV (1000000 + abs(z))"))
+      .withColumn("st", (col("sp") > 500000L).cast("long"))
+  }
+
   /** DuckDB CTE block for [[hashClassifierScores]] — ends in `sc`
     * (doc_id, source, n_feats, score_ppm); shared by the t81 and
     * t107 twins. Plain literal for the regex backslash. */
@@ -4517,16 +4533,7 @@ object SparkEntry {
     // agged margin → source rollup; the training run is shared with
     // t115 via the memo (materialize-once contract).
     "t116_distill_audit" -> ((s, dir) => {
-      val (w, bias, x) = distilledModel(s, dir)
-      val scored = x
-        .join(broadcast(s.createDataFrame(w.toSeq).toDF("b", "w")),
-          Seq("b"))
-        .groupBy("doc_id")
-        .agg((expr("sum(w * x) DIV 1000000") + lit(bias)).as("z"))
-        .withColumn("sp",
-          lit(500000L) + expr("z * 500000 DIV (1000000 + abs(z))"))
-        .withColumn("st", (col("sp") > 500000L).cast("long"))
-      scored
+      studentVerdicts(s, dir)
         .join(teacherLabels(s, dir), Seq("doc_id"))
         .join(T(s, dir, "documents").select("doc_id", "source"),
           Seq("doc_id"))
@@ -4539,6 +4546,38 @@ object SparkEntry {
             .as("__agree"))
         .withColumn("agree_ppm", expr("__agree * 1000000 DIV n_docs"))
         .drop("__agree")
+    }),
+
+    // Post-gate MIX SHIFT + restore weights: filtering is never
+    // mixture-neutral — the gate drops sources unevenly, and a run
+    // that trains on the survivors silently changes its data mix.
+    // This is the planner table that quantifies the shift (original
+    // vs surviving share per source, ppm) and the per-source restore
+    // weight (milli) a sampler applies to bring the trained mix back
+    // to the pre-gate shares — the rebalance-after-filter step every
+    // mixture-controlled pipeline runs between gating and sampling
+    // (t26/t55 set target mixes; this reconciles a gate against
+    // them). Shapes: the shared memoized student-verdict pass, one
+    // source rollup, scalar-broadcast totals; integer ppm/milli
+    // floor division on non-negative values end to end. A fully
+    // filtered-out source reweights NULL (both engines' non-ANSI
+    // x DIV 0) — there is nothing left to upweight.
+    "t117_gate_mix_shift" -> ((s, dir) => {
+      val per = studentVerdicts(s, dir)
+        .join(T(s, dir, "documents").select("doc_id", "source"),
+          Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("st").as("n_kept"))
+      val tot = per.agg(sum("n_docs").as("__tn"),
+        sum("n_kept").as("__tk"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          expr("n_docs * 1000000 DIV __tn").as("orig_share_ppm"),
+          expr("n_kept * 1000000 DIV __tk").as("kept_share_ppm"),
+          expr("""CASE WHEN n_kept > 0
+              THEN (n_docs * 1000000 DIV __tn) * 1000
+                DIV (n_kept * 1000000 DIV __tk) END""")
+            .as("reweight_milli"))
     }),
 
     // Gopher-style rule-based quality gate (Rae et al. 2021, table A1):
@@ -7718,6 +7757,33 @@ object SparkEntry {
            CAST(sum(CASE WHEN y = st THEN 1 ELSE 0 END) * 1000000
              // count(*) AS BIGINT) AS agree_ppm
          FROM j GROUP BY 1""",
+    // t116's scoring CTEs, then the share/reweight arithmetic over
+    // the per-source rollup.
+    "t117_gate_mix_shift" ->
+      raw"""WITH $hashClfSql,
+         $logregBaseSql,
+         ${logregStepSql(8)},
+         zf AS (SELECT x.doc_id, (sum(w * x) // 1000000) + bias AS z
+                FROM x JOIN w8 USING (b), b8 GROUP BY x.doc_id, bias),
+         sf AS (SELECT doc_id,
+                  500000 + (z * 500000 // (1000000 + abs(z))) AS sp
+                FROM zf),
+         j2 AS (SELECT d.source,
+                 CASE WHEN sp > 500000 THEN 1 ELSE 0 END AS st
+               FROM sf JOIN documents d USING (doc_id)),
+         per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(st) AS BIGINT) AS n_kept
+                 FROM j2 GROUP BY 1),
+         tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+                  CAST(sum(n_kept) AS BIGINT) AS tk FROM per)
+         SELECT source, n_docs, n_kept,
+           CAST(n_docs * 1000000 // tn AS BIGINT) AS orig_share_ppm,
+           CAST(n_kept * 1000000 // tk AS BIGINT) AS kept_share_ppm,
+           CAST(CASE WHEN n_kept > 0
+                THEN (n_docs * 1000000 // tn) * 1000
+                  // (n_kept * 1000000 // tk) END AS BIGINT)
+             AS reweight_milli
+         FROM per, tt""",
     "t51_eval_exposure" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks
