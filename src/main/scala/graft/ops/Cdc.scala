@@ -40,7 +40,18 @@ object Cdc {
     require(!dataCols.contains(opCol) && !dataCols.contains(seqCol),
       s"base already has a '$opCol'/'$seqCol' column — rename the " +
         "feed's op/seq columns")
+    // validate the op domain BEFORE it decides anything: a NULL or
+    // unknown op (typo, case drift — 'DELETE') would win its key's
+    // window, anti-join the key out of the base, and then fail the
+    // `=!= "delete"` upsert filter (null comparison / mismatch) —
+    // silently DELETING the document on malformed input
+    val checkedOp = when(col(opCol).isin("insert", "update", "delete"),
+      col(opCol)).otherwise(raise_error(concat(
+        lit(s"applyChanges: unknown $opCol value '"),
+        coalesce(col(opCol), lit("NULL")),
+        lit("' — expected insert|update|delete"))))
     val lastOp = delta
+      .withColumn(opCol, checkedOp)
       .withColumn("__cdc_rk", row_number().over(
         Window.partitionBy(col(idCol))
           .orderBy(col(seqCol).desc, col(opCol).desc,

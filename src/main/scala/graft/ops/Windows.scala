@@ -79,6 +79,13 @@ object Windows {
   /** W3 (grid) — regular timestamp grid per key spanning each key's
     * [min(ts), max(ts)], `intervalSec` apart, left-joined with the input at
     * exact instants (pandas `asfreq`: off-grid readings do NOT contribute).
+    * ORIGIN caveat vs the cited reference: pandas `resample('Nmin')`
+    * aligns bins to a day-start origin, while this grid anchors at
+    * each key's OWN min(ts) — identical whenever the data is
+    * self-aligned to its cadence (TOA5 loggers emit on the grid, so
+    * the reference pipeline and this one agree on its data), but a
+    * key whose first reading is off-origin gets a shifted grid; an
+    * origin-aligned variant would anchor at date_trunc('day', min).
     * The grid is generated distributed (sequence+explode per key, one row
     * per key from a partial-aggregable min/max); the join shuffles both
     * sides on (key, ts) once.
@@ -140,7 +147,13 @@ object Windows {
     val pt = last(when(v.isNotNull, ord), ignoreNulls = true).over(wPrev)
     val nv = first(v, ignoreNulls = true).over(wNext)
     val nt = first(when(v.isNotNull, ord), ignoreNulls = true).over(wNext)
-    val interp = pv + (nv - pv) * (ord - pt) / (nt - pt)
+    // nt = pt happens when a null row SHARES its timestamp with its
+    // bracketing non-null rows (duplicate timestamps are in-contract
+    // via tiebreakCols): the time fraction is 0/0 = NaN, which would
+    // be written as a poisoned non-null value. The previous valid
+    // value is the defensible answer at zero elapsed time.
+    val interp = when(nt === pt, pv)
+      .otherwise(pv + (nv - pv) * (ord - pt) / (nt - pt))
     df.withColumn(valueCol,
       when(v.isNotNull, v)
         .when(pv.isNotNull && nv.isNotNull, interp)
@@ -166,8 +179,20 @@ object Windows {
     require(!df.columns.contains("__tlb") && !df.columns.contains("__tloff"),
       "twoLevelRank: input already has a __tlb/__tloff column — it " +
         "would be clobbered and dropped (rename it)")
+    // NULL buckets fail LOUDLY (twoLevelPrefixSum's guard, same
+    // reasons): the level-2 equi-join would silently DROP null-keyed
+    // rows while the level-1 cumsum (nulls-first) still counts them
+    // into every real bucket's offset — missing rows AND ranks
+    // starting at N_null+1, both violating the ≡-global-row_number
+    // contract. Callers with nullable keys coalesce bucket AND order
+    // to a sentinel (t103's pattern).
+    val checkedBucket = when(bucket.isNull, raise_error(lit(
+        "twoLevelRank: bucket expression evaluated to NULL — null " +
+          "keys cannot join or order consistently across the two " +
+          "levels; coalesce the bucket (and the order) to a sentinel " +
+          "in the caller"))).otherwise(bucket)
     val part = partition.map(col)
-    val withB = df.withColumn("__tlb", bucket)
+    val withB = df.withColumn("__tlb", checkedBucket)
     val bTab = withB
       .groupBy((part :+ col("__tlb")): _*)
       .agg(count(lit(1)).as("__tlbn"))
@@ -226,6 +251,18 @@ object Windows {
           "null keys cannot join or order consistently across the " +
           "two levels; coalesce the bucket (and the order) to a " +
           "sentinel in the caller"))).otherwise(bucket)
+    // the running sum is integer-exact by contract; a fractional
+    // value column would silently truncate per ROW (0.7 → 0) through
+    // the long cast and corrupt every budget cutoff downstream
+    locally {
+      import org.apache.spark.sql.types._
+      val vt = df.select(value.as("__tlchk")).schema.head.dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(vt),
+        s"twoLevelPrefixSum: value column is $vt — the exclusive " +
+          "running sum is integer arithmetic end to end; scale " +
+          "fractional weights to integer units (ppm/milli) first")
+    }
     val withB = df.withColumn("__tlb", checkedBucket)
       .withColumn("__tlv", value.cast("long"))
     val bTab = withB
@@ -260,7 +297,21 @@ object Windows {
       .where(col("__gap").isNotNull)
       .groupBy("__gap").count()
       .orderBy(desc("count"), asc("__gap"))
-      .head()
-    gaps.getLong(0) / MicrosPerSec
+      .limit(1).collect()
+    // fail with CONTEXT, not a bare NoSuchElementException from
+    // head(): no gaps means no key has two readings to infer from
+    require(gaps.nonEmpty,
+      "modalIntervalSec: no consecutive-reading gaps — every key " +
+        "has fewer than 2 rows; a cadence cannot be inferred")
+    val modal = gaps(0).getLong(0)
+    // a sub-second or fractional-second cadence would silently
+    // truncate (500 ms → 0, feeding resampleGrid an illegal
+    // zero-second step; 1.5 s → a wrong 1 s grid): reject loudly —
+    // the second-granular API is the TOA5-logger contract
+    require(modal > 0 && modal % MicrosPerSec == 0,
+      s"modalIntervalSec: modal gap is $modal µs — not a whole " +
+        "positive number of seconds; this API is second-granular " +
+        "(TOA5 cadences); resample such data on a µs grid instead")
+    modal / MicrosPerSec
   }
 }

@@ -50,6 +50,22 @@ class CdcSpec extends SparkSpec {
     assert(Set("p", "q").contains(r1(1L)))
   }
 
+  test("a NULL or unknown op fails loud instead of silently deleting") {
+    // a malformed op used to win its key's window, anti-join the key
+    // out of the base, then fail the non-delete upsert filter — the
+    // document vanished on bad input; now the op domain is validated
+    // before it decides anything
+    for (badOp <- Seq(null.asInstanceOf[String], "DELETE", "upsert")) {
+      val ex = intercept[Throwable] {
+        merge(Seq((1L, "a2", badOp, 1L)))
+      }
+      val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("insert|update|delete"),
+        s"op '$badOp' must be rejected loudly, got:\n$msgs")
+    }
+  }
+
   test("a base column clashing with op/seq fails loud") {
     val badBase = Seq((1L, "a", "u")).toDF("id", "v", "op")
     val e = intercept[IllegalArgumentException] {

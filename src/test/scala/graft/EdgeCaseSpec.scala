@@ -41,6 +41,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(interp.getAs[Double]("v") === 2.5)
   }
 
+  test("a null sharing its timestamp with its bracketing values " +
+    "interpolates to the previous value, never NaN") {
+    // duplicate timestamps are in-contract (tiebreakCols); with
+    // pt = nt the time fraction is 0/0, which used to write NaN — a
+    // poisoned non-null that survives every downstream null check
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val dup = Seq(
+      (1L, ts, java.lang.Double.valueOf(1.0), 1),
+      (1L, ts, null.asInstanceOf[java.lang.Double], 2),
+      (1L, ts, java.lang.Double.valueOf(2.0), 3))
+      .toDF("user_id", "ts", "v", "k")
+    val out = Windows.interpolateLinear(dup, "v", "ts", Seq("user_id"),
+      tiebreakCols = Seq("k"))
+      .orderBy("k").collect().map(_.getAs[Double]("v"))
+    assert(!out.exists(_.isNaN), s"NaN leaked: ${out.toSeq}")
+    assert(out.toSeq === Seq(1.0, 1.0, 2.0))
+  }
+
   test("all-null series: interpolation and ffill stay null") {
     val nulls = (0 until 5).map(i =>
       (1L, new java.sql.Timestamp(1700000000000L + i * 1000L),

@@ -485,6 +485,35 @@ class PropertySpec extends SparkSpec {
       s"expected the loud null-bucket error, got:\n$msgs")
   }
 
+  test("twoLevelRank fails loudly on a null bucket key") {
+    // same contract as the prefix sum (it gained the guard later):
+    // before it, null-bucket rows silently VANISHED in the level-2
+    // join while still inflating every real bucket's level-1 offset
+    import graft.ops.Windows
+    val df = Seq((1L, Some(1.0)), (2L, None))
+      .toDF("id", "s")
+    val ex = intercept[Throwable] {
+      Windows.twoLevelRank(df, Seq.empty, col("s").cast("long"),
+        Seq(col("s"), col("id")), "r").collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("bucket expression evaluated to NULL"),
+      s"expected the loud null-bucket error, got:\n$msgs")
+  }
+
+  test("twoLevelPrefixSum rejects a fractional value column instead " +
+    "of silently truncating per row") {
+    import graft.ops.Windows
+    val df = Seq((1L, 1L, 0.7), (2L, 2L, 0.9)).toDF("id", "b", "wt")
+    val ex = intercept[IllegalArgumentException] {
+      Windows.twoLevelPrefixSum(df, Seq.empty, col("b"),
+        Seq(col("b"), col("id")), col("wt"), "start")
+    }
+    assert(ex.getMessage.contains("integer arithmetic"),
+      s"expected the integral-type rejection, got: ${ex.getMessage}")
+  }
+
   test("mmrPicks is pool-order independent with zero-norm (NaN) vectors") {
     // two real candidates + two zero-norm vectors (cosine to any
     // picked vector = NaN). Plain >/== comparisons are both false
