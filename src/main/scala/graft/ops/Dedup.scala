@@ -63,25 +63,42 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: String, shinglesCol: String,
                         k: Int = 8, bands: Int = 4,
                         maxBucket: Int = 10000): DataFrame = {
+    val banded = bandedKeys(df, idCol, shinglesCol, k, bands)
+    inBucketPairs(banded.groupBy("__b", "__h")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket)))
+      .distinct()
+  }
+
+  /** The shared signature→band front of the three LSH surfaces —
+    * ONE definition (exclude empty-shingle docs, k-hash signature,
+    * band structs), so a banding change cannot leave one surface on
+    * a stale scheme. Output: (idCol, __b, __h). */
+  private def bandedKeys(df: DataFrame, idCol: String,
+                         shinglesCol: String, k: Int,
+                         bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands evenly")
-    val sig = df.where(size(col(shinglesCol)) > 0)
+    df.where(size(col(shinglesCol)) > 0)
       .select(col(idCol),
         graft.functions.SketchExpressions
           .minhashSig(col(shinglesCol), k).as("__sig"))
-    val banded = sig.select(col(idCol),
-      bandStructs(col("__sig"), bands, k / bands).as("__band"))
+      .select(col(idCol),
+        bandStructs(col("__sig"), bands, k / bands).as("__band"))
       .select(col(idCol), col("__band.band").as("__b"),
         col("__band.bh").as("__h"))
+  }
+
+  /** In-bucket pair generation over a sorted `ids` array column —
+    * the quadratic explode shared by the MinHash and SRP candidate
+    * surfaces (id_a < id_b by the sort). */
+  private def inBucketPairs(buckets: DataFrame): DataFrame = {
     val ids = col("ids")
-    banded.groupBy("__b", "__h")
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .where(size(ids).between(2, maxBucket))
-      .select(explode(flatten(transform(
+    buckets.select(explode(flatten(transform(
         sequence(lit(1), size(ids) - 1),
         i => transform(slice(ids, i + 1, size(ids)),
           y => struct(element_at(ids, i).as("id_a"), y.as("id_b"))))))
         .as("p"))
-      .select("p.id_a", "p.id_b").distinct()
+      .select("p.id_a", "p.id_b")
   }
 
   /** (id, band, bucket-hash) keys for every document — the join surface
@@ -90,17 +107,9 @@ object Dedup {
     * held-out doc — a semi-join on these keys, never a pair explosion).
     * Empty-shingle docs are excluded, as in `lshCandidatePairs`. */
   def lshBandKeys(df: DataFrame, idCol: String, shinglesCol: String,
-                  k: Int = 8, bands: Int = 4): DataFrame = {
-    require(k % bands == 0, "k must divide into bands evenly")
-    df.where(size(col(shinglesCol)) > 0)
-      .select(col(idCol),
-        graft.functions.SketchExpressions
-          .minhashSig(col(shinglesCol), k).as("__sig"))
-      .select(col(idCol),
-        bandStructs(col("__sig"), bands, k / bands).as("__band"))
-      .select(col(idCol), col("__band.band").as("band"),
-        col("__band.bh").as("bh"))
-  }
+                  k: Int = 8, bands: Int = 4): DataFrame =
+    bandedKeys(df, idCol, shinglesCol, k, bands)
+      .withColumnRenamed("__b", "band").withColumnRenamed("__h", "bh")
 
   /** Star edges for duplicate CLUSTERING: each LSH bucket contributes
     * (bucket-min-id → member-id) edges instead of the full member×member
@@ -116,15 +125,7 @@ object Dedup {
     * use this for clustering. */
   def lshStarEdges(df: DataFrame, idCol: String, shinglesCol: String,
                    k: Int = 8, bands: Int = 4): DataFrame = {
-    require(k % bands == 0, "k must divide into bands evenly")
-    val sig = df.where(size(col(shinglesCol)) > 0)
-      .select(col(idCol),
-        graft.functions.SketchExpressions
-          .minhashSig(col(shinglesCol), k).as("__sig"))
-    sig.select(col(idCol),
-      bandStructs(col("__sig"), bands, k / bands).as("__band"))
-      .select(col(idCol), col("__band.band").as("__b"),
-        col("__band.bh").as("__h"))
+    bandedKeys(df, idCol, shinglesCol, k, bands)
       .groupBy("__b", "__h")
       .agg(min(col(idCol)).as("id_a"),
         collect_list(col(idCol)).as("__ids"))
@@ -143,20 +144,12 @@ object Dedup {
     * `planes`; capped buckets drop (log as reduced recall at scale). */
   def srpCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
                         dims: Int, planes: Int,
-                        maxBucket: Int = 10000): DataFrame = {
-    val ids = col("ids")
-    df.select(col(idCol),
-      Vectors.srpBucket(col(vecCol), dims, planes).as("__bkt"))
+                        maxBucket: Int = 10000): DataFrame =
+    inBucketPairs(df.select(col(idCol),
+        Vectors.srpBucket(col(vecCol), dims, planes).as("__bkt"))
       .groupBy("__bkt")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .where(size(ids).between(2, maxBucket))
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(ids) - 1),
-        i => transform(slice(ids, i + 1, size(ids)),
-          y => struct(element_at(ids, i).as("id_a"), y.as("id_b"))))))
-        .as("p"))
-      .select("p.id_a", "p.id_b")
-  }
+      .where(size(col("ids")).between(2, maxBucket)))
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup in
     * embedding space. The published insight: cluster FIRST (k-means /
@@ -193,9 +186,14 @@ object Dedup {
       col(vecCol).as("__va"))
     val b = asg.select(col(cidCol), col(idCol).as("__idb"),
       col(vecCol).as("__vb"))
+    // a zero-norm vector (encoder failure) has cosine 0/0 = NaN to
+    // EVERY partner, and Spark's ordering semantics make NaN >= tau
+    // TRUE — one such vector with a small id would silently drop its
+    // whole cluster. NaN is "no similarity evidence": never a drop.
+    val __cos = Vectors.cosine(col("__va"), col("__vb"))
     val dropped = a.join(b, Seq(cidCol))
       .where(col("__idb") < col("__ida") &&
-        Vectors.cosine(col("__va"), col("__vb")) >= tau)
+        !isnan(__cos) && __cos >= tau)
       .select(col("__ida").as(idCol)).distinct()
     asg.join(dropped, Seq(idCol), "left_anti")
   }
@@ -222,6 +220,22 @@ object Dedup {
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20, strict: Boolean = false): DataFrame = {
     lastCcIterations = -1
+    // ids must already be integral: the long cast below would turn a
+    // string id (UUID/hex keys) into NULL, the label table would come
+    // out empty, and every caller's coalesce(label, id) would silently
+    // report ALL-SINGLETON clusters — dedup quietly no-ops. Hash such
+    // keys to longs (xxhash64) before clustering.
+    locally {
+      import org.apache.spark.sql.types._
+      val ok = Seq(ByteType, ShortType, IntegerType, LongType)
+      Seq(aCol, bCol).foreach { c =>
+        val t = edges.schema(c).dataType
+        require(ok.contains(t),
+          s"connectedComponents: edge column '$c' is $t — node ids " +
+            "must be integral (a failed long cast would silently " +
+            "label every doc a singleton); hash string ids first")
+      }
+    }
     val a = col(aCol).cast("long"); val b = col(bCol).cast("long")
     // LAZY local checkpoints throughout: the checkpoint still truncates
     // lineage (the iterative-fixpoint requirement) but is materialized

@@ -69,13 +69,26 @@ object Graph {
     // Per-source out-weight, with the ppb-normalization precondition
     // enforced IN the aggregate row (the stableAvg pattern: null when
     // the guard holds, contributes 0, errors loud on violation).
+    // Guard conjuncts beyond the per-edge range: (a) NULL weights —
+    // min/max SKIP nulls, so a bad cast used to pass the guard while
+    // its edge silently vanished from the distribution (the endpoint
+    // still counted toward n); count(*) vs count(col) catches it.
+    // (b) the per-source SUM — 2e9 edges near the per-edge cap
+    // overflow the long sum, flipping __ow negative and every __p
+    // with it; summed as decimal for the check, exact as long once
+    // the check passes.
     val outw = e.groupBy("__src")
       .agg((sum("__w") + coalesce(assert_true(
         coalesce(max("__w") <= 9223372036L, lit(true)) &&
-          coalesce(min("__w") > 0L, lit(true)),
-        lit("pageRankPpm: edge weight outside (0, ~9.2e9] — 1e9*w " +
-          "would overflow the ppb normalization (pre-scale weights) " +
-          "or a non-positive weight would corrupt the distribution"))
+          coalesce(min("__w") > 0L, lit(true)) &&
+          count(lit(1)) === count(col("__w")) &&
+          coalesce(sum(col("__w").cast("decimal(38,0)")) <=
+            lit(Long.MaxValue).cast("decimal(38,0)"), lit(true)),
+        lit("pageRankPpm: edge weights must be non-null, in " +
+          "(0, ~9.2e9], and sum within long per source — a null " +
+          "weight silently vanishes from the distribution; an " +
+          "overflowed out-sum flips every probability negative; " +
+          "pre-scale or clean the weights"))
         .cast("long"), lit(0L))).as("__ow"))
     // One-time edge-probability quantization: iterations are weight-free.
     val en = cut(e.join(outw, Seq("__src"))

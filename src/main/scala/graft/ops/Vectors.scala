@@ -51,6 +51,11 @@ object Vectors {
       .crossJoin(broadcast(q))
       .where(col(qidCol) =!= col(idCol))
       .withColumn("__cos", cosine(col("__qv"), col(vecCol)))
+      // a zero-norm vector's cosine is 0/0 = NaN, and Spark sorts NaN
+      // LARGEST — without this filter one garbage embedding heads
+      // every query's top-k (null = the kernel's length-mismatch
+      // convention; drop both, they are non-neighbors)
+      .where(!isnan(col("__cos")))
     val w = Window.partitionBy(col(qidCol))
       .orderBy(col("__cos").desc, col(idCol))
     scored.withColumn("rn", row_number().over(w).cast("long"))
@@ -152,6 +157,7 @@ object Vectors {
     val scored = assigned.join(broadcast(probes), Seq(cidCol))
       .where(col(qidCol) =!= col(idCol))
       .withColumn("__cos", cosine(col("__qv"), col(vecCol)))
+      .where(!isnan(col("__cos"))) // NaN sorts largest — see bruteForceTopK
     val w = Window.partitionBy(col(qidCol))
       .orderBy(col("__cos").desc, col(idCol))
     scored.withColumn("rn", row_number().over(w).cast("long"))
@@ -169,14 +175,23 @@ object Vectors {
   def kmeansStep(corpus: DataFrame, centroids: DataFrame,
                  idCol: String, cidCol: String,
                  vecCol: String): DataFrame = {
-    ivfAssignWithVec(corpus, centroids, idCol, cidCol, vecCol)
+    val means = ivfAssignWithVec(corpus, centroids, idCol, cidCol, vecCol)
       .select(col(cidCol), posexplode(col(vecCol)))
       .groupBy(col(cidCol), col("pos"))
       .agg(avg(col("col").cast("double")).as("__v"))
       .groupBy(col(cidCol))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("__v")))),
-        s => s.getField("__v")).as(vecCol))
+        s => s.getField("__v")).as("__new"))
+    // a cell that attracted no members KEEPS its previous centroid —
+    // the groupBy emits no row for it, and without this join the
+    // model would silently shrink below k (duplicate seeds make empty
+    // cells routine on pre-dedup corpora) and never recover the cell
+    centroids.select(col(cidCol).cast("long").as(cidCol),
+        transform(col(vecCol), x => x.cast("double")).as("__prev"))
+      .join(means, Seq(cidCol), "left")
+      .select(col(cidCol),
+        coalesce(col("__new"), col("__prev")).as(vecCol))
   }
 
   /** k-means on an embedding corpus: deterministic seeding with the k
@@ -220,11 +235,20 @@ object Vectors {
     * literal lookups) — kept for the equivalence spec. */
   def srpBucketDeclarative(vec: Column, dims: Int, planes: Int): Column = {
     val wLit = typedlit(srpWeights(dims, planes))
-    concat_ws("", transform(sequence(lit(1), lit(planes)), p =>
-      when(aggregate(sequence(lit(1), lit(dims)), lit(0.0), (acc, d) =>
-        acc + element_at(element_at(wLit, p), d) *
-          element_at(vec, d).cast("double")) >= 0, "1")
-        .otherwise("0")))
+    // fold over min(dims, |vec|) like the kernel (which truncates a
+    // short vector) — element_at past the end would null-poison the
+    // whole accumulator into all-'0' bits and break the documented
+    // bit-identical equivalence. Empty vector: the kernel's 0.0
+    // accumulator signs to all-'1' (sequence(1,0) would run DOWNWARD
+    // and hit index 0, so it cannot express the empty fold).
+    when(size(vec) >= 1,
+      concat_ws("", transform(sequence(lit(1), lit(planes)), p =>
+        when(aggregate(
+          sequence(lit(1), least(lit(dims), size(vec))), lit(0.0),
+          (acc, d) => acc + element_at(element_at(wLit, p), d) *
+            element_at(vec, d).cast("double")) >= 0, "1")
+          .otherwise("0"))))
+      .otherwise(lit("1" * planes))
   }
 
   /** Bucketed ANN: top-k by cosine searched only within each query's SRP
@@ -241,7 +265,8 @@ object Vectors {
                    k: Int, dims: Int, planes: Int,
                    probeRadius: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(probeRadius <= 1, "only radius 0/1 probing is implemented")
+    require(probeRadius >= 0 && probeRadius <= 1,
+      "only radius 0/1 probing is implemented")
     val b0 = srpBucket(col(vecCol), dims, planes)
     val probeBuckets =
       if (probeRadius == 0) array(b0)
@@ -257,6 +282,7 @@ object Vectors {
     val scored = c.join(broadcast(q), Seq("__bkt"))
       .where(col(qidCol) =!= col(idCol))
       .withColumn("__cos", cosine(col("__qv"), col(vecCol)))
+      .where(!isnan(col("__cos"))) // NaN sorts largest — see bruteForceTopK
     val w = Window.partitionBy(col(qidCol))
       .orderBy(col("__cos").desc, col(idCol))
     scored.withColumn("rn", row_number().over(w).cast("long"))
@@ -330,10 +356,16 @@ object Vectors {
     val scored = encoded
       .crossJoin(codebookArray(codebook, cidCol, vecCol)
         .withColumnRenamed("__cb", "__cbq"))
+      // reconstruct ONCE per corpus row: stitched after the codebook
+      // join but BEFORE the query join, or the m-subspace stitch is
+      // re-evaluated |queries| times per encoded row on the dominant
+      // scan this function exists to keep cheap
+      .withColumn("__rec",
+        pqReconstruct(col(codesCol), col("__cbq"), m, sub))
+      .drop("__cbq")
       .crossJoin(q)
       .where(col(qidCol) =!= col(idCol))
-      .withColumn("__adc", sqDist(col("__qv"),
-        pqReconstruct(col(codesCol), col("__cbq"), m, sub)))
+      .withColumn("__adc", sqDist(col("__qv"), col("__rec")))
     val w = Window.partitionBy(col(qidCol))
       .orderBy(col("__adc"), col(idCol))
     scored.withColumn("rn", row_number().over(w).cast("long"))

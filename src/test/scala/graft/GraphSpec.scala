@@ -93,4 +93,22 @@ class GraphSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
     assert(msgs(e).exists(m => m != null && m.contains("pageRankPpm")))
   }
+
+  test("a NULL weight fails loud instead of silently vanishing from " +
+    "the distribution") {
+    // min/max skip nulls, so before the count conjunct a bad cast
+    // passed the guard while its edge dropped out of __ow — the edge
+    // gone, its endpoints still counted toward n, ranks silently off
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Graph.pageRankPpm(
+        Seq(("a", "b", Some(3L)), ("a", "c", None))
+          .toDF("s", "d", "w"), "s", "d", "w", 1)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("non-null")),
+      s"null weight must be rejected, got: ${msgs(e).mkString("; ")}")
+  }
 }

@@ -38,6 +38,57 @@ class SkewVectorsSpec extends SparkSpec {
     assert(out.last.getDouble(2) === -1.0)    // opposite vector
   }
 
+  test("zero-norm vectors never head a top-k and never drop a " +
+    "semdedup cluster") {
+    // cosine against an all-zeros vector is 0/0 = NaN, and Spark
+    // sorts NaN LARGEST: unguarded, vec 9 would head every top-k and
+    // (as the min-id member) semdedup would drop its whole cluster
+    val vecs = Seq(
+      (9L, Array(0.0f, 0.0f)), // zero-norm, smallest-id-in-cluster bait
+      (10L, Array(1.0f, 0.0f)), (11L, Array(1.0f, 0.0f)),
+      (12L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 0.1f))).toDF("qid", "embedding")
+    val top = Vectors.bruteForceTopK(q, vecs, "qid", "vec_id",
+      "embedding", k = 4).collect()
+    assert(!top.map(_.getLong(1)).contains(9L),
+      "a zero-norm vector has no cosine and cannot be a neighbor")
+    assert(top.forall(r => !r.getDouble(2).isNaN))
+    // one cluster (cid 0) containing the zero vector as min id: the
+    // two identical real vectors still dedup (11 drops against 10),
+    // but NaN similarity to 9 must not drop anything
+    val cent = Seq((0L, Array(0.5f, 0.5f))).toDF("cid", "embedding")
+    val kept = graft.ops.Dedup.semDedupKeep(vecs, cent, "vec_id",
+      "cid", "embedding", tau = 0.95)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(9L, 10L, 12L),
+      s"NaN must never count as similarity evidence; kept ${kept.toSeq}")
+  }
+
+  test("kmeansStep keeps a centroid whose cell went empty") {
+    // both seeds identical → every point ties to the smaller cid and
+    // cell 1 goes empty; the step must retain centroid 1 unchanged
+    // instead of silently shrinking the model below k
+    val pts = (0 until 8).map(i => (i.toLong, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cent = Seq((0L, Array(1.0f, 1.0f)), (1L, Array(1.0f, 1.0f)))
+      .toDF("cid", "embedding")
+    val next = Vectors.kmeansStep(pts, cent, "vec_id", "cid", "embedding")
+      .orderBy("cid").collect()
+    assert(next.length === 2, "the model must not shrink below k")
+    assert(next(1).getLong(0) === 1L)
+    assert(next(1).getSeq[Double](1) === Seq(1.0, 1.0),
+      "an empty cell keeps its previous centroid")
+  }
+
+  test("connectedComponents rejects non-integral node ids loudly") {
+    val edges = Seq(("a", "b")).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.connectedComponents(edges, "id_a", "id_b")
+    }
+    assert(ex.getMessage.contains("integral"),
+      s"string ids must fail loud, got: ${ex.getMessage}")
+  }
+
   test("map-side IVF assignment == windowed argmin (incl. ties)") {
     val rnd = new scala.util.Random(11)
     val pts = (0 until 200).map(i =>
