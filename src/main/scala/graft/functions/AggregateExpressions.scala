@@ -36,7 +36,7 @@ object AggregateExpressions {
       child: Expression, k: Int,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[String]]
+    extends TypedImperativeAggregate[java.util.TreeSet[UTF8String]]
     with UnaryLike[Expression] {
 
     require(k > 0, "k must be positive")
@@ -46,45 +46,71 @@ object AggregateExpressions {
       ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = false
 
-    override def createAggregationBuffer(): java.util.TreeSet[String] =
-      new java.util.TreeSet[String]()
+    // UTF8String's natural order IS UTF-8 byte order — the ordering
+    // every other surface here uses (array_sort, DuckDB, utf8Sorted).
+    // A TreeSet[String] would order by UTF-16 code units, which
+    // diverges when supplementary-plane code points meet U+E000..FFFF
+    // and would make "the k smallest distinct" engine-dependent.
+    override def createAggregationBuffer(): java.util.TreeSet[UTF8String] =
+      new java.util.TreeSet[UTF8String]()
 
-    private def add(b: java.util.TreeSet[String], s: String): Unit =
+    private def add(b: java.util.TreeSet[UTF8String], s: UTF8String): Unit =
       if (b.size < k) { b.add(s); () }
       else if (s.compareTo(b.last) < 0 && b.add(s)) { b.pollLast(); () }
 
-    override def update(b: java.util.TreeSet[String],
-                        input: InternalRow): java.util.TreeSet[String] = {
+    override def update(b: java.util.TreeSet[UTF8String],
+                        input: InternalRow): java.util.TreeSet[UTF8String] = {
       val v = child.eval(input)
-      if (v != null) add(b, v.asInstanceOf[UTF8String].toString)
+      // clone: the evaluated UTF8String may point into a reused row
+      // buffer — storing it without a copy corrupts the set later
+      if (v != null) add(b, v.asInstanceOf[UTF8String].clone())
       b
     }
 
-    override def merge(b: java.util.TreeSet[String],
-                       o: java.util.TreeSet[String])
-        : java.util.TreeSet[String] = {
+    override def merge(b: java.util.TreeSet[UTF8String],
+                       o: java.util.TreeSet[UTF8String])
+        : java.util.TreeSet[UTF8String] = {
       o.forEach(s => add(b, s))
       b
     }
 
-    override def eval(b: java.util.TreeSet[String]): Any = {
+    override def eval(b: java.util.TreeSet[UTF8String]): Any = {
       val out = new Array[Any](b.size)
       var i = 0
       val it = b.iterator()
-      while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
       new GenericArrayData(out)
     }
 
-    // Values are hex digests in practice, but any NUL-free string is
-    // safe: '\n' cannot appear in a single collected value because the
-    // serialized form is only ever produced/consumed by this class.
-    override def serialize(b: java.util.TreeSet[String]): Array[Byte] =
-      String.join("\n", b).getBytes(StandardCharsets.UTF_8)
+    // LENGTH-PREFIXED framing: values are hex digests in practice,
+    // but delimiter framing ('\n'-joined) silently SPLITS any value
+    // containing the delimiter after a shuffle — the sketch would
+    // report bogus minima only on multi-partition runs
+    override def serialize(b: java.util.TreeSet[UTF8String]): Array[Byte] = {
+      var total = 4
+      b.forEach(s => total += 4 + s.numBytes())
+      val buf = java.nio.ByteBuffer.allocate(total)
+      buf.putInt(b.size)
+      b.forEach { s =>
+        val bytes = s.getBytes
+        buf.putInt(bytes.length); buf.put(bytes)
+      }
+      buf.array()
+    }
 
-    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] = {
-      val b = new java.util.TreeSet[String]()
-      val s = new String(bytes, StandardCharsets.UTF_8)
-      if (s.nonEmpty) s.split("\n", -1).foreach(b.add)
+    override def deserialize(bytes: Array[Byte])
+        : java.util.TreeSet[UTF8String] = {
+      val b = new java.util.TreeSet[UTF8String]()
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      val n = buf.getInt
+      var i = 0
+      while (i < n) {
+        val len = buf.getInt
+        val arr = new Array[Byte](len)
+        buf.get(arr)
+        b.add(UTF8String.fromBytes(arr))
+        i += 1
+      }
       b
     }
 
@@ -177,33 +203,53 @@ object AggregateExpressions {
     }
 
     override def eval(b: java.util.HashMap[String, Long]): Any = {
-      val keys = new Array[String](b.size)
-      b.keySet().toArray(keys)
+      // sort in UTF-8 BYTE order (UTF8String's natural order) — the
+      // ordering array_sort/DuckDB use; Java String order diverges on
+      // supplementary-plane vs U+E000..FFFF keys
+      val keys = new Array[UTF8String](b.size)
+      var i = 0
+      val kit = b.keySet().iterator()
+      while (kit.hasNext) {
+        keys(i) = UTF8String.fromString(kit.next()); i += 1
+      }
       java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
-      new GenericArrayData(
-        keys.map(s => UTF8String.fromString(s): Any))
+      new GenericArrayData(keys.map(s => s: Any))
     }
 
-    // Tokens are whitespace-delimited upstream, so '\t'/'\n' cannot
-    // appear inside a value; the framing is private to this class.
+    // LENGTH-PREFIXED framing: delimiter framing ('\t'/'\n') would
+    // silently split or drop any counter whose KEY contains the
+    // delimiter after a shuffle — breaking the freq > n/k no-miss
+    // guarantee only on multi-partition runs
     override def serialize(b: java.util.HashMap[String, Long]): Array[Byte] = {
-      val sb = new java.lang.StringBuilder
-      val it = b.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        sb.append(e.getKey).append('\t')
-          .append(e.getValue.toString).append('\n')
+      var total = 4
+      val sit = b.entrySet().iterator()
+      val enc = new java.util.ArrayList[(Array[Byte], Long)](b.size)
+      while (sit.hasNext) {
+        val e = sit.next()
+        val kb = e.getKey.getBytes(StandardCharsets.UTF_8)
+        enc.add((kb, e.getValue))
+        total += 4 + kb.length + 8
       }
-      sb.toString.getBytes(StandardCharsets.UTF_8)
+      val buf = java.nio.ByteBuffer.allocate(total)
+      buf.putInt(enc.size())
+      enc.forEach { case (kb, v) =>
+        buf.putInt(kb.length); buf.put(kb); buf.putLong(v)
+      }
+      buf.array()
     }
 
     override def deserialize(bytes: Array[Byte])
         : java.util.HashMap[String, Long] = {
       val b = new java.util.HashMap[String, Long]()
-      val s = new String(bytes, StandardCharsets.UTF_8)
-      if (s.nonEmpty) s.split("\n").foreach { line =>
-        val i = line.lastIndexOf('\t')
-        if (i >= 0) b.put(line.substring(0, i), line.substring(i + 1).toLong)
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      val n = buf.getInt
+      var i = 0
+      while (i < n) {
+        val len = buf.getInt
+        val kb = new Array[Byte](len)
+        buf.get(kb)
+        b.put(new String(kb, StandardCharsets.UTF_8), buf.getLong)
+        i += 1
       }
       b
     }

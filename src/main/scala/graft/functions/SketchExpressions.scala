@@ -31,6 +31,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SketchExpressions {
 
+  /** Precompiled whitespace splitter shared by the text kernels —
+    * `String.split("\\s+")` recompiles the pattern per call, i.e.
+    * per ROW of a corpus-scale scan (Pattern is immutable and
+    * thread-safe; split semantics identical). */
+  private val wsSplit = java.util.regex.Pattern.compile("\\s+")
+
   private val HexChars = "0123456789abcdef".toCharArray
 
   private def hex(d: Array[Byte]): UTF8String = {
@@ -62,6 +68,10 @@ object SketchExpressions {
     extends UnaryExpression with CodegenFallback {
 
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    // an EMPTY shingle array returns null even from a non-nullable
+    // child — without this override codegen'd parents skip the null
+    // check (the DupNgramFractionExpr precedent)
+    override def nullable: Boolean = true
     override def prettyName: String = "graft_minhash_sig"
 
     @transient private lazy val seeds: Array[Array[Byte]] =
@@ -298,6 +308,12 @@ object SketchExpressions {
     override def dataType: DataType = StringType
     override def prettyName: String = "graft_canonicalize_text"
 
+    // precompiled once per expression — String.replaceAll would
+    // Pattern.compile on EVERY row of the corpus-scale scan this
+    // kernel exists to keep cheap
+    @transient private lazy val wsRun =
+      java.util.regex.Pattern.compile("[ \\t\\n\\r\\f]+")
+
     protected override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String].toString
       val nfc = java.text.Normalizer
@@ -307,8 +323,9 @@ object SketchExpressions {
       // chars <= U+0020 — both would diverge from the DuckDB twin on
       // edge whitespace), then strip the boundary spaces the collapse
       // leaves — exactly trim(regexp_replace(..., '\s+', ' ', 'g')).
-      val collapsed = nfc.toLowerCase(java.util.Locale.ROOT)
-        .replaceAll("[ \\t\\n\\r\\f]+", " ")
+      val collapsed = wsRun
+        .matcher(nfc.toLowerCase(java.util.Locale.ROOT))
+        .replaceAll(" ")
       val stripped = collapsed.stripPrefix(" ").stripSuffix(" ")
       UTF8String.fromString(stripped)
     }
@@ -576,7 +593,8 @@ object SketchExpressions {
           return UTF8String.fromString("zh")
         i += 1
       }
-      val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+      val toks = wsSplit.split(
+        text.toLowerCase(java.util.Locale.ROOT), -1)
       val counts = new Array[Int](langs.length)
       var t = 0
       while (t < toks.length) {
@@ -630,7 +648,7 @@ object SketchExpressions {
           c == ';' || c == ':') punct += 1
         i += 1
       }
-      val toks = text.split("\\s+", -1)
+      val toks = wsSplit.split(text, -1)
       var stop = 0
       var t = 0
       while (t < toks.length) {
@@ -638,7 +656,13 @@ object SketchExpressions {
         t += 1
       }
       org.apache.spark.sql.catalyst.InternalRow(
-        text.length, toks.length, alpha, punct, stop)
+        // CODE POINTS, matching Spark length() in the declarative
+        // twin (text.length counts UTF-16 units and would inflate
+        // n_chars — and every ratio over it — per supplementary-
+        // plane char; CharEntropyExpr counts codepoints for the
+        // same reason)
+        text.codePointCount(0, text.length), toks.length,
+        alpha, punct, stop)
     }
 
     override protected def withNewChildInternal(newChild: Expression)

@@ -35,6 +35,12 @@ object VectorExpressions {
 
   sealed trait VecBinary extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    // length-mismatched vectors return null even when both children
+    // are non-nullable: without this override Catalyst derives
+    // nullable=false from the children, parents skip the null check
+    // (NPE in codegen) and the optimizer may fold IsNull to false —
+    // breaking the NaN/null filters the top-k paths rely on
+    override def nullable: Boolean = true
     @transient protected lazy val lt: DataType =
       left.dataType.asInstanceOf[ArrayType].elementType
     @transient protected lazy val rt: DataType =
@@ -148,7 +154,25 @@ object VectorExpressions {
   case class VecArgminCentroidExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+    // empty / all-length-mismatched centroid arrays return null
+    override def nullable: Boolean = true
     override def prettyName: String = "graft_vec_argmin_centroid"
+    // the eval reads cid with getLong: an int cid would pass analysis
+    // and then misread/ClassCastException EXECUTOR-side at scale
+    // (the VecCovarianceAgg precedent) — reject at analysis instead
+    override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      right.dataType match {
+        case ArrayType(st: StructType, _)
+          if st.fields.length == 2 && st.fields(0).dataType == LongType &&
+            st.fields(1).dataType.isInstanceOf[ArrayType] =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"argminCentroid expects array<struct<cid:bigint, " +
+            s"cv:array<numeric>>>, got $other (cast cid to long)")
+      }
+    }
     @transient private lazy val vt: DataType =
       left.dataType.asInstanceOf[ArrayType].elementType
     @transient private lazy val centStruct: StructType = right.dataType
@@ -233,6 +257,22 @@ object VectorExpressions {
     extends UnaryExpression with CodegenFallback {
     require(k > 0, "mmrPicks: k must be positive")
     override def prettyName: String = "graft_mmr_picks"
+    // eval reads vec_id with getLong and simq with getDouble — wrong
+    // field types would misread executor-side; reject at analysis
+    override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case ArrayType(st: StructType, _)
+          if st.fields.length == 3 && st.fields(0).dataType == LongType &&
+            st.fields(1).dataType == DoubleType &&
+            st.fields(2).dataType.isInstanceOf[ArrayType] =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"mmrPicks expects array<struct<vec_id:bigint, simq:double, " +
+            s"v:array<numeric>>>, got $other")
+      }
+    }
     override def dataType: DataType = ArrayType(new StructType()
       .add("pick", LongType, nullable = false)
       .add("vec_id", LongType, nullable = false)
@@ -243,6 +283,10 @@ object VectorExpressions {
       .fields(2).dataType.asInstanceOf[ArrayType].elementType
 
     private def cos(a: Array[Double], b: Array[Double]): Double = {
+      // ragged pool vectors have no cosine: NaN rides the kernel's
+      // documented NaN path (an unchecked walk would crash on a
+      // longer `a` or silently truncate against a longer `b`)
+      if (a.length != b.length) return Double.NaN
       var ab = 0.0; var aa = 0.0; var bb = 0.0
       var i = 0
       while (i < a.length) {
@@ -306,10 +350,15 @@ object VectorExpressions {
             val mNaN = java.lang.Double.isNaN(m)
             val bNaN = java.lang.Double.isNaN(bm)
             val cmp = java.lang.Double.compare(m, bm)
+            // the bi < 0 case must be decided FIRST: the tie branch
+            // reads ids(bi), and the first unpicked candidate with a
+            // score exactly equal to bm's 0.0 init used to index
+            // ids(-1) — ArrayIndexOutOfBoundsException mid-query
             val beats =
-              if (mNaN != bNaN) bNaN
+              if (bi < 0) true
+              else if (mNaN != bNaN) bNaN
               else cmp > 0 || (cmp == 0 && ids(c) < ids(bi))
-            if (bi < 0 || beats) { bi = c; bm = m }
+            if (beats) { bi = c; bm = m }
           }
           c += 1
         }

@@ -514,6 +514,31 @@ class PropertySpec extends SparkSpec {
       s"expected the integral-type rejection, got: ${ex.getMessage}")
   }
 
+  test("mmrPicks survives a first candidate scoring exactly 0.0 and " +
+    "ragged pool vectors") {
+    import graft.functions.VectorExpressions
+    // simq = 0.0 → the first unpicked candidate's score EQUALS the
+    // argmax's 0.0 init; the tie branch used to read ids(-1) and
+    // crash with ArrayIndexOutOfBoundsException
+    val zeroFirst = Seq(Tuple1(Seq(
+      (7L, 0.0, Seq(1.0, 0.0)), (8L, 0.0, Seq(0.0, 1.0)))))
+      .toDF("cands")
+      .select(explode(VectorExpressions.mmrPicks(col("cands"),
+        0.7, 0.3, 2)).as("p"))
+      .select(col("p.vec_id")).collect().map(_.getLong(0))
+    assert(zeroFirst.toSeq === Seq(7L, 8L),
+      "equal zero scores break to the smaller vec_id")
+    // ragged vectors: cosine between different lengths is NaN (the
+    // kernel convention), never a crash or a silent truncation
+    val ragged = Seq(Tuple1(Seq(
+      (1L, 0.9, Seq(1.0, 0.0)), (2L, 0.8, Seq(1.0, 0.0, 0.0)))))
+      .toDF("cands")
+      .select(explode(VectorExpressions.mmrPicks(col("cands"),
+        0.7, 0.3, 2)).as("p"))
+      .select(col("p.vec_id")).collect().map(_.getLong(0))
+    assert(ragged.toSeq === Seq(1L, 2L))
+  }
+
   test("mmrPicks is pool-order independent with zero-norm (NaN) vectors") {
     // two real candidates + two zero-norm vectors (cosine to any
     // picked vector = NaN). Plain >/== comparisons are both false

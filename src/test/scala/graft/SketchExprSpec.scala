@@ -116,6 +116,49 @@ class SketchExprSpec extends SparkSpec {
     assert(both.where($"slow" =!= $"fast").count() === 0)
   }
 
+  test("textStats counts code points, not UTF-16 units, on " +
+    "supplementary-plane text") {
+    // an emoji is ONE code point but TWO UTF-16 units: n_chars (and
+    // every ratio over it) must match Spark length() on both paths
+    val emoji = Seq((0L, "hi 😀 the end"))
+      .toDF("id", "text")
+    val r = emoji.select(
+      TextOps.qualityScore($"text").as("slow"),
+      TextOps.qualityScoreFrom(
+        SketchExpressions.textStats($"text")).as("fast"),
+      SketchExpressions.textStats($"text").getField("n_chars")
+        .as("nc"),
+      length($"text").as("len")).head()
+    assert(r.getAs[Any]("slow") === r.getAs[Any]("fast"))
+    assert(r.getAs[Int]("nc") === r.getAs[Int]("len"))
+  }
+
+  test("sketch aggregates survive values containing the old framing " +
+    "delimiters across a real shuffle") {
+    // '\n'/'\t' inside aggregated VALUES: delimiter-framed serialize
+    // split them after the map-side partial — multi-partition runs
+    // disagreed with single-partition ones. Length-prefixed framing
+    // must make both identical.
+    val vals = Seq("a\nzzz", "b\tmid", "plain", "a\nzzz", "q")
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .repartition(4)
+    val many = df.agg(
+      graft.functions.AggregateExpressions.bottomKStrings($"v", 3)
+        .as("bk"),
+      graft.functions.AggregateExpressions.misraGries($"v", 2)
+        .as("mg")).head()
+    val one = df.coalesce(1).agg(
+      graft.functions.AggregateExpressions.bottomKStrings($"v", 3)
+        .as("bk"),
+      graft.functions.AggregateExpressions.misraGries($"v", 2)
+        .as("mg")).head()
+    assert(many.getSeq[String](0) === one.getSeq[String](0))
+    assert(many.getSeq[String](0).forall(vals.contains),
+      s"no split fragments: ${many.getSeq[String](0)}")
+    assert(many.getSeq[String](1) === one.getSeq[String](1))
+  }
+
   test("BottomKShingleHashesExpr == slice(sortedShingleHashes, 1, k)") {
     // include a doc with repeated shingles so duplicate hashes must be
     // kept (bottom-k with repetition, exactly like the sorted slice)
