@@ -79,9 +79,10 @@ object SparkEntry {
     // uses — raw double noise like -1e-9 rounds to 0 there and computes
     // an exact, oracle-identical mean, so it must not trip the guard
     // the third leg catches PER-VALUE decimal(24,8) overflow: a value
-    // >= 1e16 casts to null (non-ANSI), silently dropping out of the
-    // sum while staying in count(c) — the mean would skew with both
-    // other legs green
+    // >= 1e16 casts to null under non-ANSI (silently dropping out of
+    // the sum while staying in count(c) — the mean would skew with
+    // both other legs green); under Spark 4's default ANSI the cast
+    // throws outright — loud either way
     val guard = assert_true(
       coalesce(min(c.cast("decimal(24,8)")) >= 0, lit(true)) &&
         coalesce(abs(num) < lit(9.007199254740992e15), lit(true)) &&
@@ -4560,8 +4561,10 @@ object SparkEntry {
     // them). Shapes: the shared memoized student-verdict pass, one
     // source rollup, scalar-broadcast totals; integer ppm/milli
     // floor division on non-negative values end to end. A fully
-    // filtered-out source reweights NULL (both engines' non-ANSI
-    // x DIV 0) — there is nothing left to upweight.
+    // filtered-out source reweights NULL (explicit CASE guard — not
+    // bare DIV 0: DuckDB nulls it but Spark 4's default ANSI mode
+    // THROWS, so an everything-rejected gate needs the guard on
+    // kept_share too) — there is nothing left to upweight.
     "t117_gate_mix_shift" -> ((s, dir) => {
       val per = studentVerdicts(s, dir)
         .join(T(s, dir, "documents").select("doc_id", "source"),
@@ -4573,7 +4576,8 @@ object SparkEntry {
       per.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("n_kept"),
           expr("n_docs * 1000000 DIV __tn").as("orig_share_ppm"),
-          expr("n_kept * 1000000 DIV __tk").as("kept_share_ppm"),
+          expr("CASE WHEN __tk > 0 THEN n_kept * 1000000 DIV __tk END")
+            .as("kept_share_ppm"),
           expr("""CASE WHEN n_kept > 0
               THEN (n_docs * 1000000 DIV __tn) * 1000
                 DIV (n_kept * 1000000 DIV __tk) END""")
@@ -7778,7 +7782,8 @@ object SparkEntry {
                   CAST(sum(n_kept) AS BIGINT) AS tk FROM per)
          SELECT source, n_docs, n_kept,
            CAST(n_docs * 1000000 // tn AS BIGINT) AS orig_share_ppm,
-           CAST(n_kept * 1000000 // tk AS BIGINT) AS kept_share_ppm,
+           CAST(CASE WHEN tk > 0 THEN n_kept * 1000000 // tk END
+             AS BIGINT) AS kept_share_ppm,
            CAST(CASE WHEN n_kept > 0
                 THEN (n_docs * 1000000 // tn) * 1000
                   // (n_kept * 1000000 // tk) END AS BIGINT)

@@ -28,49 +28,58 @@ object Warc {
 
   /** Parse a (possibly gzipped) byte stream of concatenated WARC
     * records. Tolerant: stops at the first structural violation and
-    * returns the records parsed so far. */
+    * returns the records parsed so far.
+    *
+    * STREAMING: records are consumed straight off the (decompressing)
+    * stream, never materializing the whole segment — the previous
+    * whole-buffer design hit ByteArrayOutputStream's 2 GiB bound on
+    * real Common Crawl segments (~1 GB .gz ≈ 4-5 GiB raw) and died
+    * with an uncatchable OutOfMemoryError. Only one record's payload
+    * is ever resident. */
   def parseRecords(raw: Array[Byte]): Seq[Record] = {
-    val bytes =
-      if (raw.length >= 2 && raw(0) == Gzip(0) && raw(1) == Gzip(1)) {
-        // multi-member gzip: GZIPInputStream reads ALL members.
-        // Decompress incrementally and keep what decoded so far — a
-        // segment cut mid-member must fail soft (parsed prefix kept),
-        // same as plain-byte truncation below, not kill the task.
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(raw))
-        // size hint clamped: raw.length * 4 overflows Int for ≥512 MiB
-        // segments (Common Crawl ships ~1 GB) and a negative initial
-        // size throws — outside the try, killing the task
-        val acc = new java.io.ByteArrayOutputStream(
-          math.min(raw.length.toLong * 4, Int.MaxValue - 8L).toInt)
-        val buf = new Array[Byte](64 * 1024)
-        try {
-          var n = in.read(buf)
-          while (n >= 0) { acc.write(buf, 0, n); n = in.read(buf) }
-        } catch { case _: java.io.IOException => /* truncated member */ }
-        finally in.close()
-        acc.toByteArray
-      } else raw
+    val base = new java.io.ByteArrayInputStream(raw)
+    val in: java.io.InputStream =
+      if (raw.length >= 2 && raw(0) == Gzip(0) && raw(1) == Gzip(1))
+        // multi-member gzip: GZIPInputStream reads ALL members; a
+        // segment cut mid-member surfaces as IOException mid-read,
+        // which the parser treats as EOF (parsed prefix kept)
+        new java.util.zip.GZIPInputStream(base)
+      else base
+    try parseStream(new java.io.BufferedInputStream(in, 64 * 1024))
+    finally in.close()
+  }
+
+  /** A payload larger than this cannot be copied into one array —
+    * stop (soft) like any other structural violation. Single pages
+    * are MBs; only a corrupt Content-Length gets near it. */
+  private val MaxPayload: Long = Int.MaxValue - 16L
+
+  private def parseStream(in: java.io.InputStream): Seq[Record] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Record]
-    var p = 0
-    def line(): String = { // up to CRLF (spec-mandated line ending)
-      var i = p
-      while (i + 1 < bytes.length &&
-        !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
-      if (i + 1 >= bytes.length) { // no CRLF before EOF: consume rest
-        val s = new String(bytes, p, bytes.length - p, "UTF-8")
-        p = bytes.length; s
-      } else {
-        val s = new String(bytes, p, i - p, "UTF-8"); p = i + 2; s
+    // one CRLF-terminated line (spec-mandated ending); EOF without a
+    // CRLF consumes the rest as the line; null = EOF with nothing
+    // read; a truncated gzip member's IOException reads as EOF
+    def line(): String = {
+      val buf = new java.io.ByteArrayOutputStream(128)
+      var c = try in.read() catch { case _: java.io.IOException => -1 }
+      if (c < 0) return null
+      var prev = -1
+      while (c >= 0) {
+        if (prev == '\r' && c == '\n') {
+          val arr = buf.toByteArray
+          return new String(arr, 0, arr.length - 1, "UTF-8")
+        }
+        buf.write(c)
+        prev = c
+        c = try in.read() catch { case _: java.io.IOException => -1 }
       }
+      new String(buf.toByteArray, "UTF-8")
     }
-    while (p < bytes.length) {
+    var l = line()
+    while (l != null) {
       // skip inter-record blank lines
-      while (p < bytes.length - 1 && bytes(p) == '\r' && bytes(p + 1) == '\n')
-        p += 2
-      if (p >= bytes.length) return out.toSeq
-      val version = line()
-      if (!version.startsWith("WARC/")) return out.toSeq
+      while (l != null && l.isEmpty) l = line()
+      if (l == null || !l.startsWith("WARC/")) return out.toSeq
       var url = ""; var typ = ""; var date = ""; var ct = ""
       var len = -1L
       // collect header lines first, unfolding ISO 28500 continuations
@@ -80,12 +89,13 @@ object Warc {
       // new header and desync every later record's payload offset)
       val headers = scala.collection.mutable.ArrayBuffer.empty[String]
       var h = line()
-      while (h.nonEmpty) {
+      while (h != null && h.nonEmpty) {
         if ((h.head == ' ' || h.head == '\t') && headers.nonEmpty)
           headers(headers.length - 1) = headers.last + " " + h.trim
         else headers += h
         h = line()
       }
+      if (h == null) return out.toSeq // truncated mid-headers
       headers.foreach { h =>
         val i = h.indexOf(':')
         if (i > 0) {
@@ -105,13 +115,14 @@ object Warc {
           }
         }
       }
-      // overflow-safe bound: compare len against the REMAINING bytes
-      // (p + len could wrap a hostile Content-Length past Long range)
-      if (len < 0 || len > (bytes.length - p).toLong) return out.toSeq
-      out += Record(url, typ, date, ct,
-        java.util.Arrays.copyOfRange(bytes, p, p + len.toInt))
-      p += len.toInt
-      // spec: two CRLFs close a record; the skip loop above eats them
+      if (len < 0 || len > MaxPayload) return out.toSeq
+      val payload =
+        try in.readNBytes(len.toInt)
+        catch { case _: java.io.IOException => return out.toSeq }
+      if (payload.length < len) return out.toSeq // truncated payload
+      out += Record(url, typ, date, ct, payload)
+      // spec: two CRLFs close a record; the blank-line skip eats them
+      l = line()
     }
     out.toSeq
   }
@@ -153,8 +164,12 @@ object Warc {
     * dropped — they describe segments, not pages. */
   def latestCapture(records: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // try_to_timestamp, NOT cast: Spark 4 runs ANSI by default, where
+    // a malformed crawl-controlled WARC-Date would throw and kill the
+    // whole dedup job instead of sorting last as documented (the
+    // Toa5/Dtc try_* convention)
     val w = Window.partitionBy(col("url"))
-      .orderBy(col("date").cast("timestamp").desc_nulls_last,
+      .orderBy(try_to_timestamp(col("date")).desc_nulls_last,
         col("date").desc, col("file").desc, col("n_bytes").desc)
     records
       .where(col("warc_type") === "response" && length(col("url")) > 0)

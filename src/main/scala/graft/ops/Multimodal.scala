@@ -132,39 +132,49 @@ object Multimodal {
     * the byte histogram), so ONE kernel instance decodes a
     * mixed-modality table in a single `mapPartitions` pass; undecodable
     * audio payloads fall back to the byte histogram too. */
+  /** Decode any javax.sound-recognized payload to 16-bit little-
+    * endian PCM: (sampleRate, channels, pcmBytes). ONE definition of
+    * the conversion recipe for the feature kernel and the perceptual
+    * hash — a divergent copy previously lived in each. None on
+    * unrecognized containers, truncated streams, and recognized-but-
+    * unconvertible codecs (WAV with a GSM/MPEG format tag throws
+    * IAE from getAudioInputStream(pcmFmt, in) — one bad row must
+    * fall back, not kill the job). */
+  private[ops] def decodePcm16(payload: Array[Byte])
+      : Option[(Float, Int, Array[Byte])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val base = in.getFormat
+      val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        base.getSampleRate, 16, base.getChannels,
+        base.getChannels * 2, base.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
+      Some((base.getSampleRate, base.getChannels, pcm.readAllBytes()))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None
+    }
+  }
+
   object AudioWavKernel extends DecodeKernel {
     def decode(modality: String, payload: Array[Byte],
                dim: Int): Array[Float] = {
       if (modality != "audio" || dim < 6)
         return ImageIoKernel.decode(modality, payload, dim)
-      import javax.sound.sampled.{AudioFormat, AudioSystem}
-      val samples =
-        try {
-          val in = AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(payload))
-          val base = in.getFormat
-          val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-            base.getSampleRate, 16, base.getChannels,
-            base.getChannels * 2, base.getSampleRate, false)
-          val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
-          val bytes = pcm.readAllBytes()
-          val out = new Array[Float](bytes.length / 2)
-          var i = 0
-          while (i < out.length) {
-            val lo = bytes(2 * i) & 0xFF
-            val hi = bytes(2 * i + 1).toInt // sign-extends
-            out(i) = ((hi << 8) | lo) / 32768.0f
-            i += 1
-          }
-          Some((base.getSampleRate, base.getChannels, out))
-        } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => None
-          case _: java.io.IOException => None
-          // recognized container, unconvertible codec (e.g. WAV with a
-          // GSM/MPEG format tag): getAudioInputStream(pcmFmt, in)
-          // throws IAE — one bad row must fall back, not kill the job
-          case _: IllegalArgumentException => None
+      val samples = decodePcm16(payload).map { case (rate, chn, bytes) =>
+        val out = new Array[Float](bytes.length / 2)
+        var i = 0
+        while (i < out.length) {
+          val lo = bytes(2 * i) & 0xFF
+          val hi = bytes(2 * i + 1).toInt // sign-extends
+          out(i) = ((hi << 8) | lo) / 32768.0f
+          i += 1
         }
+        (rate, chn, out)
+      }
       samples match {
         case None =>
           HistogramKernel.decode(modality, payload, dim)
@@ -576,17 +586,10 @@ object Multimodal {
     * clip-sized allocation — windows pool straight out of it (65 long
     * accumulators), no per-frame array. */
   def audioEnvHash64(payload: Array[Byte]): Option[Long] = {
-    import javax.sound.sampled.{AudioFormat, AudioSystem}
-    try {
-      val in = AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      val base = in.getFormat
-      val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-        base.getSampleRate, 16, base.getChannels,
-        base.getChannels * 2, base.getSampleRate, false)
-      val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
-      val bytes = pcm.readAllBytes()
-      val ch = math.max(base.getChannels, 1)
+    decodePcm16(payload) match {
+      case None => None
+      case Some((_, channels, bytes)) =>
+      val ch = math.max(channels, 1)
       val n = bytes.length / 2 / ch // frames
       if (n < 65) None
       else {
@@ -618,7 +621,7 @@ object Multimodal {
         }
         Some(bits)
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   /** (id, phash) table for AUDIO rows — [[imageDHash]]'s twin over

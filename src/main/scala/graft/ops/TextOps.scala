@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Whitespace tokenizer (the BPE-ish regex split). */
+  /** Whitespace tokens. CONVENTION: split keeps the empty edge
+    * tokens of leading/trailing whitespace (" a b " → ["","a","b",""])
+    * — deliberately identical to DuckDB's string_split_regex, which
+    * every oracle twin uses, so the engines always agree. Counting
+    * consumers that need padded text to score like trimmed text
+    * should trim upstream (dsirLm-style length>0 filters exist where
+    * a phantom token would change a JOIN key rather than a count). */
   def tokens(text: Column): Column = split(text, "\\s+")
 
   /** Lowercased tokens for case-insensitive matching. */
@@ -37,7 +44,11 @@ object TextOps {
   def jaccard(aSet: Column, bSet: Column): Column = {
     val inter = size(filter(aSet, x => array_contains(bSet, x)))
       .cast("double")
-    inter / (size(aSet) + size(bSet) - inter)
+    val union = size(aSet) + size(bSet) - inter
+    // two EMPTY sets: 0/0 — under Spark 4's default ANSI mode a plain
+    // division THROWS DIVIDE_BY_ZERO; null here matches the kernel
+    // twin (JaccardExpr) and the "no evidence" convention
+    when(union > 0, inter / union)
   }
 
   /** Language-ID heuristic: CJK codepoints → zh; otherwise argmax of
@@ -150,9 +161,13 @@ object TextOps {
     * shape (array of line strings per row, map-side) is identical to a
     * `split(text, '\n')` corpus. */
   def tokenChunks(toks: Column, w: Int): Column =
-    transform(
-      sequence(lit(1), ceil(size(toks).cast("double") / w).cast("int")),
-      i => concat_ws(" ", slice(toks, (i - lit(1)) * w + 1, lit(w))))
+    // empty-array guard: sequence(1, 0) runs DOWNWARD ([1, 0]) and
+    // would emit two phantom '' chunks — a zero-token doc would score
+    // 50% duplicate-line fraction; the kernel twin returns []
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), ceil(size(toks).cast("double") / w).cast("int")),
+        i => concat_ws(" ", slice(toks, (i - lit(1)) * w + 1, lit(w)))))
 
   /** Fraction of array elements duplicating an earlier element
     * (1 − distinct/total); null for empty arrays. */
@@ -237,12 +252,8 @@ object TextOps {
     * are duplicates of an earlier n-gram in the same document
     * (1 − distinct/total). Null for documents with no n-gram. Map-side:
     * the n-gram array never leaves the row. */
-  def dupNgramFraction(text: Column, n: Int): Column = {
-    val grams = wordShingles(tokens(text), n)
-    when(size(grams) > 0,
-      lit(1.0) - size(array_distinct(grams)).cast("double") /
-        size(grams).cast("double"))
-  }
+  def dupNgramFraction(text: Column, n: Int): Column =
+    dupElementFraction(wordShingles(tokens(text), n))
 
   /** HTTP message body: everything after the first blank line — the
     * step from a WARC `response` payload to the HTML document.
@@ -271,8 +282,13 @@ object TextOps {
     // one pass per tag name — <script…>…</script> then <style…> —
     // instead of a <(script|style)>…</\1> backreference, keeping the
     // module's RE2-safe convention (no backrefs/lookaround)
+    // the opening tag needs a NAME BOUNDARY — '<style[^>]*>' also
+    // matches tags merely prefixed by it (<styleguide ...>) and then
+    // deletes real prose up to the next genuine close; '(>|[\s/]
+    // [^>]*>)' is the RE2-safe boundary (no \b, no lookahead). The
+    // closing '</tag>' literal needs none: '>' must follow the name.
     val noScript = Seq("script", "style").foldLeft(html) { (c, tag) =>
-      regexp_replace(c, s"(?is)<$tag[^>]*>.*?</$tag>", " ")
+      regexp_replace(c, s"(?is)<$tag(>|[\\s/][^>]*>).*?</$tag>", " ")
     }
     val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
@@ -485,14 +501,16 @@ object TextOps {
         val a = top(0).getString(0)
         val b = top(0).getString(1)
         out += ((a, b, top(0).getLong(2)))
-        val next = cur
+        // NOTE: no explicit unpersist — Dataset.unpersist only
+        // touches CacheManager entries, not localCheckpoint RDD
+        // blocks; the dropped reference is reclaimed by the
+        // ContextCleaner once this val goes out of scope (the
+        // connectedComponents convention)
+        cur = cur
           .withColumn("sym", bpeMergeOnce(col("sym"), a, b))
           .localCheckpoint(false)
-        cur.unpersist()
-        cur = next
       }
     }
-    cur.unpersist()
     out.toSeq
   }
 

@@ -88,11 +88,26 @@ class SketchExprSpec extends SparkSpec {
       .select(SketchExpressions.jaccard($"ss", $"ss"))
       .collect().map(_.getDouble(0))
     assert(self.forall(_ == 1.0))
-    // both empty → null (0/0), matching the declarative division
+    // both empty → null on BOTH paths (the declarative 0/0 would
+    // THROW under Spark 4's default ANSI without its union>0 guard)
     val empty = Seq((Seq.empty[String], Seq.empty[String]))
       .toDF("a", "b")
-      .select(SketchExpressions.jaccard($"a", $"b"))
-    assert(empty.head().isNullAt(0))
+      .select(SketchExpressions.jaccard($"a", $"b").as("fast"),
+        TextOps.jaccard($"a", $"b").as("slow"))
+      .head()
+    assert(empty.isNullAt(0) && empty.isNullAt(1))
+  }
+
+  test("tokenChunks on an EMPTY token array is [] on both paths") {
+    // sequence(1, 0) runs DOWNWARD: the unguarded declarative form
+    // emitted two phantom '' chunks (a zero-token doc would score
+    // 50% duplicate-line fraction); the kernel returns []
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("t")
+      .select(TextOps.tokenChunks($"t", 4).as("slow"),
+        SketchExpressions.tokenChunks($"t", 4).as("fast"))
+      .head()
+    assert(empty.getSeq[String](0).isEmpty)
+    assert(empty.getSeq[String](1).isEmpty)
   }
 
   test("LangIdExpr == declarative langId") {

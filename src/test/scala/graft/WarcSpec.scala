@@ -1,6 +1,7 @@
 package graft
 
 import graft.ingest.Warc
+import graft.ops.TextOps
 
 /** WARC parser + reader spec. The WARC bytes are built by hand from
   * the ISO 28500 grammar (header lines + Content-Length payload +
@@ -212,5 +213,37 @@ class WarcSpec extends SparkSpec {
       ("https://example.com/a", "2026-08-01T00:00:00Z", neu.length.toLong),
       ("https://example.com/b", "2026-07-01T00:00:00.500Z",
         neu.length.toLong)))
+  }
+
+  test("warc: a malformed WARC-Date sorts last instead of killing " +
+    "the job under ANSI") {
+    // Spark 4 defaults ANSI on: a plain cast('timestamp') on a
+    // crawl-controlled date THROWS on the first typo'd record —
+    // try_to_timestamp must null it and rank the record below every
+    // parseable capture
+    val dir = java.nio.file.Files.createTempDirectory("warc4")
+    java.nio.file.Files.write(dir.resolve("s.warc"),
+      rec("response", "https://example.com/a", "bad".getBytes("UTF-8"),
+        date = "2026-13-99T99:99:99Z") ++ // unparseable
+        rec("response", "https://example.com/a",
+          "good".getBytes("UTF-8"), date = "2020-01-01T00:00:00Z"))
+    val kept = Warc.latestCapture(
+      Warc.readWarcFiles(spark, dir.toString + "/*"))
+      .select("date").collect().map(_.getString(0))
+    assert(kept.toSeq === Seq("2020-01-01T00:00:00Z"),
+      "the parseable capture must win over the malformed date")
+  }
+
+  test("htmlToText: a tag merely PREFIXED by style/script is not a " +
+    "block delete") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val html = "<styleguide class=x>visible prose</styleguide> " +
+      "mid <style>.a{}</style> tail"
+    val out = Seq(Tuple1(html)).toDF("h")
+      .select(TextOps.htmlToText(col("h"))).head().getString(0)
+    assert(out.contains("visible prose") && out.contains("mid") &&
+      out.contains("tail") && !out.contains(".a{}"),
+      s"prefix-named tags must survive, real style blocks drop: '$out'")
   }
 }
