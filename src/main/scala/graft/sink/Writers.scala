@@ -101,8 +101,13 @@ object Writers {
                       : Unit = {
     import org.apache.spark.sql.functions._
     val encoded = fixedPointCols.foldLeft(df) { (d, c) =>
+      // NaN is the OTHER missing-value spelling (xarray decodes the
+      // -9999 fill to NaN, so re-exported frames carry it): it must
+      // encode as the fill too — cast(NaN as int) throws under
+      // Spark 4's default ANSI mode, and yields a plausible-looking
+      // 0 under non-ANSI — silent corruption either way
       d.withColumn(c,
-        when(col(c).isNull, lit(-9999))
+        when(col(c).isNull || isnan(col(c)), lit(-9999))
           .otherwise(round(col(c) * 1000).cast("int")))
     }
     val w = encoded.write.mode("overwrite")
@@ -182,8 +187,22 @@ object Writers {
       ws(); require(s(i) == '"'); i += 1
       val sb = new StringBuilder
       while (s(i) != '"') {
-        if (s(i) == '\\') { i += 1 }
-        sb += s(i); i += 1
+        if (s(i) == '\\') {
+          // DECODE the escape symmetrically with jstr — skipping the
+          // backslash alone read "\n" back as the literal 'n' and
+          // "\u0003" as the 5-char "u0003", silently corrupting any
+          // attr value containing control characters on round-trip
+          i += 1
+          s(i) match {
+            case 'n' => sb += '\n'; i += 1
+            case 'r' => sb += '\r'; i += 1
+            case 't' => sb += '\t'; i += 1
+            case 'u' =>
+              sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              i += 5
+            case c => sb += c; i += 1 // \\ and \" decode to themselves
+          }
+        } else { sb += s(i); i += 1 }
       }
       i += 1
       sb.toString

@@ -207,8 +207,13 @@ object Streaming {
     val auth = when(scheme === "http", regexp_replace(authRaw, ":80$", ""))
       .when(scheme === "https", regexp_replace(authRaw, ":443$", ""))
       .otherwise(authRaw)
-    val path = regexp_extract(col(urlCol),
+    // RFC 9309 §2.2.2: an EMPTY path is evaluated as "/" — without
+    // the normalization a root URL ("http://h", no trailing slash)
+    // matches no "/"-prefixed rule, so even disallow-all ALLOWED the
+    // host root through the gate
+    val path0 = regexp_extract(col(urlCol),
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path = when(path0 === "", "/").otherwise(path0)
     // ONE reference to the binary search: Columns are expression
     // trees, not bound values, and SortedIndexOfExpr is interpreted
     // (CodegenFallback — no whole-stage CSE), so `when(idx >= 0, …,
@@ -231,7 +236,12 @@ object Streaming {
         when(better, struct(rl.as("l"), r.getField("a").as("a"),
           r.getField("p").as("p"))).otherwise(acc)
       })
-    val allowed = best.getField("a") === 1 // init a=1 → no match allows
+    // null URLs pass through as NON-HITS (allowed), the module's
+    // null contract (blocklistStream/decontaminateStream coalesce the
+    // same way) — a bare where(null) would silently drop the row
+    // from BOTH sides of the gate
+    val allowed =
+      coalesce(best.getField("a") === 1, lit(true)) // no match allows
     in.where(if (keepAllowed) allowed else !allowed)
   }
 
@@ -294,8 +304,13 @@ object Streaming {
     val z = idiv(hdot + sdot, lit(1000000L)) + lit(biasMicro)
     val sp = lit(500000L) +
       idiv(z * lit(500000L), lit(1000000L) + abs(z))
+    // keep references the BOUND column: CodegenFallback does no CSE,
+    // so re-embedding `sp` would evaluate the whole O(buckets ×
+    // features) scoring tree twice per row (the redactStream
+    // bind-before-reuse convention)
     in.withColumn("score_ppm", sp)
-      .withColumn("keep", coalesce(sp > lit(500000L), lit(false)))
+      .withColumn("keep",
+        coalesce(col("score_ppm") > lit(500000L), lit(false)))
   }
 
   /** Streaming LINE-LEVEL DEDUP — the stateless twin of the batch
@@ -579,10 +594,7 @@ object Streaming {
     // from the same data, and the idempotent append makes that replay
     // safe; what the throw buys is that the failure is LOUD instead
     // of silent data loss.
-    if (lockIsFresh(fs, lockPath(hPath)))
-      throw new IllegalStateException(
-        s"dedupAppendBatch: compaction in flight on $sinkPath " +
-          "(lock file present) — restart the stream to retry the batch")
+    guardCompactionLease(spark, sinkPath, "dedupAppendBatch")
     // a compactSink crash between delete-old and rename leaves the
     // WHOLE corpus in the temp dir and no sink; if this batch ran
     // first without promoting it, the bootstrap write would create a
@@ -592,8 +604,13 @@ object Streaming {
     val novel =
       if (hasPartFiles(fs, hPath)) {
         val seen = spark.read.parquet(sinkPath)
-          .select(col(keyCol)).distinct()
-        inBatchFirst.join(seen, Seq(keyCol), "left_anti")
+          .select(col(keyCol).as("__seen_k")).distinct()
+        // NULL-SAFE anti-join: a null key (null text/URL upstream)
+        // never equals anything under a plain equi-join, so one such
+        // row would re-append on EVERY batch forever; <=> extends
+        // keep-first to the null key — at most one null-key row ever
+        inBatchFirst.join(seen,
+          inBatchFirst(keyCol) <=> col("__seen_k"), "left_anti")
       } else inBatchFirst
     // the anti-join moves the key column to the front — re-select the
     // batch's own order so every sink file carries ONE column layout
@@ -618,6 +635,21 @@ object Streaming {
       hPath.getParent, hPath.getName + "__tmp")
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     (fs, hPath, tmp)
+  }
+
+  /** Refuse an append under a live compaction lease — the shared
+    * guard for EVERY append sink, not only the keyed dedup one: a
+    * compactor's delete-old between its final snapshot and the swap
+    * silently destroys files appended in that window, and the lock
+    * exists precisely so appenders can make that loss LOUD. */
+  private def guardCompactionLease(
+      spark: org.apache.spark.sql.SparkSession, sinkPath: String,
+      who: String): Unit = {
+    val (fs, hPath, _) = sinkPaths(spark, sinkPath)
+    if (lockIsFresh(fs, lockPath(hPath)))
+      throw new IllegalStateException(
+        s"$who: compaction in flight on $sinkPath (lock file " +
+          "present) — restart the stream to retry the batch")
   }
 
   /** Orphan-recovery half of the temp-swap: death between delete-old
@@ -1043,6 +1075,12 @@ object Streaming {
       .select(col("source"), col("lang").as("top_lang"))
     sums.join(sks, Seq("source"), "left")
       .join(broadcast(langTop), Seq("source"))
+      // CONVENTION (shared with batch t105, spec-locked equal): a
+      // source whose docs are all null/gram-less has est_uniq 0 and
+      // reads as dup_ppm_est = 10⁶ — "no unique content evidence"
+      // counts as duplication by the n_docs − n_uniq definition on
+      // BOTH paths; changing it here alone would break the ≡-batch
+      // contract
       .withColumn("est_uniq",
         when(coalesce(size(col("sk")), lit(0)) < k,
           coalesce(size(col("sk")), lit(0)).cast("double"))
@@ -1232,6 +1270,7 @@ object Streaming {
     in.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        guardCompactionLease(spark, sinkPath, "semDedupStream")
         val kept = graft.ops.Dedup.semDedupKeepWithVec(batch, centroids,
           idCol, cidCol, vecCol, tau)
         val hPath = new org.apache.hadoop.fs.Path(sinkPath)
@@ -1269,6 +1308,8 @@ object Streaming {
                       sinkPath: String) =
     in.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
+        guardCompactionLease(batch.sparkSession, sinkPath,
+          "dsirScoreStream")
         graft.ops.TextOps.dsirScore(batch, idCol, textCol, vocab, scalars)
           .write.mode("append").parquet(sinkPath)
         ()
@@ -1285,6 +1326,8 @@ object Streaming {
                     vsz: DataFrame, sinkPath: String) =
     in.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
+        guardCompactionLease(batch.sparkSession, sinkPath,
+          "lmScoreStream")
         graft.ops.TextOps.bigramLmScore(batch, idCol, langCol, textCol,
           bg0, ug0, vsz)
           .write.mode("append").parquet(sinkPath)
@@ -1323,13 +1366,7 @@ object Streaming {
                         compactAfter: Int = 64,
                         keepRecent: Int = 8): Unit = {
     val spark = batch.sparkSession
-    val hPath = new org.apache.hadoop.fs.Path(edgesSink)
-    // sibling of the NORMALIZED path — string concat would nest the
-    // temp inside the sink under a trailing-slash edgesSink and the
-    // swap's delete would destroy it (see sinkPaths)
-    val tmp = new org.apache.hadoop.fs.Path(
-      hPath.getParent, hPath.getName + "__tmp")
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (fs, hPath, tmp) = sinkPaths(spark, edgesSink)
     // recovery: death between delete-old and rename-temp left a
     // COMPLETE temp (has _SUCCESS) and no sink — promote it first
     if (!fs.exists(hPath) && fs.exists(tmp) &&

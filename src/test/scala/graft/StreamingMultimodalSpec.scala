@@ -329,6 +329,54 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(kept === Set(2L, 4L, 5L, 6L, 9L, 12L))
   }
 
+  test("robotsGateStream: an empty path evaluates as '/' (RFC 9309) " +
+    "and a null URL passes as a non-hit") {
+    implicit val sc = spark.sqlContext
+    val rules = Seq(("blocked.example.com", false, "/"))
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.robotsGateStream(
+      input.toDS().toDF("id", "url"), "url", rules)
+      .writeStream.format("memory").queryName("robots_gate2")
+      .outputMode("append").start()
+    input.addData(
+      // ROOT URL, no trailing slash: the extracted path is "" —
+      // unnormalized it matched no '/'-prefixed rule and even
+      // disallow-all let the host root through
+      (1L, "https://blocked.example.com"),
+      (2L, "https://blocked.example.com/"),
+      (3L, "https://open.example.com"),
+      (4L, null.asInstanceOf[String])) // non-hit, not silently dropped
+    q.processAllAvailable(); q.stop()
+    val kept = spark.sql("SELECT id FROM robots_gate2")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 4L),
+      s"root URLs must hit the '/' disallow; nulls pass: got $kept")
+  }
+
+  test("appendDedupedStream: a null-key row lands once, not once " +
+    "per batch") {
+    implicit val sc = spark.sqlContext
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_nullkey").toString + "/corpus"
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.appendDedupedStream(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", sink)
+      .start()
+    input.addData((1L, "real text"), (2L, null.asInstanceOf[String]))
+    q.processAllAvailable()
+    input.addData((3L, null.asInstanceOf[String]),
+      (4L, "other text"))
+    q.processAllAvailable()
+    input.addData((5L, null.asInstanceOf[String]))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.read.parquet(sink)
+    // a plain equi-anti-join never matches null keys: every batch
+    // with a null-text row used to append another copy forever
+    assert(rows.where(col("text").isNull).count() === 1,
+      "the null key dedups like any other key (null-safe anti-join)")
+    assert(rows.count() === 3)
+  }
+
   test("dsirScoreStream scores a delta against the standing LM") {
     implicit val sc = spark.sqlContext
     import graft.ops.TextOps

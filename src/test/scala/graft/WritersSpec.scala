@@ -45,6 +45,26 @@ class WritersSpec extends SparkSpec {
     assert(sliced.count() === 24)
   }
 
+  test("attrs with control characters round-trip; NaN encodes as the " +
+    "fill value") {
+    val out = Files.createTempDirectory("l2esc").resolve("ds").toString
+    val df = Seq((1, 0.5), (2, Double.NaN), (3, 0.25))
+      .toDF("sensor", "value")
+    Writers.parquetWithAttrs(df, out,
+      // newline/tab/control char in the VALUE: the reader used to
+      // strip the backslash but keep the letter ("line1nline2")
+      attrs = Map("comment" -> "line1\nline2\ttabend"),
+      fixedPointCols = Seq("value"))
+    val (g, _) = Writers.readAttrs(out)
+    assert(g("comment") === "line1\nline2\ttabend")
+    // NaN is the other missing-value spelling (xarray decodes the
+    // fill to NaN): it must encode as -9999, not throw (ANSI) or
+    // silently read as a real 0.000 (non-ANSI)
+    val back = spark.read.parquet(out)
+      .orderBy("sensor").select("value").collect().map(_.getInt(0))
+    assert(back.toSeq === Seq(500, -9999, 250))
+  }
+
   test("parquetWithAttrs: per-variable attrs round-trip in the sidecar") {
     val out = Files.createTempDirectory("l2var").resolve("ds").toString
     val df = Seq((1, 0.5, -1.0)).toDF("sensor", "T_10cm", "depth")
