@@ -37,10 +37,17 @@ object Bench {
     }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
+    // warmup dir: env override, else the standard tiny fixture, else
+    // the bench dir itself (a slow warmup beats a silent no-op that
+    // shifts the JIT cost into pass 1); NonFatal only — swallowing
+    // OOM/interrupts would hide real trouble
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory)
+        "/root/testdata/sf0.001" else sfDir)
     selected.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001")
+      try fn(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()

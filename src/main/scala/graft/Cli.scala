@@ -97,7 +97,11 @@ object Cli {
     // load_level1_dataset (fs_pp.py:168-183): header CSV, parse the
     // index column as timestamps, everything else numeric
     val raw = spark.read.option("header", "true")
-      .option("inferSchema", "true").option("nanValue", "NAN").csv(path)
+      .option("inferSchema", "true")
+      // nullValue, NOT nanValue: the TOA5 'NAN' sentinel must read as
+      // null (Toa5.read's convention) — as Double.NaN it is non-null,
+      // so quality-flag imputation skips it and NaN poisons medians
+      .option("nullValue", "NAN").csv(path)
     raw.withColumn(tsCol, col(tsCol).cast("timestamp"))
   }
 

@@ -22,13 +22,19 @@ object Joins {
 
   /** J1 — vertical union across datasets whose column sets drift over the
     * years; missing columns become null. */
-  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+  def unionAll(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty,
+      "unionAll: no inputs — a site with zero configured level-0 " +
+        "sources has nothing to union (check the metafile)")
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** J2 — horizontal alignment of per-key series on the time axis:
     * full-outer n-way join on (time). Each input must be (time, value…). */
-  def alignOnTime(dfs: Seq[DataFrame], tsCol: String): DataFrame =
+  def alignOnTime(dfs: Seq[DataFrame], tsCol: String): DataFrame = {
+    require(dfs.nonEmpty, "alignOnTime: no inputs to align")
     dfs.reduce(_.join(_, Seq(tsCol), "full_outer"))
+  }
 
   /** J4 — broadcast lookup with per-key coefficients and a global fallback
     * for keys missing from the dim table (reference: mean of all sensors'
@@ -39,9 +45,15 @@ object Joins {
                          coefCols: Seq[String]): DataFrame = {
     val fallbacks = dim.agg(
       coefCols.head -> "avg", coefCols.tail.map(_ -> "avg"): _*).head()
+    // an EMPTY dim (or an all-null coefficient column) averages to a
+    // null cell: getDouble would NPE at plan build. The reference's
+    // mean-of-no-sensors is NaN (pandas mean of empty) — degrade the
+    // same way instead of crashing.
+    val fb = coefCols.indices.map(i =>
+      if (fallbacks.isNullAt(i)) Double.NaN else fallbacks.getDouble(i))
     val joined = df.join(broadcast(dim), Seq(keyCol), "left")
     coefCols.zipWithIndex.foldLeft(joined) { case (d, (c, i)) =>
-      d.withColumn(c, coalesce(col(c), lit(fallbacks.getDouble(i))))
+      d.withColumn(c, coalesce(col(c), lit(fb(i))))
     }
   }
 
@@ -63,23 +75,30 @@ object Joins {
   def asOfJoin(leftDf: DataFrame, rightDf: DataFrame, keys: Seq[String],
                tsCol: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = leftDf.columns
-    val lTagged = leftDf
-      .withColumn("__side", lit(1))
-      .select(Seq(col("*")) ++
-        valueCols.map(c => lit(null).cast(rightDf.schema(c).dataType).as(s"__v_$c")): _*)
+    val lTagged = leftDf.withColumn("__side", lit(1))
+    // the right row travels as ONE STRUCT, filled atomically: filling
+    // each value column independently could stitch a combination that
+    // exists in no right row (col a from ts=2, col b from ts=1), and
+    // a most-recent row's legitimate null field would lose to an
+    // older row's stale non-null — both violating merge_asof's
+    // "attach THE most recent row" semantics
     val rTagged = rightDf
-      .select(keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side")) ++
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+      .select(keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side"),
+        struct(valueCols.map(col): _*).as("__vrow")): _*)
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // the trailing __vrow sort key makes ties among right rows with
+    // equal (key, ts) DETERMINISTIC (largest struct wins) instead of
+    // shuffle-order-dependent
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(col(tsCol).asc, col("__side").asc,
+        col("__vrow").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = valueCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"__v_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
-    filled.where(col("__side") === 1)
+    unioned
+      .withColumn("__vrow",
+        last(col("__vrow"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
       .select(leftCols.map(col) ++
-        valueCols.map(c => col(s"__v_$c").as(c)): _*)
+        valueCols.map(c => col("__vrow").getField(c).as(c)): _*)
   }
 
   /** Bucketed range join: `left.ts ∈ [right.ts, right.ts + windowSec)`

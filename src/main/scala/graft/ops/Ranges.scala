@@ -21,14 +21,24 @@ object Ranges {
     when(c.between(vmin, vmax), c)
 
   /** Apply [min,max] ranges to columns; keys of `ranges` may be exact
-    * column names or prefixes expanded over a column family
-    * (reference expands `EC` → `EC(1)..EC(12)` by regex,
-    * fs_pp.py:323-330). */
+    * column names or prefixes expanded over a column family. The
+    * default expansion mirrors fs_pp.py:323-330 EXACTLY: a
+    * `TDR_<var>` key covers the `TDR<n>_<var>` columns, an `EC*` key
+    * covers `EC(<n>)`, anything else matches only itself. (An earlier
+    * generic `family\(n\)` default silently matched NOTHING for the
+    * four TDR family keys — TDR columns are named `TDR1_VWC`-style —
+    * so their physical ranges were never applied.) */
   def applyValidRanges(df: DataFrame,
                        ranges: Map[String, (Double, Double)],
-                       expand: String => String = family =>
-                         java.util.regex.Pattern.quote(family) +
-                           """\([0-9]+\)"""): DataFrame = {
+                       expand: String => String = key => {
+                         val up = key.toUpperCase(java.util.Locale.ROOT)
+                         if (up.startsWith("TDR") && key.length > 4)
+                           "TDR[0-9]*_" + java.util.regex.Pattern
+                             .quote(key.substring(4))
+                         else if (up.startsWith("EC"))
+                           """EC\([0-9]*\)"""
+                         else java.util.regex.Pattern.quote(key)
+                       }): DataFrame = {
     val cols = df.columns.toSet
     val targets: Seq[(String, (Double, Double))] = ranges.toSeq.flatMap {
       case (key, mm) if cols(key) => Seq(key -> mm)

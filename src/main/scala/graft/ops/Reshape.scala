@@ -49,15 +49,23 @@ object Reshape {
     * schema only (fs_pp.py:340-388). */
   def regexRenameMap(cols: Seq[String],
                      rules: Seq[(String, String)]): Map[String, String] =
-    cols.flatMap { c =>
+    // ListMap: callers FOLD withColumnRenamed over this map, and a
+    // plain HashMap's arbitrary iteration order makes rename chains
+    // (A→B while B→C) nondeterministic across runs; insertion order
+    // (= schema order) pins it
+    scala.collection.immutable.ListMap(cols.flatMap { c =>
       rules.collectFirst {
         case (pat, repl) if c.matches(pat) =>
           val m = java.util.regex.Pattern.compile(pat).matcher(c)
           m.matches()
-          val id = if (m.groupCount() >= 1) m.group(1) else ""
+          // group(1) is NULL when an alternation matched without the
+          // group participating — treat like a group-less rule
+          // instead of NPE-ing in replace
+          val id = if (m.groupCount() >= 1 && m.group(1) != null)
+            m.group(1) else ""
           c -> repl.replace("*", id)
       }
-    }.toMap
+    }: _*)
 
   /** Select the columns of a family by regex (P3), driver-side. */
   def familyCols(df: DataFrame, regex: String): Seq[String] =

@@ -148,4 +148,59 @@ class OpsSpec extends SparkSpec {
     assert(out(1).getDouble(1) === 3.0) // mean(2,4)
     assert(out(1).getDouble(2) === 2.0) // mean(1,3)
   }
+
+  test("lookupWithFallback degrades to NaN on an empty dim, like the " +
+    "reference's mean of no sensors — not an NPE") {
+    val dim = Seq.empty[(String, Double)].toDF("k", "m")
+    val out = Joins.lookupWithFallback(
+      Seq("z").toDF("k"), dim, "k", Seq("m")).head()
+    assert(out.getDouble(1).isNaN)
+  }
+
+  test("asOfJoin attaches ONE right row: no cross-row stitching, " +
+    "most-recent null fields win, equal-ts ties deterministic") {
+    val left = Seq((1L, t(3))).toDF("k", "ts")
+    // most recent right row (t2) has a NULL b: per-column ffill would
+    // stitch (a=5, b=7) — a row that never existed
+    val right = Seq(
+      (1L, t(1), Some(3.0), Some(7.0)),
+      (1L, t(2), Some(5.0), None)).toDF("k", "ts", "a", "b")
+    val r = Joins.asOfJoin(left, right, Seq("k"), "ts", Seq("a", "b"))
+      .head()
+    assert(r.getDouble(2) === 5.0)
+    assert(r.isNullAt(3),
+      "the attached row is t2's (5.0, null), never a stitched (5.0, 7.0)")
+    // two right rows at the SAME (k, ts): the winner must be stable
+    // across runs/partitionings (largest value struct)
+    val dup = Seq((1L, t(1), 10.0), (1L, t(1), 20.0))
+      .toDF("k", "ts", "v")
+    val picks = (1 to 3).map { _ =>
+      Joins.asOfJoin(left, dup.repartition(7), Seq("k"), "ts", Seq("v"))
+        .head().getDouble(2)
+    }
+    assert(picks.distinct.length === 1 && picks.head === 20.0)
+  }
+
+  test("unionAll and alignOnTime reject empty input with a clear error") {
+    val e = intercept[IllegalArgumentException] { Joins.unionAll(Nil) }
+    assert(e.getMessage.contains("no inputs"))
+    intercept[IllegalArgumentException] { Joins.alignOnTime(Nil, "ts") }
+  }
+
+  test("default valid-range expansion covers TDR<n>_<var> columns " +
+    "like the reference") {
+    // fs_pp.py:323-330: a TDR_VWC key expands to TDR[0-9]*_VWC — the
+    // earlier family(n) default matched nothing for TDR keys and the
+    // four default TDR physical ranges silently never applied
+    val df = Seq((99.0, 0.5, 0.7), (0.3, 2.0, 0.9))
+      .toDF("TDR1_VWC", "TDR12_VWC", "EC(1)")
+    val out = graft.ops.Ranges.applyValidRanges(df,
+      Map("TDR_VWC" -> (0.0, 1.0), "EC" -> (0.5, 1.0)))
+      .collect()
+    assert(out(0).isNullAt(0), "99.0 is outside [0,1] — must clamp")
+    assert(out(0).getDouble(1) === 0.5)
+    assert(out(1).getDouble(0) === 0.3)
+    assert(out(1).isNullAt(1), "2.0 is outside [0,1] — must clamp")
+    assert(out(0).getDouble(2) === 0.7) // EC family still covered
+  }
 }
