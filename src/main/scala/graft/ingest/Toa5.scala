@@ -41,6 +41,10 @@ object Toa5 {
         new java.io.InputStreamReader(in, "UTF-8"))
       reader.readLine() // environment header
       val names = reader.readLine()
+      // a zero-byte / truncated file would NPE on the split with no
+      // clue which file lacked its header
+      require(names != null,
+        s"TOA5 header: $path has fewer than 2 lines — not a TOA5 file")
       names.split(",").map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
     } finally in.close()
   }
@@ -69,7 +73,17 @@ object Toa5 {
     // row and degenerate at thousands of bales). First occurrence wins
     // on duplicate basenames; unmatched files sort last.
     import spark.implicits._
-    val order = paths.map(_.split("/").last).zipWithIndex
+    // keys are URI-ENCODED like input_file_name()'s output: a raw
+    // basename containing a space/%/# never matches the scan's
+    // percent-encoded form and would silently take the unmatched
+    // sentinel (losing its bale order). java.net.URI's single-arg
+    // path constructor applies exactly the URI raw-path encoding
+    // (space → %20, '+' left alone — url_decode on the other side
+    // would wrongly turn '+' into a space).
+    def uriEncoded(name: String): String =
+      new java.net.URI(null, null, "/" + name, null)
+        .getRawPath.stripPrefix("/")
+    val order = paths.map(p => uriEncoded(p.split("/").last)).zipWithIndex
       .groupMapReduce(_._1)(_._2)(math.min)
     val orderDf = broadcast(order.toSeq.toDF("__basename", FileOrderCol))
     // try_* variants: ANSI mode (Spark 4 default) would otherwise throw
@@ -78,8 +92,13 @@ object Toa5 {
       .where(try_to_timestamp(col(timestampCol)).isNotNull) // drops rows 1,3,4
       .withColumn("__basename", substring_index(col("__path"), "/", -1))
       .join(orderDf, Seq("__basename"), "left")
+      // sentinel 10⁹, NOT Int.MaxValue: Level1 adds a per-source
+      // offset to this column, and MaxValue + offset overflows —
+      // an ANSI ArithmeticException, or a silent wrap to negative
+      // that would make unmatched files sort FIRST and win keep-first
+      // dedup (the exact inversion of the documented contract)
       .withColumn(FileOrderCol,
-        coalesce(col(FileOrderCol), lit(Int.MaxValue)))
+        coalesce(col(FileOrderCol), lit(1000000000)))
       .drop("__path", "__basename")
     val typed = data.select(
       (cols.map {
@@ -87,7 +106,13 @@ object Toa5 {
         case c if c == "RECORD" => expr(s"try_cast(`$c` AS bigint)").as(c)
         case c => expr(s"try_cast(`$c` AS double)").as(c)
       } :+ col(FileOrderCol)): _*)
-    nrows.fold(typed)(n => typed.limit(n))
+    // nrows means the reference's FIRST n rows in ingest order: a
+    // bare limit over the multi-file scan takes n ARBITRARY rows
+    // (Spark lists the largest split first). TOA5 bales are written
+    // time-ascending, so (bale order, timestamp) reproduces physical
+    // order.
+    nrows.fold(typed)(n =>
+      typed.orderBy(col(FileOrderCol), col(timestampCol)).limit(n))
   }
 
   /** S2/S3 — resolve a bale range plus optional "serviced" glob appends

@@ -43,6 +43,15 @@ object Depths {
     */
   def tdrDepth(udg: DataFrame, tsCol: String, udgCol: String,
                installs: Seq[Install]): DataFrame = {
+    // ONE install per sensor — the reference's tdr_info is a dict
+    // keyed by sensor, which cannot express a re-install either. Two
+    // entries for one sensor would cross-join duplicate (sensor, ts)
+    // rows that interleave nondeterministically through the shared
+    // per-sensor recurrence state; fail loud instead (model a
+    // re-installed sensor as a new sensor name).
+    require(installs.map(_.sensor).distinct.length == installs.length,
+      "tdrDepth: duplicate sensor in installs — one Install per " +
+        "sensor (rename a re-installed sensor)")
     val spark = udg.sparkSession
     import spark.implicits._
     val installDf = broadcast(

@@ -50,8 +50,12 @@ object Spans {
     * broadcast left-semi; only colliding windows reach the merge. */
   def decontamSpans(docs: DataFrame, idCol: String, textCol: String,
                     n: Int, isEval: Column): DataFrame = {
+    // a NULL isEval verdict (e.g. a null source column) must land a
+    // doc on the CORPUS side, not vanish from both: where(!null) and
+    // where(null) each drop the row, so a contaminated null-source
+    // doc would silently evade decontamination
     val grams = docs
-      .select(col(idCol), isEval.as("__eval"),
+      .select(col(idCol), coalesce(isEval, lit(false)).as("__eval"),
         explode(graft.functions.SketchExpressions
           .windowHashes(TextOps.tokens(col(textCol)), n)).as("__w"))
       .select(col(idCol), col("__eval"),

@@ -19,31 +19,41 @@ object Udg {
     * after) sign-adjusted: post − pre (fs_pp.py:486-496). */
   case class HeightChange(at: java.sql.Timestamp, change: Option[Double])
 
-  /** C3 — normalise a UDG series for mount changes. Auto changes need two
-    * tiny median aggregates per change point (driver scalars, rounded to
-    * 2 dp like the reference); the correction itself is a pure chained
-    * CASE over cumulative offsets. */
+  /** C3 — normalise a UDG series for mount changes. ALL auto change
+    * points resolve in ONE aggregate pass (two conditional medians per
+    * point, driver scalars rounded to 2 dp like the reference) — the
+    * per-point sequential form scanned the full series once per
+    * change; the correction itself is a pure chained CASE over
+    * cumulative offsets. */
   def normalise(df: DataFrame, udgCol: String, tsCol: String,
                 changes: Seq[HeightChange],
                 windowDays: Int = 1): DataFrame = {
-    val resolved: Seq[(java.sql.Timestamp, Double)] =
-      changes.sortBy(_.at.getTime).map { hc =>
-        hc.change match {
-          case Some(c) => hc.at -> c
-          case None =>
-            val t = hc.at.getTime
-            val pre = new java.sql.Timestamp(t - windowDays * 86400000L)
-            val post = new java.sql.Timestamp(t + windowDays * 86400000L)
-            val row = df.agg(
-              round(median(when(col(tsCol).between(lit(pre), lit(hc.at)),
-                col(udgCol))), 2).as("pre"),
-              round(median(when(col(tsCol).between(lit(hc.at), lit(post)),
-                col(udgCol))), 2).as("post")).head()
-            val delta =
-              if (row.isNullAt(0) || row.isNullAt(1)) 0.0
-              else row.getDouble(1) - row.getDouble(0)
-            hc.at -> delta
+    val sorted = changes.sortBy(_.at.getTime)
+    val autos = sorted.zipWithIndex.filter(_._1.change.isEmpty)
+    val deltas: Map[Int, Double] =
+      if (autos.isEmpty) Map.empty
+      else {
+        val aggs = autos.flatMap { case (hc, i) =>
+          val t = hc.at.getTime
+          val pre = new java.sql.Timestamp(t - windowDays * 86400000L)
+          val post = new java.sql.Timestamp(t + windowDays * 86400000L)
+          Seq(
+            round(median(when(col(tsCol).between(lit(pre), lit(hc.at)),
+              col(udgCol))), 2).as(s"__pre$i"),
+            round(median(when(col(tsCol).between(lit(hc.at), lit(post)),
+              col(udgCol))), 2).as(s"__post$i"))
         }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        autos.map { case (_, i) =>
+          val pi = row.fieldIndex(s"__pre$i")
+          val qi = row.fieldIndex(s"__post$i")
+          i -> (if (row.isNullAt(pi) || row.isNullAt(qi)) 0.0
+                else row.getDouble(qi) - row.getDouble(pi))
+        }.toMap
+      }
+    val resolved: Seq[(java.sql.Timestamp, Double)] =
+      sorted.zipWithIndex.map { case (hc, i) =>
+        hc.at -> hc.change.getOrElse(deltas(i))
       }
     df.withColumn(udgCol,
       col(udgCol) - Joins.piecewiseOffset(col(tsCol), resolved))
@@ -56,7 +66,17 @@ object Udg {
     *  4. trailing `medianDays`-day rolling median on the regular grid;
     *  5. drop samples deviating ≥ `tol` from the rolling median;
     *  6. reindex the result back at the original sample times.
-    * `keyCol` partitions every step (per-station at scale). */
+    * `keyCol` partitions every step (per-station at scale).
+    *
+    * GRID CONTRACT: the regularization joins at EXACT instants on a
+    * min(ts)-anchored modal grid (resampleGrid's documented asfreq
+    * semantics), so samples whose timestamps drift off that grid —
+    * e.g. the tail of a series after a mid-deployment logger restart
+    * at an off-cadence minute — do not land on grid points and drop
+    * out of the filtered output. TOA5 loggers emit on their grid, so
+    * the reference's data satisfies this; a drifting series should be
+    * split at the restart (each segment re-anchors) before
+    * filtering. */
   def filter(df: DataFrame, udgCol: String, qCol: String, tsCol: String,
              keyCols: Seq[String],
              ffillLimit: Int = 3, medianDays: Double = 2.0,

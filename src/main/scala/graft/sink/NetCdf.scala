@@ -213,8 +213,15 @@ object NetCdf {
       require(v.data.length == n,
         s"${v.name}: ${v.data.length} values for shape of $n")
     }
-    // validate every offset BEFORE opening the stream: a require that
-    // fires mid-write would leave a truncated, corrupt file on disk
+    // validate every offset AND every variable's nc_type BEFORE
+    // opening the stream: a require that fires mid-write would leave
+    // a truncated, corrupt file on disk (the data loop below only
+    // writes double/float/int payloads; an NcChar var passed the old
+    // validation and then threw after the header was on disk)
+    ds.vars.foreach(v => require(
+      v.ncType == NcDouble || v.ncType == NcFloat || v.ncType == NcInt,
+      s"${v.name}: nc_type ${v.ncType} has no data writer in this " +
+        "sink (supported: NC_INT, NC_FLOAT, NC_DOUBLE)"))
     ds.vars.foldLeft(headerBytes(ds).toLong) { (begin, v) =>
       val end = begin + vsize(ds, v) // vsize itself checks > 2 GiB vars
       require(end <= Int.MaxValue,

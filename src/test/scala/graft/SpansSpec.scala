@@ -93,4 +93,20 @@ class SpansSpec extends SparkSpec {
     // doc 2 tokens 3-10; doc 3 has no duplicate
     assert(spans === Seq((1L, 4L, 11L, 1L), (2L, 3L, 10L, 1L)))
   }
+
+  test("decontamSpans: a NULL isEval verdict lands on the corpus " +
+    "side, not nowhere") {
+    // where(!null) and where(null) both drop the row — a
+    // contaminated null-source doc would silently evade
+    // decontamination entirely
+    val passage = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$passage tail", "eval"),
+      (2L, s"head $passage", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    val spans = Spans.decontamSpans(docs, "doc_id", "text", 8,
+      col("source") === "eval").collect()
+    assert(spans.map(_.getLong(0)).toSeq === Seq(2L),
+      "the null-source doc's contamination must be found")
+  }
 }

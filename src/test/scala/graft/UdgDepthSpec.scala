@@ -99,6 +99,20 @@ class UdgDepthSpec extends SparkSpec {
     assert(b === Seq(-2.0, -2.9))
   }
 
+  test("tdrDepth rejects duplicate installs of one sensor loudly") {
+    // two installs of one sensor would cross-join duplicate
+    // (sensor, ts) rows interleaving nondeterministically through
+    // the shared recurrence state — model a re-install as a new
+    // sensor name instead
+    val series = Seq((t(0), -1.0)).toDF("ts", "udg")
+    val e = intercept[IllegalArgumentException] {
+      Depths.tdrDepth(series, "ts", "udg", Seq(
+        Depths.Install("a", t(0), -1.0),
+        Depths.Install("a", t(1), -0.5)))
+    }
+    assert(e.getMessage.contains("duplicate sensor"))
+  }
+
   test("chain installation depths from positions") {
     val depths = Depths.chainInstallationDepths(
       (1 to 12).map(i => i -> (i - 1) * 150.0).toMap, 1, -0.17)
