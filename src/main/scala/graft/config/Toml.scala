@@ -37,7 +37,11 @@ object Toml {
         }
       }
     }
-    out.toMap
+    // ListMap: .toMap on the LinkedHashMap would lose file order,
+    // and source ORDER is semantic — the reference concatenates
+    // datasets in metafile order, which decides keep-first dedup
+    // winners
+    scala.collection.immutable.ListMap(out.toSeq: _*)
   }
 
   private def stripComment(line: String): String = {
@@ -102,6 +106,9 @@ object Toml {
   def dblValue(v: Any): Double = v match {
     case d: Double => d; case l: Long => l.toDouble
   }
+  /** Keys under `prefix.`, in FILE order (parse preserves it) — a
+    * lexicographic sort would order ds10 before ds2 and silently
+    * reorder the reference's dataset concatenation. */
   def keysUnder(m: Map[String, Any], prefix: String): Seq[String] =
-    m.keys.filter(_.startsWith(prefix + ".")).toSeq.sorted
+    m.keys.filter(_.startsWith(prefix + ".")).toSeq
 }

@@ -73,25 +73,31 @@ object Toa5 {
     // row and degenerate at thousands of bales). First occurrence wins
     // on duplicate basenames; unmatched files sort last.
     import spark.implicits._
-    // keys are URI-ENCODED like input_file_name()'s output: a raw
-    // basename containing a space/%/# never matches the scan's
-    // percent-encoded form and would silently take the unmatched
-    // sentinel (losing its bale order). java.net.URI's single-arg
-    // path constructor applies exactly the URI raw-path encoding
-    // (space → %20, '+' left alone — url_decode on the other side
-    // would wrongly turn '+' into a space).
-    def uriEncoded(name: String): String =
-      new java.net.URI(null, null, "/" + name, null)
+    // Keys are the last TWO path segments, URI-ENCODED like
+    // input_file_name()'s output. Two segments, not one: a serviced
+    // file usually KEEPS its bale name (serviced/MainTable5.dat), and
+    // a basename-only key would collide with bale 5 — min-index-wins
+    // would then hand the serviced rows bale 5's EARLIER seq, and
+    // they would beat bales 6..n in keep-first dedup, inverting the
+    // serviced-appends-last contract. Encoding: java.net.URI's
+    // path constructor applies exactly the URI raw-path rules
+    // (space → %20, '+' left alone — url_decode on the scan side
+    // would wrongly turn '+' into a space). Hadoop Path normalizes
+    // ./ and // so caller spelling cannot desync the suffix.
+    def uriEncodedSeg(seg: String): String =
+      new java.net.URI(null, null, "/" + seg, null)
         .getRawPath.stripPrefix("/")
-    val order = paths.map(p => uriEncoded(p.split("/").last)).zipWithIndex
-      .groupMapReduce(_._1)(_._2)(math.min)
-    val orderDf = broadcast(order.toSeq.toDF("__basename", FileOrderCol))
+    val order = paths.map { p =>
+      new org.apache.hadoop.fs.Path(p).toString
+        .split("/").takeRight(2).map(uriEncodedSeg).mkString("/")
+    }.zipWithIndex.groupMapReduce(_._1)(_._2)(math.min)
+    val orderDf = broadcast(order.toSeq.toDF("__pathkey", FileOrderCol))
     // try_* variants: ANSI mode (Spark 4 default) would otherwise throw
     // on the metadata rows / non-numeric cells instead of nulling them
     val data = raw
       .where(try_to_timestamp(col(timestampCol)).isNotNull) // drops rows 1,3,4
-      .withColumn("__basename", substring_index(col("__path"), "/", -1))
-      .join(orderDf, Seq("__basename"), "left")
+      .withColumn("__pathkey", substring_index(col("__path"), "/", -2))
+      .join(orderDf, Seq("__pathkey"), "left")
       // sentinel 10⁹, NOT Int.MaxValue: Level1 adds a per-source
       // offset to this column, and MaxValue + offset overflows —
       // an ANSI ArithmeticException, or a silent wrap to negative
@@ -99,7 +105,7 @@ object Toa5 {
       // dedup (the exact inversion of the documented contract)
       .withColumn(FileOrderCol,
         coalesce(col(FileOrderCol), lit(1000000000)))
-      .drop("__path", "__basename")
+      .drop("__path", "__pathkey")
     val typed = data.select(
       (cols.map {
         case c if c == timestampCol => try_to_timestamp(col(c)).as(c)

@@ -51,6 +51,16 @@ object Joins {
     // same way instead of crashing.
     val fb = coefCols.indices.map(i =>
       if (fallbacks.isNullAt(i)) Double.NaN else fallbacks.getDouble(i))
+    // a duplicate dim key would FAN OUT every matching reading row
+    // through the left join (an appended re-calibration row silently
+    // doubles row counts); the dim is broadcast-small, so the check
+    // is one tiny job
+    val dups = dim.groupBy(keyCol).count().where(col("count") > 1)
+      .limit(1).collect()
+    require(dups.isEmpty,
+      s"lookupWithFallback: duplicate $keyCol '${dups.headOption
+        .map(_.get(0)).getOrElse("")}' in the dim table — " +
+        "deduplicate the coefficients (latest wins?) before joining")
     val joined = df.join(broadcast(dim), Seq(keyCol), "left")
     coefCols.zipWithIndex.foldLeft(joined) { case (d, (c, i)) =>
       d.withColumn(c, coalesce(col(c), lit(fb(i))))

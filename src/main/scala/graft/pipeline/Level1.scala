@@ -78,12 +78,15 @@ object Level1 {
   }
 
   private def clean(unioned: DataFrame, tsCol: String): DataFrame = {
+    val dropped = Cleaning.dropDuplicateRows(
+      Cleaning.dropAllNullColumns(unioned))
+    // order columns from the POST-drop schema: an all-null RECORD
+    // (every cell the NAN sentinel) is removed above, and a window
+    // ordering by the vanished column would fail UNRESOLVED_COLUMN
+    // at plan build instead of degrading to file-order tiebreak
     val ordered = Seq(col(Toa5.FileOrderCol)) ++
-      (if (unioned.columns.contains("RECORD")) Seq(col("RECORD")) else Nil)
-    Cleaning.dedupKeepFirst(
-      Cleaning.dropDuplicateRows(
-        Cleaning.dropAllNullColumns(unioned)),
-      Seq(tsCol), ordered)
+      (if (dropped.columns.contains("RECORD")) Seq(col("RECORD")) else Nil)
+    Cleaning.dedupKeepFirst(dropped, Seq(tsCol), ordered)
       .drop(Toa5.FileOrderCol)
   }
 }

@@ -26,15 +26,17 @@ object Level2 {
     ecFamilyRegex: String = """EC\([0-9]+\)""",
     ecCal: Map[String, (Double, Double)] = Map.empty) // col -> (m, c)
 
-  /** Steps 1–3: clamp → drop → regex rename. */
+  /** Steps 1–3: clamp → drop → regex rename. The renames apply
+    * SIMULTANEOUSLY (one withColumnsRenamed — pandas df.rename
+    * semantics, one projection) rather than a per-column fold, which
+    * cascaded when one rule's target equaled another column's source
+    * and re-analyzed the plan once per column. */
   def cleanAndRename(l1: DataFrame, cfg: Config): DataFrame = {
     val clamped = Ranges.applyValidRanges(l1, cfg.validRanges)
     val dropped = Cleaning.dropColumns(clamped, cfg.removeColumns)
     val renames = Reshape.regexRenameMap(dropped.columns.toSeq,
       cfg.renameRules)
-    renames.foldLeft(dropped) { case (d, (from, to)) =>
-      d.withColumnRenamed(from, to)
-    }
+    dropped.withColumnsRenamed(renames)
   }
 
   /** UDG chain on the RAW level-1 frame: normalise for mount changes,
@@ -58,22 +60,34 @@ object Level2 {
     else {
       val mMean = cfg.ecCal.values.map(_._1).sum / cfg.ecCal.size
       val cMean = cfg.ecCal.values.map(_._2).sum / cfg.ecCal.size
-      ecCols.foldLeft(df) { (d, ec) =>
+      // ONE projection for every EC column (a per-column fold
+      // re-analyzes the growing plan once per sensor)
+      df.withColumns(ecCols.map { ec =>
         val (m, c) = cfg.ecCal.getOrElse(ec, (mMean, cMean))
-        d.withColumn(ec,
-          Calibration.linear(col(ec), lit(m), lit(c), oneMinus = true))
-      }
+        ec -> Calibration.linear(col(ec), lit(m), lit(c),
+          oneMinus = true)
+      }.toMap)
     }
   }
 
-  /** Full wide-table L2: reference step order — clamp/drop/rename, UDG
-    * series assigned to its renamed target, EC calibration, final dedup. */
+  /** Full wide-table L2 in the REFERENCE's step order: clamp/drop →
+    * EC calibration on the RAW EC(n) names (fs_pp.py runs
+    * _calibrate_ec against level-1 and renames afterwards — which is
+    * why Config's default ecFamilyRegex is the raw pattern; the old
+    * order calibrated after the rename, where the default regex
+    * matched nothing and calibration silently skipped) → rename →
+    * UDG series at its renamed target → final dedup. */
   def run(l1: DataFrame, cfg: Config, udgTarget: String): DataFrame = {
-    val renamed = cleanAndRename(l1, cfg)
+    val clamped = Ranges.applyValidRanges(l1, cfg.validRanges)
+    val dropped = Cleaning.dropColumns(clamped, cfg.removeColumns)
+    val calibrated = calibrateEcWide(dropped, cfg)
+    val renames = Reshape.regexRenameMap(calibrated.columns.toSeq,
+      cfg.renameRules)
+    val renamed = calibrated.withColumnsRenamed(renames)
     val udg = udgSeries(l1, cfg, udgTarget)
     val withUdg = renamed.drop(udgTarget)
       .join(udg, Seq(cfg.tsCol), "left")
-    Cleaning.dropDuplicateRows(calibrateEcWide(withUdg, cfg))
+    Cleaning.dropDuplicateRows(withUdg)
   }
 
   /** R1 — long-form export of one sensor family plus its install-depth
@@ -82,6 +96,11 @@ object Level2 {
                      idPattern: String,
                      installDepths: Map[Int, Double]): DataFrame = {
     val cols = Reshape.familyCols(l2, familyRegex)
+    // unpivot with ZERO value columns throws an obscure
+    // UNPIVOT_REQUIRES_VALUE_COLUMNS far from the cause
+    require(cols.nonEmpty,
+      s"familyLongForm: no columns match '$familyRegex' — wrong " +
+        "regex, or this site has no sensors of that family")
     val long = Reshape.toLong(l2, Seq(cfg.tsCol), cols)
     val re = idPattern.r
     val dim = l2.sparkSession.createDataFrame(

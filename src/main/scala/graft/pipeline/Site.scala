@@ -55,7 +55,7 @@ object Site {
       require(m.contains(k), s"missing required config key: $k"))
 
     val sources = Toml.keysUnder(m, "level0")
-      .filter(_.endsWith(".subpath")).sorted.map { k =>
+      .filter(_.endsWith(".subpath")).map { k =>
         val sec = k.stripSuffix(".subpath")
         val subpath = Toml.str(m, k)
         val serviced = m.getOrElse(s"$sec.serviced", false)
@@ -95,6 +95,7 @@ object Site {
       .map(_.asInstanceOf[List[Any]].map(_.toString)).getOrElse(Nil)
 
     val udgKey = Toml.str(m, "level0_1.udg_key")
+    val site = Toml.str(m, "site")
     val cfg = Level2.Config(
       tsCol = Toml.strOpt(m, "level0_1.index_col").getOrElse("TIMESTAMP"),
       udgKey = udgKey,
@@ -103,10 +104,50 @@ object Site {
       removeColumns = removeCols,
       renameRules = DefaultRenameRules,
       heightChanges = heightChanges,
-      ecFamilyRegex = """EC_[0-9]+\(microS\)""")
+      // default ecFamilyRegex: calibration runs on the RAW EC(n)
+      // columns before the rename (Level2.run's reference order)
+      ecCal = loadEcCal(spark,
+        s"$dataRoot/ec_calibration/" +
+          s"calibration_coefficients_${site.toUpperCase(
+            java.util.Locale.ROOT)}_c0.csv"))
     val udgTarget = graft.ops.Reshape
       .regexRenameMap(Seq(udgKey), DefaultRenameRules)
       .getOrElse(udgKey, udgKey)
-    Spec(spark, Toml.str(m, "site"), sources, cfg, udgTarget)
+    Spec(spark, site, sources, cfg, udgTarget)
+  }
+
+  /** EC calibration coefficients from the reference's side-table
+    * location (`{data_root}/ec_calibration/calibration_coefficients_
+    * {SITE}_c0.csv`, fs_pp.py:597-603: index = raw column name,
+    * columns m, c). Driver-side tiny read. An ABSENT file yields an
+    * empty map with a loud warning — the reference crashes there;
+    * skipping silently would hide an uncalibrated export. */
+  def loadEcCal(spark: SparkSession,
+                path: String): Map[String, (Double, Double)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"no EC calibration file at $path — EC columns will NOT be " +
+          "calibrated (the reference fails here; supply the CSV for " +
+          "calibrated output)")
+      Map.empty
+    } else {
+      val in = fs.open(p)
+      try {
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toSeq
+        require(lines.nonEmpty, s"empty EC calibration file: $path")
+        val hdr = lines.head.split(",").map(_.trim)
+        val mi = hdr.indexOf("m"); val ci = hdr.indexOf("c")
+        require(mi > 0 && ci > 0,
+          s"EC calibration header needs m and c columns: ${lines.head}")
+        lines.tail.filter(_.trim.nonEmpty).map { l =>
+          val f = l.split(",").map(_.trim)
+          f(0) -> (f(mi).toDouble, f(ci).toDouble)
+        }.toMap
+      } finally in.close()
+    }
   }
 }

@@ -22,8 +22,10 @@ class Level2Spec extends SparkSpec {
       ("""TCDT""", "TCDT(m)")),
     heightChanges = Seq(Udg.HeightChange(
       java.sql.Timestamp.valueOf("2021-04-30 00:00:00"), Some(2.0))),
-    ecFamilyRegex = """EC_[0-9]+\(microS\)""",
-    ecCal = Map("EC_1(microS)" -> (550.0, 0.0)))
+    // calibration keys are the RAW EC(n) names and the default raw
+    // ecFamilyRegex applies: run() calibrates BEFORE the rename, the
+    // reference's order (the cal CSV indexes raw level-1 columns)
+    ecCal = Map("EC(1)" -> (550.0, 0.0)))
 
   private def mkL1() = {
     val rows = (0 until 96).map { i =>

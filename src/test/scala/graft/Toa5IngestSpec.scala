@@ -33,6 +33,24 @@ class Toa5IngestSpec extends SparkSpec {
       (header ++ data).mkString("\n").getBytes("UTF-8"))
   }
 
+  test("a serviced file keeping its bale name still sorts AFTER the " +
+    "bales (two-segment order keys)") {
+    // serviced/MainTable1.dat shares its basename with bale 1: a
+    // basename-keyed order map collided (min-index-wins handed the
+    // serviced rows seq 0) and the serviced re-sends would have
+    // beaten every later bale in keep-first dedup
+    val dir = Files.createTempDirectory("toa5svc")
+    Files.createDirectory(dir.resolve("serviced"))
+    writeBale(dir, 1, Seq((1, 0)))
+    writeBale(dir.resolve("serviced"), 1, Seq((999, 0)))
+    val out = Toa5.read(spark, Seq(
+      s"$dir/MainTable1.dat", s"$dir/serviced/MainTable1.dat"))
+      .select(col("RECORD"), col(Toa5.FileOrderCol))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) === 0 && out(999L) === 1,
+      s"the serviced copy must carry its own later seq: $out")
+  }
+
   test("TOA5 ingest + L1 clean: header probe, metadata-row drop, " +
     "NAN->null, all-null column drop, keep-first dedup") {
     val dir = Files.createTempDirectory("toa5")
