@@ -25,9 +25,15 @@ import org.apache.spark.sql.functions._
   *  - events keep their time range: 10× denser traffic (the scale-up
   *    shape) rather than a 10× longer history.
   *
-  * Usage: runMain graft.DataGen [srcDir] [outDir] [factor] [skew]
-  * (4th arg literal "skew": 80% of documents collapse into one
-  * dominant source — the per-group-window stress shape.)
+  * Usage: runMain graft.DataGen [srcDir] [outDir] [factor] [mode]
+  * (4th arg "skew": 80% of documents collapse into one dominant
+  * source — the per-group-window stress shape. 4th arg "hihit": an
+  * adversarial-but-realistic curation corpus — 60% of documents cite
+  * a blocklisted domain and every document pair shares a boilerplate
+  * line, so the t66/t87 hit sets and the t80 df>1 line set are
+  * corpus-proportional AND large in absolute terms. This is the
+  * shape that kills a forced broadcast of those sets; the unhinted /
+  * bloom-prefiltered plans must stay ~linear on it.)
   * Writes OUTSIDE the repo (default /tmp/sf1); never touches
   * /root/testdata. */
 object DataGen {
@@ -89,17 +95,35 @@ object DataGen {
     // plan sorting a whole source through one task. Deterministic
     // (doc_id mod 10), applied after replication so the dominant
     // source also dominates every replica.
-    val skew = args.length > 3 && args(3) == "skew"
+    val mode = if (args.length > 3) args(3) else ""
+    val skew = mode == "skew"
     val skewed: DataFrame => DataFrame = d =>
       if (!skew) d
       else d.withColumn("source",
         when(pmod(col("doc_id"), lit(10)) < 8, lit("src_dominant"))
           .otherwise(col("source")))
-    write(skewed(stack(docs)((d, r) =>
+    // hihit mode: docs (2k, 2k+1) share an exactly-10-token PREFIX
+    // (tokenChunks(…, 10) chunks from the start, so the pair's chunk 0
+    // is identical → df=2 → t80's boilerplate set holds ~nDocs/2
+    // lines), and 60% of docs gain a blocklisted-domain citation →
+    // t66/t87's hit sets hold ~60% of the corpus. Applied after
+    // replication so both sets grow linearly with the factor.
+    val hihit = mode == "hihit"
+    val hihitted: DataFrame => DataFrame = d =>
+      if (!hihit) d
+      else d.withColumn("text", concat(
+        concat(lit("bpfx"), expr("doc_id DIV 2").cast("string")),
+        lit(" shared legal header notice in all rights reserved" +
+          " worldwide "),
+        col("text"),
+        when(pmod(col("doc_id"), lit(5)) < 3,
+          lit(" see https://site0.example.org/spam"))
+          .otherwise(lit(""))))
+    write(hihitted(skewed(stack(docs)((d, r) =>
       d.withColumn("doc_id", col("doc_id") + lit(r * docMod))
         .withColumn("text", translate(col("text"),
           "aeiou0123456789",
-          rot("aeiou", r % 5) + rot("0123456789", r % 10))))),
+          rot("aeiou", r % 5) + rot("0123456789", r % 10)))))),
       "documents")
 
     val vecs = read("embeddings")

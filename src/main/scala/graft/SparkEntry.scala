@@ -1509,7 +1509,9 @@ object SparkEntry {
         .select(col("url"), lower(col("__d")).as("domain"))
         .join(broadcast(blockDf), Seq("domain"))
         .select("url").distinct()
-      val gated = txt.join(broadcast(hits), Seq("url"), "left_anti")
+      // the hit set is blocked-docs-sized — corpus-proportional on a
+      // real crawl, so no broadcast hint: AQE size-gates at runtime
+      val gated = txt.join(hits, Seq("url"), "left_anti")
       // exact-content dedup, keep-min-URL (the mirror's /q loses to
       // /p on the same host; a real cross-doc text collision resolves
       // by URL order on both sides)
@@ -1776,8 +1778,8 @@ object SparkEntry {
     // per-host window. WITHIN a round, hosts are served by t74's link
     // rank (`pos_in_round`) so important sites drain first; hosts
     // outside the link graph rank 0 and fetch last. Composes three
-    // shipped artifacts — canonicalUrl, the t74 rank table (broadcast:
-    // it is host-cardinality), t89's dedup — because the composed
+    // shipped artifacts — canonicalUrl, the t74 rank table (unhinted
+    // join: host-cardinality), t89's dedup — because the composed
     // schedule is what a crawler runs, and composition bugs (key
     // drift, column collisions) are what this repo's history says to
     // test. Scale shape: canonical key derives map-side; one agg
@@ -1799,9 +1801,13 @@ object SparkEntry {
         .groupBy("curl").agg(min(col("doc_id")).as("keep_id"))
         .withColumn("host",
           regexp_extract(col("curl"), "^https?://([^/]+)", 1))
+      // the rank table is HOST-cardinality (~10⁸ rows × ~30 B at CC
+      // scale — GBs, near Spark's broadcast ceiling): no forced hint;
+      // AQE broadcasts while it fits and degrades to a host-keyed
+      // shuffle (linear, high-cardinality key) past the ceiling
       val ranked = frontier
-        .join(broadcast(hostRanks(s, dir)
-          .select(col("node").as("host"), col("rank_ppm"))),
+        .join(hostRanks(s, dir)
+          .select(col("node").as("host"), col("rank_ppm")),
           Seq("host"), "left")
         .na.fill(0L, Seq("rank_ppm"))
       // per-host queue position: host is a HIGH-cardinality key with
@@ -2828,9 +2834,12 @@ object SparkEntry {
     // URL/domain blocklist filter (the UT1-blocklist shape — the
     // standard crawl-curation step right after WARC extraction): drop
     // every document citing a blocked domain. The blocklist is a
-    // broadcast (real UT1 is ~4M rows — still broadcast range); the
-    // hit set is blocked-docs-sized, so the final anti-join broadcasts
-    // too. Corpus scans stay map-side; nothing shuffles on doc text.
+    // broadcast (real UT1 is ~4M rows — still broadcast range,
+    // BOUNDED by the list, not the corpus). The hit set is NOT
+    // bounded — spam/blocklisted content is a sizable corpus fraction
+    // of a real crawl — so the doc-id anti-join carries no hint: AQE
+    // broadcasts it when it measures small and falls back to a
+    // doc_id-keyed shuffle (linear, skew-free) when it doesn't.
     // Same deterministic URL augmentation as t19 so some docs hit.
     "t66_url_blocklist" -> ((s, dir) => {
       import s.implicits._
@@ -2845,7 +2854,7 @@ object SparkEntry {
         .join(broadcast(blockDf), Seq("domain"))
         .select("doc_id").distinct()
       T(s, dir, "documents")
-        .join(broadcast(hits), Seq("doc_id"), "left_anti")
+        .join(hits, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
@@ -3033,7 +3042,7 @@ object SparkEntry {
     // size, and the t74 link rank — the four signals a keep/drop/
     // downweight decision per domain reads together. Two partial-agged
     // shuffles ((host,hash) then host); the rank artifact is
-    // host-cardinality and joins as a broadcast. Integer outputs
+    // host-cardinality and joins unhinted (AQE-sized). Integer outputs
     // (ppm / x100 fixed-point floor division) — exact oracle twin,
     // which shares the t74 rank CTE block so artifact and consumer
     // cannot drift.
@@ -3047,8 +3056,10 @@ object SparkEntry {
         .agg(sum("c").as("n_docs"),
           sum(when(col("c") > 1, col("c")).otherwise(0L)).as("nd"),
           sum("sc").as("sch"))
-      perHost.join(broadcast(hostRanks(s, dir)
-          .select(col("node").as("host"), col("rank_ppm").as("__r"))),
+      // host-cardinality rank table (~10⁸ rows at CC scale, near the
+      // broadcast ceiling) — unhinted: AQE broadcasts while it fits
+      perHost.join(hostRanks(s, dir)
+          .select(col("node").as("host"), col("rank_ppm").as("__r")),
           Seq("host"), "left")
         .select(col("host"), col("n_docs"),
           expr("(1000000 * nd) div n_docs").as("dup_ppm"),
@@ -3133,11 +3144,22 @@ object SparkEntry {
     // scrub): t23 only REPORTS cross-document pseudo-lines; this
     // rewrites every document with those lines removed — headers,
     // footers, license blocks that repeat across pages. Shape: one
-    // corpus-line-keyed shuffle builds the line doc-frequency table;
-    // the boilerplate subset (df > 1 — small by definition: only
-    // *repeated* lines qualify) then anti-joins BROADCAST against the
-    // exploded lines, so the corpus itself never shuffles for the
-    // filter; the reassembly groupBy(doc_id) is the one remaining
+    // corpus-line-keyed shuffle builds the line doc-frequency table.
+    // The df>1 "boilerplate" subset is CORPUS-PROPORTIONAL on the
+    // real web (boilerplate is a huge, growing set at CC scale), so
+    // it must never ride a forced broadcast; instead a FIXED-SIZE
+    // bloom (2^20 bits — constant whatever the corpus) built over the
+    // boilerplate hashes broadcasts as one row. Lines the bloom
+    // rejects are definitively clean and stay map-side (zero shuffle
+    // — the dominant branch: most corpus lines are unique); only the
+    // bloom-positive sliver (true boilerplate + the bounded
+    // false-positive rate) pays the exact anti-join, UNHINTED so AQE
+    // broadcasts it only when it measures small. Bloom false
+    // positives resolve in that exact join — bit-identical to a plain
+    // anti-join at any bloom size. Costs one extra corpus scan (the
+    // two branches) vs the old single-lineage shape; at 100 TB a
+    // rescan is linear IO while a corpus-proportional broadcast OOMs
+    // outright. The reassembly groupBy(doc_id) is the one remaining
     // corpus-sized shuffle and carries only surviving line text.
     // Documents whose every line is boilerplate drop out — the
     // pipeline's drop-empty-docs step, folded in.
@@ -3153,7 +3175,16 @@ object SparkEntry {
         .agg(countDistinct(col("doc_id")).as("nd"))
         .where(col("nd") > 1)
         .select(col("lh"))
-      lines.join(broadcast(boiler), Seq("lh"), "left_anti")
+      val bloom = boiler.agg(graft.functions.BloomExpressions
+        .bloomFilter(col("lh"), 1 << 20, 5).as("__bits"))
+      val tagged = lines.crossJoin(broadcast(bloom))
+        .withColumn("__maybe", graft.functions.BloomExpressions
+          .bloomMightContain(col("__bits"), col("lh")))
+        .drop("__bits")
+      val clean = tagged.where(!col("__maybe")).drop("__maybe")
+      val resolved = tagged.where(col("__maybe")).drop("__maybe")
+        .join(boiler, Seq("lh"), "left_anti")
+      clean.unionByName(resolved)
         .groupBy("doc_id")
         .agg(first(col("n_lines")).as("n_lines"),
           concat_ws(" ",
@@ -4660,8 +4691,11 @@ object SparkEntry {
             .wordShingles(TextOps.tokens(col("text")), 3)).as("g"))
         .join(broadcast(evalGrams), Seq("g"))
         .select("doc_id").distinct()
+      // hit ids are bounded only by ASSUMPTION (eval-term leakage
+      // into boilerplate makes them millions) — no broadcast hint;
+      // AQE broadcasts when the measured set is actually small
       flagged
-        .join(broadcast(hits.withColumn("__hit", lit(true))),
+        .join(hits.withColumn("__hit", lit(true)),
           Seq("doc_id"), "left")
         .agg(count(lit(1)).as("__n0"),
           sum(col("__s1").cast("long")).as("__n1"),

@@ -173,15 +173,17 @@ class PlanAuditSpec extends SparkSpec {
       "a sort-merge join means the standing corpus re-shuffles per delta")
   }
 
-  test("t66: blocklist and hit set join as broadcasts") {
-    // the blocklist is tiny and the hit set is blocked-docs-sized:
-    // both must broadcast — a shuffled anti-join re-partitions the
-    // whole corpus to drop a few rows
+  test("t66: the bounded blocklist broadcasts; the hit-set anti-join " +
+    "is unhinted (AQE size-gates the corpus-proportional side)") {
+    // the blocklist is list-bounded and must broadcast; the hit set is
+    // blocked-docs-sized — corpus-proportional on a real crawl — so it
+    // must NOT carry a forced hint (the fleet-wide hint audit pins
+    // that); statistics still pick a broadcast at this SF, which is
+    // the point: size-gated, not forced
     val p = plan("t66_url_blocklist")
-    assert(nodes(p, "BroadcastExchange") >= 2,
-      s"t66 blocklist/hit-set should broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      "anti-join against the hit set must not shuffle the corpus")
+    assert(nodes(p, "BroadcastExchange") >= 1,
+      s"t66 blocklist should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("t67: train shuffle is one shard-partitioned window, no global sort") {
@@ -190,6 +192,112 @@ class PlanAuditSpec extends SparkSpec {
       s"t67 should plan exactly one shard-keyed exchange:\n$p")
     assert(!p.contains("SinglePartition"),
       "a SinglePartition window means the corpus sorts on one reducer")
+  }
+
+  // Fleet-wide forced-broadcast audit: every broadcast() hint in the
+  // engine must sit on a side whose cardinality is BOUNDED by
+  // something other than the corpus — a hint on a data-dependent side
+  // (hit sets, df>1 line hashes, host-cardinality artifacts) either
+  // OOMs or hits Spark's broadcast ceiling at 100 TB, which sf0.1
+  // runs can never reveal. The expected counts below pin the exact
+  // number of ResolvedHint nodes per analyzed query plan; a query
+  // absent from the map must carry ZERO hints. Adding a hint anywhere
+  // fails this test until the new site is justified here under one of
+  // the bounded-side categories:
+  //   [scalar]   1-row totals/stats riding crossJoin(broadcast(...))
+  //   [model]    fixed-size models/codebooks/centroids/step tables
+  //              (256 hash buckets, PQ codebooks, 16 seeds, ~100-row
+  //              schedule frames)
+  //   [probe]    query-bounded probe/eval sets (eval grams, probe
+  //              vectors, eval-hash sets — sized by the eval suite,
+  //              not the corpus)
+  //   [dim]      list-bounded dimension tables (nation/part dims,
+  //              the UT1-style blocklist, robots rule tables)
+  //   [bucket]   twoLevelRank/PrefixSum bucket tables (≤ #buckets by
+  //              construction) where the caller opts in
+  //   [vocab]    vocabulary-bounded LM/stat tables (top-k cutoffs,
+  //              unigram/char tables — O(vocab), not O(corpus))
+  // Corpus-proportional sides deliberately carry NO hint and resolve
+  // by statistics/AQE: t80's boilerplate set (bloom-prefiltered),
+  // t66/t87 blocklist-hit doc sets, t63 contamination hits, t94/t77
+  // host-rank artifacts.
+  private val expectedHints: Map[String, Int] = Map(
+    "q11_join_broadcast" -> 1, // [dim] part dim
+    "q12_join_multi" -> 1, // [dim] nation dim
+    "q18_calibration" -> 1, // [dim] calibration lookup + mean fallback
+    "q32_scalar_subquery" -> 1, // [scalar] avg-price 1-row
+    "q36_ivf_assign" -> 1, // [model] 16 seed centroids
+    "q39_kmeans_step" -> 1, // [model] 16 seed centroids
+    "q40_window_ranks" -> 7, // [bucket]+[scalar] two-level rank tables
+    "t100_neg_sampling" -> 1, // [vocab] vocab bucket offsets
+    "t102_batch_schedule" -> 1, // [scalar]+[model] total + step frame
+    "t103_dpo_pairs" -> 4, // [bucket] two-level rank tables
+    "t104_kn_doc_ppl" -> 3, // [vocab] midCtx/uni/total LM sides
+    "t105_data_card" -> 1, // [model] source-cardinality top-1 langs
+    "t107_calibration_bins" -> 4, // [bucket]+[scalar] two-level + totals
+    "t113_epoch_alloc" -> 1, // [scalar] budget totals
+    "t114_compression_gate" -> 3, // [model] O(sources) median/MAD stats
+    "t116_distill_audit" -> 1, // [model] 256-weight student model
+    "t117_gate_mix_shift" -> 3, // [model]+[scalar] student + totals
+    "t13_decontaminate" -> 1, // [probe] eval gram set
+    "t14_tfidf" -> 1, // [scalar] doc-count 1-row
+    "t25_quality_shards" -> 2, // [bucket] two-level rank tables
+    "t26_mix_weights" -> 1, // [scalar] per-source totals (O(sources))
+    "t27_unigram_logprob" -> 1, // [vocab] unigram LM table
+    "t28_pq_encode" -> 1, // [model] PQ codebook
+    "t29_pq_adc" -> 3, // [model]+[probe] codebook + probe LUT
+    "t30_bm25" -> 2, // [probe]+[scalar] query terms + corpus stats
+    "t32_stratified_sample" -> 2, // [bucket] two-level rank tables
+    "t36_heavy_hitters" -> 2, // [scalar] MG summary + total (agg outputs)
+    "t40_bloom_decontam" -> 2, // [probe] fixed-size bloom + eval grams
+    "t45_decontam_spans" -> 1, // [probe] eval gram set
+    "t47_span_redact" -> 1, // [probe] redaction span set (eval-sized)
+    "t4_knn_cosine" -> 1, // [probe] probe vectors
+    "t50_embed_whiten" -> 1, // [model] d×d whitening matrix
+    "t51_eval_exposure" -> 1, // [probe] eval hash set
+    "t52b_source_overlap_est" -> 1, // [model] O(sources) KMV sketches
+    "t52c_overlap_bounds" -> 1, // [model] O(sources) KMV sketches
+    "t55_temp_mixing" -> 3, // [scalar] per-source weight frames
+    "t59_dsir_weight" -> 1, // [scalar] (totS, totT, V) scalars
+    "t60_ivf_recall" -> 4, // [model]+[probe] centroids + probes
+    "t63_pipeline_funnel" -> 1, // [probe] eval grams (hits UNHINTED)
+    "t64_repetition_budget" -> 2, // [scalar]+[model] budget + decisions
+    "t66_url_blocklist" -> 1, // [dim] blocklist (hit set UNHINTED)
+    "t69_cluster_sample" -> 1, // [model] 16 centroids
+    "t75_ccnet_buckets" -> 11, // [vocab]+[bucket] LM sides + terciles
+    "t76_lsh_recall" -> 2, // [probe] probe signatures ×2 passes
+    "t78_rrf_fusion" -> 9, // [bucket]+[model] rank buckets + host ranks
+    "t80_line_dedup" -> 2, // [scalar] 1-row bloom ×2 union branches
+    "t81_hash_classifier" -> 1, // [model] 256-bucket model
+    "t84_hard_negatives" -> 1, // [probe] probe vectors
+    "t87_warc_pipeline" -> 2, // [dim]+[bucket] blocklist + prefix-sum
+    "t88_binary_ann" -> 3, // [probe] signatures, candidates, rerank
+    "t91_mmr_diversify" -> 1, // [probe] probe pool
+    "t92_binary_recall" -> 4, // [probe] probes ×2 passes + compare
+    "t93_robots_gate" -> 1, // [dim] robots rule table
+    "t94_frontier_schedule" -> 1, // [bucket] two-level (ranks UNHINTED)
+    "t95_token_budget_select" -> 2, // [scalar]+[bucket] total + offsets
+    "t97_kn_trigram" -> 5, // [vocab] top-50 + type tables
+    "t9_ivf_probe" -> 3, // [model]+[probe] centroids + probes
+    "x1_depth_recurrence" -> 1) // [dim] install-event table
+
+  test("fleet-wide: every broadcast hint sits on a bounded side — " +
+    "counts pinned per query, zero for everyone else") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val actual = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+        .size
+      name -> n
+    }.filter(_._2 > 0).toMap
+    val drift = (actual.keySet ++ expectedHints.keySet).toSeq.sorted
+      .flatMap { q =>
+        val (a, e) = (actual.getOrElse(q, 0), expectedHints.getOrElse(q, 0))
+        if (a != e) Some(s"$q: $a hints (expected $e)") else None
+      }
+    assert(drift.isEmpty,
+      "broadcast-hint drift — justify each new site under a bounded-" +
+        s"side category above, or remove the hint:\n${drift.mkString("\n")}")
   }
 
   test("no query plans an unbroadcast cartesian product") {
@@ -247,16 +355,28 @@ class PlanAuditSpec extends SparkSpec {
       s"t75 rank must not plan a single-reducer window:\n$p")
   }
 
-  test("t77: curation aggs combine map-side; rank artifact broadcasts") {
+  test("t77: curation aggs combine map-side; the rank join is " +
+    "unhinted and AQE broadcasts it at runtime while it fits") {
     // the (host,hash) and host rollups must partial-aggregate before
-    // their exchanges, and the host-cardinality rank table must join
-    // as a broadcast — a shuffled join here would move the corpus-
-    // derived aggregate through a second full exchange
+    // their exchanges. The rank table is HOST-cardinality — ~10⁸ rows
+    // at CC scale, near Spark's broadcast ceiling — so it carries no
+    // forced hint (the checkpointed artifact hides static stats →
+    // the initial plan is a sort-merge join); the contract is that
+    // AQE's runtime sizes convert it to a broadcast when it fits,
+    // which the EXECUTED plan must show at this SF
     val p = plan("t77_host_curation")
     assert(p.contains("partial_sum"),
       "host rollup must combine map-side")
-    assert(p.contains("BroadcastHashJoin"),
-      s"t77 rank join must broadcast:\n$p")
+    val df = SparkEntry.queries("t77_host_curation")(
+      spark, "/root/testdata/sf0.001")
+    df.collect() // execute THIS plan so AQE finalizes its join choice
+    // AdaptiveSparkPlan.toString prints "== Final Plan ==" then the
+    // pre-AQE "== Initial Plan ==" — judge only what actually ran
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(executed.contains("BroadcastHashJoin") &&
+      !executed.contains("SortMergeJoin"),
+      s"AQE must runtime-broadcast the small rank side:\n$executed")
   }
 
   test("t78: fused top-k is TakeOrdered; corpus windows stay bucketed") {
@@ -306,15 +426,22 @@ class PlanAuditSpec extends SparkSpec {
       s"pageRankPpm iteration joins must stay hash-based:\n$p")
   }
 
-  test("t80: boilerplate set anti-joins as a broadcast; corpus never shuffles to filter") {
-    // the df>1 line-hash subset must ride as the BROADCAST side of the
-    // left-anti join — a shuffled anti-join would re-key the whole
-    // exploded corpus on line hashes a second time
+  test("t80: fixed-size bloom prefilters the boilerplate anti-join — " +
+    "the clean branch stays map-side, the exact join is unhinted") {
+    // the df>1 line-hash set is CORPUS-PROPORTIONAL on the real web,
+    // so it must never ride a forced broadcast. The scale shape: a
+    // constant-size bloom (one broadcast row) tags every line; the
+    // bloom-negative branch never joins at all (Union of the two
+    // branches), and only the bloom-positive sliver reaches the exact
+    // LeftAnti join, whose strategy is left to statistics/AQE (the
+    // hint audit pins that boiler itself carries no hint)
     val p = plan("t80_line_dedup")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"t80 boilerplate filter must be a broadcast anti-join:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"t80 must not sort-merge the corpus against the line-df table:\n$p")
+    assert(p.contains("graft_bloom_might_contain"),
+      s"t80 must prefilter through the bloom kernel:\n$p")
+    assert(nodes(p, "Union") >= 1,
+      s"t80 must keep the bloom-negative branch join-free:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"t80 must resolve bloom false positives with an exact anti-join:\n$p")
   }
 
   test("t81: the 256-bucket model joins as a broadcast, scoring partial-aggs") {
@@ -415,14 +542,24 @@ class PlanAuditSpec extends SparkSpec {
       s"t92 top-k prunes must stay map-side:\n$p")
   }
 
-  test("t94: rank joins broadcast; queue window keys on host; the " +
-    "per-round position rides the two-level scan (round 1 holds " +
-    "EVERY host — no single-task round sort)") {
+  test("t94: rank join unhinted (AQE runtime-broadcasts the host-" +
+    "cardinality table); queue window keys on host; the per-round " +
+    "position rides the two-level scan (round 1 holds EVERY host — " +
+    "no single-task round sort)") {
     val p = plan("t94_frontier_schedule")
-    assert(p.contains("BroadcastHashJoin"),
-      s"t94's host-cardinality rank table must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"t94 must never shuffle the frontier for the rank join:\n$p")
+    // the rank table is host-cardinality (~10⁸ rows at CC scale):
+    // unhinted by contract — at this SF, AQE's runtime sizes must
+    // still turn the initial sort-merge join into a broadcast
+    val df = SparkEntry.queries("t94_frontier_schedule")(
+      spark, "/root/testdata/sf0.001")
+    df.collect() // execute THIS plan so AQE finalizes its join choice
+    // AdaptiveSparkPlan.toString prints "== Final Plan ==" then the
+    // pre-AQE "== Initial Plan ==" — judge only what actually ran
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(executed.contains("BroadcastHashJoin") &&
+      !executed.contains("SortMergeJoin"),
+      s"AQE must runtime-broadcast the small rank side:\n$executed")
     assert(!p.contains("SinglePartition"),
       s"t94's queue/round windows must all hash-partition:\n$p")
     assert(p.contains("__tlb"),
