@@ -203,4 +203,30 @@ class OpsSpec extends SparkSpec {
     assert(out(1).isNullAt(1), "2.0 is outside [0,1] — must clamp")
     assert(out(0).getDouble(2) === 0.7) // EC family still covered
   }
+
+  test("trainShuffle: shard width is a real knob — width 4 shards by " +
+    "4 hex chars, keeps every doc exactly once, positions contiguous") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = SparkEntry.trainShuffle(docs, shardHexWidth = 4).cache()
+    val n = docs.count()
+    assert(out.count() == n, "shuffle must be a permutation, not a sample")
+    assert(out.select("doc_id").distinct().count() == n)
+    // shard = 4-char hex prefix of the width-2 shard's key space:
+    // every width-4 shard must nest inside its width-2 parent
+    val w2 = SparkEntry.trainShuffle(docs, shardHexWidth = 2)
+      .select(col("doc_id"), col("shard").as("s2"))
+    assert(out.join(w2, "doc_id")
+      .where(substring(col("shard"), 1, 2) =!= col("s2"))
+      .count() == 0, "width-4 shards must refine the width-2 sharding")
+    assert(out.where(length(col("shard")) =!= 4).count() == 0)
+    // positions within a shard are 1..k with no gaps
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("k"), max(col("pos")).as("mx"),
+        min(col("pos")).as("mn"))
+      .where(col("mx") =!= col("k") || col("mn") =!= 1L)
+      .count()
+    assert(bad == 0, "per-shard positions must be contiguous from 1")
+    out.unpersist()
+  }
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The staged cluster-label artifact must track corpus CONTENT, not
+  * the corpus path: the engine's own CDC/compaction sinks rewrite a
+  * corpus dir in place, and a path-keyed memo would silently serve
+  * stale labels to every cluster consumer for the JVM's lifetime.
+  * The artifact is keyed by a filesystem-metadata fingerprint
+  * (name/length/mtime of every part file) and revalidated on every
+  * read. */
+class StagedLabelsSpec extends SparkSpec {
+
+  test("an in-place corpus append refreshes the staged labels " +
+    "mid-JVM; an unchanged corpus reuses the artifact") {
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-staged-spec").toString
+    val src = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    src.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def labeled(): Long =
+      SparkEntry.queries("d5_neardup_keep")(spark, dir)
+        .agg(sum("n_docs")).head.getLong(0)
+
+    val nDocs = src.count()
+    assert(labeled() == nDocs, "every doc must receive a cluster label")
+
+    // unchanged corpus: the second read must serve the same artifact
+    // (fingerprint match — no rebuild, same totals)
+    assert(labeled() == nDocs)
+
+    // in-place append (what a compaction/CDC sink does): new part
+    // files land in the SAME directory — the metadata fingerprint
+    // changes, so the artifact must rebuild and label the new doc
+    src.limit(1)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    assert(labeled() == nDocs + 1,
+      "stale staged labels served after an in-place corpus rewrite")
+  }
+}
