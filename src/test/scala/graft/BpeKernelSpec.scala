@@ -144,6 +144,107 @@ class BpeKernelSpec extends SparkSpec {
       "the unrolled fold should grow ~linearly in merges")
   }
 
+  /** Production-vocab point: a 32k-merge table (real tokenizer size —
+    * GPT-2's table is 50k, Llama's 32k). The local trainer is
+    * O(merges × corpus) and exists for 8-merge parity tests, so the
+    * table here is CONSTRUCTED, not trained: all 26² single-char
+    * pairs first, then 2-char × 2-char products. That satisfies the
+    * kernel's trained-table ordering contract by construction —
+    * every operand is a base symbol or the product of an earlier
+    * merge, and a later merge can never create an occurrence of an
+    * earlier pair (single chars only ever disappear; a product
+    * symbol only forms pairs ranked later). */
+  private def merges32k: Seq[(String, String, Long)] = {
+    val twos = for (a <- 'a' to 'z'; b <- 'a' to 'z')
+      yield (a.toString, b.toString, 2L)
+    val prods = twos.map { case (a, b, _) => a + b }
+    val fours = (for (x <- prods; y <- prods) yield (x, y, 1L))
+      .take(32768 - twos.length)
+    (twos ++ fours).toSeq
+  }
+
+  private def vocab50k: Seq[String] = {
+    val words = (0 until 50500).map { i =>
+      val sb = new StringBuilder
+      var x = (i * 2654435761L + 12345) & 0x7fffffffL
+      (0 until 16).foreach { _ =>
+        sb += ('a' + (x % 26).toInt).toChar
+        x = (x * 48271) % 2147483647L
+      }
+      sb.toString
+    }.distinct
+    assert(words.length >= 50000)
+    words
+  }
+
+  test("32k-merge table over a 50k-word vocab: kernel matches the " +
+    "reference on a sample, every output respells from valid " +
+    "symbols, the plan stays flat, and the encode pass is timed") {
+    val merges = merges32k
+    assert(merges.length === 32768)
+    val words = vocab50k
+    // parquet-backed so ConvertToLocalRelation cannot fold the encode
+    // into plan time (the timing below must measure EXECUTION)
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe32k").toString
+    words.toDF("w").repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/vocab.parquet")
+    val pdf = spark.read.parquet(s"$dir/vocab.parquet")
+
+    // plan flatness holds at 32k, same bound as the 1200-merge case
+    def planOf(m: Seq[(String, String, Long)]): String =
+      pdf.select(TextOps.bpeEncode(split(col("w"), ""), m).as("t"))
+        .queryExecution.optimizedPlan.toString
+    val p8 = planOf(merges.take(8))
+    val p32k = planOf(merges)
+    assert(p32k.linesIterator.size === p8.linesIterator.size,
+      "plan NODE count must not grow with the merge count")
+    assert(p32k.length <= p8.length + 512,
+      s"plan text grew with merges: ${p8.length} -> ${p32k.length}")
+
+    // timed encode point (recorded in the round notes): sum of token
+    // counts forces every row through the kernel
+    val t0 = System.nanoTime()
+    val nTok = pdf
+      .select(TextOps.bpeEncode(split(col("w"), ""), merges).as("t"))
+      .agg(sum(size(col("t")))).head.getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"32k-merge encode of ${words.length} words: " +
+      f"$nTok tokens in $secs%.2f s")
+    assert(nTok > 0)
+    assert(secs < 120.0,
+      f"32k-merge encode took $secs%.1f s — the kernel's per-row " +
+        "cost must stay O(len²), independent of the merge count")
+
+    // full-table correctness on a deterministic 200-word sample vs
+    // the plain-Scala reference (refEncode at 32k merges is O(32k ×
+    // len) per word — sample-sized on purpose)
+    val sample = words.zipWithIndex
+      .filter(_._2 % (words.length / 200) == 0).map(_._1).take(200)
+    val enc = sample.toDF("w")
+      .select(col("w"),
+        TextOps.bpeEncode(split(col("w"), ""), merges).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    sample.foreach { w =>
+      assert(enc(w) === refEncode(w, merges),
+        s"kernel diverged from reference on '$w' at 32k merges")
+    }
+
+    // global invariants on ALL 50k words: the tokens respell the
+    // word, and every token is a legal symbol (base char or a merge
+    // product — checked by anti-join against the symbol table, never
+    // a 33k-literal IN list)
+    val encAll = pdf.select(col("w"),
+      TextOps.bpeEncode(split(col("w"), ""), merges).as("t"))
+    assert(encAll.where(concat_ws("", col("t")) =!= col("w"))
+      .count() === 0, "some word failed to respell from its tokens")
+    val validDf = (('a' to 'z').map(_.toString) ++
+      merges.map { case (a, b, _) => a + b }).toDF("tok")
+    val badTok = encAll.select(explode(col("t")).as("tok"))
+      .join(validDf, Seq("tok"), "left_anti").count()
+    assert(badTok === 0, "kernel emitted a non-vocabulary token")
+  }
+
   test("t73 still rides the kernel: encode of an in-vocab word " +
     "equals its final training state") {
     val words = corpusWords("/root/testdata/sf0.001")
