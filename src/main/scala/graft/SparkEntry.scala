@@ -4752,6 +4752,48 @@ object SparkEntry {
             .as("reweight_milli"))
     }),
 
+    // JSONL corpus round-trip with corrupt-line quarantine (the
+    // `ingest/Jsonl` source's contract, oracle-gated): documents
+    // serialize through the PRODUCTION serializer (Jsonl.toJsonLines
+    // — the exact to_json the .jsonl.gz sink writes), every 13th
+    // line is truncated mid-object (the killed-writer shard tail
+    // every real corpus contains), and the production parser
+    // (Jsonl.parseLines — PERMISSIVE + corrupt-record column) reads
+    // the stream back. Clean lines must round-trip every field
+    // bit-exactly (unicode text included); corrupt lines must emit
+    // one all-null row with the corrupt flag — a row per input line,
+    // never a silent drop (the accounting identity a corruption-rate
+    // alert needs). Entirely map-side (serialize + mangle + parse in
+    // one projection): no shuffle, trivially 100 TB.
+    "t118_jsonl_roundtrip" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      val cols = Seq("doc_id", "text", "lang", "n_chars")
+      val lines = T(s, dir, "documents")
+        .select(col("doc_id").as("__id"),
+          to_json(struct(cols.map(col): _*)).as("line"))
+      // not-JSON-from-byte-0 so the whole record quarantines — a
+      // truncation after a parseable prefix would exercise Spark's
+      // partial-result PERMISSIVE semantics (parsed prefix fields
+      // kept, corrupt flag set), which is engine-specific and has no
+      // cross-engine oracle; the spec covers that variant instead
+      val mangled = lines.select(
+        when(pmod(col("__id"), lit(13)) === 0,
+          concat(lit("corrupt!"), substring(col("line"), 1, 9)))
+          .otherwise(col("line")).as("line"))
+      graft.ingest.Jsonl.parseLines(mangled, "line", schema)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("n_chars"),
+          col(graft.ingest.Jsonl.CorruptCol).isNotNull.as("corrupt"))
+    }),
+
     // Gopher-style rule-based quality gate (Rae et al. 2021, table A1):
     // named per-document heuristics — word count bounds, mean word
     // length band, alphabetic-word fraction, minimum stopword hits —
@@ -8002,6 +8044,20 @@ object SparkEntry {
                   // (n_kept * 1000000 // tk) END AS BIGINT)
              AS reweight_milli
          FROM per, tt""",
+    // t118: the round-trip is the identity on clean lines; corrupt
+    // lines (doc_id % 13 = 0, mangled unparseable-from-byte-0) emit
+    // one all-null row with the flag — the oracle needs no JSON at
+    // all, which is the point of gating the PARSED surface
+    "t118_jsonl_roundtrip" ->
+      """SELECT
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE doc_id END
+             AS doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END
+             AS n_chars,
+           doc_id % 13 = 0 AS corrupt
+         FROM documents""",
     "t51_eval_exposure" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks

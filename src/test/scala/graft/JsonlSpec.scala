@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField,
+  StructType}
+
+import graft.ingest.Jsonl
+
+/** The JSONL source/sink (`ingest/Jsonl`): gzip file round-trip,
+  * the corrupt-line quarantine accounting identity, column pruning
+  * into the parse, and the in-memory parseLines twin. */
+class JsonlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+
+  test("write → read round-trips every field through .jsonl.gz, " +
+    "unicode and JSON metacharacters included") {
+    val docs = Seq(
+      (1L, "plain ascii text", "en"),
+      (2L, "quotes \" and \\ backslashes\nand a newline", "en"),
+      (3L, "unicode: café 日本語 😀", "ja"),
+      (4L, "{\"looks\":\"like json\"}", "en"))
+      .toDF("doc_id", "text", "lang")
+    val dir = tmp() + "/corpus"
+    Jsonl.write(docs, Seq("doc_id", "text", "lang"), dir)
+    // the sink really wrote gzip shards
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.endsWith(".gz")), "sink must write .gz shards")
+    val (clean, corrupt) = Jsonl.readCounted(spark, dir, docSchema)
+    assert(corrupt.count() === 0)
+    val got = clean.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === docs.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq)
+  }
+
+  test("corrupt lines quarantine raw — clean + corrupt = input lines") {
+    val dir = tmp() + "/mixed"
+    val lines = Seq(
+      """{"doc_id":1,"text":"ok","lang":"en"}""",
+      """{"doc_id":2,"text":"trunc""", // killed-writer tail
+      """total garbage, not json""",
+      """{"doc_id":3,"text":"also ok","lang":"de"}""",
+      """{}""") // valid JSON, fields missing -> nulls, NOT corrupt
+    lines.toDF("value").repartition(1).write.text(dir)
+    val (clean, corrupt) = Jsonl.readCounted(spark, dir, docSchema)
+    assert(clean.count() + corrupt.count() === lines.length,
+      "every input line must land in exactly one frame")
+    assert(corrupt.count() === 2)
+    val raw = corrupt.collect().map(_.getString(0)).toSet
+    assert(raw.contains("total garbage, not json"),
+      "quarantine must carry the raw offending line")
+    // the all-missing-fields row is PERMISSIVE nulls, not corruption
+    assert(clean.where(col("doc_id").isNull).count() === 1)
+  }
+
+  test("column pruning reaches the JSON parse") {
+    val dir = tmp() + "/prune"
+    Jsonl.write(Seq((1L, "t", "en")).toDF("doc_id", "text", "lang"),
+      Seq("doc_id", "text", "lang"), dir)
+    val p = Jsonl.read(spark, dir, docSchema).select("doc_id")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint") &&
+      !p.contains("text:string"),
+      s"unprojected fields must not reach the parser:\n$p")
+  }
+
+  test("parseLines matches the file reader's contract in memory") {
+    val lines = Seq(
+      """{"doc_id":7,"text":"x","lang":"en"}""",
+      """nope""").toDF("line")
+    val parsed = Jsonl.parseLines(lines, "line", docSchema)
+    val rows = parsed.orderBy(col("doc_id").asc_nulls_last).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(0) === 7L &&
+      rows(0).isNullAt(rows(0).fieldIndex(Jsonl.CorruptCol)))
+    assert(rows(1).isNullAt(0) &&
+      rows(1).getString(rows(1).fieldIndex(Jsonl.CorruptCol)) === "nope")
+  }
+
+  test("a schema declaring _corrupt is rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Jsonl.read(spark, "/nonexistent", StructType(Seq(
+        StructField("_corrupt", StringType))))
+    }
+  }
+}
