@@ -4794,6 +4794,46 @@ object SparkEntry {
           col(graft.ingest.Jsonl.CorruptCol).isNotNull.as("corrupt"))
     }),
 
+    // Competence-based curriculum ordering (Bengio et al. 2009;
+    // Platanios et al. 2019 "Competence-based Curriculum Learning"):
+    // the training-order artifact a curriculum run consumes. Docs
+    // band by a difficulty proxy (token count, integer DIV 32 — a
+    // production stack plugs perplexity or the t7 score), order
+    // pseudorandomly WITHIN a band (md5 key — "sort by difficulty,
+    // shuffle within band"), and each band unlocks at the first
+    // training step whose linear competence c(s) = s/100 covers the
+    // band's difficulty-CDF percentile: unlock = ceil(100·cum/total),
+    // whole-band grants for determinism (t64's convention). Shapes:
+    // band/key derive map-side; the CDF comes off the O(bands) table
+    // (never a corpus window); the within-band position rides
+    // twoLevelRank — band is LOW-cardinality (a handful of length
+    // bands hold the whole corpus), exactly the one-task-per-group
+    // trap the two-level scan exists for; unlock steps join back as
+    // a broadcast. All-integer → exact oracle twin.
+    "t119_curriculum_order" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
+        .withColumn("band", expr("n_tok DIV 32"))
+        .withColumn("key",
+          md5(concat(lit("cur42:"), col("doc_id").cast("string"))))
+      val bands = d.groupBy("band").agg(count(lit(1)).as("__n"))
+      val wcum = Window.orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = bands.agg(sum("__n").as("__tot"))
+      val unlock = bands
+        .withColumn("__cum", sum("__n").over(wcum))
+        .crossJoin(broadcast(tot))
+        .select(col("band"),
+          expr("(100 * __cum + __tot - 1) DIV __tot").as("unlock_step"))
+      Windows.twoLevelRank(d, Seq("band"),
+          expr("conv(substring(key, 1, 2), 16, 10)").cast("long"),
+          Seq(col("key"), col("doc_id")), "pos_in_band")
+        .join(broadcast(unlock), Seq("band"))
+        .select(col("doc_id"), col("n_tok"), col("band"),
+          col("pos_in_band"), col("unlock_step"))
+    }),
+
     // Gopher-style rule-based quality gate (Rae et al. 2021, table A1):
     // named per-document heuristics — word count bounds, mean word
     // length band, alphabetic-word fraction, minimum stopword hits —
@@ -8044,6 +8084,25 @@ object SparkEntry {
                   // (n_kept * 1000000 // tk) END AS BIGINT)
              AS reweight_milli
          FROM per, tt""",
+    "t119_curriculum_order" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+               AS n_tok,
+             md5('cur42:' || doc_id) AS key
+           FROM documents),
+         b AS (SELECT doc_id, n_tok, n_tok // 32 AS band, key FROM d),
+         bt AS (SELECT band, count(*) AS n FROM b GROUP BY band),
+         ct AS (SELECT band,
+             sum(n) OVER (ORDER BY band ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum
+           FROM bt),
+         tt AS (SELECT sum(n) AS tot FROM bt)
+         SELECT doc_id, n_tok, CAST(band AS BIGINT) AS band,
+           CAST(row_number() OVER (PARTITION BY band
+             ORDER BY key, doc_id) AS BIGINT) AS pos_in_band,
+           CAST((100 * cum + tot - 1) // tot AS BIGINT) AS unlock_step
+         FROM b JOIN ct USING (band), tt""",
     // t118: the round-trip is the identity on clean lines; corrupt
     // lines (doc_id % 13 = 0, mangled unparseable-from-byte-0) emit
     // one all-null row with the flag — the oracle needs no JSON at

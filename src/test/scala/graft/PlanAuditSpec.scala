@@ -240,6 +240,7 @@ class PlanAuditSpec extends SparkSpec {
     "t113_epoch_alloc" -> 1, // [scalar] budget totals
     "t114_compression_gate" -> 3, // [model] O(sources) median/MAD stats
     "t116_distill_audit" -> 1, // [model] 256-weight student model
+    "t119_curriculum_order" -> 3, // [scalar]+[bucket] tot + unlock + tlr
     "t117_gate_mix_shift" -> 3, // [model]+[scalar] student + totals
     "t13_decontaminate" -> 1, // [probe] eval gram set
     "t14_tfidf" -> 1, // [scalar] doc-count 1-row
@@ -691,6 +692,27 @@ class PlanAuditSpec extends SparkSpec {
       s"t97's top-50 must be TakeOrdered, not a global sort+limit:\n$p")
     assert(nodes(p, "HashAggregate") >= 2,
       s"trigram counting must partial-agg map-side:\n$p")
+  }
+
+  test("t119: within-band order rides the two-level scan — band is " +
+    "low-cardinality; only the O(bands) CDF table may window " +
+    "single-partition") {
+    val p = plan("t119_curriculum_order")
+    assert(p.contains("__tlb"),
+      s"t119's band position must rank through twoLevelRank:\n$p")
+    // a length band holds a large corpus fraction: a single-level
+    // window partitioned by band alone would serialize it into one
+    // task
+    assert(
+      """windowspecdefinition\(band#\d+L?, (?!__tlb#)[^,]* (ASC|DESC)"""
+        .r.findFirstIn(p).isEmpty,
+      s"t119 must not sort a whole band in one task:\n$p")
+    // allowed tiny SinglePartition spots: the band-table cumsum and
+    // the 1-row total agg
+    assert("SinglePartition".r.findAllIn(p).length <= 3,
+      s"t119's corpus window must stay bucket-partitioned:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      s"t119's unlock/offset tables must broadcast back:\n$p")
   }
 
   test("t99: FIM transform is pure map-side — zero shuffles") {
