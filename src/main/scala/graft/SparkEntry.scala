@@ -165,6 +165,25 @@ object SparkEntry {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** The deterministic CDC demo feed shared by t79 (full merge) and
+    * t120 (time travel) — one definition so the two queries and both
+    * oracles describe the same change log: seq 1 updates %10==3,
+    * deletes %10==5, inserts %10==7 (shifted ids); seq 2 deletes
+    * %100==3 (overriding their seq-1 update). */
+  private def cdcDemoDelta(base: DataFrame): DataFrame = {
+    val upd = base.where(col("doc_id") % 10 === 3)
+      .withColumn("text", concat(col("text"), lit(" [rev2]")))
+      .withColumn("__op", lit("update")).withColumn("__seq", lit(1L))
+    val del = base.where(col("doc_id") % 10 === 5)
+      .withColumn("__op", lit("delete")).withColumn("__seq", lit(1L))
+    val ins = base.where(col("doc_id") % 10 === 7)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("__op", lit("insert")).withColumn("__seq", lit(1L))
+    val del2 = base.where(col("doc_id") % 100 === 3)
+      .withColumn("__op", lit("delete")).withColumn("__seq", lit(2L))
+    upd.unionByName(del).unionByName(ins).unionByName(del2)
+  }
+
   private def neardupLabels(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents").select(col("doc_id"),
       graft.functions.SketchExpressions
@@ -3196,20 +3215,40 @@ object SparkEntry {
     // compare stays narrow.
     "t79_cdc_merge" -> ((s, dir) => {
       val base = T(s, dir, "documents")
-      val upd = base.where(col("doc_id") % 10 === 3)
-        .withColumn("text", concat(col("text"), lit(" [rev2]")))
-        .withColumn("__op", lit("update")).withColumn("__seq", lit(1L))
-      val del = base.where(col("doc_id") % 10 === 5)
-        .withColumn("__op", lit("delete")).withColumn("__seq", lit(1L))
-      val ins = base.where(col("doc_id") % 10 === 7)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
-        .withColumn("__op", lit("insert")).withColumn("__seq", lit(1L))
-      val del2 = base.where(col("doc_id") % 100 === 3)
-        .withColumn("__op", lit("delete")).withColumn("__seq", lit(2L))
-      val delta = upd.unionByName(del).unionByName(ins).unionByName(del2)
-      Cdc.applyChanges(base, delta, "doc_id", "__op", "__seq")
+      Cdc.applyChanges(base, cdcDemoDelta(base), "doc_id", "__op",
+          "__seq")
         .select(col("doc_id"), md5(col("text")).as("text_md5"),
           col("lang"), col("source"))
+    }),
+
+    // CDC TIME TRAVEL — "read the corpus as of change-log offset S":
+    // the audit every snapshot-versioned data release needs (which
+    // docs did train run X actually see?). One row per as-of point:
+    // row count, distinct languages, and an order-insensitive
+    // 44-bit-per-doc content checksum (sum of md5-prefix integers —
+    // exact in a long at any realistic corpus row count), so two
+    // reconstructions of the same offset are comparable without
+    // diffing rows. Shape: time travel at N audit points = N
+    // applyChanges merges (each the proven delta-window + anti-join +
+    // union shape) over the seq-filtered log — N is audit-sized
+    // (log offsets you care about), never corpus-sized; production
+    // serves FREQUENT as-of reads from materialized snapshots (t38's
+    // diff artifacts) and uses this op to verify them. Shares t79's
+    // deterministic delta feed so the two cannot drift.
+    "t120_time_travel" -> ((s, dir) => {
+      val base = T(s, dir, "documents")
+      val delta = cdcDemoDelta(base)
+      Seq(0L, 1L, 2L).map { asof =>
+        Cdc.applyChanges(base,
+            delta.where(col("__seq") <= asof), "doc_id", "__op",
+            "__seq")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(conv(substring(md5(col("text")), 1, 11), 16, 10)
+              .cast("long")).as("content_sum"))
+          .select(lit(asof).as("asof_seq"), col("n_docs"),
+            col("n_langs"), col("content_sum"))
+      }.reduce(_ unionByName _)
     }),
 
     // Corpus line-level dedup REWRITE (the CCNet/FineWeb boilerplate
@@ -6193,6 +6232,44 @@ object SparkEntry {
            WHERE op <> 'delete')
          SELECT doc_id, md5(text) AS text_md5, lang, source
          FROM merged""",
+    // t120: one state per as-of offset — last op with seq <= asof per
+    // key (same feed and window as t79's oracle), then the audit
+    // aggregates; asof 0 sees the untouched base
+    // ("asof" is a DuckDB reserved word — ASOF JOIN — hence "av")
+    "t120_time_travel" ->
+      """WITH seqs AS (SELECT unnest([0, 1, 2]) AS av),
+         delta AS (
+           SELECT doc_id, text || ' [rev2]' AS text, lang,
+             'update' AS op, 1 AS seq
+           FROM documents WHERE doc_id % 10 = 3
+           UNION ALL
+           SELECT doc_id, text, lang, 'delete', 1
+           FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id + 1000000, text, lang, 'insert', 1
+           FROM documents WHERE doc_id % 10 = 7
+           UNION ALL
+           SELECT doc_id, text, lang, 'delete', 2
+           FROM documents WHERE doc_id % 100 = 3),
+         last AS (
+           SELECT sq.av, dl.*
+           FROM seqs sq JOIN delta dl ON dl.seq <= sq.av
+           QUALIFY row_number() OVER (PARTITION BY sq.av, dl.doc_id
+             ORDER BY dl.seq DESC, dl.op DESC) = 1),
+         states AS (
+           SELECT sq.av, b.doc_id, b.text, b.lang
+           FROM seqs sq CROSS JOIN documents b
+           WHERE NOT EXISTS (SELECT 1 FROM last lo
+             WHERE lo.av = sq.av AND lo.doc_id = b.doc_id)
+           UNION ALL
+           SELECT av, doc_id, text, lang FROM last
+           WHERE op <> 'delete')
+         SELECT CAST(av AS BIGINT) AS asof_seq,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 11))
+             AS UBIGINT)) AS BIGINT) AS content_sum
+         FROM states GROUP BY av""",
     "t80_line_dedup" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks
