@@ -2967,6 +2967,34 @@ object SparkEntry {
     "t67_train_shuffle" -> ((s, dir) =>
       trainShuffle(T(s, dir, "documents"), shardHexWidth = 2)),
 
+    // Shard MANIFEST for a reproducible data release (the
+    // Dolma/RedPajama release-artifact shape): per t67 training
+    // shard, the numbers a training run pins and a re-materialization
+    // must reproduce byte-for-byte — doc count, token total, an
+    // order-insensitive 36-bit-per-doc content checksum, and the
+    // shard's shuffle-key endpoints (the key range pins the shard's
+    // ORDER, since position is a pure function of the sorted keys).
+    // Shape: the key/shard derivation is t67's own map-side kernel
+    // (shared `trainShuffle` def — manifest and shuffle cannot
+    // drift); ONE shard-keyed partial-agged shuffle produces the
+    // whole manifest; output is 256 rows.
+    "t121_shard_manifest" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("shuf42:"), col("doc_id").cast("string")))
+            .as("key"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tok"),
+          conv(substring(md5(col("text")), 1, 9), 16, 10).cast("long")
+            .as("__ch"))
+        .withColumn("shard", substring(col("key"), 1, 2))
+      d.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          sum("__ch").as("content_sum"),
+          min("key").as("key_min"),
+          max("key").as("key_max"))
+    }),
+
     // Cluster-balanced diversity sampling (the MiniPile/DCLM-style
     // selection step: embed → cluster → take a per-cell quota, so the
     // subset preserves semantic coverage instead of letting the head
@@ -3225,7 +3253,7 @@ object SparkEntry {
     // the audit every snapshot-versioned data release needs (which
     // docs did train run X actually see?). One row per as-of point:
     // row count, distinct languages, and an order-insensitive
-    // 44-bit-per-doc content checksum (sum of md5-prefix integers —
+    // 36-bit-per-doc content checksum (sum of md5-prefix integers —
     // exact in a long at any realistic corpus row count), so two
     // reconstructions of the same offset are comparable without
     // diffing rows. Shape: time travel at N audit points = N
@@ -3244,7 +3272,9 @@ object SparkEntry {
             "__seq")
           .agg(count(lit(1)).as("n_docs"),
             countDistinct(col("lang")).as("n_langs"),
-            sum(conv(substring(md5(col("text")), 1, 11), 16, 10)
+            // 9 hex chars = 36 bits/doc: the long sum stays exact
+            // past 10^8 rows per state (100x scale points included)
+            sum(conv(substring(md5(col("text")), 1, 9), 16, 10)
               .cast("long")).as("content_sum"))
           .select(lit(asof).as("asof_seq"), col("n_docs"),
             col("n_langs"), col("content_sum"))
@@ -6267,7 +6297,7 @@ object SparkEntry {
          SELECT CAST(av AS BIGINT) AS asof_seq,
            count(*) AS n_docs,
            count(DISTINCT lang) AS n_langs,
-           CAST(sum(CAST(('0x' || substr(md5(text), 1, 11))
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 9))
              AS UBIGINT)) AS BIGINT) AS content_sum
          FROM states GROUP BY av""",
     "t80_line_dedup" ->
@@ -8161,6 +8191,20 @@ object SparkEntry {
                   // (n_kept * 1000000 // tk) END AS BIGINT)
              AS reweight_milli
          FROM per, tt""",
+    "t121_shard_manifest" ->
+      """WITH d AS (
+           SELECT doc_id, md5('shuf42:' || doc_id) AS key,
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+               AS n_tok,
+             CAST(('0x' || substr(md5(text), 1, 9)) AS UBIGINT) AS ch
+           FROM documents)
+         SELECT substr(key, 1, 2) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(ch) AS BIGINT) AS content_sum,
+           min(key) AS key_min,
+           max(key) AS key_max
+         FROM d GROUP BY 1""",
     "t119_curriculum_order" ->
       """WITH d AS (
            SELECT doc_id,

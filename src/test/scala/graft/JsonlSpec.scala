@@ -87,6 +87,24 @@ class JsonlSpec extends SparkSpec {
       rows(1).getString(rows(1).fieldIndex(Jsonl.CorruptCol)) === "nope")
   }
 
+  test("parseLines runs on a stream with the same quarantine contract") {
+    implicit val sc = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = Jsonl.parseLines(input.toDS().toDF("line"), "line",
+        docSchema)
+      .writeStream.format("memory").queryName("jsonlstream")
+      .outputMode("append").start()
+    input.addData("""{"doc_id":1,"text":"a","lang":"en"}""", "garbage")
+    q.processAllAvailable()
+    input.addData("""{"doc_id":2,"text":"b","lang":"de"}""")
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("jsonlstream")
+    assert(rows.count() === 3, "a row per input line, stream included")
+    assert(rows.where(col(Jsonl.CorruptCol).isNotNull).count() === 1)
+    assert(rows.where(col("doc_id").isin(1L, 2L)).count() === 2)
+  }
+
   test("a schema declaring _corrupt is rejected loudly") {
     intercept[IllegalArgumentException] {
       Jsonl.read(spark, "/nonexistent", StructType(Seq(
