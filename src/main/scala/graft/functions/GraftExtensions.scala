@@ -63,6 +63,41 @@ object GraftExtensions {
         "graft_bottom_k_strings"),
       (args: Seq[Expression]) => AggregateExpressions.BottomKStringsAgg(
         args.head, intArg(args(1), "graft_bottom_k_strings"))),
+    ("graft_bloom_filter",
+      new ExpressionInfo(classOf[BloomExpressions.BloomFilterAgg].getName,
+        "graft_bloom_filter"),
+      (args: Seq[Expression]) => BloomExpressions.BloomFilterAgg(
+        args.head, intArg(args(1), "graft_bloom_filter"),
+        intArg(args(2), "graft_bloom_filter"))),
+    ("graft_bloom_might_contain",
+      new ExpressionInfo(
+        classOf[BloomExpressions.BloomMightContainExpr].getName,
+        "graft_bloom_might_contain"),
+      (args: Seq[Expression]) =>
+        BloomExpressions.BloomMightContainExpr(args.head, args(1))),
+    ("graft_misra_gries",
+      new ExpressionInfo(classOf[AggregateExpressions.MisraGriesAgg].getName,
+        "graft_misra_gries"),
+      (args: Seq[Expression]) => AggregateExpressions.MisraGriesAgg(
+        args.head, intArg(args(1), "graft_misra_gries"))),
+    ("graft_token_chunks",
+      new ExpressionInfo(classOf[SketchExpressions.TokenChunksExpr].getName,
+        "graft_token_chunks"),
+      (args: Seq[Expression]) => SketchExpressions.TokenChunksExpr(
+        args.head, intArg(args(1), "graft_token_chunks"))),
+    ("graft_window_hashes",
+      new ExpressionInfo(classOf[SketchExpressions.WindowHashesExpr].getName,
+        "graft_window_hashes"),
+      (args: Seq[Expression]) => SketchExpressions.WindowHashesExpr(
+        args.head, intArg(args(1), "graft_window_hashes"))),
+    ("graft_lang_id",
+      new ExpressionInfo(classOf[SketchExpressions.LangIdExpr].getName,
+        "graft_lang_id"),
+      (args: Seq[Expression]) => SketchExpressions.LangIdExpr(args.head)),
+    ("graft_text_stats",
+      new ExpressionInfo(classOf[SketchExpressions.TextStatsExpr].getName,
+        "graft_text_stats"),
+      (args: Seq[Expression]) => SketchExpressions.TextStatsExpr(args.head)),
     ("graft_vec_dot",
       new ExpressionInfo(classOf[VectorExpressions.VecDotExpr].getName,
         "graft_vec_dot"),
