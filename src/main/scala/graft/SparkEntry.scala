@@ -4676,6 +4676,77 @@ object SparkEntry {
           "epochs_milli", "eff_tok_milli")
     }),
 
+    // DoReMi-style domain reweighting (Xie et al. 2023) without the
+    // proxy-model training run: per-domain EXCESS LOSS is how much
+    // worse the corpus-global unigram LM prices a domain's tokens
+    // than the domain's own LM (a per-domain KL proxy — the quantity
+    // DoReMi's reference/proxy pair estimates), and the mix weights
+    // come from multiplicative-weights updates (Arora et al. 2012;
+    // the first-order form of DoReMi's exponentiated gradient) over
+    // K=4 deterministic minibatch slices (doc_id mod K), averaging
+    // the normalized iterates as the final mix — upweighting domains
+    // the shared model fits worst, exactly DoReMi's training signal.
+    //
+    // Cross-engine exactness: the per-token loss is the RATIONAL
+    // surrogate 10⁶ − ⌊10⁶·n/N⌋ (no transcendental anywhere — the
+    // t115 playbook), cell means use integer floor division, and the
+    // MWU loop runs in pure ppm integers, so the unrolled DuckDB twin
+    // is bit-exact. Overflow: Σ(cnt·loss) ≤ 10⁶ · corpus tokens —
+    // Long-safe to ~9·10¹² tokens; past that drop the loss scale to
+    // milli (the t113 convention).
+    //
+    // Scale shape: tokens collapse MAP-SIDE to the (source, slice,
+    // term) histogram BEFORE any join (vocab×sources×K-bounded — the
+    // corpus-proportional token stream never shuffles twice), the
+    // global/domain count tables join on their natural keys, and the
+    // MWU loop runs on the driver over the (source × K) cell table —
+    // a guarded, domain-bounded collect (q39 k-means / t115 GD
+    // precedent for bounded driver state in iterative ops).
+    "t122_doremi_weights" -> ((s, dir) => {
+      val K = 4
+      val f = T(s, dir, "documents")
+        .select(col("source"), (col("doc_id") % K).as("slice"),
+          explode(TextOps.tokensLower(col("text"))).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("source", "slice", "term")
+        .agg(count(lit(1)).as("cnt"))
+      val gl = f.groupBy("term").agg(sum("cnt").as("ng"))
+      val gt = f.agg(sum("cnt").as("__ngt"))
+      val ow = f.groupBy("source", "term").agg(sum("cnt").as("no"))
+      val ot = f.groupBy("source").agg(sum("cnt").as("__not"))
+      val cell = f.join(gl, Seq("term"))
+        .join(ow, Seq("source", "term"))
+        .join(broadcast(ot), Seq("source"))
+        .crossJoin(broadcast(gt))
+        .withColumn("__ref", expr("1000000 - (1000000 * ng) DIV __ngt"))
+        .withColumn("__own", expr("1000000 - (1000000 * no) DIV __not"))
+        .groupBy("source", "slice")
+        .agg(expr("greatest(sum(cnt * __ref) DIV sum(cnt)" +
+          " - sum(cnt * __own) DIV sum(cnt), 0L)").as("excess"))
+      val rows = cell.collect()
+      require(rows.length <= 10000,
+        s"domain x slice cell table unexpectedly large (${rows.length})" +
+          " - the MWU driver loop assumes a bounded domain count")
+      val ex = rows.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val domains = rows.map(_.getString(0)).distinct.sorted
+      var w = domains.map(_ => 1000000L)
+      val acc = Array.fill(domains.length)(0L)
+      for (t <- 0 until K) {
+        w = domains.zip(w).map { case (d, wi) =>
+          wi * (1000000L + ex.getOrElse((d, t.toLong), 0L) / 2) / 1000000L
+        }
+        val tot = w.sum
+        w = w.map(_ * 1000000L / tot)
+        for (i <- domains.indices) acc(i) += w(i)
+      }
+      import s.implicits._
+      domains.zipWithIndex.map { case (d, i) =>
+        (d, (0 until K).map(t => ex.getOrElse((d, t.toLong), 0L)).sum,
+          acc(i) / K)
+      }.toSeq.toDF("source", "excess_micro", "weight_ppm")
+    }),
+
     // Tokenizer-COMPRESSION anomaly gate: a doc whose BPE tokens-per-
     // char ratio sits far from its source's typical band is format
     // noise — base64/minified blobs (ratio spikes) or wrong-language
@@ -8081,6 +8152,75 @@ object SparkEntry {
            CAST(u_tokens * (1000 * f - 100 * f * (f - 1))
              + r * (1000 - 200 * f) AS BIGINT) AS eff_tok_milli
          FROM b""",
+    // The MWU loop unrolled over the 4 slices — pure integer ppm
+    // arithmetic (floor division on positives only), bit-exact vs the
+    // Spark driver loop.
+    "t122_doremi_weights" ->
+      raw"""WITH f0 AS (
+           SELECT source, doc_id % 4 AS slice,
+             unnest(string_split_regex(lower(text), '\s+')) AS term
+           FROM documents),
+         f AS (SELECT source, slice, term,
+                 CAST(count(*) AS BIGINT) AS cnt
+               FROM f0 WHERE len(term) > 0 GROUP BY 1, 2, 3),
+         gl AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS ng
+                FROM f GROUP BY 1),
+         gt AS (SELECT CAST(sum(cnt) AS BIGINT) AS ngt FROM f),
+         ow AS (SELECT source, term, CAST(sum(cnt) AS BIGINT) AS no_
+                FROM f GROUP BY 1, 2),
+         ot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS not_
+                FROM f GROUP BY 1),
+         cell AS (
+           SELECT f.source, f.slice,
+             greatest(CAST(
+               sum(f.cnt * (1000000 - (1000000 * gl.ng) // gt.ngt))
+                 // sum(f.cnt)
+               - sum(f.cnt * (1000000 - (1000000 * ow.no_) // ot.not_))
+                 // sum(f.cnt) AS BIGINT), 0) AS excess
+           FROM f JOIN gl USING (term)
+             JOIN ow ON ow.source = f.source AND ow.term = f.term
+             JOIN ot ON ot.source = f.source, gt
+           GROUP BY 1, 2),
+         dom AS (SELECT source FROM ot),
+         sl AS (SELECT unnest([0, 1, 2, 3]) AS slice),
+         c AS (SELECT d.source, s.slice,
+                 CAST(coalesce(cell.excess, 0) AS BIGINT) AS ex
+               FROM dom d CROSS JOIN sl s
+               LEFT JOIN cell ON cell.source = d.source
+                 AND cell.slice = s.slice),
+         w0 AS (SELECT source, CAST(1000000 AS BIGINT) AS w FROM dom),
+         u1 AS (SELECT w0.source, w0.w * (1000000 + c.ex // 2)
+                  // 1000000 AS w
+                FROM w0 JOIN c ON c.source = w0.source AND c.slice = 0),
+         w1 AS (SELECT source, w * 1000000 // (SELECT sum(w) FROM u1)
+                  AS w FROM u1),
+         u2 AS (SELECT w1.source, w1.w * (1000000 + c.ex // 2)
+                  // 1000000 AS w
+                FROM w1 JOIN c ON c.source = w1.source AND c.slice = 1),
+         w2 AS (SELECT source, w * 1000000 // (SELECT sum(w) FROM u2)
+                  AS w FROM u2),
+         u3 AS (SELECT w2.source, w2.w * (1000000 + c.ex // 2)
+                  // 1000000 AS w
+                FROM w2 JOIN c ON c.source = w2.source AND c.slice = 2),
+         w3 AS (SELECT source, w * 1000000 // (SELECT sum(w) FROM u3)
+                  AS w FROM u3),
+         u4 AS (SELECT w3.source, w3.w * (1000000 + c.ex // 2)
+                  // 1000000 AS w
+                FROM w3 JOIN c ON c.source = w3.source AND c.slice = 3),
+         w4 AS (SELECT source, w * 1000000 // (SELECT sum(w) FROM u4)
+                  AS w FROM u4),
+         exs AS (SELECT source, sum(ex) AS excess_micro FROM c
+                 GROUP BY 1)
+         SELECT d.source,
+           CAST(exs.excess_micro AS BIGINT) AS excess_micro,
+           CAST((w1.w + w2.w + w3.w + w4.w) // 4 AS BIGINT)
+             AS weight_ppm
+         FROM dom d
+           JOIN exs ON exs.source = d.source
+           JOIN w1 ON w1.source = d.source
+           JOIN w2 ON w2.source = d.source
+           JOIN w3 ON w3.source = d.source
+           JOIN w4 ON w4.source = d.source""",
     // t73's training + vocab CTEs feed per-doc BPE counts; the fence
     // is median + 3×MAD per source (DuckDB median interpolates at
     // 0.5 exactly like Spark's percentile(v, 0.5, freq), and every

@@ -242,6 +242,11 @@ class PlanAuditSpec extends SparkSpec {
     "t116_distill_audit" -> 1, // [model] 256-weight student model
     "t119_curriculum_order" -> 3, // [scalar]+[bucket] tot + unlock + tlr
     "t117_gate_mix_shift" -> 3, // [model]+[scalar] student + totals
+    // t122_doremi_weights: 0 visible — its two hints ([scalar] corpus
+    // total + [model] O(sources) totals) sit in the cell-table plan it
+    // EXECUTES internally (the MWU driver loop collects the bounded
+    // source×slice table, q39/t115 precedent), so the returned local
+    // frame carries no lineage for this walk to audit
     "t13_decontaminate" -> 1, // [probe] eval gram set
     "t14_tfidf" -> 1, // [scalar] doc-count 1-row
     "t25_quality_shards" -> 2, // [bucket] two-level rank tables

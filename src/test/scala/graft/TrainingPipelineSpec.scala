@@ -184,6 +184,46 @@ class TrainingPipelineSpec extends SparkSpec {
       "the structural features must carry positive learned weight")
   }
 
+  test("t122: DoReMi weights upweight the domain the global LM fits " +
+    "worst; a lone domain has zero excess and full weight") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-doremi-spec").toString
+    // 'web' and 'news' share one vocabulary and dominate the global
+    // unigram LM; 'code' is disjoint, so the global LM prices its
+    // tokens far worse than its own LM — DoReMi's excess-loss signal
+    // must single it out. 8 docs per source cover all 4 slices.
+    val mk = (src: String, words: String) => (0 until 8).map(i =>
+      (i.toLong * 3 + (if (src == "web") 0 else if (src == "news") 1
+       else 2), src, words))
+    val docs = (mk("web", "the cat sat on the mat") ++
+      mk("news", "the dog sat on the rug") ++
+      mk("code", "fn impl struct enum trait match"))
+      .toDF("doc_id", "source", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w = SparkEntry.queries("t122_doremi_weights")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("excess_micro"), r.getAs[Long]("weight_ppm")))
+      .toMap
+    assert(w.keySet === Set("web", "news", "code"))
+    assert(w("code")._1 > w("web")._1 && w("code")._1 > w("news")._1,
+      s"the disjoint-vocabulary domain must carry the max excess: $w")
+    assert(w("code")._2 > w("web")._2 && w("code")._2 > w("news")._2,
+      s"MWU must upweight the worst-fit domain: $w")
+    // each normalized iterate sums to 1e6 (floor-division slack only)
+    val tot = w.values.map(_._2).sum
+    assert(tot > 999000L && tot <= 1000000L,
+      s"averaged iterates must stay a distribution (got $tot ppm)")
+    // a lone domain IS the global distribution: excess 0, weight 1e6
+    val solo = java.nio.file.Files
+      .createTempDirectory("graft-doremi-solo").toString
+    docs.where(col("source") === "web").write.mode("overwrite")
+      .parquet(s"$solo/documents.parquet")
+    val s1 = SparkEntry.queries("t122_doremi_weights")(spark, solo)
+      .collect()
+    assert(s1.length == 1 && s1(0).getAs[Long]("excess_micro") == 0L
+      && s1(0).getAs[Long]("weight_ppm") == 1000000L)
+  }
+
   test("star edges give the same components as clique pairs") {
     // The clustering path (lshStarEdges) must be indistinguishable from
     // the pair path (lshCandidatePairs) after connected components —
