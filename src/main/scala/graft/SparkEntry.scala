@@ -4747,6 +4747,52 @@ object SparkEntry {
       }.toSeq.toDF("source", "excess_micro", "weight_ppm")
     }),
 
+    // Count-Min Sketch point queries (Cormode & Muthukrishnan 2005) —
+    // the streaming-counts member of the sketch family (HLL=a1,
+    // KMV=a2/t52, Misra–Gries=t36): d=4 rows × w=1024 counters, each
+    // row bucketing every term by an independent salted-md5 hash;
+    // est(term) = min over rows of its counter. CMS guarantees
+    // est ≥ exact always and est ≤ exact + εN w.h.p.; both sides are
+    // DIRECTLY verifiable here because the sketch build is pure
+    // relational arithmetic on a deterministic hash — the DuckDB twin
+    // reconstructs the identical 4×1024 counter table, so every
+    // estimate (not just a bound) hash-gates bit-exact. Probes are
+    // the top-20 exact-count terms (d3's deterministic order).
+    //
+    // Scale shape: the corpus-proportional token stream collapses
+    // map-side to the (term, cnt) histogram ONCE (vocab-bounded);
+    // the 4-row explode, counter agg (≤4×1024 rows) and probe joins
+    // all run on vocab-or-smaller tables. No hint anywhere: both
+    // join sides are bounded (probes=20×4, counters≤4096) and
+    // statistics pick the broadcast at any SF.
+    "t123_cms_counts" -> ((s, dir) => {
+      val w = 1024
+      val tf = T(s, dir, "documents")
+        .select(explode(TextOps.tokensLower(col("text"))).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val bucketed = tf
+        .select(col("term"), col("cnt"),
+          explode(array((0 until 4).map(lit): _*)).as("r"))
+        .withColumn("bucket",
+          conv(substring(md5(concat(col("r").cast("string"), lit("|"),
+            col("term"))), 1, 9), 16, 10).cast("long") % w)
+      val counters = bucketed.groupBy("r", "bucket")
+        .agg(sum("cnt").as("c"))
+      val probes = tf.orderBy(col("cnt").desc, col("term")).limit(20)
+        .withColumnRenamed("cnt", "exact_cnt")
+        .select(col("term"), col("exact_cnt"),
+          explode(array((0 until 4).map(lit): _*)).as("r"))
+        .withColumn("bucket",
+          conv(substring(md5(concat(col("r").cast("string"), lit("|"),
+            col("term"))), 1, 9), 16, 10).cast("long") % w)
+      probes.join(counters, Seq("r", "bucket"))
+        .groupBy("term")
+        .agg(min("exact_cnt").as("exact_cnt"), min("c").as("est_cnt"))
+        .select(col("term"), col("exact_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("exact_cnt")).as("overcount"))
+    }),
+
     // Tokenizer-COMPRESSION anomaly gate: a doc whose BPE tokens-per-
     // char ratio sits far from its source's typical band is format
     // noise — base64/minified blobs (ratio spikes) or wrong-language
@@ -8221,6 +8267,39 @@ object SparkEntry {
            JOIN w2 ON w2.source = d.source
            JOIN w3 ON w3.source = d.source
            JOIN w4 ON w4.source = d.source""",
+    // The identical 4×1024 CMS counter table rebuilt relationally —
+    // salted-md5 bucket hash matches Spark's conv(substr(md5,1,9))
+    // bit for bit, so every point estimate hash-gates exactly.
+    "t123_cms_counts" ->
+      raw"""WITH tf AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT unnest(string_split_regex(lower(text), '\s+'))
+               AS term FROM documents)
+           WHERE len(term) > 0 GROUP BY 1),
+         b AS (
+           SELECT term, cnt, r,
+             CAST(CAST(('0x' || substr(md5(r::VARCHAR || '|' || term),
+               1, 9)) AS UBIGINT) % 1024 AS BIGINT) AS bucket
+           FROM tf, (SELECT unnest([0, 1, 2, 3]) AS r)),
+         counters AS (
+           SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2),
+         probes AS (
+           SELECT term, cnt AS exact_cnt FROM tf
+           ORDER BY cnt DESC, term LIMIT 20),
+         pb AS (
+           SELECT p.term, p.exact_cnt, r,
+             CAST(CAST(('0x' || substr(md5(r::VARCHAR || '|' || p.term),
+               1, 9)) AS UBIGINT) % 1024 AS BIGINT) AS bucket
+           FROM probes p, (SELECT unnest([0, 1, 2, 3]) AS r))
+         SELECT pb.term,
+           CAST(min(pb.exact_cnt) AS BIGINT) AS exact_cnt,
+           CAST(min(counters.c) AS BIGINT) AS est_cnt,
+           CAST(min(counters.c) - min(pb.exact_cnt) AS BIGINT)
+             AS overcount
+         FROM pb JOIN counters
+           ON counters.r = pb.r AND counters.bucket = pb.bucket
+         GROUP BY 1""",
     // t73's training + vocab CTEs feed per-doc BPE counts; the fence
     // is median + 3×MAD per source (DuckDB median interpolates at
     // 0.5 exactly like Spark's percentile(v, 0.5, freq), and every

@@ -253,6 +253,31 @@ class SketchExprSpec extends SparkSpec {
     assert(both.head().getString(1).matches("[01]{32}"))
   }
 
+  test("t123 CMS: estimates never undercount, and a sparse vocab " +
+    "reads back exact") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cms-spec").toString
+    // 6 distinct terms in 4×1024 counters: a term overcounts only if
+    // it collides in ALL FOUR hash rows — deterministically false for
+    // this fixed vocabulary (md5 salts are fixed; verified here).
+    val docs = (0 until 30).map(i =>
+      (i.toLong, "web", s"alpha beta gamma ${Seq("delta", "epsilon",
+        "zeta")(i % 3)}"))
+      .toDF("doc_id", "source", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("t123_cms_counts")(spark, dir)
+      .collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L,
+        "CMS must never undercount")
+      assert(r.getAs[Long]("est_cnt") === r.getAs[Long]("exact_cnt"),
+        s"sparse vocab must be collision-free in min-of-4 rows: $r")
+    }
+    assert(rows.filter(r => Set("alpha", "beta", "gamma")(
+      r.getString(0))).forall(_.getAs[Long]("exact_cnt") == 30L))
+  }
+
   test("CompressRatioExpr goldens: redundancy orders ratios, edges fixed") {
     // deterministic high-entropy bytes: md5 hex chain (no RNG in specs)
     val noise = Iterator.iterate("seed")(s =>
