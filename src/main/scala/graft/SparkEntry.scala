@@ -4793,6 +4793,60 @@ object SparkEntry {
           (col("est_cnt") - col("exact_cnt")).as("overcount"))
     }),
 
+    // TFRecord training-shard export, verified END TO END: tokenized
+    // docs write as tf.train.Examples (hand-rolled proto + CRC32C
+    // framing — sink/TfRecord.scala), the shards read BACK through
+    // the TFRecord scan (both CRCs checked per record), decode, and
+    // re-aggregate; the oracle recomputes the same per-shard totals
+    // straight from parquet. A single flipped bit anywhere in the
+    // binary path (varint packing, LE framing, masked CRC, map-entry
+    // encoding) breaks the hash gate. input_ids are 15-bit md5 vocab
+    // hashes so DuckDB can rebuild them exactly.
+    //
+    // Scale shape: 16 md5 shards, one sequential file write per shard
+    // task (t67's order-sensitive shard model; width is the caller's
+    // sizing knob), read-back one task per shard file. The manifest
+    // collect is shard-count-bounded (≤16 rows). crc_fail is part of
+    // the gated output — the oracle pins it to 0.
+    "t124_tfrecord_export" -> ((s, dir) => {
+      import s.implicits._
+      val out = "/tmp/graft_tfrec/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString
+      val docs = T(s, dir, "documents").select(
+        col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+        expr("""transform(
+            filter(split(lower(text), '\\s+'), t -> length(t) > 0),
+            t -> CAST(conv(substring(md5(t), 1, 9), 16, 10) AS BIGINT)
+              % 32768)""").as("input_ids"),
+        col("source"))
+      graft.sink.TfRecord.write(docs, out, "shard", "doc_id",
+        Seq("doc_id", "input_ids"), Seq("source"))
+        .collect() // force the write; one manifest row per shard (≤16)
+      graft.sink.TfRecord.read(s, out)
+        .as[(String, Long, Array[Byte], Boolean)]
+        .map { case (shard, _, data, crcOk) =>
+          val f = graft.sink.TfRecord.decodeExample(data)
+          def i64(n: String): Seq[Long] = f.get(n) match {
+            case Some(graft.sink.TfRecord.Int64Val(vs)) => vs
+            case _ => Nil
+          }
+          (shard, i64("doc_id").headOption.getOrElse(-1L),
+            i64("input_ids").sum, i64("input_ids").length.toLong,
+            if (crcOk) 0L else 1L)
+        }
+        .toDF("shard", "doc_id", "id_sum", "n_tokens", "crc_fail")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_records"),
+          sum("doc_id").as("docid_sum"),
+          sum("id_sum").as("id_sum"),
+          sum("n_tokens").as("token_total"),
+          sum("crc_fail").as("crc_fail"))
+    }),
+
     // Tokenizer-COMPRESSION anomaly gate: a doc whose BPE tokens-per-
     // char ratio sits far from its source's typical band is format
     // noise — base64/minified blobs (ratio spikes) or wrong-language
@@ -8300,6 +8354,26 @@ object SparkEntry {
          FROM pb JOIN counters
            ON counters.r = pb.r AND counters.bucket = pb.bucket
          GROUP BY 1""",
+    // The per-shard totals recomputed straight from parquet — the
+    // Spark side must round-trip them through its own TFRecord binary
+    // write + CRC-checked read-back to match.
+    "t124_tfrecord_export" ->
+      raw"""WITH t AS (
+           SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             list_transform(
+               list_filter(string_split_regex(lower(text), '\s+'),
+                 t -> len(t) > 0),
+               t -> CAST(('0x' || substr(md5(t), 1, 9)) AS UBIGINT)
+                 ::BIGINT % 32768) AS ids
+           FROM documents)
+         SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(doc_id) AS BIGINT) AS docid_sum,
+           CAST(sum(coalesce(list_sum(ids), 0)) AS BIGINT) AS id_sum,
+           CAST(sum(len(ids)) AS BIGINT) AS token_total,
+           CAST(0 AS BIGINT) AS crc_fail
+         FROM t GROUP BY 1""",
     // t73's training + vocab CTEs feed per-doc BPE counts; the fence
     // is median + 3×MAD per source (DuckDB median interpolates at
     // 0.5 exactly like Spark's percentile(v, 0.5, freq), and every
