@@ -220,9 +220,15 @@ object SparkEntry {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
   private def trainedMerges(s: SparkSession,
                             dir: String): Seq[(String, String, Long)] =
-    mergeMemo.computeIfAbsent(dir, _ => TextOps.bpeTrainMerges(
-      corpusWordCounts(s, dir).localCheckpoint(false), "w", "cnt",
-      numMerges = 8))
+    // keyed by (dir, CONTENT fingerprint), not the path alone — the
+    // same staleness hazard the staged label artifact fixes: an
+    // in-place corpus rewrite (CDC/compaction sinks) must not serve a
+    // stale merge table to t71/t73/t111/d6/t114 for the JVM's
+    // lifetime. The fingerprint is metadata-only (one listing call).
+    mergeMemo.computeIfAbsent(dir + "@" + corpusFingerprint(s, dir),
+      _ => TextOps.bpeTrainMerges(
+        corpusWordCounts(s, dir).localCheckpoint(false), "w", "cnt",
+        numMerges = 8))
 
   /** Cheap corpus fingerprint: md5 over the (name, length, mtime) of
     * every file under `dir/documents.parquet` — pure filesystem
@@ -4847,6 +4853,123 @@ object SparkEntry {
           sum("crc_fail").as("crc_fail"))
     }),
 
+    // Shuffle-QUALITY audit for the t67 training order: a shuffled
+    // corpus whose adjacent sequences still correlate by source leaks
+    // curriculum structure into training (and betrays a broken
+    // shuffle key). Measured: same-source ADJACENT pairs within each
+    // shard's write order vs the expectation under a uniform random
+    // order (Σ n_s(n_s−1) / (N(N−1)) — exact integers, no float).
+    // Cross-shard boundaries don't pair (shards are independent
+    // files). Shares trainShuffle's key kernel, so the audit can
+    // never drift from the artifact it audits.
+    //
+    // Scale shape: the adjacency is a lead() window per shard — the
+    // same 256-way hash-partitioned sort t67 itself runs, never a
+    // global order; the composition row is one tiny broadcast
+    // ([scalar]). Overflow: num DIV n ≤ N, ×10⁶ Long-safe to ~9·10¹²
+    // docs (two-step division, documented over the naive N·(N−1)).
+    "t125_shuffle_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docsrc = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val shuf = trainShuffle(T(s, dir, "documents"), shardHexWidth = 2)
+        .join(docsrc, Seq("doc_id"))
+      val w = Window.partitionBy("shard").orderBy("pos")
+      val pairs = shuf
+        .withColumn("__next", lead(col("source"), 1).over(w))
+        .where(col("__next").isNotNull)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("source") === col("__next"), 1L).otherwise(0L))
+            .as("same_pairs"))
+      val comp = docsrc.groupBy("source")
+        .agg(count(lit(1)).as("ns"))
+        .agg(sum(expr("ns * (ns - 1)")).as("__num"),
+          sum("ns").as("__n"))
+      pairs.crossJoin(broadcast(comp))
+        .select(col("n_pairs"), col("same_pairs"),
+          expr("same_pairs * 1000000 DIV n_pairs").as("same_ppm"),
+          expr("(__num DIV __n) * 1000000 DIV (__n - 1)")
+            .as("expected_ppm"))
+    }),
+
+    // Per-source n-gram diversity (type-token ratio at n=1,2,3): the
+    // corpus-health metric that catches diversity collapse — a source
+    // whose TTR craters between snapshots is being flooded by
+    // templated/near-duplicate text even when exact dedup (d1) and
+    // doc-level near-dup (d5) stay quiet, because repetition lives
+    // INSIDE the documents. Distinctness is exact (the gate); the
+    // production 100 TB variant swaps countDistinct for the mergeable
+    // HLL sketch (a1's shape) — same query skeleton.
+    //
+    // Scale shape: one explode per n (the n-gram stream IS the
+    // workload); countDistinct partial-aggregates (source, n, gram)
+    // map-side before the one hash shuffle; output is sources×3 rows.
+    "t126_ngram_diversity" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("source"), split(col("text"), "\\s+").as("toks"))
+      val grams = (1 to 3).map { n =>
+        docs.select(col("source"), lit(n.toLong).as("n"),
+          explode(when(size(col("toks")) >= n,
+            expr(s"""transform(sequence(0, size(toks) - $n),
+                i -> concat_ws(' ', slice(toks, i + 1, $n)))"""))
+            .otherwise(expr("CAST(array() AS array<string>)")))
+            .as("gram"))
+      }.reduce(_ unionByName _)
+      grams.groupBy("source", "n")
+        .agg(countDistinct(col("gram")).as("distinct_ngrams"),
+          count(lit(1)).as("total_ngrams"))
+        .withColumn("ttr_ppm",
+          expr("distinct_ngrams * 1000000 DIV total_ngrams"))
+    }),
+
+    // Quality-gate AGREEMENT matrix: pairwise per-source agreement of
+    // three independent quality gates — Gopher rules (t46), the hashed
+    // Bayes classifier (t81, >0.5), and an integer intra-doc
+    // repetition gate (dup 3-gram fraction ≤ 20%, t16's metric made
+    // rational). A pipeline stacking gates needs this table: near-1.0
+    // agreement means a gate is redundant; near-coin-flip on one
+    // source means the gates DISAGREE about what that source's
+    // quality even is — the signal to audit before multiplying
+    // filters (Gopher paper's own ablation practice).
+    //
+    // Scale shape: every gate is a map-side kernel over one corpus
+    // scan (the classifier adds its bounded [model] broadcast); the
+    // three gate columns compute in ONE pass, pairs unpivot from 1
+    // row to 3 per doc map-side, and the agg is (source × 3 pairs).
+    "t127_gate_agreement" -> ((s, dir) => {
+      val toks = TextOps.tokensLower(col("text"))
+      val grams3 = expr("""CASE WHEN size(__toks) >= 3 THEN
+          transform(sequence(0, size(__toks) - 3),
+            i -> concat_ws(' ', slice(__toks, i + 1, 3)))
+          ELSE CAST(array() AS array<string>) END""")
+      val gated = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.gopherPass(toks).as("g"), toks.as("__toks"))
+        .withColumn("__g3", grams3)
+        .withColumn("r",
+          expr("""size(__g3) = 0 OR
+            1000000 - CAST(size(array_distinct(__g3)) AS BIGINT)
+              * 1000000 DIV size(__g3) <= 200000"""))
+        .join(hashClassifierScores(s, dir)
+          .select(col("doc_id"), (col("score_ppm") > 500000).as("c")),
+          Seq("doc_id"))
+      gated
+        .select(col("source"), explode(array(
+          struct(lit("gopher_clf").as("pair"), col("g").as("a"),
+            col("c").as("b")),
+          struct(lit("gopher_rep").as("pair"), col("g").as("a"),
+            col("r").as("b")),
+          struct(lit("clf_rep").as("pair"), col("c").as("a"),
+            col("r").as("b")))).as("p"))
+        .select(col("source"), col("p.*"))
+        .groupBy("source", "pair")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("a").cast("long")).as("pass_a"),
+          sum(col("b").cast("long")).as("pass_b"),
+          sum((col("a") === col("b")).cast("long")).as("n_agree"))
+        .withColumn("agree_ppm", expr("n_agree * 1000000 DIV n_docs"))
+    }),
+
     // Tokenizer-COMPRESSION anomaly gate: a doc whose BPE tokens-per-
     // char ratio sits far from its source's typical band is format
     // noise — base64/minified blobs (ratio spikes) or wrong-language
@@ -8374,6 +8497,87 @@ object SparkEntry {
            CAST(sum(len(ids)) AS BIGINT) AS token_total,
            CAST(0 AS BIGINT) AS crc_fail
          FROM t GROUP BY 1""",
+    // Adjacency via lead() over the same (key, doc_id) order that
+    // defines t67's pos; integer two-step expectation, no float.
+    "t125_shuffle_audit" ->
+      """WITH o AS (
+           SELECT doc_id, source,
+             md5('shuf42:' || doc_id) AS key,
+             substr(md5('shuf42:' || doc_id), 1, 2) AS shard
+           FROM documents),
+         adj AS (
+           SELECT source, lead(source) OVER (PARTITION BY shard
+             ORDER BY key, doc_id) AS nxt
+           FROM o),
+         p AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN source = nxt THEN 1 ELSE 0 END)
+               AS BIGINT) AS same_pairs
+           FROM adj WHERE nxt IS NOT NULL),
+         c AS (
+           SELECT CAST(sum(ns * (ns - 1)) AS BIGINT) AS num,
+             CAST(sum(ns) AS BIGINT) AS n
+           FROM (SELECT CAST(count(*) AS BIGINT) AS ns
+                 FROM documents GROUP BY source))
+         SELECT n_pairs, same_pairs,
+           same_pairs * 1000000 // n_pairs AS same_ppm,
+           (num // n) * 1000000 // (n - 1) AS expected_ppm
+         FROM p, c""",
+    "t126_ngram_diversity" ->
+      raw"""WITH t AS (
+           SELECT source, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT source, n,
+             unnest(CASE WHEN len(toks) >= n
+               THEN [array_to_string(toks[i:i+n-1], ' ')
+                     FOR i IN generate_series(1, len(toks) - n + 1)]
+               ELSE [] END) AS gram
+           FROM t, (SELECT unnest([1, 2, 3]) AS n))
+         SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+           CAST(count(*) AS BIGINT) AS total_ngrams,
+           CAST(count(DISTINCT gram) AS BIGINT) * 1000000
+             // count(*) AS ttr_ppm
+         FROM g GROUP BY 1, 2""",
+    // The three gate twins (t46's gm predicate, t81's sc score, t16's
+    // 3-gram metric as integer ppm) joined per doc, pairs unpivoted.
+    "t127_gate_agreement" ->
+      raw"""WITH $hashClfSql,
+         $gopherMetricSql,
+         g3 AS (
+           SELECT doc_id, CASE WHEN len(toks) >= 3
+             THEN [array_to_string(toks[i:i+2], ' ')
+                   FOR i IN generate_series(1, len(toks) - 2)]
+             ELSE [] END AS grams
+           FROM t),
+         rep AS (
+           SELECT doc_id,
+             (len(grams) = 0 OR 1000000
+               - CAST(len(list_distinct(grams)) AS BIGINT) * 1000000
+                 // len(grams) <= 200000) AS r
+           FROM g3),
+         gates AS (
+           SELECT sc.source, ($gopherPassSql) AS g,
+             sc.score_ppm > 500000 AS c, rep.r AS r
+           FROM sc JOIN gm ON gm.doc_id = sc.doc_id
+             JOIN rep ON rep.doc_id = sc.doc_id),
+         pairs AS (
+           SELECT source, 'gopher_clf' AS pair, g AS a, c AS b
+           FROM gates
+           UNION ALL
+           SELECT source, 'gopher_rep', g, r FROM gates
+           UNION ALL
+           SELECT source, 'clf_rep', c, r FROM gates)
+         SELECT source, pair,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(a AS BIGINT)) AS BIGINT) AS pass_a,
+           CAST(sum(CAST(b AS BIGINT)) AS BIGINT) AS pass_b,
+           CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // count(*) AS agree_ppm
+         FROM pairs GROUP BY 1, 2""",
     // t73's training + vocab CTEs feed per-doc BPE counts; the fence
     // is median + 3×MAD per source (DuckDB median interpolates at
     // 0.5 exactly like Spark's percentile(v, 0.5, freq), and every

@@ -110,7 +110,17 @@ object Jsonl {
       schema.add(StructField(CorruptCol, StringType, nullable = true)),
       Map("mode" -> "PERMISSIVE",
         "columnNameOfCorruptRecord" -> CorruptCol).asJava)
-    lines.select(parsed.as("__p")).select(col("__p.*"))
+    // from_json(null) is a null STRUCT, which `__p.*` explodes into
+    // all-null fields with a null _corrupt — a null input line would
+    // silently count as a CLEAN row and break the module's accounting
+    // identity (clean + corrupt = input lines). Files never produce
+    // null lines, but streaming callers can; quarantine them with a
+    // sentinel so they stay visible on the corrupt side.
+    lines
+      .select(parsed.as("__p"), col(lineCol).isNull.as("__null_line"))
+      .select(schema.fieldNames.map(f => col(s"__p.$f")).toSeq :+
+        when(col("__null_line"), lit("<null input line>"))
+          .otherwise(col(s"__p.$CorruptCol")).as(CorruptCol): _*)
   }
 
   private implicit class MapOps(m: Map[String, String]) {

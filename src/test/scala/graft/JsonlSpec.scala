@@ -105,6 +105,22 @@ class JsonlSpec extends SparkSpec {
     assert(rows.where(col("doc_id").isin(1L, 2L)).count() === 2)
   }
 
+  test("a NULL input line quarantines instead of passing as a clean " +
+    "all-null row") {
+    // from_json(null) is a null struct — without the guard it would
+    // explode to all-null fields with a null _corrupt and silently
+    // break the clean + corrupt = input-lines identity
+    val lines = Seq(Some("""{"doc_id":7,"text":"x","lang":"en"}"""),
+      None).toDF("line")
+    val parsed = Jsonl.parseLines(lines, "line", docSchema)
+    assert(parsed.count() === 2)
+    val bad = parsed.where(col(Jsonl.CorruptCol).isNotNull).collect()
+    assert(bad.length === 1 &&
+      bad(0).getAs[String](Jsonl.CorruptCol) === "<null input line>")
+    assert(parsed.where(col(Jsonl.CorruptCol).isNull)
+      .select("doc_id").head.getLong(0) === 7L)
+  }
+
   test("a schema declaring _corrupt is rejected loudly") {
     intercept[IllegalArgumentException] {
       Jsonl.read(spark, "/nonexistent", StructType(Seq(

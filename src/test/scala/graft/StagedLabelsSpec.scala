@@ -11,6 +11,32 @@ import org.apache.spark.sql.functions._
   * read. */
 class StagedLabelsSpec extends SparkSpec {
 
+  test("the memoized BPE merge table tracks corpus CONTENT too — an " +
+    "in-place rewrite retrains instead of serving stale merges") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-merge-spec").toString
+    def corpus(word: String) = {
+      import spark.implicits._
+      (0 until 40).map(i => (i.toLong, "web", s"$word $word"))
+        .toDF("doc_id", "source", "text")
+    }
+    corpus("abab").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    def topMerge(): String =
+      SparkEntry.queries("t71_bpe_train")(spark, dir)
+        .orderBy(col("rank")).select("merged").head.getString(0)
+    assert(topMerge() === "ab")
+    // same content → memo hit (same answer, trivially)
+    assert(topMerge() === "ab")
+    // in-place rewrite with different content — the path-only memo
+    // would still answer "ab" here for the JVM's lifetime
+    corpus("cdcd").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    assert(topMerge() === "cd",
+      "a corpus rewrite must retrain the memoized merge table")
+  }
+
   test("an in-place corpus append refreshes the staged labels " +
     "mid-JVM; an unchanged corpus reuses the artifact") {
     val dir =
