@@ -1620,6 +1620,41 @@ object Streaming {
   }
 
   case class UdgReading(sensor: String, ts: java.sql.Timestamp, udg: Double)
+  /** One TFRecord streaming microbatch — S11's streaming form, shared
+    * by `tfRecordStreamSink` and its replay spec: the batch writes
+    * shard files under DETERMINISTIC (shard, batchId) names
+    * (`<shard>-b<batchId>.tfrecord`), so a crash/replay of the same
+    * batch OVERWRITES its own files instead of duplicating records —
+    * exactly-once rests on name idempotence, the same property
+    * Spark's file sinks get from their commit manifest. No compaction
+    * lease needed: unlike the parquet append sinks nothing ever
+    * rewrites or deletes an existing batch's files out from under a
+    * writer, and batch file names never collide across batches. */
+  def tfRecordBatch(outDir: String, shardCol: String, orderCol: String,
+                    int64Cols: Seq[String], bytesCols: Seq[String])
+                   (batch: DataFrame, batchId: Long): Unit = {
+    graft.sink.TfRecord.write(
+      batch.withColumn(shardCol,
+        concat(col(shardCol), lit("-b"), lit(batchId))),
+      outDir, shardCol, orderCol, int64Cols, bytesCols)
+      .collect() // force the write; manifest is shard-count-bounded
+    ()
+  }
+
+  /** Streaming TFRecord export: docs stream in, each microbatch lands
+    * as its own set of shard files (see `tfRecordBatch`). Readers use
+    * `TfRecord.read` — the batch suffix keeps every delivery
+    * addressable, and a training run's file list IS its data
+    * manifest. */
+  def tfRecordStreamSink(in: DataFrame, outDir: String,
+                         shardCol: String, orderCol: String,
+                         int64Cols: Seq[String], bytesCols: Seq[String]) =
+    in.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        tfRecordBatch(outDir, shardCol, orderCol, int64Cols,
+          bytesCols)(batch, batchId)
+    }
+
   case class DepthOut(sensor: String, ts: java.sql.Timestamp, depth: Double)
   case class X1State(offset: Double, initialized: Boolean)
 
