@@ -483,6 +483,103 @@ object Multimodal {
     Some(bits)
   }
 
+  /** Image RESIZE kernel: decode via ImageIO, downscale to fit inside
+    * (maxW, maxH) preserving aspect ratio, re-encode PNG. The
+    * downscale is an integer BOX FILTER (per-channel average-pooling
+    * with integer proration — dHash's discipline): pixel values are
+    * bit-for-bit reproducible on any JVM, with none of Graphics2D's
+    * interpolation nondeterminism. (The PNG *container* bytes are the
+    * JDK encoder's and can differ across JDK versions; the decoded
+    * pixels are the deterministic contract.) Images already inside
+    * the box pass through BYTE-IDENTICAL (no decode/re-encode loss —
+    * the common case in a crawl where most assets are small).
+    * Undecodable payloads return None; upscaling never happens.
+    * Returns (payload', width', height'). */
+  def resizeImage(payload: Array[Byte], maxW: Int,
+                  maxH: Int): Option[(Array[Byte], Int, Int)] = {
+    require(maxW >= 1 && maxH >= 1, s"target box ${maxW}x$maxH")
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+      return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= maxW && h <= maxH) return Some((payload, w, h))
+    // integer aspect-preserving fit: scale by the tighter axis,
+    // floor, clamp to >=1 (a 1000x1 banner at 64x64 stays 64x1)
+    val tw = math.max(1, math.min(maxW.toLong, w.toLong * maxH / h)
+      .min(w.toLong).toInt)
+    val th = math.max(1, math.min(maxH.toLong, h.toLong * maxW / w)
+      .min(h.toLong).toInt)
+    val out = new java.awt.image.BufferedImage(tw, th,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var cy = 0
+    while (cy < th) {
+      var cx = 0
+      while (cx < tw) {
+        val x0 = math.min(cx.toLong * w / tw, w - 1).toInt
+        val x1 = math.max(x0 + 1,
+          math.min((cx + 1).toLong * w / tw, w).toInt)
+        val y0 = math.min(cy.toLong * h / th, h - 1).toInt
+        val y1 = math.max(y0 + 1,
+          math.min((cy + 1).toLong * h / th, h).toInt)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF
+            sb += rgb & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = (x1 - x0).toLong * (y1 - y0)
+        out.setRGB(cx, cy, (((sr / n).toInt & 0xFF) << 16) |
+          (((sg / n).toInt & 0xFF) << 8) | ((sb / n).toInt & 0xFF))
+        cx += 1
+      }
+      cy += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", buf)
+    Some((buf.toByteArray, tw, th))
+  }
+
+  /** Full rows + `payload` replaced by its resized form, plus
+    * (width, height, resized) — ONE decode pass, mapPartitions, no
+    * payload shuffle (the extractFeatures/withDHash shape). Non-image
+    * and undecodable rows pass through untouched with resized=false
+    * and null dims, so a mixed-modality table survives the pass. */
+  def resizeImages(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val schema = df.schema
+      .add("width", IntegerType).add("height", IntegerType)
+      .add("resized", org.apache.spark.sql.types.BooleanType)
+    val modIdx = df.schema.fieldIndex("modality")
+    val payIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val vals = r.toSeq.toArray
+        val mod = r.getString(modIdx)
+        val payload =
+          if (r.isNullAt(payIdx)) null else r.getAs[Array[Byte]](payIdx)
+        val extra: Seq[Any] =
+          if (mod != "image" || payload == null) Seq(null, null, false)
+          else resizeImage(payload, maxW, maxH) match {
+            case None => Seq(null, null, false)
+            case Some((p2, w2, h2)) =>
+              val changed = !(p2 eq payload)
+              vals(payIdx) = p2
+              Seq(w2, h2, changed)
+          }
+        org.apache.spark.sql.Row.fromSeq(vals.toSeq ++ extra)
+      }
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      schema))
+  }
+
   /** Full rows + appended `phash`, ONE decode pass over the payload
     * column (mapPartitions, no self-join, no payload shuffle) —
     * for consumers that need the original columns alongside the hash

@@ -975,6 +975,53 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(again(0).features.toSeq === feats(0).features.toSeq)
   }
 
+  test("multimodal: resizeImages box-pools real pixels, passes small " +
+    "and undecodable rows through, and is deterministic") {
+    def png(w: Int, h: Int)(color: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, color(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // 100×60, left half red, right half blue → 50×30 keeps the split
+    val big = png(100, 60)((x, _) => if (x < 50) 0xFF0000 else 0x0000FF)
+    val small = png(8, 8)((_, _) => 0x00FF00)
+    val rows = Seq(
+      Row(1L, "image", big, Row(100, 60, null, 0L, "png")),
+      Row(2L, "image", small, Row(8, 8, null, 0L, "png")),
+      Row(3L, "image", Array[Byte](9, 9, 9), // undecodable
+        Row(null, null, null, 0L, "junk")),
+      Row(4L, "audio", Array[Byte](1, 2), // non-image modality
+        Row(null, null, 16000, 250L, "pcm")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.Schema)
+    val out = Multimodal.resizeImages(df, 50, 50).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // aspect preserved: 100x60 fits 50x50 as 50x30
+    assert(out(1L).getInt(4) === 50 && out(1L).getInt(5) === 30
+      && out(1L).getBoolean(6))
+    val rimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).getAs[Array[Byte]](2)))
+    assert(rimg.getWidth === 50 && rimg.getHeight === 30)
+    // box filter preserved pure regions (no interpolation bleed past
+    // the cell that straddles the boundary)
+    assert((rimg.getRGB(5, 15) & 0xFFFFFF) === 0xFF0000)
+    assert((rimg.getRGB(45, 15) & 0xFFFFFF) === 0x0000FF)
+    // already-inside-the-box image passes through BYTE-identical
+    assert(out(2L).getAs[Array[Byte]](2).toSeq === small.toSeq)
+    assert(out(2L).getInt(4) === 8 && !out(2L).getBoolean(6))
+    // undecodable and non-image rows pass through, flagged
+    assert(out(3L).getAs[Array[Byte]](2).toSeq === Seq[Byte](9, 9, 9))
+    assert(out(3L).isNullAt(4) && !out(3L).getBoolean(6))
+    assert(!out(4L).getBoolean(6))
+    // deterministic pixels: a second pass produces identical payloads
+    val again = Multimodal.resizeImages(df, 50, 50).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](2)).toMap
+    assert(again(1L).toSeq === out(1L).getAs[Array[Byte]](2).toSeq)
+  }
+
   test("multimodal: ImageIoKernel decodes a real PNG to width/height/histogram") {
     // 6×4 PNG: left half pure black, right half pure white
     val img = new java.awt.image.BufferedImage(6, 4,
