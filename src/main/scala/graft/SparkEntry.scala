@@ -627,6 +627,35 @@ object SparkEntry {
         expr("sw div n_feats").as("score_ppm"))
   }
 
+  /** Per-doc quality-gate flags shared by t127 (agreement matrix) and
+    * t128 (contingency cube): ONE corpus pass computes all three
+    * gates — Gopher rules (t46's predicate), the hashed Bayes
+    * classifier (t81's score > 0.5), and the integer 3-gram
+    * repetition gate (t16's metric, dup fraction ≤ 20% in ppm) —
+    * plus the doc's token count. One definition so the two reports
+    * can never disagree about what a gate means. */
+  private def gateFlags(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokensLower(col("text"))
+    val grams3 = expr("""CASE WHEN size(__toks) >= 3 THEN
+        transform(sequence(0, size(__toks) - 3),
+          i -> concat_ws(' ', slice(__toks, i + 1, 3)))
+        ELSE CAST(array() AS array<string>) END""")
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tok"),
+        TextOps.gopherPass(toks).as("g"), toks.as("__toks"))
+      .withColumn("__g3", grams3)
+      .withColumn("r",
+        expr("""size(__g3) = 0 OR
+          1000000 - CAST(size(array_distinct(__g3)) AS BIGINT)
+            * 1000000 DIV size(__g3) <= 200000"""))
+      .join(hashClassifierScores(s, dir)
+        .select(col("doc_id"), (col("score_ppm") > 500000).as("c")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("g"), col("c"), col("r"))
+  }
+
   /** t115/t116's shared per-doc feature table (doc_id, b, x):
     * t81's hashed unigram+bigram buckets normalized to ppm of the
     * doc's feature total, PLUS two capped structural scalars under
@@ -767,6 +796,39 @@ object SparkEntry {
              CAST(sum(w_ppm) // count(*) AS BIGINT) AS score_ppm
            FROM h JOIN m USING (b)
            GROUP BY doc_id, source)"""
+
+  /** The gate-flags CTE chain shared by the t127/t128 twins: rides
+    * hashClfSql's t/h/m/sc and gopherMetricSql's gm, adds the g3/rep
+    * repetition gate and lands `gates(doc_id, source, n_tok, g, c,
+    * r)` — the SQL twin of the Scala `gateFlags`. Defined lazily at
+    * the use sites via string interpolation (hashClfSql/gopher vals
+    * are declared below). */
+  private lazy val gateFlagsSql: String =
+    raw"""$hashClfSql,
+         $gopherMetricSql,
+         g3 AS (
+           SELECT doc_id, CASE WHEN len(toks) >= 3
+             THEN [array_to_string(toks[i:i+2], ' ')
+                   FOR i IN generate_series(1, len(toks) - 2)]
+             ELSE [] END AS grams
+           FROM t),
+         rep AS (
+           SELECT doc_id,
+             (len(grams) = 0 OR 1000000
+               - CAST(len(list_distinct(grams)) AS BIGINT) * 1000000
+                 // len(grams) <= 200000) AS r
+           FROM g3),
+         nt AS (
+           SELECT doc_id, CAST(len(string_split_regex(text, '\s+'))
+             AS BIGINT) AS n_tok
+           FROM documents),
+         gates AS (
+           SELECT sc.doc_id, sc.source, nt.n_tok,
+             ($gopherPassSql) AS g,
+             sc.score_ppm > 500000 AS c, rep.r AS r
+           FROM sc JOIN gm ON gm.doc_id = sc.doc_id
+             JOIN rep ON rep.doc_id = sc.doc_id
+             JOIN nt ON nt.doc_id = sc.doc_id)"""
 
   /** Gopher metric CTE `gm` (doc_id, nw, ml, af, ns) over a `t`
     * CTE's (doc_id, toks), plus the pass predicate over gm's
@@ -4887,8 +4949,12 @@ object SparkEntry {
           sum("ns").as("__n"))
       pairs.crossJoin(broadcast(comp))
         .select(col("n_pairs"), col("same_pairs"),
-          expr("same_pairs * 1000000 DIV n_pairs").as("same_ppm"),
-          expr("(__num DIV __n) * 1000000 DIV (__n - 1)")
+          // greatest(…,1): a degenerate corpus (1 doc, or 1 doc per
+          // shard) has zero adjacent pairs — report 0, don't divide
+          // by zero (ANSI mode throws; the oracle twin mirrors this)
+          expr("same_pairs * 1000000 DIV greatest(n_pairs, 1L)")
+            .as("same_ppm"),
+          expr("(__num DIV __n) * 1000000 DIV greatest(__n - 1, 1L)")
             .as("expected_ppm"))
     }),
 
@@ -4936,24 +5002,8 @@ object SparkEntry {
     // scan (the classifier adds its bounded [model] broadcast); the
     // three gate columns compute in ONE pass, pairs unpivot from 1
     // row to 3 per doc map-side, and the agg is (source × 3 pairs).
-    "t127_gate_agreement" -> ((s, dir) => {
-      val toks = TextOps.tokensLower(col("text"))
-      val grams3 = expr("""CASE WHEN size(__toks) >= 3 THEN
-          transform(sequence(0, size(__toks) - 3),
-            i -> concat_ws(' ', slice(__toks, i + 1, 3)))
-          ELSE CAST(array() AS array<string>) END""")
-      val gated = T(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          TextOps.gopherPass(toks).as("g"), toks.as("__toks"))
-        .withColumn("__g3", grams3)
-        .withColumn("r",
-          expr("""size(__g3) = 0 OR
-            1000000 - CAST(size(array_distinct(__g3)) AS BIGINT)
-              * 1000000 DIV size(__g3) <= 200000"""))
-        .join(hashClassifierScores(s, dir)
-          .select(col("doc_id"), (col("score_ppm") > 500000).as("c")),
-          Seq("doc_id"))
-      gated
+    "t127_gate_agreement" -> ((s, dir) =>
+      gateFlags(s, dir)
         .select(col("source"), explode(array(
           struct(lit("gopher_clf").as("pair"), col("g").as("a"),
             col("c").as("b")),
@@ -4967,8 +5017,30 @@ object SparkEntry {
           sum(col("a").cast("long")).as("pass_a"),
           sum(col("b").cast("long")).as("pass_b"),
           sum((col("a") === col("b")).cast("long")).as("n_agree"))
-        .withColumn("agree_ppm", expr("n_agree * 1000000 DIV n_docs"))
-    }),
+        .withColumn("agree_ppm",
+          expr("n_agree * 1000000 DIV n_docs"))),
+
+    // The full gate CONTINGENCY CUBE with token budgets — t127 tells
+    // you whether gates agree; THIS tells you what stacking them
+    // costs: per source, each (gopher, classifier, repetition)
+    // pass/fail cell with its doc and token counts. Any gate-stack's
+    // surviving budget is a sum over cells (e.g. gopher∧rep = the 2
+    // cells with g∧r), so the mixing planner (t26/t113) reads its
+    // post-curation token supply straight off this table instead of
+    // re-running the corpus per candidate stack — 2^gates re-scans
+    // collapsed into one.
+    //
+    // Scale shape: same one-pass gateFlags kernel as t127 (bounded
+    // classifier-model broadcast); the agg keys on (source × 8
+    // cells) — output stays sources×8 at any corpus size.
+    "t128_gate_cube" -> ((s, dir) =>
+      gateFlags(s, dir)
+        .groupBy("source", "g", "c", "r")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .select(col("source"), col("g").cast("long").as("pass_gopher"),
+          col("c").cast("long").as("pass_clf"),
+          col("r").cast("long").as("pass_rep"),
+          col("n_docs"), col("n_tokens"))),
 
     // Tokenizer-COMPRESSION anomaly gate: a doc whose BPE tokens-per-
     // char ratio sits far from its source's typical band is format
@@ -8520,8 +8592,8 @@ object SparkEntry {
            FROM (SELECT CAST(count(*) AS BIGINT) AS ns
                  FROM documents GROUP BY source))
          SELECT n_pairs, same_pairs,
-           same_pairs * 1000000 // n_pairs AS same_ppm,
-           (num // n) * 1000000 // (n - 1) AS expected_ppm
+           same_pairs * 1000000 // greatest(n_pairs, 1) AS same_ppm,
+           (num // n) * 1000000 // greatest(n - 1, 1) AS expected_ppm
          FROM p, c""",
     "t126_ngram_diversity" ->
       raw"""WITH t AS (
@@ -8543,25 +8615,7 @@ object SparkEntry {
     // The three gate twins (t46's gm predicate, t81's sc score, t16's
     // 3-gram metric as integer ppm) joined per doc, pairs unpivoted.
     "t127_gate_agreement" ->
-      raw"""WITH $hashClfSql,
-         $gopherMetricSql,
-         g3 AS (
-           SELECT doc_id, CASE WHEN len(toks) >= 3
-             THEN [array_to_string(toks[i:i+2], ' ')
-                   FOR i IN generate_series(1, len(toks) - 2)]
-             ELSE [] END AS grams
-           FROM t),
-         rep AS (
-           SELECT doc_id,
-             (len(grams) = 0 OR 1000000
-               - CAST(len(list_distinct(grams)) AS BIGINT) * 1000000
-                 // len(grams) <= 200000) AS r
-           FROM g3),
-         gates AS (
-           SELECT sc.source, ($gopherPassSql) AS g,
-             sc.score_ppm > 500000 AS c, rep.r AS r
-           FROM sc JOIN gm ON gm.doc_id = sc.doc_id
-             JOIN rep ON rep.doc_id = sc.doc_id),
+      raw"""WITH $gateFlagsSql,
          pairs AS (
            SELECT source, 'gopher_clf' AS pair, g AS a, c AS b
            FROM gates
@@ -8578,6 +8632,15 @@ object SparkEntry {
            CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
              * 1000000 // count(*) AS agree_ppm
          FROM pairs GROUP BY 1, 2""",
+    "t128_gate_cube" ->
+      raw"""WITH $gateFlagsSql
+         SELECT source,
+           CAST(g AS BIGINT) AS pass_gopher,
+           CAST(c AS BIGINT) AS pass_clf,
+           CAST(r AS BIGINT) AS pass_rep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM gates GROUP BY 1, 2, 3, 4""",
     // t73's training + vocab CTEs feed per-doc BPE counts; the fence
     // is median + 3×MAD per source (DuckDB median interpolates at
     // 0.5 exactly like Spark's percentile(v, 0.5, freq), and every

@@ -249,6 +249,7 @@ class PlanAuditSpec extends SparkSpec {
     // frame carries no lineage for this walk to audit
     "t125_shuffle_audit" -> 1, // [scalar] 1-row corpus-composition totals
     "t127_gate_agreement" -> 1, // [model] t81's 256-bucket classifier
+    "t128_gate_cube" -> 1, // [model] same shared gateFlags classifier
     "t13_decontaminate" -> 1, // [probe] eval gram set
     "t14_tfidf" -> 1, // [scalar] doc-count 1-row
     "t25_quality_shards" -> 2, // [bucket] two-level rank tables
