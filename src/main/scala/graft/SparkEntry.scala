@@ -5042,6 +5042,45 @@ object SparkEntry {
           col("r").cast("long").as("pass_rep"),
           col("n_docs"), col("n_tokens"))),
 
+    // In-context-pretraining PACK ORDER (Shi et al. 2024: training
+    // windows read better when ADJACENT documents are semantically
+    // related, instead of the i.i.d. t67 shuffle): cluster by the
+    // q36 IVF assignment, concatenate cells, order within a cell
+    // most-central-first (sq distance to the centroid, vec_id ties).
+    // pack_pos is the global stream position a packer consumes.
+    //
+    // Scale shape: assignment is q36's broadcast-centroid map-side
+    // kernel; the within-cell order is the ONE-TASK-PER-CELL trap (16
+    // cells hold the corpus), so it rides twoLevelRank with a
+    // VALUE-RANGE-bounded distance band (floor(dist·64) — embeddings
+    // are bounded, so the band table is a constant, never
+    // corpus-sized); cell offsets come off the O(cells) count table.
+    // The oracle reproduces pack_pos with a plain per-cell window —
+    // the two-level scan must be indistinguishable from it.
+    "t129_pack_order" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = seedCentroids(e)
+      val withDist = Vectors
+        .ivfAssignWithVec(e, cents, "vec_id", "cid", "embedding")
+        .join(broadcast(cents.select(col("cid"),
+          col("embedding").as("__cv"))), Seq("cid"))
+        .select(col("vec_id"), col("cid"),
+          Vectors.sqDistDeclarative(col("embedding"), col("__cv"))
+            .as("__dist"))
+      val ranked = Windows.twoLevelRank(withDist, Seq("cid"),
+        floor(col("__dist") * 64).cast("long"),
+        Seq(col("__dist"), col("vec_id")), "pos_in_cell")
+      val offs = ranked.groupBy("cid")
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__off", coalesce(
+          sum("__n").over(Window.orderBy("cid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("cid"), col("__off"))
+      ranked.join(broadcast(offs), Seq("cid"))
+        .select(col("vec_id"), col("cid"), col("pos_in_cell"),
+          (col("__off") + col("pos_in_cell")).as("pack_pos"))
+    }),
+
     // Tokenizer-COMPRESSION anomaly gate: a doc whose BPE tokens-per-
     // char ratio sits far from its source's typical band is format
     // noise — base64/minified blobs (ratio spikes) or wrong-language
@@ -8641,6 +8680,26 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS n_tokens
          FROM gates GROUP BY 1, 2, 3, 4""",
+    // pack_pos via the plain per-cell window the two-level scan must
+    // match; dist reuses the q36 assignment CTEs (fold-order parity).
+    "t129_pack_order" ->
+      s"""$ivfAssignSql,
+         ad AS (
+           SELECT d.vec_id, d.cid, d.dist
+           FROM d JOIN a ON a.vec_id = d.vec_id AND a.cid = d.cid),
+         r AS (
+           SELECT vec_id, cid,
+             CAST(row_number() OVER (PARTITION BY cid
+               ORDER BY dist, vec_id) AS BIGINT) AS pos_in_cell
+           FROM ad),
+         o AS (
+           SELECT cid, CAST(coalesce(sum(cnt) OVER (ORDER BY cid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS off
+           FROM (SELECT cid, count(*) AS cnt FROM ad GROUP BY cid))
+         SELECT r.vec_id, r.cid, r.pos_in_cell,
+           r.pos_in_cell + o.off AS pack_pos
+         FROM r JOIN o USING (cid)""",
     // t73's training + vocab CTEs feed per-doc BPE counts; the fence
     // is median + 3×MAD per source (DuckDB median interpolates at
     // 0.5 exactly like Spark's percentile(v, 0.5, freq), and every

@@ -250,6 +250,11 @@ class PlanAuditSpec extends SparkSpec {
     "t125_shuffle_audit" -> 1, // [scalar] 1-row corpus-composition totals
     "t127_gate_agreement" -> 1, // [model] t81's 256-bucket classifier
     "t128_gate_cube" -> 1, // [model] same shared gateFlags classifier
+    // t129: 4 distinct bounded sites — [model] centroid array + cv
+    // table, [bucket] twoLevelRank band table + O(cells) offsets —
+    // counted 11× because the ranked subtree (5 hints) re-appears
+    // under both sides of the offset join (5 + 5+1)
+    "t129_pack_order" -> 11,
     "t13_decontaminate" -> 1, // [probe] eval gram set
     "t14_tfidf" -> 1, // [scalar] doc-count 1-row
     "t25_quality_shards" -> 2, // [bucket] two-level rank tables
