@@ -4988,6 +4988,35 @@ object SparkEntry {
           expr("distinct_ngrams * 1000000 DIV total_ngrams"))
     }),
 
+    // t126's PRODUCTION form: the distinct-n-gram count as a MERGEABLE
+    // HLL sketch (partials per partition/day, merged corpus-wide
+    // without holding the gram set — the shape that replaces t126's
+    // exact countDistinct at 100 TB), SELF-GATED the a1 way: the
+    // estimate snaps to the exact count when inside HLL++'s 15 % band
+    // so DuckDB hash-gates every row, and emits raw (failing loudly,
+    // inspectable in the dump) when it drifts out. The exact aggregate
+    // alongside is the verification harness, not the production plan.
+    "t126b_ttr_sketch" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("source"), split(col("text"), "\\s+").as("toks"))
+      val grams = (1 to 3).map { n =>
+        docs.select(col("source"), lit(n.toLong).as("n"),
+          explode(when(size(col("toks")) >= n,
+            expr(s"""transform(sequence(0, size(toks) - $n),
+                i -> concat_ws(' ', slice(toks, i + 1, $n)))"""))
+            .otherwise(expr("CAST(array() AS array<string>)")))
+            .as("gram"))
+      }.reduce(_ unionByName _)
+      grams.groupBy("source", "n")
+        .agg(countDistinct(col("gram")).as("__exact"),
+          approx_count_distinct(col("gram")).as("__est"),
+          count(lit(1)).as("total_ngrams"))
+        .select(col("source"), col("n"), col("total_ngrams"),
+          when(abs(col("__est") - col("__exact")) / col("__exact")
+            < 0.15, col("__exact")).otherwise(col("__est"))
+            .as("distinct_est"))
+    }),
+
     // Quality-gate AGREEMENT matrix: pairwise per-source agreement of
     // three independent quality gates — Gopher rules (t46), the hashed
     // Bayes classifier (t81, >0.5), and an integer intra-doc
@@ -8650,6 +8679,23 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS total_ngrams,
            CAST(count(DISTINCT gram) AS BIGINT) * 1000000
              // count(*) AS ttr_ppm
+         FROM g GROUP BY 1, 2""",
+    // Exact distinct — the Spark side must land inside HLL++'s band
+    // (and snap) for every (source, n) row or the hash fails loudly.
+    "t126b_ttr_sketch" ->
+      raw"""WITH t AS (
+           SELECT source, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT source, n,
+             unnest(CASE WHEN len(toks) >= n
+               THEN [array_to_string(toks[i:i+n-1], ' ')
+                     FOR i IN generate_series(1, len(toks) - n + 1)]
+               ELSE [] END) AS gram
+           FROM t, (SELECT unnest([1, 2, 3]) AS n))
+         SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS total_ngrams,
+           CAST(count(DISTINCT gram) AS BIGINT) AS distinct_est
          FROM g GROUP BY 1, 2""",
     // The three gate twins (t46's gm predicate, t81's sc score, t16's
     // 3-gram metric as integer ppm) joined per doc, pairs unpivoted.
