@@ -50,7 +50,18 @@ object Cdc {
         lit(s"applyChanges: unknown $opCol value '"),
         coalesce(col(opCol), lit("NULL")),
         lit("' — expected insert|update|delete"))))
+    // a NULL key is the silent-accretion trap, not just bad data: a
+    // null-keyed upsert re-enters the table but can never anti-join
+    // back OUT (null never equi-matches), so every replay of the same
+    // feed would add the row AGAIN — the exact null-key accretion bug
+    // the streaming dedup sink fixed in its own guard. Fail loudly.
+    val checkedId = when(col(idCol).isNotNull, col(idCol))
+      .otherwise(raise_error(lit(
+        s"applyChanges: NULL $idCol in the change feed — a null key " +
+          "cannot be retracted or re-matched and would accrete a " +
+          "duplicate row on every replay")))
     val lastOp = delta
+      .withColumn(idCol, checkedId)
       .withColumn(opCol, checkedOp)
       .withColumn("__cdc_rk", row_number().over(
         Window.partitionBy(col(idCol))

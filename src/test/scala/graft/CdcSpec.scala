@@ -66,6 +66,23 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("a NULL key in the feed fails loud instead of accreting on " +
+    "every replay") {
+    // a null-keyed upsert can re-ENTER the table but never anti-join
+    // back out (null never equi-matches) — each replay would add the
+    // row again; the guard makes the malformed feed fail instead
+    val base = Seq((1L, "a")).toDF("id", "v")
+    val delta = Seq((Option.empty[Long], "x", "insert", 1L))
+      .toDF("id", "v", "op", "seq")
+    val e = intercept[Exception] {
+      Cdc.applyChanges(base, delta, "id", "op", "seq").collect()
+    }
+    val msgs = Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("NULL id"), s"expected the null-key guard:\n$msgs")
+  }
+
   test("a base column clashing with op/seq fails loud") {
     val badBase = Seq((1L, "a", "u")).toDF("id", "v", "op")
     val e = intercept[IllegalArgumentException] {
