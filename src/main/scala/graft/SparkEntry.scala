@@ -314,6 +314,25 @@ object SparkEntry {
     e.where(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding"))
 
+  /** (vec_id, cid, __dist) — each vector's IVF cell and its squared
+    * distance to the cell centroid, shared by t129 (pack order) and
+    * t130 (order-coherence audit): q36's broadcast-centroid map-side
+    * assignment plus one more bounded centroid join for the distance.
+    * Fold-order parity with the DuckDB list_sum twin (q36/t9
+    * precedent) keeps the (dist, vec_id) order cross-engine exact. */
+  private def packDistances(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val cents = seedCentroids(e)
+    graft.ops.Vectors
+      .ivfAssignWithVec(e, cents, "vec_id", "cid", "embedding")
+      .join(broadcast(cents.select(col("cid"),
+        col("embedding").as("__cv"))), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        graft.ops.Vectors
+          .sqDistDeclarative(col("embedding"), col("__cv"))
+          .as("__dist"))
+  }
+
   /** The IVF-assignment CTE block shared by the q36 and t69 oracles
     * (`a` = per-vector nearest seed centroid, dist/cid tie-break
     * matching `Vectors.ivfAssign`). */
@@ -5087,15 +5106,7 @@ object SparkEntry {
     // The oracle reproduces pack_pos with a plain per-cell window —
     // the two-level scan must be indistinguishable from it.
     "t129_pack_order" -> ((s, dir) => {
-      val e = T(s, dir, "embeddings")
-      val cents = seedCentroids(e)
-      val withDist = Vectors
-        .ivfAssignWithVec(e, cents, "vec_id", "cid", "embedding")
-        .join(broadcast(cents.select(col("cid"),
-          col("embedding").as("__cv"))), Seq("cid"))
-        .select(col("vec_id"), col("cid"),
-          Vectors.sqDistDeclarative(col("embedding"), col("__cv"))
-            .as("__dist"))
+      val withDist = packDistances(s, dir)
       val ranked = Windows.twoLevelRank(withDist, Seq("cid"),
         floor(col("__dist") * 64).cast("long"),
         Seq(col("__dist"), col("vec_id")), "pos_in_cell")
@@ -5108,6 +5119,50 @@ object SparkEntry {
       ranked.join(broadcast(offs), Seq("cid"))
         .select(col("vec_id"), col("cid"), col("pos_in_cell"),
           (col("__off") + col("pos_in_cell")).as("pack_pos"))
+    }),
+
+    // Order-COHERENCE audit: does t129's pack order actually deliver
+    // what in-context pretraining wants — training windows that span
+    // FEW topics? Metric: distinct IVF cells touched per 2048-token
+    // concat-and-chunk window (t68's packing rule), under the t67
+    // i.i.d. shuffle vs the t129 pack order. Shuffle ≈ every window
+    // mixes many cells; pack ≈ 1-2 (only cell-boundary windows mix).
+    // A doc is attributed to the window its start token lands in —
+    // the t24 chunk convention. This is t129's value measured, the
+    // way t125 measures t67's (the two audits bracket the ordering
+    // family: decorrelation where you want it, coherence where you
+    // want that).
+    //
+    // Scale shape: both global prefix sums ride twoLevelPrefixSum
+    // (bucket = hex shard prefix / cid·10⁵+dist band — both bounded,
+    // both monotone in their order); window/cell pairs collapse in
+    // ONE distinct-agg keyed on win·10⁶+cid (tokens ≤ 9·10¹² keeps
+    // the key exact in a long); output is 2 rows.
+    "t130_order_coherence" -> ((s, dir) => {
+      val ntok = T(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
+      val base = packDistances(s, dir).join(ntok, Seq("vec_id"))
+      val shuffled = base.withColumn("key",
+        md5(concat(lit("shuf42:"), col("vec_id").cast("string"))))
+      val aStart = Windows.twoLevelPrefixSum(shuffled, Seq(),
+        expr("conv(substring(key, 1, 2), 16, 10)").cast("long"),
+        Seq(col("key"), col("vec_id")), col("n_tok"), "start")
+        .select(lit("shuffle").as("ordering"),
+          expr("start DIV 2048").as("win"), col("cid"))
+      val bStart = Windows.twoLevelPrefixSum(base, Seq(),
+        (col("cid") * 100000 + floor(col("__dist") * 64).cast("long")),
+        Seq(col("cid"), col("__dist"), col("vec_id")), col("n_tok"),
+        "start")
+        .select(lit("pack").as("ordering"),
+          expr("start DIV 2048").as("win"), col("cid"))
+      aStart.unionByName(bStart)
+        .groupBy("ordering")
+        .agg(countDistinct(col("win")).as("n_windows"),
+          countDistinct(expr("win * 1000000 + cid")).as("cell_windows"))
+        .select(col("ordering"), col("n_windows"), col("cell_windows"),
+          expr("cell_windows * 1000000 DIV n_windows")
+            .as("cells_per_window_ppm"))
     }),
 
     // Tokenizer-COMPRESSION anomaly gate: a doc whose BPE tokens-per-
@@ -8746,6 +8801,43 @@ object SparkEntry {
          SELECT r.vec_id, r.cid, r.pos_in_cell,
            r.pos_in_cell + o.off AS pack_pos
          FROM r JOIN o USING (cid)""",
+    // Both orderings as plain global windows; the two-level prefix
+    // sums must be indistinguishable from them.
+    "t130_order_coherence" ->
+      raw"""$ivfAssignSql,
+         nt AS (
+           SELECT doc_id AS vec_id,
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+               AS n_tok
+           FROM documents),
+         ad AS (
+           SELECT d.vec_id, d.cid, d.dist, nt.n_tok
+           FROM d JOIN a ON a.vec_id = d.vec_id AND a.cid = d.cid
+             JOIN nt ON nt.vec_id = d.vec_id),
+         sa AS (
+           SELECT cid, coalesce(sum(n_tok) OVER (
+               ORDER BY md5('shuf42:' || vec_id), vec_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS start
+           FROM ad),
+         pa AS (
+           SELECT cid, coalesce(sum(n_tok) OVER (
+               ORDER BY cid, dist, vec_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS start
+           FROM ad),
+         u AS (
+           SELECT 'shuffle' AS ordering, start // 2048 AS win, cid
+           FROM sa
+           UNION ALL
+           SELECT 'pack', start // 2048, cid FROM pa)
+         SELECT ordering,
+           CAST(count(DISTINCT win) AS BIGINT) AS n_windows,
+           CAST(count(DISTINCT win * 1000000 + cid) AS BIGINT)
+             AS cell_windows,
+           CAST(count(DISTINCT win * 1000000 + cid) AS BIGINT)
+             * 1000000 // count(DISTINCT win) AS cells_per_window_ppm
+         FROM u GROUP BY 1""",
     // t73's training + vocab CTEs feed per-doc BPE counts; the fence
     // is median + 3×MAD per source (DuckDB median interpolates at
     // 0.5 exactly like Spark's percentile(v, 0.5, freq), and every

@@ -255,6 +255,12 @@ class PlanAuditSpec extends SparkSpec {
     // counted 11× because the ranked subtree (5 hints) re-appears
     // under both sides of the offset join (5 + 5+1)
     "t129_pack_order" -> 11,
+    // t130: 3 distinct bounded sites — [model] centroid array + cv
+    // (inside the shared packDistances), [bucket] the two prefix-sum
+    // band tables — counted 10× because the packDistances subtree
+    // (2 hints ×2 again inside each bTab lineage) feeds both ordering
+    // branches (2·(2+2)+2)
+    "t130_order_coherence" -> 10,
     "t13_decontaminate" -> 1, // [probe] eval gram set
     "t14_tfidf" -> 1, // [scalar] doc-count 1-row
     "t25_quality_shards" -> 2, // [bucket] two-level rank tables
