@@ -224,6 +224,33 @@ class TrainingPipelineSpec extends SparkSpec {
       && s1(0).getAs[Long]("weight_ppm") == 1000000L)
   }
 
+  test("t125 identity: a single-source corpus reports same_ppm = " +
+    "expected_ppm = 1e6 exactly") {
+    // expected = Σn_s(n_s−1)/(N(N−1)) with one source is exactly 1;
+    // the integer two-step division must not lose that identity
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shufaudit-spec").toString
+    (0 until 64).map(i => (i.toLong, "only", s"doc $i text"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("t125_shuffle_audit")(spark, dir).head
+    assert(r.getAs[Long]("same_ppm") === 1000000L)
+    assert(r.getAs[Long]("expected_ppm") === 1000000L)
+  }
+
+  test("t130 dominance: the pack order never touches more cells per " +
+    "window than the shuffle, and both orders cover the same windows") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("t130_order_coherence")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("cell_windows")))
+      .toMap
+    val (nwP, cwP) = rows("pack"); val (nwS, cwS) = rows("shuffle")
+    assert(nwP === nwS, "same token stream → same window count")
+    assert(cwP <= cwS, s"pack must not be LESS coherent: $rows")
+    assert(cwP >= nwP, "every window touches at least one cell")
+  }
+
   test("star edges give the same components as clique pairs") {
     // The clustering path (lshStarEdges) must be indistinguishable from
     // the pair path (lshCandidatePairs) after connected components —
