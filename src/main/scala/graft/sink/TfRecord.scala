@@ -264,22 +264,27 @@ object TfRecord {
   /** Write one TFRecord file per shard. Input columns: `shardCol`
     * (string shard name → file `<shard>.tfrecord`), `orderCol` (record
     * order within the shard — training shards are order-sensitive
-    * artifacts), `int64Cols` (long or array<long> → Int64List) and
-    * `bytesCols` (string/binary → single-value BytesList). Returns the
-    * manifest: (shard, n_records, n_bytes) — one row per shard, the
-    * t121 release-artifact convention. Each shard writes sequentially
+    * artifacts), `int64Cols` (long or array<long> → Int64List),
+    * `bytesCols` (string/binary → single-value BytesList) and
+    * `floatCols` (float/double or array thereof → FloatList — the
+    * embedding-shard export path; doubles narrow to float32, the
+    * format's only float width). Returns the manifest:
+    * (shard, n_records, n_bytes) — one row per shard, the t121
+    * release-artifact convention. Each shard writes sequentially
     * in ONE task (repartition by shard + sortWithinPartitions), so
     * callers size shards exactly like t67's hex-width math. */
   def write(df: DataFrame, outDir: String, shardCol: String,
             orderCol: String, int64Cols: Seq[String],
-            bytesCols: Seq[String]): DataFrame = {
+            bytesCols: Seq[String],
+            floatCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cols = (Seq(shardCol, orderCol) ++ int64Cols ++ bytesCols).distinct
+    val cols = (Seq(shardCol, orderCol) ++ int64Cols ++ bytesCols ++
+      floatCols).distinct
     val prepared = df.select(cols.map(col): _*)
       .repartition(col(shardCol))
       .sortWithinPartitions(col(shardCol), col(orderCol))
-    val (i64, byt) = (int64Cols, bytesCols) // avoid closing over `this`
+    val (i64, byt, flt) = (int64Cols, bytesCols, floatCols)
     val manifest = prepared.mapPartitions { rows =>
       val conf = new Configuration()
       var shard: String = null
@@ -306,8 +311,9 @@ object TfRecord {
             case null => Int64Val(Nil)
             case v: Long => Int64Val(Seq(v))
             case v: Int => Int64Val(Seq(v.toLong))
-            case v: scala.collection.Seq[_] =>
-              Int64Val(v.map(_.asInstanceOf[Long]).toSeq)
+            case v: scala.collection.Seq[_] => Int64Val(v.map {
+              case n: java.lang.Number => n.longValue() // long OR int arrays
+            }.toSeq)
           })
         }
         byt.foreach { c =>
@@ -316,6 +322,18 @@ object TfRecord {
             case v: String => BytesVal(Seq(
               v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
             case v: Array[Byte] => BytesVal(Seq(v))
+          })
+        }
+        flt.foreach { c =>
+          feats += c -> (r.get(r.fieldIndex(c)) match {
+            case null => FloatVal(Nil)
+            case v: Float => FloatVal(Seq(v))
+            case v: Double => FloatVal(Seq(v.toFloat))
+            case v: scala.collection.Seq[_] => FloatVal(v.map {
+              case f: Float => f
+              case d: Double => d.toFloat
+              case i: java.lang.Number => i.floatValue()
+            }.toSeq)
           })
         }
         val rec = frame(encodeExample(feats.result()))
