@@ -33,6 +33,25 @@ import org.apache.hadoop.fs.Path
   */
 object TfRecord {
 
+  /** Ships the driver's Hadoop configuration into executor closures.
+    * A bare `new Configuration()` on an executor would drop every
+    * `spark.hadoop.*` session override (object-store credentials,
+    * fs impls, endpoints); `Configuration` itself is not
+    * `Serializable`, so the wrapper round-trips it through its own
+    * writable form. */
+  private final class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   // ---- CRC32C framing ------------------------------------------------
 
   private val MaskDelta = 0xa282ead8
@@ -272,7 +291,20 @@ object TfRecord {
     * (shard, n_records, n_bytes) — one row per shard, the t121
     * release-artifact convention. Each shard writes sequentially
     * in ONE task (repartition by shard + sortWithinPartitions), so
-    * callers size shards exactly like t67's hex-width math. */
+    * callers size shards exactly like t67's hex-width math.
+    *
+    * Commit protocol: each shard streams to an attempt-unique temp
+    * name (`.<shard>.tfrecord.<taskAttemptId>.tmp`) and renames to
+    * its final name only after the shard's last byte is written —
+    * a speculative or zombie duplicate of the task can never
+    * interleave bytes into the final file. Shard bytes are
+    * deterministic (sorted input, deterministic encoding), so when
+    * two attempts race the loser finds the final name already
+    * present, discards its byte-identical temp, and the shard is
+    * still correct. The manifest is materialized eagerly (one
+    * bounded row per shard collected to the driver) so the
+    * side-effecting write runs exactly once per call, not once per
+    * downstream action. */
   def write(df: DataFrame, outDir: String, shardCol: String,
             orderCol: String, int64Cols: Seq[String],
             bytesCols: Seq[String],
@@ -285,14 +317,33 @@ object TfRecord {
       .repartition(col(shardCol))
       .sortWithinPartitions(col(shardCol), col(orderCol))
     val (i64, byt, flt) = (int64Cols, bytesCols, floatCols)
+    val serConf =
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val manifest = prepared.mapPartitions { rows =>
-      val conf = new Configuration()
+      val conf = serConf.value
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
       var shard: String = null
       var outStream: java.io.OutputStream = null
       var n = 0L; var bytes = 0L
       val acc = Seq.newBuilder[(String, Long, Long)]
+      def tmpPath(s: String) = new Path(outDir, s".$s.tfrecord.$attempt.tmp")
       def close(): Unit = if (outStream != null) {
-        outStream.close(); acc += ((shard, n, bytes))
+        outStream.close()
+        val tmp = tmpPath(shard)
+        val dst = new Path(outDir, shard + ".tfrecord")
+        val fs = dst.getFileSystem(conf)
+        // Preserve the sink's overwrite contract: a stale shard from a
+        // previous call must not survive, so clear dst before the
+        // rename. If the rename still fails and dst exists, a racing
+        // attempt of THIS task landed first — its bytes are identical
+        // (sorted input, deterministic encoding), keep them.
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(tmp, dst)) {
+          if (fs.exists(dst)) fs.delete(tmp, false)
+          else throw new java.io.IOException(s"rename $tmp -> $dst failed")
+        }
+        acc += ((shard, n, bytes))
         outStream = null; shard = null; n = 0; bytes = 0
       }
       rows.foreach { r =>
@@ -302,7 +353,7 @@ object TfRecord {
         if (s != shard) { // sorted input → each shard is contiguous
           close()
           shard = s
-          val p = new Path(outDir, s + ".tfrecord")
+          val p = tmpPath(s)
           outStream = p.getFileSystem(conf).create(p, true)
         }
         val feats = Seq.newBuilder[(String, FeatureVal)]
@@ -342,8 +393,11 @@ object TfRecord {
       }
       close()
       acc.result().iterator
-    }.toDF("shard", "n_records", "n_bytes")
-    manifest
+    }
+    // Materialize eagerly: one bounded row per shard (export-sized,
+    // like the t121 manifest), so re-evaluating the returned frame can
+    // never silently re-run the side-effecting shard write.
+    manifest.collect().toSeq.toDF("shard", "n_records", "n_bytes")
   }
 
   /** Scan a TFRecord directory: one task per shard file, both CRCs
