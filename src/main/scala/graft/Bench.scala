@@ -102,10 +102,19 @@ object Bench {
     val top10 = results.toSeq.sortBy(-_._2._1).take(10)
       .map { case (k, (t, _)) => f""""$k":${t}%.2f""" }
       .mkString("{", ",", "}")
+    // Per-pass samples for the top-10: min-of-2 can still surface a
+    // busy-box pass-1 outlier as a "slow query" in this report (r13:
+    // t127 4.91 s recorded vs ~1.7 s reproducible). With both samples
+    // printed, an outlier is self-explaining — a real regression shows
+    // in BOTH passes, noise in one.
+    val top10Passes = results.toSeq.sortBy(-_._2._1).take(10)
+      .map { case (k, _) =>
+        f""""$k":[${pass1(k)._1}%.2f,${pass2(k)._1}%.2f]""" }
+      .mkString("{", ",", "}")
     // cc_iters: rounds the last connected-components fixpoint took
     // (-1 = none ran). The scaling smokes read this — pointer-jumping
     // must stay ~log2(diameter) as the corpus grows.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top10,"partial_top10":true,"min_of":2,"pass1_total":${passTotal(pass1)},"pass2_total":${passTotal(pass2)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cc_iters":${graft.ops.Dedup.lastCcIterations},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top10,"top10_passes":$top10Passes,"partial_top10":true,"min_of":2,"pass1_total":${passTotal(pass1)},"pass2_total":${passTotal(pass2)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cc_iters":${graft.ops.Dedup.lastCcIterations},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -32,6 +32,26 @@ object Jsonl {
 
   val CorruptCol = "_corrupt"
 
+  /** Make `.jsonl.zst` shards readable: append [[GraftZstdCodec]] to
+    * the Hadoop codec list (extension-matched by
+    * CompressionCodecFactory), preserving the defaults and any
+    * user-configured codecs. Idempotent; called by every read path.
+    * NOTE: setting `io.compression.codecs` REPLACES the default list,
+    * so the defaults are restated when the key was unset. */
+  def registerZstd(spark: SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "io.compression.codecs"
+    val cls = classOf[GraftZstdCodec].getName
+    val cur = conf.get(key)
+    if (cur == null)
+      conf.set(key,
+        "org.apache.hadoop.io.compress.DefaultCodec," +
+          "org.apache.hadoop.io.compress.GzipCodec," +
+          "org.apache.hadoop.io.compress.BZip2Codec," + cls)
+    else if (!cur.split(",").map(_.trim).contains(cls))
+      conf.set(key, cur + "," + cls)
+  }
+
   /** Read `.jsonl`(.gz) files under `path` with an explicit document
     * schema; malformed lines land raw in `_corrupt` instead of being
     * dropped. The returned frame has `schema`'s fields plus the
@@ -40,6 +60,7 @@ object Jsonl {
            schema: StructType): DataFrame = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"document schema may not declare a '$CorruptCol' field")
+    registerZstd(spark)
     spark.read
       .schema(schema.add(StructField(CorruptCol, StringType,
         nullable = true)))
@@ -75,6 +96,7 @@ object Jsonl {
     // json-expression optimization still prunes unused fields out of
     // the from_json for narrow projections over `clean`. `read()`
     // stays on the native source for quarantine-free consumers.
+    registerZstd(spark)
     val lines = spark.read.text(path).select(col("value").as("line"))
     val parsed = parseLines(lines, "line", schema)
     val clean = parsed.where(col(CorruptCol).isNull)
@@ -98,6 +120,18 @@ object Jsonl {
       .write.mode("overwrite")
       .option("compression", "gzip")
       .text(path)
+
+  /** Write `df` as sharded `.jsonl.zst` under `path` — the format
+    * real corpora (Dolma, FineWeb) actually release. Same sharding
+    * contract as [[write]]; the codec is [[GraftZstdCodec]]
+    * (zstd-jni, no native libhadoop needed). */
+  def writeZst(df: DataFrame, cols: Seq[String], path: String): Unit = {
+    registerZstd(df.sparkSession)
+    toJsonLines(df, cols)
+      .write.mode("overwrite")
+      .option("compression", classOf[GraftZstdCodec].getName)
+      .text(path)
+  }
 
   /** Parse a column of JSONL text with the same corrupt-line contract
     * as the file reader — for streams and in-memory round-trips.

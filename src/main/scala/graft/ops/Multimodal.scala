@@ -12,8 +12,10 @@ import org.apache.spark.sql.types._
   * JPEG); audio decode is REAL (`AudioWavKernel`, JDK javax.sound —
   * WAV/AIFF/AU → PCM sample moments); video CONTAINER parsing is REAL
   * (`Mp4MetaKernel`, an ISO/IEC 14496-12 box walker — duration, track
-  * layout, resolution, audio rate/channels from moov); only frame
-  * PIXEL decode needs a native codec the JDK lacks, so it remains the
+  * layout, resolution, audio rate/channels from moov); video frame
+  * PIXEL decode is REAL for MJPEG-in-AVI (`videoFrameDHash` — each
+  * frame is a JPEG the JDK decodes; r13 item #6), while other codecs
+  * (H.264 et al.) need a native decoder the JDK lacks and keep the
   * deterministic byte-histogram stand-in. The Spark-side contract:
   *  - schema: (id, modality, payload binary, meta struct(width, height,
   *    sample_rate, duration_ms, format));
@@ -601,6 +603,69 @@ object Multimodal {
           .map(h => Row.fromSeq(r.toSeq :+ h)).iterator
       }
     }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** MJPEG frame payloads out of an AVI (RIFF) container — the one
+    * mainstream video codec the JDK can decode to REAL pixels,
+    * because each frame is simply a JPEG (ISO/IEC 10918) and ImageIO
+    * ships a JPEG reader. RIFF walk: `RIFF…AVI ` → nested `LIST`
+    * boxes (`movi` holds the stream data, `rec ` groups interleaved
+    * chunks) → stream chunks whose fourcc ends `dc`/`db` (compressed/
+    * uncompressed video data, '##dc' per the AVI spec) and whose
+    * payload opens with the JPEG SOI marker. Chunks pad to even
+    * offsets; every size read is bounds-checked so a truncated or
+    * hostile payload yields the frames before the damage, never an
+    * OOB read. Non-AVI bytes → no frames (the caller's skip row). */
+  private[ops] def aviMjpegFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    def u32le(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val out = Seq.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val cc = fourcc(p)
+        val sz = u32le(p + 4)
+        if (sz < 0 || p + 8 + sz > end) return // truncated: keep prior
+        val body = p + 8
+        if (cc == "RIFF" || cc == "LIST") {
+          // first 4 body bytes are the list type; contents follow
+          if (sz >= 4) walk(body + 4, body + sz.toInt)
+        } else if (cc.length == 4 && sz >= 2 &&
+            (cc.endsWith("dc") || cc.endsWith("db")) &&
+            (bytes(body) & 0xff) == 0xff && (bytes(body + 1) & 0xff) == 0xd8)
+          out += java.util.Arrays.copyOfRange(bytes, body, body + sz.toInt)
+        p = body + sz.toInt + (sz.toInt & 1) // chunks pad to even
+      }
+    }
+    if (bytes.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ")
+      walk(12, math.min(bytes.length, 8 + u32le(4).toInt))
+    out.result()
+  }
+
+  /** Per-FRAME perceptual hashes for MJPEG-in-AVI video payloads —
+    * real pixels (ImageIO JPEG decode per frame), the op that closes
+    * the last multimodal stand-in: (id, frame_idx, phash), dHash64's
+    * exact scheme so video frames and still images dedup in ONE hash
+    * space (a keyframe reposted as a thumbnail collides). One
+    * mapPartitions pass, no payload shuffle; non-AVI codecs (no JDK
+    * decoder) and undecodable frames drop — their container metadata
+    * still flows through `Mp4MetaKernel`. */
+  def videoFrameDHash(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("id"), col("modality"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, mod, payload) =>
+          if (mod != "video" || payload == null) Iterator.empty
+          else aviMjpegFrames(payload).iterator.zipWithIndex.flatMap {
+            case (jpg, i) => dHash64(jpg).map(h => (id, i.toLong, h))
+          }
+        }
+      }
+      .toDF("id", "frame_idx", "phash")
   }
 
   /** (id, phash) table over a multimodal frame: one ImageIO decode

@@ -70,6 +70,36 @@ class EdgeCaseSpec extends SparkSpec {
       .where(col("v").isNotNull).count() === 0)
   }
 
+  test("t126 tier boundary: a corpus straddling the 10k-gram cap " +
+    "routes each (source, n) group to its own tier, and the sketch " +
+    "tier stays within KMV's error band of the exact count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ttr-tier").toString
+    // 'big': ~1200 docs × 12 tokens ≈ 14.4k unigrams (> cap, crosses
+    // it); 'small': 10 docs ≈ 120 unigrams (≤ cap). Unique-ish tokens
+    // push the big source's distinct count past k=256 so the
+    // ESTIMATOR path (not the <k exact path) is what's exercised.
+    val docs = ((0 until 1200).map(i => (i.toLong, "big",
+        (0 until 12).map(j => s"w${i * 12 + j}").mkString(" "))) ++
+      (1200 until 1210).map(i => (i.toLong, "small",
+        (0 until 12).map(j => s"s${j % 5}").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t126_ngram_diversity")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    // tier routing follows group size, not the corpus
+    assert(out(("big", 1L)).getAs[Boolean]("sketched"))
+    assert(!out(("small", 1L)).getAs[Boolean]("sketched"))
+    // small tier is EXACT: 5 distinct tokens
+    assert(out(("small", 1L)).getAs[Long]("distinct_ngrams") === 5L)
+    // sketch tier: KMV(k=256) estimate of 14400 distinct unigrams —
+    // standard error 1/√k ≈ 6%, assert a generous 3σ band
+    val est = out(("big", 1L)).getAs[Long]("distinct_ngrams")
+    assert(math.abs(est - 14400.0) / 14400.0 < 0.2,
+      s"KMV estimate $est drifted from exact 14400")
+  }
+
   test("dedup/ANN pipelines accept empty corpora") {
     val noDocs = Seq.empty[(Long, Seq[String])].toDF("doc_id", "shingles")
     assert(Dedup.lshCandidatePairs(noDocs, "doc_id", "shingles")

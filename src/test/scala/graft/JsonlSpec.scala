@@ -42,6 +42,37 @@ class JsonlSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq)
   }
 
+  test("writeZst → read round-trips through .jsonl.zst (zstd-jni " +
+    "codec, both the native reader and the counted reader)") {
+    val docs = Seq(
+      (1L, "plain ascii text", "en"),
+      (2L, "quotes \" and \\ backslashes\nand a newline", "en"),
+      (3L, "unicode: café 日本語 😀", "ja"))
+      .toDF("doc_id", "text", "lang")
+    val dir = tmp() + "/corpus_zst"
+    Jsonl.writeZst(docs, Seq("doc_id", "text", "lang"), dir)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".zst"))
+    assert(shards.nonEmpty, "sink must write .zst shards")
+    // the bytes on disk are REAL zstd frames (magic 0xFD2FB528 LE),
+    // not a renamed plain file
+    val head = java.nio.file.Files.readAllBytes(
+      shards.head.toPath).take(4)
+    assert(head.map(_ & 0xff).toSeq === Seq(0x28, 0xb5, 0x2f, 0xfd),
+      "missing zstd frame magic")
+    def roundTrip(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val want = roundTrip(docs)
+    val (clean, corrupt) = Jsonl.readCounted(spark, dir, docSchema)
+    assert(corrupt.count() === 0)
+    assert(roundTrip(clean) === want)
+    // the native json reader path resolves the codec too
+    assert(roundTrip(Jsonl.read(spark, dir, docSchema)
+      .where(col(Jsonl.CorruptCol).isNull)
+      .select("doc_id", "text", "lang")) === want)
+  }
+
   test("corrupt lines quarantine raw — clean + corrupt = input lines") {
     val dir = tmp() + "/mixed"
     val lines = Seq(

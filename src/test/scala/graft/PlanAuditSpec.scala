@@ -248,6 +248,9 @@ class PlanAuditSpec extends SparkSpec {
     // source×slice table, q39/t115 precedent), so the returned local
     // frame carries no lineage for this walk to audit
     "t125_shuffle_audit" -> 1, // [scalar] 1-row corpus-composition totals
+    // [scalar] sources×3 per-group gram totals joined back to route
+    // each group to its exact/KMV tier (r14 size-tier fold)
+    "t126_ngram_diversity" -> 1,
     "t127_gate_agreement" -> 1, // [model] t81's 256-bucket classifier
     "t128_gate_cube" -> 1, // [model] same shared gateFlags classifier
     // t129: the ranked subtree is localCheckpointed (r13 judge nit #1

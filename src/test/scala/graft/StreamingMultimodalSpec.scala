@@ -1206,6 +1206,62 @@ class StreamingMultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("multimodal: videoFrameDHash decodes REAL pixels from " +
+    "MJPEG-in-AVI, one dHash per frame in the still-image hash space") {
+    def u32le(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte)
+        else Array.empty[Byte]
+      cc.getBytes("US-ASCII") ++ u32le(body.length) ++ body ++ pad
+    }
+    // three JPEG frames with visibly different gradients
+    def jpeg(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = ((x * seed + y * (4 - seed)) * 2) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = Seq(jpeg(1), jpeg(2), jpeg(3))
+    // RIFF('AVI ') → LIST('movi') → one '00dc' chunk per frame, plus
+    // a non-video chunk ('01wb' audio) that must not decode
+    val movi = "movi".getBytes("US-ASCII") ++
+      frames.flatMap(f => chunk("00dc", f)) ++
+      chunk("01wb", Array.fill[Byte](17)(3))
+    val avi = chunk("RIFF",
+      "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi))
+
+    import spark.implicits._
+    val df = Seq(
+      (1L, "video", avi),
+      (2L, "video", Array.fill[Byte](64)(7)),      // not a RIFF
+      (3L, "video", avi.take(40)),                 // truncated mid-chunk
+      (4L, "image", frames.head))                  // wrong modality
+      .toDF("id", "modality", "payload")
+    val out = Multimodal.videoFrameDHash(df)
+      .orderBy("id", "frame_idx").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 1L, 1L),
+      "exactly the 3 MJPEG frames of the real AVI decode")
+    assert(out.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L))
+    // frame hashes live in the SAME space as still-image dHash —
+    // a reposted keyframe thumbnail collides with its frame
+    out.zip(frames).foreach { case (r, jpg) =>
+      assert(r.getLong(2) === Multimodal.dHash64(jpg).get)
+    }
+    // the three gradients hash differently (real pixels, not a stub)
+    assert(out.map(_.getLong(2)).distinct.length === 3)
+    // determinism
+    val again = Multimodal.videoFrameDHash(df)
+      .orderBy("id", "frame_idx").collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
   test("multimodal: dHash is brightness/scale-invariant; band join finds near-dups") {
     // base: luma strictly increasing left→right in every row → every
     // adjacent comparison is "<" → all 64 bits set
