@@ -1873,9 +1873,13 @@ object SparkEntry {
         .agg(array_sort(collect_list(struct(col("doc_id"), col("rec"))))
           .as("rs"))
         .select(col("path"),
-          aggregate(col("rs"), lit("").cast("string"),
-            (a, x) => concat(a, x.getField("rec"))).cast("binary")
-            .as("content"))
+          // concat_ws builds the segment in ONE pass; the old
+          // aggregate-fold re-copied the accumulated buffer per
+          // record — quadratic bytes per segment, 510 s at 100×
+          // for what is fixture synthesis, not pipeline work (r14
+          // full-suite 100× finding)
+          concat_ws("", transform(col("rs"), x => x.getField("rec")))
+            .cast("binary").as("content"))
       val parsed = graft.ingest.Warc.records(segments)
       val latest = graft.ingest.Warc.latestCapture(parsed)
       val txt = latest.select(col("url"),
@@ -2786,8 +2790,23 @@ object SparkEntry {
         concat(array(element_at(col("v"), 1) + 0.05),
           slice(col("v"), 2, 63)).as("v"))
       val corpus = e.unionByName(dup)
+      // Planes SCALE with the corpus (r14, found by the full-suite
+      // 100× run): fixed 8 planes = 256 buckets means occupancy grows
+      // linearly with the corpus and in-bucket all-pairs QUADRATICALLY
+      // — 414M candidate pairs at 100×. Target ~64 ids/bucket:
+      // planes = max(8, ceil_log2(corpus/64)), integer-exact on both
+      // engines (ceil_log2(m) = length(bin(m−1)); the oracle uses the
+      // same formula — no float log at an integer boundary). Floor 8
+      // keeps every gate-SF corpus on the historical bucketing.
+      // Recall stays governed: the planted twins at cos 0.9998
+      // disagree per plane with prob θ/π ≈ 0.006, so even 13 planes
+      // keep P(same bucket) ≈ 0.92 — and the oracle replays the SAME
+      // bucketing, so correctness gates at any plane count.
+      val nCorpus = 2L * e.count()
+      val planes = math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max((nCorpus + 63) / 64, 2L) - 1)).toInt
       val pairs = Dedup.srpCandidatePairs(corpus, "vec_id", "v",
-        dims = 64, planes = 8)
+        dims = 64, planes = planes)
       val va = corpus.select(col("vec_id").as("id_a"), col("v").as("__va"))
       val vb = corpus.select(col("vec_id").as("id_b"), col("v").as("__vb"))
       pairs.join(va, "id_a").join(vb, "id_b")
@@ -2850,7 +2869,16 @@ object SparkEntry {
         concat(array(element_at(col("v"), 1) + 0.05),
           slice(col("v"), 2, 63)).as("v"))
       val corpus = e.unionByName(dup)
-      val cent = e.where(col("vec_id") < 16)
+      // Centroid count SCALES with the corpus (r14, full-suite 100×
+      // finding): 16 fixed cells put 12.5k vectors in a cluster at
+      // 100× and the within-cluster pairwise term went QUADRATIC
+      // (1023 s). k = max(16, n/256) bounds clusters at ~256·2
+      // vectors, making the pair term linear in n — the SemDeDup
+      // paper's own guidance (cluster count tracks corpus). Floor 16
+      // keeps every gate-SF corpus on the historical clustering;
+      // the oracle computes the same k.
+      val k = math.max(16L, e.count() / 256L)
+      val cent = e.where(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("v"))
       Dedup.semDedupKeep(corpus, cent, "vec_id", "cid", "v", tau = 0.99)
     }),
@@ -5214,8 +5242,23 @@ object SparkEntry {
             .otherwise(expr("CAST(array() AS array<string>)")))
             .as("gram"))
       }.reduce(_ unionByName _)
-      val totals = grams.groupBy("source", "n")
-        .agg(count(lit(1)).as("total_ngrams"))
+      // group totals WITHOUT a second gram-stream pass: the n-gram
+      // count of a doc is arithmetic on its token count
+      // (max(len−n+1, 0)), so the routing table costs one map-side
+      // agg over doc token counts, not a 2nd explode of every gram
+      val totals = docs
+        .select(col("source"), size(col("toks")).cast("long").as("nt"))
+        .groupBy("source")
+        .agg(
+          sum(greatest(col("nt"), lit(0L))).as("t1"),
+          sum(when(col("nt") >= 2, col("nt") - 1).otherwise(0L)).as("t2"),
+          sum(when(col("nt") >= 3, col("nt") - 2).otherwise(0L)).as("t3"))
+        .select(col("source"), explode(array(
+          struct(lit(1L).as("n"), col("t1").as("total_ngrams")),
+          struct(lit(2L).as("n"), col("t2").as("total_ngrams")),
+          struct(lit(3L).as("n"), col("t3").as("total_ngrams")))).as("p"))
+        .select(col("source"), col("p.n").as("n"),
+          col("p.total_ngrams").as("total_ngrams"))
       val routed = grams.join(broadcast(totals), Seq("source", "n"))
         .withColumn("__sk", col("total_ngrams") > cap)
       routed.groupBy("source", "n")
@@ -7488,10 +7531,17 @@ object SparkEntry {
          FROM asg a JOIN e USING (vec_id),
            unnest(generate_series(1, 64)) AS u(d)
          GROUP BY 1, 2""",
+    // np = the same corpus-scaled plane count as the Spark side:
+    // max(8, ceil_log2(corpus/64)) with ceil_log2(m) = length of
+    // bin(m-1) — integer-exact, no float log at a boundary.
     "t10_embed_neardup" ->
       """WITH e AS (
            SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
            FROM embeddings),
+         pl AS (
+           SELECT greatest(8, length(bin(
+             greatest((count(*) * 2 + 63) // 64, 2) - 1))) AS np
+           FROM e),
          c AS (
            SELECT * FROM e
            UNION ALL
@@ -7505,8 +7555,8 @@ object SparkEntry {
                       THEN v[d] ELSE -v[d] END
                  FOR d IN generate_series(1, 64)]) >= 0
               THEN '1' ELSE '0' END
-              FOR p IN generate_series(1, 8)], '') AS bkt
-           FROM c),
+              FOR p IN generate_series(1, np)], '') AS bkt
+           FROM c, pl),
          s AS (
            SELECT a.vec_id AS id_a, y.vec_id AS id_b,
              list_sum([a.v[i]*y.v[i] FOR i IN generate_series(1,64)]) /
@@ -8435,7 +8485,9 @@ object SparkEntry {
            SELECT vec_id + 100000 AS vec_id,
              list_concat([v[1] + 0.05], v[2:64]) AS v FROM e),
          corpus AS (SELECT * FROM e UNION ALL SELECT * FROM dup),
-         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e
+               WHERE vec_id < (SELECT greatest(16, count(*) // 256)
+                               FROM e)),
          asg AS (
            SELECT vec_id, v, cid FROM (
              SELECT corpus.vec_id, corpus.v, c.cid,
@@ -9731,7 +9783,12 @@ object SparkEntry {
              list_transform(list_filter(kept, x -> len(x) > 0),
                tk -> CAST(('0x' || substr(md5(lower(tk)), 1, 9))
                  AS UBIGINT)::BIGINT % 32768) AS input_ids,
-             CAST(('0x' || substr(md5(array_to_string(kept, ' ')), 1, 9))
+             -- coalesce: a FULLY-REDACTED doc has kept = [] and
+             -- DuckDB's array_to_string([]) is NULL where Spark's
+             -- concat_ws is '' (t47's twin does the same; first seen
+             -- at 10x, where full-coverage spans survive the budget)
+             CAST(('0x' || substr(md5(coalesce(
+               array_to_string(kept, ' '), '')), 1, 9))
                AS UBIGINT)::BIGINT AS ch
            FROM po)
          SELECT shard,

@@ -407,6 +407,18 @@ object TfRecord {
     * header cannot be trusted to delimit anything after it). */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // An EMPTY export (every record gated away upstream — e.g. a
+    // fully eval-contaminated corpus slice) is a legitimate artifact:
+    // return the empty frame with the reader's schema instead of
+    // letting the glob throw PATH_NOT_FOUND on a dir with no shards.
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val any = fs.exists(p) &&
+      Option(fs.globStatus(new Path(dir, "*.tfrecord")))
+        .exists(_.nonEmpty)
+    if (!any)
+      return Seq.empty[(String, Long, Array[Byte], Boolean)]
+        .toDF("shard", "rec_index", "data", "crc_ok")
     spark.read.format("binaryFile").load(s"$dir/*.tfrecord")
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
