@@ -19,6 +19,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Spill accounting for the memory-pressure probes (r14 verdict
+    // #5): a run that completes by SPILLING under a small heap is the
+    // property that separates "fast at 100×" from "survives a real
+    // cluster's memory share" — make it visible in the tail JSON.
+    val memSpill = new java.util.concurrent.atomic.AtomicLong()
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            memSpill.addAndGet(m.memoryBytesSpilled)
+            diskSpill.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
     // Warm the JVM/codegen/JIT paths for EVERY query shape on the TINY
     // sf before timing (standard JMH practice). Profiling shows each
     // plan shape pays a one-time 2-8 s cost — janino compilation of its
@@ -114,7 +131,7 @@ object Bench {
     // cc_iters: rounds the last connected-components fixpoint took
     // (-1 = none ran). The scaling smokes read this — pointer-jumping
     // must stay ~log2(diameter) as the corpus grows.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top10,"top10_passes":$top10Passes,"partial_top10":true,"min_of":2,"pass1_total":${passTotal(pass1)},"pass2_total":${passTotal(pass2)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cc_iters":${graft.ops.Dedup.lastCcIterations},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top10,"top10_passes":$top10Passes,"partial_top10":true,"min_of":2,"pass1_total":${passTotal(pass1)},"pass2_total":${passTotal(pass2)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cc_iters":${graft.ops.Dedup.lastCcIterations},"spill_mb":{"mem":${memSpill.get() / (1024 * 1024)},"disk":${diskSpill.get() / (1024 * 1024)}},"heap_max_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -258,15 +258,86 @@ object SparkEntry {
   private val UnigramSeedCap = 512
   private val UnigramRounds = 3
   private val UnigramMaxWordLen = 16
-  private val unigramMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(String, Long, Long)]]()
+  // per-JVM memo: artifact path -> (corpus fingerprint, table). Like
+  // stagedNeardupLabels, the trained table is ALSO staged on disk
+  // with a fingerprint sidecar (r14 verdict item #4): training costs
+  // 3 EM rounds of Spark jobs, and the production cadence is one
+  // training per corpus snapshot with many consumers across many
+  // JVMs (t133/t134 encodes, t131's release export). A fresh JVM
+  // whose corpus snapshot is unchanged parses the ~500-row TSV
+  // instead of re-training; an in-place corpus rewrite changes the
+  // metadata fingerprint and forces a rebuild mid-JVM too.
+  private val unigramStaged = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[(String, Long, Long)])]()
   private def unigramWords(s: SparkSession, dir: String): DataFrame =
     corpusWordCounts(s, dir)
       .where(length(col("w")) <= UnigramMaxWordLen)
+  /** Overwrite `path` atomically: write a temp sibling, rename into
+    * place (delete-first for FSes whose rename won't clobber). */
+  private def atomicWrite(fs: org.apache.hadoop.fs.FileSystem,
+                          path: org.apache.hadoop.fs.Path,
+                          bytes: Array[Byte]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.getParent, s".${path.getName}.${java.util.UUID.randomUUID}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (fs.exists(path)) fs.delete(path, false)
+    if (!fs.rename(tmp, path)) {
+      fs.delete(tmp, false)
+      if (!fs.exists(path)) // concurrent writer's identical bytes won
+        throw new java.io.IOException(s"atomic write $path failed")
+    }
+  }
   private def trainedUnigram(s: SparkSession,
-                             dir: String): Seq[(String, Long, Long)] =
-    unigramMemo.computeIfAbsent(dir + "@" + corpusFingerprint(s, dir),
-      _ => {
+                             dir: String): Seq[(String, Long, Long)] = {
+    val base = "/tmp/graft_staged/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString + "/unigram_table"
+    val fp = corpusFingerprint(s, dir)
+    // compute() serializes concurrent builders of the same artifact
+    unigramStaged.compute(base, (_, cached) => {
+      if (cached != null && cached._1 == fp) cached
+      else {
+        val conf = s.sparkContext.hadoopConfiguration
+        val tablePath = new org.apache.hadoop.fs.Path(base, "table.tsv")
+        val fpPath = new org.apache.hadoop.fs.Path(base, "_corpus_fp")
+        val fs = fpPath.getFileSystem(conf)
+        def readFile(p: org.apache.hadoop.fs.Path): Option[String] =
+          try {
+            val in = fs.open(p)
+            try {
+              val buf = new java.io.ByteArrayOutputStream()
+              val chunk = new Array[Byte](8192)
+              var n = in.read(chunk)
+              while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+              Some(buf.toString("UTF-8"))
+            } finally in.close()
+          } catch { case _: java.io.IOException => None }
+        val fromDisk: Option[Seq[(String, Long, Long)]] =
+          if (readFile(fpPath).contains(fp))
+            readFile(tablePath).map(_.split("\n").iterator
+              .filter(_.nonEmpty).map { line =>
+                val Array(p, c, k) = line.split("\t", 3)
+                (p, c.toLong, k.toLong)
+              }.toSeq)
+          else None
+        val table = fromDisk.getOrElse {
+          val trained = trainUnigram(s, dir)
+          // table before fp: a reader only trusts table.tsv once the
+          // sidecar matches its corpus, and both writes are atomic
+          atomicWrite(fs, tablePath, trained.map { case (p, c, k) =>
+            s"$p\t$c\t$k" }.mkString("\n").getBytes("UTF-8"))
+          atomicWrite(fs, fpPath, fp.getBytes("UTF-8"))
+          trained
+        }
+        (fp, table)
+      }
+    })._2
+  }
+  private def trainUnigram(s: SparkSession,
+                           dir: String): Seq[(String, Long, Long)] = {
         def isSingle(p: String): Boolean =
           p.codePointCount(0, p.length) == 1
         val words = unigramWords(s, dir).localCheckpoint(false)
@@ -308,7 +379,13 @@ object SparkEntry {
           lastCounts = kept.toMap
         }
         table.map { case (p, cost) => (p, lastCounts(p), cost) }
-      })
+  }
+
+  /** TEST hook: drop the per-JVM unigram memo so a spec can prove
+    * the on-disk artifact round-trips across "fresh JVM" boundaries
+    * (the disk sidecar, not this map, is the cross-process cache). */
+  private[graft] def resetUnigramMemoForTest(): Unit =
+    unigramStaged.clear()
 
   /** Distinct corpus words (≤16 chars) with their Viterbi piece
     * arrays under the trained table — the shared encode intermediate
@@ -319,6 +396,141 @@ object SparkEntry {
         trainedUnigram(s, dir).map { case (p, _, c) => (p, c) })
         .as("ps"))
 
+  /** The composed release chain S0–S5 (ingest → gates → keep-best
+    * dedup → span decontam/redact → token budget → shuffle + REAL
+    * tokenizer ids), shared by t131 (TFRecord export + decoded-shard
+    * gate) and t135 (data card). One call = one release RUN: S0
+    * re-ingests and the artifact frames are freshly checkpointed.
+    * Directory protocol: each JVM owns an immutable run dir under the
+    * corpus-keyed root (`Release.runDir`, keyed by applicationId), so
+    * concurrent sessions gating the same corpus never touch each
+    * other's files; t131 publishes the run via the atomic `_latest`
+    * pointer after the export lands. */
+  private case class ReleaseRun(relRoot: String, relDir: String,
+    nQuar: Long, docs: DataFrame, gatePass: DataFrame, kb: DataFrame,
+    kept: DataFrame, art: DataFrame, vocabSize: Long)
+
+  private def releaseChain(s: SparkSession, dir: String): ReleaseRun = {
+    import s.implicits._
+    val relRoot = "/tmp/graft_release/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+    val relDir =
+      graft.sink.Release.runDir(relRoot, s.sparkContext.applicationId)
+    // S0 — write the corpus as sharded .jsonl.gz, read it back with
+    // the quarantine contract; all downstream TEXT flows from here
+    val cols = Seq("doc_id", "source", "text")
+    graft.ingest.Jsonl.write(
+      T(s, dir, "documents").select(cols.map(col): _*),
+      cols, s"$relDir/jsonl")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val (clean, corrupt) =
+      graft.ingest.Jsonl.readCounted(s, s"$relDir/jsonl", schema)
+    val nQuar = corrupt.count() // bounded: corruption count scalar
+    // ingested docs feed gates-join, q-score, spans AND the redact
+    // join — materialize the parse once (t114 idiom)
+    val docs = clean.localCheckpoint(false)
+    // S1 — gate flags (shared gateFlags kernel; flag tables key by
+    // doc_id onto the ingested rows, whose identity S0 just proved).
+    // The classifier gate is SELF-CALIBRATED here: score_ppm above
+    // the corpus median (the CCNet percentile-cut shape, integer-
+    // exact via the t114 histogram-median idiom) — the demo
+    // classifier's absolute 500000 threshold passes zero docs on
+    // this corpus (max ≈ 120k ppm), which would gate an empty
+    // release. t127/t128 keep the absolute flag; a release keeps
+    // the top half.
+    val gf = gateFlags(s, dir)
+      .select("doc_id", "g", "r", "score_ppm")
+      .localCheckpoint(false) // feeds the median AND the row gate
+    val med = gf.groupBy("score_ppm").agg(count(lit(1)).as("__c"))
+      .agg(expr("percentile(score_ppm, 0.5D, __c)").as("__med"))
+    val gatePass = gf.where(col("g") && col("r"))
+      .crossJoin(broadcast(med))
+      .where(col("score_ppm") > col("__med"))
+      .select("doc_id")
+    val q = docs.select(col("doc_id"),
+      TextOps.qualityScoreFrom(
+        graft.functions.SketchExpressions.textStats(col("text")))
+        .as("q"))
+    // S2 — keep-best per near-dup cluster among gate survivors
+    val wkb = Window.partitionBy("cluster_id")
+      .orderBy(col("q").desc, col("doc_id"))
+    val kb = docs.select("doc_id").join(gatePass, Seq("doc_id"))
+      .join(stagedNeardupLabels(s, dir), Seq("doc_id"))
+      .join(q, Seq("doc_id"))
+      .withColumn("__rk", row_number().over(wkb))
+      .where(col("__rk") === 1)
+      .select("doc_id", "q")
+    // S3 — span decontam vs the full eval slice, then t47 redaction
+    val spans = Spans.decontamSpans(docs, "doc_id", "text",
+      n = 8, isEval = col("doc_id") % 7 === 0)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("spans"))
+    val red = kb.where(col("doc_id") % 7 =!= 0)
+      .join(docs.select("doc_id", "text"), Seq("doc_id"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("q"),
+        TextOps.tokens(col("text")).as("toks"),
+        coalesce(col("spans"),
+          array().cast("array<struct<s:bigint,e:bigint>>")).as("sp"))
+      .select(col("doc_id"), col("q"),
+        filter(col("toks"), (t, i) =>
+          !exists(col("sp"),
+            sp => (i + 1) >= sp("s") && (i + 1) <= sp("e"))).as("kept"))
+      .withColumn("tok", size(col("kept")).cast("long"))
+    // S4 — t95 budget cut: keep the top-quality quarter of tokens
+    val started = Windows.twoLevelPrefixSum(red, Seq.empty,
+      (-round(col("q") * lit(10000.0))).cast("long"),
+      Seq(col("q").desc, col("doc_id")), col("tok"), "start")
+    val total = red.agg(sum(col("tok")).cast("long").as("__total"))
+    val kept = started.crossJoin(broadcast(total))
+      .where(col("start") * 4 < col("__total"))
+      .select("doc_id", "kept", "tok")
+      // feeds trainShuffle AND the artifact join — run the
+      // gates/dedup/redact/budget chain exactly once
+      .localCheckpoint(false)
+    // S5 — t67 shuffle + the release columns. input_ids are the
+    // TRAINED unigram tokenizer's vocab ids (t132's table; id =
+    // sorted-piece rank, the twin's row_number()-1) — real ids, not
+    // the r14 md5-hash checksum, so the decoded-shard gate covers
+    // the tokenizer → export seam. Tokens beyond the trainer's
+    // 16-char word cap map to the single UNK id (= vocab size);
+    // everything shorter is segmentable by construction (singles are
+    // never pruned, and the release corpus IS the training corpus).
+    // Per-token in-row Viterbi (O(len·6) hash lookups) keeps
+    // tokenization inside the same map stage as the shuffle columns —
+    // embarrassingly parallel, no distinct-word join/shuffle.
+    val uni = trainedUnigram(s, dir)
+    val uniCosts = uni.map { case (p, _, c) => (p, c) }
+    val unkId = uni.size.toLong
+    val art = kept
+      .join(trainShuffle(kept.select("doc_id"), shardHexWidth = 1),
+        Seq("doc_id"))
+      .withColumn("key",
+        md5(concat(lit("shuf42:"), col("doc_id").cast("string"))))
+      .withColumn("input_ids", flatten(transform(
+        filter(col("kept"), t => length(t) > 0),
+        t => when(length(lower(t)) <= lit(16),
+          graft.functions.UnigramExpressions
+            .unigramEncodeIds(lower(t), uniCosts))
+          .otherwise(array(lit(unkId))))))
+      .withColumn("__ch",
+        conv(substring(md5(concat_ws(" ", col("kept"))), 1, 9), 16, 10)
+          .cast("long"))
+      .localCheckpoint(false) // manifest + export both read this
+    ReleaseRun(relRoot, relDir, nQuar, docs, gatePass, kb, kept, art,
+      unkId)
+  }
+
   /** Cheap corpus fingerprint: md5 over the (name, length, mtime) of
     * every file under `dir/documents.parquet` — pure filesystem
     * metadata, zero data read, O(#part-files) namenode/listing calls
@@ -326,9 +538,10 @@ object SparkEntry {
     * in-place rewrite by the engine's own CDC/compaction sinks
     * changes lengths/mtimes, so stale labels can't survive it; a
     * pure re-read never invalidates. */
-  private def corpusFingerprint(s: SparkSession, dir: String): String = {
+  private def corpusFingerprint(s: SparkSession, dir: String,
+                                table: String = "documents"): String = {
     val conf = s.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = p.getFileSystem(conf)
     val sb = new StringBuilder
     val it = fs.listFiles(p, true)
@@ -343,6 +556,42 @@ object SparkEntry {
       .digest(sb.toString.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
   }
+
+  /** Table row count from parquet FOOTER stats — the snapshot-
+    * manifest lookup a production engine does (r14 verdict #6), not
+    * a scan: one driver-side footer read per part-file (the same
+    * metadata I/O class as planning the scan), memoized per corpus
+    * fingerprint so repeat executions in a JVM cost zero jobs.
+    * t10/t62 size their SRP-plane / centroid counts from this;
+    * previously each EXECUTION re-ran a full-scan `count()` job.
+    * Falls back to `count()` for sources without readable footers. */
+  private val rowCountMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.Long]()
+  private def tableRowCount(s: SparkSession, dir: String,
+                            table: String): Long =
+    rowCountMemo.computeIfAbsent(
+      s"$dir/$table@" + corpusFingerprint(s, dir, table),
+      _ => try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+        val fs = p.getFileSystem(conf)
+        val it = fs.listFiles(p, true)
+        var total = 0L
+        while (it.hasNext) {
+          val st = it.next()
+          val name = st.getPath.getName
+          if (st.isFile && name.endsWith(".parquet") &&
+              !name.startsWith("_") && !name.startsWith(".")) {
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(st.getPath, conf))
+            try total += r.getRecordCount finally r.close()
+          }
+        }
+        java.lang.Long.valueOf(total)
+      } catch { case scala.util.control.NonFatal(_) =>
+        java.lang.Long.valueOf(T(s, dir, table).count())
+      })
 
   // per-JVM memo: path -> corpus fingerprint the artifact was built
   // from. Every call re-stats the corpus (cheap — metadata only) and
@@ -775,6 +1024,146 @@ object SparkEntry {
   private lazy val unigramTrainSql: String =
     s"""$unigramBaseSql,
        ${(1 to 3).map(unigramRoundSql).mkString(",\n       ")}"""
+
+  /** The release-chain twin (S1–S5 through the shuffled `po` rows and
+    * the per-doc tokenizer sums) — shared VERBATIM by the t131 and
+    * t135 oracles so the export gate and the data card describe the
+    * same artifact by construction. Expects `unigramTrainSql` +
+    * `unigramViterbiSql(4)` CTEs in scope (vocab ids = sorted-piece
+    * rank over ut3, the Spark side's table order; UNK = vocab size
+    * for words past the 16-char trainer cap). Each composed stage
+    * reuses its verified twin verbatim, scope-isolated in a nested
+    * WITH so the snippets' CTE names (several define `t`/`f`/`h`)
+    * cannot collide. Stage landing names: gp (gate pass) → kb
+    * (keep-best) → red (redacted kept-token lists, non-eval docs) →
+    * keep (budget survivors) → po (t67 shuffle pos) → tsum (per-doc
+    * vocab-id sums). The JSONL ingest has no DuckDB half — its
+    * identity is t118's gate; here `documents` IS the ingested
+    * corpus. */
+  private lazy val releaseChainSql: String =
+    raw"""gp AS (
+         SELECT doc_id FROM (
+           WITH $gateFlagsSql,
+           mdn AS (SELECT median(score_ppm) AS med FROM gates)
+           SELECT doc_id FROM gates CROSS JOIN mdn
+           WHERE g AND r AND score_ppm > med) gg),
+       lab AS (
+         SELECT doc_id, cluster_id FROM (
+           WITH RECURSIVE $minhashBandsSql,
+           pairs AS (
+             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           sym AS (
+             SELECT id_a AS src, id_b AS dst FROM pairs
+             UNION SELECT id_b, id_a FROM pairs),
+           reach(id, r) AS (
+             SELECT src, dst FROM sym
+             UNION
+             SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id)
+           SELECT d.doc_id,
+             CASE WHEN m.rmin IS NULL OR d.doc_id < m.rmin
+                  THEN d.doc_id ELSE m.rmin END AS cluster_id
+           FROM documents d
+           LEFT JOIN (SELECT id, min(r) AS rmin FROM reach GROUP BY id) m
+             ON m.id = d.doc_id) ll),
+       qs AS (SELECT doc_id, $qScoreSql AS q FROM documents),
+       kb AS (
+         SELECT doc_id, q FROM (
+           SELECT l.doc_id, qs.q,
+             row_number() OVER (PARTITION BY l.cluster_id
+               ORDER BY qs.q DESC, l.doc_id) AS rk
+           FROM lab l JOIN gp USING (doc_id) JOIN qs USING (doc_id)) x
+         WHERE rk = 1),
+       red AS (
+         SELECT doc_id, kept FROM (
+           WITH t AS (
+             SELECT doc_id, string_split_regex(text, '\s+') AS toks
+             FROM documents),
+           f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+           g AS (
+             SELECT doc_id,
+               unnest([{'p': i,
+                        'g': substr(md5(array_to_string(toks[i:i+7],
+                                    ' ')), 1, 16)}
+                       FOR i IN generate_series(1, len(toks)-7)],
+                      recursive := true)
+             FROM f),
+           d AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+           h AS (SELECT doc_id, p AS pos, p + 7 AS e
+                 FROM g JOIN d USING (g) WHERE doc_id % 7 <> 0),
+           i AS (SELECT doc_id, pos, e,
+                   CASE WHEN pos > coalesce(max(e) OVER (
+                          PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING),
+                        -1) + 1
+                        THEN 1 ELSE 0 END AS nw
+                 FROM h),
+           j AS (SELECT doc_id, pos, e,
+                   sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS isl
+                 FROM i),
+           sp AS (SELECT doc_id, min(pos) AS s, max(e) AS e
+                  FROM j GROUP BY doc_id, isl),
+           r AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans
+                 FROM sp GROUP BY doc_id),
+           base AS (SELECT t.doc_id, t.toks,
+                      coalesce(r.spans, []) AS spans
+                    FROM t LEFT JOIN r USING (doc_id)
+                    WHERE t.doc_id % 7 <> 0)
+           SELECT doc_id,
+             list_filter(toks, (x, ix) ->
+               len(list_filter(spans,
+                 s -> ix >= s.s AND ix <= s.e)) = 0) AS kept
+           FROM base) rr),
+       surv AS (
+         SELECT kb.doc_id, red.kept,
+           CAST(len(red.kept) AS BIGINT) AS tok, kb.q
+         FROM kb JOIN red USING (doc_id)),
+       tot AS (SELECT sum(tok) AS total FROM surv),
+       st AS (
+         SELECT *, coalesce(sum(tok) OVER (ORDER BY q DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start
+         FROM surv),
+       keep AS (
+         SELECT doc_id, kept, tok FROM st CROSS JOIN tot
+         WHERE start * 4 < total),
+       sh AS (
+         SELECT doc_id, kept, tok,
+           md5('shuf42:' || doc_id) AS key,
+           substr(md5('shuf42:' || doc_id), 1, 1) AS shard
+         FROM keep),
+       po AS (
+         SELECT *, row_number() OVER (PARTITION BY shard
+           ORDER BY key, doc_id) AS pos
+         FROM sh),
+       uid AS (
+         SELECT p, CAST(row_number() OVER (ORDER BY p) - 1 AS BIGINT)
+           AS pid
+         FROM ut3),
+       uvn AS (SELECT CAST(count(*) AS BIGINT) AS unk FROM ut3),
+       uidm AS (SELECT map(list(p ORDER BY p), list(pid ORDER BY p))
+                  AS im
+                FROM uid),
+       wiv AS (
+         SELECT w, CAST(len(ps) AS BIGINT) AS np,
+           CAST(coalesce(list_sum(list_transform(ps,
+             pp -> im[pp][1])), 0) AS BIGINT) AS psum
+         FROM ub4_16 CROSS JOIN uidm),
+       tokx AS (
+         SELECT doc_id, lower(u.tk) AS w
+         FROM po, unnest(list_filter(kept, x -> len(x) > 0)) AS u(tk)),
+       tsum AS (
+         SELECT t.doc_id,
+           CAST(sum(CASE WHEN len(t.w) <= 16 THEN v.psum
+                    ELSE uvn.unk END) AS BIGINT) AS id_sum_doc,
+           CAST(sum(CASE WHEN len(t.w) <= 16 THEN v.np
+                    ELSE 1 END) AS BIGINT) AS np_doc
+         FROM tokx t LEFT JOIN wiv v ON t.w = v.w CROSS JOIN uvn
+         GROUP BY 1)"""
 
   /** t7's quality-score formula as a DuckDB expression over `text` —
     * one definition shared by the t7 twin and every oracle that
@@ -2802,7 +3191,9 @@ object SparkEntry {
       // disagree per plane with prob θ/π ≈ 0.006, so even 13 planes
       // keep P(same bucket) ≈ 0.92 — and the oracle replays the SAME
       // bucketing, so correctness gates at any plane count.
-      val nCorpus = 2L * e.count()
+      // footer-stat count (no scan job; memoized per snapshot) — the
+      // corpus is e ∪ its planted-twin copy, hence 2×
+      val nCorpus = 2L * tableRowCount(s, dir, "embeddings")
       val planes = math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(
         math.max((nCorpus + 63) / 64, 2L) - 1)).toInt
       val pairs = Dedup.srpCandidatePairs(corpus, "vec_id", "v",
@@ -2877,7 +3268,8 @@ object SparkEntry {
       // paper's own guidance (cluster count tracks corpus). Floor 16
       // keeps every gate-SF corpus on the historical clustering;
       // the oracle computes the same k.
-      val k = math.max(16L, e.count() / 256L)
+      // footer-stat count (no scan job; memoized per snapshot)
+      val k = math.max(16L, tableRowCount(s, dir, "embeddings") / 256L)
       val cent = e.where(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("v"))
       Dedup.semDedupKeep(corpus, cent, "vec_id", "cid", "v", tau = 0.99)
@@ -5478,134 +5870,43 @@ object SparkEntry {
     //      t47 rebuild; eval docs themselves leave the corpus
     //   S4 token budget         — t95's quality-ordered exclusive
     //      prefix-sum cut (top quarter of surviving tokens)
-    //   S5 train shuffle        — t67's deterministic order, width 1
+    //   S5 train shuffle        — t67's deterministic order, width 1,
+    //      plus REAL tokenizer ids: the trained unigram-LM vocab
+    //      (t132) encodes every kept token, so the exported
+    //      `input_ids` are actual vocab ids and the decoded-shard
+    //      gate covers the tokenizer → export seam (r14 verdict #1)
     //   S6 shard manifest       — t121's numbers over the REDACTED
     //      release text
     //   S7 TFRecord export      — t124's write → read-back → decode;
     //      order_sum gates that the BYTES ON DISK sit in the t67
-    //      order (rec_index is read from the files, never recomputed)
+    //      order (rec_index is read from the files, never recomputed);
+    //      the run dir then publishes via the atomic _latest pointer
     //
     // Scale shape: each stage keeps its verified shape (broadcast
     // eval grams, hash-partitioned cluster window, two-level prefix
     // sum, per-shard sequential writes); the two reused frames
     // (ingested docs, packed artifact) are localCheckpointed so no
     // stage re-executes another's work; outputs are shard-count rows.
+    // Chain body: `releaseChain` (shared with t135's data card).
     "t131_release_pipeline" -> ((s, dir) => {
       import s.implicits._
-      val relDir = "/tmp/graft_release/" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8"))
-          .take(6).map("%02x".format(_)).mkString
-      // S0 — write the corpus as sharded .jsonl.gz, read it back with
-      // the quarantine contract; all downstream TEXT flows from here
-      val cols = Seq("doc_id", "source", "text")
-      graft.ingest.Jsonl.write(
-        T(s, dir, "documents").select(cols.map(col): _*),
-        cols, s"$relDir/jsonl")
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("source",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType)))
-      val (clean, corrupt) =
-        graft.ingest.Jsonl.readCounted(s, s"$relDir/jsonl", schema)
-      val nQuar = corrupt.count() // bounded: corruption count scalar
-      // ingested docs feed gates-join, q-score, spans AND the redact
-      // join — materialize the parse once (t114 idiom)
-      val docs = clean.localCheckpoint(false)
-      // S1 — gate flags (shared gateFlags kernel; flag tables key by
-      // doc_id onto the ingested rows, whose identity S0 just proved).
-      // The classifier gate is SELF-CALIBRATED here: score_ppm above
-      // the corpus median (the CCNet percentile-cut shape, integer-
-      // exact via the t114 histogram-median idiom) — the demo
-      // classifier's absolute 500000 threshold passes zero docs on
-      // this corpus (max ≈ 120k ppm), which would gate an empty
-      // release. t127/t128 keep the absolute flag; a release keeps
-      // the top half.
-      val gf = gateFlags(s, dir)
-        .select("doc_id", "g", "r", "score_ppm")
-        .localCheckpoint(false) // feeds the median AND the row gate
-      val med = gf.groupBy("score_ppm").agg(count(lit(1)).as("__c"))
-        .agg(expr("percentile(score_ppm, 0.5D, __c)").as("__med"))
-      val gatePass = gf.where(col("g") && col("r"))
-        .crossJoin(broadcast(med))
-        .where(col("score_ppm") > col("__med"))
-        .select("doc_id")
-      val q = docs.select(col("doc_id"),
-        TextOps.qualityScoreFrom(
-          graft.functions.SketchExpressions.textStats(col("text")))
-          .as("q"))
-      // S2 — keep-best per near-dup cluster among gate survivors
-      val wkb = Window.partitionBy("cluster_id")
-        .orderBy(col("q").desc, col("doc_id"))
-      val kb = docs.select("doc_id").join(gatePass, Seq("doc_id"))
-        .join(stagedNeardupLabels(s, dir), Seq("doc_id"))
-        .join(q, Seq("doc_id"))
-        .withColumn("__rk", row_number().over(wkb))
-        .where(col("__rk") === 1)
-        .select("doc_id", "q")
-      // S3 — span decontam vs the full eval slice, then t47 redaction
-      val spans = Spans.decontamSpans(docs, "doc_id", "text",
-        n = 8, isEval = col("doc_id") % 7 === 0)
-        .groupBy("doc_id")
-        .agg(collect_list(struct(col("span_start").as("s"),
-          col("span_end").as("e"))).as("spans"))
-      val red = kb.where(col("doc_id") % 7 =!= 0)
-        .join(docs.select("doc_id", "text"), Seq("doc_id"))
-        .join(spans, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("q"),
-          TextOps.tokens(col("text")).as("toks"),
-          coalesce(col("spans"),
-            array().cast("array<struct<s:bigint,e:bigint>>")).as("sp"))
-        .select(col("doc_id"), col("q"),
-          filter(col("toks"), (t, i) =>
-            !exists(col("sp"),
-              sp => (i + 1) >= sp("s") && (i + 1) <= sp("e"))).as("kept"))
-        .withColumn("tok", size(col("kept")).cast("long"))
-      // S4 — t95 budget cut: keep the top-quality quarter of tokens
-      val started = Windows.twoLevelPrefixSum(red, Seq.empty,
-        (-round(col("q") * lit(10000.0))).cast("long"),
-        Seq(col("q").desc, col("doc_id")), col("tok"), "start")
-      val total = red.agg(sum(col("tok")).cast("long").as("__total"))
-      val kept = started.crossJoin(broadcast(total))
-        .where(col("start") * 4 < col("__total"))
-        .select("doc_id", "kept", "tok")
-        // feeds trainShuffle AND the artifact join — run the
-        // gates/dedup/redact/budget chain exactly once
-        .localCheckpoint(false)
-      // S5 — t67 shuffle + the release columns (ids, content checksum)
-      val art = kept
-        .join(trainShuffle(kept.select("doc_id"), shardHexWidth = 1),
-          Seq("doc_id"))
-        .withColumn("key",
-          md5(concat(lit("shuf42:"), col("doc_id").cast("string"))))
-        .withColumn("input_ids", expr(
-          """transform(filter(kept, t -> length(t) > 0),
-               t -> CAST(conv(substring(md5(lower(t)), 1, 9), 16, 10)
-                 AS BIGINT) % 32768)"""))
-        .withColumn("__ch",
-          conv(substring(md5(concat_ws(" ", col("kept"))), 1, 9), 16, 10)
-            .cast("long"))
-        .localCheckpoint(false) // manifest + export both read this
+      val run = releaseChain(s, dir)
+      val art = run.art
+      val relDir = run.relDir
       // S6 — t121 manifest over the redacted release corpus
       val manifest = art.groupBy("shard")
         .agg(sum(col("tok")).as("n_tokens"),
           sum(col("__ch")).as("content_sum"),
           min(col("key")).as("key_min"), max(col("key")).as("key_max"))
-      // S7 — TFRecord export; clear stale shards first (a previous
-      // run's survivor set may contain shards this run doesn't write,
-      // and read() globs the whole directory)
-      val tfPath = new org.apache.hadoop.fs.Path(s"$relDir/tfrec")
-      val tfFs = tfPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (tfFs.exists(tfPath)) tfFs.delete(tfPath, true)
+      // S7 — TFRecord export (the sink's driver-side commit protocol
+      // clears stale shards and temp litter itself), then publish
+      // this run as the corpus's latest release artifact
       graft.sink.TfRecord.write(
         art.select("shard", "pos", "doc_id", "input_ids"),
         s"$relDir/tfrec", "shard", "pos",
         Seq("doc_id", "input_ids"), Nil)
-        .collect() // force the write; ≤16 manifest rows
+      graft.sink.Release.publishLatest(
+        s.sparkContext.hadoopConfiguration, run.relRoot, relDir)
       val decoded = graft.sink.TfRecord.read(s, s"$relDir/tfrec")
         .as[(String, Long, Array[Byte], Boolean)]
         .map { case (shard, idx, data, crcOk) =>
@@ -5628,11 +5929,59 @@ object SparkEntry {
           sum("n_tok").as("token_total"), sum("ord").as("order_sum"),
           sum("crc_fail").as("crc_fail"))
       decoded.join(manifest, Seq("shard"))
-        .withColumn("quarantined", lit(nQuar))
+        .withColumn("quarantined", lit(run.nQuar))
         .select(col("shard"), col("n_records"), col("docid_sum"),
           col("id_sum"), col("token_total"), col("order_sum"),
           col("crc_fail"), col("quarantined"), col("n_tokens"),
           col("content_sum"), col("key_min"), col("key_max"))
+    }),
+
+    // DATA CARD (r14 verdict item #8): the per-release report a
+    // 100 TB corpus ships with — ONE row composing, off the SAME
+    // release chain t131 exports, the funnel counts (ingested → gate
+    // pass → keep-best → released), the released token/piece totals,
+    // the trained-tokenizer fertility over the release, lexical
+    // diversity (exact release TTR — the release is budget-cut, so
+    // exact distinct is affordable where t126 needs its size-tiered
+    // sketch), dedup collapse, and shard count. Every input is an
+    // already-oracle-gated stage; the card's value is that the
+    // numbers are measured over ONE coherent artifact run, not
+    // stitched from per-query reruns that could drift.
+    //
+    // Scale shape: three aggregates over checkpointed release frames
+    // (corpus-scan work happened once in the chain); the distinct-
+    // token term aggregates the RELEASE (budget-cut) corpus only; the
+    // piece counts ride the in-row tokenizer already computed for
+    // input_ids. Output: 1 row.
+    "t135_release_card" -> ((s, dir) => {
+      val run = releaseChain(s, dir)
+      val funnel = run.docs.agg(count(lit(1)).as("docs_ingested"))
+        .crossJoin(run.gatePass.agg(count(lit(1)).as("docs_gate_pass")))
+        .crossJoin(run.kb.agg(count(lit(1)).as("docs_kept_best")))
+      // coalesce(…, 0): an empty release (100× replica corpora are
+      // ~100% eval-contaminated) must card as zeros, not NULLs —
+      // matching the twin's coalesced sums
+      val relStats = run.art.agg(
+        count(lit(1)).as("docs_released"),
+        coalesce(sum(col("tok")), lit(0L)).as("tokens_released"),
+        coalesce(sum(size(col("input_ids"))).cast("long"), lit(0L))
+          .as("pieces_released"),
+        coalesce(sum(size(filter(col("kept"), t => length(t) > 0)))
+          .cast("long"), lit(0L)).as("words_released"),
+        countDistinct(col("shard")).as("n_shards"))
+      val ttr = run.art
+        .select(explode(col("kept")).as("t"))
+        .where(length(col("t")) > 0)
+        .agg(countDistinct(lower(col("t"))).as("distinct_tokens"))
+      funnel.crossJoin(relStats).crossJoin(ttr)
+        .withColumn("dups_collapsed",
+          col("docs_gate_pass") - col("docs_kept_best"))
+        .withColumn("fertility_ppm",
+          expr("pieces_released * 1000000 DIV greatest(words_released, 1)"))
+        .withColumn("ttr_ppm",
+          expr("distinct_tokens * 1000000 DIV greatest(words_released, 1)"))
+        .withColumn("vocab_size", lit(run.vocabSize))
+        .withColumn("quarantined", lit(run.nQuar))
     }),
 
     // Unigram-LM tokenizer TRAIN (SentencePiece shape, Kudo 2018 —
@@ -9670,119 +10019,22 @@ object SparkEntry {
            CAST(ns AS BIGINT) AS n_stop,
            CAST($gopherPassSql AS BIGINT) AS pass
          FROM gm""",
-    // The whole release chain, one statement: each stage reuses its
-    // verified twin verbatim, scope-isolated in a nested WITH so the
-    // snippets' CTE names (several define `t`/`f`/`h`) cannot
-    // collide. Stage landing names: gp (gate pass) → kb (keep-best)
-    // → red (redacted kept-token lists, non-eval docs) → keep
-    // (budget survivors) → po (t67 shuffle pos) → ids (release
-    // columns). The JSONL ingest has no DuckDB half — its identity
-    // is t118's gate; here `documents` IS the ingested corpus.
+    // The whole release chain, one statement: `releaseChainSql`
+    // (stage twins composed verbatim, scope-isolated) + the trained
+    // unigram tokenizer (t132's EM unrolled) — the exported
+    // `input_ids` are REAL vocab ids, so this gate covers the
+    // tokenizer → export seam end to end. `ids` adds the per-doc
+    // content checksum; per-doc id/piece sums come from the chain's
+    // `tsum` (multiset equality — sums and counts — is exactly what
+    // the decoded-shard aggregates compare).
     "t131_release_pipeline" ->
-      raw"""WITH gp AS (
-           SELECT doc_id FROM (
-             WITH $gateFlagsSql,
-             mdn AS (SELECT median(score_ppm) AS med FROM gates)
-             SELECT doc_id FROM gates CROSS JOIN mdn
-             WHERE g AND r AND score_ppm > med) gg),
-         lab AS (
-           SELECT doc_id, cluster_id FROM (
-             WITH RECURSIVE $minhashBandsSql,
-             pairs AS (
-               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-               FROM bands a JOIN bands b
-                 ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
-             sym AS (
-               SELECT id_a AS src, id_b AS dst FROM pairs
-               UNION SELECT id_b, id_a FROM pairs),
-             reach(id, r) AS (
-               SELECT src, dst FROM sym
-               UNION
-               SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id)
-             SELECT d.doc_id,
-               CASE WHEN m.rmin IS NULL OR d.doc_id < m.rmin
-                    THEN d.doc_id ELSE m.rmin END AS cluster_id
-             FROM documents d
-             LEFT JOIN (SELECT id, min(r) AS rmin FROM reach GROUP BY id) m
-               ON m.id = d.doc_id) ll),
-         qs AS (SELECT doc_id, $qScoreSql AS q FROM documents),
-         kb AS (
-           SELECT doc_id, q FROM (
-             SELECT l.doc_id, qs.q,
-               row_number() OVER (PARTITION BY l.cluster_id
-                 ORDER BY qs.q DESC, l.doc_id) AS rk
-             FROM lab l JOIN gp USING (doc_id) JOIN qs USING (doc_id)) x
-           WHERE rk = 1),
-         red AS (
-           SELECT doc_id, kept FROM (
-             WITH t AS (
-               SELECT doc_id, string_split_regex(text, '\s+') AS toks
-               FROM documents),
-             f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
-             g AS (
-               SELECT doc_id,
-                 unnest([{'p': i,
-                          'g': substr(md5(array_to_string(toks[i:i+7],
-                                      ' ')), 1, 16)}
-                         FOR i IN generate_series(1, len(toks)-7)],
-                        recursive := true)
-               FROM f),
-             d AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
-             h AS (SELECT doc_id, p AS pos, p + 7 AS e
-                   FROM g JOIN d USING (g) WHERE doc_id % 7 <> 0),
-             i AS (SELECT doc_id, pos, e,
-                     CASE WHEN pos > coalesce(max(e) OVER (
-                            PARTITION BY doc_id ORDER BY pos
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND 1 PRECEDING),
-                          -1) + 1
-                          THEN 1 ELSE 0 END AS nw
-                   FROM h),
-             j AS (SELECT doc_id, pos, e,
-                     sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
-                       ROWS BETWEEN UNBOUNDED PRECEDING
-                         AND CURRENT ROW) AS isl
-                   FROM i),
-             sp AS (SELECT doc_id, min(pos) AS s, max(e) AS e
-                    FROM j GROUP BY doc_id, isl),
-             r AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans
-                   FROM sp GROUP BY doc_id),
-             base AS (SELECT t.doc_id, t.toks,
-                        coalesce(r.spans, []) AS spans
-                      FROM t LEFT JOIN r USING (doc_id)
-                      WHERE t.doc_id % 7 <> 0)
-             SELECT doc_id,
-               list_filter(toks, (x, ix) ->
-                 len(list_filter(spans,
-                   s -> ix >= s.s AND ix <= s.e)) = 0) AS kept
-             FROM base) rr),
-         surv AS (
-           SELECT kb.doc_id, red.kept,
-             CAST(len(red.kept) AS BIGINT) AS tok, kb.q
-           FROM kb JOIN red USING (doc_id)),
-         tot AS (SELECT sum(tok) AS total FROM surv),
-         st AS (
-           SELECT *, coalesce(sum(tok) OVER (ORDER BY q DESC, doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS start
-           FROM surv),
-         keep AS (
-           SELECT doc_id, kept, tok FROM st CROSS JOIN tot
-           WHERE start * 4 < total),
-         sh AS (
-           SELECT doc_id, kept, tok,
-             md5('shuf42:' || doc_id) AS key,
-             substr(md5('shuf42:' || doc_id), 1, 1) AS shard
-           FROM keep),
-         po AS (
-           SELECT *, row_number() OVER (PARTITION BY shard
-             ORDER BY key, doc_id) AS pos
-           FROM sh),
+      raw"""WITH $unigramTrainSql,
+         ${unigramViterbiSql(4)},
+         $releaseChainSql,
          ids AS (
-           SELECT *,
-             list_transform(list_filter(kept, x -> len(x) > 0),
-               tk -> CAST(('0x' || substr(md5(lower(tk)), 1, 9))
-                 AS UBIGINT)::BIGINT % 32768) AS input_ids,
+           SELECT po.*,
+             coalesce(ts.id_sum_doc, 0) AS id_sum_doc,
+             coalesce(ts.np_doc, 0) AS np_doc,
              -- coalesce: a FULLY-REDACTED doc has kept = [] and
              -- DuckDB's array_to_string([]) is NULL where Spark's
              -- concat_ws is '' (t47's twin does the same; first seen
@@ -9790,13 +10042,12 @@ object SparkEntry {
              CAST(('0x' || substr(md5(coalesce(
                array_to_string(kept, ' '), '')), 1, 9))
                AS UBIGINT)::BIGINT AS ch
-           FROM po)
+           FROM po LEFT JOIN tsum ts USING (doc_id))
          SELECT shard,
            CAST(count(*) AS BIGINT) AS n_records,
            CAST(sum(doc_id) AS BIGINT) AS docid_sum,
-           CAST(sum(coalesce(list_sum(input_ids), 0)) AS BIGINT)
-             AS id_sum,
-           CAST(sum(len(input_ids)) AS BIGINT) AS token_total,
+           CAST(sum(id_sum_doc) AS BIGINT) AS id_sum,
+           CAST(sum(np_doc) AS BIGINT) AS token_total,
            CAST(sum(pos * (doc_id % 997)) AS BIGINT) AS order_sum,
            CAST(0 AS BIGINT) AS crc_fail,
            CAST(0 AS BIGINT) AS quarantined,
@@ -9805,6 +10056,42 @@ object SparkEntry {
            min(key) AS key_min,
            max(key) AS key_max
          FROM ids GROUP BY 1""",
+    // Data card: scalar aggregates over the SAME chain CTEs.
+    "t135_release_card" ->
+      raw"""WITH $unigramTrainSql,
+         ${unigramViterbiSql(4)},
+         $releaseChainSql,
+         rel AS (
+           SELECT CAST(count(*) AS BIGINT) AS docs_released,
+             CAST(coalesce(sum(tok), 0) AS BIGINT) AS tokens_released,
+             CAST(count(DISTINCT shard) AS BIGINT) AS n_shards
+           FROM po),
+         pcs AS (
+           SELECT CAST(coalesce(sum(np_doc), 0) AS BIGINT)
+             AS pieces_released
+           FROM tsum JOIN po USING (doc_id)),
+         wrd AS (
+           SELECT CAST(count(*) AS BIGINT) AS words_released,
+             CAST(count(DISTINCT w) AS BIGINT) AS distinct_tokens
+           FROM tokx)
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM documents)
+             AS docs_ingested,
+           (SELECT CAST(count(*) AS BIGINT) FROM gp) AS docs_gate_pass,
+           (SELECT CAST(count(*) AS BIGINT) FROM kb) AS docs_kept_best,
+           rel.docs_released, rel.tokens_released,
+           pcs.pieces_released, wrd.words_released, rel.n_shards,
+           wrd.distinct_tokens,
+           (SELECT CAST(count(*) AS BIGINT) FROM gp)
+             - (SELECT CAST(count(*) AS BIGINT) FROM kb)
+             AS dups_collapsed,
+           pcs.pieces_released * 1000000
+             // greatest(wrd.words_released, 1) AS fertility_ppm,
+           wrd.distinct_tokens * 1000000
+             // greatest(wrd.words_released, 1) AS ttr_ppm,
+           (SELECT CAST(count(*) AS BIGINT) FROM ut3) AS vocab_size,
+           CAST(0 AS BIGINT) AS quarantined
+         FROM rel CROSS JOIN pcs CROSS JOIN wrd""",
     "t132_unigram_train" ->
       s"""WITH $unigramTrainSql
          SELECT p AS piece, CAST(c AS BIGINT) AS cnt, cost FROM ut3""",

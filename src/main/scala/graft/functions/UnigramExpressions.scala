@@ -36,11 +36,26 @@ object UnigramExpressions {
   val MaxPieceLen = 6
 
   case class UnigramEncodeExpr(child: Expression,
-                               pieces: Seq[(String, Long)])
+                               pieces: Seq[(String, Long)],
+                               emitIds: Boolean = false)
     extends UnaryExpression with CodegenFallback {
-    override def prettyName: String = "graft_unigram_encode"
+    override def prettyName: String =
+      if (emitIds) "graft_unigram_encode_ids" else "graft_unigram_encode"
     override def dataType: DataType =
-      ArrayType(StringType, containsNull = false)
+      if (emitIds) ArrayType(LongType, containsNull = false)
+      else ArrayType(StringType, containsNull = false)
+
+    // Vocab id = the piece's index in the CONSTRUCTOR order. Callers
+    // pass the trained table sorted by piece, so ids are the
+    // sorted-piece ranks — the same `row_number() OVER (ORDER BY p)-1`
+    // the DuckDB twin assigns (binary order == Scala string order for
+    // this corpus's ASCII pieces).
+    @transient private lazy val pieceId: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](pieces.size * 2)
+      pieces.zipWithIndex.foreach { case ((p, _), i) =>
+        m.putIfAbsent(p, java.lang.Long.valueOf(i.toLong)) }
+      m
+    }
 
     @transient private lazy val cost: java.util.HashMap[String, java.lang.Long] = {
       val m = new java.util.HashMap[String, java.lang.Long](pieces.size * 2)
@@ -100,7 +115,10 @@ object UnigramExpressions {
       val res = new Array[Any](out.size())
       i = 0
       while (i < res.length) {
-        res(i) = UTF8String.fromString(out.get(i)); i += 1
+        res(i) =
+          if (emitIds) pieceId.get(out.get(i)).longValue()
+          else UTF8String.fromString(out.get(i))
+        i += 1
       }
       new GenericArrayData(res)
     }
@@ -113,4 +131,12 @@ object UnigramExpressions {
   def unigramEncode(word: Column, pieces: Seq[(String, Long)]): Column =
     GraftColumnBridge.column(UnigramEncodeExpr(
       GraftColumnBridge.expression(word), pieces))
+
+  /** Viterbi-segment `word` and emit VOCAB IDS (the piece's index in
+    * the given table order) — the release-export path, where shards
+    * must carry real trained-tokenizer ids, not piece strings. */
+  def unigramEncodeIds(word: Column,
+                       pieces: Seq[(String, Long)]): Column =
+    GraftColumnBridge.column(UnigramEncodeExpr(
+      GraftColumnBridge.expression(word), pieces, emitIds = true))
 }

@@ -36,19 +36,24 @@ object Jsonl {
     * the Hadoop codec list (extension-matched by
     * CompressionCodecFactory), preserving the defaults and any
     * user-configured codecs. Idempotent; called by every read path.
-    * NOTE: setting `io.compression.codecs` REPLACES the default list,
-    * so the defaults are restated when the key was unset. */
+    * NOTE: setting `io.compression.codecs` REPLACES ServiceLoader
+    * codec discovery, so when the key was unset the list is seeded
+    * from `CompressionCodecFactory.getCodecClasses` — the discovered
+    * set (Snappy/LZ4/Deflate/native-Zstandard and anything a user
+    * registered via ServiceLoader), not a hardcoded subset that
+    * would silently drop extension resolution session-wide. */
   def registerZstd(spark: SparkSession): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val key = "io.compression.codecs"
     val cls = classOf[GraftZstdCodec].getName
     val cur = conf.get(key)
-    if (cur == null)
-      conf.set(key,
-        "org.apache.hadoop.io.compress.DefaultCodec," +
-          "org.apache.hadoop.io.compress.GzipCodec," +
-          "org.apache.hadoop.io.compress.BZip2Codec," + cls)
-    else if (!cur.split(",").map(_.trim).contains(cls))
+    if (cur == null) {
+      val discovered = org.apache.hadoop.io.compress
+        .CompressionCodecFactory.getCodecClasses(conf)
+      val names = new scala.collection.mutable.ArrayBuffer[String]()
+      discovered.forEach(c => names += c.getName)
+      conf.set(key, (names.filterNot(_ == cls) :+ cls).mkString(","))
+    } else if (!cur.split(",").map(_.trim).contains(cls))
       conf.set(key, cur + "," + cls)
   }
 

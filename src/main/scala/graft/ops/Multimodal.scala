@@ -623,21 +623,47 @@ object Multimodal {
     def fourcc(off: Int): String =
       new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     val out = Seq.newBuilder[Array[Byte]]
-    def walk(start: Int, end: Int): Unit = {
-      var p = start
-      while (p + 8 <= end) {
-        val cc = fourcc(p)
-        val sz = u32le(p + 4)
-        if (sz < 0 || p + 8 + sz > end) return // truncated: keep prior
-        val body = p + 8
-        if (cc == "RIFF" || cc == "LIST") {
-          // first 4 body bytes are the list type; contents follow
-          if (sz >= 4) walk(body + 4, body + sz.toInt)
-        } else if (cc.length == 4 && sz >= 2 &&
-            (cc.endsWith("dc") || cc.endsWith("db")) &&
-            (bytes(body) & 0xff) == 0xff && (bytes(body + 1) & 0xff) == 0xd8)
-          out += java.util.Arrays.copyOfRange(bytes, body, body + sz.toInt)
-        p = body + sz.toInt + (sz.toInt & 1) // chunks pad to even
+    // Explicit-stack DFS, not recursion: a crafted AVI of deeply
+    // nested 12-byte LIST headers (~a few hundred KB of input) would
+    // otherwise StackOverflowError the executor — a crash, which the
+    // "hostile payload yields the frames before the damage" contract
+    // forbids just as much as an OOB read. Each stack entry is a
+    // (cursor, end) range still to scan; descending into a LIST
+    // pushes the continuation first, then the list body, so frames
+    // emit in exact document (depth-first) order — frame_idx is
+    // positional and must not depend on the walk's implementation.
+    def walk(start0: Int, end0: Int): Unit = {
+      var stack = List((start0, end0))
+      while (stack.nonEmpty) {
+        var (p, end) = stack.head
+        stack = stack.tail
+        var descend = false
+        while (!descend && p + 8 <= end) {
+          val cc = fourcc(p)
+          val sz = u32le(p + 4)
+          if (sz < 0 || p + 8 + sz > end) {
+            p = end // truncated: keep prior frames, abandon this range
+          } else {
+            val body = p + 8
+            val next = body + sz.toInt + (sz.toInt & 1) // pad to even
+            if (cc == "RIFF" || cc == "LIST") {
+              // first 4 body bytes are the list type; contents follow
+              if (sz >= 4) {
+                stack = (next, end) :: stack // continuation after child
+                stack = (body + 4, body + sz.toInt) :: stack
+                descend = true
+              } else p = next
+            } else {
+              if (cc.length == 4 && sz >= 2 &&
+                  (cc.endsWith("dc") || cc.endsWith("db")) &&
+                  (bytes(body) & 0xff) == 0xff &&
+                  (bytes(body + 1) & 0xff) == 0xd8)
+                out += java.util.Arrays.copyOfRange(
+                  bytes, body, body + sz.toInt)
+              p = next
+            }
+          }
+        }
       }
     }
     if (bytes.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ")
@@ -816,6 +842,63 @@ object Multimodal {
       .join(labels, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("label"), col("id")).as("cluster"))
+  }
+
+  /** UNIFIED visual near-dup clusters — video FRAMES and still
+    * images in ONE hash space and ONE clustering (r14 verdict #3:
+    * `videoFrameDHash` deliberately emits dHash64's exact scheme so a
+    * keyframe reposted as a thumbnail collides, but until this op
+    * nothing COMPOSED the two sides). Every decodable frame
+    * contributes a hash row under its VIDEO's media id; stills
+    * contribute theirs; the combined table rides the same band join +
+    * pointer-jumping CC as the image-only path, so (id, cluster)
+    * comes back at MEDIA granularity — a video whose any-frame is
+    * within Hamming ≤ `maxDist` of a still (or of another video's
+    * frame) shares its cluster, and keep-one/keep-best policies
+    * compose unchanged. Scale shape: one decode pass per modality
+    * (no payload shuffle), band-bucketed pairs, id-level distinct
+    * before the label join (a video is many hash rows but ONE
+    * cluster member). */
+  def visualClusters(df: DataFrame, maxDist: Int = 3): DataFrame = {
+    val hashes = imageDHash(df).unionByName(
+      videoFrameDHash(df).select(col("id"), col("phash")))
+    val pairs = phashNearDup(hashes, maxDist)
+    val labels = graft.ops.Dedup
+      .connectedComponents(pairs, "id_a", "id_b")
+    hashes.select(col("id")).distinct()
+      .join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("label"), col("id")).as("cluster"))
+  }
+
+  /** Row-level visual hash for the LIVE dedup gate: image → dHash,
+    * video → dHash of its FIRST decodable MJPEG frame (the keyframe —
+    * deterministic, one JPEG decode per video row), other/undecodable
+    * rows drop. One hash PER ROW because the streaming equality gate
+    * anti-joins on a single persisted key column; the full
+    * frames ∪ stills Hamming-band clustering stays the batch pass
+    * ([[visualClusters]]) over the standing sink, per the
+    * imageDedupStream cost note. */
+  def withVisualHash(df: DataFrame): DataFrame = {
+    val schema = df.schema.add("phash", LongType)
+    val modIdx = df.schema.fieldIndex("modality")
+    val payIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val mod = r.getString(modIdx)
+        val payload =
+          if (r.isNullAt(payIdx)) null else r.getAs[Array[Byte]](payIdx)
+        val h: Option[Long] =
+          if (payload == null) None
+          else mod match {
+            case "image" => dHash64(payload)
+            case "video" =>
+              aviMjpegFrames(payload).view.flatMap(dHash64).headOption
+            case _ => None
+          }
+        h.map(v => Row.fromSeq(r.toSeq :+ v)).iterator
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** Near-duplicate image candidate pairs at Hamming distance ≤

@@ -293,22 +293,29 @@ object TfRecord {
     * in ONE task (repartition by shard + sortWithinPartitions), so
     * callers size shards exactly like t67's hex-width math.
     *
-    * Commit protocol: each shard streams to an attempt-unique temp
-    * name (`.<shard>.tfrecord.<taskAttemptId>.tmp`) and renames to
-    * its final name only after the shard's last byte is written —
+    * Commit protocol: the overwrite contract is handled ONCE on the
+    * driver — every `*.tfrecord` (and stale temp litter) under
+    * `outDir` is cleared before the job launches, so a previous
+    * call's survivor set can never leak into this export's read
+    * glob. Each task then streams its shard to an attempt-unique
+    * temp name (`.<shard>.tfrecord.<taskAttemptId>.tmp`) and renames
+    * to the final name only after the shard's last byte is written —
     * a speculative or zombie duplicate of the task can never
-    * interleave bytes into the final file. Shard bytes are
-    * deterministic (sorted input, deterministic encoding), so when
-    * two attempts race the loser finds the final name already
-    * present, discards its byte-identical temp, and the shard is
-    * still correct. The manifest is materialized eagerly (one
+    * interleave bytes into the final file, and no attempt ever
+    * DELETES a committed shard (an attempt killed between a delete
+    * and its own rename would leave the shard silently missing).
+    * Shard bytes are deterministic (sorted input, deterministic
+    * encoding), so when two attempts race the loser's rename fails
+    * against the winner's committed file, and it discards its
+    * byte-identical temp. The manifest is materialized eagerly (one
     * bounded row per shard collected to the driver) so the
     * side-effecting write runs exactly once per call, not once per
     * downstream action. */
   def write(df: DataFrame, outDir: String, shardCol: String,
             orderCol: String, int64Cols: Seq[String],
             bytesCols: Seq[String],
-            floatCols: Seq[String] = Nil): DataFrame = {
+            floatCols: Seq[String] = Nil,
+            clearStale: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val cols = (Seq(shardCol, orderCol) ++ int64Cols ++ bytesCols ++
@@ -317,6 +324,22 @@ object TfRecord {
       .repartition(col(shardCol))
       .sortWithinPartitions(col(shardCol), col(orderCol))
     val (i64, byt, flt) = (int64Cols, bytesCols, floatCols)
+    // Driver-side overwrite: clear committed shards and stale temp
+    // litter BEFORE the job, so no task attempt ever needs to delete
+    // a final file (see the commit-protocol note above).
+    // `clearStale = false` is the streaming-batch contract: each
+    // microbatch APPENDS its own batch-suffixed shard names into a
+    // shared dir, and a batch replay overwrites only its OWN names
+    // (rename onto the identical committed bytes).
+    val outPath = new Path(outDir)
+    val driverFs =
+      outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (clearStale && driverFs.exists(outPath)) {
+      (Option(driverFs.globStatus(new Path(outDir, "*.tfrecord"))) ++
+        Option(driverFs.globStatus(new Path(outDir, ".*.tfrecord.*.tmp"))))
+        .flatten
+        .foreach(st => driverFs.delete(st.getPath, false))
+    }
     val serConf =
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val manifest = prepared.mapPartitions { rows =>
@@ -333,12 +356,13 @@ object TfRecord {
         val tmp = tmpPath(shard)
         val dst = new Path(outDir, shard + ".tfrecord")
         val fs = dst.getFileSystem(conf)
-        // Preserve the sink's overwrite contract: a stale shard from a
-        // previous call must not survive, so clear dst before the
-        // rename. If the rename still fails and dst exists, a racing
-        // attempt of THIS task landed first — its bytes are identical
-        // (sorted input, deterministic encoding), keep them.
-        if (fs.exists(dst)) fs.delete(dst, false)
+        // Rename FIRST, never delete dst here: the driver cleared
+        // stale shards before the job, so the only way dst already
+        // exists is a racing attempt of THIS task committing first —
+        // and its bytes are identical (sorted input, deterministic
+        // encoding), so the loser just discards its temp. A zombie
+        // attempt killed at ANY point therefore leaves either the
+        // winner's committed file or nothing, never a missing shard.
         if (!fs.rename(tmp, dst)) {
           if (fs.exists(dst)) fs.delete(tmp, false)
           else throw new java.io.IOException(s"rename $tmp -> $dst failed")

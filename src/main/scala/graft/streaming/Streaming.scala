@@ -755,8 +755,13 @@ object Streaming {
       (batch: DataFrame, _: Long) =>
         // ONE decode pass appends phash to the full rows
         // (mapPartitions — no self-join, no payload-sized shuffle, no
-        // second read of the binaryFile source)
-        dedupAppendBatch(graft.ops.Multimodal.withDHash(batch),
+        // second read of the binaryFile source). withVisualHash (r15)
+        // admits VIDEO rows too — keyframe dHash in the same 64-bit
+        // space — so a video reposting an already-seen still (or vice
+        // versa) gates on the same persisted key column; Hamming ≤ 3
+        // frames ∪ stills clustering stays the batch pass
+        // (Multimodal.visualClusters) over the standing sink.
+        dedupAppendBatch(graft.ops.Multimodal.withVisualHash(batch),
           "phash", "id", sinkPath)
     }
 
@@ -1633,11 +1638,14 @@ object Streaming {
   def tfRecordBatch(outDir: String, shardCol: String, orderCol: String,
                     int64Cols: Seq[String], bytesCols: Seq[String])
                    (batch: DataFrame, batchId: Long): Unit = {
+    // clearStale = false: the dir is shared across batches — a
+    // replay overwrites only its OWN batch-suffixed names; clearing
+    // the whole dir would drop earlier batches' shards
     graft.sink.TfRecord.write(
       batch.withColumn(shardCol,
         concat(col(shardCol), lit("-b"), lit(batchId))),
-      outDir, shardCol, orderCol, int64Cols, bytesCols)
-      .collect() // force the write; manifest is shard-count-bounded
+      outDir, shardCol, orderCol, int64Cols, bytesCols,
+      floatCols = Nil, clearStale = false)
     ()
   }
 

@@ -262,6 +262,11 @@ class PlanAuditSpec extends SparkSpec {
     // (same nit), so only the two prefix-sum [bucket] band tables —
     // value-range-bounded by construction — remain visible
     "t130_order_coherence" -> 2,
+    // t135: the release chain's two 1-row [scalar] broadcasts (the
+    // self-calibrated classifier median; the corpus token total for
+    // the budget cut) are visible because the card aggregates the
+    // chain's UNCHECKPOINTED gate frame; t131 checkpoints past them
+    "t135_release_card" -> 2,
     "t13_decontaminate" -> 1, // [probe] eval gram set
     "t14_tfidf" -> 1, // [scalar] doc-count 1-row
     "t25_quality_shards" -> 2, // [bucket] two-level rank tables

@@ -29,9 +29,12 @@ class ReleasePipelineSpec extends SparkSpec {
     first.foreach { r =>
       assert(r.getAs[Long]("crc_fail") === 0L, s"crc_fail in $r")
       assert(r.getAs[Long]("quarantined") === 0L, s"quarantine in $r")
-      // the manifest and the decoded read-back count tokens off the
-      // same redacted lists (token_total filters empty tokens, so ≤)
-      assert(r.getAs[Long]("token_total") <= r.getAs[Long]("n_tokens"))
+      // input_ids are the TRAINED unigram tokenizer's vocab ids
+      // (r15): fertility is ≥ 1 piece per non-empty kept token, so
+      // the decoded piece total is positive for a non-empty shard
+      // and can legitimately exceed n_tokens (which counts empty
+      // tokens too). Exact values are the DuckDB oracle's gate.
+      assert(r.getAs[Long]("token_total") > 0L, s"no pieces in $r")
     }
     // idempotence: the second run rewrites the JSONL and clears +
     // rewrites the TFRecord dir — stale shards from the first run
@@ -39,6 +42,77 @@ class ReleasePipelineSpec extends SparkSpec {
     val second = run().collect().sortBy(_.getString(0))
     assert(second.map(r => r.getString(0) -> r.toSeq).toMap === asMap,
       "re-run drifted from the first artifact")
+  }
+
+  test("release dir protocol: run dirs are per-session, the run " +
+    "publishes via _latest, and two interleaved publishers never " +
+    "expose a torn artifact to a concurrent reader") {
+    import graft.sink.Release
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-release-root").toString
+    assert(Release.resolveLatest(conf, root) === None)
+    // two sessions own DISTINCT immutable run dirs
+    val runA = Release.runDir(root, "app-A")
+    val runB = Release.runDir(root, "app:B/odd")
+    assert(runA !== runB)
+    assert(!runB.contains(":") && !new java.io.File(runB).getName
+      .contains("/"), "run dir token must sanitize to a path segment")
+    def fill(dir: String, tag: String): Unit = {
+      val d = new java.io.File(dir); d.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "artifact.txt"), s"$tag-complete")
+    }
+    fill(runA, "A"); fill(runB, "B")
+    // interleaved publishers + a concurrent reader: every resolve
+    // must land on SOME complete artifact (old or new, never torn)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val writers = Seq(runA, runB).map { d =>
+      new Thread(() => {
+        var i = 0
+        while (i < 40 && bad.get() == null) {
+          Release.publishLatest(conf, root, d); i += 1
+        }
+      })
+    }
+    val reader = new Thread(() => {
+      while (!stop.get() && bad.get() == null) {
+        Release.resolveLatest(conf, root) match {
+          case Some(dir) =>
+            val f = java.nio.file.Paths.get(dir, "artifact.txt")
+            val ok = java.nio.file.Files.exists(f) &&
+              new String(java.nio.file.Files.readAllBytes(f))
+                .endsWith("-complete")
+            if (!ok) bad.set(s"torn artifact at $dir")
+          case None => bad.set("pointer vanished mid-publishing")
+        }
+      }
+    })
+    writers.foreach(_.start()); Thread.sleep(10); reader.start()
+    writers.foreach(_.join()); stop.set(true); reader.join()
+    assert(bad.get() === null, String.valueOf(bad.get()))
+    // final state resolves to one of the two published runs
+    assert(Set(runA, runB).contains(
+      Release.resolveLatest(conf, root).get))
+  }
+
+  test("t131 publishes its run: _latest resolves to a dir whose " +
+    "TFRecord export is readable") {
+    import graft.sink.Release
+    run().collect()
+    val relRoot = "/tmp/graft_release/" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+    val latest = Release.resolveLatest(
+      spark.sparkContext.hadoopConfiguration, relRoot)
+    assert(latest.isDefined, s"no _latest under $relRoot")
+    assert(latest.get ===
+      Release.runDir(relRoot, spark.sparkContext.applicationId))
+    val shards = graft.sink.TfRecord.read(spark, s"${latest.get}/tfrec")
+    assert(shards.count() > 0, "published run has no readable shards")
   }
 
   test("release pipeline plan: output reads one checkpointed artifact " +

@@ -1609,4 +1609,89 @@ class StreamingMultimodalSpec extends SparkSpec {
         model.where(lit(false)))
     }
   }
+  test("multimodal: visual dedup COMPOSES video frames with stills — " +
+    "a reposted keyframe clusters its video with the thumbnail " +
+    "(batch) and gates on the live path") {
+    def u32le(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte)
+        else Array.empty[Byte]
+      cc.getBytes("US-ASCII") ++ u32le(body.length) ++ body ++ pad
+    }
+    def jpegPattern(pattern: Array[Array[Int]], block: Int)
+        : Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(9 * block, 8 * block,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8 * block; x <- 0 until 9 * block) {
+        val v = pattern(y / block)(x / block)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val movi = "movi".getBytes("US-ASCII") ++
+        frames.flatMap(f => chunk("00dc", f))
+      chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi))
+    }
+    val base = Array.tabulate(8, 9)((y, x) => x * 10 + y)
+    val other = Array.tabulate(8, 9)((y, x) => (8 - x) * 10 + y)
+    val key = jpegPattern(base, 2)          // the keyframe
+    val thumb = jpegPattern(base, 4)        // reposted 2x-rescaled thumb
+    val filler = jpegPattern(other, 2)      // second frame, different
+    val video = avi(Seq(key, filler))
+
+    // ---- batch: frames UNION stills -> ONE cluster across media ----
+    val df = Seq(
+      (1L, "video", video),
+      (2L, "image", thumb),                 // must cluster with video 1
+      (3L, "image", jpegPattern(other.map(_.map(v => v + 12)), 2)))
+      .toDF("id", "modality", "payload")
+    val cl = Multimodal.visualClusters(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.keySet === Set(1L, 2L, 3L))
+    assert(cl(1L) === cl(2L),
+      s"reposted keyframe did not cluster with its video: $cl")
+    // id 3 near-dups video 1's SECOND frame (brightness twin of
+    // `other`) -> any-frame semantics pull it into the same cluster
+    assert(cl(3L) === cl(1L),
+      s"second-frame collision missed (any-frame semantics): $cl")
+    // a genuinely unrelated still stays alone
+    val solo = Array.tabulate(8, 9)((y, x) =>
+      if ((x + y) % 2 == 0) 30 else 200)
+    val df2 = df.union(Seq((4L, "image", jpegPattern(solo, 2)))
+      .toDF("id", "modality", "payload"))
+    val cl2 = Multimodal.visualClusters(df2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl2(4L) !== cl2(1L), s"unrelated still joined the cluster: $cl2")
+
+    // ---- live: video keyframe gates against an already-seen still --
+    implicit val sqlCtx = spark.sqlContext
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_vsink").toString + "/visual"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_vckpt").toString
+    val in = MemoryStream[(Long, String, Array[Byte])]
+    val q = Streaming.imageDedupStream(
+      in.toDF.toDF("id", "modality", "payload"), sink)
+      .option("checkpointLocation", ckpt).start()
+    in.addData((10L, "image", key)) // the still lands first
+    q.processAllAvailable()
+    assert(spark.read.parquet(sink).count() === 1)
+    // the video reposts the same keyframe -> equality-gated away;
+    // a video with a NEW keyframe is kept, with its frame hash
+    in.addData((11L, "video", video), (12L, "video", avi(Seq(filler))))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(sink).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(10L, 12L),
+      s"live gate kept ${rows.map(_.getLong(0)).toSeq}")
+    // the kept video row carries its keyframe hash in the SAME space
+    val vrow = rows.find(_.getLong(0) == 12L).get
+    assert(vrow.getAs[Long]("phash") === Multimodal.dHash64(filler).get)
+  }
 }
+

@@ -79,4 +79,46 @@ class UnigramSpec extends SparkSpec {
     // "abab abab ab" → [abab][abab][ab] = 3 pieces
     assert(first.getAs[Long]("n_pieces") === 3L)
   }
+
+  test("staged artifact: a fresh JVM (memo cleared) reuses the " +
+    "on-disk trained table; an in-place corpus rewrite rebuilds it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-unigram-stage").toString
+    ((0 until 30).map(i => (i.toLong, "web", "xyxy xyxy xy")) ++
+      (30 until 40).map(i => (i.toLong, "web", "qr")))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val staged = new java.io.File("/tmp/graft_staged/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString + "/unigram_table")
+    def run() = SparkEntry.queries("t132_unigram_train")(spark, dir)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val r1 = run()
+    val tsv = new java.io.File(staged, "table.tsv")
+    assert(tsv.isFile, s"no staged table at $tsv")
+    val mtime1 = tsv.lastModified()
+    // "fresh JVM": only the DISK artifact survives a memo clear —
+    // the re-run must parse it back, not re-train (mtime unchanged)
+    SparkEntry.resetUnigramMemoForTest()
+    Thread.sleep(1100) // fs mtime granularity
+    val r2 = run()
+    assert(r2.toSeq === r1.toSeq, "staged table drifted on reuse")
+    assert(tsv.lastModified() === mtime1,
+      "reuse path rewrote the artifact (re-trained?)")
+    // in-place corpus rewrite → metadata fingerprint changes → the
+    // stale table must NOT be served, from memo or disk
+    ((0 until 40).map(i => (i.toLong, "web", "mn mn mn")))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    SparkEntry.resetUnigramMemoForTest()
+    val r3 = run()
+    assert(tsv.lastModified() !== mtime1,
+      "corpus rewrite did not rebuild the staged table")
+    assert(r3.exists(_._1 == "mn") && !r3.exists(_._1 == "xyxy"),
+      s"rebuilt table still reflects the old corpus: ${r3.map(_._1)}")
+  }
 }
