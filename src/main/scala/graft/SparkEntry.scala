@@ -3207,6 +3207,72 @@ object SparkEntry {
           round(col("__cos"), 6).as("cos"))
     }),
 
+    // Margin-based bitext mining (Artetxe & Schwenk 2019,
+    // arXiv:1811.01136 — the multilingual-corpus curation step that
+    // pairs translation candidates across languages): for each
+    // "source-language" vector (even vec_id) find the best
+    // "target-language" (odd vec_id) match by the RATIO margin —
+    // cos(x,y) normalized by the mean cosine of each side's k-NN
+    // neighborhood — which suppresses hub vectors that look close to
+    // everything. Candidates come from shared SRP buckets (the t10
+    // ANN shape; the oracle replays the same bucketing), neighborhoods
+    // are computed over the SAME candidate sets, and the margin is
+    // INTEGER-exact end to end: cos quantized to micro units before
+    // any summation (order-free sums), then
+    //   margin_ppm = cos·2·kx·ky·10⁶ DIV (Σx·ky + Σy·kx)
+    // (the ratio with both k-NN means over common denominator
+    // 2·kx·ky). Keep the top-1 target per source with margin > 1.0.
+    //
+    // Scale shape: planes grow with the corpus (t10's r14 lesson) so
+    // bucket occupancy — and with it the candidate join and both
+    // per-key windows — stays ~64 rows per key at any corpus size;
+    // the windows key on x_id/y_id (high-cardinality, skew-free).
+    // One candidate table is checkpointed and feeds both k-NN aggs
+    // and the margin join.
+    "t137_bitext_margin" -> ((s, dir) => {
+      val n = tableRowCount(s, dir, "embeddings")
+      val planes = math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max((n + 63) / 64, 2L) - 1)).toInt
+      val k = 4
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val b = e.withColumn("bkt",
+        Vectors.srpBucket(col("v"), dims = 64, planes = planes))
+      val x = b.where(pmod(col("vec_id"), lit(2)) === 0)
+        .select(col("bkt"), col("vec_id").as("x_id"), col("v").as("xv"))
+      val y = b.where(pmod(col("vec_id"), lit(2)) === 1)
+        .select(col("bkt"), col("vec_id").as("y_id"), col("v").as("yv"))
+      val cand = x.join(y, Seq("bkt"))
+        .withColumn("cos_micro",
+          round(Vectors.cosine(col("xv"), col("yv")) * lit(1000000.0))
+            .cast("long"))
+        .where(col("cos_micro") > 0) // negatives never mine as bitext
+        .select("x_id", "y_id", "cos_micro")
+        .distinct() // a pair can share several buckets
+        .localCheckpoint(false) // feeds both k-NN aggs + the margin join
+      val wx = Window.partitionBy("x_id")
+        .orderBy(col("cos_micro").desc, col("y_id"))
+      val wy = Window.partitionBy("y_id")
+        .orderBy(col("cos_micro").desc, col("x_id"))
+      val nnx = cand.withColumn("rk", row_number().over(wx))
+        .where(col("rk") <= k).groupBy("x_id")
+        .agg(sum("cos_micro").as("sx"), count(lit(1)).as("kx"))
+      val nny = cand.withColumn("rk", row_number().over(wy))
+        .where(col("rk") <= k).groupBy("y_id")
+        .agg(sum("cos_micro").as("sy"), count(lit(1)).as("ky"))
+      val wtop = Window.partitionBy("x_id")
+        .orderBy(col("margin_ppm").desc, col("y_id"))
+      cand.join(nnx, Seq("x_id")).join(nny, Seq("y_id"))
+        .where(col("sx") * col("ky") + col("sy") * col("kx") > 0)
+        .withColumn("margin_ppm", expr(
+          "cos_micro * 2 * kx * ky * 1000000 DIV (sx * ky + sy * kx)"))
+        .withColumn("rk", row_number().over(wtop))
+        .where(col("rk") === 1 && col("margin_ppm") > 1000000L)
+        .select(col("x_id"), col("y_id"), col("cos_micro"),
+          col("margin_ppm"))
+    }),
+
     // IVF probe search: approximate top-5 by cosine probing the 2
     // nearest of 16 cells per query — the query path over the q36
     // coarse quantizer. Exact within probed cells (the oracle replays
@@ -7917,6 +7983,63 @@ object SparkEntry {
              ON a.bkt = y.bkt AND a.vec_id < y.vec_id)
          SELECT id_a, id_b, round(csim, 6) AS cos
          FROM s WHERE csim >= 0.99""",
+    // np = max(4, ceil_log2(n/64)) over the UN-doubled corpus; the
+    // margin arithmetic is pure integers after the per-pair micro
+    // quantization, so sums are order-free on both engines.
+    "t137_bitext_margin" ->
+      """WITH e AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+           FROM embeddings),
+         pl AS (
+           SELECT greatest(4, length(bin(
+             greatest((count(*) + 63) // 64, 2) - 1))) AS np
+           FROM e),
+         b AS (
+           SELECT vec_id, v, array_to_string(
+             [CASE WHEN list_sum(
+                [CASE WHEN substr(md5(p::VARCHAR || '_' || d::VARCHAR),
+                            1, 1) BETWEEN '8' AND 'f'
+                      THEN v[d] ELSE -v[d] END
+                 FOR d IN generate_series(1, 64)]) >= 0
+              THEN '1' ELSE '0' END
+              FOR p IN generate_series(1, np)], '') AS bkt
+           FROM e, pl),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS x_id, y.vec_id AS y_id,
+             CAST(round(
+               list_sum([a.v[i]*y.v[i] FOR i IN generate_series(1,64)]) /
+               (sqrt(list_sum([a.v[i]*a.v[i]
+                               FOR i IN generate_series(1,64)])) *
+                sqrt(list_sum([y.v[i]*y.v[i]
+                               FOR i IN generate_series(1,64)])))
+               * 1000000) AS BIGINT) AS cos_micro
+           FROM b a JOIN b y
+             ON a.bkt = y.bkt AND a.vec_id % 2 = 0 AND y.vec_id % 2 = 1
+           WHERE list_sum([a.v[i]*y.v[i]
+                           FOR i IN generate_series(1,64)]) > 0),
+         cp AS (SELECT * FROM cand WHERE cos_micro > 0),
+         nnx AS (
+           SELECT x_id, CAST(sum(cos_micro) AS BIGINT) AS sx,
+             CAST(count(*) AS BIGINT) AS kx
+           FROM (SELECT *, row_number() OVER (PARTITION BY x_id
+                   ORDER BY cos_micro DESC, y_id) AS rk FROM cp) z
+           WHERE rk <= 4 GROUP BY 1),
+         nny AS (
+           SELECT y_id, CAST(sum(cos_micro) AS BIGINT) AS sy,
+             CAST(count(*) AS BIGINT) AS ky
+           FROM (SELECT *, row_number() OVER (PARTITION BY y_id
+                   ORDER BY cos_micro DESC, x_id) AS rk FROM cp) z
+           WHERE rk <= 4 GROUP BY 1),
+         mg AS (
+           SELECT c.x_id, c.y_id, c.cos_micro,
+             CAST(c.cos_micro * 2 * kx * ky * 1000000
+               // (sx * ky + sy * kx) AS BIGINT) AS margin_ppm
+           FROM cp c JOIN nnx USING (x_id) JOIN nny USING (y_id)
+           WHERE sx * ky + sy * kx > 0)
+         SELECT x_id, y_id, cos_micro, margin_ppm FROM (
+           SELECT *, row_number() OVER (PARTITION BY x_id
+             ORDER BY margin_ppm DESC, y_id) AS rk FROM mg) t
+         WHERE rk = 1 AND margin_ppm > 1000000""",
     "t9_ivf_probe" ->
       """WITH e AS (
            SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
