@@ -644,6 +644,102 @@ object SparkEntry {
     s.read.parquet(path).select("doc_id", "cluster_id")
   }
 
+  /** t137's candidate generator: cross-side (even vec_id = "source
+    * language", odd = "target") pairs sharing an SRP bucket, with the
+    * pair cosine pre-quantized to integer micro units (order-free
+    * sums downstream). Plane count scales with the corpus
+    * (max(4, ceil_log2(n/64)), t10's r14 lesson) so bucket occupancy
+    * — and the candidate join and per-key windows it feeds — stays
+    * ~64 rows/key at any corpus size. Checkpointed: three consumers
+    * (both k-NN aggs + the margin join). */
+  private def bitextIvfCandidates(s: SparkSession, dir: String,
+                                  nProbe: Int = 2,
+                                  xFilter: Column = lit(true))
+      : DataFrame = {
+    // IVF cells, not SRP buckets: the bitext operating point is
+    // MID-similarity (a translation pair sits at cos ≈ 0.8, far from
+    // the near-dup band where t10's sign-random projections excel),
+    // and a single SRP table's per-plane agreement decays
+    // exponentially there — measured: radius-0 recall ~10 % on this
+    // corpus. Coarse Voronoi cells + multi-probe is what production
+    // bitext miners (FAISS IVF, Artetxe & Schwenk's own setup) use:
+    // the x side probes its nProbe nearest cells via the map-side
+    // top-n kernel (the probe side is corpus-sized — t9's
+    // broadcast-probes shape doesn't apply), the y side sits in its
+    // top-1 cell, candidates join on the cell id. Cell count scales
+    // with the corpus (k = max(16, n/256), t62's discipline) so cell
+    // occupancy — and the candidate join — stays flat. t137b
+    // MEASURES recall per nProbe against an exact probe slice.
+    // Output: (x_id, y_id, cos_micro, probe_rank) where probe_rank is
+    // the rank of the pair's shared cell in x's probe list — so ONE
+    // top-nProbe assignment pass serves every smaller nProbe by a
+    // cheap rank filter (t137b's sweep: one assignment, three
+    // curves). `xFilter` pushes a probe-slice restriction BEFORE the
+    // assignment (per-x candidates are independent of other xs, so
+    // filter-then-assign ≡ assign-then-filter — the twin filters cp).
+    // No distinct: y sits in exactly one cell and x's probed cells
+    // are distinct, so a pair occurs at most once by construction.
+    val n = tableRowCount(s, dir, "embeddings")
+    val k = math.max(16L, n / 256L)
+    val e = T(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val centArr = broadcast(e.where(col("vec_id") < k)
+      .groupBy().agg(collect_list(struct(
+        col("vec_id").cast("long").as("cid"), col("v").as("cv")))
+        .as("__cents")))
+    val x = e.where(pmod(col("vec_id"), lit(2)) === 0 && xFilter)
+      .crossJoin(centArr)
+      .select(col("vec_id").as("x_id"), col("v").as("xv"),
+        posexplode(graft.functions.VectorExpressions
+          .topNCentroid(col("v"), col("__cents"), nProbe)))
+      .select(col("x_id"), col("xv"), col("col").as("cell"),
+        (col("pos") + 1).cast("long").as("probe_rank"))
+    val y = e.where(pmod(col("vec_id"), lit(2)) === 1)
+      .crossJoin(centArr)
+      .select(col("vec_id").as("y_id"), col("v").as("yv"),
+        graft.functions.VectorExpressions
+          .argminCentroid(col("v"), col("__cents")).as("cell"))
+    x.join(y, Seq("cell"))
+      .withColumn("cos_micro",
+        round(Vectors.cosine(col("xv"), col("yv")) * lit(1000000.0))
+          .cast("long"))
+      .where(col("cos_micro") > 0) // negatives never mine as bitext
+      .select("x_id", "y_id", "cos_micro", "probe_rank")
+      .localCheckpoint(false)
+  }
+
+  /** The ratio-margin top-1 selection over a (x_id, y_id, cos_micro)
+    * candidate table (Artetxe & Schwenk 2019): margin = cos over the
+    * mean cosine of both sides' k-NN neighborhoods (computed over
+    * the SAME candidates), in pure integer arithmetic —
+    * margin_ppm = cos·2·kx·ky·10⁶ DIV (Σx·ky + Σy·kx) — and keep the
+    * best target per source above margin 1.0. Shared by t137 (bucket
+    * candidates) and t137b (exact probe candidates), so the miner
+    * and its recall harness cannot drift. */
+  private def bitextTop1(cand: DataFrame, k: Int): DataFrame = {
+    val wx = Window.partitionBy("x_id")
+      .orderBy(col("cos_micro").desc, col("y_id"))
+    val wy = Window.partitionBy("y_id")
+      .orderBy(col("cos_micro").desc, col("x_id"))
+    val nnx = cand.withColumn("rk", row_number().over(wx))
+      .where(col("rk") <= k).groupBy("x_id")
+      .agg(sum("cos_micro").as("sx"), count(lit(1)).as("kx"))
+    val nny = cand.withColumn("rk", row_number().over(wy))
+      .where(col("rk") <= k).groupBy("y_id")
+      .agg(sum("cos_micro").as("sy"), count(lit(1)).as("ky"))
+    val wtop = Window.partitionBy("x_id")
+      .orderBy(col("margin_ppm").desc, col("y_id"))
+    cand.join(nnx, Seq("x_id")).join(nny, Seq("y_id"))
+      .where(col("sx") * col("ky") + col("sy") * col("kx") > 0)
+      .withColumn("margin_ppm", expr(
+        "cos_micro * 2 * kx * ky * 1000000 DIV (sx * ky + sy * kx)"))
+      .withColumn("rk", row_number().over(wtop))
+      .where(col("rk") === 1 && col("margin_ppm") > 1000000L)
+      .select(col("x_id"), col("y_id"), col("cos_micro"),
+        col("margin_ppm"))
+  }
+
   /** The 16 deterministic seed centroids shared by q36/q39/t69 (first
     * 16 vectors as seeds; the SQL twins carry the same `vec_id < 16`
     * literal — ONE Scala definition so the seeding scheme cannot
@@ -1164,6 +1260,83 @@ object SparkEntry {
                     ELSE 1 END) AS BIGINT) AS np_doc
          FROM tokx t LEFT JOIN wiv v ON t.w = v.w CROSS JOIN uvn
          GROUP BY 1)"""
+
+  /** t137's IVF base CTEs (e / kk / cent / ya) — vectors, the
+    * corpus-scaled cell count (k = max(16, n/256), t62's formula),
+    * the deterministic seed centroids (vec_id < k), and the y side's
+    * top-1 cell assignment by (squared distance, cid). */
+  private lazy val bitextBaseSql: String =
+    """e AS (
+         SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+         FROM embeddings),
+       kk AS (SELECT greatest(16, count(*) // 256) AS k FROM e),
+       cent AS (
+         SELECT vec_id AS cid, v AS cv FROM e, kk
+         WHERE vec_id < kk.k),
+       ya AS (
+         SELECT vec_id AS y_id, v AS yv, cid AS cell FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])
+                         FOR i IN generate_series(1, 64)]), c.cid)
+               AS rk
+           FROM e, cent c WHERE e.vec_id % 2 = 1) z
+         WHERE rk = 1)"""
+
+  /** Cell-candidate block at `nProbe` probed cells on the x side —
+    * lands `${p}cp` (x_id, y_id, cm); the exact twin of
+    * `bitextIvfCandidates`, prefix-parameterized so t137b sweeps
+    * nProbe values in one statement. */
+  private def bitextCandSql(p: String, nProbe: Int): String =
+    s"""${p}xa AS (
+         SELECT vec_id AS x_id, v AS xv, cid AS cell FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])
+                         FOR i IN generate_series(1, 64)]), c.cid)
+               AS rk
+           FROM e, cent c WHERE e.vec_id % 2 = 0) z
+         WHERE rk <= $nProbe),
+       ${p}cand AS (
+         SELECT DISTINCT a.x_id, y.y_id,
+           CAST(round(
+             list_sum([a.xv[i]*y.yv[i] FOR i IN generate_series(1,64)]) /
+             (sqrt(list_sum([a.xv[i]*a.xv[i]
+                             FOR i IN generate_series(1,64)])) *
+              sqrt(list_sum([y.yv[i]*y.yv[i]
+                             FOR i IN generate_series(1,64)])))
+             * 1000000) AS BIGINT) AS cm
+         FROM ${p}xa a JOIN ya y USING (cell)),
+       ${p}cp AS (SELECT * FROM ${p}cand WHERE cm > 0)"""
+
+  /** The ratio-margin top-1 block over candidate CTE `base`
+    * (x_id, y_id, cm) — lands `<p>t1`; `bitextTop1`'s exact twin,
+    * prefix-parameterized so t137b can run it on two candidate
+    * universes in one statement. */
+  private def bitextTop1Sql(p: String, base: String): String =
+    s"""${p}nx AS (
+         SELECT x_id, CAST(sum(cm) AS BIGINT) AS sx,
+           CAST(count(*) AS BIGINT) AS kx
+         FROM (SELECT *, row_number() OVER (PARTITION BY x_id
+                 ORDER BY cm DESC, y_id) AS rk FROM $base) z
+         WHERE rk <= 4 GROUP BY 1),
+       ${p}ny AS (
+         SELECT y_id, CAST(sum(cm) AS BIGINT) AS sy,
+           CAST(count(*) AS BIGINT) AS ky
+         FROM (SELECT *, row_number() OVER (PARTITION BY y_id
+                 ORDER BY cm DESC, x_id) AS rk FROM $base) z
+         WHERE rk <= 4 GROUP BY 1),
+       ${p}mg AS (
+         SELECT c.x_id, c.y_id, c.cm,
+           CAST(c.cm * 2 * kx * ky * 1000000
+             // (sx * ky + sy * kx) AS BIGINT) AS margin_ppm
+         FROM $base c JOIN ${p}nx USING (x_id) JOIN ${p}ny USING (y_id)
+         WHERE sx * ky + sy * kx > 0),
+       ${p}t1 AS (
+         SELECT x_id, y_id, cm, margin_ppm FROM (
+           SELECT *, row_number() OVER (PARTITION BY x_id
+             ORDER BY margin_ppm DESC, y_id) AS rk FROM ${p}mg) t
+         WHERE rk = 1 AND margin_ppm > 1000000)"""
 
   /** t7's quality-score formula as a DuckDB expression over `text` —
     * one definition shared by the t7 twin and every oracle that
@@ -3229,48 +3402,62 @@ object SparkEntry {
     // the windows key on x_id/y_id (high-cardinality, skew-free).
     // One candidate table is checkpointed and feeds both k-NN aggs
     // and the margin join.
-    "t137_bitext_margin" -> ((s, dir) => {
-      val n = tableRowCount(s, dir, "embeddings")
-      val planes = math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(
-        math.max((n + 63) / 64, 2L) - 1)).toInt
-      val k = 4
+    "t137_bitext_margin" -> ((s, dir) =>
+      bitextTop1(bitextIvfCandidates(s, dir)
+        .select("x_id", "y_id", "cos_micro"), k = 4)),
+
+    // Recall harness for t137's IVF miner (the t60/t92 discipline:
+    // every approximate scale path ships with its measured recall —
+    // here as a CURVE over nProbe, the IVF recall/cost knob).
+    // Exact side: the SAME margin pipeline over ALL cross-side pairs
+    // of a bounded PROBE slice (x_id < 400 — at 100 TB the exact
+    // side always runs on a probe sample, never the corpus); approx
+    // sides: the cell candidates on the same slice at nProbe 1 and
+    // 2. recall_ppm = mined-pair overlap / exact mined set, integer.
+    "t137b_bitext_recall" -> ((s, dir) => {
+      val probeCap = 400L // even x_ids below this = ~200 probes
       val e = T(s, dir, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
-      val b = e.withColumn("bkt",
-        Vectors.srpBucket(col("v"), dims = 64, planes = planes))
-      val x = b.where(pmod(col("vec_id"), lit(2)) === 0)
-        .select(col("bkt"), col("vec_id").as("x_id"), col("v").as("xv"))
-      val y = b.where(pmod(col("vec_id"), lit(2)) === 1)
-        .select(col("bkt"), col("vec_id").as("y_id"), col("v").as("yv"))
-      val cand = x.join(y, Seq("bkt"))
+      val px = e.where(pmod(col("vec_id"), lit(2)) === 0 &&
+          col("vec_id") < probeCap)
+        .select(col("vec_id").as("x_id"), col("v").as("xv"))
+      val y = e.where(pmod(col("vec_id"), lit(2)) === 1)
+        .select(col("vec_id").as("y_id"), col("v").as("yv"))
+      val exactCand = px.crossJoin(y)
         .withColumn("cos_micro",
           round(Vectors.cosine(col("xv"), col("yv")) * lit(1000000.0))
             .cast("long"))
-        .where(col("cos_micro") > 0) // negatives never mine as bitext
+        .where(col("cos_micro") > 0)
         .select("x_id", "y_id", "cos_micro")
-        .distinct() // a pair can share several buckets
-        .localCheckpoint(false) // feeds both k-NN aggs + the margin join
-      val wx = Window.partitionBy("x_id")
-        .orderBy(col("cos_micro").desc, col("y_id"))
-      val wy = Window.partitionBy("y_id")
-        .orderBy(col("cos_micro").desc, col("x_id"))
-      val nnx = cand.withColumn("rk", row_number().over(wx))
-        .where(col("rk") <= k).groupBy("x_id")
-        .agg(sum("cos_micro").as("sx"), count(lit(1)).as("kx"))
-      val nny = cand.withColumn("rk", row_number().over(wy))
-        .where(col("rk") <= k).groupBy("y_id")
-        .agg(sum("cos_micro").as("sy"), count(lit(1)).as("ky"))
-      val wtop = Window.partitionBy("x_id")
-        .orderBy(col("margin_ppm").desc, col("y_id"))
-      cand.join(nnx, Seq("x_id")).join(nny, Seq("y_id"))
-        .where(col("sx") * col("ky") + col("sy") * col("kx") > 0)
-        .withColumn("margin_ppm", expr(
-          "cos_micro * 2 * kx * ky * 1000000 DIV (sx * ky + sy * kx)"))
-        .withColumn("rk", row_number().over(wtop))
-        .where(col("rk") === 1 && col("margin_ppm") > 1000000L)
-        .select(col("x_id"), col("y_id"), col("cos_micro"),
-          col("margin_ppm"))
+        .localCheckpoint(false)
+      // mined sets are probe-bounded (≤ ~200 rows) — checkpoint so
+      // the semi-joins and counts read them without re-running the
+      // margin pipeline
+      val exact = bitextTop1(exactCand, k = 4)
+        .select(col("x_id"), col("y_id"))
+        .localCheckpoint(false)
+      // ONE top-4 assignment pass serves all three curves: nProbe r
+      // = the rank-≤r slice of the shared ranked candidate table
+      val cand4 = bitextIvfCandidates(s, dir, nProbe = 4,
+        xFilter = col("vec_id") < probeCap)
+      Seq(1, 2, 4).map { r =>
+        val approx = bitextTop1(
+          cand4.where(col("probe_rank") <= r)
+            .select("x_id", "y_id", "cos_micro"), k = 4)
+          .select(col("x_id"), col("y_id"))
+          .localCheckpoint(false)
+        exact.join(approx, Seq("x_id", "y_id"), "left_semi")
+          .agg(count(lit(1)).as("__hit"))
+          .crossJoin(broadcast(
+            exact.agg(count(lit(1)).as("n_exact"))))
+          .crossJoin(broadcast(
+            approx.agg(count(lit(1)).as("n_approx"))))
+          .select(lit(r.toLong).as("nprobe"),
+            col("n_exact"), col("n_approx"),
+            expr("__hit * 1000000 DIV greatest(n_exact, 1)")
+              .as("recall_ppm"))
+      }.reduce(_ unionByName _)
     }),
 
     // IVF probe search: approximate top-5 by cosine probing the 2
@@ -7983,63 +8170,68 @@ object SparkEntry {
              ON a.bkt = y.bkt AND a.vec_id < y.vec_id)
          SELECT id_a, id_b, round(csim, 6) AS cos
          FROM s WHERE csim >= 0.99""",
-    // np = max(4, ceil_log2(n/64)) over the UN-doubled corpus; the
+    // IVF cells scale with the corpus (k = max(16, n/256)); the
     // margin arithmetic is pure integers after the per-pair micro
-    // quantization, so sums are order-free on both engines.
+    // quantization, so sums are order-free on both engines. Shared
+    // CTE blocks: `bitextCandSql` (cell candidates at nProbe=2),
+    // `bitextTop1Sql` (the margin top-1 — serves t137b's sides too).
     "t137_bitext_margin" ->
-      """WITH e AS (
-           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
-           FROM embeddings),
-         pl AS (
-           SELECT greatest(4, length(bin(
-             greatest((count(*) + 63) // 64, 2) - 1))) AS np
-           FROM e),
-         b AS (
-           SELECT vec_id, v, array_to_string(
-             [CASE WHEN list_sum(
-                [CASE WHEN substr(md5(p::VARCHAR || '_' || d::VARCHAR),
-                            1, 1) BETWEEN '8' AND 'f'
-                      THEN v[d] ELSE -v[d] END
-                 FOR d IN generate_series(1, 64)]) >= 0
-              THEN '1' ELSE '0' END
-              FOR p IN generate_series(1, np)], '') AS bkt
-           FROM e, pl),
-         cand AS (
-           SELECT DISTINCT a.vec_id AS x_id, y.vec_id AS y_id,
+      s"""WITH $bitextBaseSql,
+         ${bitextCandSql("", 2)},
+         ${bitextTop1Sql("u_", "cp")}
+         SELECT x_id, y_id, cm AS cos_micro, margin_ppm FROM u_t1""",
+    // Exact side = all cross-side pairs of the probe slice (x < 400);
+    // approx sides = the cell candidates on the same slice at
+    // nProbe 1 and 2; all run the SAME margin block, recall over
+    // mined-(x,y) overlap, one row per nProbe.
+    "t137b_bitext_recall" ->
+      s"""WITH $bitextBaseSql,
+         ${bitextCandSql("r0", 1)},
+         ${bitextCandSql("r1", 2)},
+         ${bitextCandSql("r2", 4)},
+         bcp0 AS (SELECT * FROM r0cp WHERE x_id < 400),
+         bcp1 AS (SELECT * FROM r1cp WHERE x_id < 400),
+         bcp2 AS (SELECT * FROM r2cp WHERE x_id < 400),
+         ec AS (
+           SELECT a.vec_id AS x_id, y.vec_id AS y_id,
              CAST(round(
                list_sum([a.v[i]*y.v[i] FOR i IN generate_series(1,64)]) /
                (sqrt(list_sum([a.v[i]*a.v[i]
                                FOR i IN generate_series(1,64)])) *
                 sqrt(list_sum([y.v[i]*y.v[i]
                                FOR i IN generate_series(1,64)])))
-               * 1000000) AS BIGINT) AS cos_micro
-           FROM b a JOIN b y
-             ON a.bkt = y.bkt AND a.vec_id % 2 = 0 AND y.vec_id % 2 = 1
-           WHERE list_sum([a.v[i]*y.v[i]
-                           FOR i IN generate_series(1,64)]) > 0),
-         cp AS (SELECT * FROM cand WHERE cos_micro > 0),
-         nnx AS (
-           SELECT x_id, CAST(sum(cos_micro) AS BIGINT) AS sx,
-             CAST(count(*) AS BIGINT) AS kx
-           FROM (SELECT *, row_number() OVER (PARTITION BY x_id
-                   ORDER BY cos_micro DESC, y_id) AS rk FROM cp) z
-           WHERE rk <= 4 GROUP BY 1),
-         nny AS (
-           SELECT y_id, CAST(sum(cos_micro) AS BIGINT) AS sy,
-             CAST(count(*) AS BIGINT) AS ky
-           FROM (SELECT *, row_number() OVER (PARTITION BY y_id
-                   ORDER BY cos_micro DESC, x_id) AS rk FROM cp) z
-           WHERE rk <= 4 GROUP BY 1),
-         mg AS (
-           SELECT c.x_id, c.y_id, c.cos_micro,
-             CAST(c.cos_micro * 2 * kx * ky * 1000000
-               // (sx * ky + sy * kx) AS BIGINT) AS margin_ppm
-           FROM cp c JOIN nnx USING (x_id) JOIN nny USING (y_id)
-           WHERE sx * ky + sy * kx > 0)
-         SELECT x_id, y_id, cos_micro, margin_ppm FROM (
-           SELECT *, row_number() OVER (PARTITION BY x_id
-             ORDER BY margin_ppm DESC, y_id) AS rk FROM mg) t
-         WHERE rk = 1 AND margin_ppm > 1000000""",
+               * 1000000) AS BIGINT) AS cm
+           FROM e a, e y
+           WHERE a.vec_id % 2 = 0 AND a.vec_id < 400
+             AND y.vec_id % 2 = 1),
+         ecp AS (SELECT * FROM ec WHERE cm > 0),
+         ${bitextTop1Sql("a0_", "bcp0")},
+         ${bitextTop1Sql("a1_", "bcp1")},
+         ${bitextTop1Sql("a2_", "bcp2")},
+         ${bitextTop1Sql("ex_", "ecp")}
+         SELECT CAST(1 AS BIGINT) AS nprobe,
+           (SELECT CAST(count(*) AS BIGINT) FROM ex_t1) AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM a0_t1) AS n_approx,
+           CAST((SELECT count(*) FROM ex_t1 JOIN a0_t1 USING (x_id, y_id))
+             * 1000000
+             // greatest((SELECT count(*) FROM ex_t1), 1) AS BIGINT)
+             AS recall_ppm
+         UNION ALL
+         SELECT CAST(2 AS BIGINT) AS nprobe,
+           (SELECT CAST(count(*) AS BIGINT) FROM ex_t1) AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM a1_t1) AS n_approx,
+           CAST((SELECT count(*) FROM ex_t1 JOIN a1_t1 USING (x_id, y_id))
+             * 1000000
+             // greatest((SELECT count(*) FROM ex_t1), 1) AS BIGINT)
+             AS recall_ppm
+         UNION ALL
+         SELECT CAST(4 AS BIGINT) AS nprobe,
+           (SELECT CAST(count(*) AS BIGINT) FROM ex_t1) AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM a2_t1) AS n_approx,
+           CAST((SELECT count(*) FROM ex_t1 JOIN a2_t1 USING (x_id, y_id))
+             * 1000000
+             // greatest((SELECT count(*) FROM ex_t1), 1) AS BIGINT)
+             AS recall_ppm""",
     "t9_ivf_probe" ->
       """WITH e AS (
            SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v

@@ -375,9 +375,92 @@ object VectorExpressions {
       : Expression = copy(child = newChild)
   }
 
+  /** Top-`n` nearest centroid ids by (squared distance, cid) — the
+    * multi-probe generalization of [[VecArgminCentroidExpr]], for
+    * assignments where the PROBE side is corpus-sized and cannot ride
+    * t9's broadcast-probes shape (bitext mining probes nProbe cells
+    * per source vector). Same map-side contract: one scan of the
+    * broadcast centroid array per row, order-insensitive, no row
+    * explosion, no shuffle. Returns array<long> of ≤ n cids sorted by
+    * (dist, cid); empty/mismatched centroid arrays → empty. */
+  case class VecTopNCentroidExpr(left: Expression, right: Expression,
+                                 n: Int)
+    extends BinaryExpression with CodegenFallback {
+    require(n >= 1, s"n=$n")
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_vec_topn_centroid"
+    override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      right.dataType match {
+        case ArrayType(st: StructType, _)
+          if st.fields.length == 2 && st.fields(0).dataType == LongType &&
+            st.fields(1).dataType.isInstanceOf[ArrayType] =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"topNCentroid expects array<struct<cid:bigint, " +
+            s"cv:array<numeric>>>, got $other (cast cid to long)")
+      }
+    }
+    @transient private lazy val vt: DataType =
+      left.dataType.asInstanceOf[ArrayType].elementType
+    @transient private lazy val centStruct: StructType = right.dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    @transient private lazy val cvType: DataType =
+      centStruct.fields(1).dataType.asInstanceOf[ArrayType].elementType
+
+    protected override def nullSafeEval(vec: Any, cents: Any): Any = {
+      val v = vec.asInstanceOf[ArrayData]
+      val cs = cents.asInstanceOf[ArrayData]
+      val len = v.numElements()
+      // bounded insertion sort into n slots (n is 1-4 in practice)
+      val dists = Array.fill(n)(Double.PositiveInfinity)
+      val cids = new Array[Long](n)
+      var filled = 0
+      var c = 0
+      while (c < cs.numElements()) {
+        val s = cs.getStruct(c, 2)
+        val cid = s.getLong(0)
+        val cv = s.getArray(1)
+        if (cv.numElements() == len) {
+          var acc = 0.0
+          var i = 0
+          while (i < len) {
+            val d = get(v, i, vt) - get(cv, i, cvType)
+            acc += d * d
+            i += 1
+          }
+          // insert (acc, cid) if it beats the current worst slot
+          var p = if (filled < n) filled else n - 1
+          val beatsLast = filled < n || acc < dists(n - 1) ||
+            (acc == dists(n - 1) && cid < cids(n - 1))
+          if (beatsLast) {
+            while (p > 0 && (acc < dists(p - 1) ||
+                (acc == dists(p - 1) && cid < cids(p - 1)))) {
+              dists(p) = dists(p - 1); cids(p) = cids(p - 1); p -= 1
+            }
+            dists(p) = acc; cids(p) = cid
+            if (filled < n) filled += 1
+          }
+        }
+        c += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        (0 until filled).map(i => cids(i): Any).toArray)
+    }
+    override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
   def argminCentroid(vec: Column, cents: Column): Column =
     GraftColumnBridge.column(VecArgminCentroidExpr(
       GraftColumnBridge.expression(vec), GraftColumnBridge.expression(cents)))
+
+  def topNCentroid(vec: Column, cents: Column, n: Int): Column =
+    GraftColumnBridge.column(VecTopNCentroidExpr(
+      GraftColumnBridge.expression(vec), GraftColumnBridge.expression(cents),
+      n))
 
   def mmrPicks(cands: Column, lambda: Double, mu: Double, k: Int): Column =
     GraftColumnBridge.column(MmrPicksExpr(

@@ -267,6 +267,11 @@ class PlanAuditSpec extends SparkSpec {
     // the budget cut) are visible because the card aggregates the
     // chain's UNCHECKPOINTED gate frame; t131 checkpoints past them
     "t135_release_card" -> 2,
+    // t137b: three nProbe variants × two 1-row [scalar] mined-set
+    // count broadcasts (the [model] centroid-array broadcasts sit
+    // behind the candidate checkpoint and carry no hint lineage —
+    // t137 itself audits at zero for the same reason)
+    "t137b_bitext_recall" -> 6,
     "t13_decontaminate" -> 1, // [probe] eval gram set
     "t14_tfidf" -> 1, // [scalar] doc-count 1-row
     "t25_quality_shards" -> 2, // [bucket] two-level rank tables
