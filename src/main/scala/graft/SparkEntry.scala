@@ -260,7 +260,7 @@ object SparkEntry {
   private val UnigramMaxWordLen = 16
   // per-JVM memo: artifact path -> (corpus fingerprint, table). Like
   // stagedNeardupLabels, the trained table is ALSO staged on disk
-  // with a fingerprint sidecar (r14 verdict item #4): training costs
+  // as a fingerprint-NAMED file (r14 verdict item #4): training costs
   // 3 EM rounds of Spark jobs, and the production cadence is one
   // training per corpus snapshot with many consumers across many
   // JVMs (t133/t134 encodes, t131's release export). A fresh JVM
@@ -301,9 +301,18 @@ object SparkEntry {
       if (cached != null && cached._1 == fp) cached
       else {
         val conf = s.sparkContext.hadoopConfiguration
-        val tablePath = new org.apache.hadoop.fs.Path(base, "table.tsv")
-        val fpPath = new org.apache.hadoop.fs.Path(base, "_corpus_fp")
-        val fs = fpPath.getFileSystem(conf)
+        // ONE atomic file per corpus snapshot, NAMED by the snapshot
+        // fingerprint (r15 advice): a table.tsv + _corpus_fp pair is
+        // two separately-atomic writes, and two JVMs training against
+        // different snapshots can interleave as A.table, B.table,
+        // B.fp, A.fp — pairing B's table with A's sidecar and serving
+        // a wrong trained table silently. Keying the FILENAME by the
+        // fingerprint makes (identity, content) one atomic rename:
+        // readers of fp X only ever see a complete table trained for
+        // X, and writers of different snapshots cannot collide.
+        val tablePath =
+          new org.apache.hadoop.fs.Path(base, s"table.$fp.tsv")
+        val fs = tablePath.getFileSystem(conf)
         def readFile(p: org.apache.hadoop.fs.Path): Option[String] =
           try {
             val in = fs.open(p)
@@ -316,25 +325,41 @@ object SparkEntry {
             } finally in.close()
           } catch { case _: java.io.IOException => None }
         val fromDisk: Option[Seq[(String, Long, Long)]] =
-          if (readFile(fpPath).contains(fp))
-            readFile(tablePath).map(_.split("\n").iterator
-              .filter(_.nonEmpty).map { line =>
-                val Array(p, c, k) = line.split("\t", 3)
-                (p, c.toLong, k.toLong)
-              }.toSeq)
-          else None
+          readFile(tablePath).map(_.split("\n").iterator
+            .filter(_.nonEmpty).map { line =>
+              val Array(p, c, k) = line.split("\t", 3)
+              (p, c.toLong, k.toLong)
+            }.toSeq)
         val table = fromDisk.getOrElse {
           val trained = trainUnigram(s, dir)
-          // table before fp: a reader only trusts table.tsv once the
-          // sidecar matches its corpus, and both writes are atomic
           atomicWrite(fs, tablePath, trained.map { case (p, c, k) =>
             s"$p\t$c\t$k" }.mkString("\n").getBytes("UTF-8"))
-          atomicWrite(fs, fpPath, fp.getBytes("UTF-8"))
           trained
         }
         (fp, table)
       }
     })._2
+  }
+
+  /** UTF-8 byte order (unsigned lexicographic) — the collation vocab
+    * ids are defined under (r15 advice): Scala's default String order
+    * is UTF-16 code-unit order, which diverges from binary/UTF-8
+    * order for [U+E000,U+FFFF] vs supplementary-plane characters, so
+    * a sortBy(_._1) table would assign different ids than the DuckDB
+    * twin's row_number() OVER (ORDER BY p) on a non-ASCII corpus.
+    * Comparing the UTF-8 byte sequences makes the id scheme match
+    * binary collation for ALL inputs (identical on ASCII). */
+  private val utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var r = 0
+    while (r == 0 && i < n) {
+      r = (x(i) & 0xff) - (y(i) & 0xff)
+      i += 1
+    }
+    if (r != 0) r else x.length - y.length
   }
   private def trainUnigram(s: SparkSession,
                            dir: String): Seq[(String, Long, Long)] = {
@@ -354,9 +379,14 @@ object SparkEntry {
           seedAll.where(length(col("p")) === 1).collect())
           .map(r => (r.getString(0), r.getLong(1))).distinct
         val seedTotal = seed.map(_._2).sum
+        // all piece orderings under utf8Order (binary collation):
+        // the table's final order IS the vocab id assignment, and the
+        // prune tie-break decides vocabulary membership — both must
+        // match the DuckDB twin's binary string comparisons for
+        // non-ASCII corpora, not just this testdata's ASCII
         var table: Seq[(String, Long)] = seed.map { case (p, w) =>
           (p, math.round(math.log(seedTotal.toDouble / w) * 1e6))
-        }.sortBy(_._1)
+        }.sortBy(_._1)(utf8Order)
         var lastCounts = Map.empty[String, Long]
         for (_ <- 1 to UnigramRounds) {
           val counts = words
@@ -368,14 +398,15 @@ object SparkEntry {
           val withC = table.map { case (p, _) =>
             (p, counts.getOrElse(p, 0L)) }
           val nKeep = (4 * withC.size + 4) / 5
-          val kept = withC.sortBy { case (p, c) => (-c, p) }
+          val kept = withC.sortBy { case (p, c) => (-c, p) }(
+              Ordering.Tuple2(implicitly[Ordering[Long]], utf8Order))
             .zipWithIndex
             .collect { case ((p, c), i) if i < nKeep || isSingle(p) =>
               (p, c) }
           val t = kept.map(_._2 + 1).sum
           table = kept.map { case (p, c) =>
             (p, math.round(math.log(t.toDouble / (c + 1)) * 1e6))
-          }.sortBy(_._1)
+          }.sortBy(_._1)(utf8Order)
           lastCounts = kept.toMap
         }
         table.map { case (p, cost) => (p, lastCounts(p), cost) }
@@ -645,12 +676,13 @@ object SparkEntry {
   }
 
   /** t137's candidate generator: cross-side (even vec_id = "source
-    * language", odd = "target") pairs sharing an SRP bucket, with the
-    * pair cosine pre-quantized to integer micro units (order-free
-    * sums downstream). Plane count scales with the corpus
-    * (max(4, ceil_log2(n/64)), t10's r14 lesson) so bucket occupancy
-    * — and the candidate join and per-key windows it feeds — stays
-    * ~64 rows/key at any corpus size. Checkpointed: three consumers
+    * language", odd = "target") pairs sharing an IVF cell — the x
+    * side multi-probes its nProbe nearest cells, the y side sits in
+    * its top-1 cell — with the pair cosine pre-quantized to integer
+    * micro units (order-free sums downstream). Cell count scales with
+    * the corpus (k = max(16, n/256), t62's discipline) so cell
+    * occupancy — and the candidate join and per-key windows it feeds
+    * — stays flat at any corpus size. Checkpointed: three consumers
     * (both k-NN aggs + the margin join). */
   private def bitextIvfCandidates(s: SparkSession, dir: String,
                                   nProbe: Int = 2,
@@ -3387,21 +3419,23 @@ object SparkEntry {
     // "target-language" (odd vec_id) match by the RATIO margin —
     // cos(x,y) normalized by the mean cosine of each side's k-NN
     // neighborhood — which suppresses hub vectors that look close to
-    // everything. Candidates come from shared SRP buckets (the t10
-    // ANN shape; the oracle replays the same bucketing), neighborhoods
-    // are computed over the SAME candidate sets, and the margin is
-    // INTEGER-exact end to end: cos quantized to micro units before
-    // any summation (order-free sums), then
+    // everything. Candidates come from shared IVF cells with
+    // multi-probe on the x side (the oracle replays the same cell
+    // assignment; see bitextIvfCandidates for why SRP was rejected at
+    // this operating point), neighborhoods are computed over the SAME
+    // candidate sets, and the margin is INTEGER-exact end to end: cos
+    // quantized to micro units before any summation (order-free
+    // sums), then
     //   margin_ppm = cos·2·kx·ky·10⁶ DIV (Σx·ky + Σy·kx)
     // (the ratio with both k-NN means over common denominator
     // 2·kx·ky). Keep the top-1 target per source with margin > 1.0.
     //
-    // Scale shape: planes grow with the corpus (t10's r14 lesson) so
-    // bucket occupancy — and with it the candidate join and both
-    // per-key windows — stays ~64 rows per key at any corpus size;
-    // the windows key on x_id/y_id (high-cardinality, skew-free).
-    // One candidate table is checkpointed and feeds both k-NN aggs
-    // and the margin join.
+    // Scale shape: the cell count grows with the corpus
+    // (k = max(16, n/256), t62's discipline) so cell occupancy — and
+    // with it the candidate join and both per-key windows — stays
+    // ~256·2 rows per key at any corpus size; the windows key on
+    // x_id/y_id (high-cardinality, skew-free). One candidate table is
+    // checkpointed and feeds both k-NN aggs and the margin join.
     "t137_bitext_margin" -> ((s, dir) =>
       bitextTop1(bitextIvfCandidates(s, dir)
         .select("x_id", "y_id", "cos_micro"), k = 4)),

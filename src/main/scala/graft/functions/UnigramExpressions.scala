@@ -46,10 +46,10 @@ object UnigramExpressions {
       else ArrayType(StringType, containsNull = false)
 
     // Vocab id = the piece's index in the CONSTRUCTOR order. Callers
-    // pass the trained table sorted by piece, so ids are the
-    // sorted-piece ranks — the same `row_number() OVER (ORDER BY p)-1`
-    // the DuckDB twin assigns (binary order == Scala string order for
-    // this corpus's ASCII pieces).
+    // pass the trained table sorted by UTF-8 byte order, so ids are
+    // the sorted-piece ranks — the same `row_number() OVER (ORDER BY
+    // p)-1` the DuckDB twin assigns under binary collation, for ALL
+    // inputs (the trainer sorts with SparkEntry.utf8Order).
     @transient private lazy val pieceId: java.util.HashMap[String, java.lang.Long] = {
       val m = new java.util.HashMap[String, java.lang.Long](pieces.size * 2)
       pieces.zipWithIndex.foreach { case ((p, _), i) =>

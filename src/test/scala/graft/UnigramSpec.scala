@@ -97,9 +97,18 @@ class UnigramSpec extends SparkSpec {
     def run() = SparkEntry.queries("t132_unigram_train")(spark, dir)
       .collect().map(r =>
         (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // the artifact is ONE file NAMED by the corpus fingerprint
+    // (table.<fp>.tsv — identity and content land in one atomic
+    // rename, so cross-JVM writers of different snapshots can never
+    // pair one snapshot's table with another's identity)
+    def stagedTables(): Seq[java.io.File] =
+      Option(staged.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.getName.startsWith("table.") &&
+          f.getName.endsWith(".tsv"))
     val r1 = run()
-    val tsv = new java.io.File(staged, "table.tsv")
-    assert(tsv.isFile, s"no staged table at $tsv")
+    val tsvs1 = stagedTables()
+    assert(tsvs1.size === 1, s"expected one staged table: $tsvs1")
+    val tsv = tsvs1.head
     val mtime1 = tsv.lastModified()
     // "fresh JVM": only the DISK artifact survives a memo clear —
     // the re-run must parse it back, not re-train (mtime unchanged)
@@ -110,14 +119,16 @@ class UnigramSpec extends SparkSpec {
     assert(tsv.lastModified() === mtime1,
       "reuse path rewrote the artifact (re-trained?)")
     // in-place corpus rewrite → metadata fingerprint changes → the
-    // stale table must NOT be served, from memo or disk
+    // stale table must NOT be served, from memo or disk: a NEW
+    // fingerprint-named artifact appears (the stale one may linger —
+    // its name can never match the new snapshot)
     ((0 until 40).map(i => (i.toLong, "web", "mn mn mn")))
       .toDF("doc_id", "source", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     SparkEntry.resetUnigramMemoForTest()
     val r3 = run()
-    assert(tsv.lastModified() !== mtime1,
-      "corpus rewrite did not rebuild the staged table")
+    assert(stagedTables().map(_.getName).toSet.size === 2,
+      s"corpus rewrite did not stage a new table: ${stagedTables()}")
     assert(r3.exists(_._1 == "mn") && !r3.exists(_._1 == "xyxy"),
       s"rebuilt table still reflects the old corpus: ${r3.map(_._1)}")
   }
