@@ -132,6 +132,26 @@ object Bench {
     // (-1 = none ran). The scaling smokes read this — pointer-jumping
     // must stay ~log2(diameter) as the corpus grows.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top10,"top10_passes":$top10Passes,"partial_top10":true,"min_of":2,"pass1_total":${passTotal(pass1)},"pass2_total":${passTotal(pass2)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cc_iters":${graft.ops.Dedup.lastCcIterations},"spill_mb":{"mem":${memSpill.get() / (1024 * 1024)},"disk":${diskSpill.get() / (1024 * 1024)}},"heap_max_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},"sf":"$sfDir"}""")
+    // The driver archives only ~2 KB of stdout tail, so the complete
+    // per-query map above is truncated away — which made cross-round
+    // per-query regression diffing impossible from archives alone
+    // (the r15 verdict had to RE-RUN the suite to clear a contended
+    // 163 s headline). Persist the full name→[pass1,pass2] map as a
+    // repo artifact, committed per round; SPARK_GRAFT_BENCH_FULL
+    // overrides the path (scale probes write elsewhere).
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "bench_full.json")
+    val fullJson = results.toSeq.sortBy(_._1).map { case (k, (_, ok)) =>
+      f""""$k":{"passes":[${pass1(k)._1}%.3f,${pass2(k)._1}%.3f],"ok":$ok}"""
+    }.mkString(
+      s"""{"sf":"$sfDir","n":${results.size},"total":$total,""" +
+        s""""pass1_total":${passTotal(pass1)},""" +
+        s""""pass2_total":${passTotal(pass2)},"queries":{""",
+      ",", "}}")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      fullJson.getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $fullPath: $e") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

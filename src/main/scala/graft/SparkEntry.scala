@@ -430,26 +430,68 @@ object SparkEntry {
   /** The composed release chain S0–S5 (ingest → gates → keep-best
     * dedup → span decontam/redact → token budget → shuffle + REAL
     * tokenizer ids), shared by t131 (TFRecord export + decoded-shard
-    * gate) and t135 (data card). One call = one release RUN: S0
-    * re-ingests and the artifact frames are freshly checkpointed.
-    * Directory protocol: each JVM owns an immutable run dir under the
-    * corpus-keyed root (`Release.runDir`, keyed by applicationId), so
-    * concurrent sessions gating the same corpus never touch each
+    * gate) and t135 (data card), MEMOIZED per (corpus snapshot, JVM):
+    * one run per snapshot, both consumers read its checkpointed
+    * frames. Directory protocol: each chain execution owns a fresh
+    * immutable run dir under the corpus-keyed root (`Release.runDir`,
+    * keyed by applicationId + sequence), so concurrent sessions — and
+    * successive snapshots within one session — never touch each
     * other's files; t131 publishes the run via the atomic `_latest`
-    * pointer after the export lands. */
+    * pointer after the export lands, exactly once per run dir. */
   private case class ReleaseRun(relRoot: String, relDir: String,
     nQuar: Long, docs: DataFrame, gatePass: DataFrame, kb: DataFrame,
     kept: DataFrame, art: DataFrame, vocabSize: Long)
 
+  // per-JVM memo: release root -> (appId, corpus fingerprint, run).
+  // The chain is deterministic per (dir, corpus snapshot), and before
+  // r16 each of t131 and t135 ran it INDEPENDENTLY — the suite paid
+  // the whole ingest→gates→dedup→redact→budget chain twice per corpus
+  // (~40 s duplicated at 100×). Same discipline as trainedUnigram:
+  // metadata fingerprint keys the snapshot (an in-place corpus
+  // rewrite rebuilds), the appId guards against serving checkpointed
+  // frames from a stopped session.
+  private val releaseMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, ReleaseRun)]()
+  // each chain EXECUTION owns a fresh, never-rewritten run dir
+  // (appId + a per-JVM sequence): once a dir is published via
+  // _latest, NOTHING writes under it again — a same-session re-run
+  // serves the memo, and a corpus rewrite lands in a NEW dir and only
+  // then swaps the pointer (r15 advice: the old scheme reused the
+  // appId dir, so a re-run's stale-shard clear could briefly empty a
+  // dir a concurrent reader had just resolved).
+  private val releaseSeq = new java.util.concurrent.atomic.AtomicLong()
+  // export-once latch keyed by run dir: computeIfAbsent both
+  // serializes concurrent exporters of one run and blocks them until
+  // the export + publish completes
+  private val releaseExported = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.Boolean]()
+  /** TEST hook (ReleasePipelineSpec): drop the per-JVM release memo
+    * so a spec can prove rebuild-on-corpus-rewrite within one JVM. */
+  private[graft] def resetReleaseMemoForTest(): Unit = releaseMemo.clear()
+  /** TEST hook: the run dir the chain currently resolves to. */
+  private[graft] def releaseRunDirForTest(s: SparkSession,
+                                          dir: String): String =
+    releaseChain(s, dir).relDir
+
   private def releaseChain(s: SparkSession, dir: String): ReleaseRun = {
-    import s.implicits._
     val relRoot = "/tmp/graft_release/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8"))
         .take(6).map("%02x".format(_)).mkString
-    val relDir =
-      graft.sink.Release.runDir(relRoot, s.sparkContext.applicationId)
+    val fp = corpusFingerprint(s, dir)
+    val appId = s.sparkContext.applicationId
+    releaseMemo.compute(relRoot, (_, cached) => {
+      if (cached != null && cached._1 == appId && cached._2 == fp) cached
+      else (appId, fp, runReleaseChain(s, dir, relRoot))
+    })._3
+  }
+
+  private def runReleaseChain(s: SparkSession, dir: String,
+                              relRoot: String): ReleaseRun = {
+    import s.implicits._
+    val relDir = graft.sink.Release.runDir(relRoot,
+      s"${s.sparkContext.applicationId}_${releaseSeq.incrementAndGet()}")
     // S0 — write the corpus as sharded .jsonl.gz, read it back with
     // the quarantine contract; all downstream TEXT flows from here
     val cols = Seq("doc_id", "source", "text")
@@ -750,19 +792,34 @@ object SparkEntry {
     * candidates) and t137b (exact probe candidates), so the miner
     * and its recall harness cannot drift. */
   private def bitextTop1(cand: DataFrame, k: Int): DataFrame = {
-    val wx = Window.partitionBy("x_id")
+    // The k-NN neighborhood stats ride the SAME sorted pass as their
+    // rank (r15 verdict #8): rank rows within each side once, then
+    // take sum/count of the top-k as unordered window aggregates over
+    // the identical partitioning — Spark chains both Window operators
+    // on one exchange+sort per side, where the old shape paid a
+    // groupBy + join-back against the corpus-sized candidate table
+    // per side. Exact same stats: row_number's (cos desc, id) order
+    // is the tie-break the groupBy version ranked with, and the sums
+    // are integers.
+    val wxo = Window.partitionBy("x_id")
       .orderBy(col("cos_micro").desc, col("y_id"))
-    val wy = Window.partitionBy("y_id")
+    val wyo = Window.partitionBy("y_id")
       .orderBy(col("cos_micro").desc, col("x_id"))
-    val nnx = cand.withColumn("rk", row_number().over(wx))
-      .where(col("rk") <= k).groupBy("x_id")
-      .agg(sum("cos_micro").as("sx"), count(lit(1)).as("kx"))
-    val nny = cand.withColumn("rk", row_number().over(wy))
-      .where(col("rk") <= k).groupBy("y_id")
-      .agg(sum("cos_micro").as("sy"), count(lit(1)).as("ky"))
+    val wxa = Window.partitionBy("x_id")
+    val wya = Window.partitionBy("y_id")
     val wtop = Window.partitionBy("x_id")
       .orderBy(col("margin_ppm").desc, col("y_id"))
-    cand.join(nnx, Seq("x_id")).join(nny, Seq("y_id"))
+    cand
+      .withColumn("__rx", row_number().over(wxo))
+      .withColumn("sx",
+        sum(when(col("__rx") <= k, col("cos_micro"))).over(wxa))
+      .withColumn("kx",
+        count(when(col("__rx") <= k, lit(1))).over(wxa))
+      .withColumn("__ry", row_number().over(wyo))
+      .withColumn("sy",
+        sum(when(col("__ry") <= k, col("cos_micro"))).over(wya))
+      .withColumn("ky",
+        count(when(col("__ry") <= k, lit(1))).over(wya))
       .where(col("sx") * col("ky") + col("sy") * col("kx") > 0)
       .withColumn("margin_ppm", expr(
         "cos_micro * 2 * kx * ky * 1000000 DIV (sx * ky + sy * kx)"))
@@ -6185,15 +6242,21 @@ object SparkEntry {
         .agg(sum(col("tok")).as("n_tokens"),
           sum(col("__ch")).as("content_sum"),
           min(col("key")).as("key_min"), max(col("key")).as("key_max"))
-      // S7 — TFRecord export (the sink's driver-side commit protocol
-      // clears stale shards and temp litter itself), then publish
-      // this run as the corpus's latest release artifact
-      graft.sink.TfRecord.write(
-        art.select("shard", "pos", "doc_id", "input_ids"),
-        s"$relDir/tfrec", "shard", "pos",
-        Seq("doc_id", "input_ids"), Nil)
-      graft.sink.Release.publishLatest(
-        s.sparkContext.hadoopConfiguration, run.relRoot, relDir)
+      // S7 — TFRecord export + publish, EXACTLY ONCE per run dir (the
+      // computeIfAbsent latch blocks concurrent exporters until the
+      // artifact is complete): a published dir is never written
+      // again, so a reader that resolved _latest can never glob a
+      // mid-rewrite shard set. Re-runs serve the memoized run and
+      // fall straight through to the read-back.
+      releaseExported.computeIfAbsent(relDir, _ => {
+        graft.sink.TfRecord.write(
+          art.select("shard", "pos", "doc_id", "input_ids"),
+          s"$relDir/tfrec", "shard", "pos",
+          Seq("doc_id", "input_ids"), Nil)
+        graft.sink.Release.publishLatest(
+          s.sparkContext.hadoopConfiguration, run.relRoot, relDir)
+        java.lang.Boolean.TRUE
+      })
       val decoded = graft.sink.TfRecord.read(s, s"$relDir/tfrec")
         .as[(String, Long, Array[Byte], Boolean)]
         .map { case (shard, idx, data, crcOk) =>

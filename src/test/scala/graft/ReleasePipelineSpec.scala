@@ -36,12 +36,60 @@ class ReleasePipelineSpec extends SparkSpec {
       // tokens too). Exact values are the DuckDB oracle's gate.
       assert(r.getAs[Long]("token_total") > 0L, s"no pieces in $r")
     }
-    // idempotence: the second run rewrites the JSONL and clears +
-    // rewrites the TFRecord dir — stale shards from the first run
-    // must not leak into the read-back
+    // idempotence + publication safety (r16): a same-JVM re-run
+    // serves the MEMOIZED run — identical values, and the published
+    // run dir is never written again (a concurrent reader that
+    // resolved _latest can never glob a mid-rewrite shard set)
+    val relDir = SparkEntry.releaseRunDirForTest(spark, sfDir)
+    def shardStamps(): Map[String, Long] = {
+      val d = new java.io.File(s"$relDir/tfrec")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".tfrecord"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val stamps1 = shardStamps()
+    assert(stamps1.nonEmpty, s"no committed shards under $relDir/tfrec")
     val second = run().collect().sortBy(_.getString(0))
     assert(second.map(r => r.getString(0) -> r.toSeq).toMap === asMap,
       "re-run drifted from the first artifact")
+    assert(shardStamps() === stamps1,
+      "re-run rewrote shards in a PUBLISHED run dir")
+  }
+
+  test("an in-place corpus rewrite lands the release in a NEW run " +
+    "dir and republishes; the old published dir is never touched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-release-rebuild").toString
+    def corpus(tag: String) =
+      (0 until 60).map(i => (i.toLong, "web",
+        s"the $tag and of to in is that it document $i"))
+        .toDF("doc_id", "source", "text")
+    corpus("alpha").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    SparkEntry.queries("t131_release_pipeline")(spark, dir).collect()
+    val dir1 = SparkEntry.releaseRunDirForTest(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new java.io.File(dir1).getParent
+    assert(graft.sink.Release.resolveLatest(conf, root) === Some(dir1))
+    val files1 = Option(new java.io.File(s"$dir1/tfrec").listFiles())
+      .getOrElse(Array.empty)
+      .map(f => f.getName -> f.lastModified()).toMap
+    // rewrite the corpus in place → fingerprint changes → the chain
+    // must re-run into a FRESH dir (memo hit would serve stale data;
+    // reusing dir1 would rewrite a published artifact)
+    Thread.sleep(1100) // fs mtime granularity for the fingerprint
+    corpus("beta").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    SparkEntry.queries("t131_release_pipeline")(spark, dir).collect()
+    val dir2 = SparkEntry.releaseRunDirForTest(spark, dir)
+    assert(dir2 !== dir1, "corpus rewrite did not re-run the chain")
+    assert(graft.sink.Release.resolveLatest(conf, root) === Some(dir2))
+    val files1After = Option(new java.io.File(s"$dir1/tfrec").listFiles())
+      .getOrElse(Array.empty)
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(files1After === files1,
+      "republish touched the previously published run dir")
   }
 
   test("release dir protocol: run dirs are per-session, the run " +
@@ -109,8 +157,14 @@ class ReleasePipelineSpec extends SparkSpec {
     val latest = Release.resolveLatest(
       spark.sparkContext.hadoopConfiguration, relRoot)
     assert(latest.isDefined, s"no _latest under $relRoot")
+    // run dirs are appId + per-execution sequence since r16 (a
+    // published dir is never written again): the pointer must land on
+    // a dir this session owns, and on THE dir the memoized run names
+    assert(latest.get.startsWith(Release.runDir(relRoot,
+      spark.sparkContext.applicationId)),
+      s"published dir ${latest.get} not owned by this session")
     assert(latest.get ===
-      Release.runDir(relRoot, spark.sparkContext.applicationId))
+      SparkEntry.releaseRunDirForTest(spark, sfDir))
     val shards = graft.sink.TfRecord.read(spark, s"${latest.get}/tfrec")
     assert(shards.count() > 0, "published run has no readable shards")
   }
