@@ -453,12 +453,96 @@ object VectorExpressions {
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
+  /** `VecTopNCentroidExpr` with the squared distance retained:
+    * array<struct<cid:bigint, dist:double>> sorted by (dist, cid).
+    * The hierarchical quantizer's level-2 probe needs the distance to
+    * RE-RANK candidate cells gathered from several super-cells — the
+    * cid-only kernel would force a join back to the full flat centroid
+    * table (the exact single-structure shape the hierarchy removes).
+    * Same scan, same tie-breaks, same length-mismatch skip as the
+    * cid-only variant (equivalence: VectorHierSpec). */
+  case class VecTopNCentroidDistExpr(left: Expression, right: Expression,
+                                     n: Int)
+    extends BinaryExpression with CodegenFallback {
+    require(n >= 1, s"n=$n")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("dist", DoubleType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "graft_vec_topn_centroid_dist"
+    override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      right.dataType match {
+        case ArrayType(st: StructType, _)
+          if st.fields.length == 2 && st.fields(0).dataType == LongType &&
+            st.fields(1).dataType.isInstanceOf[ArrayType] =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"topNCentroidDist expects array<struct<cid:bigint, " +
+            s"cv:array<numeric>>>, got $other (cast cid to long)")
+      }
+    }
+    @transient private lazy val vt: DataType =
+      left.dataType.asInstanceOf[ArrayType].elementType
+    @transient private lazy val centStruct: StructType = right.dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    @transient private lazy val cvType: DataType =
+      centStruct.fields(1).dataType.asInstanceOf[ArrayType].elementType
+
+    protected override def nullSafeEval(vec: Any, cents: Any): Any = {
+      val v = vec.asInstanceOf[ArrayData]
+      val cs = cents.asInstanceOf[ArrayData]
+      val len = v.numElements()
+      val dists = Array.fill(n)(Double.PositiveInfinity)
+      val cids = new Array[Long](n)
+      var filled = 0
+      var c = 0
+      while (c < cs.numElements()) {
+        val s = cs.getStruct(c, 2)
+        val cid = s.getLong(0)
+        val cv = s.getArray(1)
+        if (cv.numElements() == len) {
+          var acc = 0.0
+          var i = 0
+          while (i < len) {
+            val d = get(v, i, vt) - get(cv, i, cvType)
+            acc += d * d
+            i += 1
+          }
+          var p = if (filled < n) filled else n - 1
+          val beatsLast = filled < n || acc < dists(n - 1) ||
+            (acc == dists(n - 1) && cid < cids(n - 1))
+          if (beatsLast) {
+            while (p > 0 && (acc < dists(p - 1) ||
+                (acc == dists(p - 1) && cid < cids(p - 1)))) {
+              dists(p) = dists(p - 1); cids(p) = cids(p - 1); p -= 1
+            }
+            dists(p) = acc; cids(p) = cid
+            if (filled < n) filled += 1
+          }
+        }
+        c += 1
+      }
+      new GenericArrayData((0 until filled).map { i =>
+        new GenericInternalRow(Array[Any](cids(i), dists(i)))
+      }.toArray[Any])
+    }
+    override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
   def argminCentroid(vec: Column, cents: Column): Column =
     GraftColumnBridge.column(VecArgminCentroidExpr(
       GraftColumnBridge.expression(vec), GraftColumnBridge.expression(cents)))
 
   def topNCentroid(vec: Column, cents: Column, n: Int): Column =
     GraftColumnBridge.column(VecTopNCentroidExpr(
+      GraftColumnBridge.expression(vec), GraftColumnBridge.expression(cents),
+      n))
+
+  def topNCentroidDist(vec: Column, cents: Column, n: Int): Column =
+    GraftColumnBridge.column(VecTopNCentroidDistExpr(
       GraftColumnBridge.expression(vec), GraftColumnBridge.expression(cents),
       n))
 

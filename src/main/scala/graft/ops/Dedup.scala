@@ -170,18 +170,22 @@ object Dedup {
     * less in-cell pairing. */
   def semDedupKeep(corpus: DataFrame, centroids: DataFrame,
                    idCol: String, cidCol: String, vecCol: String,
-                   tau: Double): DataFrame =
-    semDedupKeepWithVec(corpus, centroids, idCol, cidCol, vecCol, tau)
+                   tau: Double, k: Long = 0L): DataFrame =
+    semDedupKeepWithVec(corpus, centroids, idCol, cidCol, vecCol, tau, k)
       .drop(vecCol)
 
   /** `semDedupKeep` with the vector retained in the output — what a
     * sink-building consumer (`Streaming.semDedupStream`) needs, saving
-    * it an id-keyed join back to the input per batch. */
+    * it an id-keyed join back to the input per batch. `k` is the cell
+    * count the caller sized the index with: at or above
+    * `Vectors.HierarchicalFloor` the assignment routes through the
+    * two-level quantizer (the default 0 keeps the exact flat scan —
+    * every gate-SF corpus sits below the floor anyway). */
   def semDedupKeepWithVec(corpus: DataFrame, centroids: DataFrame,
                           idCol: String, cidCol: String, vecCol: String,
-                          tau: Double): DataFrame = {
-    val asg = Vectors.ivfAssignWithVec(corpus, centroids, idCol, cidCol,
-      vecCol).localCheckpoint(false)
+                          tau: Double, k: Long = 0L): DataFrame = {
+    val asg = Vectors.ivfAssignWithVecScaled(corpus, centroids, k, idCol,
+      cidCol, vecCol).localCheckpoint(false)
     val a = asg.select(col(cidCol), col(idCol).as("__ida"),
       col(vecCol).as("__va"))
     val b = asg.select(col(cidCol), col(idCol).as("__idb"),

@@ -125,6 +125,130 @@ object Vectors {
       .select(col(idCol), col(cidCol))
   }
 
+  // ---- Hierarchical (two-level) coarse quantizer -------------------
+  //
+  // The flat assignment above scans ALL k centroids per corpus row from
+  // ONE broadcast collect_list row. With corpus-scaled cell counts
+  // (k = n/256, t62's discipline) that is O(n·k) = O(n²/256) total work,
+  // and the single centroid row crosses the 2 GB row/broadcast ceiling
+  // near k ≈ 4M (n ≈ 1e9 vectors) — far below a 100 TB corpus. The
+  // production shape (FAISS's IVF_HNSW/IVF²) is a two-level quantizer:
+  // route each row to one of g = ⌈√k⌉ SUPER-cells via one flat argmin
+  // over g supers, then argmin only that super's ~k/g children —
+  // O(n·(g + k/g)) = O(n·2√k) work, and the centroid set lives in a
+  // g-row broadcast TABLE keyed by super-cell (each row O(√k·dims)),
+  // never one array row. Crossover: per-row cost g + k/g beats k once
+  // k > ~4; the flat path stays the default below HierarchicalFloor
+  // because there it is BOTH exact (two-level routing is approximate:
+  // the true nearest child can live in a non-nearest super) and free of
+  // the level-2 join — at k = 1024 the hierarchy already scans 16×
+  // fewer centroids (64 vs 1024), at k = 4M it is 1000× (4096 vs 4M).
+
+  /** Below this cell count the flat single-level scan is both exact and
+    * cheaper (no level-2 join, no probe window); every gate-SF corpus
+    * (n ≤ 200k → k ≤ 781 under the n/256 rule) stays on the historical
+    * flat assignment, so the hierarchy changes no tracked hash. */
+  val HierarchicalFloor: Long = 1024L
+
+  /** Super-cell count for k cells: ⌈√k⌉ equalizes the two scan terms
+    * (g supers + k/g children per row). */
+  def hierGroups(k: Long): Int = math.ceil(math.sqrt(k.toDouble)).toInt
+
+  /** The two broadcast halves of the hierarchical index:
+    * (supersArr, children). Supers are the g smallest-cid centroids
+    * (the `kmeans` seeding idiom — deterministic, replayable in SQL);
+    * every centroid is then assigned to its nearest super by the same
+    * flat argmin (O(k·g), map-side over the centroid table, never the
+    * corpus). `supersArr` is the g-entry array row for level-1 routing;
+    * `children` is the broadcast TABLE (scid → array<struct<cid,cv>>)
+    * for level-2 — per-row size O(√k·dims), never the whole model.
+    * Every super is its own nearest super (dist 0, tie to itself unless
+    * a duplicate-vector super with a smaller cid exists — in which case
+    * the duplicate's group is empty AND unroutable-to, consistently on
+    * both levels), so no corpus row routes to a childless group. */
+  private def hierIndex(centroids: DataFrame, g: Int, cidCol: String,
+                        vecCol: String): (DataFrame, DataFrame) = {
+    val cd = centroids.select(col(cidCol).cast("long").as(cidCol),
+      transform(col(vecCol), x => x.cast("double")).as(vecCol))
+    val supers = cd.orderBy(col(cidCol)).limit(g)
+      .select(col(cidCol).as("__scid"), col(vecCol))
+    val supersArr = broadcast(supers.groupBy().agg(collect_list(struct(
+      col("__scid").as("cid"), col(vecCol).as("cv"))).as("__supers")))
+    val children = broadcast(
+      ivfAssignWithVec(cd, supers, cidCol, "__scid", vecCol)
+        .groupBy(col("__scid"))
+        .agg(collect_list(struct(col(cidCol).as("cid"),
+          col(vecCol).as("cv"))).as("__children")))
+    (supersArr, children)
+  }
+
+  /** Two-level IVF assignment: (id, vec, scid, cid). Level 1 routes via
+    * the argmin kernel over the g-super broadcast array (map-side);
+    * level 2 is a broadcast equi-join on the super id followed by the
+    * same kernel over that super's children column — the corpus never
+    * shuffles. A malformed vector (length mismatch vs every super)
+    * routes nowhere and is DROPPED by the level-2 join, where the flat
+    * path would carry it with a null cid — callers that must keep such
+    * rows filter them out first (every tracked corpus is fixed-dim). */
+  def ivfAssignWithVecHier(corpus: DataFrame, centroids: DataFrame,
+                           g: Int, idCol: String, cidCol: String,
+                           vecCol: String): DataFrame = {
+    val (supersArr, children) = hierIndex(centroids, g, cidCol, vecCol)
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(supersArr)
+      .select(col(idCol), col(vecCol),
+        graft.functions.VectorExpressions
+          .argminCentroid(col(vecCol), col("__supers")).as("__scid"))
+      .join(children, Seq("__scid"))
+      .select(col(idCol), col(vecCol), col("__scid").as("scid"),
+        graft.functions.VectorExpressions
+          .argminCentroid(col(vecCol), col("__children")).as(cidCol))
+  }
+
+  /** Scale-dispatched assignment: flat below `HierarchicalFloor`
+    * (exact, no join), two-level at or above it (O(√k) per row, no
+    * single-row model). Callers pass the cell count they sized the
+    * index with — every corpus-scaled call site knows k. */
+  def ivfAssignWithVecScaled(corpus: DataFrame, centroids: DataFrame,
+                             k: Long, idCol: String, cidCol: String,
+                             vecCol: String): DataFrame =
+    if (k < HierarchicalFloor)
+      ivfAssignWithVec(corpus, centroids, idCol, cidCol, vecCol)
+    else
+      ivfAssignWithVecHier(corpus, centroids, hierGroups(k), idCol,
+        cidCol, vecCol).drop("scid")
+
+  /** Two-level multi-probe: each row's n nearest cells as
+    * (id, vec, cell, probe_rank), probing the n nearest SUPERS and
+    * re-ranking their children's top-n by (dist, cid) — the
+    * hierarchical twin of `topNCentroid`+posexplode on the flat array.
+    * Each cell belongs to exactly one super, so candidates need no
+    * dedup; the final rank is a per-id window over ≤ n² rows (bounded,
+    * WindowGroupLimit pre-reduces map-side). */
+  def hierProbeCells(rows: DataFrame, centroids: DataFrame, g: Int,
+                     n: Int, idCol: String, cidCol: String,
+                     vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (supersArr, children) = hierIndex(centroids, g, cidCol, vecCol)
+    val cand = rows.select(col(idCol), col(vecCol))
+      .crossJoin(supersArr)
+      .select(col(idCol), col(vecCol),
+        explode(graft.functions.VectorExpressions
+          .topNCentroid(col(vecCol), col("__supers"), n)).as("__scid"))
+      .join(children, Seq("__scid"))
+      .select(col(idCol), col(vecCol),
+        explode(graft.functions.VectorExpressions
+          .topNCentroidDist(col(vecCol), col("__children"), n))
+          .as("__cd"))
+      .select(col(idCol), col(vecCol), col("__cd.cid").as("cell"),
+        col("__cd.dist").as("__dist"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__dist"), col("cell"))
+    cand.withColumn("probe_rank", row_number().over(w).cast("long"))
+      .where(col("probe_rank") <= n)
+      .select(col(idCol), col(vecCol), col("cell"), col("probe_rank"))
+  }
+
   /** IVF probe search: approximate top-k by cosine, searching only the
     * `nProbe` cells whose centroids are nearest each query (the standard
     * IVF query path over the `ivfAssign` coarse quantizer). Exact within

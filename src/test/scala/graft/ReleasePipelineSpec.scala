@@ -169,6 +169,79 @@ class ReleasePipelineSpec extends SparkSpec {
     assert(shards.count() > 0, "published run has no readable shards")
   }
 
+  test("release consumer (t139): reads through _latest, verifies the " +
+    "shipped manifest, and fails LOUD on a flipped byte, a truncated " +
+    "shard, and a deleted shard") {
+    // own corpus dir → own release root: the faults injected below
+    // must not poison the sf0.001 artifact other tests share. The
+    // corpus is a COPY of sf0.001's documents (a uniform synthetic
+    // corpus gates to an empty release: identical quality scores mean
+    // nothing clears the self-calibrated median cut).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-release-consume").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def consume() =
+      SparkEntry.queries("t139_release_consume")(spark, dir).collect()
+    val clean = consume()
+    assert(clean.nonEmpty, "consumer saw an empty release")
+    clean.foreach { r =>
+      assert(r.getAs[Long]("crc_fail") === 0L, s"crc_fail in $r")
+      assert(r.getAs[Boolean]("records_match"), s"records in $r")
+      assert(r.getAs[Boolean]("pieces_match"), s"pieces in $r")
+    }
+    val published = graft.sink.Release.resolveLatest(
+      spark.sparkContext.hadoopConfiguration,
+      new java.io.File(SparkEntry.releaseRunDirForTest(spark, dir))
+        .getParent).get
+    val shards = Option(new java.io.File(s"$published/tfrec")
+      .listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".tfrecord")).sortBy(_.getName)
+    assert(shards.length >= 3, s"need ≥3 shards, got ${shards.length}")
+    // drop the Hadoop .crc sidecars of the shards mutated below, so
+    // the OUT-OF-BAND corruption reaches the TFRecord-level CRC32C
+    // instead of tripping ChecksumFileSystem first (TfRecordSpec's
+    // idiom) — a real object store has no sidecars
+    shards.take(3).foreach { f =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(f.getParent, s".${f.getName}.crc"))
+    }
+    // fault 1: flip one byte mid-data in shard 0 → that record's
+    // CRC32C fails → crc_fail > 0 (and the decode is skipped, so the
+    // audit itself survives the garbage bytes)
+    locally {
+      val f = shards(0)
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x41).toByte
+      java.nio.file.Files.write(f.toPath, bytes)
+    }
+    // fault 2: truncate shard 1 → the reader quarantines the torn
+    // tail → recount falls short of the manifest
+    locally {
+      val f = shards(1)
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      java.nio.file.Files.write(f.toPath,
+        java.util.Arrays.copyOf(bytes, bytes.length - 7))
+    }
+    // fault 3: delete shard 2 entirely → manifest row joins nothing
+    assert(shards(2).delete())
+    val faulty = consume().map(r =>
+      r.getString(0) -> r).toMap
+    def name(i: Int) = shards(i).getName.stripSuffix(".tfrecord")
+    assert(faulty(name(0)).getAs[Long]("crc_fail") > 0L,
+      "flipped byte did not surface as crc_fail")
+    val trunc = faulty(name(1))
+    assert(trunc.getAs[Long]("crc_fail") > 0L ||
+      !trunc.getAs[Boolean]("records_match"),
+      "truncated shard surfaced neither as crc_fail nor as a recount " +
+        "mismatch")
+    val gone = faulty(name(2))
+    assert(gone.isNullAt(gone.fieldIndex("records_match")) ||
+      !gone.getAs[Boolean]("records_match"),
+      "deleted shard still records_match=true")
+    assert(gone.getAs[Long]("n_records") === 0L)
+  }
+
   test("release pipeline plan: output reads one checkpointed artifact " +
     "and one read-back scan — no stage re-execution, no hints") {
     val df = run()
