@@ -767,6 +767,22 @@ object SparkEntry {
                                   nProbe: Int = 2,
                                   xFilter: Column = lit(true))
       : DataFrame = {
+    val n = tableRowCount(s, dir, "embeddings")
+    val k = math.max(16L, n / 256L)
+    val e = T(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    bitextCellCandidates(e, k, nProbe, xFilter)
+  }
+
+  /** `bitextIvfCandidates` over an explicit (vec_id, v) corpus with an
+    * explicit cell count — the t137c planted-recall harness mines a
+    * corpus it constructs (organic ∪ planted translation twins), so
+    * the candidate generator cannot read the table itself. */
+  private def bitextCellCandidates(e: DataFrame, k: Long, nProbe: Int,
+                                   xFilter: Column): DataFrame = {
+    // (docs continue below — this is the body of the former inline
+    // bitextIvfCandidates, corpus-parameterized for t137c)
     // IVF cells, not SRP buckets: the bitext operating point is
     // MID-similarity (a translation pair sits at cos ≈ 0.8, far from
     // the near-dup band where t10's sign-random projections excel),
@@ -790,11 +806,6 @@ object SparkEntry {
     // filter-then-assign ≡ assign-then-filter — the twin filters cp).
     // No distinct: y sits in exactly one cell and x's probed cells
     // are distinct, so a pair occurs at most once by construction.
-    val n = tableRowCount(s, dir, "embeddings")
-    val k = math.max(16L, n / 256L)
-    val e = T(s, dir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
     val cents = e.where(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v"))
     val xRows = e.where(pmod(col("vec_id"), lit(2)) === 0 && xFilter)
@@ -3604,6 +3615,58 @@ object SparkEntry {
           .select(lit(r.toLong).as("nprobe"),
             col("n_exact"), col("n_approx"),
             expr("__hit * 1000000 DIV greatest(n_exact, 1)")
+              .as("recall_ppm"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // PLANTED-pair recall for the bitext miner (r15 verdict: t137b's
+    // honest-but-weak curve was measured on a corpus with NO locality
+    // structure — best matches sit at cos ≈ 0.45, so 19/27/45 % at
+    // nProbe 1/2/4 says nothing about the miner's REAL operating
+    // point). Here every even vector gets a planted cross-side
+    // "translation" twin: v + 0.75·rotate(v, 1), which lands at
+    // cos ≈ 0.8 for near-iid embeddings (the Artetxe & Schwenk
+    // operating band) — far above the organic max ≈ 0.51, so the twin
+    // IS x's true best match and recall against the planted truth is
+    // the number a production miner is judged by. Same one-assignment
+    // rank-filter sweep as t137b (nProbe 1/2/4). The cell count uses
+    // the n/256 discipline on the PLANTED corpus size (3n/2, evens
+    // doubled): k = max(16, 3n/512) — at 100× (n = 200k → k = 1171)
+    // this crosses HierarchicalFloor, so the planted recall ALSO
+    // exercises the two-level quantizer at scale (gate SFs sit below
+    // the floor; the twin replays the flat assignment they use).
+    "t137c_bitext_planted" -> ((s, dir) => {
+      val n = tableRowCount(s, dir, "embeddings")
+      val k = math.max(16L, (3L * n) / 512L)
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val twins = e.where(pmod(col("vec_id"), lit(2)) === 0)
+        .select((col("vec_id") + lit(10000001L)).as("vec_id"),
+          transform(sequence(lit(1), lit(64)), i =>
+            element_at(col("v"), i) +
+              lit(0.75) * element_at(col("v"), pmod(i, lit(64)) + 1))
+            .as("v"))
+      val corpus = e.unionByName(twins)
+      val cand4 = bitextCellCandidates(corpus, k, nProbe = 4,
+        xFilter = lit(true))
+      val truth = e.where(pmod(col("vec_id"), lit(2)) === 0)
+        .select(col("vec_id").as("x_id"),
+          (col("vec_id") + lit(10000001L)).as("y_id"))
+        .localCheckpoint(false) // 3 consumers per nProbe row
+      Seq(1, 2, 4).map { r =>
+        val mined = bitextTop1(
+          cand4.where(col("probe_rank") <= r)
+            .select("x_id", "y_id", "cos_micro"), k = 4)
+          .select(col("x_id"), col("y_id"))
+          .localCheckpoint(false)
+        truth.join(mined, Seq("x_id", "y_id"), "left_semi")
+          .agg(count(lit(1)).as("__hit"))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+          .crossJoin(broadcast(mined.agg(count(lit(1)).as("n_mined"))))
+          .select(lit(r.toLong).as("nprobe"),
+            col("n_truth"), col("n_mined"),
+            expr("__hit * 1000000 DIV greatest(n_truth, 1)")
               .as("recall_ppm"))
       }.reduce(_ unionByName _)
     }),
@@ -8468,6 +8531,66 @@ object SparkEntry {
            CAST((SELECT count(*) FROM ex_t1 JOIN a2_t1 USING (x_id, y_id))
              * 1000000
              // greatest((SELECT count(*) FROM ex_t1), 1) AS BIGINT)
+             AS recall_ppm""",
+    // Planted-recall twin: redefines the bitext base CTEs over the
+    // organic ∪ planted-twin corpus (twin = v + 0.75·rotate(v,1) on
+    // the odd side at id+10000001), then reuses the SAME candidate /
+    // margin blocks; recall is overlap with the planted truth.
+    "t137c_bitext_planted" ->
+      s"""WITH eb AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+           FROM embeddings),
+         tw AS (
+           SELECT vec_id + 10000001 AS vec_id,
+             [v[i] + 0.75 * v[(i % 64) + 1]
+              FOR i IN generate_series(1, 64)] AS v
+           FROM eb WHERE vec_id % 2 = 0),
+         e AS (SELECT * FROM eb UNION ALL SELECT * FROM tw),
+         kk AS (SELECT greatest(16,
+                  3 * (SELECT count(*) FROM eb) // 512) AS k),
+         cent AS (
+           SELECT vec_id AS cid, v AS cv FROM e, kk
+           WHERE vec_id < kk.k),
+         ya AS (
+           SELECT vec_id AS y_id, v AS yv, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])
+                           FOR i IN generate_series(1, 64)]), c.cid)
+                 AS rk
+             FROM e, cent c WHERE e.vec_id % 2 = 1) z
+           WHERE rk = 1),
+         ${bitextCandSql("p0", 1)},
+         ${bitextCandSql("p1", 2)},
+         ${bitextCandSql("p2", 4)},
+         ${bitextTop1Sql("m0_", "p0cp")},
+         ${bitextTop1Sql("m1_", "p1cp")},
+         ${bitextTop1Sql("m2_", "p2cp")},
+         truth AS (
+           SELECT vec_id AS x_id, vec_id + 10000001 AS y_id
+           FROM eb WHERE vec_id % 2 = 0)
+         SELECT CAST(1 AS BIGINT) AS nprobe,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM m0_t1) AS n_mined,
+           CAST((SELECT count(*) FROM truth JOIN m0_t1
+               USING (x_id, y_id)) * 1000000
+             // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
+             AS recall_ppm
+         UNION ALL
+         SELECT CAST(2 AS BIGINT) AS nprobe,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM m1_t1) AS n_mined,
+           CAST((SELECT count(*) FROM truth JOIN m1_t1
+               USING (x_id, y_id)) * 1000000
+             // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
+             AS recall_ppm
+         UNION ALL
+         SELECT CAST(4 AS BIGINT) AS nprobe,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM m2_t1) AS n_mined,
+           CAST((SELECT count(*) FROM truth JOIN m2_t1
+               USING (x_id, y_id)) * 1000000
+             // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
              AS recall_ppm""",
     // twin of t138_hier_assign: the same two-level argmin — supers =
     // the g = ceil(sqrt(k)) smallest-cid centroids, each centroid
