@@ -775,6 +775,42 @@ object SparkEntry {
     bitextCellCandidates(e, k, nProbe, xFilter)
   }
 
+  /** ONE Lloyd re-centering round over the first-k seeds — the IVF
+    * retrain step (q39's kmeans step, r15 verdict #7: first-k seeds
+    * are deterministic but arbitrary; one round measurably tightens
+    * cells, which buys recall at the same nProbe). Engine-portable by
+    * QUANTIZATION: each coordinate is quantized to integer micros
+    * BEFORE summation (order-free integer sums), and the new centroid
+    * coordinate is floor(sum_micro / count) / 1e6 — exact integer
+    * arithmetic inside doubles on both engines, where a raw double
+    * avg would differ in the LSB by summation order and flip
+    * near-boundary assignments. Empty cells keep their seed (the
+    * kmeansStep convention). Assignment routes through the scaled
+    * dispatch, so the retrain itself is two-level above the floor.
+    * Returns (cidCol, vecCol double). SQL twin: `lloydCentSql`. */
+  private def lloydCentroids(corpus: DataFrame, seeds: DataFrame,
+                             k: Long, idCol: String, cidCol: String,
+                             vecCol: String): DataFrame = {
+    val asg = Vectors.ivfAssignWithVecScaled(corpus, seeds, k, idCol,
+      cidCol, vecCol)
+    val means = asg.select(col(cidCol), posexplode(col(vecCol)))
+      .groupBy(col(cidCol), col("pos"))
+      .agg(sum(round(col("col").cast("double") * lit(1000000.0))
+        .cast("long")).as("__s"), count(lit(1)).as("__c"))
+      .select(col(cidCol), col("pos"),
+        (floor(col("__s").cast("double") / col("__c")) /
+          lit(1000000.0)).as("__v"))
+      .groupBy(col(cidCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("__v")))),
+        s => s.getField("__v")).as("__new"))
+    seeds.select(col(cidCol).cast("long").as(cidCol),
+        transform(col(vecCol), x => x.cast("double")).as("__prev"))
+      .join(means, Seq(cidCol), "left")
+      .select(col(cidCol), coalesce(col("__new"), col("__prev"))
+        .as(vecCol))
+  }
+
   /** `bitextIvfCandidates` over an explicit (vec_id, v) corpus with an
     * explicit cell count — the t137c planted-recall harness mines a
     * corpus it constructs (organic ∪ planted translation twins), so
@@ -806,8 +842,19 @@ object SparkEntry {
     // filter-then-assign ≡ assign-then-filter — the twin filters cp).
     // No distinct: y sits in exactly one cell and x's probed cells
     // are distinct, so a pair occurs at most once by construction.
-    val cents = e.where(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("v"))
+    //
+    // Cells are TRAINED (one quantized Lloyd round over the first-k
+    // seeds, r16): tighter cells put a pair's two sides in the same
+    // cell more often — measured on the planted corpus (t137c),
+    // recall at nProbe 1/2/4 moves 46/67/85 % (seeds) → 59/78/93 %
+    // (trained) at sf0.1, 52/70/86 → 72/87/97 % at sf0.01; the
+    // structureless curve (t137b) moves 49 → 60 % at nProbe 4
+    // (sf0.01). Checkpointed: the retrain pass must run once, not
+    // once per consumer (x assignment, y assignment).
+    val cents = lloydCentroids(e,
+      e.where(col("vec_id") < k).select(col("vec_id").as("cid"),
+        col("v")), k, "vec_id", "cid", "v")
+      .localCheckpoint(false)
     val xRows = e.where(pmod(col("vec_id"), lit(2)) === 0 && xFilter)
     val yRows = e.where(pmod(col("vec_id"), lit(2)) === 1)
     // scale dispatch (Vectors.HierarchicalFloor): below the floor the
@@ -1422,14 +1469,45 @@ object SparkEntry {
     * corpus-scaled cell count (k = max(16, n/256), t62's formula),
     * the deterministic seed centroids (vec_id < k), and the y side's
     * top-1 cell assignment by (squared distance, cid). */
+  /** One quantized-Lloyd re-centering round: from corpus CTE `$e`
+    * (vec_id, v) and seed CTE `$c0` (cid, cv), lands trained cells as
+    * `$out` (cid, cv) — `lloydCentroids`' exact twin. Coordinates are
+    * quantized to integer micros BEFORE summation and the mean is
+    * floor(sum/count)/1e6, so the trained centroids are bit-identical
+    * doubles on both engines (a raw avg would differ in the LSB by
+    * summation order). Empty cells keep their seed. */
+  private def lloydCentSql(p: String, e: String, c0: String,
+                           out: String): String =
+    s"""${p}la AS (
+         SELECT vec_id, cid FROM (
+           SELECT $e.vec_id, $c0.cid,
+             list_sum([(v[i]-cv[i])*(v[i]-cv[i])
+                       FOR i IN generate_series(1, 64)]) AS dist
+           FROM $e, $c0)
+         QUALIFY row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist, cid) = 1),
+       ${p}lm AS (
+         SELECT cid, d,
+           floor(CAST(sum(CAST(round(v[d] * 1000000) AS BIGINT))
+                 AS DOUBLE) / count(*)) / 1000000.0 AS c
+         FROM ${p}la JOIN $e USING (vec_id),
+           unnest(generate_series(1, 64)) AS u(d)
+         GROUP BY 1, 2),
+       $out AS (
+         SELECT $c0.cid, coalesce(t.cv, $c0.cv) AS cv
+         FROM $c0 LEFT JOIN (
+           SELECT cid, list(c ORDER BY d) AS cv
+           FROM ${p}lm GROUP BY cid) t USING (cid))"""
+
   private lazy val bitextBaseSql: String =
-    """e AS (
+    s"""e AS (
          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
          FROM embeddings),
        kk AS (SELECT greatest(16, count(*) // 256) AS k FROM e),
-       cent AS (
+       c0 AS (
          SELECT vec_id AS cid, v AS cv FROM e, kk
          WHERE vec_id < kk.k),
+       ${lloydCentSql("bx", "e", "c0", "cent")},
        ya AS (
          SELECT vec_id AS y_id, v AS yv, cid AS cell FROM (
            SELECT e.vec_id, e.v, c.cid,
@@ -3714,6 +3792,14 @@ object SparkEntry {
     // the same probe), candidate scoring is an equi-join on cell id.
     "t9_ivf_probe" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
+      // MEASURED (r16): one Lloyd round over these 16 seeds HURTS
+      // probe recall on this unstructured corpus (t60: 0.92 → 0.86
+      // at sf0.01, 0.98 → 0.96 at sf0.1) — with small fixed k and no
+      // locality structure, re-centering pulls cells toward the data
+      // mean and splits query neighborhoods. Seeds stay. The bitext
+      // miner (corpus-scaled k, mid-similarity operating point)
+      // measures the OPPOSITE and trains its cells — see
+      // bitextCellCandidates.
       val cent = e.where(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("embedding"))
       val q = e.where(col("vec_id") < 10)
@@ -3730,6 +3816,8 @@ object SparkEntry {
     // size. A left join from exact to approx keeps 0-recall queries.
     "t60_ivf_recall" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
+      // the same seed cells as t9 (t60 measures t9's index; the
+      // Lloyd-round trade is measured in t9's comment)
       val cent = e.where(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("embedding"))
       val q = e.where(col("vec_id") < 10)
@@ -8548,9 +8636,10 @@ object SparkEntry {
          e AS (SELECT * FROM eb UNION ALL SELECT * FROM tw),
          kk AS (SELECT greatest(16,
                   3 * (SELECT count(*) FROM eb) // 512) AS k),
-         cent AS (
+         c0 AS (
            SELECT vec_id AS cid, v AS cv FROM e, kk
            WHERE vec_id < kk.k),
+         ${lloydCentSql("pc", "e", "c0", "cent")},
          ya AS (
            SELECT vec_id AS y_id, v AS yv, cid AS cell FROM (
              SELECT e.vec_id, e.v, c.cid,
