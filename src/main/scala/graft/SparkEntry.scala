@@ -817,8 +817,6 @@ object SparkEntry {
     * the candidate generator cannot read the table itself. */
   private def bitextCellCandidates(e: DataFrame, k: Long, nProbe: Int,
                                    xFilter: Column): DataFrame = {
-    // (docs continue below — this is the body of the former inline
-    // bitextIvfCandidates, corpus-parameterized for t137c)
     // IVF cells, not SRP buckets: the bitext operating point is
     // MID-similarity (a translation pair sits at cos ≈ 0.8, far from
     // the near-dup band where t10's sign-random projections excel),
@@ -1509,8 +1507,8 @@ object SparkEntry {
          WHERE vec_id < kk.k),
        ${lloydCentSql("bx", "e", "c0", "cent")},
        ya AS (
-         SELECT vec_id AS y_id, v AS yv, cid AS cell FROM (
-           SELECT e.vec_id, e.v, c.cid,
+         SELECT vec_id AS y_id, cid AS cell FROM (
+           SELECT e.vec_id, c.cid,
              row_number() OVER (PARTITION BY e.vec_id ORDER BY
                list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])
                          FOR i IN generate_series(1, 64)]), c.cid)
@@ -1521,11 +1519,15 @@ object SparkEntry {
   /** Cell-candidate block at `nProbe` probed cells on the x side —
     * lands `${p}cp` (x_id, y_id, cm); the exact twin of
     * `bitextIvfCandidates`, prefix-parameterized so t137b sweeps
-    * nProbe values in one statement. */
+    * nProbe values in one statement. LATE materialization (r16):
+    * the assignment windows and the pair join flow only ids/cells,
+    * and the cosine joins the (small) corpus back per side — carrying
+    * the 64-double vectors through the 10×-scale candidate pipeline
+    * OOM'd DuckDB where ints stream fine. Same values. */
   private def bitextCandSql(p: String, nProbe: Int): String =
     s"""${p}xa AS (
-         SELECT vec_id AS x_id, v AS xv, cid AS cell FROM (
-           SELECT e.vec_id, e.v, c.cid,
+         SELECT vec_id AS x_id, cid AS cell FROM (
+           SELECT e.vec_id, c.cid,
              row_number() OVER (PARTITION BY e.vec_id ORDER BY
                list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])
                          FOR i IN generate_series(1, 64)]), c.cid)
@@ -1535,13 +1537,15 @@ object SparkEntry {
        ${p}cand AS (
          SELECT DISTINCT a.x_id, y.y_id,
            CAST(round(
-             list_sum([a.xv[i]*y.yv[i] FOR i IN generate_series(1,64)]) /
-             (sqrt(list_sum([a.xv[i]*a.xv[i]
+             list_sum([ex.v[i]*ey.v[i] FOR i IN generate_series(1,64)]) /
+             (sqrt(list_sum([ex.v[i]*ex.v[i]
                              FOR i IN generate_series(1,64)])) *
-              sqrt(list_sum([y.yv[i]*y.yv[i]
+              sqrt(list_sum([ey.v[i]*ey.v[i]
                              FOR i IN generate_series(1,64)])))
              * 1000000) AS BIGINT) AS cm
-         FROM ${p}xa a JOIN ya y USING (cell)),
+         FROM ${p}xa a JOIN ya y USING (cell)
+           JOIN e ex ON ex.vec_id = a.x_id
+           JOIN e ey ON ey.vec_id = y.y_id),
        ${p}cp AS (SELECT * FROM ${p}cand WHERE cm > 0)"""
 
   /** The ratio-margin top-1 block over candidate CTE `base`
@@ -8641,8 +8645,8 @@ object SparkEntry {
            WHERE vec_id < kk.k),
          ${lloydCentSql("pc", "e", "c0", "cent")},
          ya AS (
-           SELECT vec_id AS y_id, v AS yv, cid AS cell FROM (
-             SELECT e.vec_id, e.v, c.cid,
+           SELECT vec_id AS y_id, cid AS cell FROM (
+             SELECT e.vec_id, c.cid,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
                  list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])
                            FOR i IN generate_series(1, 64)]), c.cid)
