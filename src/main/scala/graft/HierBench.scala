@@ -56,10 +56,25 @@ object HierBench {
     val agree = flat.join(hier, Seq("vec_id"))
       .agg(sum(when(col("cf") === col("ch"), 1L).otherwise(0L)),
         count(lit(1))).collect()(0)
+    // quantization quality: mean squared distortion of each path's
+    // assignment — two-level may pick a DIFFERENT cell of similar
+    // tightness, so distortion ratio (≥ 1, 1 = lossless routing) is
+    // the quality number, not cell agreement
+    def distortion(asg: org.apache.spark.sql.DataFrame,
+                   cc: String): Double = asg
+      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(cents.select(col("cid").as(cc), col("v").as("__cv")),
+        Seq(cc))
+      .agg(avg(graft.ops.Vectors.sqDist(col("v"), col("__cv"))))
+      .collect()(0).getDouble(0)
+    val dFlat = distortion(flat, "cf")
+    val dHier = distortion(hier, "ch")
     println(s"""{"n":$n,"k":$k,"g":$g,""" +
       s""""flat_sec":${"%.3f".format(flatSec)},""" +
       s""""hier_sec":${"%.3f".format(hierSec)},""" +
       s""""agree":${agree.getLong(0)},"rows":${agree.getLong(1)},""" +
+      s""""flat_msd":${"%.4f".format(dFlat)},""" +
+      s""""hier_msd":${"%.4f".format(dHier)},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

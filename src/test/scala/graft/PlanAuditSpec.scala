@@ -272,6 +272,17 @@ class PlanAuditSpec extends SparkSpec {
     // behind the candidate checkpoint and carry no hint lineage —
     // t137 itself audits at zero for the same reason)
     "t137b_bitext_recall" -> 6,
+    // t137c: same shape as t137b — three nProbe variants × two 1-row
+    // [scalar] count broadcasts (truth + mined); the [model]
+    // centroid/lloyd broadcasts sit behind the candidate checkpoint
+    "t137c_bitext_planted" -> 6,
+    // t138: the two-level index is [model] by construction — the
+    // g-super array row, the g-row children table, the super argmin
+    // inside the child→super assignment, plus the k-row centroid
+    // join for the distortion column (k = n/8 of a gate corpus ≤ 250
+    // rows; at true scale k rows broadcast is the documented trade vs
+    // the flat path's single 2 GB-capped row)
+    "t138_hier_assign" -> 4,
     "t13_decontaminate" -> 1, // [probe] eval gram set
     "t14_tfidf" -> 1, // [scalar] doc-count 1-row
     "t25_quality_shards" -> 2, // [bucket] two-level rank tables
