@@ -89,7 +89,13 @@ object Bench {
     // this run: it reaches the ok map, and a failed sample's time
     // never replaces a valid measurement.
     val pass1 = selected.map { case (name, fn) => name -> timeOne(name, fn) }
-    val pass2 = selected.map { case (name, fn) => name -> timeOne(name, fn) }
+    // SPARK_GRAFT_PASSES=1 skips the second pass (the heavy
+    // heap-starved 100× probes, where min-of-2 doubles an hour-long
+    // run for no extra evidence); the driver never sets it, so the
+    // tracked contract stays min-of-2
+    val pass2 =
+      if (sys.env.get("SPARK_GRAFT_PASSES").contains("1")) pass1
+      else selected.map { case (name, fn) => name -> timeOne(name, fn) }
     val results = pass1.map { case (name, (t1, ok1)) =>
       val (t2, ok2) = pass2(name)
       val t =

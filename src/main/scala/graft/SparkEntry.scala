@@ -811,6 +811,14 @@ object SparkEntry {
         .as(vecCol))
   }
 
+  /** TEST hook (VectorHierSpec): the candidate generator at an
+    * explicit k, so a spec can exercise the above-floor hierarchical
+    * branch on a small corpus (gate SFs sit below the floor — the
+    * first 100× run caught a column-name bug there). */
+  private[graft] def bitextCandidatesForTest(e: DataFrame, k: Long,
+                                             nProbe: Int): DataFrame =
+    bitextCellCandidates(e, k, nProbe, lit(true))
+
   /** `bitextIvfCandidates` over an explicit (vec_id, v) corpus with an
     * explicit cell count — the t137c planted-recall harness mines a
     * corpus it constructs (organic ∪ planted translation twins), so
@@ -878,14 +886,18 @@ object SparkEntry {
                 .argminCentroid(col("v"), col("__cents")).as("cell")))
       } else {
         val g = graft.ops.Vectors.hierGroups(k)
+        // cidCol names the CENTROID table's id column ("cid" in
+        // `cents`) — the r16 100× run caught this call passing the
+        // output alias instead (gate SFs sit below the floor, so only
+        // an at-scale execution exercises this branch)
         (graft.ops.Vectors
           .hierProbeCells(xRows, cents, g, nProbe, "vec_id", "cid", "v")
           .select(col("vec_id").as("x_id"), col("v").as("xv"),
             col("cell"), col("probe_rank")),
           graft.ops.Vectors
-            .ivfAssignWithVecHier(yRows, cents, g, "vec_id", "cell", "v")
+            .ivfAssignWithVecHier(yRows, cents, g, "vec_id", "cid", "v")
             .select(col("vec_id").as("y_id"), col("v").as("yv"),
-              col("cell")))
+              col("cid").as("cell")))
       }
     x.join(y, Seq("cell"))
       .withColumn("cos_micro",

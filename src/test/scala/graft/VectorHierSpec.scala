@@ -106,6 +106,27 @@ class VectorHierSpec extends SparkSpec {
     assert(better.count() === 0)
   }
 
+  test("bitext candidate generator: the above-floor hierarchical " +
+    "branch produces well-formed cross-side candidates") {
+    // gate SFs never cross the floor, so this branch is otherwise
+    // exercised only at 100× — the r16 scale run caught a
+    // column-name bug here; keep it pinned at spec scale
+    val e = corpus(1300)
+    val k = Vectors.HierarchicalFloor // forces the two-level branch
+    val cand = SparkEntry.bitextCandidatesForTest(e, k, nProbe = 2)
+    assert(cand.columns.toSeq ===
+      Seq("x_id", "y_id", "cos_micro", "probe_rank"))
+    val rows = cand.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) % 2 == 0 &&
+      r.getLong(1) % 2 == 1), "x even / y odd sides")
+    assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 2))
+    // pairs unique by construction (y in one cell, probed cells
+    // distinct)
+    assert(cand.groupBy("x_id", "y_id").count()
+      .where($"count" > 1).count() === 0)
+  }
+
   test("HierarchicalFloor dispatch: above-floor k routes two-level") {
     val e = corpus(1400)
     val k = Vectors.HierarchicalFloor // 1024 -> g = 32
