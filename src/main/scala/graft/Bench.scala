@@ -67,6 +67,11 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => () }
     }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      // announce BEFORE running (stderr, not the JSON contract): a
+      // hard JVM death (the 8 GiB 100× probe's failure mode) must
+      // leave the culprit's name in the log
+      System.err.println(s"[bench] start $name")
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       // noop sink: forces every output column to be computed (a bare
       // count() would let Catalyst prune the measured expressions away)

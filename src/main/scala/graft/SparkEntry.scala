@@ -3730,6 +3730,16 @@ object SparkEntry {
     // exercises the two-level quantizer at scale (gate SFs sit below
     // the floor; the twin replays the flat assignment they use).
     "t137c_bitext_planted" -> ((s, dir) => {
+      // Probe-SLICED recall (the t137b discipline, and the fix for
+      // the one 8 GiB/100× OOM the r16 full-suite probe found):
+      // recall is estimated over the x_id < 4000 probe slice — a
+      // 2,000-probe sample at 100× (±2 % at 95 %), EVERY source at
+      // the gate SFs (ids < 2,000 there, so gate hashes are
+      // unchanged). The unsliced form built a 68M-pair candidate
+      // table at 100× (667 s, then heap death at 8 GiB); at 100 TB
+      // nobody computes full-corpus recall — the miner runs ONE
+      // nProbe and recall is always sampled.
+      val probeCap = 4000L
       val n = tableRowCount(s, dir, "embeddings")
       val k = math.max(16L, (3L * n) / 512L)
       val e = T(s, dir, "embeddings")
@@ -3743,8 +3753,9 @@ object SparkEntry {
             .as("v"))
       val corpus = e.unionByName(twins)
       val cand4 = bitextCellCandidates(corpus, k, nProbe = 4,
-        xFilter = lit(true))
-      val truth = e.where(pmod(col("vec_id"), lit(2)) === 0)
+        xFilter = col("vec_id") < probeCap)
+      val truth = e.where(pmod(col("vec_id"), lit(2)) === 0 &&
+          col("vec_id") < probeCap)
         .select(col("vec_id").as("x_id"),
           (col("vec_id") + lit(10000001L)).as("y_id"))
         .localCheckpoint(false) // 3 consumers per nProbe row
@@ -8668,12 +8679,15 @@ object SparkEntry {
          ${bitextCandSql("p0", 1)},
          ${bitextCandSql("p1", 2)},
          ${bitextCandSql("p2", 4)},
-         ${bitextTop1Sql("m0_", "p0cp")},
-         ${bitextTop1Sql("m1_", "p1cp")},
-         ${bitextTop1Sql("m2_", "p2cp")},
+         sc0 AS (SELECT * FROM p0cp WHERE x_id < 4000),
+         sc1 AS (SELECT * FROM p1cp WHERE x_id < 4000),
+         sc2 AS (SELECT * FROM p2cp WHERE x_id < 4000),
+         ${bitextTop1Sql("m0_", "sc0")},
+         ${bitextTop1Sql("m1_", "sc1")},
+         ${bitextTop1Sql("m2_", "sc2")},
          truth AS (
            SELECT vec_id AS x_id, vec_id + 10000001 AS y_id
-           FROM eb WHERE vec_id % 2 = 0)
+           FROM eb WHERE vec_id % 2 = 0 AND vec_id < 4000)
          SELECT CAST(1 AS BIGINT) AS nprobe,
            (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
            (SELECT CAST(count(*) AS BIGINT) FROM m0_t1) AS n_mined,
