@@ -71,17 +71,23 @@ object Bench {
       // hard JVM death (the 8 GiB 100× probe's failure mode) must
       // leave the culprit's name in the log
       System.err.println(s"[bench] start $name")
+      // restore on exit: the description is thread-inherited session
+      // state — without the finally, every job after the bench loop
+      // (and any interleaved work on a shared session) reports the
+      // LAST query's name in the UI/event logs
       spark.sparkContext.setJobDescription(name)
-      val t0 = System.nanoTime()
-      // noop sink: forces every output column to be computed (a bare
-      // count() would let Catalyst prune the measured expressions away)
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      try {
+        val t0 = System.nanoTime()
+        // noop sink: forces every output column to be computed (a bare
+        // count() would let Catalyst prune the measured expressions away)
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      } finally spark.sparkContext.setJobDescription(null)
     }
     // Min-of-2: every query is timed in TWO full passes and the min
     // is recorded. One pass is noise-dominated on this box — three

@@ -147,8 +147,17 @@ object Vectors {
   /** Below this cell count the flat single-level scan is both exact and
     * cheaper (no level-2 join, no probe window); every gate-SF corpus
     * (n ≤ 200k → k ≤ 781 under the n/256 rule) stays on the historical
-    * flat assignment, so the hierarchy changes no tracked hash. */
-  val HierarchicalFloor: Long = 1024L
+    * flat assignment, so the hierarchy changes no tracked hash.
+    *
+    * `SPARK_GRAFT_HIER_FLOOR` overrides it for VALIDATION runs only:
+    * both the Spark dispatch and the SQL oracle twins interpolate this
+    * value, so a floored run (e.g. 16) exercises the above-floor
+    * hierarchical branch of BOTH engines at gate scale and
+    * hash-compares them — the cheap way to keep the 100×-only code
+    * path oracle-gated every round (r16 advice #1). The driver never
+    * sets it, so every tracked gate hash stays on the default. */
+  val HierarchicalFloor: Long =
+    sys.env.get("SPARK_GRAFT_HIER_FLOOR").map(_.toLong).getOrElse(1024L)
 
   /** Super-cell count for k cells: ⌈√k⌉ equalizes the two scan terms
     * (g supers + k/g children per row). */
@@ -174,11 +183,37 @@ object Vectors {
       .select(col(cidCol).as("__scid"), col(vecCol))
     val supersArr = broadcast(supers.groupBy().agg(collect_list(struct(
       col("__scid").as("cid"), col(vecCol).as("cv"))).as("__supers")))
-    val children = broadcast(
+    val childrenTbl =
       ivfAssignWithVec(cd, supers, cidCol, "__scid", vecCol)
         .groupBy(col("__scid"))
         .agg(collect_list(struct(col(cidCol).as("cid"),
-          col(vecCol).as("cv"))).as("__children")))
+          col(vecCol).as("cv"))).as("__children"))
+    // Model-replication guard (r16 verdict #2): the child table's
+    // TOTAL size is the full centroid model — O(k·dims·8) bytes —
+    // and the broadcast replicates it to every executor. That is
+    // standard ANN practice (FAISS keeps the model on every node),
+    // but at k ≈ 4M × d = 768 float64 it is ~24 GB/executor and the
+    // failure mode is an opaque broadcast OOM. Estimate the bytes
+    // (k ≈ g² under the ⌈√k⌉ sizing; dims from one centroid row —
+    // a limit-1 scan, the only job this guard adds) and above the
+    // configurable bound fall back to a SHUFFLE join on the super id:
+    // the corpus pays one exchange instead of the job dying. supers
+    // stay broadcast — O(√k·dims), never the model.
+    val spark = centroids.sparkSession
+    val maxModelBytes = spark.conf
+      .get("graft.ann.maxModelBroadcastBytes", (4L << 30).toString).toLong
+    val dims = cd.select(size(col(vecCol))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val modelBytes = g.toLong * g.toLong * (dims * 8L + 48L)
+    val children =
+      if (modelBytes <= maxModelBytes) broadcast(childrenTbl)
+      else {
+        System.err.println(s"[graft] hierIndex: estimated centroid " +
+          s"model ~${modelBytes >> 20} MiB exceeds " +
+          s"graft.ann.maxModelBroadcastBytes=$maxModelBytes; level-2 " +
+          "join falls back to shuffle on the super id")
+        childrenTbl
+      }
     (supersArr, children)
   }
 
@@ -187,9 +222,11 @@ object Vectors {
     * level 2 is a broadcast equi-join on the super id followed by the
     * same kernel over that super's children column — the corpus never
     * shuffles. A malformed vector (length mismatch vs every super)
-    * routes nowhere and is DROPPED by the level-2 join, where the flat
-    * path would carry it with a null cid — callers that must keep such
-    * rows filter them out first (every tracked corpus is fixed-dim). */
+    * gets a null scid and rides the LEFT join through with a null cid
+    * — the flat path's convention (r16 advice: the old inner join
+    * silently dropped such rows, a data-loss behavior change that
+    * appeared only once k crossed the floor on a variable-dim
+    * corpus). */
   def ivfAssignWithVecHier(corpus: DataFrame, centroids: DataFrame,
                            g: Int, idCol: String, cidCol: String,
                            vecCol: String): DataFrame = {
@@ -199,8 +236,10 @@ object Vectors {
       .select(col(idCol), col(vecCol),
         graft.functions.VectorExpressions
           .argminCentroid(col(vecCol), col("__supers")).as("__scid"))
-      .join(children, Seq("__scid"))
+      .join(children, Seq("__scid"), "left")
       .select(col(idCol), col(vecCol), col("__scid").as("scid"),
+        // null __children (unrouted row) → null cid via the kernel's
+        // null propagation — parity with ivfAssignWithVec
         graft.functions.VectorExpressions
           .argminCentroid(col(vecCol), col("__children")).as(cidCol))
   }

@@ -127,6 +127,40 @@ class VectorHierSpec extends SparkSpec {
       .where($"count" > 1).count() === 0)
   }
 
+  test("dim-mismatched vector keeps a null cid (flat-path parity)") {
+    // r16 advice: the inner level-2 join silently DROPPED rows whose
+    // vector length matches no super — a corpus-size-dependent data
+    // loss once k crosses the floor. The left join must carry them
+    // with a null cid exactly like the flat kernel does.
+    val e = corpus(60).unionByName(
+      spark.range(1).select(lit(990L).as("vec_id"),
+        array(lit(1.0), lit(2.0)).as("v"))) // 2-dim vs the corpus's 4
+    val c = cents(corpus(60), 9)
+    val flat = Vectors.ivfAssignWithVec(e, c, "vec_id", "cid", "v")
+    val hier = Vectors.ivfAssignWithVecHier(e, c, 3, "vec_id", "cid", "v")
+    assert(flat.where($"vec_id" === 990L && $"cid".isNull).count() === 1)
+    assert(hier.count() === 61, "no row dropped")
+    assert(hier.where($"vec_id" === 990L && $"cid".isNull).count() === 1)
+  }
+
+  test("model-broadcast bound: shuffle fallback preserves assignments") {
+    val e = corpus(120)
+    val k = 16L
+    val c = cents(e, k)
+    val g = Vectors.hierGroups(k)
+    val broadcasted = Vectors.ivfAssignWithVecHier(e, c, g, "vec_id",
+      "cid", "v").select("vec_id", "scid", "cid")
+    val fallback =
+      try {
+        spark.conf.set("graft.ann.maxModelBroadcastBytes", "1")
+        Vectors.ivfAssignWithVecHier(e, c, g, "vec_id", "cid", "v")
+          .select("vec_id", "scid", "cid")
+          .localCheckpoint() // materialize under the tiny bound
+      } finally spark.conf.unset("graft.ann.maxModelBroadcastBytes")
+    assert(broadcasted.exceptAll(fallback).count() === 0)
+    assert(fallback.exceptAll(broadcasted).count() === 0)
+  }
+
   test("HierarchicalFloor dispatch: above-floor k routes two-level") {
     val e = corpus(1400)
     val k = Vectors.HierarchicalFloor // 1024 -> g = 32
