@@ -605,15 +605,21 @@ object SparkEntry {
   }
 
   /** The release manifest a shipped artifact carries: per shard the
-    * record/token/piece counts, the content checksum, and the key
-    * range — everything a consumer can re-verify without the corpus
-    * (counts, CRCs) plus what it audits WITH the corpus (sums). */
+    * record/token/piece counts, the decoded-id sum, the content
+    * checksum, and the key range — everything a consumer can
+    * re-verify without the corpus (counts, id sums, keys, CRCs) plus
+    * what it audits WITH the corpus (token totals, content sums).
+    * `id_sum` (r17): the sum of every exported vocab id — with it, a
+    * CRC-valid rewrite that preserves record and piece counts but
+    * swaps content still fails the consumer's artifact-only check. */
   private def releaseManifest(art: DataFrame): DataFrame =
     art.groupBy("shard")
       .agg(count(lit(1)).as("n_records"),
         sum(col("tok")).as("n_tokens"),
         coalesce(sum(size(col("input_ids"))).cast("long"), lit(0L))
           .as("n_pieces"),
+        coalesce(sum(aggregate(col("input_ids"), lit(0L),
+          (a, x) => a + x)), lit(0L)).as("id_sum"),
         sum(col("__ch")).as("content_sum"),
         min(col("key")).as("key_min"), max(col("key")).as("key_max"))
 
@@ -754,6 +760,59 @@ object SparkEntry {
     s.read.parquet(path).select("doc_id", "cluster_id")
   }
 
+  /** Trained bitext IVF centroids STAGED per corpus snapshot (r16
+    * verdict #4): the Lloyd retrain is a corpus-sized pass, and t137 /
+    * t137b / t137c each re-ran it per query (and per bench pass) over
+    * the same corpus. Same discipline as `stagedNeardupLabels`: the
+    * artifact lives under /tmp keyed by the corpus FINGERPRINT (plus
+    * the index shape — tag, k, and the hierarchical floor, because the
+    * retrain's own assignment dispatches on the floor), every call
+    * re-stats the corpus and rebuilds on mismatch, and a fresh JVM
+    * reuses a previous process's centroids. Parquet round-trips the
+    * trained doubles exactly (they are micro-quantized integer means),
+    * so staged == inline values. `corpus` is by-name: only a cache
+    * miss pays its construction. */
+  private val stagedCentsFp =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedBitextCents(s: SparkSession, dir: String,
+                                tag: String, corpus: => DataFrame,
+                                k: Long): DataFrame = {
+    val path = "/tmp/graft_staged/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString +
+      s"/bitext_cents_${tag}_k${k}_f${graft.ops.Vectors.HierarchicalFloor}"
+    val fp = corpusFingerprint(s, dir, "embeddings")
+    stagedCentsFp.compute(path, (_, cached) => {
+      if (cached != fp) {
+        val conf = s.sparkContext.hadoopConfiguration
+        val fpPath = new org.apache.hadoop.fs.Path(path, "_corpus_fp")
+        val fs = fpPath.getFileSystem(conf)
+        val onDisk =
+          try {
+            val in = fs.open(fpPath)
+            try {
+              val buf = new Array[Byte](64)
+              val n = in.read(buf)
+              Some(new String(buf, 0, math.max(n, 0), "UTF-8"))
+            } finally in.close()
+          } catch { case _: java.io.IOException => None }
+        if (!onDisk.contains(fp)) {
+          val e = corpus
+          lloydCentroids(e,
+            e.where(col("vec_id") < k).select(col("vec_id").as("cid"),
+              col("v")), k, "vec_id", "cid", "v")
+            .coalesce(1).write.mode("overwrite").parquet(path)
+          val out = fs.create(fpPath, true)
+          try out.write(fp.getBytes("UTF-8")) finally out.close()
+        }
+      }
+      fp
+    })
+    s.read.parquet(path).select("cid", "v")
+  }
+
   /** t137's candidate generator: cross-side (even vec_id = "source
     * language", odd = "target") pairs sharing an IVF cell — the x
     * side multi-probes its nProbe nearest cells, the y side sits in
@@ -769,11 +828,103 @@ object SparkEntry {
       : DataFrame = {
     val n = tableRowCount(s, dir, "embeddings")
     val k = math.max(16L, n / 256L)
-    val e = T(s, dir, "embeddings")
+    def e = T(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    bitextCellCandidates(e, k, nProbe, xFilter)
+    val cents = stagedBitextCents(s, dir, "organic", e, k)
+    bitextCellCandidates(e, cents, k, nProbe, xFilter)
   }
+
+  /** Candidate tables for an nProbe SWEEP (t137b/t137c): below the
+    * hierarchical floor ONE nProbe=max run serves every smaller r by
+    * a probe_rank prefix filter — flat probe ranks nest, so the
+    * rank-≤r slice IS the nProbe=r run. At/above the floor they do
+    * NOT nest: `hierProbeCells` at n probes the n nearest SUPERS, so
+    * an n=4 probe's rank-1/2 cells can differ from (and dominate) a
+    * true nProbe=1/2 run's — prefix-slicing there overstated the
+    * production operating points and diverged from the twin's
+    * per-nProbe blocks (r16 advice #2). Above the floor each r
+    * generates its own candidates; the staged trained centroids are
+    * shared, so the Lloyd retrain is still paid once. */
+  private def bitextCandSweep(e: => DataFrame, cents: DataFrame,
+                              k: Long, rs: Seq[Int], xFilter: Column)
+      : Int => DataFrame =
+    if (k < graft.ops.Vectors.HierarchicalFloor) {
+      val cand = bitextCellCandidates(e, cents, k, rs.max, xFilter)
+      r => cand.where(col("probe_rank") <= r)
+    } else
+      rs.map(r =>
+        r -> bitextCellCandidates(e, cents, k, r, xFilter)).toMap
+
+  /** SQ8 base (t140/t141/t142): the corpus micro-quantized
+    * (`vu` array<long>), the per-dimension min/max trained over it
+    * (`mnu`/`mxu`, one broadcast row — the scalar quantizer's whole
+    * model is 2·dims longs), and the 8-bit `codes`:
+    * (v−mn)·255 DIV max(mx−mn, 1). Integer end to end, so DuckDB
+    * replays every code exactly. The trainer is a posexplode →
+    * per-dim partial min/max (64 groups regardless of corpus size);
+    * the encode is map-side. */
+  private def sq8Encoded(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x =>
+        round(x.cast("double") * lit(1000000.0)).cast("long")).as("vu"))
+    val stats = e.select(posexplode(col("vu")))
+      .groupBy(col("pos"))
+      .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          f => f.getField("mn")).as("mnu"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          f => f.getField("mx")).as("mxu"))
+    e.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("vu"), col("mnu"), col("mxu"),
+        // floor(x/y) on nonnegative doubles below 2^53 IS integer
+        // division (the quotient sits ≥ 1/y > one ulp from the next
+        // integer), matching the twin's `//`
+        transform(sequence(lit(1), lit(64)), i =>
+          floor(((element_at(col("vu"), i) - element_at(col("mnu"), i)) *
+            lit(255L)).cast("double") /
+            greatest(element_at(col("mxu"), i) - element_at(col("mnu"), i),
+              lit(1L)).cast("double")).cast("long")).as("codes"))
+  }
+
+  /** The SQ8 base CTEs shared by the three twins: micro-quantized
+    * corpus `e` (vec_id, vu), the one-row trained stats `st`
+    * (mnu, mxu), and the encoded corpus `enc`. */
+  private lazy val sq8BaseSql: String =
+    """e AS (
+         SELECT vec_id,
+           -- cast BEFORE the multiply: float4 * 1e6 in float precision
+           -- drifts from Spark's double multiply on ~1 µ per 10⁶ values
+           [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+            FOR x IN embedding] AS vu
+         FROM embeddings),
+       st AS (
+         SELECT list(mn ORDER BY d) AS mnu, list(mx ORDER BY d) AS mxu
+         FROM (
+           SELECT d, min(vu[d]) AS mn, max(vu[d]) AS mx
+           FROM e, unnest(generate_series(1, 64)) AS u(d)
+           GROUP BY d)),
+       enc AS (
+         SELECT vec_id, vu, mnu, mxu,
+           [((vu[i] - mnu[i]) * 255) // greatest(mxu[i] - mnu[i], 1)
+            FOR i IN generate_series(1, 64)] AS codes
+         FROM e, st)"""
+
+  /** `sq8Recon`'s SQL: bin-midpoint reconstruction of coordinate `i`
+    * from code array `$arr` (mnu/mxu in scope). */
+  private def sq8ReconSql(arr: String): String =
+    s"(mnu[i] + ((2 * ${arr}[i] + 1) * (mxu[i] - mnu[i])) // 512)"
+
+  /** Bin-midpoint reconstruction of coordinate `i` from the `codes` /
+    * `mnu` / `mxu` columns in scope: mn + (2·code+1)·(mx−mn) DIV 512,
+    * integer micros. */
+  private def sq8Recon(i: Column): Column =
+    element_at(col("mnu"), i) +
+      floor(((element_at(col("codes"), i) * lit(2L) + lit(1L)) *
+        (element_at(col("mxu"), i) - element_at(col("mnu"), i)))
+        .cast("double") / lit(512.0)).cast("long")
 
   /** ONE Lloyd re-centering round over the first-k seeds — the IVF
     * retrain step (q39's kmeans step, r15 verdict #7: first-k seeds
@@ -814,16 +965,26 @@ object SparkEntry {
   /** TEST hook (VectorHierSpec): the candidate generator at an
     * explicit k, so a spec can exercise the above-floor hierarchical
     * branch on a small corpus (gate SFs sit below the floor — the
-    * first 100× run caught a column-name bug there). */
+    * first 100× run caught a column-name bug there). Trains inline
+    * (no backing table to fingerprint). */
   private[graft] def bitextCandidatesForTest(e: DataFrame, k: Long,
-                                             nProbe: Int): DataFrame =
-    bitextCellCandidates(e, k, nProbe, lit(true))
+                                             nProbe: Int): DataFrame = {
+    val cents = lloydCentroids(e,
+      e.where(col("vec_id") < k).select(col("vec_id").as("cid"),
+        col("v")), k, "vec_id", "cid", "v")
+      .localCheckpoint(false)
+    bitextCellCandidates(e, cents, k, nProbe, lit(true))
+  }
 
-  /** `bitextIvfCandidates` over an explicit (vec_id, v) corpus with an
-    * explicit cell count — the t137c planted-recall harness mines a
-    * corpus it constructs (organic ∪ planted translation twins), so
-    * the candidate generator cannot read the table itself. */
-  private def bitextCellCandidates(e: DataFrame, k: Long, nProbe: Int,
+  /** `bitextIvfCandidates` over an explicit (vec_id, v) corpus with
+    * explicit trained centroids and cell count — the t137c
+    * planted-recall harness mines a corpus it constructs (organic ∪
+    * planted translation twins), so the candidate generator cannot
+    * read the table itself; `cents` comes staged
+    * (`stagedBitextCents`) so the Lloyd retrain runs once per corpus
+    * snapshot, not once per query (r16 verdict #4). */
+  private def bitextCellCandidates(e: DataFrame, cents: DataFrame,
+                                   k: Long, nProbe: Int,
                                    xFilter: Column): DataFrame = {
     // IVF cells, not SRP buckets: the bitext operating point is
     // MID-similarity (a translation pair sits at cos ≈ 0.8, far from
@@ -855,12 +1016,9 @@ object SparkEntry {
     // recall at nProbe 1/2/4 moves 46/67/85 % (seeds) → 59/78/93 %
     // (trained) at sf0.1, 52/70/86 → 72/87/97 % at sf0.01; the
     // structureless curve (t137b) moves 49 → 60 % at nProbe 4
-    // (sf0.01). Checkpointed: the retrain pass must run once, not
-    // once per consumer (x assignment, y assignment).
-    val cents = lloydCentroids(e,
-      e.where(col("vec_id") < k).select(col("vec_id").as("cid"),
-        col("v")), k, "vec_id", "cid", "v")
-      .localCheckpoint(false)
+    // (sf0.01). The retrain itself arrives staged per corpus
+    // snapshot via `stagedBitextCents` (r17), so it runs once per
+    // snapshot across all consumers, queries, and bench passes.
     val xRows = e.where(pmod(col("vec_id"), lit(2)) === 0 && xFilter)
     val yRows = e.where(pmod(col("vec_id"), lit(2)) === 1)
     // scale dispatch (Vectors.HierarchicalFloor): below the floor the
@@ -1475,27 +1633,155 @@ object SparkEntry {
          FROM tokx t LEFT JOIN wiv v ON t.w = v.w CROSS JOIN uvn
          GROUP BY 1)"""
 
+  // ---- IVF assignment twin blocks with the hierarchical-floor
+  // dispatch (r16 advice #1). The Spark side routes every
+  // corpus-scaled assignment through Vectors.ivfAssignWithVecScaled:
+  // flat argmin below HierarchicalFloor, the two-level super/child
+  // quantizer at/above it. The twins previously replayed the flat
+  // argmin unconditionally — oracle-valid at gate SFs (k stays below
+  // the floor) but silently divergent at exactly the 100× scale the
+  // hierarchy exists for. Every block below now computes BOTH
+  // branches and a `k < floor` predicate picks one, so a floored
+  // validation run (SPARK_GRAFT_HIER_FLOOR, read by both engines)
+  // hash-gates the above-floor branch at gate scale.
+
+  /** The dispatch predicates over the SQL scalar `$kExpr`. */
+  private def flatPred(kExpr: String): String =
+    s"($kExpr) < ${graft.ops.Vectors.HierarchicalFloor}"
+  private def hierPredSql(kExpr: String): String =
+    s"($kExpr) >= ${graft.ops.Vectors.HierarchicalFloor}"
+
+  /** Two-level index over centroid CTE `$c` (cid, cv): `${p}hs` =
+    * the g = ⌈√k⌉ smallest-cid centroids as supers (scid, sv),
+    * `${p}hcs` = every centroid routed to its nearest super by
+    * (dist, scid) — `Vectors.hierIndex`'s twin. */
+  private def hierIndexSql(p: String, c: String, kExpr: String): String =
+    s"""${p}hs AS (
+         SELECT cid AS scid, cv AS sv FROM $c
+         QUALIFY row_number() OVER (ORDER BY cid) <=
+           CAST(ceil(sqrt(CAST(($kExpr) AS DOUBLE))) AS BIGINT)),
+       ${p}hcs AS (
+         SELECT cid, cv, scid FROM (
+           SELECT cc.cid, cc.cv, s.scid,
+             list_sum([(cc.cv[i]-s.sv[i])*(cc.cv[i]-s.sv[i])
+                       FOR i IN generate_series(1, 64)]) AS dist
+           FROM $c cc, ${p}hs s)
+         QUALIFY row_number() OVER (PARTITION BY cid
+           ORDER BY dist, scid) = 1)"""
+
+  /** Flat argmin of rows CTE `$rows` (vec_id, v) against `$c`
+    * (cid, cv) → `${p}fasg` (vec_id, v, cid). */
+  private def flatAssignSql(p: String, rows: String, c: String): String =
+    s"""${p}fasg AS (
+         SELECT vec_id, v, cid FROM (
+           SELECT r.vec_id, r.v, cc.cid,
+             list_sum([(r.v[i]-cc.cv[i])*(r.v[i]-cc.cv[i])
+                       FOR i IN generate_series(1, 64)]) AS dist
+           FROM $rows r, $c cc)
+         QUALIFY row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist, cid) = 1)"""
+
+  /** Two-level argmin of `$rows` via the `${hx}hs`/`${hx}hcs` index
+    * → `${p}hasg` (vec_id, v, cid): nearest super by (dist, scid),
+    * then nearest of that super's children by (dist, cid) —
+    * `Vectors.ivfAssignWithVecHier`'s twin. */
+  private def hierAssignSql(p: String, rows: String,
+                            hx: String): String =
+    s"""${p}ha1 AS (
+         SELECT vec_id, v, scid FROM (
+           SELECT r.vec_id, r.v, s.scid,
+             list_sum([(r.v[i]-s.sv[i])*(r.v[i]-s.sv[i])
+                       FOR i IN generate_series(1, 64)]) AS dist
+           FROM $rows r, ${hx}hs s)
+         QUALIFY row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist, scid) = 1),
+       ${p}hasg AS (
+         SELECT vec_id, v, cid FROM (
+           SELECT a.vec_id, a.v, cs.cid,
+             list_sum([(a.v[i]-cs.cv[i])*(a.v[i]-cs.cv[i])
+                       FOR i IN generate_series(1, 64)]) AS dist
+           FROM ${p}ha1 a JOIN ${hx}hcs cs ON a.scid = cs.scid)
+         QUALIFY row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist, cid) = 1)"""
+
+  /** Floor-dispatched assignment → `${p}asg` (vec_id, v, cid):
+    * `Vectors.ivfAssignWithVecScaled`'s twin (builds its own index
+    * on `$c`). Both branches are written and the k predicate picks
+    * one — at gate SFs both are tiny. */
+  private def scaledAssignSql(p: String, rows: String, c: String,
+                              kExpr: String): String =
+    s"""${hierIndexSql(p, c, kExpr)},
+       ${flatAssignSql(p, rows, c)},
+       ${hierAssignSql(p, rows, p)},
+       ${p}asg AS (
+         SELECT vec_id, v, cid FROM ${p}fasg
+         WHERE ${flatPred(kExpr)}
+         UNION ALL
+         SELECT vec_id, v, cid FROM ${p}hasg
+         WHERE ${hierPredSql(kExpr)})"""
+
+  /** Flat multi-probe: each row's `$n` nearest cells by (dist, cid)
+    * → `${p}fp` (vec_id, cell, probe_rank). */
+  private def flatProbeSql(p: String, rows: String, c: String,
+                           n: Int): String =
+    s"""${p}fp AS (
+         SELECT vec_id, cell, rk AS probe_rank FROM (
+           SELECT r.vec_id, cc.cid AS cell,
+             row_number() OVER (PARTITION BY r.vec_id ORDER BY
+               list_sum([(r.v[i]-cc.cv[i])*(r.v[i]-cc.cv[i])
+                         FOR i IN generate_series(1, 64)]), cc.cid)
+               AS rk
+           FROM $rows r, $c cc)
+         WHERE rk <= $n)"""
+
+  /** Two-level multi-probe → `${p}ph` (vec_id, cell, probe_rank):
+    * the `$n` nearest supers, each super's top-`$n` children by
+    * (dist, cid), re-ranked globally by (dist, cell) —
+    * `Vectors.hierProbeCells`' twin. */
+  private def hierProbeSql(p: String, rows: String, hx: String,
+                           n: Int): String =
+    s"""${p}ps AS (
+         SELECT vec_id, v, scid FROM (
+           SELECT r.vec_id, r.v, s.scid,
+             row_number() OVER (PARTITION BY r.vec_id ORDER BY
+               list_sum([(r.v[i]-s.sv[i])*(r.v[i]-s.sv[i])
+                         FOR i IN generate_series(1, 64)]), s.scid)
+               AS rk
+           FROM $rows r, ${hx}hs s)
+         WHERE rk <= $n),
+       ${p}pc AS (
+         SELECT vec_id, cid, dist FROM (
+           SELECT ps.vec_id, ps.scid, cs.cid,
+             list_sum([(ps.v[i]-cs.cv[i])*(ps.v[i]-cs.cv[i])
+                       FOR i IN generate_series(1, 64)]) AS dist
+           FROM ${p}ps ps JOIN ${hx}hcs cs ON ps.scid = cs.scid)
+         QUALIFY row_number() OVER (PARTITION BY vec_id, scid
+           ORDER BY dist, cid) <= $n),
+       ${p}ph AS (
+         SELECT vec_id, cid AS cell, pr AS probe_rank FROM (
+           SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist, cid) AS pr
+           FROM ${p}pc)
+         WHERE pr <= $n)"""
+
   /** t137's IVF base CTEs (e / kk / cent / ya) — vectors, the
     * corpus-scaled cell count (k = max(16, n/256), t62's formula),
     * the deterministic seed centroids (vec_id < k), and the y side's
-    * top-1 cell assignment by (squared distance, cid). */
+    * floor-dispatched top-1 cell assignment. */
   /** One quantized-Lloyd re-centering round: from corpus CTE `$e`
     * (vec_id, v) and seed CTE `$c0` (cid, cv), lands trained cells as
-    * `$out` (cid, cv) — `lloydCentroids`' exact twin. Coordinates are
-    * quantized to integer micros BEFORE summation and the mean is
+    * `$out` (cid, cv) — `lloydCentroids`' exact twin, including the
+    * floor dispatch of its assignment (the retrain itself routes
+    * two-level above the floor). Coordinates are quantized to
+    * integer micros BEFORE summation and the mean is
     * floor(sum/count)/1e6, so the trained centroids are bit-identical
     * doubles on both engines (a raw avg would differ in the LSB by
     * summation order). Empty cells keep their seed. */
   private def lloydCentSql(p: String, e: String, c0: String,
-                           out: String): String =
-    s"""${p}la AS (
-         SELECT vec_id, cid FROM (
-           SELECT $e.vec_id, $c0.cid,
-             list_sum([(v[i]-cv[i])*(v[i]-cv[i])
-                       FOR i IN generate_series(1, 64)]) AS dist
-           FROM $e, $c0)
-         QUALIFY row_number() OVER (PARTITION BY vec_id
-           ORDER BY dist, cid) = 1),
+                           out: String, kExpr: String): String =
+    s"""${scaledAssignSql(s"${p}l", e, c0, kExpr)},
+       ${p}la AS (SELECT vec_id, cid FROM ${p}lasg),
        ${p}lm AS (
          SELECT cid, d,
            floor(CAST(sum(CAST(round(v[d] * 1000000) AS BIGINT))
@@ -1509,43 +1795,56 @@ object SparkEntry {
            SELECT cid, list(c ORDER BY d) AS cv
            FROM ${p}lm GROUP BY cid) t USING (cid))"""
 
+  /** The shared tail of both bitext bases (organic and planted): the
+    * trained cells, their two-level index, the side CTEs, and the
+    * floor-dispatched y-side top-1 assignment. Expects `e` and `kk`
+    * already defined. */
+  private lazy val bitextIndexSql: String = {
+    val k = "(SELECT k FROM kk)"
+    s"""c0 AS (
+         SELECT vec_id AS cid, v AS cv FROM e, kk
+         WHERE vec_id < kk.k),
+       ${lloydCentSql("bx", "e", "c0", "cent", k)},
+       ${hierIndexSql("b", "cent", k)},
+       ex AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+       ey AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+       ${flatAssignSql("y", "ey", "cent")},
+       ${hierAssignSql("y", "ey", "b")},
+       ya AS (
+         SELECT vec_id AS y_id, cid AS cell FROM yfasg
+         WHERE ${flatPred(k)}
+         UNION ALL
+         SELECT vec_id AS y_id, cid AS cell FROM yhasg
+         WHERE ${hierPredSql(k)})"""
+  }
+
   private lazy val bitextBaseSql: String =
     s"""e AS (
          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
          FROM embeddings),
        kk AS (SELECT greatest(16, count(*) // 256) AS k FROM e),
-       c0 AS (
-         SELECT vec_id AS cid, v AS cv FROM e, kk
-         WHERE vec_id < kk.k),
-       ${lloydCentSql("bx", "e", "c0", "cent")},
-       ya AS (
-         SELECT vec_id AS y_id, cid AS cell FROM (
-           SELECT e.vec_id, c.cid,
-             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-               list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])
-                         FOR i IN generate_series(1, 64)]), c.cid)
-               AS rk
-           FROM e, cent c WHERE e.vec_id % 2 = 1) z
-         WHERE rk = 1)"""
+       $bitextIndexSql"""
 
   /** Cell-candidate block at `nProbe` probed cells on the x side —
     * lands `${p}cp` (x_id, y_id, cm); the exact twin of
     * `bitextIvfCandidates`, prefix-parameterized so t137b sweeps
-    * nProbe values in one statement. LATE materialization (r16):
+    * nProbe values in one statement (one block per nProbe — which is
+    * exactly what the Spark side does above the floor too, where
+    * probe ranks don't nest). The x probe dispatches on the floor
+    * like every assignment. LATE materialization (r16):
     * the assignment windows and the pair join flow only ids/cells,
     * and the cosine joins the (small) corpus back per side — carrying
     * the 64-double vectors through the 10×-scale candidate pipeline
     * OOM'd DuckDB where ints stream fine. Same values. */
   private def bitextCandSql(p: String, nProbe: Int): String =
-    s"""${p}xa AS (
-         SELECT vec_id AS x_id, cid AS cell FROM (
-           SELECT e.vec_id, c.cid,
-             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-               list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])
-                         FOR i IN generate_series(1, 64)]), c.cid)
-               AS rk
-           FROM e, cent c WHERE e.vec_id % 2 = 0) z
-         WHERE rk <= $nProbe),
+    s"""${flatProbeSql(s"${p}x", "ex", "cent", nProbe)},
+       ${hierProbeSql(s"${p}x", "ex", "b", nProbe)},
+       ${p}xa AS (
+         SELECT vec_id AS x_id, cell FROM ${p}xfp
+         WHERE ${flatPred("(SELECT k FROM kk)")}
+         UNION ALL
+         SELECT vec_id AS x_id, cell FROM ${p}xph
+         WHERE ${hierPredSql("(SELECT k FROM kk)")}),
        ${p}cand AS (
          SELECT DISTINCT a.x_id, y.y_id,
            CAST(round(
@@ -3690,14 +3989,17 @@ object SparkEntry {
       val exact = bitextTop1(exactCand, k = 4)
         .select(col("x_id"), col("y_id"))
         .localCheckpoint(false)
-      // ONE top-4 assignment pass serves all three curves: nProbe r
-      // = the rank-≤r slice of the shared ranked candidate table
-      val cand4 = bitextIvfCandidates(s, dir, nProbe = 4,
+      // below the floor ONE top-4 assignment pass serves all three
+      // curves (rank-≤r slice); above it each r probes for real —
+      // see bitextCandSweep
+      val n = tableRowCount(s, dir, "embeddings")
+      val k = math.max(16L, n / 256L)
+      val cents = stagedBitextCents(s, dir, "organic", e, k)
+      val candFor = bitextCandSweep(e, cents, k, Seq(1, 2, 4),
         xFilter = col("vec_id") < probeCap)
       Seq(1, 2, 4).map { r =>
         val approx = bitextTop1(
-          cand4.where(col("probe_rank") <= r)
-            .select("x_id", "y_id", "cos_micro"), k = 4)
+          candFor(r).select("x_id", "y_id", "cos_micro"), k = 4)
           .select(col("x_id"), col("y_id"))
           .localCheckpoint(false)
         exact.join(approx, Seq("x_id", "y_id"), "left_semi")
@@ -3752,7 +4054,11 @@ object SparkEntry {
               lit(0.75) * element_at(col("v"), pmod(i, lit(64)) + 1))
             .as("v"))
       val corpus = e.unionByName(twins)
-      val cand4 = bitextCellCandidates(corpus, k, nProbe = 4,
+      // trained centroids staged per corpus snapshot ("planted" tag —
+      // the planted corpus is a deterministic function of the
+      // embeddings table, so its fingerprint covers this construction)
+      val cents = stagedBitextCents(s, dir, "planted", corpus, k)
+      val candFor = bitextCandSweep(corpus, cents, k, Seq(1, 2, 4),
         xFilter = col("vec_id") < probeCap)
       val truth = e.where(pmod(col("vec_id"), lit(2)) === 0 &&
           col("vec_id") < probeCap)
@@ -3761,8 +4067,7 @@ object SparkEntry {
         .localCheckpoint(false) // 3 consumers per nProbe row
       Seq(1, 2, 4).map { r =>
         val mined = bitextTop1(
-          cand4.where(col("probe_rank") <= r)
-            .select("x_id", "y_id", "cos_micro"), k = 4)
+          candFor(r).select("x_id", "y_id", "cos_micro"), k = 4)
           .select(col("x_id"), col("y_id"))
           .localCheckpoint(false)
         truth.join(mined, Seq("x_id", "y_id"), "left_semi")
@@ -3811,6 +4116,94 @@ object SparkEntry {
         .agg(count(lit(1)).as("vecs"),
           countDistinct(col("cid")).as("cells"),
           sum(col("__dist_micro")).as("sum_dist_micro"))
+    }),
+
+    // Scalar quantization (SQ8, the FAISS IndexScalarQuantizer path):
+    // train per-DIMENSION min/max over the corpus, encode every
+    // coordinate to 8 bits — 8× smaller than float64 storage, the
+    // compression tier between raw vectors and PQ (t28's 2-code
+    // extreme). Everything is integer-exact cross-engine: coordinates
+    // micro-quantize first, codes are pure integer division, and the
+    // reconstruction is the bin midpoint in integer micros. Scale
+    // shape: the trainer is a posexplode → per-dim partial min/max (a
+    // 64-row shuffle regardless of corpus size), the encode is
+    // map-side against the one-row broadcast stats, and the corpus
+    // never shuffles. Output pins every code: positional weighting
+    // (Σ code·dim) catches swaps a plain sum would mask; err_sum is
+    // the quantizer's own distortion audit (Σ(v − recon)² in µ²).
+    "t140_sq8_encode" -> ((s, dir) =>
+      sq8Encoded(s, dir)
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x)
+            .as("code_sum"),
+          aggregate(sequence(lit(1), lit(64)), lit(0L), (a, i) =>
+            a + element_at(col("codes"), i) * i).as("poscode_sum"),
+          aggregate(sequence(lit(1), lit(64)), lit(0L), (a, i) => {
+            val d = element_at(col("vu"), i) - sq8Recon(i)
+            a + d * d
+          }).as("err_sum"))),
+
+    // SQ8 asymmetric-distance search (the ADC query path over t140's
+    // codes): the query keeps its exact (micro-quantized) vector,
+    // each corpus vector is scored at its reconstruction — top-5 per
+    // probe by (distance, id), distances in integer µ² so the oracle
+    // replays them bit-exactly. The scan reads CODES, not vectors
+    // (the point of SQ8 at 100 TB); probes broadcast, the per-query
+    // top-k is the t4/t9 window-limit shape.
+    "t141_sq8_adc" -> ((s, dir) => {
+      val enc = sq8Encoded(s, dir)
+      val q = enc.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("vu").as("qu"))
+        .localCheckpoint(false) // tiny probe set; hide the stats hint
+      val scored = enc.crossJoin(broadcast(q))
+        .where(col("qid") =!= col("vec_id"))
+        .withColumn("adc",
+          aggregate(sequence(lit(1), lit(64)), lit(0L), (a, i) => {
+            val d = element_at(col("qu"), i) - sq8Recon(i)
+            a + d * d
+          }))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("adc"), col("vec_id"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), col("adc"), col("rn"))
+    }),
+
+    // SQ8 recall@5 — the t60 discipline (every approximate path ships
+    // with its measured recall): ADC top-5 vs the EXACT top-5 by the
+    // same integer-micro L2 on the uncompressed vectors, per query.
+    // Both sides integer-exact, so the recall itself is hash-stable.
+    "t142_sq8_recall" -> ((s, dir) => {
+      val enc = sq8Encoded(s, dir)
+      val q = enc.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("vu").as("qu"))
+        .localCheckpoint(false)
+      def top5(scoredD: DataFrame): DataFrame = {
+        val w = Window.partitionBy("qid")
+          .orderBy(col("__d"), col("vec_id"))
+        scoredD.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5).select(col("qid"), col("vec_id"))
+      }
+      val exact = top5(enc.crossJoin(broadcast(q))
+        .where(col("qid") =!= col("vec_id"))
+        .withColumn("__d",
+          aggregate(sequence(lit(1), lit(64)), lit(0L), (a, i) => {
+            val d = element_at(col("qu"), i) - element_at(col("vu"), i)
+            a + d * d
+          })))
+      val approx = top5(enc.crossJoin(broadcast(q))
+        .where(col("qid") =!= col("vec_id"))
+        .withColumn("__d",
+          aggregate(sequence(lit(1), lit(64)), lit(0L), (a, i) => {
+            val d = element_at(col("qu"), i) - sq8Recon(i)
+            a + d * d
+          })))
+      exact
+        .join(approx.withColumn("__hit", lit(1)), Seq("qid", "vec_id"),
+          "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("hits"))
+        .withColumn("recall_ppm", expr("hits * 1000000 DIV 5"))
     }),
 
     // IVF probe search: approximate top-5 by cosine probing the 2
@@ -6618,7 +7011,9 @@ object SparkEntry {
           s"no published release under ${run.relRoot}"))
       val man = s.read.parquet(s"$resolved/manifest")
         .select(col("shard"), col("n_records").as("m_records"),
-          col("n_pieces").as("m_pieces"))
+          col("n_pieces").as("m_pieces"), col("id_sum").as("m_id_sum"),
+          col("key_min").as("m_key_min"), col("key_max").as("m_key_max"),
+          col("n_tokens"), col("content_sum"))
       val decoded = graft.sink.TfRecord.read(s, s"$resolved/tfrec")
         .as[(String, Long, Array[Byte], Boolean)]
         .map { case (shard, _, data, crcOk) =>
@@ -6637,10 +7032,25 @@ object SparkEntry {
           }
         }
         .toDF("shard", "doc_id", "id_sum", "np", "crc_fail")
+        // the shard keys are derivable from the ARTIFACT alone
+        // (key = md5('shuf42:'||doc_id), the producer's scheme) — a
+        // CRC-failed record contributes no key (its doc_id is
+        // untrusted; min/max skip nulls and the crc flag already
+        // fails the shard loudly)
+        .withColumn("key", when(col("crc_fail") === 0,
+          md5(concat(lit("shuf42:"), col("doc_id").cast("string")))))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_records"),
           sum("doc_id").as("docid_sum"), sum("id_sum").as("id_sum"),
-          sum("np").as("pieces_total"), sum("crc_fail").as("crc_fail"))
+          sum("np").as("pieces_total"), sum("crc_fail").as("crc_fail"),
+          min("key").as("g_key_min"), max("key").as("g_key_max"))
+      // match EVERY manifest field (r16 verdict #3 closed the loop):
+      // counts, piece totals, id sums, and the key range come back
+      // out of the decoded artifact; token totals and content sums
+      // cannot (the raw text never ships) — those two are emitted
+      // from the manifest and the ORACLE recomputes them from the
+      // corpus through the full chain, so a manifest that lies about
+      // them hash-fails even though the artifact alone can't tell.
       decoded.join(man, Seq("shard"), "full")
         .select(col("shard"),
           coalesce(col("n_records"), lit(0L)).as("n_records"),
@@ -6649,7 +7059,11 @@ object SparkEntry {
           coalesce(col("pieces_total"), lit(0L)).as("pieces_total"),
           coalesce(col("crc_fail"), lit(0L)).as("crc_fail"),
           (col("n_records") === col("m_records")).as("records_match"),
-          (col("pieces_total") === col("m_pieces")).as("pieces_match"))
+          (col("pieces_total") === col("m_pieces")).as("pieces_match"),
+          (col("id_sum") === col("m_id_sum")).as("ids_match"),
+          (col("g_key_min") === col("m_key_min") &&
+            col("g_key_max") === col("m_key_max")).as("keys_match"),
+          col("n_tokens"), col("content_sum"))
     }),
 
     // Unigram-LM tokenizer TRAIN (SentencePiece shape, Kudo 2018 —
@@ -8663,19 +9077,7 @@ object SparkEntry {
          e AS (SELECT * FROM eb UNION ALL SELECT * FROM tw),
          kk AS (SELECT greatest(16,
                   3 * (SELECT count(*) FROM eb) // 512) AS k),
-         c0 AS (
-           SELECT vec_id AS cid, v AS cv FROM e, kk
-           WHERE vec_id < kk.k),
-         ${lloydCentSql("pc", "e", "c0", "cent")},
-         ya AS (
-           SELECT vec_id AS y_id, cid AS cell FROM (
-             SELECT e.vec_id, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])
-                           FOR i IN generate_series(1, 64)]), c.cid)
-                 AS rk
-             FROM e, cent c WHERE e.vec_id % 2 = 1) z
-           WHERE rk = 1),
+         $bitextIndexSql,
          ${bitextCandSql("p0", 1)},
          ${bitextCandSql("p1", 2)},
          ${bitextCandSql("p2", 4)},
@@ -8758,6 +9160,70 @@ object SparkEntry {
            CAST(sum(CAST(round(dist * 1000000) AS BIGINT)) AS BIGINT)
              AS sum_dist_micro
          FROM a2 GROUP BY scid""",
+    // SQ8 twins: the same micro-quantized corpus, per-dim min/max
+    // trainer, integer codes, and bin-midpoint reconstruction —
+    // every operation integer, so codes/distances replay bit-exactly.
+    "t140_sq8_encode" ->
+      s"""WITH $sq8BaseSql
+         SELECT vec_id,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_sum([codes[i] * i
+                          FOR i IN generate_series(1, 64)]) AS BIGINT)
+             AS poscode_sum,
+           CAST(list_sum([(vu[i] - ${sq8ReconSql("codes")}) *
+                          (vu[i] - ${sq8ReconSql("codes")})
+                          FOR i IN generate_series(1, 64)]) AS BIGINT)
+             AS err_sum
+         FROM enc""",
+    "t141_sq8_adc" ->
+      s"""WITH $sq8BaseSql,
+         q AS (SELECT vec_id AS qid, vu AS qu FROM e
+               WHERE vec_id < 10),
+         sc AS (
+           SELECT q.qid, enc.vec_id,
+             CAST(list_sum([(q.qu[i] - ${sq8ReconSql("enc.codes")}) *
+                            (q.qu[i] - ${sq8ReconSql("enc.codes")})
+                            FOR i IN generate_series(1, 64)]) AS BIGINT)
+               AS adc
+           FROM enc, q WHERE q.qid <> enc.vec_id)
+         SELECT qid, vec_id, adc, rn FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY adc, vec_id) AS rn
+           FROM sc) z
+         WHERE rn <= 5""",
+    "t142_sq8_recall" ->
+      s"""WITH $sq8BaseSql,
+         q AS (SELECT vec_id AS qid, vu AS qu FROM e
+               WHERE vec_id < 10),
+         exd AS (
+           SELECT q.qid, e2.vec_id,
+             CAST(list_sum([(q.qu[i] - e2.vu[i]) * (q.qu[i] - e2.vu[i])
+                            FOR i IN generate_series(1, 64)]) AS BIGINT)
+               AS dd
+           FROM e e2, q WHERE q.qid <> e2.vec_id),
+         ext AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+               ORDER BY dd, vec_id) AS rn FROM exd) z
+           WHERE rn <= 5),
+         apd AS (
+           SELECT q.qid, enc.vec_id,
+             CAST(list_sum([(q.qu[i] - ${sq8ReconSql("enc.codes")}) *
+                            (q.qu[i] - ${sq8ReconSql("enc.codes")})
+                            FOR i IN generate_series(1, 64)]) AS BIGINT)
+               AS dd
+           FROM enc, q WHERE q.qid <> enc.vec_id),
+         apt AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+               ORDER BY dd, vec_id) AS rn FROM apd) z
+           WHERE rn <= 5)
+         SELECT ext.qid,
+           CAST(count(apt.vec_id) AS BIGINT) AS hits,
+           CAST(count(apt.vec_id) * 1000000 // 5 AS BIGINT)
+             AS recall_ppm
+         FROM ext LEFT JOIN apt USING (qid, vec_id)
+         GROUP BY 1""",
     "t9_ivf_probe" ->
       """WITH e AS (
            SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
@@ -9668,24 +10134,18 @@ object SparkEntry {
          UNION ALL SELECT '3_exact_dedup', count(*) FROM s3
          UNION ALL SELECT '4_decontam', count(*) FROM s4""",
     "t62_semdedup" ->
-      """WITH e AS (
+      s"""WITH e AS (
            SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
            FROM embeddings),
          dup AS (
            SELECT vec_id + 100000 AS vec_id,
              list_concat([v[1] + 0.05], v[2:64]) AS v FROM e),
          corpus AS (SELECT * FROM e UNION ALL SELECT * FROM dup),
-         c AS (SELECT vec_id AS cid, v AS cv FROM e
-               WHERE vec_id < (SELECT greatest(16, count(*) // 256)
-                               FROM e)),
-         asg AS (
-           SELECT vec_id, v, cid FROM (
-             SELECT corpus.vec_id, corpus.v, c.cid,
-               list_sum([(v[i]-cv[i])*(v[i]-cv[i])
-                         FOR i IN generate_series(1, 64)]) AS dist
-             FROM corpus, c)
-           QUALIFY row_number() OVER (PARTITION BY vec_id
-             ORDER BY dist, cid) = 1),
+         kk AS (SELECT greatest(16, count(*) // 256) AS k FROM e),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e, kk
+               WHERE vec_id < kk.k),
+         ${scaledAssignSql("t", "corpus", "c", "(SELECT k FROM kk)")},
+         asg AS (SELECT vec_id, v, cid FROM tasg),
          dropped AS (
            SELECT DISTINCT a.vec_id
            FROM asg a JOIN asg b
@@ -10901,6 +11361,10 @@ object SparkEntry {
     // the corpus through the full chain; the match flags are literal
     // true / crc_fail literal 0 — Spark's values come from the REAL
     // artifact read, so any torn/truncated/flipped shard hash-fails.
+    // n_tokens/content_sum are recomputed from the CORPUS here while
+    // Spark emits the shipped manifest's values: a manifest lying
+    // about either (the half the r16 consumer didn't check) now
+    // hash-fails too.
     "t139_release_consume" ->
       raw"""WITH $unigramTrainSql,
          ${unigramViterbiSql(4)},
@@ -10908,7 +11372,10 @@ object SparkEntry {
          ids AS (
            SELECT po.*,
              coalesce(ts.id_sum_doc, 0) AS id_sum_doc,
-             coalesce(ts.np_doc, 0) AS np_doc
+             coalesce(ts.np_doc, 0) AS np_doc,
+             CAST(('0x' || substr(md5(coalesce(
+               array_to_string(kept, ' '), '')), 1, 9))
+               AS UBIGINT)::BIGINT AS ch
            FROM po LEFT JOIN tsum ts USING (doc_id))
          SELECT shard,
            CAST(count(*) AS BIGINT) AS n_records,
@@ -10917,7 +11384,11 @@ object SparkEntry {
            CAST(sum(np_doc) AS BIGINT) AS pieces_total,
            CAST(0 AS BIGINT) AS crc_fail,
            true AS records_match,
-           true AS pieces_match
+           true AS pieces_match,
+           true AS ids_match,
+           true AS keys_match,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(sum(ch) AS BIGINT) AS content_sum
          FROM ids GROUP BY 1""",
     // Data card: scalar aggregates over the SAME chain CTEs.
     "t135_release_card" ->

@@ -283,6 +283,14 @@ class PlanAuditSpec extends SparkSpec {
     // rows; at true scale k rows broadcast is the documented trade vs
     // the flat path's single 2 GB-capped row)
     "t138_hier_assign" -> 4,
+    // SQ8 family: the trained scalar-quantizer stats are ONE row
+    // (2 × dims longs) riding crossJoin(broadcast(...)) — [model];
+    // the probe sets are 10 checkpointed query vectors — [probe].
+    // t142 sees the stats hint twice (exact + ADC sides each read
+    // the encoded corpus) plus the probe broadcast twice.
+    "t140_sq8_encode" -> 1, // [model] 1-row per-dim min/max stats
+    "t141_sq8_adc" -> 2, // [model] stats + [probe] 10 queries
+    "t142_sq8_recall" -> 4, // [model] stats ×2 + [probe] probes ×2
     "t13_decontaminate" -> 1, // [probe] eval gram set
     "t14_tfidf" -> 1, // [scalar] doc-count 1-row
     "t25_quality_shards" -> 2, // [bucket] two-level rank tables

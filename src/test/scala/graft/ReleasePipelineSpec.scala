@@ -189,6 +189,8 @@ class ReleasePipelineSpec extends SparkSpec {
       assert(r.getAs[Long]("crc_fail") === 0L, s"crc_fail in $r")
       assert(r.getAs[Boolean]("records_match"), s"records in $r")
       assert(r.getAs[Boolean]("pieces_match"), s"pieces in $r")
+      assert(r.getAs[Boolean]("ids_match"), s"ids in $r")
+      assert(r.getAs[Boolean]("keys_match"), s"keys in $r")
     }
     val published = graft.sink.Release.resolveLatest(
       spark.sparkContext.hadoopConfiguration,
@@ -240,6 +242,27 @@ class ReleasePipelineSpec extends SparkSpec {
       !gone.getAs[Boolean]("records_match"),
       "deleted shard still records_match=true")
     assert(gone.getAs[Long]("n_records") === 0L)
+    // fault 4: a CRC-VALID manifest rewrite that lies about the
+    // exported ids — record and piece counts untouched, so the r16
+    // consumer (counts only) passed it; ids_match must now fail on
+    // every shard the earlier faults left intact
+    locally {
+      val m = spark.read.parquet(s"$published/manifest")
+        .withColumn("id_sum", col("id_sum") + lit(1L))
+        .localCheckpoint() // materialize before overwriting the source
+      m.coalesce(1).write.mode("overwrite").parquet(s"$published/manifest")
+    }
+    val lied = consume().map(r => r.getString(0) -> r).toMap
+    val untouched = lied.keySet -- Set(name(0), name(1), name(2))
+    assert(untouched.nonEmpty, "no shard untouched by faults 1-3")
+    untouched.foreach { sh =>
+      val r = lied(sh)
+      assert(!r.getAs[Boolean]("ids_match"),
+        s"manifest id_sum lie not caught on $sh")
+      assert(r.getAs[Boolean]("records_match") &&
+        r.getAs[Boolean]("pieces_match"),
+        s"counts should still match on $sh (the lie is ids-only)")
+    }
   }
 
   test("release pipeline plan: output reads one checkpointed artifact " +
