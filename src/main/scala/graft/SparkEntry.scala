@@ -813,6 +813,22 @@ object SparkEntry {
     s.read.parquet(path).select("cid", "v")
   }
 
+  /** TEST hook (StagedLabelsSpec): the staged organic-tag centroids
+    * for `dir` at its production k, plus the inline retrain for
+    * value comparison. */
+  private[graft] def stagedBitextCentsForTest(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val n = tableRowCount(s, dir, "embeddings")
+    val k = math.max(16L, n / 256L)
+    def e = T(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val inline = lloydCentroids(e,
+      e.where(col("vec_id") < k).select(col("vec_id").as("cid"),
+        col("v")), k, "vec_id", "cid", "v")
+    (stagedBitextCents(s, dir, "organic", e, k), inline)
+  }
+
   /** t137's candidate generator: cross-side (even vec_id = "source
     * language", odd = "target") pairs sharing an IVF cell — the x
     * side multi-probes its nProbe nearest cells, the y side sits in
@@ -893,20 +909,20 @@ object SparkEntry {
     * corpus `e` (vec_id, vu), the one-row trained stats `st`
     * (mnu, mxu), and the encoded corpus `enc`. */
   private lazy val sq8BaseSql: String =
-    """e AS (
+    """e AS MATERIALIZED (
          SELECT vec_id,
            -- cast BEFORE the multiply: float4 * 1e6 in float precision
            -- drifts from Spark's double multiply on ~1 µ per 10⁶ values
            [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
             FOR x IN embedding] AS vu
          FROM embeddings),
-       st AS (
+       st AS MATERIALIZED (
          SELECT list(mn ORDER BY d) AS mnu, list(mx ORDER BY d) AS mxu
          FROM (
            SELECT d, min(vu[d]) AS mn, max(vu[d]) AS mx
            FROM e, unnest(generate_series(1, 64)) AS u(d)
            GROUP BY d)),
-       enc AS (
+       enc AS MATERIALIZED (
          SELECT vec_id, vu, mnu, mxu,
            [((vu[i] - mnu[i]) * 255) // greatest(mxu[i] - mnu[i], 1)
             FOR i IN generate_series(1, 64)] AS codes
@@ -1656,11 +1672,11 @@ object SparkEntry {
     * `${p}hcs` = every centroid routed to its nearest super by
     * (dist, scid) — `Vectors.hierIndex`'s twin. */
   private def hierIndexSql(p: String, c: String, kExpr: String): String =
-    s"""${p}hs AS (
+    s"""${p}hs AS MATERIALIZED (
          SELECT cid AS scid, cv AS sv FROM $c
          QUALIFY row_number() OVER (ORDER BY cid) <=
            CAST(ceil(sqrt(CAST(($kExpr) AS DOUBLE))) AS BIGINT)),
-       ${p}hcs AS (
+       ${p}hcs AS MATERIALIZED (
          SELECT cid, cv, scid FROM (
            SELECT cc.cid, cc.cv, s.scid,
              list_sum([(cc.cv[i]-s.sv[i])*(cc.cv[i]-s.sv[i])
@@ -1673,6 +1689,7 @@ object SparkEntry {
     * (cid, cv) → `${p}fasg` (vec_id, v, cid). */
   private def flatAssignSql(p: String, rows: String, c: String): String =
     s"""${p}fasg AS (
+         -- NOTE: single-referenced; the union below is MATERIALIZED
          SELECT vec_id, v, cid FROM (
            SELECT r.vec_id, r.v, cc.cid,
              list_sum([(r.v[i]-cc.cv[i])*(r.v[i]-cc.cv[i])
@@ -1713,7 +1730,7 @@ object SparkEntry {
     s"""${hierIndexSql(p, c, kExpr)},
        ${flatAssignSql(p, rows, c)},
        ${hierAssignSql(p, rows, p)},
-       ${p}asg AS (
+       ${p}asg AS MATERIALIZED (
          SELECT vec_id, v, cid FROM ${p}fasg
          WHERE ${flatPred(kExpr)}
          UNION ALL
@@ -1724,7 +1741,7 @@ object SparkEntry {
     * → `${p}fp` (vec_id, cell, probe_rank). */
   private def flatProbeSql(p: String, rows: String, c: String,
                            n: Int): String =
-    s"""${p}fp AS (
+    s"""${p}fp AS MATERIALIZED (
          SELECT vec_id, cell, rk AS probe_rank FROM (
            SELECT r.vec_id, cc.cid AS cell,
              row_number() OVER (PARTITION BY r.vec_id ORDER BY
@@ -1757,7 +1774,7 @@ object SparkEntry {
            FROM ${p}ps ps JOIN ${hx}hcs cs ON ps.scid = cs.scid)
          QUALIFY row_number() OVER (PARTITION BY vec_id, scid
            ORDER BY dist, cid) <= $n),
-       ${p}ph AS (
+       ${p}ph AS MATERIALIZED (
          SELECT vec_id, cid AS cell, pr AS probe_rank FROM (
            SELECT vec_id, cid,
              row_number() OVER (PARTITION BY vec_id
@@ -1781,7 +1798,7 @@ object SparkEntry {
   private def lloydCentSql(p: String, e: String, c0: String,
                            out: String, kExpr: String): String =
     s"""${scaledAssignSql(s"${p}l", e, c0, kExpr)},
-       ${p}la AS (SELECT vec_id, cid FROM ${p}lasg),
+       ${p}la AS MATERIALIZED (SELECT vec_id, cid FROM ${p}lasg),
        ${p}lm AS (
          SELECT cid, d,
            floor(CAST(sum(CAST(round(v[d] * 1000000) AS BIGINT))
@@ -1789,7 +1806,7 @@ object SparkEntry {
          FROM ${p}la JOIN $e USING (vec_id),
            unnest(generate_series(1, 64)) AS u(d)
          GROUP BY 1, 2),
-       $out AS (
+       $out AS MATERIALIZED (
          SELECT $c0.cid, coalesce(t.cv, $c0.cv) AS cv
          FROM $c0 LEFT JOIN (
            SELECT cid, list(c ORDER BY d) AS cv
@@ -1801,16 +1818,18 @@ object SparkEntry {
     * already defined. */
   private lazy val bitextIndexSql: String = {
     val k = "(SELECT k FROM kk)"
-    s"""c0 AS (
+    s"""c0 AS MATERIALIZED (
          SELECT vec_id AS cid, v AS cv FROM e, kk
          WHERE vec_id < kk.k),
        ${lloydCentSql("bx", "e", "c0", "cent", k)},
        ${hierIndexSql("b", "cent", k)},
-       ex AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
-       ey AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+       ex AS MATERIALIZED (
+         SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+       ey AS MATERIALIZED (
+         SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
        ${flatAssignSql("y", "ey", "cent")},
        ${hierAssignSql("y", "ey", "b")},
-       ya AS (
+       ya AS MATERIALIZED (
          SELECT vec_id AS y_id, cid AS cell FROM yfasg
          WHERE ${flatPred(k)}
          UNION ALL
@@ -1819,10 +1838,11 @@ object SparkEntry {
   }
 
   private lazy val bitextBaseSql: String =
-    s"""e AS (
+    s"""e AS MATERIALIZED (
          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
          FROM embeddings),
-       kk AS (SELECT greatest(16, count(*) // 256) AS k FROM e),
+       kk AS MATERIALIZED (
+         SELECT greatest(16, count(*) // 256) AS k FROM e),
        $bitextIndexSql"""
 
   /** Cell-candidate block at `nProbe` probed cells on the x side —
@@ -1839,7 +1859,7 @@ object SparkEntry {
   private def bitextCandSql(p: String, nProbe: Int): String =
     s"""${flatProbeSql(s"${p}x", "ex", "cent", nProbe)},
        ${hierProbeSql(s"${p}x", "ex", "b", nProbe)},
-       ${p}xa AS (
+       ${p}xa AS MATERIALIZED (
          SELECT vec_id AS x_id, cell FROM ${p}xfp
          WHERE ${flatPred("(SELECT k FROM kk)")}
          UNION ALL
@@ -1857,7 +1877,8 @@ object SparkEntry {
          FROM ${p}xa a JOIN ya y USING (cell)
            JOIN e ex ON ex.vec_id = a.x_id
            JOIN e ey ON ey.vec_id = y.y_id),
-       ${p}cp AS (SELECT * FROM ${p}cand WHERE cm > 0)"""
+       ${p}cp AS MATERIALIZED (
+         SELECT * FROM ${p}cand WHERE cm > 0)"""
 
   /** The ratio-margin top-1 block over candidate CTE `base`
     * (x_id, y_id, cm) — lands `<p>t1`; `bitextTop1`'s exact twin,
@@ -9018,9 +9039,9 @@ object SparkEntry {
          ${bitextCandSql("r0", 1)},
          ${bitextCandSql("r1", 2)},
          ${bitextCandSql("r2", 4)},
-         bcp0 AS (SELECT * FROM r0cp WHERE x_id < 400),
-         bcp1 AS (SELECT * FROM r1cp WHERE x_id < 400),
-         bcp2 AS (SELECT * FROM r2cp WHERE x_id < 400),
+         bcp0 AS MATERIALIZED (SELECT * FROM r0cp WHERE x_id < 400),
+         bcp1 AS MATERIALIZED (SELECT * FROM r1cp WHERE x_id < 400),
+         bcp2 AS MATERIALIZED (SELECT * FROM r2cp WHERE x_id < 400),
          ec AS (
            SELECT a.vec_id AS x_id, y.vec_id AS y_id,
              CAST(round(
@@ -9033,7 +9054,7 @@ object SparkEntry {
            FROM e a, e y
            WHERE a.vec_id % 2 = 0 AND a.vec_id < 400
              AND y.vec_id % 2 = 1),
-         ecp AS (SELECT * FROM ec WHERE cm > 0),
+         ecp AS MATERIALIZED (SELECT * FROM ec WHERE cm > 0),
          ${bitextTop1Sql("a0_", "bcp0")},
          ${bitextTop1Sql("a1_", "bcp1")},
          ${bitextTop1Sql("a2_", "bcp2")},
@@ -9066,24 +9087,25 @@ object SparkEntry {
     // the odd side at id+10000001), then reuses the SAME candidate /
     // margin blocks; recall is overlap with the planted truth.
     "t137c_bitext_planted" ->
-      s"""WITH eb AS (
+      s"""WITH eb AS MATERIALIZED (
            SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
            FROM embeddings),
-         tw AS (
+         tw AS MATERIALIZED (
            SELECT vec_id + 10000001 AS vec_id,
              [v[i] + 0.75 * v[(i % 64) + 1]
               FOR i IN generate_series(1, 64)] AS v
            FROM eb WHERE vec_id % 2 = 0),
-         e AS (SELECT * FROM eb UNION ALL SELECT * FROM tw),
-         kk AS (SELECT greatest(16,
+         e AS MATERIALIZED (
+           SELECT * FROM eb UNION ALL SELECT * FROM tw),
+         kk AS MATERIALIZED (SELECT greatest(16,
                   3 * (SELECT count(*) FROM eb) // 512) AS k),
          $bitextIndexSql,
          ${bitextCandSql("p0", 1)},
          ${bitextCandSql("p1", 2)},
          ${bitextCandSql("p2", 4)},
-         sc0 AS (SELECT * FROM p0cp WHERE x_id < 4000),
-         sc1 AS (SELECT * FROM p1cp WHERE x_id < 4000),
-         sc2 AS (SELECT * FROM p2cp WHERE x_id < 4000),
+         sc0 AS MATERIALIZED (SELECT * FROM p0cp WHERE x_id < 4000),
+         sc1 AS MATERIALIZED (SELECT * FROM p1cp WHERE x_id < 4000),
+         sc2 AS MATERIALIZED (SELECT * FROM p2cp WHERE x_id < 4000),
          ${bitextTop1Sql("m0_", "sc0")},
          ${bitextTop1Sql("m1_", "sc1")},
          ${bitextTop1Sql("m2_", "sc2")},
@@ -10134,18 +10156,21 @@ object SparkEntry {
          UNION ALL SELECT '3_exact_dedup', count(*) FROM s3
          UNION ALL SELECT '4_decontam', count(*) FROM s4""",
     "t62_semdedup" ->
-      s"""WITH e AS (
+      s"""WITH e AS MATERIALIZED (
            SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
            FROM embeddings),
-         dup AS (
+         dup AS MATERIALIZED (
            SELECT vec_id + 100000 AS vec_id,
              list_concat([v[1] + 0.05], v[2:64]) AS v FROM e),
-         corpus AS (SELECT * FROM e UNION ALL SELECT * FROM dup),
-         kk AS (SELECT greatest(16, count(*) // 256) AS k FROM e),
-         c AS (SELECT vec_id AS cid, v AS cv FROM e, kk
-               WHERE vec_id < kk.k),
+         corpus AS MATERIALIZED (
+           SELECT * FROM e UNION ALL SELECT * FROM dup),
+         kk AS MATERIALIZED (
+           SELECT greatest(16, count(*) // 256) AS k FROM e),
+         c AS MATERIALIZED (
+           SELECT vec_id AS cid, v AS cv FROM e, kk
+           WHERE vec_id < kk.k),
          ${scaledAssignSql("t", "corpus", "c", "(SELECT k FROM kk)")},
-         asg AS (SELECT vec_id, v, cid FROM tasg),
+         asg AS MATERIALIZED (SELECT vec_id, v, cid FROM tasg),
          dropped AS (
            SELECT DISTINCT a.vec_id
            FROM asg a JOIN asg b

@@ -65,4 +65,39 @@ class StagedLabelsSpec extends SparkSpec {
     assert(labeled() == nDocs + 1,
       "stale staged labels served after an in-place corpus rewrite")
   }
+
+  test("staged bitext centroids track corpus content and round-trip " +
+    "the trained values exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cents-spec").toString
+    def corpus(shift: Int) = spark.range(80).select(
+      $"id".as("vec_id"),
+      array((1 to 64).map(d =>
+        (pmod(hash($"id" * lit(d + shift)), lit(1000)).cast("float") /
+          lit(70.0f))): _*).as("embedding"))
+    def centSum(): (Long, Double) = {
+      val (staged, inline) = SparkEntry.stagedBitextCentsForTest(
+        spark, dir)
+      // staged ≡ inline, bit for bit: the parquet round-trip of the
+      // micro-quantized means must not perturb a single double
+      assert(staged.exceptAll(inline).count() === 0)
+      assert(inline.exceptAll(staged).count() === 0)
+      val r = staged.agg(count(lit(1)),
+        sum(aggregate($"v", lit(0.0), (a, x) => a + x))).head
+      (r.getLong(0), r.getDouble(1))
+    }
+    corpus(0).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val first = centSum()
+    assert(first._1 === 16L) // k = max(16, 80/256)
+    // unchanged corpus: served from the artifact, same values
+    assert(centSum() === first)
+    // in-place rewrite with different content: the fingerprint
+    // changes, so the staged centroids must retrain (and re-match
+    // the inline values on the NEW corpus)
+    corpus(7).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val second = centSum()
+    assert(second !== first,
+      "stale staged centroids served after an in-place corpus rewrite")
+  }
 }
