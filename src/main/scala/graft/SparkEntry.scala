@@ -933,6 +933,104 @@ object SparkEntry {
   private def sq8ReconSql(arr: String): String =
     s"(mnu[i] + ((2 * ${arr}[i] + 1) * (mxu[i] - mnu[i])) // 512)"
 
+  /** IVF-PQ twin base (t143/t144): coarse assignment, residuals,
+    * residual codebook (rows 16..31, re-based ids), per-subspace
+    * codes (t28's shape on residuals), reconstruction (t29's shape),
+    * probe list with per-cell query residuals, and the cell-
+    * restricted ADC scores `s` — `ivfPqApprox`'s exact replay. */
+  private lazy val ivfPqBaseSql: String =
+    """e AS MATERIALIZED (
+         SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+         FROM embeddings),
+       c AS MATERIALIZED (
+         SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       asg AS MATERIALIZED (
+         SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])
+                       FOR i IN generate_series(1, 64)]) AS dist
+           FROM e, c)
+         QUALIFY row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist, cid) = 1),
+       res AS MATERIALIZED (
+         SELECT a.vec_id, a.cid AS cell,
+           [a.v[i] - c.cv[i] FOR i IN generate_series(1, 64)] AS r
+         FROM asg a JOIN c ON c.cid = a.cid),
+       cb AS MATERIALIZED (
+         SELECT vec_id - 16 AS pcid, r AS pcv FROM res
+         WHERE vec_id >= 16 AND vec_id < 272),
+       d AS (
+         SELECT res.vec_id, j, cb.pcid,
+           list_sum([(res.r[(j-1)*8+i] - cb.pcv[(j-1)*8+i])
+                     * (res.r[(j-1)*8+i] - cb.pcv[(j-1)*8+i])
+                     FOR i IN generate_series(1, 8)]) AS dist
+         FROM res, cb, unnest(generate_series(1, 8)) AS u(j)),
+       codes AS MATERIALIZED (
+         SELECT vec_id, j, pcid FROM d
+         QUALIFY row_number() OVER (PARTITION BY vec_id, j
+           ORDER BY dist, pcid) = 1),
+       recon AS MATERIALIZED (
+         SELECT c2.vec_id,
+           flatten(list(b.pcv[(c2.j-1)*8+1:(c2.j-1)*8+8] ORDER BY c2.j))
+             AS rv
+         FROM codes c2 JOIN cb b ON b.pcid = c2.pcid
+         GROUP BY c2.vec_id),
+       q AS MATERIALIZED (
+         SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+       pr AS MATERIALIZED (
+         SELECT qid, cid AS cell,
+           [qv[i] - cv[i] FOR i IN generate_series(1, 64)] AS qr
+         FROM (
+           SELECT q.qid, c.cid, q.qv, c.cv,
+             row_number() OVER (PARTITION BY q.qid ORDER BY
+               list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i])
+                         FOR i IN generate_series(1, 64)]), c.cid)
+               AS rk
+           FROM q, c) z
+         WHERE rk <= 2),
+       sadc AS MATERIALIZED (
+         SELECT pr.qid, res.vec_id,
+           list_sum([(pr.qr[i] - recon.rv[i]) * (pr.qr[i] - recon.rv[i])
+                     FOR i IN generate_series(1, 64)]) AS dist
+         FROM pr JOIN res ON res.cell = pr.cell
+           JOIN recon ON recon.vec_id = res.vec_id
+         WHERE pr.qid <> res.vec_id)"""
+
+  /** The IVF-PQ index build + search shared by t143/t144: 16-cell
+    * coarse assignment, residual PQ (m=8 over 64 dims, 256-entry
+    * codebook from the residuals of rows 16..271, ids re-based to
+    * 0..255 for the element_at reconstruction), nProbe=2 ADC
+    * top-5. */
+  private def ivfPqApprox(s: SparkSession, dir: String,
+                          k: Int = 5): DataFrame = {
+    val e = T(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v"))
+    val resid = Vectors.ivfAssignWithVec(e, cents, "vec_id", "cid", "v")
+      .join(broadcast(cents.select(col("cid"), col("v").as("__cv"))),
+        Seq("cid"))
+      .select(col("vec_id"), col("cid").as("cell"),
+        zip_with(col("v"), col("__cv"), (a, b) => a - b).as("r"))
+    // 256-entry residual codebook (8-bit codes, the standard PQ
+    // operating point; 16 entries measured 0-40 % recall@5 — 4-bit
+    // codes are too coarse for an unstructured corpus). Ids re-base
+    // to 0..255; a smaller corpus yields fewer entries, still
+    // contiguous from 0 (the element_at reconstruction contract).
+    val cb = resid.where(col("vec_id") >= 16 && col("vec_id") < 272)
+      .select((col("vec_id") - 16).as("cid"), col("r"))
+    // the posting table IS the index: built once, searched by every
+    // query — materialize it (also: t129's checkpoint idiom)
+    val enc = Vectors.pqEncodeKeep(resid, cb, "vec_id", "cid", "r",
+      m = 8, dims = 64, keep = Seq("cell"))
+      .localCheckpoint(false)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v"))
+    Vectors.ivfPqTopK(q, enc, cb.withColumnRenamed("r", "v"), cents,
+      "qid", "vec_id", "cell", "cid", "v", "codes",
+      m = 8, dims = 64, k = k, nProbe = 2)
+  }
+
   /** Bin-midpoint reconstruction of coordinate `i` from the `codes` /
     * `mnu` / `mxu` columns in scope: mn + (2·code+1)·(mx−mn) DIV 512,
     * integer micros. */
@@ -4225,6 +4323,63 @@ object SparkEntry {
         .groupBy("qid")
         .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("hits"))
         .withColumn("recall_ppm", expr("hits * 1000000 DIV 5"))
+    }),
+
+    // IVF-PQ composite search (FAISS IndexIVFPQ — the structure a
+    // production 100 TB ANN deployment actually runs, assembling the
+    // engine's existing pieces end to end): coarse-quantize to q36's
+    // 16 seed cells, PQ-encode the RESIDUAL v − centroid (residual
+    // codes carry ~the cell's local geometry — the reason IVFPQ beats
+    // plain PQ at equal bits), store only (cell, 8 codes); search
+    // probes the 2 nearest cells and ADC-scores just their postings
+    // against the query's per-cell residual. Codebook = the residuals
+    // of rows 16..271 (256 entries = 8-bit codes; deterministic,
+    // nonzero — the seeds' own residuals are all zero). Distances replay exactly: same
+    // index-order double folds both engines, ties on ids.
+    "t143_ivfpq_search" -> ((s, dir) => ivfPqApprox(s, dir)),
+
+    // IVF-PQ recall@5 at BOTH production operating points (t60/t92
+    // discipline): raw ADC top-5 (probe misses + quantization noise
+    // compound — measured ~30 % on this unstructured corpus, where
+    // the true top-5 are near-ties ADC cannot order), and the
+    // REFINED point (FAISS IndexRefineFlat: ADC top-25 candidates
+    // reranked by exact distance — the standard fix; only the ≤25
+    // candidate vectors per query are ever read exactly, which is
+    // the bounded-I/O contract that matters at 100 TB).
+    "t144_ivfpq_recall" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .localCheckpoint(false)
+      val w = Window.partitionBy("qid")
+        .orderBy(col("__d"), col("vec_id"))
+      def top5(scored: DataFrame): DataFrame =
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5).select(col("qid"), col("vec_id"))
+      val exact = top5(e.crossJoin(broadcast(q))
+        .where(col("qid") =!= col("vec_id"))
+        .withColumn("__d", Vectors.sqDist(col("qv"), col("v"))))
+        .localCheckpoint(false) // two recall joins read it
+      // ONE k=25 ADC ranking serves both points: its rank-5 prefix
+      // IS the ADC top-5 (same ordering), the full 25 feed refine
+      val cand25 = ivfPqApprox(s, dir, k = 25).localCheckpoint(false)
+      val adc5 = cand25.where(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"))
+      val refined = top5(cand25.select("qid", "vec_id")
+        .join(e, Seq("vec_id")) // bounded candidates; AQE broadcasts
+        .join(broadcast(q), Seq("qid"))
+        .withColumn("__d", Vectors.sqDist(col("qv"), col("v"))))
+      def recallOf(got: DataFrame, hitsCol: String): DataFrame =
+        exact.join(got.withColumn("__hit", lit(1)),
+            Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("__hit"), lit(0))).cast("long")
+            .as(hitsCol))
+      recallOf(adc5, "hits_adc")
+        .join(recallOf(refined, "hits_ref"), Seq("qid"))
+        .withColumn("recall_adc_ppm", expr("hits_adc * 1000000 DIV 5"))
+        .withColumn("recall_ref_ppm", expr("hits_ref * 1000000 DIV 5"))
     }),
 
     // IVF probe search: approximate top-5 by cosine probing the 2
@@ -9246,6 +9401,56 @@ object SparkEntry {
              AS recall_ppm
          FROM ext LEFT JOIN apt USING (qid, vec_id)
          GROUP BY 1""",
+    // IVF-PQ composite twins: the full index build + probe replayed
+    // (coarse argmin → residuals → per-subspace residual codes →
+    // reconstruction → cell-restricted ADC), distances as the same
+    // index-order double folds, ties on ids.
+    "t143_ivfpq_search" ->
+      s"""WITH $ivfPqBaseSql
+         SELECT qid, vec_id, round(dist, 6) AS adc,
+           row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+             AS rn
+         FROM sadc QUALIFY rn <= 5""",
+    "t144_ivfpq_recall" ->
+      s"""WITH $ivfPqBaseSql,
+         ap25 AS MATERIALIZED (
+           SELECT qid, vec_id, rn FROM (
+             SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+               ORDER BY dist, vec_id) AS rn FROM sadc) z
+           WHERE rn <= 25),
+         apt AS (SELECT qid, vec_id FROM ap25 WHERE rn <= 5),
+         rft AS (
+           SELECT qid, vec_id FROM (
+             SELECT a.qid, a.vec_id,
+               row_number() OVER (PARTITION BY a.qid ORDER BY
+                 list_sum([(q.qv[i] - e2.v[i]) * (q.qv[i] - e2.v[i])
+                           FOR i IN generate_series(1, 64)]),
+                 a.vec_id) AS rn
+             FROM ap25 a JOIN e e2 ON e2.vec_id = a.vec_id
+               JOIN q ON q.qid = a.qid) z
+           WHERE rn <= 5),
+         exd AS (
+           SELECT q.qid, e2.vec_id,
+             list_sum([(q.qv[i] - e2.v[i]) * (q.qv[i] - e2.v[i])
+                       FOR i IN generate_series(1, 64)]) AS dd
+           FROM e e2, q WHERE q.qid <> e2.vec_id),
+         ext AS MATERIALIZED (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+               ORDER BY dd, vec_id) AS rn FROM exd) z
+           WHERE rn <= 5),
+         ra AS (
+           SELECT ext.qid, CAST(count(apt.vec_id) AS BIGINT)
+             AS hits_adc
+           FROM ext LEFT JOIN apt USING (qid, vec_id) GROUP BY 1),
+         rr AS (
+           SELECT ext.qid, CAST(count(rft.vec_id) AS BIGINT)
+             AS hits_ref
+           FROM ext LEFT JOIN rft USING (qid, vec_id) GROUP BY 1)
+         SELECT qid, hits_adc, hits_ref,
+           CAST(hits_adc * 1000000 // 5 AS BIGINT) AS recall_adc_ppm,
+           CAST(hits_ref * 1000000 // 5 AS BIGINT) AS recall_ref_ppm
+         FROM ra JOIN rr USING (qid)""",
     "t9_ivf_probe" ->
       """WITH e AS (
            SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v

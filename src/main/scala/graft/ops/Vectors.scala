@@ -475,19 +475,47 @@ object Vectors {
     * payload). Output: (id, codes array<long> of length m). */
   def pqEncode(corpus: DataFrame, codebook: DataFrame, idCol: String,
                cidCol: String, vecCol: String, m: Int,
-               dims: Int): DataFrame = {
+               dims: Int): DataFrame =
+    pqEncodeKeep(corpus, codebook, idCol, cidCol, vecCol, m, dims, Nil)
+
+  /** The codebook PRE-SLICED per subspace into one broadcast row
+    * (`__cbs`: array over j of array<struct<cid, cv_sub>>): the
+    * slicing work happens ONCE at build, in the 1-row aggregate —
+    * an expression over the broadcast column inside the encode
+    * would re-slice all n·dims codebook doubles per corpus ROW per
+    * subspace (measured: the first t143 encode spent ~5 s at sf0.1
+    * on exactly that — 2000 rows × 8 subspaces × 256 entries of
+    * per-row array copying). */
+  private def codebookSubspaces(codebook: DataFrame, cidCol: String,
+                                vecCol: String, m: Int,
+                                sub: Int): DataFrame =
+    broadcast(codebook.groupBy().agg(sort_array(collect_list(struct(
+        col(cidCol).cast("long").as("cid"),
+        transform(col(vecCol), x => x.cast("double")).as("cv"))))
+        .as("__cb"))
+      .select(transform(sequence(lit(0), lit(m - 1)), j =>
+        transform(col("__cb"), ct => struct(
+          ct.getField("cid").as("cid"),
+          slice(ct.getField("cv"), j * sub + 1, lit(sub)).as("cv"))))
+        .as("__cbs")))
+
+  /** `pqEncode` with extra columns carried through (e.g. the coarse
+    * cell id an IVF-PQ posting list is keyed by) — same map-side
+    * plan, no join-back to recover them. Per (row, subspace) the
+    * argmin kernel scans the PRE-SLICED broadcast codebook — O(1)
+    * lookup, no per-row slicing. */
+  def pqEncodeKeep(corpus: DataFrame, codebook: DataFrame, idCol: String,
+                   cidCol: String, vecCol: String, m: Int, dims: Int,
+                   keep: Seq[String]): DataFrame = {
     require(dims % m == 0, "m must divide dims evenly")
     val sub = dims / m
-    corpus.select(col(idCol), col(vecCol))
-      .crossJoin(codebookArray(codebook, cidCol, vecCol))
-      .select(col(idCol),
+    corpus.select((idCol +: keep :+ vecCol).map(col): _*)
+      .crossJoin(codebookSubspaces(codebook, cidCol, vecCol, m, sub))
+      .select((col(idCol) +: keep.map(col)) :+
         transform(sequence(lit(0), lit(m - 1)), j =>
           graft.functions.VectorExpressions.argminCentroid(
             slice(col(vecCol), j * sub + 1, lit(sub)),
-            transform(col("__cb"), ct => struct(
-              ct.getField("cid").as("cid"),
-              slice(ct.getField("cv"), j * sub + 1, lit(sub))
-                .as("cv"))))).as("codes"))
+            element_at(col("__cbs"), j + 1))).as("codes"): _*)
   }
 
   /** Reconstruction of a PQ-encoded vector: subspace j's slice of the
@@ -529,6 +557,56 @@ object Vectors {
       .crossJoin(q)
       .where(col(qidCol) =!= col(idCol))
       .withColumn("__adc", sqDist(col("__qv"), col("__rec")))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("__adc"), col(idCol))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col(qidCol), col(idCol), round(col("__adc"), 6).as("adc"),
+        col("rn"))
+  }
+
+  /** IVF-PQ search — the full composite production index (FAISS
+    * IndexIVFPQ): the corpus is stored as (cell, m PQ codes of the
+    * RESIDUAL v − centroid_cell), a query probes its `nProbe`
+    * nearest cells and scores ONLY those cells' postings by the
+    * asymmetric distance between its per-cell residual and each
+    * posting's reconstruction. 100 TB shape: the scan reads codes
+    * keyed by cell and the broadcast probe join restricts work to
+    * probed cells (with the posting table partitioned/bucketed by
+    * cell this is partition pruning); centroids, probes, and the
+    * codebook are broadcast models; only the bounded per-query top-k
+    * window shuffles candidates. `encoded`: (idCol, cellCol,
+    * codesCol) from `pqEncodeKeep` over residuals. */
+  def ivfPqTopK(queries: DataFrame, encoded: DataFrame,
+                codebook: DataFrame, centroids: DataFrame,
+                qidCol: String, idCol: String, cellCol: String,
+                cidCol: String, vecCol: String, codesCol: String,
+                m: Int, dims: Int, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dims % m == 0, "m must divide dims evenly")
+    val sub = dims / m
+    val c = centroids.select(col(cidCol).cast("long").as(cidCol),
+      transform(col(vecCol), x => x.cast("double")).as("__cv"))
+    val probeW = Window.partitionBy(col(qidCol))
+      .orderBy(col("__dist"), col(cidCol))
+    // per query: the nProbe nearest cells AND the query's residual
+    // against each probed centroid (the vector the ADC compares to)
+    val probes = queries.select(col(qidCol),
+        transform(col(vecCol), x => x.cast("double")).as("__qv"))
+      .crossJoin(broadcast(c))
+      .withColumn("__dist", sqDist(col("__qv"), col("__cv")))
+      .withColumn("__rn", row_number().over(probeW))
+      .where(col("__rn") <= nProbe)
+      .select(col(qidCol), col(cidCol).as(cellCol),
+        zip_with(col("__qv"), col("__cv"), (a, b) => a - b).as("__qr"))
+    val scored = encoded
+      .join(broadcast(probes), Seq(cellCol))
+      .where(col(qidCol) =!= col(idCol))
+      .crossJoin(codebookArray(codebook, cidCol, vecCol)
+        .withColumnRenamed("__cb", "__cbq"))
+      .withColumn("__rec",
+        pqReconstruct(col(codesCol), col("__cbq"), m, sub))
+      .withColumn("__adc", sqDist(col("__qr"), col("__rec")))
     val w = Window.partitionBy(col(qidCol))
       .orderBy(col("__adc"), col(idCol))
     scored.withColumn("rn", row_number().over(w).cast("long"))

@@ -291,6 +291,14 @@ class PlanAuditSpec extends SparkSpec {
     "t140_sq8_encode" -> 1, // [model] 1-row per-dim min/max stats
     "t141_sq8_adc" -> 2, // [model] stats + [probe] 10 queries
     "t142_sq8_recall" -> 4, // [model] stats ×2 + [probe] probes ×2
+    // IVF-PQ composite: every hinted side is a fixed-size model or a
+    // probe set — the 16 seed centroids (assign + residual join +
+    // probe list), the 256-entry residual codebook, and the 10-query
+    // probe frame. t144 sees only the probe broadcast: the encoded
+    // posting table is localCheckpointed (index-build-once), which
+    // hides the build-side hints from this walk (t129 precedent).
+    "t143_ivfpq_search" -> 5, // [model]×4 + [probe]
+    "t144_ivfpq_recall" -> 1, // [probe] 10 checkpointed queries
     "t13_decontaminate" -> 1, // [probe] eval gram set
     "t14_tfidf" -> 1, // [scalar] doc-count 1-row
     "t25_quality_shards" -> 2, // [bucket] two-level rank tables
