@@ -716,8 +716,57 @@ object SparkEntry {
   // process's artifact when the on-disk fingerprint sidecar still
   // matches (the production cadence: one labeling per corpus
   // snapshot, many consumers across many jobs).
-  private val stagedLabelsFp =
+  /** Shared staging protocol for the per-corpus-snapshot /tmp
+    * artifacts (r17 advice): ensure `path` holds an artifact built
+    * from fingerprint `fp`.
+    *  - Serve only when the on-disk `_corpus_fp` sidecar still
+    *    matches — the in-process memo alone is not enough, because an
+    *    external /tmp cleaner deleting the artifact mid-JVM would
+    *    otherwise fail every subsequent read until restart; the
+    *    sidecar re-check turns that into a rebuild.
+    *  - Build into a process-private `.tmp.<pid>` dir renamed into
+    *    place, so two JVMs staging the same path never interleave
+    *    partial writes: each rename lands a COMPLETE artifact (same
+    *    fingerprint → identical bytes), and a lost race just defers
+    *    to the winner's copy.
+    * The ConcurrentHashMap.compute still serializes in-JVM builders
+    * of the same artifact. */
+  private val stagedFpMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureStaged(s: SparkSession, path: String, fp: String)
+                          (build: String => Unit): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    stagedFpMemo.compute(path, (_, _) => {
+      val target = new org.apache.hadoop.fs.Path(path)
+      val fpPath = new org.apache.hadoop.fs.Path(path, "_corpus_fp")
+      val fs = fpPath.getFileSystem(conf)
+      val onDisk =
+        try {
+          val in = fs.open(fpPath)
+          try {
+            val buf = new Array[Byte](64)
+            val n = in.read(buf)
+            Some(new String(buf, 0, math.max(n, 0), "UTF-8"))
+          } finally in.close()
+        } catch { case _: java.io.IOException => None }
+      if (!onDisk.contains(fp)) {
+        val tmp = new org.apache.hadoop.fs.Path(
+          path + ".tmp." + ProcessHandle.current().pid())
+        fs.delete(tmp, true)
+        build(tmp.toString)
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(tmp, "_corpus_fp"), true)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
+        fs.delete(target, true)
+        if (!fs.rename(tmp, target))
+          // lost a cross-process rename race: the winner staged the
+          // identical artifact (same fingerprint); serve that one
+          fs.delete(tmp, true)
+      }
+      fp
+    })
+  }
+
   private def stagedNeardupLabels(s: SparkSession,
                                   dir: String): DataFrame = {
     // readable prefix + an md5 suffix of the RAW dir: the character
@@ -730,33 +779,12 @@ object SparkEntry {
         .digest(dir.getBytes("UTF-8"))
         .take(6).map("%02x".format(_)).mkString + "/cluster_labels"
     val fp = corpusFingerprint(s, dir)
-    // compute() serializes concurrent builders of the SAME artifact
-    // (ConcurrentHashMap locks the key's bin for the duration)
-    stagedLabelsFp.compute(path, (_, cached) => {
-      if (cached != fp) {
-        val conf = s.sparkContext.hadoopConfiguration
-        val fpPath = new org.apache.hadoop.fs.Path(path, "_corpus_fp")
-        val fs = fpPath.getFileSystem(conf)
-        val onDisk =
-          try {
-            val in = fs.open(fpPath)
-            try {
-              val buf = new Array[Byte](64)
-              val n = in.read(buf)
-              Some(new String(buf, 0, math.max(n, 0), "UTF-8"))
-            } finally in.close()
-          } catch { case _: java.io.IOException => None }
-        if (!onDisk.contains(fp)) {
-          graft.sink.Writers.writeWithManifest(
-            neardupLabels(s, dir)
-              .withColumn("shard", pmod(col("cluster_id"), lit(16L))),
-            path, Seq("shard"), Seq("doc_id", "cluster_id"))
-          val out = fs.create(fpPath, true)
-          try out.write(fp.getBytes("UTF-8")) finally out.close()
-        }
-      }
-      fp
-    })
+    ensureStaged(s, path, fp) { tmp =>
+      graft.sink.Writers.writeWithManifest(
+        neardupLabels(s, dir)
+          .withColumn("shard", pmod(col("cluster_id"), lit(16L))),
+        tmp, Seq("shard"), Seq("doc_id", "cluster_id"))
+    }
     s.read.parquet(path).select("doc_id", "cluster_id")
   }
 
@@ -772,8 +800,6 @@ object SparkEntry {
     * trained doubles exactly (they are micro-quantized integer means),
     * so staged == inline values. `corpus` is by-name: only a cache
     * miss pays its construction. */
-  private val stagedCentsFp =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedBitextCents(s: SparkSession, dir: String,
                                 tag: String, corpus: => DataFrame,
                                 k: Long): DataFrame = {
@@ -784,32 +810,13 @@ object SparkEntry {
         .take(6).map("%02x".format(_)).mkString +
       s"/bitext_cents_${tag}_k${k}_f${graft.ops.Vectors.HierarchicalFloor}"
     val fp = corpusFingerprint(s, dir, "embeddings")
-    stagedCentsFp.compute(path, (_, cached) => {
-      if (cached != fp) {
-        val conf = s.sparkContext.hadoopConfiguration
-        val fpPath = new org.apache.hadoop.fs.Path(path, "_corpus_fp")
-        val fs = fpPath.getFileSystem(conf)
-        val onDisk =
-          try {
-            val in = fs.open(fpPath)
-            try {
-              val buf = new Array[Byte](64)
-              val n = in.read(buf)
-              Some(new String(buf, 0, math.max(n, 0), "UTF-8"))
-            } finally in.close()
-          } catch { case _: java.io.IOException => None }
-        if (!onDisk.contains(fp)) {
-          val e = corpus
-          lloydCentroids(e,
-            e.where(col("vec_id") < k).select(col("vec_id").as("cid"),
-              col("v")), k, "vec_id", "cid", "v")
-            .coalesce(1).write.mode("overwrite").parquet(path)
-          val out = fs.create(fpPath, true)
-          try out.write(fp.getBytes("UTF-8")) finally out.close()
-        }
-      }
-      fp
-    })
+    ensureStaged(s, path, fp) { tmp =>
+      val e = corpus
+      lloydCentroids(e,
+        e.where(col("vec_id") < k).select(col("vec_id").as("cid"),
+          col("v")), k, "vec_id", "cid", "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
     s.read.parquet(path).select("cid", "v")
   }
 
@@ -1057,7 +1064,7 @@ object SparkEntry {
                              k: Long, idCol: String, cidCol: String,
                              vecCol: String): DataFrame = {
     val asg = Vectors.ivfAssignWithVecScaled(corpus, seeds, k, idCol,
-      cidCol, vecCol)
+      cidCol, vecCol, dims = 64)
     val means = asg.select(col(cidCol), posexplode(col(vecCol)))
       .groupBy(col(cidCol), col("pos"))
       .agg(sum(round(col("col").cast("double") * lit(1000000.0))
@@ -1163,11 +1170,13 @@ object SparkEntry {
         // output alias instead (gate SFs sit below the floor, so only
         // an at-scale execution exercises this branch)
         (graft.ops.Vectors
-          .hierProbeCells(xRows, cents, g, nProbe, "vec_id", "cid", "v")
+          .hierProbeCells(xRows, cents, g, nProbe, "vec_id", "cid", "v",
+            dims = 64)
           .select(col("vec_id").as("x_id"), col("v").as("xv"),
             col("cell"), col("probe_rank")),
           graft.ops.Vectors
-            .ivfAssignWithVecHier(yRows, cents, g, "vec_id", "cid", "v")
+            .ivfAssignWithVecHier(yRows, cents, g, "vec_id", "cid",
+              "v", dims = 64)
             .select(col("vec_id").as("y_id"), col("v").as("yv"),
               col("cid").as("cell")))
       }
@@ -1769,9 +1778,11 @@ object SparkEntry {
     * the g = ⌈√k⌉ smallest-cid centroids as supers (scid, sv),
     * `${p}hcs` = every centroid routed to its nearest super by
     * (dist, scid) — `Vectors.hierIndex`'s twin. */
-  private def hierIndexSql(p: String, c: String, kExpr: String): String =
+  private def hierIndexSql(p: String, c: String, kExpr: String,
+                           pred: String = "TRUE"): String =
     s"""${p}hs AS MATERIALIZED (
          SELECT cid AS scid, cv AS sv FROM $c
+         WHERE $pred
          QUALIFY row_number() OVER (ORDER BY cid) <=
            CAST(ceil(sqrt(CAST(($kExpr) AS DOUBLE))) AS BIGINT)),
        ${p}hcs AS MATERIALIZED (
@@ -1779,20 +1790,25 @@ object SparkEntry {
            SELECT cc.cid, cc.cv, s.scid,
              list_sum([(cc.cv[i]-s.sv[i])*(cc.cv[i]-s.sv[i])
                        FOR i IN generate_series(1, 64)]) AS dist
-           FROM $c cc, ${p}hs s)
+           FROM (SELECT * FROM $c WHERE $pred) cc, ${p}hs s)
          QUALIFY row_number() OVER (PARTITION BY cid
            ORDER BY dist, scid) = 1)"""
 
   /** Flat argmin of rows CTE `$rows` (vec_id, v) against `$c`
     * (cid, cv) → `${p}fasg` (vec_id, v, cid). */
-  private def flatAssignSql(p: String, rows: String, c: String): String =
+  private def flatAssignSql(p: String, rows: String, c: String,
+                            pred: String = "TRUE"): String =
     s"""${p}fasg AS (
-         -- NOTE: single-referenced; the union below is MATERIALIZED
+         -- NOTE: single-referenced; the union below is MATERIALIZED.
+         -- The dispatch predicate is pushed into the row scan so the
+         -- dead branch's cross join sees zero rows instead of being
+         -- computed and discarded (a scalar subquery the optimizer
+         -- cannot statically prune cost the r16 twin a disk spill).
          SELECT vec_id, v, cid FROM (
            SELECT r.vec_id, r.v, cc.cid,
              list_sum([(r.v[i]-cc.cv[i])*(r.v[i]-cc.cv[i])
                        FOR i IN generate_series(1, 64)]) AS dist
-           FROM $rows r, $c cc)
+           FROM (SELECT * FROM $rows WHERE $pred) r, $c cc)
          QUALIFY row_number() OVER (PARTITION BY vec_id
            ORDER BY dist, cid) = 1)"""
 
@@ -1801,13 +1817,14 @@ object SparkEntry {
     * then nearest of that super's children by (dist, cid) —
     * `Vectors.ivfAssignWithVecHier`'s twin. */
   private def hierAssignSql(p: String, rows: String,
-                            hx: String): String =
+                            hx: String,
+                            pred: String = "TRUE"): String =
     s"""${p}ha1 AS (
          SELECT vec_id, v, scid FROM (
            SELECT r.vec_id, r.v, s.scid,
              list_sum([(r.v[i]-s.sv[i])*(r.v[i]-s.sv[i])
                        FOR i IN generate_series(1, 64)]) AS dist
-           FROM $rows r, ${hx}hs s)
+           FROM (SELECT * FROM $rows WHERE $pred) r, ${hx}hs s)
          QUALIFY row_number() OVER (PARTITION BY vec_id
            ORDER BY dist, scid) = 1),
        ${p}hasg AS (
@@ -1825,9 +1842,9 @@ object SparkEntry {
     * one — at gate SFs both are tiny. */
   private def scaledAssignSql(p: String, rows: String, c: String,
                               kExpr: String): String =
-    s"""${hierIndexSql(p, c, kExpr)},
-       ${flatAssignSql(p, rows, c)},
-       ${hierAssignSql(p, rows, p)},
+    s"""${hierIndexSql(p, c, kExpr, hierPredSql(kExpr))},
+       ${flatAssignSql(p, rows, c, flatPred(kExpr))},
+       ${hierAssignSql(p, rows, p, hierPredSql(kExpr))},
        ${p}asg AS MATERIALIZED (
          SELECT vec_id, v, cid FROM ${p}fasg
          WHERE ${flatPred(kExpr)}
@@ -1838,7 +1855,7 @@ object SparkEntry {
   /** Flat multi-probe: each row's `$n` nearest cells by (dist, cid)
     * → `${p}fp` (vec_id, cell, probe_rank). */
   private def flatProbeSql(p: String, rows: String, c: String,
-                           n: Int): String =
+                           n: Int, pred: String = "TRUE"): String =
     s"""${p}fp AS MATERIALIZED (
          SELECT vec_id, cell, rk AS probe_rank FROM (
            SELECT r.vec_id, cc.cid AS cell,
@@ -1846,7 +1863,7 @@ object SparkEntry {
                list_sum([(r.v[i]-cc.cv[i])*(r.v[i]-cc.cv[i])
                          FOR i IN generate_series(1, 64)]), cc.cid)
                AS rk
-           FROM $rows r, $c cc)
+           FROM (SELECT * FROM $rows WHERE $pred) r, $c cc)
          WHERE rk <= $n)"""
 
   /** Two-level multi-probe → `${p}ph` (vec_id, cell, probe_rank):
@@ -1854,7 +1871,7 @@ object SparkEntry {
     * (dist, cid), re-ranked globally by (dist, cell) —
     * `Vectors.hierProbeCells`' twin. */
   private def hierProbeSql(p: String, rows: String, hx: String,
-                           n: Int): String =
+                           n: Int, pred: String = "TRUE"): String =
     s"""${p}ps AS (
          SELECT vec_id, v, scid FROM (
            SELECT r.vec_id, r.v, s.scid,
@@ -1862,7 +1879,7 @@ object SparkEntry {
                list_sum([(r.v[i]-s.sv[i])*(r.v[i]-s.sv[i])
                          FOR i IN generate_series(1, 64)]), s.scid)
                AS rk
-           FROM $rows r, ${hx}hs s)
+           FROM (SELECT * FROM $rows WHERE $pred) r, ${hx}hs s)
          WHERE rk <= $n),
        ${p}pc AS (
          SELECT vec_id, cid, dist FROM (
@@ -1920,13 +1937,13 @@ object SparkEntry {
          SELECT vec_id AS cid, v AS cv FROM e, kk
          WHERE vec_id < kk.k),
        ${lloydCentSql("bx", "e", "c0", "cent", k)},
-       ${hierIndexSql("b", "cent", k)},
+       ${hierIndexSql("b", "cent", k, hierPredSql(k))},
        ex AS MATERIALIZED (
          SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
        ey AS MATERIALIZED (
          SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
-       ${flatAssignSql("y", "ey", "cent")},
-       ${hierAssignSql("y", "ey", "b")},
+       ${flatAssignSql("y", "ey", "cent", flatPred(k))},
+       ${hierAssignSql("y", "ey", "b", hierPredSql(k))},
        ya AS MATERIALIZED (
          SELECT vec_id AS y_id, cid AS cell FROM yfasg
          WHERE ${flatPred(k)}
@@ -1955,8 +1972,10 @@ object SparkEntry {
     * the 64-double vectors through the 10×-scale candidate pipeline
     * OOM'd DuckDB where ints stream fine. Same values. */
   private def bitextCandSql(p: String, nProbe: Int): String =
-    s"""${flatProbeSql(s"${p}x", "ex", "cent", nProbe)},
-       ${hierProbeSql(s"${p}x", "ex", "b", nProbe)},
+    s"""${flatProbeSql(s"${p}x", "ex", "cent", nProbe,
+           flatPred("(SELECT k FROM kk)"))},
+       ${hierProbeSql(s"${p}x", "ex", "b", nProbe,
+           hierPredSql("(SELECT k FROM kk)"))},
        ${p}xa AS MATERIALIZED (
          SELECT vec_id AS x_id, cell FROM ${p}xfp
          WHERE ${flatPred("(SELECT k FROM kk)")}
@@ -4225,7 +4244,8 @@ object SparkEntry {
       val cent = e.where(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("v"))
       val asg = graft.ops.Vectors
-        .ivfAssignWithVecHier(e, cent, g, "vec_id", "cid", "v")
+        .ivfAssignWithVecHier(e, cent, g, "vec_id", "cid", "v",
+          dims = 64)
       asg.join(broadcast(cent.select(col("cid"), col("v").as("__cv"))),
           Seq("cid"))
         .select(col("scid"), col("cid"), col("vec_id"),
@@ -4460,7 +4480,7 @@ object SparkEntry {
       // k rides to the assignment so a true-scale corpus (k >= the
       // hierarchical floor) routes through the two-level quantizer
       Dedup.semDedupKeep(corpus, cent, "vec_id", "cid", "v", tau = 0.99,
-        k = k)
+        k = k, dims = 64)
     }),
 
     // Language-ID heuristic: CJK scan + per-language stopword argmax
@@ -7234,11 +7254,20 @@ object SparkEntry {
           coalesce(col("id_sum"), lit(0L)).as("id_sum"),
           coalesce(col("pieces_total"), lit(0L)).as("pieces_total"),
           coalesce(col("crc_fail"), lit(0L)).as("crc_fail"),
-          (col("n_records") === col("m_records")).as("records_match"),
-          (col("pieces_total") === col("m_pieces")).as("pieces_match"),
-          (col("id_sum") === col("m_id_sum")).as("ids_match"),
-          (col("g_key_min") === col("m_key_min") &&
-            col("g_key_max") === col("m_key_max")).as("keys_match"),
+          // coalesce to FALSE: a shard missing from either side of
+          // the full join yields a NULL comparison, and a null gate
+          // flag reads as "unchecked" downstream (Row.getAs[Boolean]
+          // silently maps it to false in tests while the emitted
+          // column stays null) — a missing shard must FAIL loudly
+          coalesce(col("n_records") === col("m_records"), lit(false))
+            .as("records_match"),
+          coalesce(col("pieces_total") === col("m_pieces"), lit(false))
+            .as("pieces_match"),
+          coalesce(col("id_sum") === col("m_id_sum"), lit(false))
+            .as("ids_match"),
+          coalesce(col("g_key_min") === col("m_key_min") &&
+            col("g_key_max") === col("m_key_max"), lit(false))
+            .as("keys_match"),
           col("n_tokens"), col("content_sum"))
     }),
 

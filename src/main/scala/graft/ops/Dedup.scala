@@ -170,8 +170,10 @@ object Dedup {
     * less in-cell pairing. */
   def semDedupKeep(corpus: DataFrame, centroids: DataFrame,
                    idCol: String, cidCol: String, vecCol: String,
-                   tau: Double, k: Long = 0L): DataFrame =
-    semDedupKeepWithVec(corpus, centroids, idCol, cidCol, vecCol, tau, k)
+                   tau: Double, k: Long = 0L,
+                   dims: Int = -1): DataFrame =
+    semDedupKeepWithVec(corpus, centroids, idCol, cidCol, vecCol, tau,
+      k, dims)
       .drop(vecCol)
 
   /** `semDedupKeep` with the vector retained in the output — what a
@@ -183,9 +185,10 @@ object Dedup {
     * every gate-SF corpus sits below the floor anyway). */
   def semDedupKeepWithVec(corpus: DataFrame, centroids: DataFrame,
                           idCol: String, cidCol: String, vecCol: String,
-                          tau: Double, k: Long = 0L): DataFrame = {
+                          tau: Double, k: Long = 0L,
+                          dims: Int = -1): DataFrame = {
     val asg = Vectors.ivfAssignWithVecScaled(corpus, centroids, k, idCol,
-      cidCol, vecCol).localCheckpoint(false)
+      cidCol, vecCol, dims).localCheckpoint(false)
     val a = asg.select(col(cidCol), col(idCol).as("__ida"),
       col(vecCol).as("__va"))
     val b = asg.select(col(cidCol), col(idCol).as("__idb"),

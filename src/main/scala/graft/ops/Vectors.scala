@@ -157,7 +157,17 @@ object Vectors {
     * path oracle-gated every round (r16 advice #1). The driver never
     * sets it, so every tracked gate hash stays on the default. */
   val HierarchicalFloor: Long =
-    sys.env.get("SPARK_GRAFT_HIER_FLOOR").map(_.toLong).getOrElse(1024L)
+    sys.env.get("SPARK_GRAFT_HIER_FLOOR") match {
+      case None => 1024L
+      case Some(raw) =>
+        val v = scala.util.Try(raw.trim.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_HIER_FLOOR must be a positive integer, " +
+              s"got '$raw'"))
+        require(v > 0,
+          s"SPARK_GRAFT_HIER_FLOOR must be positive, got $v")
+        v
+    }
 
   /** Super-cell count for k cells: ⌈√k⌉ equalizes the two scan terms
     * (g supers + k/g children per row). */
@@ -176,7 +186,8 @@ object Vectors {
     * the duplicate's group is empty AND unroutable-to, consistently on
     * both levels), so no corpus row routes to a childless group. */
   private def hierIndex(centroids: DataFrame, g: Int, cidCol: String,
-                        vecCol: String): (DataFrame, DataFrame) = {
+                        vecCol: String, dims: Int = -1)
+      : (DataFrame, DataFrame) = {
     val cd = centroids.select(col(cidCol).cast("long").as(cidCol),
       transform(col(vecCol), x => x.cast("double")).as(vecCol))
     val supers = cd.orderBy(col(cidCol)).limit(g)
@@ -194,17 +205,22 @@ object Vectors {
     // standard ANN practice (FAISS keeps the model on every node),
     // but at k ≈ 4M × d = 768 float64 it is ~24 GB/executor and the
     // failure mode is an opaque broadcast OOM. Estimate the bytes
-    // (k ≈ g² under the ⌈√k⌉ sizing; dims from one centroid row —
-    // a limit-1 scan, the only job this guard adds) and above the
+    // (k ≈ g² under the ⌈√k⌉ sizing; dims from the caller when it
+    // knows its vector width — every corpus-scaled call site does —
+    // falling back to a limit-1 scan only when it doesn't, so sweep
+    // call sites no longer pay a driver-blocking job per index
+    // build) and above the
     // configurable bound fall back to a SHUFFLE join on the super id:
     // the corpus pays one exchange instead of the job dying. supers
     // stay broadcast — O(√k·dims), never the model.
     val spark = centroids.sparkSession
     val maxModelBytes = spark.conf
       .get("graft.ann.maxModelBroadcastBytes", (4L << 30).toString).toLong
-    val dims = cd.select(size(col(vecCol))).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    val modelBytes = g.toLong * g.toLong * (dims * 8L + 48L)
+    val d =
+      if (dims > 0) dims
+      else cd.select(size(col(vecCol))).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    val modelBytes = g.toLong * g.toLong * (d * 8L + 48L)
     val children =
       if (modelBytes <= maxModelBytes) broadcast(childrenTbl)
       else {
@@ -229,8 +245,9 @@ object Vectors {
     * corpus). */
   def ivfAssignWithVecHier(corpus: DataFrame, centroids: DataFrame,
                            g: Int, idCol: String, cidCol: String,
-                           vecCol: String): DataFrame = {
-    val (supersArr, children) = hierIndex(centroids, g, cidCol, vecCol)
+                           vecCol: String, dims: Int = -1): DataFrame = {
+    val (supersArr, children) =
+      hierIndex(centroids, g, cidCol, vecCol, dims)
     corpus.select(col(idCol), col(vecCol))
       .crossJoin(supersArr)
       .select(col(idCol), col(vecCol),
@@ -250,12 +267,12 @@ object Vectors {
     * index with — every corpus-scaled call site knows k. */
   def ivfAssignWithVecScaled(corpus: DataFrame, centroids: DataFrame,
                              k: Long, idCol: String, cidCol: String,
-                             vecCol: String): DataFrame =
+                             vecCol: String, dims: Int = -1): DataFrame =
     if (k < HierarchicalFloor)
       ivfAssignWithVec(corpus, centroids, idCol, cidCol, vecCol)
     else
       ivfAssignWithVecHier(corpus, centroids, hierGroups(k), idCol,
-        cidCol, vecCol).drop("scid")
+        cidCol, vecCol, dims).drop("scid")
 
   /** Two-level multi-probe: each row's n nearest cells as
     * (id, vec, cell, probe_rank), probing the n nearest SUPERS and
@@ -266,9 +283,10 @@ object Vectors {
     * WindowGroupLimit pre-reduces map-side). */
   def hierProbeCells(rows: DataFrame, centroids: DataFrame, g: Int,
                      n: Int, idCol: String, cidCol: String,
-                     vecCol: String): DataFrame = {
+                     vecCol: String, dims: Int = -1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (supersArr, children) = hierIndex(centroids, g, cidCol, vecCol)
+    val (supersArr, children) =
+      hierIndex(centroids, g, cidCol, vecCol, dims)
     val cand = rows.select(col(idCol), col(vecCol))
       .crossJoin(supersArr)
       .select(col(idCol), col(vecCol),
