@@ -601,8 +601,6 @@ object Vectors {
                 cidCol: String, vecCol: String, codesCol: String,
                 m: Int, dims: Int, k: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(dims % m == 0, "m must divide dims evenly")
-    val sub = dims / m
     val c = centroids.select(col(cidCol).cast("long").as(cidCol),
       transform(col(vecCol), x => x.cast("double")).as("__cv"))
     val probeW = Window.partitionBy(col(qidCol))
@@ -617,8 +615,58 @@ object Vectors {
       .where(col("__rn") <= nProbe)
       .select(col(qidCol), col(cidCol).as(cellCol),
         zip_with(col("__qv"), col("__cv"), (a, b) => a - b).as("__qr"))
+    // probe-frame size guard (r17 verdict #3): one count job over the
+    // RAW query frame — never the probe pipeline — prices the
+    // broadcast before forcing it
+    val nQueries = queries.count()
+    ivfPqTopKProbed(probes, encoded, codebook, qidCol, idCol, cellCol,
+      cidCol, vecCol, codesCol, m, dims, k,
+      probeRows = nQueries * nProbe)
+  }
+
+  /** The scoring half of IVF-PQ over a PRE-BUILT probe frame
+    * (`probes`: qidCol, cellCol, `__qr` = the query's residual against
+    * each probed centroid) — the entry point for corpus-scaled callers
+    * whose probe list comes from the two-level quantizer rather than
+    * the flat scan `ivfPqTopK` runs.
+    *
+    * CONTRACT (r17 verdict #3): the probe frame is a MODEL — when
+    * broadcast, every executor holds probeRows × dims doubles. That is
+    * the right plan for the tracked shape (a bounded query set probing
+    * a corpus-sized posting table), but a corpus-sized SELF-search
+    * would replicate n·nProbe·dims doubles per executor. `probeRows`
+    * (pass nQueries·nProbe; a negative value triggers a count of
+    * `probes` itself, which re-executes the probe pipeline — prefer
+    * the hint) prices the broadcast against
+    * `graft.ann.maxModelBroadcastBytes`; above the bound the cell-key
+    * join runs UNHINTED, so the posting table exchanges on the cell id
+    * once instead of the job dying in a broadcast OOM. Values are
+    * identical either way — only the join strategy moves
+    * (spec: SkewVectorsSpec "ivfPqTopKProbed fallback"). */
+  def ivfPqTopKProbed(probes: DataFrame, encoded: DataFrame,
+                      codebook: DataFrame, qidCol: String, idCol: String,
+                      cellCol: String, cidCol: String, vecCol: String,
+                      codesCol: String, m: Int, dims: Int, k: Int,
+                      probeRows: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dims % m == 0, "m must divide dims evenly")
+    val sub = dims / m
+    val spark = probes.sparkSession
+    val maxModelBytes = spark.conf
+      .get("graft.ann.maxModelBroadcastBytes", (4L << 30).toString).toLong
+    val rows = if (probeRows >= 0) probeRows else probes.count()
+    val probeBytes = rows * (dims * 8L + 48L)
+    val probeSide =
+      if (probeBytes <= maxModelBytes) broadcast(probes)
+      else {
+        System.err.println(s"[graft] ivfPqTopKProbed: estimated probe " +
+          s"frame ~${probeBytes >> 20} MiB exceeds " +
+          s"graft.ann.maxModelBroadcastBytes=$maxModelBytes; the " +
+          "cell-key join runs unhinted (shuffle)")
+        probes
+      }
     val scored = encoded
-      .join(broadcast(probes), Seq(cellCol))
+      .join(probeSide, Seq(cellCol))
       .where(col(qidCol) =!= col(idCol))
       .crossJoin(codebookArray(codebook, cidCol, vecCol)
         .withColumnRenamed("__cb", "__cbq"))

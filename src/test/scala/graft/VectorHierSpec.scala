@@ -161,6 +161,37 @@ class VectorHierSpec extends SparkSpec {
     assert(fallback.exceptAll(broadcasted).count() === 0)
   }
 
+  test("ivfPqTopKProbed fallback: shuffle join preserves ADC top-k") {
+    // r17 verdict #3: the probe frame is a model — above the
+    // configured byte bound the cell-key join must run unhinted
+    // (shuffle) with identical values, never a forced broadcast.
+    val e = corpus(300)
+    val c = cents(e, 8)
+    val resid = Vectors.ivfAssignWithVec(e, c, "vec_id", "cid", "v")
+      .join(broadcast(c.select($"cid", $"v".as("__cv"))), Seq("cid"))
+      .select($"vec_id", $"cid".as("cell"),
+        zip_with($"v", $"__cv", (a, b) => a - b).as("r"))
+    val cb = resid.where($"vec_id" >= 8 && $"vec_id" < 24)
+      .select(($"vec_id" - 8).as("cid"), $"r")
+    val enc = Vectors.pqEncodeKeep(resid, cb, "vec_id", "cid", "r",
+      m = 2, dims = 4, keep = Seq("cell")).localCheckpoint()
+    val q = e.where($"vec_id" < 6).select($"vec_id".as("qid"), $"v")
+    def run(): Seq[(Long, Long, Long)] =
+      Vectors.ivfPqTopK(q, enc, cb.withColumnRenamed("r", "v"), c,
+        "qid", "vec_id", "cell", "cid", "v", "codes",
+        m = 2, dims = 4, k = 5, nProbe = 2)
+        .select($"qid", $"vec_id", $"rn").as[(Long, Long, Long)]
+        .collect().toSeq.sorted
+    val broadcasted = run()
+    val fallback =
+      try {
+        spark.conf.set("graft.ann.maxModelBroadcastBytes", "1")
+        run()
+      } finally spark.conf.unset("graft.ann.maxModelBroadcastBytes")
+    assert(broadcasted.nonEmpty)
+    assert(broadcasted === fallback)
+  }
+
   test("HierarchicalFloor dispatch: above-floor k routes two-level") {
     val e = corpus(1400)
     val k = Vectors.HierarchicalFloor // 1024 -> g = 32
