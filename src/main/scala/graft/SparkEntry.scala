@@ -940,32 +940,36 @@ object SparkEntry {
   private def sq8ReconSql(arr: String): String =
     s"(mnu[i] + ((2 * ${arr}[i] + 1) * (mxu[i] - mnu[i])) // 512)"
 
-  /** IVF-PQ twin base (t143/t144): coarse assignment, residuals,
-    * residual codebook (rows 16..31, re-based ids), per-subspace
-    * codes (t28's shape on residuals), reconstruction (t29's shape),
-    * probe list with per-cell query residuals, and the cell-
-    * restricted ADC scores `s` — `ivfPqApprox`'s exact replay. */
+  /** IVF-PQ twin base (t143/t144): `ivfPqApprox`'s exact replay at
+    * the corpus-scaled operating point — scaled cell count / nProbe /
+    * codebook stride in `kk`, floor-dispatched coarse assignment
+    * (`scaledAssignSql`, prefix `pq`), residuals, the STRIDED-sample
+    * residual codebook, per-subspace codes (t28's shape on
+    * residuals), reconstruction (t29's shape), floor-dispatched probe
+    * list with per-cell query residuals, and the cell-restricted ADC
+    * scores `sadc`. */
   private lazy val ivfPqBaseSql: String =
-    """e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
          FROM embeddings),
+       kk AS MATERIALIZED (
+         SELECT greatest(16, count(*) // 256) AS k,
+           greatest(1, count(*) // 256) AS st,
+           greatest(2, CAST(ceil(sqrt(CAST(greatest(16, count(*) // 256)
+             AS DOUBLE)) / 2) AS BIGINT)) AS np
+         FROM e),
        c AS MATERIALIZED (
-         SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-       asg AS MATERIALIZED (
-         SELECT vec_id, v, cid FROM (
-           SELECT e.vec_id, e.v, c.cid,
-             list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])
-                       FOR i IN generate_series(1, 64)]) AS dist
-           FROM e, c)
-         QUALIFY row_number() OVER (PARTITION BY vec_id
-           ORDER BY dist, cid) = 1),
+         SELECT vec_id AS cid, v AS cv FROM e, kk WHERE vec_id < kk.k),
+       ${scaledAssignSql("pq", "e", "c", "(SELECT k FROM kk)")},
        res AS MATERIALIZED (
          SELECT a.vec_id, a.cid AS cell,
            [a.v[i] - c.cv[i] FOR i IN generate_series(1, 64)] AS r
-         FROM asg a JOIN c ON c.cid = a.cid),
+         FROM pqasg a JOIN c ON c.cid = a.cid),
        cb AS MATERIALIZED (
-         SELECT vec_id - 16 AS pcid, r AS pcv FROM res
-         WHERE vec_id >= 16 AND vec_id < 272),
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pcid,
+           r AS pcv
+         FROM res, kk WHERE vec_id % kk.st = 0
+         QUALIFY pcid <= 255),
        d AS (
          SELECT res.vec_id, j, cb.pcid,
            list_sum([(res.r[(j-1)*8+i] - cb.pcv[(j-1)*8+i])
@@ -984,17 +988,21 @@ object SparkEntry {
          GROUP BY c2.vec_id),
        q AS MATERIALIZED (
          SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+       q2 AS (SELECT qid AS vec_id, qv AS v FROM q),
+       ${flatProbeSql("pqq", "q2", "c", "(SELECT np FROM kk)",
+          flatPred("(SELECT k FROM kk)"))},
+       ${hierProbeSql("pqq", "q2", "pq", "(SELECT np FROM kk)",
+          hierPredSql("(SELECT k FROM kk)"))},
+       pc0 AS (
+         SELECT vec_id AS qid, cell FROM pqqfp
+         WHERE ${flatPred("(SELECT k FROM kk)")}
+         UNION ALL
+         SELECT vec_id AS qid, cell FROM pqqph
+         WHERE ${hierPredSql("(SELECT k FROM kk)")}),
        pr AS MATERIALIZED (
-         SELECT qid, cid AS cell,
-           [qv[i] - cv[i] FOR i IN generate_series(1, 64)] AS qr
-         FROM (
-           SELECT q.qid, c.cid, q.qv, c.cv,
-             row_number() OVER (PARTITION BY q.qid ORDER BY
-               list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i])
-                         FOR i IN generate_series(1, 64)]), c.cid)
-               AS rk
-           FROM q, c) z
-         WHERE rk <= 2),
+         SELECT p.qid, p.cell,
+           [q.qv[i] - c.cv[i] FOR i IN generate_series(1, 64)] AS qr
+         FROM pc0 p JOIN q ON q.qid = p.qid JOIN c ON c.cid = p.cell),
        sadc AS MATERIALIZED (
          SELECT pr.qid, res.vec_id,
            list_sum([(pr.qr[i] - recon.rv[i]) * (pr.qr[i] - recon.rv[i])
@@ -1003,29 +1011,62 @@ object SparkEntry {
            JOIN recon ON recon.vec_id = res.vec_id
          WHERE pr.qid <> res.vec_id)"""
 
-  /** The IVF-PQ index build + search shared by t143/t144: 16-cell
-    * coarse assignment, residual PQ (m=8 over 64 dims, 256-entry
-    * codebook from the residuals of rows 16..271, ids re-based to
-    * 0..255 for the element_at reconstruction), nProbe=2 ADC
-    * top-5. */
+  /** The IVF-PQ index build + search shared by t143/t144, at a
+    * CORPUS-SCALED operating point (r17 verdict #1 — the r17 landing
+    * pinned 16 cells / nProbe 2 / a prefix codebook slice, and its own
+    * recall row showed the consequence: refined recall@5 fell 90%→54%
+    * from sf0.01 to sf0.1, because at 100× a fixed 16-cell index
+    * degenerates toward a brute scan with dead recall):
+    *  - coarse cells k = max(16, n/256) (t62's discipline), assignment
+    *    routed through `ivfAssignWithVecScaled` — two-level above the
+    *    hierarchical floor, so the floored gate exercises the at-scale
+    *    branch of BOTH engines;
+    *  - nProbe = max(2, ⌈√k/2⌉) — probes grow with the cell count so
+    *    the probed corpus fraction stays roughly flat (FAISS's
+    *    √k-proportional rule);
+    *  - residual codebook (m=8, ≤256 entries) trained on a STRIDED
+    *    sample of the residuals (vec_id % (n/256) == 0, first 256 by
+    *    id) — corpus-representative at any scale where the old prefix
+    *    slice saw only the first cells' residuals, and the slice size
+    *    stays ~256 rows independent of n;
+    *  - probe cells dispatch on the floor exactly like the
+    *    assignment: flat top-n kernel below, `hierProbeCells` above.
+    * Refine-N stays a fixed multiple of the final k (t144 reranks the
+    * ADC top-50 exactly — 10·k, FAISS IndexRefineFlat's usual
+    * k_factor; measured on this corpus the true top-5's worst ADC
+    * rank at sf0.1 is 151 with median well under 50, so 25 capped
+    * refined recall at 62% where 50 reaches 86%).
+    * SQL twin: `ivfPqBaseSql`. */
   private def ivfPqApprox(s: SparkSession, dir: String,
                           k: Int = 5): DataFrame = {
+    val n = tableRowCount(s, dir, "embeddings")
+    val kCells = math.max(16L, n / 256L)
+    val nProbe = math.max(2, math.ceil(
+      math.sqrt(kCells.toDouble) / 2.0).toInt)
+    val stride = math.max(1L, n / 256L)
     val e = T(s, dir, "embeddings").select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val cents = e.where(col("vec_id") < 16)
+    val cents = e.where(col("vec_id") < kCells)
       .select(col("vec_id").as("cid"), col("v"))
-    val resid = Vectors.ivfAssignWithVec(e, cents, "vec_id", "cid", "v")
+    val resid = Vectors
+      .ivfAssignWithVecScaled(e, cents, kCells, "vec_id", "cid", "v",
+        dims = 64)
       .join(broadcast(cents.select(col("cid"), col("v").as("__cv"))),
         Seq("cid"))
       .select(col("vec_id"), col("cid").as("cell"),
         zip_with(col("v"), col("__cv"), (a, b) => a - b).as("r"))
-    // 256-entry residual codebook (8-bit codes, the standard PQ
+    // ≤256-entry residual codebook (8-bit codes, the standard PQ
     // operating point; 16 entries measured 0-40 % recall@5 — 4-bit
-    // codes are too coarse for an unstructured corpus). Ids re-base
-    // to 0..255; a smaller corpus yields fewer entries, still
-    // contiguous from 0 (the element_at reconstruction contract).
-    val cb = resid.where(col("vec_id") >= 16 && col("vec_id") < 272)
-      .select((col("vec_id") - 16).as("cid"), col("r"))
+    // codes are too coarse for an unstructured corpus). The global
+    // row_number window re-bases ids to 0..255 (the element_at
+    // reconstruction contract) over a ~256-row slice — bounded at any
+    // corpus size by the stride.
+    val cbW = Window.orderBy(col("vec_id"))
+    val cb = resid.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id"), col("r"))
+      .withColumn("__rk", row_number().over(cbW))
+      .where(col("__rk") <= 256)
+      .select((col("__rk") - 1).cast("long").as("cid"), col("r"))
     // the posting table IS the index: built once, searched by every
     // query — materialize it (also: t129's checkpoint idiom)
     val enc = Vectors.pqEncodeKeep(resid, cb, "vec_id", "cid", "r",
@@ -1033,9 +1074,31 @@ object SparkEntry {
       .localCheckpoint(false)
     val q = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v"))
-    Vectors.ivfPqTopK(q, enc, cb.withColumnRenamed("r", "v"), cents,
-      "qid", "vec_id", "cell", "cid", "v", "codes",
-      m = 8, dims = 64, k = k, nProbe = 2)
+    val probeCells =
+      if (kCells < Vectors.HierarchicalFloor) {
+        val centArr = broadcast(cents.groupBy().agg(
+          collect_list(struct(col("cid").cast("long").as("cid"),
+            col("v").as("cv"))).as("__cents")))
+        q.crossJoin(centArr)
+          .select(col("qid"), col("v"),
+            explode(graft.functions.VectorExpressions
+              .topNCentroid(col("v"), col("__cents"), nProbe))
+              .as("cell"))
+      } else
+        Vectors.hierProbeCells(q, cents, Vectors.hierGroups(kCells),
+          nProbe, "qid", "cid", "v", dims = 64)
+          .select(col("qid"), col("v"), col("cell"))
+    // the query's residual against each probed centroid — the vector
+    // the ADC compares to
+    val probes = probeCells
+      .join(broadcast(cents.select(col("cid").as("cell"),
+        col("v").as("__cv"))), Seq("cell"))
+      .select(col("qid"), col("cell"),
+        zip_with(col("v"), col("__cv"), (a, b) => a - b).as("__qr"))
+    Vectors.ivfPqTopKProbed(probes, enc,
+      cb.withColumnRenamed("r", "v"), "qid", "vec_id", "cell", "cid",
+      "v", "codes", m = 8, dims = 64, k = k,
+      probeRows = 10L * nProbe)
   }
 
   /** Bin-midpoint reconstruction of coordinate `i` from the `codes` /
@@ -1855,7 +1918,8 @@ object SparkEntry {
   /** Flat multi-probe: each row's `$n` nearest cells by (dist, cid)
     * → `${p}fp` (vec_id, cell, probe_rank). */
   private def flatProbeSql(p: String, rows: String, c: String,
-                           n: Int, pred: String = "TRUE"): String =
+                           nExpr: String,
+                           pred: String = "TRUE"): String =
     s"""${p}fp AS MATERIALIZED (
          SELECT vec_id, cell, rk AS probe_rank FROM (
            SELECT r.vec_id, cc.cid AS cell,
@@ -1864,14 +1928,15 @@ object SparkEntry {
                          FOR i IN generate_series(1, 64)]), cc.cid)
                AS rk
            FROM (SELECT * FROM $rows WHERE $pred) r, $c cc)
-         WHERE rk <= $n)"""
+         WHERE rk <= ($nExpr))"""
 
   /** Two-level multi-probe → `${p}ph` (vec_id, cell, probe_rank):
     * the `$n` nearest supers, each super's top-`$n` children by
     * (dist, cid), re-ranked globally by (dist, cell) —
     * `Vectors.hierProbeCells`' twin. */
   private def hierProbeSql(p: String, rows: String, hx: String,
-                           n: Int, pred: String = "TRUE"): String =
+                           nExpr: String,
+                           pred: String = "TRUE"): String =
     s"""${p}ps AS (
          SELECT vec_id, v, scid FROM (
            SELECT r.vec_id, r.v, s.scid,
@@ -1880,7 +1945,7 @@ object SparkEntry {
                          FOR i IN generate_series(1, 64)]), s.scid)
                AS rk
            FROM (SELECT * FROM $rows WHERE $pred) r, ${hx}hs s)
-         WHERE rk <= $n),
+         WHERE rk <= ($nExpr)),
        ${p}pc AS (
          SELECT vec_id, cid, dist FROM (
            SELECT ps.vec_id, ps.scid, cs.cid,
@@ -1888,14 +1953,14 @@ object SparkEntry {
                        FOR i IN generate_series(1, 64)]) AS dist
            FROM ${p}ps ps JOIN ${hx}hcs cs ON ps.scid = cs.scid)
          QUALIFY row_number() OVER (PARTITION BY vec_id, scid
-           ORDER BY dist, cid) <= $n),
+           ORDER BY dist, cid) <= ($nExpr)),
        ${p}ph AS MATERIALIZED (
          SELECT vec_id, cid AS cell, pr AS probe_rank FROM (
            SELECT vec_id, cid,
              row_number() OVER (PARTITION BY vec_id
                ORDER BY dist, cid) AS pr
            FROM ${p}pc)
-         WHERE pr <= $n)"""
+         WHERE pr <= ($nExpr))"""
 
   /** t137's IVF base CTEs (e / kk / cent / ya) — vectors, the
     * corpus-scaled cell count (k = max(16, n/256), t62's formula),
@@ -1972,9 +2037,9 @@ object SparkEntry {
     * the 64-double vectors through the 10×-scale candidate pipeline
     * OOM'd DuckDB where ints stream fine. Same values. */
   private def bitextCandSql(p: String, nProbe: Int): String =
-    s"""${flatProbeSql(s"${p}x", "ex", "cent", nProbe,
+    s"""${flatProbeSql(s"${p}x", "ex", "cent", nProbe.toString,
            flatPred("(SELECT k FROM kk)"))},
-       ${hierProbeSql(s"${p}x", "ex", "b", nProbe,
+       ${hierProbeSql(s"${p}x", "ex", "b", nProbe.toString,
            hierPredSql("(SELECT k FROM kk)"))},
        ${p}xa AS MATERIALIZED (
          SELECT vec_id AS x_id, cell FROM ${p}xfp
@@ -4352,20 +4417,26 @@ object SparkEntry {
     // codes carry ~the cell's local geometry — the reason IVFPQ beats
     // plain PQ at equal bits), store only (cell, 8 codes); search
     // probes the 2 nearest cells and ADC-scores just their postings
-    // against the query's per-cell residual. Codebook = the residuals
-    // of rows 16..271 (256 entries = 8-bit codes; deterministic,
-    // nonzero — the seeds' own residuals are all zero). Distances replay exactly: same
-    // index-order double folds both engines, ties on ids.
+    // against the query's per-cell residual, at the CORPUS-SCALED
+    // operating point (cells = max(16, n/256) through the floor
+    // dispatch, nProbe = max(2, ceil(sqrt(k)/2)), codebook = a
+    // strided residual sample — see ivfPqApprox). Distances replay
+    // exactly: same index-order double folds both engines, ties on
+    // ids.
     "t143_ivfpq_search" -> ((s, dir) => ivfPqApprox(s, dir)),
 
     // IVF-PQ recall@5 at BOTH production operating points (t60/t92
     // discipline): raw ADC top-5 (probe misses + quantization noise
-    // compound — measured ~30 % on this unstructured corpus, where
+    // compound — measured ~20-30 % on this unstructured corpus, where
     // the true top-5 are near-ties ADC cannot order), and the
-    // REFINED point (FAISS IndexRefineFlat: ADC top-25 candidates
-    // reranked by exact distance — the standard fix; only the ≤25
-    // candidate vectors per query are ever read exactly, which is
-    // the bounded-I/O contract that matters at 100 TB).
+    // REFINED point (FAISS IndexRefineFlat: ADC top-50 candidates
+    // reranked by exact distance — the standard fix at the usual
+    // k_factor=10; only the ≤50 candidate vectors per query are ever
+    // read exactly, which is the bounded-I/O contract that matters
+    // at 100 TB. Measured r18: probe ceiling at the scaled nProbe is
+    // 50/50 at sf0.1, and the true top-5's ADC ranks reach 151 —
+    // the refine pool, not the probe list, was the 90%→54% sf0.1
+    // recall cliff r17 recorded).
     "t144_ivfpq_recall" -> ((s, dir) => {
       val e = T(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -4381,12 +4452,12 @@ object SparkEntry {
         .where(col("qid") =!= col("vec_id"))
         .withColumn("__d", Vectors.sqDist(col("qv"), col("v"))))
         .localCheckpoint(false) // two recall joins read it
-      // ONE k=25 ADC ranking serves both points: its rank-5 prefix
-      // IS the ADC top-5 (same ordering), the full 25 feed refine
-      val cand25 = ivfPqApprox(s, dir, k = 25).localCheckpoint(false)
-      val adc5 = cand25.where(col("rn") <= 5)
+      // ONE k=50 ADC ranking serves both points: its rank-5 prefix
+      // IS the ADC top-5 (same ordering), the full 50 feed refine
+      val cand50 = ivfPqApprox(s, dir, k = 50).localCheckpoint(false)
+      val adc5 = cand50.where(col("rn") <= 5)
         .select(col("qid"), col("vec_id"))
-      val refined = top5(cand25.select("qid", "vec_id")
+      val refined = top5(cand50.select("qid", "vec_id")
         .join(e, Seq("vec_id")) // bounded candidates; AQE broadcasts
         .join(broadcast(q), Seq("qid"))
         .withColumn("__d", Vectors.sqDist(col("qv"), col("v"))))
@@ -9442,12 +9513,12 @@ object SparkEntry {
          FROM sadc QUALIFY rn <= 5""",
     "t144_ivfpq_recall" ->
       s"""WITH $ivfPqBaseSql,
-         ap25 AS MATERIALIZED (
+         ap50 AS MATERIALIZED (
            SELECT qid, vec_id, rn FROM (
              SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
                ORDER BY dist, vec_id) AS rn FROM sadc) z
-           WHERE rn <= 25),
-         apt AS (SELECT qid, vec_id FROM ap25 WHERE rn <= 5),
+           WHERE rn <= 50),
+         apt AS (SELECT qid, vec_id FROM ap50 WHERE rn <= 5),
          rft AS (
            SELECT qid, vec_id FROM (
              SELECT a.qid, a.vec_id,
@@ -9455,7 +9526,7 @@ object SparkEntry {
                  list_sum([(q.qv[i] - e2.v[i]) * (q.qv[i] - e2.v[i])
                            FOR i IN generate_series(1, 64)]),
                  a.vec_id) AS rn
-             FROM ap25 a JOIN e e2 ON e2.vec_id = a.vec_id
+             FROM ap50 a JOIN e e2 ON e2.vec_id = a.vec_id
                JOIN q ON q.qid = a.qid) z
            WHERE rn <= 5),
          exd AS (

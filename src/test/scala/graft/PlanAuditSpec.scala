@@ -297,7 +297,10 @@ class PlanAuditSpec extends SparkSpec {
     // probe frame. t144 sees only the probe broadcast: the encoded
     // posting table is localCheckpointed (index-build-once), which
     // hides the build-side hints from this walk (t129 precedent).
-    "t143_ivfpq_search" -> 5, // [model]×4 + [probe]
+    // [model]×5 + [probe]: centroid model (assign + residual + probe
+    // residual), codebook (encode + recon), probe frame — all k- or
+    // query-bounded; the corpus-scaled k rides the floor dispatch
+    "t143_ivfpq_search" -> 6,
     "t144_ivfpq_recall" -> 1, // [probe] 10 checkpointed queries
     "t13_decontaminate" -> 1, // [probe] eval gram set
     "t14_tfidf" -> 1, // [scalar] doc-count 1-row
