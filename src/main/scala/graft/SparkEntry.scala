@@ -887,11 +887,27 @@ object SparkEntry {
     * replays every code exactly. The trainer is a posexplode →
     * per-dim partial min/max (64 groups regardless of corpus size);
     * the encode is map-side. */
-  private def sq8Encoded(s: SparkSession, dir: String): DataFrame = {
-    val e = T(s, dir, "embeddings").select(col("vec_id"),
-      transform(col("embedding"), x =>
-        round(x.cast("double") * lit(1000000.0)).cast("long")).as("vu"))
-    val stats = e.select(posexplode(col("vu")))
+  /** Micro-quantization of a double vector column (the SQ8 domain). */
+  private def sq8Vu(v: Column): Column =
+    transform(v, x => round(x * lit(1000000.0)).cast("long"))
+
+  /** The 8-bit codes from `vu`/`mnu`/`mxu` columns in scope:
+    * (v−mn)·255 DIV max(mx−mn, 1). floor(x/y) on nonnegative doubles
+    * below 2^53 IS integer division (the quotient sits ≥ 1/y > one
+    * ulp from the next integer), matching the twin's `//`. */
+  private def sq8CodesCol: Column =
+    transform(sequence(lit(1), lit(64)), i =>
+      floor(((element_at(col("vu"), i) - element_at(col("mnu"), i)) *
+        lit(255L)).cast("double") /
+        greatest(element_at(col("mxu"), i) - element_at(col("mnu"), i),
+          lit(1L)).cast("double")).cast("long"))
+
+  /** The scalar quantizer's whole model — per-dimension min/max over
+    * the micro-quantized corpus, one broadcast row (2·dims longs).
+    * The trainer is a posexplode → per-dim partial min/max (64 groups
+    * regardless of corpus size). */
+  private def sq8Stats(e2: DataFrame): DataFrame =
+    e2.select(posexplode(col("vu")))
       .groupBy(col("pos"))
       .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
       .groupBy()
@@ -900,16 +916,14 @@ object SparkEntry {
           f => f.getField("mn")).as("mnu"),
         transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
           f => f.getField("mx")).as("mxu"))
-    e.crossJoin(broadcast(stats))
+
+  private def sq8Encoded(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings").select(col("vec_id"),
+      sq8Vu(transform(col("embedding"), x => x.cast("double")))
+        .as("vu"))
+    e.crossJoin(broadcast(sq8Stats(e)))
       .select(col("vec_id"), col("vu"), col("mnu"), col("mxu"),
-        // floor(x/y) on nonnegative doubles below 2^53 IS integer
-        // division (the quotient sits ≥ 1/y > one ulp from the next
-        // integer), matching the twin's `//`
-        transform(sequence(lit(1), lit(64)), i =>
-          floor(((element_at(col("vu"), i) - element_at(col("mnu"), i)) *
-            lit(255L)).cast("double") /
-            greatest(element_at(col("mxu"), i) - element_at(col("mnu"), i),
-              lit(1L)).cast("double")).cast("long")).as("codes"))
+        sq8CodesCol.as("codes"))
   }
 
   /** The SQ8 base CTEs shared by the three twins: micro-quantized
@@ -1011,6 +1025,74 @@ object SparkEntry {
            JOIN recon ON recon.vec_id = res.vec_id
          WHERE pr.qid <> res.vec_id)"""
 
+  /** IVF+SQ8 twin base (t145/t146): `ivfSq8Approx`'s exact replay —
+    * t140's SQ8 encode (`sq8BaseSql`: e/st/enc), the corpus-scaled
+    * floor-dispatched coarse assignment over the double vectors
+    * (prefix `sq`), the cell-keyed posting table, the
+    * floor-dispatched probe list, and the cell-restricted
+    * integer-micro ADC scores `ssc`. */
+  private lazy val ivfSq8BaseSql: String =
+    s"""$sq8BaseSql,
+       ed AS MATERIALIZED (
+         SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+         FROM embeddings),
+       kk AS MATERIALIZED (
+         SELECT greatest(16, count(*) // 256) AS k,
+           greatest(2, CAST(ceil(sqrt(CAST(greatest(16, count(*) // 256)
+             AS DOUBLE)) / 2) AS BIGINT)) AS np
+         FROM ed),
+       c AS MATERIALIZED (
+         SELECT vec_id AS cid, v AS cv FROM ed, kk WHERE vec_id < kk.k),
+       ${scaledAssignSql("sq", "ed", "c", "(SELECT k FROM kk)")},
+       post AS MATERIALIZED (
+         SELECT enc.vec_id, a.cid AS cell, enc.vu, enc.mnu, enc.mxu,
+           enc.codes
+         FROM enc JOIN sqasg a USING (vec_id)),
+       q AS MATERIALIZED (
+         SELECT vec_id AS qid, vu AS qu FROM enc WHERE vec_id < 10),
+       q2 AS (SELECT vec_id, v FROM ed WHERE vec_id < 10),
+       ${flatProbeSql("sqq", "q2", "c", "(SELECT np FROM kk)",
+          flatPred("(SELECT k FROM kk)"))},
+       ${hierProbeSql("sqq", "q2", "sq", "(SELECT np FROM kk)",
+          hierPredSql("(SELECT k FROM kk)"))},
+       spc AS (
+         SELECT vec_id AS qid, cell FROM sqqfp
+         WHERE ${flatPred("(SELECT k FROM kk)")}
+         UNION ALL
+         SELECT vec_id AS qid, cell FROM sqqph
+         WHERE ${hierPredSql("(SELECT k FROM kk)")}),
+       ssc AS MATERIALIZED (
+         SELECT q.qid, post.vec_id,
+           CAST(list_sum([(q.qu[i] - ${sq8ReconSql("post.codes")}) *
+                          (q.qu[i] - ${sq8ReconSql("post.codes")})
+                          FOR i IN generate_series(1, 64)]) AS BIGINT)
+             AS adc
+         FROM spc p JOIN q ON q.qid = p.qid
+           JOIN post ON post.cell = p.cell
+         WHERE q.qid <> post.vec_id)"""
+
+  /** Probe-cell dispatch shared by the composite indexes (IVF-PQ,
+    * IVF-SQ8): each query row's `nProbe` nearest cells — the flat
+    * top-n kernel over the one-row centroid array below the
+    * hierarchical floor, `hierProbeCells` above it (the same
+    * scale/floor discipline as the assignments). Returns
+    * (qid, v, cell). */
+  private def probeCellsScaled(q: DataFrame, cents: DataFrame,
+                               kCells: Long, nProbe: Int): DataFrame =
+    if (kCells < Vectors.HierarchicalFloor) {
+      val centArr = broadcast(cents.groupBy().agg(
+        collect_list(struct(col("cid").cast("long").as("cid"),
+          col("v").as("cv"))).as("__cents")))
+      q.crossJoin(centArr)
+        .select(col("qid"), col("v"),
+          explode(graft.functions.VectorExpressions
+            .topNCentroid(col("v"), col("__cents"), nProbe))
+            .as("cell"))
+    } else
+      Vectors.hierProbeCells(q, cents, Vectors.hierGroups(kCells),
+        nProbe, "qid", "cid", "v", dims = 64)
+        .select(col("qid"), col("v"), col("cell"))
+
   /** The IVF-PQ index build + search shared by t143/t144, at a
     * CORPUS-SCALED operating point (r17 verdict #1 — the r17 landing
     * pinned 16 cells / nProbe 2 / a prefix codebook slice, and its own
@@ -1074,20 +1156,7 @@ object SparkEntry {
       .localCheckpoint(false)
     val q = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v"))
-    val probeCells =
-      if (kCells < Vectors.HierarchicalFloor) {
-        val centArr = broadcast(cents.groupBy().agg(
-          collect_list(struct(col("cid").cast("long").as("cid"),
-            col("v").as("cv"))).as("__cents")))
-        q.crossJoin(centArr)
-          .select(col("qid"), col("v"),
-            explode(graft.functions.VectorExpressions
-              .topNCentroid(col("v"), col("__cents"), nProbe))
-              .as("cell"))
-      } else
-        Vectors.hierProbeCells(q, cents, Vectors.hierGroups(kCells),
-          nProbe, "qid", "cid", "v", dims = 64)
-          .select(col("qid"), col("v"), col("cell"))
+    val probeCells = probeCellsScaled(q, cents, kCells, nProbe)
     // the query's residual against each probed centroid — the vector
     // the ADC compares to
     val probes = probeCells
@@ -1109,6 +1178,60 @@ object SparkEntry {
       floor(((element_at(col("codes"), i) * lit(2L) + lit(1L)) *
         (element_at(col("mxu"), i) - element_at(col("mnu"), i)))
         .cast("double") / lit(512.0)).cast("long")
+
+  /** IVF+SQ8 composite search (FAISS IndexIVFScalarQuantizer QT_8bit
+    * — the other common production tier next to IVF-PQ, r17 verdict
+    * #6: 4× compression with near-exact per-coordinate
+    * reconstruction, where PQ's 32× trades much more recall): SQ8
+    * codes stored KEYED BY the coarse cell, a query probes its
+    * `nProbe` nearest cells and ADC-scores only those cells'
+    * postings at the t141 integer-micro reconstruction distance —
+    * exact replay on both engines. Same corpus-scaled operating
+    * point and floor dispatch as `ivfPqApprox` (cells = max(16,
+    * n/256), nProbe = max(2, ⌈√k/2⌉)). 100 TB shape: ONE map-side
+    * pass both assigns the cell and encodes the codes (no
+    * corpus-sized join — the stats and centroids are broadcast
+    * models), the posting scan reads codes keyed by cell
+    * (partition-prunable), and only the bounded per-query top-k
+    * window shuffles candidates. SQL twin: `ivfSq8BaseSql`. */
+  private def ivfSq8Approx(s: SparkSession, dir: String,
+                           k: Int = 5): DataFrame = {
+    val n = tableRowCount(s, dir, "embeddings")
+    val kCells = math.max(16L, n / 256L)
+    val nProbe = math.max(2, math.ceil(
+      math.sqrt(kCells.toDouble) / 2.0).toInt)
+    val e = T(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = e.where(col("vec_id") < kCells)
+      .select(col("vec_id").as("cid"), col("v"))
+    val stats = broadcast(sq8Stats(e.select(col("vec_id"),
+      sq8Vu(col("v")).as("vu"))))
+    // the index build: assignment + encode in one map-side pass; the
+    // posting table is built once and searched by every query
+    val posting = Vectors
+      .ivfAssignWithVecScaled(e, cents, kCells, "vec_id", "cid", "v",
+        dims = 64)
+      .withColumn("vu", sq8Vu(col("v")))
+      .crossJoin(stats)
+      .select(col("vec_id"), col("cid").as("cell"), col("vu"),
+        col("mnu"), col("mxu"), sq8CodesCol.as("codes"))
+      .localCheckpoint(false)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v"))
+    val probes = probeCellsScaled(q, cents, kCells, nProbe)
+      .select(col("qid"), col("cell"), sq8Vu(col("v")).as("qu"))
+    val scored = posting.join(broadcast(probes), Seq("cell"))
+      .where(col("qid") =!= col("vec_id"))
+      .withColumn("adc",
+        aggregate(sequence(lit(1), lit(64)), lit(0L), (a, i) => {
+          val d = element_at(col("qu"), i) - sq8Recon(i)
+          a + d * d
+        }))
+    val w = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("adc"), col("rn"))
+  }
 
   /** ONE Lloyd re-centering round over the first-k seeds — the IVF
     * retrain step (q39's kmeans step, r15 verdict #7: first-k seeds
@@ -4471,6 +4594,47 @@ object SparkEntry {
         .join(recallOf(refined, "hits_ref"), Seq("qid"))
         .withColumn("recall_adc_ppm", expr("hits_adc * 1000000 DIV 5"))
         .withColumn("recall_ref_ppm", expr("hits_ref * 1000000 DIV 5"))
+    }),
+
+    // IVF+SQ8 composite search (FAISS IndexIVFScalarQuantizer
+    // QT_8bit — r17 verdict #6: t140-142's scalar quantizer existed
+    // standalone; the production tier stores SQ8 codes keyed by the
+    // coarse cell and ADC-scores probed cells only). Corpus-scaled
+    // cells/nProbe through the floor dispatch like t143; distances
+    // in integer µ² replay bit-exactly.
+    "t145_ivfsq8_search" -> ((s, dir) => ivfSq8Approx(s, dir)),
+
+    // IVF+SQ8 recall@5 vs the exact integer-micro top-5 (the t60/
+    // t142 discipline: every approximate path ships with measured
+    // recall). The IVF restriction adds probe misses on top of
+    // t142's reconstruction noise; at the scaled operating point the
+    // probe ceiling is ~92 % (sf0.01) / 100 % (sf0.1) — see t144's
+    // r18 measurement — and SQ8's near-exact reconstruction keeps
+    // the composite close to that ceiling (unlike PQ, no refine
+    // stage is needed).
+    "t146_ivfsq8_recall" -> ((s, dir) => {
+      val enc = sq8Encoded(s, dir)
+      val q = enc.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("vu").as("qu"))
+        .localCheckpoint(false)
+      val exact = enc.crossJoin(broadcast(q))
+        .where(col("qid") =!= col("vec_id"))
+        .withColumn("__d",
+          aggregate(sequence(lit(1), lit(64)), lit(0L), (a, i) => {
+            val d = element_at(col("qu"), i) - element_at(col("vu"), i)
+            a + d * d
+          }))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("__d"), col("vec_id"))))
+        .where(col("rn") <= 5).select(col("qid"), col("vec_id"))
+      val approx = ivfSq8Approx(s, dir, k = 5)
+        .select(col("qid"), col("vec_id"))
+      exact
+        .join(approx.withColumn("__hit", lit(1)), Seq("qid", "vec_id"),
+          "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("hits"))
+        .withColumn("recall_ppm", expr("hits * 1000000 DIV 5"))
     }),
 
     // IVF probe search: approximate top-5 by cosine probing the 2
@@ -9551,6 +9715,40 @@ object SparkEntry {
            CAST(hits_adc * 1000000 // 5 AS BIGINT) AS recall_adc_ppm,
            CAST(hits_ref * 1000000 // 5 AS BIGINT) AS recall_ref_ppm
          FROM ra JOIN rr USING (qid)""",
+    // IVF+SQ8 composite twins: t140's encode + the corpus-scaled
+    // floor-dispatched assignment/probes + cell-restricted
+    // integer-micro ADC — bit-exact replay.
+    "t145_ivfsq8_search" ->
+      s"""WITH $ivfSq8BaseSql
+         SELECT qid, vec_id, adc, rn FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY adc, vec_id) AS rn
+           FROM ssc) z
+         WHERE rn <= 5""",
+    "t146_ivfsq8_recall" ->
+      s"""WITH $ivfSq8BaseSql,
+         exd AS (
+           SELECT q.qid, e2.vec_id,
+             CAST(list_sum([(q.qu[i] - e2.vu[i]) * (q.qu[i] - e2.vu[i])
+                            FOR i IN generate_series(1, 64)]) AS BIGINT)
+               AS dd
+           FROM e e2, q WHERE q.qid <> e2.vec_id),
+         ext AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+               ORDER BY dd, vec_id) AS rn FROM exd) z
+           WHERE rn <= 5),
+         apt AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+               ORDER BY adc, vec_id) AS rn FROM ssc) z
+           WHERE rn <= 5)
+         SELECT ext.qid,
+           CAST(count(apt.vec_id) AS BIGINT) AS hits,
+           CAST(count(apt.vec_id) * 1000000 // 5 AS BIGINT)
+             AS recall_ppm
+         FROM ext LEFT JOIN apt USING (qid, vec_id)
+         GROUP BY 1""",
     "t9_ivf_probe" ->
       """WITH e AS (
            SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v

@@ -302,6 +302,13 @@ class PlanAuditSpec extends SparkSpec {
     // query-bounded; the corpus-scaled k rides the floor dispatch
     "t143_ivfpq_search" -> 6,
     "t144_ivfpq_recall" -> 1, // [probe] 10 checkpointed queries
+    // [model]+[probe]: flat probe-cell centroid array + probe frame
+    // (the SQ8 stats + assignment model hints sit behind the posting
+    // table's checkpoint)
+    "t145_ivfsq8_search" -> 2,
+    // [model]×2+[probe]×2: SQ8 stats + exact side's probe queries,
+    // plus the t145 probe pair on the approx side
+    "t146_ivfsq8_recall" -> 4,
     "t13_decontaminate" -> 1, // [probe] eval gram set
     "t14_tfidf" -> 1, // [scalar] doc-count 1-row
     "t25_quality_shards" -> 2, // [bucket] two-level rank tables
