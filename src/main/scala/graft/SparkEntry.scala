@@ -4284,6 +4284,38 @@ object SparkEntry {
       bitextTop1(bitextIvfCandidates(s, dir)
         .select("x_id", "y_id", "cos_micro"), k = 4)),
 
+    // Miner duplicate-saturation pre-flight (r17 verdict #4, carried
+    // r16 #5): on a replica-saturated corpus the ratio-margin miner
+    // mines 0 pairs WITH NO SIGNAL — every x's k-NN neighborhood is
+    // its own near-identical replicas, so top-1 and neighborhood mean
+    // collapse together and margin_ppm pins to exactly 1000000
+    // (t137's > threshold never fires). This diagnostic reads the
+    // SAME candidate table the miner consumes, one aggregate: per
+    // x-side row its top-1 candidate cosine, then the mean and the
+    // fraction in the near-dup band (cm ≥ 0.99). `saturated` fires
+    // when over half the x side's nearest candidates are near-dups —
+    // the operator a pipeline runs BEFORE paying the margin pass, and
+    // the loud version of the silent-0-pairs failure
+    // (MinerPreflightSpec pins both halves on a 10x replica corpus).
+    // Integer micros end to end; one row.
+    "t147_miner_preflight" -> ((s, dir) => {
+      val w = Window.partitionBy("x_id")
+        .orderBy(col("cos_micro").desc, col("y_id"))
+      bitextIvfCandidates(s, dir)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .agg(count(lit(1)).as("n_x"),
+          sum(col("cos_micro")).as("__sum_cm"),
+          sum(when(col("cos_micro") >= 990000L, 1L).otherwise(0L))
+            .as("sat_x"))
+        .withColumn("mean_top1_cm",
+          expr("__sum_cm DIV nullif(n_x, 0)"))
+        .withColumn("sat_ppm",
+          expr("sat_x * 1000000 DIV nullif(n_x, 0)"))
+        .withColumn("saturated", col("sat_ppm") >= 500000L)
+        .select("n_x", "mean_top1_cm", "sat_x", "sat_ppm", "saturated")
+    }),
+
     // Recall harness for t137's IVF miner (the t60/t92 discipline:
     // every approximate scale path ships with its measured recall —
     // here as a CURVE over nProbe, the IVF recall/cost knob).
@@ -9449,6 +9481,27 @@ object SparkEntry {
          ${bitextCandSql("", 2)},
          ${bitextTop1Sql("u_", "cp")}
          SELECT x_id, y_id, cm AS cos_micro, margin_ppm FROM u_t1""",
+    // Saturation pre-flight: top-1 candidate cosine per x from the
+    // same candidate table, mean + near-dup-band fraction, one row.
+    "t147_miner_preflight" ->
+      s"""WITH $bitextBaseSql,
+         ${bitextCandSql("pf", 2)},
+         pft1 AS (
+           SELECT x_id, cm FROM (
+             SELECT x_id, cm, row_number() OVER (PARTITION BY x_id
+               ORDER BY cm DESC, y_id) AS rn
+             FROM pfcp) z
+           WHERE rn = 1),
+         pfa AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_x,
+             CAST(sum(cm) AS BIGINT) AS sum_cm,
+             CAST(sum(CASE WHEN cm >= 990000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS sat_x
+           FROM pft1)
+         SELECT n_x, sum_cm // nullif(n_x, 0) AS mean_top1_cm, sat_x,
+           sat_x * 1000000 // nullif(n_x, 0) AS sat_ppm,
+           (sat_x * 1000000 // nullif(n_x, 0)) >= 500000 AS saturated
+         FROM pfa""",
     // Exact side = all cross-side pairs of the probe slice (x < 400);
     // approx sides = the cell candidates on the same slice at
     // nProbe 1 and 2; all run the SAME margin block, recall over
