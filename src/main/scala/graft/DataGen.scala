@@ -126,10 +126,25 @@ object DataGen {
           rot("aeiou", r % 5) + rot("0123456789", r % 10)))))),
       "documents")
 
+    // perturb mode (4th arg "perturb"): replica vectors get
+    // deterministic per-coordinate noise (uniform ±0.1 from a Murmur3
+    // hash of (vec_id, dim); replica 0 stays the original). On the
+    // unit-norm corpus that puts each replica at cos ≈ 0.90 to its
+    // base — the honest MID-similarity operating point for
+    // hierarchical-vs-flat agreement measurement: exact replicas sit
+    // ON a centroid, so the r16 100× HierBench point's 100 % agreement
+    // was a replica-data artifact, not an index property.
+    val perturb = mode == "perturb"
     val vecs = read("embeddings")
     val vecMod = maxOf(vecs, "vec_id") + 1
     write(stack(vecs)((d, r) =>
-      d.withColumn("vec_id", col("vec_id") + lit(r * vecMod))),
+      d.withColumn("vec_id", col("vec_id") + lit(r * vecMod))
+        .withColumn("embedding",
+          if (!perturb || r == 0) col("embedding")
+          else transform(col("embedding"), (x, i) =>
+            (x.cast("double") +
+              (pmod(hash(col("vec_id"), i), lit(2001)) - lit(1000))
+                .cast("double") / lit(10000.0)).cast("float")))),
       "embeddings")
 
     println(s"""{"out":"$out","factor":$factor,"src":"$src"}""")

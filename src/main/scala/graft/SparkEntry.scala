@@ -114,6 +114,16 @@ object SparkEntry {
     * parquet scan (PushedFilters: GreaterThanOrEqual/LessThan on ts) and
     * prunes row groups / partitions. Filtering the derived timestamp
     * would read everything at 100 TB. */
+  /** The x1 fixture's smoothed UDG series — the exact input
+    * `Depths.tdrDepth` consumes (also the streaming parity spec's
+    * fixture, StreamingMultimodalSpec). */
+  private[graft] def x1UdgSeries(s: SparkSession,
+                                 dir: String): DataFrame =
+    T(s, dir, "events")
+      .where(col("user_id") === 0)
+      .groupBy(date_trunc("hour", col("ts")).as("ts"))
+      .agg(((avg("value") - 30.0) / 10.0).as("udg"))
+
   private def eventsBetween(s: SparkSession, dir: String,
                             lo: String, hi: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -8081,10 +8091,7 @@ object SparkEntry {
     // A smoothed hourly series drives two "sensor installs"; state is
     // per-sensor via repartition+sortWithinPartitions+mapPartitions.
     "x1_depth_recurrence" -> ((s, dir) => {
-      val udg = T(s, dir, "events")
-        .where(col("user_id") === 0)
-        .groupBy(date_trunc("hour", col("ts")).as("ts"))
-        .agg(((avg("value") - 30.0) / 10.0).as("udg"))
+      val udg = x1UdgSeries(s, dir)
       Depths.tdrDepth(udg, "ts", "udg", Seq(
         Depths.Install("tdr1",
           java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), -0.5),

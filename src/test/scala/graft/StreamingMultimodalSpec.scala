@@ -34,6 +34,63 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out === Seq(-1.0, -0.5, 0.0, -0.5)) // == batch UdgDepthSpec
   }
 
+  test("streaming X1 ≡ batch tdrDepth on the x1 fixture under " +
+    "shuffled arrival within each microbatch") {
+    // r17 verdict #5 (carried r16 #7): depthRecurrence's contract is
+    // order-per-key OR re-sort-per-microbatch — the operator sorts
+    // each batch's rows by ts before walking the recurrence, so
+    // out-of-order arrival WITHIN a batch (the within-watermark case)
+    // must not move a single output value. Microbatch boundaries cut
+    // by TIME (late data past the watermark is a different contract,
+    // documented on the operator).
+    import graft.ops.Depths
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val installs = Seq(
+      Depths.Install("tdr1",
+        java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), -0.5),
+      Depths.Install("tdr2",
+        java.sql.Timestamp.valueOf("2024-01-15 00:00:00"), -1.2))
+    val udg = SparkEntry.x1UdgSeries(spark, dir)
+    val batch = Depths.tdrDepth(udg, "ts", "udg", installs)
+      .select($"sensor", $"ts", round($"depth", 6).as("depth"))
+      .as[(String, java.sql.Timestamp, Double)].collect().toSeq.sorted
+    assert(batch.nonEmpty)
+    // streaming input: per install, the series from its install time
+    // on (the batch operator's crossJoin+filter, done upstream here)
+    val series = udg.where($"udg".isNotNull)
+      .as[(java.sql.Timestamp, Double)].collect().sortBy(_._1.getTime)
+    val readings = installs.flatMap(i =>
+      series.filter(_._1.getTime >= i.at.getTime)
+        .map { case (ts, u) => Streaming.UdgReading(i.sensor, ts, u) })
+    // three time-cut microbatches, each SHUFFLED deterministically
+    // (multiplicative-hash order — scrambles ts order and interleaves
+    // the two sensors)
+    val cuts = readings.map(_.ts.getTime).distinct.sorted
+    val (c1, c2) = (cuts(cuts.length / 3), cuts(2 * cuts.length / 3))
+    def scramble(b: Seq[Streaming.UdgReading]) =
+      b.sortBy(r => (r.ts.getTime * 2654435761L) ^ r.sensor.hashCode)
+    val batches = Seq(
+      scramble(readings.filter(_.ts.getTime <= c1)),
+      scramble(readings.filter(r =>
+        r.ts.getTime > c1 && r.ts.getTime <= c2)),
+      scramble(readings.filter(_.ts.getTime > c2)))
+    assert(batches.forall(_.nonEmpty))
+    val input = MemoryStream[Streaming.UdgReading]
+    val q = Streaming.depthRecurrence(input.toDS(),
+      installs.map(i => i.sensor -> i.depthM).toMap)
+      .writeStream.format("memory").queryName("x1shuffled")
+      .outputMode("append").start()
+    batches.foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("x1shuffled")
+      .select($"sensor", $"ts", round($"depth", 6).as("depth"))
+      .as[(String, java.sql.Timestamp, Double)].collect().toSeq.sorted
+    assert(streamed === batch)
+  }
+
   test("streaming quality gate gives every doc the batch student's " +
     "verdict; null text rejects") {
     implicit val sc = spark.sqlContext
