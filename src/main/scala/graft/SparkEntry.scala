@@ -4296,34 +4296,51 @@ object SparkEntry {
 
     // Miner duplicate-saturation pre-flight (r17 verdict #4, carried
     // r16 #5): on a replica-saturated corpus the ratio-margin miner
-    // mines 0 pairs WITH NO SIGNAL — every x's k-NN neighborhood is
-    // its own near-identical replicas, so top-1 and neighborhood mean
-    // collapse together and margin_ppm pins to exactly 1000000
-    // (t137's > threshold never fires). This diagnostic reads the
-    // SAME candidate table the miner consumes, one aggregate: per
-    // x-side row its top-1 candidate cosine, then the mean and the
-    // fraction in the near-dup band (cm ≥ 0.99). `saturated` fires
-    // when over half the x side's nearest candidates are near-dups —
-    // the operator a pipeline runs BEFORE paying the margin pass, and
-    // the loud version of the silent-0-pairs failure
-    // (MinerPreflightSpec pins both halves on a 10x replica corpus).
-    // Integer micros end to end; one row.
+    // mines 0 pairs WITH NO SIGNAL — margin_ppm pins to exactly
+    // 1000000, never above t137's strict > threshold. TWO distinct
+    // mechanisms produce that pin, and the diagnostic measures both
+    // from the SAME candidate table the miner consumes:
+    //  - NEAR-DUP BAND (sat_*): x's top-1 candidate is itself a
+    //    near-identical replica (cm ≥ 0.99) — the shape when replicas
+    //    cross sides;
+    //  - NEIGHBORHOOD DEGENERACY (deg_*): x's top-4 candidates all
+    //    share ONE cosine — 4 copies of the same partner, so top-1
+    //    equals the neighborhood mean at ANY similarity level. This
+    //    is the DataGen-replica shape (vec_id shifts preserve parity,
+    //    so copies never cross sides: measured on the exact-replica
+    //    10× corpus the miner mines 0 pairs while every top-1 cm is
+    //    an unremarkable 0.33 — the band signal alone misses it).
+    // `saturated` fires when either fraction crosses half the x side
+    // — the operator a pipeline runs BEFORE paying the margin pass
+    // (MinerPreflightSpec pins all three corpus shapes). Integer
+    // micros end to end; one row.
     "t147_miner_preflight" -> ((s, dir) => {
       val w = Window.partitionBy("x_id")
         .orderBy(col("cos_micro").desc, col("y_id"))
-      bitextIvfCandidates(s, dir)
+      val perX = bitextIvfCandidates(s, dir)
         .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1)
+        .where(col("__rn") <= 4)
+        .groupBy(col("x_id"))
+        .agg(max(col("cos_micro")).as("__top1"),
+          min(col("cos_micro")).as("__mn4"),
+          count(lit(1)).as("__cnt4"))
+      perX
         .agg(count(lit(1)).as("n_x"),
-          sum(col("cos_micro")).as("__sum_cm"),
-          sum(when(col("cos_micro") >= 990000L, 1L).otherwise(0L))
-            .as("sat_x"))
+          sum(col("__top1")).as("__sum_cm"),
+          sum(when(col("__top1") >= 990000L, 1L).otherwise(0L))
+            .as("sat_x"),
+          sum(when(col("__cnt4") >= 2 && col("__mn4") === col("__top1"),
+            1L).otherwise(0L)).as("deg_x"))
         .withColumn("mean_top1_cm",
           expr("__sum_cm DIV nullif(n_x, 0)"))
         .withColumn("sat_ppm",
           expr("sat_x * 1000000 DIV nullif(n_x, 0)"))
-        .withColumn("saturated", col("sat_ppm") >= 500000L)
-        .select("n_x", "mean_top1_cm", "sat_x", "sat_ppm", "saturated")
+        .withColumn("deg_ppm",
+          expr("deg_x * 1000000 DIV nullif(n_x, 0)"))
+        .withColumn("saturated",
+          col("sat_ppm") >= 500000L || col("deg_ppm") >= 500000L)
+        .select("n_x", "mean_top1_cm", "sat_x", "sat_ppm", "deg_x",
+          "deg_ppm", "saturated")
     }),
 
     // Recall harness for t137's IVF miner (the t60/t92 discipline:
@@ -9488,26 +9505,33 @@ object SparkEntry {
          ${bitextCandSql("", 2)},
          ${bitextTop1Sql("u_", "cp")}
          SELECT x_id, y_id, cm AS cos_micro, margin_ppm FROM u_t1""",
-    // Saturation pre-flight: top-1 candidate cosine per x from the
-    // same candidate table, mean + near-dup-band fraction, one row.
+    // Saturation pre-flight: per-x top-1 cosine + top-4 degeneracy
+    // from the same candidate table; band + degeneracy fractions,
+    // one row.
     "t147_miner_preflight" ->
       s"""WITH $bitextBaseSql,
          ${bitextCandSql("pf", 2)},
-         pft1 AS (
-           SELECT x_id, cm FROM (
+         pft4 AS (
+           SELECT x_id, max(cm) AS top1, min(cm) AS mn4,
+             CAST(count(*) AS BIGINT) AS cnt4
+           FROM (
              SELECT x_id, cm, row_number() OVER (PARTITION BY x_id
                ORDER BY cm DESC, y_id) AS rn
              FROM pfcp) z
-           WHERE rn = 1),
+           WHERE rn <= 4 GROUP BY x_id),
          pfa AS (
            SELECT CAST(count(*) AS BIGINT) AS n_x,
-             CAST(sum(cm) AS BIGINT) AS sum_cm,
-             CAST(sum(CASE WHEN cm >= 990000 THEN 1 ELSE 0 END)
-               AS BIGINT) AS sat_x
-           FROM pft1)
+             CAST(sum(top1) AS BIGINT) AS sum_cm,
+             CAST(sum(CASE WHEN top1 >= 990000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS sat_x,
+             CAST(sum(CASE WHEN cnt4 >= 2 AND mn4 = top1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS deg_x
+           FROM pft4)
          SELECT n_x, sum_cm // nullif(n_x, 0) AS mean_top1_cm, sat_x,
            sat_x * 1000000 // nullif(n_x, 0) AS sat_ppm,
-           (sat_x * 1000000 // nullif(n_x, 0)) >= 500000 AS saturated
+           deg_x, deg_x * 1000000 // nullif(n_x, 0) AS deg_ppm,
+           ((sat_x * 1000000 // nullif(n_x, 0)) >= 500000 OR
+            (deg_x * 1000000 // nullif(n_x, 0)) >= 500000) AS saturated
          FROM pfa""",
     // Exact side = all cross-side pairs of the probe slice (x < 400);
     // approx sides = the cell candidates on the same slice at

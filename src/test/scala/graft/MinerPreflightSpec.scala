@@ -35,7 +35,27 @@ class MinerPreflightSpec extends SparkSpec {
       .parquet(s"$replicaDir/embeddings.parquet")
   }
 
-  test("pre-flight fires exactly where the margin miner mines zero") {
+  private val parityDir = "/tmp/graft_test_preflight_parity"
+
+  private def writeParityReplicaCorpus(): Unit = {
+    // the DataGen-replica shape: vec_id shifts by a fixed EVEN modulus
+    // (here 200), so every copy keeps its parity — x-side copies stay
+    // on x, y-side on y, and NO candidate pair is ever a near-dup.
+    // Saturation still happens: x's best y partner exists as 10
+    // equal-cosine copies, so its whole top-4 neighborhood is one
+    // repeated value and the margin pins to exactly 1 at an
+    // unremarkable similarity level (the degeneracy mechanism).
+    val df = spark.range(2000).select(($"id" % 200).as("b"),
+      $"id".as("vec_id"))
+      .select($"vec_id", array((1 to 64).map(d =>
+        ((pmod(hash($"b" * lit(d + 31)), lit(1000)).cast("double") +
+          lit(100.0)) / lit(700.0)).cast("float")): _*).as("embedding"))
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(s"$parityDir/embeddings.parquet")
+  }
+
+  test("pre-flight fires exactly where the margin miner mines zero " +
+    "(cross-side replicas: the near-dup-band signal)") {
     writeReplicaCorpus()
     val mined = SparkEntry.queries("t137_bitext_margin")(
       spark, replicaDir)
@@ -51,6 +71,25 @@ class MinerPreflightSpec extends SparkSpec {
     assert(r.getAs[Long]("mean_top1_cm") === 1000000L)
     assert(r.getAs[Long]("sat_ppm") === 1000000L)
     assert(r.getAs[Long]("n_x") > 0)
+  }
+
+  test("pre-flight fires on parity-preserving replicas where the " +
+    "band signal is blind (the degeneracy signal)") {
+    writeParityReplicaCorpus()
+    val mined = SparkEntry.queries("t137_bitext_margin")(
+      spark, parityDir)
+    assert(mined.count() === 0,
+      "degenerate neighborhoods: margin exactly 1, nothing mined")
+    val pf = SparkEntry.queries("t147_miner_preflight")(
+      spark, parityDir).collect()
+    assert(pf.length === 1)
+    val r = pf.head
+    assert(r.getAs[Long]("sat_ppm") < 500000L,
+      "copies never cross sides — the near-dup band must NOT carry " +
+        "this corpus")
+    assert(r.getAs[Long]("deg_ppm") >= 500000L,
+      "top-4 neighborhoods are one repeated value — degeneracy must")
+    assert(r.getAs[Boolean]("saturated"))
   }
 
   test("pre-flight stays quiet on the organic gate corpus") {
