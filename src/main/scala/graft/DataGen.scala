@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
   *    shape) rather than a 10× longer history.
   *
   * Usage: runMain graft.DataGen [srcDir] [outDir] [factor] [mode]
+  *        [tables]
+  * (5th arg: comma-separated table subset to derive — e.g.
+  * "embeddings" for an ANN-only scale corpus, skipping the fact
+  * tables' multi-GB writes when only one family is being probed.)
   * (4th arg "skew": 80% of documents collapse into one dominant
   * source — the per-group-window stress shape. 4th arg "hihit": an
   * adversarial-but-realistic curation corpus — 60% of documents cite
@@ -41,6 +45,8 @@ object DataGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val tables: String => Boolean =
+      if (args.length > 4) args(4).split(",").toSet else (_ => true)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,7 +60,8 @@ object DataGen {
     def read(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      if (tables(name))
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head.getLong(0)
     def stack(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
@@ -65,30 +72,34 @@ object DataGen {
     Seq("region", "nation", "customer", "supplier", "part")
       .foreach(t => write(read(t), t))
 
-    val orders = read("orders")
-    val lineitem = read("lineitem")
-    // one shared modulus keeps l_orderkey -> o_orderkey referential
-    val okMod = math.max(maxOf(orders, "o_orderkey"),
-      maxOf(lineitem, "l_orderkey")) + 1
-    write(stack(orders)((d, r) =>
-      d.withColumn("o_orderkey", col("o_orderkey") + lit(r * okMod))),
-      "orders")
-    write(stack(lineitem)((d, r) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + lit(r * okMod))),
-      "lineitem")
+    if (tables("orders") || tables("lineitem")) {
+      val orders = read("orders")
+      val lineitem = read("lineitem")
+      // one shared modulus keeps l_orderkey -> o_orderkey referential
+      val okMod = math.max(maxOf(orders, "o_orderkey"),
+        maxOf(lineitem, "l_orderkey")) + 1
+      write(stack(orders)((d, r) =>
+        d.withColumn("o_orderkey", col("o_orderkey") + lit(r * okMod))),
+        "orders")
+      write(stack(lineitem)((d, r) =>
+        d.withColumn("l_orderkey", col("l_orderkey") + lit(r * okMod))),
+        "lineitem")
+    }
 
     // ts passes through untouched in whichever parquet layout it
     // arrived (int64-nanos legacy or timestamp[us] — see SparkEntry.T)
-    val events = read("events")
-    val evMod = maxOf(events, "event_id") + 1
-    val userMod = maxOf(events, "user_id") + 1
-    write(stack(events)((d, r) =>
-      d.withColumn("event_id", col("event_id") + lit(r * evMod))
-        .withColumn("user_id", col("user_id") + lit(r * userMod))),
-      "events")
+    if (tables("events")) {
+      val events = read("events")
+      val evMod = maxOf(events, "event_id") + 1
+      val userMod = maxOf(events, "user_id") + 1
+      write(stack(events)((d, r) =>
+        d.withColumn("event_id", col("event_id") + lit(r * evMod))
+          .withColumn("user_id", col("user_id") + lit(r * userMod))),
+        "events")
+    }
 
-    val docs = read("documents")
-    val docMod = maxOf(docs, "doc_id") + 1
+    val docs = if (tables("documents")) read("documents") else null
+    val docMod = if (docs != null) maxOf(docs, "doc_id") + 1 else 0L
     // skew mode (4th arg "skew"): collapse 80% of documents into ONE
     // dominant source — the real shape of a pretraining corpus (one
     // crawl dwarfs every curated set) and the shape that breaks any
@@ -119,6 +130,7 @@ object DataGen {
         when(pmod(col("doc_id"), lit(5)) < 3,
           lit(" see https://site0.example.org/spam"))
           .otherwise(lit(""))))
+    if (docs != null)
     write(hihitted(skewed(stack(docs)((d, r) =>
       d.withColumn("doc_id", col("doc_id") + lit(r * docMod))
         .withColumn("text", translate(col("text"),
@@ -135,6 +147,7 @@ object DataGen {
     // ON a centroid, so the r16 100× HierBench point's 100 % agreement
     // was a replica-data artifact, not an index property.
     val perturb = mode == "perturb"
+    if (tables("embeddings")) {
     val vecs = read("embeddings")
     val vecMod = maxOf(vecs, "vec_id") + 1
     write(stack(vecs)((d, r) =>
@@ -146,6 +159,7 @@ object DataGen {
               (pmod(hash(col("vec_id"), i), lit(2001)) - lit(1000))
                 .cast("double") / lit(10000.0)).cast("float")))),
       "embeddings")
+    }
 
     println(s"""{"out":"$out","factor":$factor,"src":"$src"}""")
     spark.stop()

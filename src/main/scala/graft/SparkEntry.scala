@@ -1394,34 +1394,41 @@ object SparkEntry {
     * candidates) and t137b (exact probe candidates), so the miner
     * and its recall harness cannot drift. */
   private def bitextTop1(cand: DataFrame, k: Int): DataFrame = {
-    // The k-NN neighborhood stats ride the SAME sorted pass as their
-    // rank (r15 verdict #8): rank rows within each side once, then
-    // take sum/count of the top-k as unordered window aggregates over
-    // the identical partitioning — Spark chains both Window operators
-    // on one exchange+sort per side, where the old shape paid a
-    // groupBy + join-back against the corpus-sized candidate table
-    // per side. Exact same stats: row_number's (cos desc, id) order
-    // is the tie-break the groupBy version ranked with, and the sums
-    // are integers.
+    // Every window here is the GROUP-LIMITED shape — rank, then
+    // filter on the rank IMMEDIATELY, then aggregate — so Spark's
+    // WindowGroupLimit prunes each key to its top-k rows map-side
+    // BEFORE the exchange. The r15-r17 shape computed the
+    // neighborhood sums as unordered aggregate windows over the full
+    // partition (sum(when(rx <= k, cm)) OVER (PARTITION BY x_id)),
+    // which buffers the ENTIRE candidate table in the window sorts:
+    // measured at the organic 1000× point (2M vectors, 512M candidate
+    // rows, 8 GiB heap) that shape dies in SparkOutOfMemoryError
+    // while this one completes — the stats only ever need k rows per
+    // key, and group-limit keeps exactly those. Values are identical:
+    // the same (cos desc, id) rank order, the same integer sums; the
+    // margin join-back re-attaches the compact per-key stats
+    // (x-keyed and y-keyed, ~one row per corpus row) to the candidate
+    // table, and the final top-1-by-margin window is group-limited
+    // to 1 row per x.
     val wxo = Window.partitionBy("x_id")
       .orderBy(col("cos_micro").desc, col("y_id"))
     val wyo = Window.partitionBy("y_id")
       .orderBy(col("cos_micro").desc, col("x_id"))
-    val wxa = Window.partitionBy("x_id")
-    val wya = Window.partitionBy("y_id")
     val wtop = Window.partitionBy("x_id")
       .orderBy(col("margin_ppm").desc, col("y_id"))
-    cand
+    val xs = cand
       .withColumn("__rx", row_number().over(wxo))
-      .withColumn("sx",
-        sum(when(col("__rx") <= k, col("cos_micro"))).over(wxa))
-      .withColumn("kx",
-        count(when(col("__rx") <= k, lit(1))).over(wxa))
+      .where(col("__rx") <= k)
+      .groupBy(col("x_id"))
+      .agg(sum(col("cos_micro")).as("sx"), count(lit(1)).as("kx"))
+    val ys = cand
       .withColumn("__ry", row_number().over(wyo))
-      .withColumn("sy",
-        sum(when(col("__ry") <= k, col("cos_micro"))).over(wya))
-      .withColumn("ky",
-        count(when(col("__ry") <= k, lit(1))).over(wya))
+      .where(col("__ry") <= k)
+      .groupBy(col("y_id"))
+      .agg(sum(col("cos_micro")).as("sy"), count(lit(1)).as("ky"))
+    cand
+      .join(xs, Seq("x_id"))
+      .join(ys, Seq("y_id"))
       .where(col("sx") * col("ky") + col("sy") * col("kx") > 0)
       .withColumn("margin_ppm", expr(
         "cos_micro * 2 * kx * ky * 1000000 DIV (sx * ky + sy * kx)"))
