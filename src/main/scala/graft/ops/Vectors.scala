@@ -599,7 +599,8 @@ object Vectors {
                 codebook: DataFrame, centroids: DataFrame,
                 qidCol: String, idCol: String, cellCol: String,
                 cidCol: String, vecCol: String, codesCol: String,
-                m: Int, dims: Int, k: Int, nProbe: Int): DataFrame = {
+                m: Int, dims: Int, k: Int, nProbe: Int,
+                queryRows: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = centroids.select(col(cidCol).cast("long").as(cidCol),
       transform(col(vecCol), x => x.cast("double")).as("__cv"))
@@ -615,10 +616,12 @@ object Vectors {
       .where(col("__rn") <= nProbe)
       .select(col(qidCol), col(cidCol).as(cellCol),
         zip_with(col("__qv"), col("__cv"), (a, b) => a - b).as("__qr"))
-    // probe-frame size guard (r17 verdict #3): one count job over the
-    // RAW query frame — never the probe pipeline — prices the
-    // broadcast before forcing it
-    val nQueries = queries.count()
+    // probe-frame size guard (r17 verdict #3): the broadcast is
+    // priced from the query-frame row count — callers that already
+    // know it (a bounded literal slice) pass `queryRows` and skip the
+    // extra Spark job; only an unhinted call pays one count over the
+    // RAW query frame (never the probe pipeline)
+    val nQueries = if (queryRows >= 0) queryRows else queries.count()
     ivfPqTopKProbed(probes, encoded, codebook, qidCol, idCol, cellCol,
       cidCol, vecCol, codesCol, m, dims, k,
       probeRows = nQueries * nProbe)
@@ -642,7 +645,7 @@ object Vectors {
     * join runs UNHINTED, so the posting table exchanges on the cell id
     * once instead of the job dying in a broadcast OOM. Values are
     * identical either way — only the join strategy moves
-    * (spec: SkewVectorsSpec "ivfPqTopKProbed fallback"). */
+    * (spec: VectorHierSpec "ivfPqTopKProbed fallback"). */
   def ivfPqTopKProbed(probes: DataFrame, encoded: DataFrame,
                       codebook: DataFrame, qidCol: String, idCol: String,
                       cellCol: String, cidCol: String, vecCol: String,

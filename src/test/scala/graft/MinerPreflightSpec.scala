@@ -92,6 +92,41 @@ class MinerPreflightSpec extends SparkSpec {
     assert(r.getAs[Boolean]("saturated"))
   }
 
+  private val bigParityDir = "/tmp/graft_test_preflight_bigparity"
+
+  private def writeBigParityReplicaCorpus(): Unit = {
+    // 10,000 vectors (500 base × 20 parity-preserving copies): the
+    // x side is 5,000 rows, so the pre-flight's sampling stride is
+    // max(1, 5000/2048) = 2 and the hash-stratified slice genuinely
+    // engages — the signal must still fire from the ~half of x it
+    // measures
+    val df = spark.range(10000).select(($"id" % 500).as("b"),
+      $"id".as("vec_id"))
+      .select($"vec_id", array((1 to 64).map(d =>
+        ((pmod(hash($"b" * lit(d + 31)), lit(1000)).cast("double") +
+          lit(100.0)) / lit(700.0)).cast("float")): _*).as("embedding"))
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(s"$bigParityDir/embeddings.parquet")
+  }
+
+  test("sampled pre-flight (stride > 1) still fires, from a strict " +
+    "subset of the x side") {
+    writeBigParityReplicaCorpus()
+    val pf = SparkEntry.queries("t147_miner_preflight")(
+      spark, bigParityDir).collect()
+    assert(pf.length === 1)
+    val r = pf.head
+    assert(r.getAs[Long]("n_x") < 5000L,
+      "stride 2: the hash slice must measure a strict subset of x")
+    assert(r.getAs[Long]("n_x") > 1000L,
+      "the Knuth high-half hash must not collapse the all-even x " +
+        "side into a near-empty (or full) sample")
+    assert(r.getAs[Long]("deg_ppm") >= 500000L,
+      "every x's top-4 neighborhood is one repeated value — the " +
+        "sampled estimate must still carry the degeneracy signal")
+    assert(r.getAs[Boolean]("saturated"))
+  }
+
   test("pre-flight stays quiet on the organic gate corpus") {
     val pf = SparkEntry.queries("t147_miner_preflight")(
       spark, "/root/testdata/sf0.001").collect()

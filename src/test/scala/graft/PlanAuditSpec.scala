@@ -309,6 +309,12 @@ class PlanAuditSpec extends SparkSpec {
     // [model]×2+[probe]×2: SQ8 stats + exact side's probe queries,
     // plus the t145 probe pair on the approx side
     "t146_ivfsq8_recall" -> 4,
+    // [probe]: the 10-query frame on the refine rerank side — the
+    // encoded corpus, the k=50 ADC candidate table, AND the exact
+    // truth side are all localCheckpointed (index-build-once /
+    // two-consumer reuse), hiding their internal model/probe hints
+    // from this walk (t144 precedent)
+    "t148_ivfsq8_refine" -> 1,
     "t13_decontaminate" -> 1, // [probe] eval gram set
     "t14_tfidf" -> 1, // [scalar] doc-count 1-row
     "t25_quality_shards" -> 2, // [bucket] two-level rank tables
@@ -880,5 +886,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"t103's pair join must stay an equi-join on (source, rank):\n$p")
+  }
+
+  test("t137/t147: every bitext window is group-limited — the " +
+    "full-partition aggregate-window shape that OOMs at 2M vectors " +
+    "must not regress") {
+    // the r15-r17 bitextTop1 computed the k-NN neighborhood sums as
+    // unordered aggregate windows over the full partition
+    // (sum(cm) OVER (PARTITION BY x_id)), which buffers the ENTIRE
+    // candidate table in the window sorts: measured at the organic
+    // 1000× point (2M vectors, 512M candidate rows, 8 GiB heap) that
+    // shape dies in SparkOutOfMemoryError where the group-limited
+    // rank→filter→aggregate completes (NOTES_r19). Pin both halves:
+    // (a) the rank prunes map-side as WindowGroupLimit, and (b) NO
+    // window in the plan carries a full-partition frame — in
+    // FormattedMode exactly the unordered-aggregate windows print an
+    // `unboundedfollowing$()` upper frame bound (row_number frames
+    // end at currentrow), so its absence IS the no-buffer guarantee.
+    for (q <- Seq("t137_bitext_margin", "t147_miner_preflight")) {
+      val p = plan(q)
+      assert(nodes(p, "WindowGroupLimit") >= 1,
+        s"$q: the per-key rank filter must plan as WindowGroupLimit" +
+          s" (map-side top-k prune before the exchange):\n$p")
+      assert(!p.contains("unboundedfollowing"),
+        s"$q: a full-partition window frame buffers the whole " +
+          s"candidate table per sort — the 1000×-OOM shape:\n$p")
+    }
   }
 }
