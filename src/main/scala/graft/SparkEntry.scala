@@ -693,6 +693,12 @@ object SparkEntry {
     * Falls back to `count()` for sources without readable footers. */
   private val rowCountMemo = new java.util.concurrent.ConcurrentHashMap[
     String, java.lang.Long]()
+  /** t10's adaptive-banding density probe, memoized per corpus
+    * snapshot: pair mass at the base plane count is a pure function
+    * of the corpus bytes, so one probe job per snapshot serves every
+    * later plan construction (bench pass 2, repeated runs). */
+  private val srpPlanesMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Integer]()
   private def tableRowCount(s: SparkSession, dir: String,
                             table: String): Long =
     rowCountMemo.computeIfAbsent(
@@ -767,24 +773,39 @@ object SparkEntry {
         val out = fs.create(
           new org.apache.hadoop.fs.Path(tmp, "_corpus_fp"), true)
         try out.write(fp.getBytes("UTF-8")) finally out.close()
-        // rename FIRST: on a fresh path it lands atomically with no
+        // rename onto a FRESH path only: it lands atomically with no
         // window where a concurrent reader of `path` sees nothing
-        // (the old delete-then-rename order had one). Only when the
-        // target already exists (rename refuses) does the stale copy
-        // get deleted — and a lost cross-process race (the winner's
-        // copy now carries OUR fingerprint → identical bytes) defers
-        // to the winner instead of clobbering it. Any other rename
-        // failure throws rather than silently discarding the fresh
-        // build and leaving the next read to hit a missing path.
-        if (!fs.rename(tmp, target)) {
-          if (readFp().contains(fp)) fs.delete(tmp, true)
-          else {
-            fs.delete(target, true)
-            if (!fs.rename(tmp, target)) {
-              if (readFp().contains(fp)) fs.delete(tmp, true)
-              else throw new java.io.IOException(
-                s"ensureStaged: rename $tmp -> $target failed and the " +
-                  "target does not hold the expected fingerprint")
+        // (the old unconditional delete-then-rename had one even when
+        // nothing was stale). An EXISTING target must be deleted
+        // first — Hadoop's FileSystem rename onto an existing
+        // directory does NOT refuse, it moves the source INSIDE the
+        // destination (and returns true), nesting the fresh build
+        // under the stale one; `renamedClean` detects that case and
+        // undoes it. A lost cross-process race (the target appearing
+        // with OUR fingerprint → identical bytes) defers to the
+        // winner instead of clobbering it; any other rename failure
+        // throws rather than silently discarding the fresh build.
+        def renamedClean(): Boolean = fs.rename(tmp, target) && {
+          val nested =
+            new org.apache.hadoop.fs.Path(target, tmp.getName)
+          if (fs.exists(nested)) { fs.delete(nested, true); false }
+          else true
+        }
+        if (fs.exists(target) && readFp().contains(fp)) {
+          // a race winner already staged these exact bytes
+          fs.delete(tmp, true)
+        } else {
+          if (fs.exists(target)) fs.delete(target, true)
+          if (!renamedClean()) {
+            if (readFp().contains(fp)) fs.delete(tmp, true)
+            else {
+              fs.delete(target, true)
+              if (!renamedClean()) {
+                if (readFp().contains(fp)) fs.delete(tmp, true)
+                else throw new java.io.IOException(
+                  s"ensureStaged: rename $tmp -> $target failed and " +
+                    "the target does not hold the expected fingerprint")
+              }
             }
           }
         }
@@ -4323,21 +4344,32 @@ object SparkEntry {
       // add ceil_log2(P / 8n) planes. Each extra plane halves the
       // RANDOM collision mass while costing the planted target pairs
       // (cos 0.9998, per-plane agree ≈ 0.9858) only ~1.4% recall —
-      // measured at 100× perturbed: planes 13→15, candidate mass
-      // 26→~7 pairs/row, recall impact recorded in NOTES_r19. Gate
+      // measured at 100× perturbed: planes 13→16, candidate mass
+      // 47.6→10.6 pairs/row, planted capture 78.9%→74.7% (−1.40%/
+      // plane, the predicted rate); times in NOTES_r19. Gate
       // SFs sit at ≤ 8 pairs/row (sf0.01 ≈ 2, sf0.1 ≈ 7.8), so the
       // historical bucketing is unchanged there; the oracle replays
-      // the SAME probe + formula, so any plane count gates.
-      val pairMass = corpus
-        .select(Vectors.srpBucket(col("v"), 64, basePlanes).as("__bkt"))
-        .groupBy("__bkt").agg(count(lit(1)).as("m"))
-        .agg(coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L)))
-        .collect()(0).getLong(0)
-      val budget = 8L * math.max(nCorpus, 1L)
-      val ratioUp = (pairMass + budget - 1) / budget
-      val extra = if (ratioUp <= 1L) 0
-        else 64 - java.lang.Long.numberOfLeadingZeros(ratioUp - 1)
-      val planes = basePlanes + extra
+      // the SAME probe + formula, so any plane count gates. The
+      // probe result is memoized per corpus SNAPSHOT (same key
+      // discipline as tableRowCount) — the mass is a pure function
+      // of the corpus bytes, so repeated plan constructions (bench
+      // pass 2, re-runs in one JVM) skip the scan.
+      val planes = srpPlanesMemo.computeIfAbsent(
+        s"$dir@" + corpusFingerprint(s, dir, "embeddings") +
+          "#" + basePlanes,
+        _ => {
+          val pairMass = corpus
+            .select(
+              Vectors.srpBucket(col("v"), 64, basePlanes).as("__bkt"))
+            .groupBy("__bkt").agg(count(lit(1)).as("m"))
+            .agg(coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L)))
+            .collect()(0).getLong(0)
+          val budget = 8L * math.max(nCorpus, 1L)
+          val ratioUp = (pairMass + budget - 1) / budget
+          val extra = if (ratioUp <= 1L) 0
+            else 64 - java.lang.Long.numberOfLeadingZeros(ratioUp - 1)
+          Integer.valueOf(basePlanes + extra)
+        }).intValue()
       val pairs = Dedup.srpCandidatePairs(corpus, "vec_id", "v",
         dims = 64, planes = planes)
       val va = corpus.select(col("vec_id").as("id_a"), col("v").as("__va"))

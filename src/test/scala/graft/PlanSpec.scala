@@ -83,13 +83,23 @@ class PlanSpec extends SparkSpec {
     // t10 additionally runs ONE corpus count to auto-size its SRP
     // plane count (r14: fixed 8 planes went quadratic at 100×) — a
     // parquet count() is a footer-metadata job, the accepted
-    // auto-configuration class (t124's manifest collect precedent).
-    // The bound still catches regressions to per-row driver work.
+    // auto-configuration class (t124's manifest collect precedent) —
+    // plus, on a COLD corpus snapshot, the r19 adaptive-banding
+    // density probe (one map-side bucket-count pass, ids only). Both
+    // are memoized per snapshot, so the warm path is jobs-free; the
+    // cold bound (count ≤2 under AQE + probe ≤2 + footer-read) still
+    // catches any return to per-row driver work.
     locally {
-      val n = jobsDuring { SparkEntry.queries("t10_embed_neardup")(spark, dir) }
-      // footer-read + the count (AQE runs it as two jobs); the bound
-      // still catches any return to per-row driver work
-      assert(n <= 3, s"t10 ran $n job(s) at plan-construction time")
+      val cold = jobsDuring {
+        SparkEntry.queries("t10_embed_neardup")(spark, dir)
+      }
+      assert(cold <= 5, s"t10 ran $cold job(s) at plan-construction time")
+      val warm = jobsDuring {
+        SparkEntry.queries("t10_embed_neardup")(spark, dir)
+      }
+      assert(warm <= 1,
+        s"t10 re-ran $warm probe job(s) on a warm snapshot — the " +
+          "density-probe memo is not being hit")
     }
     // and the scalar subquery's aggregate is IN the plan, not inlined
     // as a driver-computed literal (the round-1 defect)
