@@ -5156,6 +5156,11 @@ object SparkEntry {
       // total (nulls sort first in Spark ASC, below every real floor)
       val vBucket = coalesce(floor(col("value")).cast("long"),
         lit(Long.MinValue))
+      // ranked feeds four consumers, but deliberately NOT
+      // localCheckpointed (r19 probe): all four re-enter through the
+      // same rank-window exchange, which AQE reuses at runtime — a cut
+      // measured SLOWER (1.82 → 2.24 s) by adding a materialization
+      // barrier for no saved work
       val ranked = Windows.twoLevelRank(ev, Seq("event_type"), vBucket,
         Seq(col("value"), col("event_id")), "__rn")
       val n = ranked.groupBy("event_type").agg(count(lit(1)).as("__n"))
@@ -5639,8 +5644,17 @@ object SparkEntry {
       val (bg0, ug0, vsz) =
         TextOps.bigramLm(docs.where(col("source") === "src0"),
           "lang", "text")
+      // (doc_id, lm_lp) is narrow (~16 B/row) but its lineage is the
+      // whole LM train+score pipeline (two reference-corpus count
+      // passes + the corpus bigram explode/score pass); twoLevelRank
+      // consumes its input twice (bucket counts + join back), so
+      // without the cut the scoring pipeline executes twice (r19
+      // measured). localCheckpoint materializes the narrow score table
+      // once — the same two-consumer contract as t129/t137b.
       val lm = TextOps.bigramLmScore(docs, "doc_id", "lang", "text",
-        bg0, ug0, vsz)
+          bg0, ug0, vsz)
+        .select(col("doc_id"), col("lm_lp"))
+        .localCheckpoint(false)
       val rLm = Windows.twoLevelRank(lm, Seq.empty,
           (-floor(col("lm_lp") * 10)).cast("long"),
           Seq(col("lm_lp").desc, col("doc_id")), "r_lm")
@@ -5805,6 +5819,10 @@ object SparkEntry {
     // second classifier pass. All integer ppm floor division on
     // non-negative values — bit-exact cross-engine.
     "t107_calibration_bins" -> ((s, dir) => {
+      // deliberately NOT localCheckpointed (r19 probe): the two
+      // twoLevelRank consumers share their upstream exchanges, which
+      // AQE reuses at runtime — a cut measured SLOWER (2.14 → 2.57 s)
+      // by adding a materialization barrier for no saved work
       val scored = hashClassifierScores(s, dir)
       // docs with null text produce no features and never score —
       // the cheap count must use the same membership rule
@@ -5894,9 +5912,14 @@ object SparkEntry {
       val (bg0, ug0, vsz) =
         TextOps.bigramLm(docs.where(col("source") === "src0"),
           "lang", "text")
+      // scored is consumed three times (per-language totals + the
+      // two-level rank's bucket/join sides); its lineage is the full
+      // LM train+score pipeline, so cut it once — narrow (id, lang,
+      // score) rows, the t78/t129 two-consumer contract
       val scored =
         TextOps.bigramLmScore(docs, "doc_id", "lang", "text",
           bg0, ug0, vsz)
+          .localCheckpoint(false)
       val nLang = scored.groupBy("lang").agg(count(lit(1)).as("__nl"))
       val ranked = Windows.twoLevelRank(scored, Seq("lang"),
         (-floor(col("lm_lp") * 10)).cast("long"),
@@ -5928,18 +5951,32 @@ object SparkEntry {
           graft.functions.SketchExpressions
             .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
       val isProbe = col("doc_id") % 20 === 0 && col("doc_id") < 2000
+      // ONE tokenize+shingle pass: sets is cut once and feeds all four
+      // consumers (truth probe + corpus sides, band-key probe + corpus
+      // sides) — uncut, the corpus re-tokenized per consumer (r19).
+      // Band keys derive from the DISTINCTed arrays: minhash is a min
+      // over per-element hashes, so duplicates cannot change any
+      // signature, and bandedKeys applies the same size>0 gate —
+      // identical keys, one pass.
       val sets = shingled
         .select(col("doc_id"), array_distinct(col("shingles")).as("ss"))
         .where(size(col("ss")) > 0)
+        .localCheckpoint(false)
       val truth = sets.where(isProbe)
         .select(col("doc_id").as("probe_id"), col("ss").as("__sa"))
         .hint("broadcast")
         .join(sets.select(col("doc_id").as("other_id"),
           col("ss").as("__sb")), col("probe_id") =!= col("other_id"))
+        // size band IMPLIED by J ≥ 0.5 (|A∩B| ≤ min ∧ 2|A∩B| ≥ max+min
+        // ⇒ max ≤ 2·min): a cheap length compare short-circuits the
+        // hash-set jaccard kernel for pairs that cannot qualify —
+        // result-identical, prunes most of the probe×corpus pairs
+        .where(size(col("__sb")) <= size(col("__sa")) * 2 &&
+          size(col("__sa")) <= size(col("__sb")) * 2)
         .where(graft.functions.SketchExpressions
           .jaccard(col("__sa"), col("__sb")) >= 0.5)
         .select("probe_id", "other_id")
-      val keys = Dedup.lshBandKeys(shingled, "doc_id", "shingles",
+      val keys = Dedup.lshBandKeys(sets, "doc_id", "ss",
         k = 8, bands = 4)
       val cand = broadcast(keys.where(isProbe)
           .select(col("doc_id").as("probe_id"), col("band"), col("bh")))

@@ -63,9 +63,16 @@ object Graph {
     // the default or the plan tree grows 3^iters
     def cut(df: DataFrame): DataFrame =
       if (truncateLineage) df.localCheckpoint(eager = false) else df
-    val e = edges.select(col(srcCol).cast("string").as("__src"),
+    // The caller's edge pipeline is often a full corpus pass (t74/t77/
+    // t78/t94 extract link domains from every document's text); e feeds
+    // outw, en, nodes (twice, via the union) and dangling, so without
+    // its own cut that extraction re-executes ~5× — once per derived
+    // materialization (r19 measured: the t74 host pipeline re-ran its
+    // regex/explode/rollup pass 5×). One cut here makes every
+    // downstream build read the edge-cardinality materialization.
+    val e = cut(edges.select(col(srcCol).cast("string").as("__src"),
       col(dstCol).cast("string").as("__dst"),
-      col(wCol).cast("long").as("__w"))
+      col(wCol).cast("long").as("__w")))
     // Per-source out-weight, with the ppb-normalization precondition
     // enforced IN the aggregate row (the stableAvg pattern: null when
     // the guard holds, contributes 0, errors loud on violation).

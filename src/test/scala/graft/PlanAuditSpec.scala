@@ -340,9 +340,16 @@ class PlanAuditSpec extends SparkSpec {
     "t64_repetition_budget" -> 2, // [scalar]+[model] budget + decisions
     "t66_url_blocklist" -> 1, // [dim] blocklist (hit set UNHINTED)
     "t69_cluster_sample" -> 1, // [model] 16 centroids
-    "t75_ccnet_buckets" -> 11, // [vocab]+[bucket] LM sides + terciles
+    // t75: the LM score table is localCheckpointed (r19 — three
+    // consumers), hiding the [vocab] LM-side hints; the 2 visible are
+    // the [bucket] tercile offsets + the O(langs) [scalar] count table
+    "t75_ccnet_buckets" -> 2,
     "t76_lsh_recall" -> 2, // [probe] probe signatures ×2 passes
-    "t78_rrf_fusion" -> 9, // [bucket]+[model] rank buckets + host ranks
+    // t78: the LM score table is localCheckpointed (r19 — twoLevelRank
+    // consumes it twice), hiding the [vocab] LM sides; the 3 visible
+    // are two [bucket] rank-offset tables + the host-cardinality
+    // [model] rank position table
+    "t78_rrf_fusion" -> 3,
     "t80_line_dedup" -> 2, // [scalar] 1-row bloom ×2 union branches
     "t81_hash_classifier" -> 1, // [model] 256-bucket model
     "t84_hard_negatives" -> 1, // [probe] probe vectors
