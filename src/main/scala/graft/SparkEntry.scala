@@ -1269,6 +1269,40 @@ object SparkEntry {
         (element_at(col("mxu"), i) - element_at(col("mnu"), i)))
         .cast("double") / lit(512.0)).cast("long")
 
+  /** The full reconstructed vector as one array column — computed ONCE
+    * per corpus row (before any query join) so the ADC pair loop is a
+    * plain integer array distance. Folding `sq8Recon` inside the
+    * per-pair aggregate recomputed the 64-coordinate reconstruction
+    * for every (query, row) pair — nProbe·queries× redundant work in
+    * the hottest loop of the SQ8 search family (r19, guide §4).
+    *
+    * ONLY reference this where `codes` is a MATERIALIZED attribute
+    * (after a localCheckpoint): when `codes` is still an alias in the
+    * same projection, CollapseProject inlines the whole codes
+    * transform into each element — element_at(transform(vu…), i)
+    * rebuilds the 64-entry code array PER COORDINATE, a measured 64×
+    * blowup (r19: t141 2.0 → 3.3 s). Transient frames use
+    * `sq8ReconArrFromVu`. */
+  private def sq8ReconArr: Column =
+    transform(sequence(lit(1), lit(64)), i => sq8Recon(i))
+
+  /** `sq8ReconArr` with the code FUSED per coordinate — O(1) in
+    * vu/mnu/mxu per element, safe in transient frames where `codes`
+    * is an un-materialized sibling alias (see sq8ReconArr's inlining
+    * trap). Arithmetic-identical to recon-from-codes: same integer
+    * code (floor-div on nonnegative doubles < 2^53 IS integer
+    * division, the sq8CodesCol contract), same bin midpoint. */
+  private def sq8ReconArrFromVu: Column =
+    transform(sequence(lit(1), lit(64)), { i =>
+      val mn = element_at(col("mnu"), i)
+      val mx = element_at(col("mxu"), i)
+      val code = floor(((element_at(col("vu"), i) - mn) * lit(255L))
+        .cast("double") / greatest(mx - mn, lit(1L)).cast("double"))
+        .cast("long")
+      mn + floor(((code * lit(2L) + lit(1L)) * (mx - mn))
+        .cast("double") / lit(512.0)).cast("long")
+    })
+
   /** IVF+SQ8 composite search (FAISS IndexIVFScalarQuantizer QT_8bit
     * — the other common production tier next to IVF-PQ, r17 verdict
     * #6: 4× compression with near-exact per-coordinate
@@ -1306,17 +1340,25 @@ object SparkEntry {
       .select(col("vec_id"), col("cid").as("cell"), col("vu"),
         col("mnu"), col("mxu"), sq8CodesCol.as("codes"))
       .localCheckpoint(false)
+      // reconstruction AFTER the checkpoint: codes is a materialized
+      // attribute there, so the per-row recon reads the STORED codes
+      // (the production search path) and CollapseProject cannot inline
+      // the codes transform into it (see sq8ReconArr). The Project
+      // stays below the probe join — once per posting row, never per
+      // scored pair.
+      .withColumn("__ru", sq8ReconArr)
     val q = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v"))
     val probes = probeCellsScaled(q, cents, kCells, nProbe)
       .select(col("qid"), col("cell"), sq8Vu(col("v")).as("qu"))
     val scored = posting.join(broadcast(probes), Seq("cell"))
       .where(col("qid") =!= col("vec_id"))
+      // single-pass integer kernel ≡ the index-order long fold
+      // (SketchExprSpec) — the interpreted per-coordinate lambda was
+      // the search loop's dominant CPU term
       .withColumn("adc",
-        aggregate(sequence(lit(1), lit(64)), lit(0L), (a, i) => {
-          val d = element_at(col("qu"), i) - sq8Recon(i)
-          a + d * d
-        }))
+        graft.functions.VectorExpressions
+          .sqDistLong(col("qu"), col("__ru")))
     val w = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)
@@ -4708,10 +4750,8 @@ object SparkEntry {
             .as("code_sum"),
           aggregate(sequence(lit(1), lit(64)), lit(0L), (a, i) =>
             a + element_at(col("codes"), i) * i).as("poscode_sum"),
-          aggregate(sequence(lit(1), lit(64)), lit(0L), (a, i) => {
-            val d = element_at(col("vu"), i) - sq8Recon(i)
-            a + d * d
-          }).as("err_sum"))),
+          graft.functions.VectorExpressions
+            .sqDistLong(col("vu"), sq8ReconArrFromVu).as("err_sum"))),
 
     // SQ8 asymmetric-distance search (the ADC query path over t140's
     // codes): the query keeps its exact (micro-quantized) vector,
@@ -4725,13 +4765,14 @@ object SparkEntry {
       val q = enc.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("vu").as("qu"))
         .localCheckpoint(false) // tiny probe set; hide the stats hint
-      val scored = enc.crossJoin(broadcast(q))
+      // reconstruction once per corpus row (below the probe join),
+      // then the single-pass integer kernel per pair — ≡ the old
+      // per-pair recon fold (SketchExprSpec), ~10× less recon work
+      val scored = enc.withColumn("__ru", sq8ReconArrFromVu)
+        .crossJoin(broadcast(q))
         .where(col("qid") =!= col("vec_id"))
-        .withColumn("adc",
-          aggregate(sequence(lit(1), lit(64)), lit(0L), (a, i) => {
-            val d = element_at(col("qu"), i) - sq8Recon(i)
-            a + d * d
-          }))
+        .withColumn("adc", graft.functions.VectorExpressions
+          .sqDistLong(col("qu"), col("__ru")))
       val w = Window.partitionBy("qid")
         .orderBy(col("adc"), col("vec_id"))
       scored.withColumn("rn", row_number().over(w).cast("long"))
@@ -4754,20 +4795,19 @@ object SparkEntry {
         scoredD.withColumn("rn", row_number().over(w))
           .where(col("rn") <= 5).select(col("qid"), col("vec_id"))
       }
+      // both sides score through the single-pass integer kernel (≡ the
+      // index-order long folds, SketchExprSpec); the ADC side
+      // reconstructs once per corpus row below the probe join instead
+      // of once per (query, row) pair
       val exact = top5(enc.crossJoin(broadcast(q))
         .where(col("qid") =!= col("vec_id"))
-        .withColumn("__d",
-          aggregate(sequence(lit(1), lit(64)), lit(0L), (a, i) => {
-            val d = element_at(col("qu"), i) - element_at(col("vu"), i)
-            a + d * d
-          })))
-      val approx = top5(enc.crossJoin(broadcast(q))
+        .withColumn("__d", graft.functions.VectorExpressions
+          .sqDistLong(col("qu"), col("vu"))))
+      val approx = top5(enc.withColumn("__ru", sq8ReconArrFromVu)
+        .crossJoin(broadcast(q))
         .where(col("qid") =!= col("vec_id"))
-        .withColumn("__d",
-          aggregate(sequence(lit(1), lit(64)), lit(0L), (a, i) => {
-            val d = element_at(col("qu"), i) - sq8Recon(i)
-            a + d * d
-          })))
+        .withColumn("__d", graft.functions.VectorExpressions
+          .sqDistLong(col("qu"), col("__ru"))))
       exact
         .join(approx.withColumn("__hit", lit(1)), Seq("qid", "vec_id"),
           "left")
@@ -4862,11 +4902,9 @@ object SparkEntry {
         .localCheckpoint(false)
       val exact = enc.crossJoin(broadcast(q))
         .where(col("qid") =!= col("vec_id"))
-        .withColumn("__d",
-          aggregate(sequence(lit(1), lit(64)), lit(0L), (a, i) => {
-            val d = element_at(col("qu"), i) - element_at(col("vu"), i)
-            a + d * d
-          }))
+        // single-pass integer kernel ≡ the long fold (SketchExprSpec)
+        .withColumn("__d", graft.functions.VectorExpressions
+          .sqDistLong(col("qu"), col("vu")))
         .withColumn("rn", row_number().over(Window.partitionBy("qid")
           .orderBy(col("__d"), col("vec_id"))))
         .where(col("rn") <= 5).select(col("qid"), col("vec_id"))
@@ -4915,11 +4953,9 @@ object SparkEntry {
       val q = enc.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("vu").as("qu"))
         .localCheckpoint(false)
-      def microD: Column =
-        aggregate(sequence(lit(1), lit(64)), lit(0L), (a, i) => {
-          val d = element_at(col("qu"), i) - element_at(col("vu"), i)
-          a + d * d
-        })
+      // single-pass integer kernel ≡ the long fold (SketchExprSpec)
+      def microD: Column = graft.functions.VectorExpressions
+        .sqDistLong(col("qu"), col("vu"))
       val w = Window.partitionBy("qid")
         .orderBy(col("__d"), col("vec_id"))
       def top5(scored: DataFrame): DataFrame =

@@ -213,7 +213,55 @@ object VectorExpressions {
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
+  /** Σ (aᵢ−bᵢ)² over INTEGER arrays with a LONG accumulator, in index
+    * order — the SQ8 family's hot pair loop (t141/t142/t145/t146/t148
+    * ADC and exact-micro distances). The declarative form — an
+    * `aggregate(sequence(1, dims), 0L, …)` fold — pays one interpreted
+    * lambda dispatch plus boxed element_at calls PER COORDINATE PER
+    * PAIR; this is one tight primitive loop per pair. Bit-identical to
+    * that fold (equivalence: SketchExprSpec): long arithmetic in the
+    * same index order, null on length mismatch (matching the fold over
+    * zip_with-style padding). Integer element types only — the µ²
+    * distances must stay in the exact integer domain end to end. */
+  case class VecSqDistLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_vec_sqdist_long"
+    private def getL(arr: ArrayData, i: Int, t: DataType): Long = t match {
+      case LongType => arr.getLong(i)
+      case IntegerType => arr.getInt(i).toLong
+      case ShortType => arr.getShort(i).toLong
+      case ByteType => arr.getByte(i).toLong
+      case _ => throw new IllegalArgumentException(
+        s"non-integer vector: $t")
+    }
+    @transient private lazy val lt: DataType =
+      left.dataType.asInstanceOf[ArrayType].elementType
+    @transient private lazy val rt: DataType =
+      right.dataType.asInstanceOf[ArrayType].elementType
+    protected override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (y.numElements() != n) return null
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val d = getL(x, i, lt) - getL(y, i, rt)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+    override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
   // Column-level entry points --------------------------------------
+
+  def sqDistLong(a: Column, b: Column): Column =
+    GraftColumnBridge.column(VecSqDistLongExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(VecDotExpr(

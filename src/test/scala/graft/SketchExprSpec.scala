@@ -216,6 +216,29 @@ class SketchExprSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("VecSqDistLongExpr == index-order long aggregate fold") {
+    // the SQ8 family's exact contract: Σ (aᵢ−bᵢ)² in LONG arithmetic,
+    // index order — micro-quantized coordinates up to ±2·10⁶ (wider
+    // than the ±1·10⁶ embedding range, so headroom is covered too)
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextLong() % 2000000L)))
+      .toDF("id", "v")
+    val paired = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.v").as("av"), col("b.v").as("bv"))
+    val diff = paired.where(
+      !(graft.functions.VectorExpressions.sqDistLong($"av", $"bv") ===
+        aggregate(sequence(lit(1), lit(64)), lit(0L), (a, i) => {
+          val d = element_at($"av", i) - element_at($"bv", i)
+          a + d * d
+        }))).count()
+    assert(diff === 0)
+    // length mismatch → null (matching the fold over padded zips)
+    val mism = vecs.select(graft.functions.VectorExpressions
+      .sqDistLong($"v", slice($"v", 1, 10)).as("d"))
+    assert(mism.where($"d".isNotNull).count() === 0)
+  }
+
   test("VecSrpBucketExpr == declarative srpBucket fold") {
     import graft.ops.Vectors
     val rnd = new scala.util.Random(3)
