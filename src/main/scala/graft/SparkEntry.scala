@@ -956,6 +956,11 @@ object SparkEntry {
                               k: Long, rs: Seq[Int], xFilter: Column)
       : Int => DataFrame =
     if (k < graft.ops.Vectors.HierarchicalFloor) {
+      // deliberately NOT cut (r19 probe): the three nProbe curves
+      // re-enter through the same assignment/cell-join exchanges and
+      // AQE reuses them at runtime — a localCheckpoint here measured
+      // SLOWER (t137b 2.75 → 3.23 s isolated), the same barrier-for-
+      // nothing as q40/t107
       val cand = bitextCellCandidates(e, cents, k, rs.max, xFilter)
       r => cand.where(col("probe_rank") <= r)
     } else
@@ -3485,6 +3490,10 @@ object SparkEntry {
             .cast("binary").as("content"))
       val parsed = graft.ingest.Warc.records(segments)
       val latest = graft.ingest.Warc.latestCapture(parsed)
+      // deliberately NOT cut (r19 probe): both consumers re-enter
+      // through the segment/capture exchanges AQE reuses at runtime —
+      // a localCheckpoint measured flat at sf0.1 AND at 10× (4.16 s
+      // both ways), so the double-extract this would save is not real
       val txt = latest.select(col("url"),
         TextOps.htmlToText(TextOps.httpBody(col("payload"))).as("text"))
       // t66 gate on the EXTRACTED text (the real pipeline order:
