@@ -16,6 +16,20 @@ object Bench {
       // On a real cluster the input is thousands of row groups anyway —
       // a small split size reproduces that parallelism at bench scale.
       .config("spark.sql.files.maxPartitionBytes", s"${1024 * 1024}")
+      // Lazy localCheckpoint blocks from a FINISHED query stay in the
+      // unified manager's protected storage region until their RDD
+      // objects are garbage-collected AND the ContextCleaner drops the
+      // blocks — and the cleaner's own GC trigger defaults to 30 min
+      // (spark.cleaner.periodicGC.interval), far longer than a bench
+      // query. In a multi-query JVM at a memory-tight scale point the
+      // residue shrinks every later query's execution share by up to
+      // storageFraction (measured r19: the 1000×/8 GiB probe set OOMed
+      // t137 on ~2.4 GiB of dead t10/t145 checkpoint blocks, while
+      // t137 alone passed cold at 201 s). A 1-minute interval frees
+      // dead blocks between queries without touching any live ones —
+      // value- and measurement-neutral (each query still computes from
+      // parquet; nothing a query NEEDS is dropped).
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
