@@ -2410,16 +2410,29 @@ object SparkEntry {
 
   private def hashClassifierScores(s: SparkSession,
                                    dir: String): DataFrame = {
-    val feats = hashedFeatureRows(s, dir)
-    val model = feats.groupBy("b")
-      .agg(sum(when(col("source").isin("src0", "src1"), 1L)
+    // Both the Bayes model (per-bucket occurrence counts) and the
+    // per-doc score (occurrence-weighted bucket sums) are exact
+    // functions of the (doc_id, source, b) OCCURRENCE-COUNT table, so
+    // both now hang off that one aggregation — its exchange is the
+    // shared stage AQE reuses, and the corpus tokenize+explode runs
+    // ONCE (before, model and scoring consumed the raw feature rows
+    // through two unrelated exchanges and re-ran the explode; r19,
+    // guide §2.4). Arithmetic is unchanged: cpos/ctot sum the same
+    // occurrence counts, sw = Σ c·w_ppm ≡ the old per-row Σ w_ppm,
+    // n_feats = Σ c ≡ the old row count.
+    val docBucket = hashedFeatureRows(s, dir)
+      .groupBy("doc_id", "source", "b")
+      .agg(count(lit(1)).as("__c"))
+    val model = docBucket.groupBy("b")
+      .agg(sum(when(col("source").isin("src0", "src1"), col("__c"))
         .otherwise(0L)).as("cpos"),
-        count(lit(1)).as("ctot"))
+        sum(col("__c")).as("ctot"))
       .select(col("b"),
         expr("(1000000 * (cpos + 1)) div (ctot + 2)").as("w_ppm"))
-    feats.join(broadcast(model), Seq("b"))
+    docBucket.join(broadcast(model), Seq("b"))
       .groupBy("doc_id", "source")
-      .agg(count(lit(1)).as("n_feats"), sum(col("w_ppm")).as("sw"))
+      .agg(sum(col("__c")).as("n_feats"),
+        sum(col("w_ppm") * col("__c")).as("sw"))
       .select(col("doc_id"), col("source"), col("n_feats"),
         expr("sw div n_feats").as("score_ppm"))
   }
