@@ -1308,6 +1308,19 @@ object SparkEntry {
         .cast("double") / lit(512.0)).cast("long")
     })
 
+  /** Test hook pinning the two reconstruction paths to each other
+    * (r19 advice #3): the fused-from-vu form re-derives the 8-bit code
+    * inline, so an encoding change that only touches `sq8CodesCol`
+    * would silently desynchronize it. Returns, per corpus row, both
+    * reconstructions over a CHECKPOINTED encoded frame (so `codes` is
+    * a materialized attribute and sq8ReconArr is safe to reference) —
+    * Sq8ReconParitySpec asserts element-wise equality. */
+  private[graft] def sq8ReconPairForTest(s: SparkSession,
+                                         dir: String): DataFrame =
+    sq8Encoded(s, dir).localCheckpoint(false)
+      .select(col("vec_id"), sq8ReconArr.as("recon_codes"),
+        sq8ReconArrFromVu.as("recon_vu"))
+
   /** IVF+SQ8 composite search (FAISS IndexIVFScalarQuantizer QT_8bit
     * — the other common production tier next to IVF-PQ, r17 verdict
     * #6: 4× compression with near-exact per-coordinate
@@ -2408,6 +2421,15 @@ object SparkEntry {
             .wordShingles(col("toks"), 2))).as("f"))
       .withColumn("b", substring(md5(col("f")), 1, 2))
 
+  /** The (source, n, gram) stream for n ∈ {1,2,3} (t126/t126b) stays
+    * a 3-branch union over the tokenized corpus — DELIBERATELY (r20
+    * negative probe): a one-pass variant tagging all three orders in a
+    * single projection (explode(concat(transform(grams_n, g →
+    * struct(n, g))…))) measured ~1.7× SLOWER isolated at sf0.1
+    * (t126 1.49→2.77 s, t126b 1.56→2.29 s, paired) — materializing
+    * one struct array holding every gram of every order per row costs
+    * more than three cheap scan+split passes, the same fat-interim
+    * lesson as the r19 t2/t44 shingle probes. */
   private def hashClassifierScores(s: SparkSession,
                                    dir: String): DataFrame = {
     // Both the Bayes model (per-bucket occurrence counts) and the
@@ -6025,8 +6047,10 @@ object SparkEntry {
         .hint("broadcast")
         .join(sets.select(col("doc_id").as("other_id"),
           col("ss").as("__sb")), col("probe_id") =!= col("other_id"))
-        // size band IMPLIED by J ≥ 0.5 (|A∩B| ≤ min ∧ 2|A∩B| ≥ max+min
-        // ⇒ max ≤ 2·min): a cheap length compare short-circuits the
+        // size band IMPLIED by J ≥ 0.5: 2|A∩B| ≥ |A∪B| = |A|+|B|−|A∩B|
+        // ⇒ 3|A∩B| ≥ max+min, and |A∩B| ≤ min ⇒ 3·min ≥ max+min ⇒
+        // max ≤ 2·min (r19 advice #2 corrected the constant): a cheap
+        // length compare short-circuits the
         // hash-set jaccard kernel for pairs that cannot qualify —
         // result-identical, prunes most of the probe×corpus pairs
         .where(size(col("__sb")) <= size(col("__sa")) * 2 &&

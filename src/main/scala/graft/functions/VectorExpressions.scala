@@ -247,6 +247,11 @@ object VectorExpressions {
       var acc = 0L
       var i = 0
       while (i < n) {
+        // a null element propagates null for the whole distance — the
+        // aggregate(...) fold this kernel replaced did the same, and a
+        // silent 0-read would let a corrupt coordinate RANK instead of
+        // dropping (r19 advice #1)
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val d = getL(x, i, lt) - getL(y, i, rt)
         acc += d * d
         i += 1

@@ -509,6 +509,36 @@ class PlanAuditSpec extends SparkSpec {
       s"pageRankPpm iteration joins must stay hash-based:\n$p")
   }
 
+  test("bigramLmScore: the [vocab] LM sides broadcast in the scoring " +
+    "subplan the t75/t78 checkpoints hide") {
+    // t75/t78 localCheckpoint the narrow (doc_id, lm_lp) score table,
+    // so their query-level audits see only Scan ExistingRDD above the
+    // cut — a regression dropping the LM-side broadcasts UPSTREAM of
+    // it would pass them (r19 advice #4). Audit the scoring subplan
+    // directly, the pageRankPpm truncateLineage=false precedent: the
+    // three vocab-sized LM tables (bigram counts, unigram counts,
+    // vocab sizes) must each ride an explicit broadcast, and the plan
+    // must never fall back to sort-merge on the corpus gram stream.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val (bg0, ug0, vsz) = graft.ops.TextOps
+      .bigramLm(docs.where(org.apache.spark.sql.functions
+        .col("source") === "src0"), "lang", "text")
+    val lm = graft.ops.TextOps
+      .bigramLmScore(docs, "doc_id", "lang", "text", bg0, ug0, vsz)
+    val hints = lm.queryExecution.analyzed
+      .collect { case h: ResolvedHint => h }.size
+    assert(hints == 3,
+      s"the three [vocab] LM sides must stay hinted (got $hints)")
+    val p = lm.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(nodes(p, "BroadcastHashJoin") == 3,
+      s"LM sides must execute as broadcast hash joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus gram stream must never sort-merge with an LM side:\n$p")
+  }
+
   test("t80: fixed-size bloom prefilters the boilerplate anti-join — " +
     "the clean branch stays map-side, the exact join is unhinted") {
     // the df>1 line-hash set is CORPUS-PROPORTIONAL on the real web,
