@@ -2400,36 +2400,40 @@ object SparkEntry {
     """len(regexp_extract_all(text,
            '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+'))"""
 
+  /** The classifier family's per-doc bucket-count table
+    * (doc_id, source, b, __c): unigram + 2-shingle features into 256
+    * md5-prefix buckets — ONE definition for the whole family (t81/
+    * t107 scoring, t115/t116 distillation) so the bucketing scheme
+    * cannot desynchronize between consumers; the SQL twin is
+    * hashClfSql's t/f/h block. Since r20 the counts come from the
+    * one-pass `featureBucketCounts` kernel instead of exploding every
+    * feature occurrence into a row and hash-aggregating the 2M-row
+    * stream (guide §4; kernel ≡ explode path pinned in
+    * SketchExprSpec). posexplode of the 256-long histogram + the c>0
+    * filter keeps only occupied buckets; b = "%02x" of the bucket
+    * index ≡ substring(md5(f), 1, 2). The groupBy below is value-wise
+    * an identity (one row per (doc, b) already) but re-establishes the
+    * exchange every consumer (Bayes model + scoring, t107's audit)
+    * re-enters through — the AQE-reuse contract the old shape had. */
+  private def docBucketCounts(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.SketchExpressions
+          .featureBucketCounts(TextOps.tokensLower(col("text")))
+          .as("__h"))
+      .select(col("doc_id"), col("source"),
+        posexplode(col("__h")).as(Seq("__pos", "__c")))
+      .where(col("__c") > 0)
+      .select(col("doc_id"), col("source"),
+        format_string("%02x", col("__pos")).as("b"), col("__c"))
+      .groupBy("doc_id", "source", "b")
+      .agg(sum(col("__c")).as("__c"))
+
   /** t81's hashed-feature classifier scores, per doc WITH the source
     * column (t81 drops it; t107's calibration audit bins on it) — one
     * definition so the audit scores exactly the classifier it audits.
-    * 256-bucket hashed unigram+bigram features, Laplace-smoothed
-    * positive rate per bucket in integer ppm, per-doc mean over a
-    * broadcast of the 256-row model. */
-  /** t81's hashed feature rows (doc_id, source, b) — unigrams +
-    * 2-shingles into 256 md5-prefix buckets. ONE definition for the
-    * whole classifier family (t81/t107 scoring, t115/t116
-    * distillation) so the bucketing scheme cannot desynchronize
-    * between consumers; the SQL twin is hashClfSql's t/f/h block. */
-  private def hashedFeatureRows(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        TextOps.tokensLower(col("text")).as("toks"))
-      .select(col("doc_id"), col("source"),
-        explode(concat(col("toks"),
-          graft.functions.SketchExpressions
-            .wordShingles(col("toks"), 2))).as("f"))
-      .withColumn("b", substring(md5(col("f")), 1, 2))
-
-  /** The (source, n, gram) stream for n ∈ {1,2,3} (t126/t126b) stays
-    * a 3-branch union over the tokenized corpus — DELIBERATELY (r20
-    * negative probe): a one-pass variant tagging all three orders in a
-    * single projection (explode(concat(transform(grams_n, g →
-    * struct(n, g))…))) measured ~1.7× SLOWER isolated at sf0.1
-    * (t126 1.49→2.77 s, t126b 1.56→2.29 s, paired) — materializing
-    * one struct array holding every gram of every order per row costs
-    * more than three cheap scan+split passes, the same fat-interim
-    * lesson as the r19 t2/t44 shingle probes. */
+    * Laplace-smoothed positive rate per bucket in integer ppm, per-doc
+    * mean over a broadcast of the 256-row model. */
   private def hashClassifierScores(s: SparkSession,
                                    dir: String): DataFrame = {
     // Both the Bayes model (per-bucket occurrence counts) and the
@@ -2442,9 +2446,7 @@ object SparkEntry {
     // guide §2.4). Arithmetic is unchanged: cpos/ctot sum the same
     // occurrence counts, sw = Σ c·w_ppm ≡ the old per-row Σ w_ppm,
     // n_feats = Σ c ≡ the old row count.
-    val docBucket = hashedFeatureRows(s, dir)
-      .groupBy("doc_id", "source", "b")
-      .agg(count(lit(1)).as("__c"))
+    val docBucket = docBucketCounts(s, dir)
     val model = docBucket.groupBy("b")
       .agg(sum(when(col("source").isin("src0", "src1"), col("__c"))
         .otherwise(0L)).as("cpos"),
@@ -2503,8 +2505,11 @@ object SparkEntry {
   private def hashedFeaturePpm(s: SparkSession, dir: String): DataFrame = {
     val base = T(s, dir, "documents")
       .select(col("doc_id"), TextOps.tokensLower(col("text")).as("toks"))
-    val hashed = hashedFeatureRows(s, dir)
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    // docBucketCounts rows are already unique per (doc_id, b) —
+    // source is functionally determined by doc_id — so dropping the
+    // source column IS the old groupBy(doc_id, b).count()
+    val hashed = docBucketCounts(s, dir)
+      .select(col("doc_id"), col("b"), col("__c").as("c"))
       .withColumn("n",
         sum(col("c")).over(Window.partitionBy("doc_id")))
       .select(col("doc_id"), col("b"), expr("c * 1000000 DIV n").as("x"))
@@ -6042,21 +6047,33 @@ object SparkEntry {
         .select(col("doc_id"), array_distinct(col("shingles")).as("ss"))
         .where(size(col("ss")) > 0)
         .localCheckpoint(false)
+      // Exact ground truth as an INTERSECTION COUNT, not a per-pair
+      // set kernel (r20, guide §2.3/§8 — decide with small rows): the
+      // old shape nested-loop-joined every (probe, corpus) pair and
+      // rebuilt a hash set per pair (O(probes · corpus · |set|) —
+      // measured 3.4 task-seconds at sf0.1, nearly all of t76).
+      // Shared shingles are an equi-join: explode both sides of the
+      // one cut `sets` pass, broadcast-hash-join on the shingle, and
+      // count matches per pair — the arrays are DISTINCTed upstream,
+      // so the match count IS |A∩B|, and J ≥ 0.5 ⇔ 2|A∩B| ≥ |A∪B| =
+      // |A|+|B|−|A∩B| ⇔ 3·|A∩B| ≥ |A|+|B|, exact integers. Pairs with
+      // J ≥ 0.5 share ≥ 1 shingle, so the equi-join loses nothing —
+      // result-identical, work O(shared shingles) not O(pairs·|set|),
+      // and the count aggregation parallelizes past the corpus scan's
+      // row-group count (isolated sf0.1: t76 2.9 → see plans/r20).
       val truth = sets.where(isProbe)
-        .select(col("doc_id").as("probe_id"), col("ss").as("__sa"))
+        .select(col("doc_id").as("probe_id"),
+          size(col("ss")).cast("long").as("__na"),
+          explode(col("ss")).as("__sh"))
         .hint("broadcast")
         .join(sets.select(col("doc_id").as("other_id"),
-          col("ss").as("__sb")), col("probe_id") =!= col("other_id"))
-        // size band IMPLIED by J ≥ 0.5: 2|A∩B| ≥ |A∪B| = |A|+|B|−|A∩B|
-        // ⇒ 3|A∩B| ≥ max+min, and |A∩B| ≤ min ⇒ 3·min ≥ max+min ⇒
-        // max ≤ 2·min (r19 advice #2 corrected the constant): a cheap
-        // length compare short-circuits the
-        // hash-set jaccard kernel for pairs that cannot qualify —
-        // result-identical, prunes most of the probe×corpus pairs
-        .where(size(col("__sb")) <= size(col("__sa")) * 2 &&
-          size(col("__sa")) <= size(col("__sb")) * 2)
-        .where(graft.functions.SketchExpressions
-          .jaccard(col("__sa"), col("__sb")) >= 0.5)
+          size(col("ss")).cast("long").as("__nb"),
+          explode(col("ss")).as("__sh")), Seq("__sh"))
+        .where(col("probe_id") =!= col("other_id"))
+        .groupBy("probe_id", "other_id")
+        .agg(count(lit(1)).as("__i"),
+          first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
+        .where(col("__i") * 3 >= col("__na") + col("__nb"))
         .select("probe_id", "other_id")
       val keys = Dedup.lshBandKeys(sets, "doc_id", "ss",
         k = 8, bands = 4)
@@ -7471,7 +7488,14 @@ object SparkEntry {
     // workload), generated twice (totals pre-pass + the routed agg —
     // two streaming map passes beat one pass holding a corpus-sized
     // gram set); totals broadcast back at sources×3 rows; one hash
-    // shuffle with map-side partials for both tiers.
+    // shuffle with map-side partials for both tiers. The 3-branch
+    // union stays DELIBERATELY (r20 negative probe): a one-pass
+    // variant tagging all three orders in a single projection
+    // (explode(concat(transform(grams_n, g → struct(n, g))…)))
+    // measured ~1.7× SLOWER isolated at sf0.1 (t126 1.49→2.77 s,
+    // t126b 1.56→2.29 s, paired) — materializing one struct array
+    // holding every gram of every order per row costs more than three
+    // cheap scan+split passes (the r19 t2/t44 fat-interim lesson).
     "t126_ngram_diversity" -> ((s, dir) => {
       val cap = 10000L
       val k = 256

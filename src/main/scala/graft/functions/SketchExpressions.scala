@@ -763,7 +763,60 @@ object SketchExpressions {
       : Expression = copy(child = newChild)
   }
 
+  /** Per-document hashed-feature histogram: counts of t81's 256
+    * md5-prefix buckets over unigrams + 2-shingles of a TOKENS array,
+    * in one pass — array<long>(256), element b = the number of
+    * features f with substring(md5(f), 1, 2) = hex(b). Replaces the
+    * explode(toks ++ shingles) → md5 → substring → groupBy(doc, b)
+    * corpus stream of the classifier family (r20, guide §4): the md5
+    * count is unchanged (one per feature), but no per-feature row is
+    * materialized, no hex string is built (the bucket IS the digest's
+    * first byte), and the per-doc aggregation is an in-kernel array
+    * bump instead of a 2M-row hash aggregate. Shingle digests update
+    * straight from the two token byte arrays + a space — bit-identical
+    * to md5(concat_ws(' ', t1, t2)). Null tokens array → null (the
+    * explode-of-null convention: no feature rows). */
+  case class FeatureBucketCountsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_feature_bucket_counts"
+
+    @transient private lazy val space = " ".getBytes("UTF-8")
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      val counts = new Array[Long](256)
+      val md = MessageDigest.getInstance("MD5")
+      var i = 0
+      while (i < len) {
+        val t = arr.getUTF8String(i).getBytes
+        md.reset()
+        counts(md.digest(t)(0) & 0xFF) += 1L
+        if (i + 1 < len) {
+          md.reset()
+          md.update(t)
+          md.update(space)
+          md.update(arr.getUTF8String(i + 1).getBytes)
+          counts(md.digest()(0) & 0xFF) += 1L
+        }
+        i += 1
+      }
+      new GenericArrayData(counts)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+  }
+
   // Column-level entry points --------------------------------------
+
+  /** Takes the raw TOKENS column; 256-bucket feature histogram in one
+    * pass (the t81 classifier family's corpus kernel). */
+  def featureBucketCounts(tokens: Column): Column =
+    GraftColumnBridge.column(
+      FeatureBucketCountsExpr(GraftColumnBridge.expression(tokens)))
 
   def minhashSig(shingles: Column, k: Int): Column =
     GraftColumnBridge.column(

@@ -476,15 +476,18 @@ class PlanAuditSpec extends SparkSpec {
 
   test("t76: probe sides broadcast — truth is one linear corpus pass") {
     // the probe set must ride as the broadcast side of BOTH the exact
-    // ground-truth join (non-equi probe<>other ⇒ broadcast nested
-    // loop) and the band-key candidate join (equi on (band,bh) ⇒
-    // broadcast hash) — if either falls back to a shuffle the "probe
-    // vs corpus" cost story breaks
+    // ground-truth join (equi on the shared shingle since the r20
+    // intersection-count rewrite) and the band-key candidate join
+    // (equi on (band,bh)) — if either falls back to a shuffle, or the
+    // truth join regresses to the per-pair nested loop the rewrite
+    // replaced, the "probe vs corpus" cost story breaks
     val p = plan("t76_lsh_recall")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"t76 truth join must broadcast the probe side:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"t76 candidate band join must broadcast the probe keys:\n$p")
+    assert(nodes(p, "BroadcastHashJoin") >= 2,
+      s"t76 truth + band joins must broadcast the probe side:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"t76 truth join must stay an equi-join on the shingle, not a " +
+        s"per-pair loop:\n$p")
   }
 
   test("t74/pageRankPpm: scalar sides broadcast, iteration stays hash-based") {

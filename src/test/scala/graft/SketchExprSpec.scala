@@ -239,6 +239,36 @@ class SketchExprSpec extends SparkSpec {
     assert(mism.where($"d".isNotNull).count() === 0)
   }
 
+  test("FeatureBucketCountsExpr == explode(toks ++ shingles2) → " +
+    "substring(md5, 1, 2) counts, on real corpus text") {
+    // the classifier family's corpus kernel (t81/t107/t115/t116/t127/
+    // t128): bucket b's count must equal the number of features f
+    // (unigrams + 2-shingles) with substring(md5(f), 1, 2) = hex(b) —
+    // the exact explode-path definition docBucketCounts replaced.
+    // Real corpus text plus the edge rows below (1-token doc, doc
+    // whose split yields [""]).
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .union(Seq((900001L, "solo"), (900002L, "")).toDF("doc_id", "text"))
+    val toks = TextOps.tokensLower($"text")
+    val slow = docs
+      .select($"doc_id", explode(concat(toks,
+        SketchExpressions.wordShingles(toks, 2))).as("f"))
+      .groupBy($"doc_id", substring(md5($"f"), 1, 2).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val fast = docs
+      .select($"doc_id",
+        posexplode(SketchExpressions.featureBucketCounts(toks))
+          .as(Seq("p", "c")))
+      .where($"c" > 0)
+      .select($"doc_id", format_string("%02x", $"p").as("b"), $"c")
+    assert(slow.count() > 0)
+    assert(slow.exceptAll(fast).count() === 0L &&
+      fast.exceptAll(slow).count() === 0L,
+      "kernel histogram must reproduce the explode-path bucket counts")
+  }
+
   test("VecSrpBucketExpr == declarative srpBucket fold") {
     import graft.ops.Vectors
     val rnd = new scala.util.Random(3)
