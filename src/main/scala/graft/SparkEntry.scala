@@ -995,7 +995,11 @@ object SparkEntry {
     * The trainer is a posexplode → per-dim partial min/max (64 groups
     * regardless of corpus size). */
   private def sq8Stats(e2: DataFrame): DataFrame =
-    e2.select(posexplode(col("vu")))
+    // outer + null drop ≡ inner (vu is 64 non-null longs for every
+    // row), but avoids the inferred size(transform(…))>0 filter that
+    // re-ran the vu micro-quantization transform below the projection
+    e2.select(posexplode_outer(col("vu")))
+      .where(col("col").isNotNull)
       .groupBy(col("pos"))
       .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
       .groupBy()
@@ -2409,12 +2413,19 @@ object SparkEntry {
     * one-pass `featureBucketCounts` kernel instead of exploding every
     * feature occurrence into a row and hash-aggregating the 2M-row
     * stream (guide §4; kernel ≡ explode path pinned in
-    * SketchExprSpec). posexplode of the 256-long histogram + the c>0
-    * filter keeps only occupied buckets; b = "%02x" of the bucket
-    * index ≡ substring(md5(f), 1, 2). The groupBy below is value-wise
-    * an identity (one row per (doc, b) already) but re-establishes the
-    * exchange every consumer (Bayes model + scoring, t107's audit)
-    * re-enters through — the AQE-reuse contract the old shape had. */
+    * SketchExprSpec). posexplode_OUTER of the 256-long histogram +
+    * the c>0 filter keeps only occupied buckets — outer, because an
+    * inner generate lets InferFiltersFromGenerate push a
+    * `size(kernel(…)) > 0 AND isnotnull(kernel(…))` filter below the
+    * projection, RE-EVALUATING the md5 kernel once more per scan
+    * (measured in the r20 plans: 2 evals/scan; the outer form has 1 —
+    * the only extra outer rows are null-__h docs, which `__c > 0`
+    * drops exactly as the inner generate did); b = "%02x" of the
+    * bucket index ≡ substring(md5(f), 1, 2). The groupBy below is
+    * value-wise an identity (one row per (doc, b) already) but
+    * re-establishes the exchange every consumer (Bayes model,
+    * t115/t116's ppm features) re-enters through — the AQE-reuse
+    * contract the old shape had. */
   private def docBucketCounts(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .select(col("doc_id"), col("source"),
@@ -2422,7 +2433,7 @@ object SparkEntry {
           .featureBucketCounts(TextOps.tokensLower(col("text")))
           .as("__h"))
       .select(col("doc_id"), col("source"),
-        posexplode(col("__h")).as(Seq("__pos", "__c")))
+        posexplode_outer(col("__h")).as(Seq("__pos", "__c")))
       .where(col("__c") > 0)
       .select(col("doc_id"), col("source"),
         format_string("%02x", col("__pos")).as("b"), col("__c"))
@@ -2434,29 +2445,49 @@ object SparkEntry {
     * definition so the audit scores exactly the classifier it audits.
     * Laplace-smoothed positive rate per bucket in integer ppm, per-doc
     * mean over a broadcast of the 256-row model. */
-  private def hashClassifierScores(s: SparkSession,
-                                   dir: String): DataFrame = {
-    // Both the Bayes model (per-bucket occurrence counts) and the
-    // per-doc score (occurrence-weighted bucket sums) are exact
-    // functions of the (doc_id, source, b) OCCURRENCE-COUNT table, so
-    // both now hang off that one aggregation — its exchange is the
-    // shared stage AQE reuses, and the corpus tokenize+explode runs
-    // ONCE (before, model and scoring consumed the raw feature rows
-    // through two unrelated exchanges and re-ran the explode; r19,
-    // guide §2.4). Arithmetic is unchanged: cpos/ctot sum the same
-    // occurrence counts, sw = Σ c·w_ppm ≡ the old per-row Σ w_ppm,
-    // n_feats = Σ c ≡ the old row count.
-    val docBucket = docBucketCounts(s, dir)
-    val model = docBucket.groupBy("b")
+  /** The trained 256-bucket model as ONE broadcastable row
+    * (warr[i] = w_ppm of bucket i): the Bayes aggregation over
+    * docBucketCounts (unchanged arithmetic), pivoted into an array
+    * indexed by bucket position. Buckets no document occupies get 0 —
+    * score-neutral, since every doc's histogram is 0 there. */
+  private def classifierModelArr(s: SparkSession, dir: String): DataFrame =
+    docBucketCounts(s, dir).groupBy("b")
       .agg(sum(when(col("source").isin("src0", "src1"), col("__c"))
         .otherwise(0L)).as("cpos"),
         sum(col("__c")).as("ctot"))
-      .select(col("b"),
+      .select(conv(col("b"), 16, 10).cast("int").as("__pos"),
         expr("(1000000 * (cpos + 1)) div (ctot + 2)").as("w_ppm"))
-    docBucket.join(broadcast(model), Seq("b"))
-      .groupBy("doc_id", "source")
-      .agg(sum(col("__c")).as("n_feats"),
-        sum(col("w_ppm") * col("__c")).as("sw"))
+      .agg(map_from_entries(
+        collect_list(struct(col("__pos"), col("w_ppm")))).as("__m"))
+      .select(transform(sequence(lit(0), lit(255)),
+        i => coalesce(element_at(col("__m"), i), lit(0L))).as("warr"))
+
+  private def hashClassifierScores(s: SparkSession,
+                                   dir: String): DataFrame = {
+    // Scoring is a MAP-SIDE dot product against the broadcast 256-long
+    // weight array (r20, guide §2.3/§2.4): with the histogram kernel
+    // in place, sw = Σ_b hist[b]·warr[b] and n_feats = Σ_b hist[b] —
+    // exact long sums of the same terms the old posexplode → groupBy →
+    // broadcast-join → re-agg pipeline produced (order-free integer
+    // addition; corpus-unoccupied buckets contribute hist[b]·0 = 0,
+    // matching their absence from the old inner join). That drops the
+    // per-doc exchange and join from every scoring consumer; only the
+    // model pass still aggregates the occupied-bucket rows. The
+    // text-IS-NOT-NULL filter reproduces the old membership (null
+    // text → null histogram → no exploded rows → absent from scores)
+    // with a scan-pushable predicate instead of a filter on the kernel
+    // output, which pushdown would duplicate.
+    T(s, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.functions.SketchExpressions
+          .featureBucketCounts(TextOps.tokensLower(col("text")))
+          .as("__h"))
+      .crossJoin(broadcast(classifierModelArr(s, dir)))
+      .select(col("doc_id"), col("source"),
+        aggregate(col("__h"), lit(0L), (a, c) => a + c).as("n_feats"),
+        aggregate(zip_with(col("__h"), col("warr"), (c, w) => c * w),
+          lit(0L), (a, x) => a + x).as("sw"))
       .select(col("doc_id"), col("source"), col("n_feats"),
         expr("sw div n_feats").as("score_ppm"))
   }
@@ -2474,6 +2505,14 @@ object SparkEntry {
         transform(sequence(0, size(__toks) - 3),
           i -> concat_ws(' ', slice(__toks, i + 1, 3)))
         ELSE CAST(array() AS array<string>) END""")
+    // Gopher/repetition gates and the classifier score stay TWO scans
+    // joined on doc_id — a single fused projection carrying the gopher
+    // composite + the 3-gram CASE + the 256-bucket kernel + the dot
+    // was MEASURED SLOWER (r20: t127 1.78 → 2.19 s isolated; the
+    // marginal cost of the gopher expressions more than doubles inside
+    // the giant projection — generated-code/JIT degradation), while
+    // the join's score side is now the cheap map-side-dot scorer (one
+    // kernel scan, no per-doc aggregate exchange).
     T(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(split(col("text"), "\\s+")).cast("long").as("n_tok"),
@@ -3340,10 +3379,15 @@ object SparkEntry {
     // them 8× and Spark inlines expression args per reference.
     "t1_minhash_sig" -> ((s, dir) =>
       T(s, dir, "documents")
+        // size(tokens) >= 3 ⇔ size(3-shingles) > 0 (WordShinglesExpr:
+        // empty iff len < n, null iff tokens null) — filtering on the
+        // CHEAP token count keeps pushdown from inlining the shingle
+        // kernel into the filter (r20 plans: the size(__sh) form
+        // evaluated graft_word_shingles twice per scan)
+        .where(size(TextOps.tokens(col("text"))) >= 3)
         .select(col("doc_id"),
           graft.functions.SketchExpressions
             .wordShingles(TextOps.tokens(col("text")), 3).as("__sh"))
-        .where(size(col("__sh")) > 0)
         .select(col("doc_id"),
           array_join(graft.functions.SketchExpressions.minhashSig(col("__sh"), 8),
             "|").as("mh"))),
@@ -3356,12 +3400,17 @@ object SparkEntry {
     // infeasible anyway — recompute is the scale-correct plan (and no
     // executor memory is pinned across a long-lived session).
     "t2_lsh_jaccard" -> ((s, dir) => {
+      // token-count pre-gate ≡ bandedKeys' size(shingles) > 0 for
+      // 3-shingles (t1's rationale) — gated docs that feed `sets` are
+      // only ever read through the INNER join on pairs, which the gate
+      // already excludes, so output is identical
       val docs = T(s, dir, "documents")
+        .where(size(TextOps.tokens(col("text"))) >= 3)
         .select(col("doc_id"),
           graft.functions.SketchExpressions
             .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
       val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "shingles",
-        k = 8, bands = 4)
+        k = 8, bands = 4, preGated = true)
       val sets = docs.select(col("doc_id"),
         array_distinct(col("shingles")).as("ss"))
       pairs
@@ -3383,12 +3432,14 @@ object SparkEntry {
     // bin edges are floor(10·j) on the SAME IEEE division both engines
     // compute, so the twin is exact.
     "t85_jaccard_sweep" -> ((s, dir) => {
+      // pre-gate ≡ internal size gate (t2's rationale)
       val docs = T(s, dir, "documents")
+        .where(size(TextOps.tokens(col("text"))) >= 3)
         .select(col("doc_id"),
           graft.functions.SketchExpressions
             .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
       val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "shingles",
-        k = 8, bands = 4)
+        k = 8, bands = 4, preGated = true)
       val sets = docs.select(col("doc_id"),
         array_distinct(col("shingles")).as("ss"))
       pairs
@@ -3890,6 +3941,10 @@ object SparkEntry {
       // can't join/order consistently), and the two engines disagree
       // on where NULL sorts under DESC anyway — the sentinel makes
       // the cut order explicit instead of engine-defined
+      // cut the narrow (id, source, tok, q) projection (t103's
+      // rationale: map-side top, prefix-sum internals + the total agg
+      // re-scan it; uncut, 14 in-filter textStats copies plus repeated
+      // BPE token counts per consumer)
       val docs = T(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           graft.functions.SketchExpressions.textStats(col("text"))
@@ -3898,6 +3953,7 @@ object SparkEntry {
         .withColumn("q",
           coalesce(TextOps.qualityScoreFrom(col("__st")), lit(-1.0)))
         .drop("__st")
+        .localCheckpoint(false)
       val started = Windows.twoLevelPrefixSum(docs, Seq.empty,
         (-round(col("q") * lit(10000.0))).cast("long"),
         Seq(col("q").desc, col("doc_id")), col("tok"), "start")
@@ -4355,12 +4411,18 @@ object SparkEntry {
     // (source, rank)-keyed equi self-join. Nothing global; skew
     // bounded by the qm-bucket size, not the source size.
     "t103_dpo_pairs" -> ((s, dir) => {
+      // cut the NARROW score projection (r19 t78 rule: no shared
+      // exchange at its top — it is a map-side scan — and 3+ consumers
+      // via twoLevelRank's internals + counts; uncut, the r20 plans
+      // carried 28 in-filter copies of the textStats kernel)
       val scored = T(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           graft.functions.SketchExpressions.textStats(col("text"))
             .as("__st"))
         .withColumn("q", TextOps.qualityScoreFrom(col("__st")))
         .withColumn("qm", round(col("q") * lit(1000000.0)).cast("long"))
+        .select("doc_id", "source", "qm")
+        .localCheckpoint(false)
       val counts = scored.groupBy("source").agg(count(lit(1)).as("n"))
       // coalesce(−1) in bucket AND order: a NULL qm would silently
       // drop out of twoLevelRank's bucket join; −1 sits below every
@@ -5132,10 +5194,16 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.functions.SketchExpressions
             .wordShingles(TextOps.tokens(col("text")), 3).as("sh"))
+      // explode_OUTER + the null-gram drop ≡ inner explode (shingle
+      // elements are never null), but stops InferFiltersFromGenerate
+      // from re-evaluating the shingle kernel in a pushed filter
+      // (r20 plans: 4 in-filter kernel copies on this query)
       val evalGrams = sh.where(col("doc_id") % 97 === 0)
-        .select(explode(col("sh")).as("g")).distinct()
+        .select(explode_outer(col("sh")).as("g"))
+        .where(col("g").isNotNull).distinct()
       sh.where(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+        .where(col("g").isNotNull)
         .join(broadcast(evalGrams), Seq("g"))
         .groupBy("doc_id")
         .agg(countDistinct(col("g")).as("n_hits"))
@@ -5330,16 +5398,20 @@ object SparkEntry {
     // relative to the corpus, so the two signature joins broadcast at
     // scale; signatures are map-side sketches.
     "t20_minhash_est" -> ((s, dir) => {
-      val sh = T(s, dir, "documents").select(col("doc_id"),
-        graft.functions.SketchExpressions
-          .wordShingles(TextOps.tokens(col("text")), 3).as("sh"))
-        .where(size(col("sh")) > 0)
+      // cheap token-count pre-filter ≡ size(sh) > 0 for 3-shingles
+      // (t1's rationale — keeps the shingle kernel out of the pushed
+      // filter)
+      val sh = T(s, dir, "documents")
+        .where(size(TextOps.tokens(col("text"))) >= 3)
+        .select(col("doc_id"),
+          graft.functions.SketchExpressions
+            .wordShingles(TextOps.tokens(col("text")), 3).as("sh"))
       val sig = sh.select(col("doc_id"),
         graft.functions.SketchExpressions.minhashSig(col("sh"), 8)
           .as("sig"),
         array_distinct(col("sh")).as("ss"))
       val pairs = Dedup.lshCandidatePairs(sh, "doc_id", "sh",
-        k = 8, bands = 4)
+        k = 8, bands = 4, preGated = true)
       pairs
         .join(sig.select(col("doc_id").as("id_a"), col("sig").as("siga"),
           col("ss").as("ssa")), Seq("id_a"))
@@ -5839,12 +5911,19 @@ object SparkEntry {
     // Documents whose every line is boilerplate drop out — the
     // pipeline's drop-empty-docs step, folded in.
     "t80_line_dedup" -> ((s, dir) => {
+      // posexplode_OUTER + the null-line drop ≡ the inner posexplode
+      // (chunk elements are never null; outer-only rows have a null
+      // line), but the outer form stops InferFiltersFromGenerate from
+      // pushing a size(tokenChunks(…))>0 filter below the projection —
+      // the r20 plans showed that inferred filter re-running the chunk
+      // kernel in EVERY one of this query's replicated scan branches
       val lines = T(s, dir, "documents")
         .select(col("doc_id"),
           graft.functions.SketchExpressions
             .tokenChunks(TextOps.tokens(col("text")), 10).as("chs"))
         .select(col("doc_id"), size(col("chs")).cast("long").as("n_lines"),
-          posexplode(col("chs")).as(Seq("pos", "line")))
+          posexplode_outer(col("chs")).as(Seq("pos", "line")))
+        .where(col("line").isNotNull)
         .withColumn("lh", md5(col("line")))
       val boiler = lines.groupBy("lh")
         .agg(countDistinct(col("doc_id")).as("nd"))
@@ -5904,11 +5983,15 @@ object SparkEntry {
     // second classifier pass. All integer ppm floor division on
     // non-negative values — bit-exact cross-engine.
     "t107_calibration_bins" -> ((s, dir) => {
-      // deliberately NOT localCheckpointed (r19 probe): the two
-      // twoLevelRank consumers share their upstream exchanges, which
-      // AQE reuses at runtime — a cut measured SLOWER (2.14 → 2.57 s)
-      // by adding a materialization barrier for no saved work
-      val scored = hashClassifierScores(s, dir)
+      // localCheckpointed SINCE the r20 map-side-dot rewrite: scoring
+      // no longer ends in an aggregate exchange, so the two
+      // twoLevelRank consumers have no shared stage to re-enter — each
+      // would re-run the kernel+dot corpus scan. The r19 probe that
+      // measured a cut SLOWER (2.14 → 2.57 s) was against the old
+      // exchange-terminated shape; the materialized rows are 4 narrow
+      // columns (the r19 t78 precedent), which is the case where a cut
+      // pays.
+      val scored = hashClassifierScores(s, dir).localCheckpoint(false)
       // docs with null text produce no features and never score —
       // the cheap count must use the same membership rule
       val n1 = T(s, dir, "documents").where(col("text").isNotNull)
@@ -6237,12 +6320,14 @@ object SparkEntry {
     // single-level per-lang sort: ONE task per language at 100 TB
     // when one language dominates the corpus.
     "t25_quality_shards" -> ((s, dir) => {
+      // cut the narrow (lang, id, q) projection (t103's rationale)
       val scored = T(s, dir, "documents")
         .select(col("lang"), col("doc_id"),
           graft.functions.SketchExpressions.textStats(col("text"))
             .as("__st"))
         .select(col("lang"), col("doc_id"),
           TextOps.qualityScoreFrom(col("__st")).as("q_score"))
+        .localCheckpoint(false)
       val counts = scored.groupBy("lang").agg(count(lit(1)).as("__n"))
       // coalesce(−1) in bucket AND order: NULL q_score would silently
       // drop out of the bucket join; −1 sits below every real score,
@@ -6393,10 +6478,13 @@ object SparkEntry {
     // the exact-match twin is t13.
     "t31_fuzzy_decontam" -> ((s, dir) => {
       val keys = Dedup.lshBandKeys(
-        T(s, dir, "documents").select(col("doc_id"),
-          graft.functions.SketchExpressions
-            .wordShingles(TextOps.tokens(col("text")), 3).as("sh")),
-        "doc_id", "sh", k = 8, bands = 4)
+        T(s, dir, "documents")
+          // pre-gate ≡ internal size gate (t2's rationale)
+          .where(size(TextOps.tokens(col("text"))) >= 3)
+          .select(col("doc_id"),
+            graft.functions.SketchExpressions
+              .wordShingles(TextOps.tokens(col("text")), 3).as("sh")),
+        "doc_id", "sh", k = 8, bands = 4, preGated = true)
       val bench = keys.where(col("doc_id") % 20 === 0)
         .select(col("band"), col("bh")).distinct()
       val hits = keys.where(col("doc_id") % 20 =!= 0)
@@ -6479,12 +6567,14 @@ object SparkEntry {
     // Jaccard but containment 1). Same candidate generation as t2;
     // the set intersection runs only on candidates, never all pairs.
     "t35_containment" -> ((s, dir) => {
+      // pre-gate ≡ internal size gate (t2's rationale)
       val docs = T(s, dir, "documents")
+        .where(size(TextOps.tokens(col("text"))) >= 3)
         .select(col("doc_id"),
           graft.functions.SketchExpressions
             .wordShingles(TextOps.tokens(col("text")), 3).as("shingles"))
       val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "shingles",
-        k = 8, bands = 4)
+        k = 8, bands = 4, preGated = true)
       val sets = docs.select(col("doc_id"),
         array_distinct(col("shingles")).as("ss"))
       pairs
@@ -6661,10 +6751,13 @@ object SparkEntry {
     // corpus re-cluster.
     "t58_neardup_churn" -> ((s, dir) => {
       val keys = Dedup.lshBandKeys(
-        T(s, dir, "documents").select(col("doc_id"),
-          graft.functions.SketchExpressions
-            .wordShingles(TextOps.tokens(col("text")), 3).as("sh")),
-        "doc_id", "sh", k = 8, bands = 4)
+        T(s, dir, "documents")
+          // pre-gate ≡ internal size gate (t2's rationale)
+          .where(size(TextOps.tokens(col("text"))) >= 3)
+          .select(col("doc_id"),
+            graft.functions.SketchExpressions
+              .wordShingles(TextOps.tokens(col("text")), 3).as("sh")),
+        "doc_id", "sh", k = 8, bands = 4, preGated = true)
       val removed = keys.where(col("doc_id") % 4 === 0)
         .select(col("band"), col("bh")).distinct()
       val hits = keys.where(col("doc_id") % 4 === 3)
@@ -6770,12 +6863,15 @@ object SparkEntry {
         .select(col("doc_id"),
           SketchExpressions.wordShingles(TextOps.tokens(col("text")), 3)
             .as("sh"))
+      // explode_OUTER + null-gram drop ≡ inner explode (t13's rationale)
       val evalGrams = sh.where(col("doc_id") % 97 === 0)
-        .select(explode(col("sh")).as("g")).distinct()
+        .select(explode_outer(col("sh")).as("g"))
+        .where(col("g").isNotNull).distinct()
       val bloom = evalGrams.agg(
         BloomExpressions.bloomFilter(col("g"), 1 << 19, 5).as("__bf"))
       sh.where(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+        .where(col("g").isNotNull)
         .crossJoin(broadcast(bloom))
         .where(BloomExpressions.bloomMightContain(col("__bf"), col("g")))
         .join(broadcast(evalGrams), Seq("g"))
@@ -8403,10 +8499,13 @@ object SparkEntry {
       // MinHash min over the multiset equals the min over the set, so
       // distinctness is unnecessary
       def keys(df: DataFrame) = Dedup.lshBandKeys(
-        df.select(col("doc_id"),
-          graft.functions.SketchExpressions
-            .wordShingles(TextOps.tokens(col("text")), 3).as("sh")),
-        "doc_id", "sh", k = 8, bands = 4)
+        df
+          // pre-gate ≡ internal size gate (t2's rationale)
+          .where(size(TextOps.tokens(col("text"))) >= 3)
+          .select(col("doc_id"),
+            graft.functions.SketchExpressions
+              .wordShingles(TextOps.tokens(col("text")), 3).as("sh")),
+        "doc_id", "sh", k = 8, bands = 4, preGated = true)
       val nearIds = keys(delta)
         .join(keys(existing).select("band", "bh").distinct(),
           Seq("band", "bh"), "left_semi")

@@ -62,8 +62,9 @@ object Dedup {
     * which at scale should be logged as reduced recall. */
   def lshCandidatePairs(df: DataFrame, idCol: String, shinglesCol: String,
                         k: Int = 8, bands: Int = 4,
-                        maxBucket: Int = 10000): DataFrame = {
-    val banded = bandedKeys(df, idCol, shinglesCol, k, bands)
+                        maxBucket: Int = 10000,
+                        preGated: Boolean = false): DataFrame = {
+    val banded = bandedKeys(df, idCol, shinglesCol, k, bands, preGated)
     inBucketPairs(banded.groupBy("__b", "__h")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")).between(2, maxBucket)))
@@ -73,12 +74,24 @@ object Dedup {
   /** The shared signature→band front of the three LSH surfaces —
     * ONE definition (exclude empty-shingle docs, k-hash signature,
     * band structs), so a banding change cannot leave one surface on
-    * a stale scheme. Output: (idCol, __b, __h). */
+    * a stale scheme. Output: (idCol, __b, __h).
+    *
+    * `preGated = true` declares the caller ALREADY excludes
+    * empty/null-shingle rows (e.g. a cheap token-count filter before
+    * the shingle projection, or a materialized gated frame), skipping
+    * the internal size gate. The gate is value-critical when rows can
+    * be empty — signatures of empty sets would band every empty doc
+    * together — but when `shinglesCol` is a LIVE projection, predicate
+    * pushdown inlines the shingle kernel into the gate's Filter and
+    * re-evaluates it per row (measured in the r20 plans: +1 kernel
+    * eval/scan on t2/t35/t85/t31/t58/t20), so pre-gated callers must
+    * be able to opt out. */
   private def bandedKeys(df: DataFrame, idCol: String,
                          shinglesCol: String, k: Int,
-                         bands: Int): DataFrame = {
+                         bands: Int,
+                         preGated: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must divide into bands evenly")
-    df.where(size(col(shinglesCol)) > 0)
+    (if (preGated) df else df.where(size(col(shinglesCol)) > 0))
       .select(col(idCol),
         graft.functions.SketchExpressions
           .minhashSig(col(shinglesCol), k).as("__sig"))
@@ -107,8 +120,9 @@ object Dedup {
     * held-out doc — a semi-join on these keys, never a pair explosion).
     * Empty-shingle docs are excluded, as in `lshCandidatePairs`. */
   def lshBandKeys(df: DataFrame, idCol: String, shinglesCol: String,
-                  k: Int = 8, bands: Int = 4): DataFrame =
-    bandedKeys(df, idCol, shinglesCol, k, bands)
+                  k: Int = 8, bands: Int = 4,
+                  preGated: Boolean = false): DataFrame =
+    bandedKeys(df, idCol, shinglesCol, k, bands, preGated)
       .withColumnRenamed("__b", "band").withColumnRenamed("__h", "bh")
 
   /** Star edges for duplicate CLUSTERING: each LSH bucket contributes

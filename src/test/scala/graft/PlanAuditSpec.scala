@@ -236,7 +236,11 @@ class PlanAuditSpec extends SparkSpec {
     "t103_dpo_pairs" -> 4, // [bucket] two-level rank tables
     "t104_kn_doc_ppl" -> 3, // [vocab] midCtx/uni/total LM sides
     "t105_data_card" -> 1, // [model] source-cardinality top-1 langs
-    "t107_calibration_bins" -> 4, // [bucket]+[scalar] two-level + totals
+    // t107: the scored table is localCheckpointed (r20 — map-side dot
+    // scoring left no exchange for the two twoLevelRank consumers to
+    // share), hiding the [model] hint; 2 visible = [bucket] rank
+    // offsets + [scalar] doc total
+    "t107_calibration_bins" -> 2,
     "t113_epoch_alloc" -> 1, // [scalar] budget totals
     "t114_compression_gate" -> 3, // [model] O(sources) median/MAD stats
     "t116_distill_audit" -> 1, // [model] 256-weight student model
@@ -560,12 +564,23 @@ class PlanAuditSpec extends SparkSpec {
       s"t80 must resolve bloom false positives with an exact anti-join:\n$p")
   }
 
-  test("t81: the 256-bucket model joins as a broadcast, scoring partial-aggs") {
+  test("t81: scoring is a MAP-SIDE dot against the broadcast model array") {
     val p = plan("t81_hash_classifier")
-    assert(p.contains("BroadcastHashJoin"),
-      s"t81 model join must broadcast the fixed-size bucket table:\n$p")
+    // r20 shape: the 1-row 256-weight array broadcasts (BNLJ cross of
+    // a single row) and per-doc scores are computed in the scan
+    // projection — no per-doc aggregate, no doc-keyed exchange, no
+    // shuffle of the corpus against the model
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"),
+      s"t81 model must reach the corpus as a broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"t81 scoring must never shuffle the corpus against the model:\n$p")
+    // exactly one kernel eval on the scoring side + one in the model
+    // branch — the r20 rewrite halved the static evals (the inferred
+    // generate filter re-ran the kernel per scan before)
+    assert(p.sliding("graft_feature_bucket_counts".length)
+        .count(_ == "graft_feature_bucket_counts") <= 2,
+      s"t81 must not re-evaluate the feature kernel per consumer:\n$p")
   }
 
   test("t82: z-key derivation is map-side — one partial->final agg exchange") {
