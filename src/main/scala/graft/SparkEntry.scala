@@ -4825,6 +4825,12 @@ object SparkEntry {
       val e = T(s, dir, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
+      // NOT checkpointed (r20 negative probe): cutting cent to erase
+      // the vec_id<k constraint (whose InferFiltersFromConstraints
+      // echo pushes one `argmin(...) < k` copy into a filter) measured
+      // 0.32 → 1.00 s — the materialization + lost parquet pruning
+      // cost more than the duplicated argmin, and the inferred filter
+      // survives anyway via the hier-index subtree's own constraints
       val cent = e.where(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("v"))
       val asg = graft.ops.Vectors
