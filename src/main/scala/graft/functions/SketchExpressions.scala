@@ -83,6 +83,10 @@ object SketchExpressions {
       if (n == 0) return null
       val md = MessageDigest.getInstance("MD5")
       val mins = new Array[Array[Byte]](k)
+      // digest into one reusable buffer; copy only when a digest
+      // actually becomes a min (n·k 16-byte allocations → ~k) —
+      // bit-identical, digest(buf,…) resets the engine like digest()
+      val buf = new Array[Byte](16)
       var i = 0
       while (i < n) {
         val s = arr.getUTF8String(i).getBytes
@@ -91,8 +95,9 @@ object SketchExpressions {
           md.reset()
           md.update(seeds(j))
           md.update(s)
-          val d = md.digest()
-          if (mins(j) == null || less(d, mins(j))) mins(j) = d
+          md.digest(buf, 0, 16)
+          if (mins(j) == null || less(buf, mins(j)))
+            mins(j) = java.util.Arrays.copyOf(buf, 16)
           j += 1
         }
         i += 1
@@ -118,10 +123,12 @@ object SketchExpressions {
       val n = arr.numElements()
       val votes = new Array[Int](32)
       val md = MessageDigest.getInstance("MD5")
+      val d = new Array[Byte](16) // reusable digest buffer (bit-identical)
       var i = 0
       while (i < n) {
         md.reset()
-        val d = md.digest(arr.getUTF8String(i).getBytes)
+        md.update(arr.getUTF8String(i).getBytes)
+        md.digest(d, 0, 16)
         var b = 0
         while (b < 16) { // nibble 2b = high, 2b+1 = low
           votes(2 * b) += (if (((d(b) >> 4) & 0xF) >= 8) 1 else -1)
@@ -202,6 +209,10 @@ object SketchExpressions {
       val space = ' '.toByte
       val buf = new Array[Array[Byte]](k) // ascending prefix of size cnt
       var cnt = 0
+      // digest into one reusable buffer; copy only on insertion
+      // (most windows hash above the current k-th minimum) —
+      // bit-identical
+      val dbuf = new Array[Byte](16)
       i = 0
       while (i <= len - n) {
         md.reset()
@@ -211,13 +222,15 @@ object SketchExpressions {
           md.update(toks(i + j))
           j += 1
         }
-        val d = md.digest()
+        md.digest(dbuf, 0, 16)
         if (cnt < k) {
+          val d = java.util.Arrays.copyOf(dbuf, 16)
           var p = cnt - 1
           while (p >= 0 && less(d, buf(p))) { buf(p + 1) = buf(p); p -= 1 }
           buf(p + 1) = d
           cnt += 1
-        } else if (less(d, buf(k - 1))) {
+        } else if (less(dbuf, buf(k - 1))) {
+          val d = java.util.Arrays.copyOf(dbuf, 16)
           var p = k - 2
           while (p >= 0 && less(d, buf(p))) { buf(p + 1) = buf(p); p -= 1 }
           buf(p + 1) = d
@@ -263,6 +276,7 @@ object SketchExpressions {
       val md = MessageDigest.getInstance("MD5")
       val space = ' '.toByte
       val out = new Array[Any](len - n + 1)
+      val dbuf = new Array[Byte](16) // reusable digest buffer (bit-identical)
       i = 0
       while (i <= len - n) {
         md.reset()
@@ -272,9 +286,9 @@ object SketchExpressions {
           md.update(toks(i + j))
           j += 1
         }
-        val d = md.digest()
+        md.digest(dbuf, 0, 16)
         out(i) = new GenericInternalRow(Array[Any]((i + 1).toLong,
-          hex(java.util.Arrays.copyOf(d, 8))))
+          hex(java.util.Arrays.copyOf(dbuf, 8))))
         i += 1
       }
       new GenericArrayData(out)
@@ -789,17 +803,21 @@ object SketchExpressions {
       val len = arr.numElements()
       val counts = new Array[Long](256)
       val md = MessageDigest.getInstance("MD5")
+      val dbuf = new Array[Byte](16) // reusable digest buffer (bit-identical)
       var i = 0
       while (i < len) {
         val t = arr.getUTF8String(i).getBytes
         md.reset()
-        counts(md.digest(t)(0) & 0xFF) += 1L
+        md.update(t)
+        md.digest(dbuf, 0, 16)
+        counts(dbuf(0) & 0xFF) += 1L
         if (i + 1 < len) {
           md.reset()
           md.update(t)
           md.update(space)
           md.update(arr.getUTF8String(i + 1).getBytes)
-          counts(md.digest()(0) & 0xFF) += 1L
+          md.digest(dbuf, 0, 16)
+          counts(dbuf(0) & 0xFF) += 1L
         }
         i += 1
       }
